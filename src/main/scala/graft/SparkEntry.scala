@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.WordCount
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator gets a `queries` entry; SQL-expressible ones
+  * also get a DuckDB oracle in `oracleSql` with IDENTICAL column names. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Word count through the MapReduce kernel — the reference's canonical
+    * example (/root/reference/README.md:34-46). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    WordCount.viaMapReduce(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordcount_mapreduce" -> ((s, d) => WordCount.viaMapReduce(s, d)),
+    "wordcount_dataframe" -> ((s, d) => WordCount.viaDataFrame(s, d)),
+  )
+
+  private val wordcountOracle =
+    """SELECT word, count(*) AS cnt
+      |FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word FROM documents)
+      |WHERE word <> '' GROUP BY word""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "wordcount_mapreduce" -> wordcountOracle,
+    "wordcount_dataframe" -> wordcountOracle,
+  )
 }
