@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.WordCount
+import graft.operators.{Relational, WordCount}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator gets a `queries` entry; SQL-expressible ones
@@ -15,10 +15,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     WordCount.viaMapReduce(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "wordcount_mapreduce" -> ((s, d) => WordCount.viaMapReduce(s, d)),
-    "wordcount_dataframe" -> ((s, d) => WordCount.viaDataFrame(s, d)),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "wordcount_mapreduce" -> ((s, d) => WordCount.viaMapReduce(s, d)),
+      "wordcount_dataframe" -> ((s, d) => WordCount.viaDataFrame(s, d)),
+    ) ++ Relational.queries
 
   private val wordcountOracle =
     """SELECT word, count(*) AS cnt
@@ -28,5 +29,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "wordcount_mapreduce" -> wordcountOracle,
     "wordcount_dataframe" -> wordcountOracle,
-  )
+  ) ++ Relational.oracles
 }
