@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, WordCount}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, WordCount}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator gets a `queries` entry; SQL-expressible ones
@@ -19,7 +19,8 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame](
       "wordcount_mapreduce" -> ((s, d) => WordCount.viaMapReduce(s, d)),
       "wordcount_dataframe" -> ((s, d) => WordCount.viaDataFrame(s, d)),
-    ) ++ Relational.queries
+    ) ++ Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries
 
   private val wordcountOracle =
     """SELECT word, count(*) AS cnt
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "wordcount_mapreduce" -> wordcountOracle,
     "wordcount_dataframe" -> wordcountOracle,
-  ) ++ Relational.oracles
+  ) ++ Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+    Similarity.oracles
 }

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: language ID (stopword-marker heuristic), quality
+  * scoring, token counting, and content fingerprinting.
+  *
+  * Everything is built from codegen'd builtin expressions (split /
+  * filter / transform / aggregate higher-order functions) — no UDFs, no
+  * shuffle except where an aggregation genuinely needs one — so each
+  * operator runs scan-parallel at any scale.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  // DuckDB equivalents of tokens/countIn, for the oracles.
+  private val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+  private def countInSql(words: Seq[String]): String =
+    s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  // ------------------------------------------------------------- language ID
+  // n-gram/stopword-marker heuristic: count language-specific marker words,
+  // argmax with a fixed priority order for ties. (The synthetic corpus
+  // shares one vocabulary, so predictions skew English — the operator's
+  // contract is the deterministic heuristic, graded against the oracle;
+  // the `lang` column ships alongside as ground truth for accuracy evals.)
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "los", "que", "de", "un", "una"))
+
+  def taLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val counts = markers.map { case (l, ws) => l -> countIn(toks, ws) }
+    val Seq(en, de, fr, es) = counts.map(_._2)
+    Tables.documents(s, dir).select(
+      $"doc_id", $"lang",
+      en.cast("long").as("c_en"), de.cast("long").as("c_de"),
+      fr.cast("long").as("c_fr"), es.cast("long").as("c_es"),
+      when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es").as("pred_lang"))
+  }
+
+  val taLangIdSql: String = {
+    val Seq(en, de, fr, es) = markers.map { case (_, ws) => countInSql(ws) }
+    s"""SELECT doc_id, lang, $en AS c_en, $de AS c_de, $fr AS c_fr, $es AS c_es,
+       |  CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+       |       WHEN $de >= $fr AND $de >= $es THEN 'de'
+       |       WHEN $fr >= $es THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |FROM documents""".stripMargin
+  }
+
+  // --------------------------------------------------------- quality scoring
+  // length / stopword-ratio / mean-token-length heuristics; a composite
+  // score in [0,1] from deterministic double arithmetic.
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "it")
+
+  def taQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("long")
+    val nChars = length($"text").cast("long")
+    val alphaChars = length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("long")
+    val stopRatio = countIn(toks, stopwords).cast("double") / nTok
+    val meanTokLen = (nChars - (nTok - lit(1L))).cast("double") / nTok
+    Tables.documents(s, dir).select(
+      $"doc_id", nChars.as("n_chars"), nTok.as("n_tokens"),
+      alphaChars.as("n_alpha"),
+      stopRatio.as("stopword_ratio"),
+      meanTokLen.as("mean_token_len"),
+      (least(nTok.cast("double") / lit(50.0), lit(1.0)) * lit(0.5)
+        + stopRatio * lit(0.3)
+        + (alphaChars.cast("double") / nChars) * lit(0.2)).as("quality_score"))
+  }
+
+  val taQualitySql: String = {
+    val nTok = s"len($toksSql)"
+    s"""SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       |  CAST($nTok AS BIGINT) AS n_tokens,
+       |  CAST(LENGTH(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |  CAST(${countInSql(stopwords)} AS DOUBLE) / $nTok AS stopword_ratio,
+       |  CAST(LENGTH(text) - ($nTok - 1) AS DOUBLE) / $nTok AS mean_token_len,
+       |  LEAST(CAST($nTok AS DOUBLE) / 50.0, 1.0) * 0.5
+       |    + CAST(${countInSql(stopwords)} AS DOUBLE) / $nTok * 0.3
+       |    + CAST(LENGTH(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / LENGTH(text) * 0.2 AS quality_score
+       |FROM documents""".stripMargin
+  }
+
+  // ----------------------------------------------------------- token counts:
+  // whitespace tokens + a BPE-ish segmentation (letter runs / digit runs /
+  // single punctuation) + the chars/4 heuristic LLM token estimate.
+  def taTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      size(tokens($"text")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower($"text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("bpe_ish_tokens"),
+      ceil(length($"text") / lit(4.0)).cast("long").as("est_llm_tokens"))
+  }
+
+  val taTokensSql: String =
+    s"""SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_ish_tokens,
+       |  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_llm_tokens
+       |FROM documents""".stripMargin
+
+  // -------------------------------------------------------- fingerprinting:
+  // md5 over whitespace-normalized text — the exact-dedup key. (A rolling
+  // Rabin-Karp hash over token windows feeds the shingle machinery in
+  // Dedup; here the content fingerprint is the cross-system-stable form.)
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  def taFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      md5(normalized($"text")).as("fingerprint"),
+      substring(md5(normalized($"text")), 1, 8).as("fp_prefix"))
+  }
+
+  val taFingerprintSql: String =
+    """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  SUBSTRING(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_langid" -> taLangId,
+    "ta_quality" -> taQuality,
+    "ta_tokens" -> taTokens,
+    "ta_fingerprint" -> taFingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta_langid" -> taLangIdSql,
+    "ta_quality" -> taQualitySql,
+    "ta_tokens" -> taTokensSql,
+    "ta_fingerprint" -> taFingerprintSql,
+  )
+}

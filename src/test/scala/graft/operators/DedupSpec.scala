@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("shingles: 3-gram windows, distinct, short-doc guard") {
+    val out = Seq("a b c d", "a b", "x").toDF("text")
+      .select(Dedup.shingles($"text").as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("a b")) // < 3 tokens → whole doc as one shingle
+    assert(out(2) == Seq("x"))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips distinct docs") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 59).map(i => s"w$i").mkString(" ") + " CHANGED"
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val s1 = Dedup.signatures(docs).select("sig").head().getSeq[Long](0)
+    val s2 = Dedup.signatures(docs).select("sig").head().getSeq[Long](0)
+    assert(s1 == s2 && s1.length == Dedup.NumHashes)
+  }
+
+  test("simhash: identical docs collide, near-dups within small hamming") {
+    val base = (1 to 50).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, base + " x y z"))
+      .toDF("doc_id", "text")
+    val sims = Dedup.withSimhash(docs).orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    assert(sims(0) == sims(1))
+    val hamming = java.lang.Long.bitCount(sims(0) ^ sims(2))
+    assert(hamming <= 8, s"near-dup hamming was $hamming")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val docs = Seq((1L, "Same  Doc"), (2L, "same doc"), (3L, "unique"))
+      .toDF("doc_id", "text")
+    val grouped = docs
+      .groupBy(md5(TextAnalysis.normalized($"text")).as("fp"))
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("canonical"))
+      .filter($"n" > 1).collect()
+    assert(grouped.length == 1 && grouped(0).getAs[Long]("n") == 2
+      && grouped(0).getAs[Long]("canonical") == 1L)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(3.0f, 4.0f), Array(3.0f, 4.0f), 1.0),
+    ).toDF("a", "b", "expected")
+    df.select(Similarity.cosine($"a", $"b").as("c"), $"expected")
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("brute-force knn returns k ranked neighbors per query") {
+    val knn = Similarity.ssKnnBrute(spark, TestSpark.sf0001)
+    val rows = knn.collect()
+    assert(rows.length == Similarity.NumQueries * Similarity.K)
+    // ranks are 1..K and cosine non-increasing within each query
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to Similarity.K))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(sorted.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id")))
+    }
+  }
+
+  test("ann lsh output is a subset of exact near-dup pairs, cosine above threshold") {
+    val exact = Similarity.ddEmbedCosine(spark, TestSpark.sf0001)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val ann = Similarity.ssAnnLsh(spark, TestSpark.sf0001)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(ann.subsetOf(exact))
+  }
+
+  test("ivf centroids: one per label, mean of member vectors") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),
+      (3L, Array(1.0f, 1.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Similarity.centroids(emb).orderBy("label")
+      .select($"label", $"centroid").collect()
+    assert(cents.length == 2)
+    assert(cents(0).getSeq[Double](1) == Seq(0.5, 0.5))
+    assert(cents(1).getSeq[Double](1) == Seq(1.0, 1.0))
+  }
+
+  test("ivf knn: probed-cell results are exact within recalled neighbors") {
+    val ivf = Similarity.ssKnnIvf(spark, TestSpark.sf0001)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to g.length))
+    }
+  }
+}
