@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Relational, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, WordCount}
+import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every implemented operator gets a `queries` entry; SQL-expressible ones
@@ -20,7 +21,7 @@ object SparkEntry {
       "wordcount_mapreduce" -> ((s, d) => WordCount.viaMapReduce(s, d)),
       "wordcount_dataframe" -> ((s, d) => WordCount.viaDataFrame(s, d)),
     ) ++ Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries
+      Similarity.queries ++ Multimodal.queries ++ EventStreams.queries
 
   private val wordcountOracle =
     """SELECT word, count(*) AS cnt
@@ -31,5 +32,5 @@ object SparkEntry {
     "wordcount_mapreduce" -> wordcountOracle,
     "wordcount_dataframe" -> wordcountOracle,
   ) ++ Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-    Similarity.oracles
+    Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles
 }

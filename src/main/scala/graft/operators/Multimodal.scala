@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, decoded/feature-extracted via a partition-local batch
+  * stub.
+  *
+  * The Spark-side shape is the real thing a 100 TB media pipeline needs —
+  * binary column + typed metadata struct, partition-parallel batched
+  * decode with a typed schema, deterministic frame sampling via a
+  * generator — while the actual codec call is STUBBED (no image/audio
+  * libraries in this environment): `DecodeStub.decodeBatch` derives
+  * deterministic fake features from the payload bytes. Swapping in a real
+  * decoder changes ONE function; every schema, partition, and batch shape
+  * stays.
+  */
+object Multimodal {
+
+  /** Typed media record: what an ingested multimodal table row looks like.
+    * Payload here is the utf-8 text bytes standing in for image data. */
+  final case class MediaRecord(
+      doc_id: Long, payload: Array[Byte],
+      mime: String, width: Int, height: Int, n_frames: Int)
+
+  final case class MediaFeatures(
+      doc_id: Long, byte_len: Long, brightness: Double,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder — deterministic fake in place of a codec library.
+    * Real implementation would decode `payload` (JPEG/PNG/WAV...) per
+    * batch; the fake derives "brightness" = mean of the first 8 payload
+    * bytes, keeping the whole pipeline testable end-to-end. */
+  object DecodeStub {
+    val BatchSize = 32
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val head = r.payload.take(8).map(_ & 0xFF)
+        MediaFeatures(r.doc_id, r.payload.length.toLong,
+          if (head.isEmpty) 0.0 else head.sum.toDouble / head.length,
+          r.width, r.height, r.n_frames)
+      }
+  }
+
+  /** documents → typed media table: binary payload + metadata struct.
+    * Metadata is derived deterministically from n_chars so every engine
+    * (and the oracle) agrees on it. */
+  def ingest(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(
+        $"doc_id",
+        encode($"text", "UTF-8").as("payload"),
+        when($"doc_id" % 2 === 0, "image/png").otherwise("image/jpeg").as("mime"),
+        (lit(64) + ($"n_chars" % 577)).cast("int").as("width"),
+        (lit(48) + ($"n_chars" % 433)).cast("int").as("height"),
+        (lit(1) + ($"n_chars" % 24)).cast("int").as("n_frames"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-parallel batched decode: the `mapPartitions` +
+    * `grouped(BatchSize)` shape is exactly how a vectorized decoder is
+    * driven (amortized per-batch setup, bounded memory per task). */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeStub.BatchSize)
+      .flatMap(b => DecodeStub.decodeBatch(b)))
+  }
+
+  def mmDecodeMeta(s: SparkSession, dir: String): DataFrame =
+    decodeFeatures(ingest(s, dir)).toDF()
+
+  /** Oracle twin: the stub's arithmetic, in SQL over the source text. */
+  val mmDecodeMetaSql: String =
+    """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS byte_len,
+      |  list_sum(list_transform(range(LEAST(8, LENGTH(text))),
+      |    i -> ascii(text[i+1])))::DOUBLE / LEAST(8, LENGTH(text)) AS brightness,
+      |  CAST(64 + n_chars % 577 AS INT) AS width,
+      |  CAST(48 + n_chars % 433 AS INT) AS height,
+      |  CAST(1 + n_chars % 24 AS INT) AS n_frames
+      |FROM documents""".stripMargin
+
+  /** Deterministic frame sampling: every k-th frame index per media row,
+    * via a generator (posexplode of a sequence) — row-parallel, no UDF. */
+  val FrameStride = 5
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    ingest(s, dir).toDF()
+      .select($"doc_id", $"n_frames",
+        explode(sequence(lit(0), $"n_frames" - 1, lit(FrameStride))).as("frame_idx"))
+  }
+
+  val mmFrameSampleSql: String =
+    s"""SELECT doc_id, CAST(1 + n_chars % 24 AS INT) AS n_frames,
+       |  CAST(UNNEST(range(0, 1 + n_chars % 24, $FrameStride)) AS INT) AS frame_idx
+       |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_meta" -> mmDecodeMeta,
+    "mm_frame_sample" -> mmFrameSample,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_decode_meta" -> mmDecodeMetaSql,
+    "mm_frame_sample" -> mmFrameSampleSql,
+  )
+}

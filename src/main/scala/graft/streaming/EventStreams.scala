@@ -1,0 +1,166 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+
+/** Structured-Streaming surface over the `events` schema. Every transform
+  * is written against a plain DataFrame, so the SAME code runs in batch
+  * (for the oracle-checked queries below) and behind `readStream` (specs
+  * drive it with MemoryStream) — Structured Streaming's core contract.
+  *
+  * Watermarks bound state: at production rates the 10-minute watermark
+  * caps the live window count regardless of total volume, and the session
+  * state store holds only open sessions.
+  */
+object EventStreams {
+
+  // ------------------------------------------------------ windowed aggregates
+  /** Tumbling 1-hour counts/sums per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour window every 30 minutes: late-tolerant moving load. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with a 30-minute inactivity gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("session_start"), col("user_id"),
+        col("n"), col("sum_value"))
+
+  // ------------------------------------------------------- streaming wrappers
+  /** Streaming tumbling aggregate with a 10-minute watermark: state for a
+    * window is dropped once the watermark passes its end — bounded memory
+    * under unbounded input. */
+  def streamingTumbling(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "10 minutes"))
+
+  def streamingSessions(events: DataFrame): DataFrame =
+    sessionCounts(events.withWatermark("ts", "10 minutes"))
+
+  // -------------------------------------- custom state: flatMapGroupsWithState
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n: Long, sum_value: Double)
+
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Custom sessionization with explicit state + processing-time timeout:
+    * the `(flatM|m)apGroupsWithState` surface the reference's users would
+    * need for stateful logic Spark's built-in windows can't express.
+    * Emits a session when a gap exceeds SessionGapMs or the group times
+    * out. Events within a micro-batch are sorted per key; cross-batch
+    * order is handled by the gap logic. */
+  def sessionize(events: Dataset[Event]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => UserSession(userId,
+              new Timestamp(s.start), new Timestamp(s.last + SessionGapMs),
+              s.n, s.sum))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= SessionGapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId, new Timestamp(s.start),
+                    new Timestamp(s.last + SessionGapMs), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutDuration(SessionGapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  // ----------------------------------------------------- batch query entries
+  def evTumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingCounts(Tables.events(s, dir))
+
+  val evTumblingSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def evSliding(s: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.events(s, dir))
+
+  /** A row lands in the two 1-hour windows that contain it (stride 30m). */
+  val evSlidingSql: String =
+    """SELECT time_bucket(INTERVAL '30 minutes', ts) + (k * INTERVAL '30 minutes')
+      |    - INTERVAL '30 minutes' AS window_start, event_type, COUNT(*) AS n
+      |FROM events, (SELECT UNNEST([0, 1]) AS k) shifts
+      |WHERE time_bucket(INTERVAL '30 minutes', ts) + (k * INTERVAL '30 minutes')
+      |    - INTERVAL '30 minutes' <= ts
+      |GROUP BY 1, 2""".stripMargin
+
+  def evSessions(s: SparkSession, dir: String): DataFrame =
+    sessionCounts(Tables.events(s, dir))
+
+  /** Gaps-and-islands twin of session_window (30-minute gap). */
+  val evSessionsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |           > INTERVAL '30 minutes' OR
+      |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |numbered AS (
+      |  SELECT *, SUM(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM numbered GROUP BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev_tumbling" -> evTumbling,
+    "ev_sliding" -> evSliding,
+    "ev_sessions" -> evSessions,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ev_tumbling" -> evTumblingSql,
+    "ev_sliding" -> evSlidingSql,
+    "ev_sessions" -> evSessionsSql,
+  )
+}

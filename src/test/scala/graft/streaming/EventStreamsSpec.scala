@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.streaming.EventStreams.{Event, UserSession}
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def runStream[T](stream: MemoryStream[Event],
+      out: org.apache.spark.sql.DataFrame, mode: OutputMode,
+      batches: Seq[Seq[Event]]): Seq[org.apache.spark.sql.Row] = {
+    val name = s"mem_${System.identityHashCode(out)}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("streaming tumbling counts with watermark emit finalized windows") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val out = EventStreams.streamingTumbling(input.toDF())
+    val rows = runStream(input, out, OutputMode.Append(), Seq(
+      Seq(Event(1, ts(5), 1, "click", 1.0), Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(61), 2, "view", 3.0)),
+      // watermark advances past window [0h,1h) → it finalizes
+      Seq(Event(4, ts(200), 2, "view", 4.0))))
+    val firstHour = rows.find(r =>
+      r.getAs[Timestamp]("window_start") == ts(0) &&
+        r.getAs[String]("event_type") == "click")
+    assert(firstHour.isDefined)
+    assert(firstHour.get.getAs[Long]("n") == 2)
+    assert(firstHour.get.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("streaming session windows merge events within gap") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val out = EventStreams.streamingSessions(input.toDF())
+    val rows = runStream(input, out, OutputMode.Append(), Seq(
+      Seq(Event(1, ts(0), 7, "a", 1.0), Event(2, ts(10), 7, "a", 1.0),
+        Event(3, ts(100), 7, "a", 1.0)),
+      Seq(Event(4, ts(500), 7, "a", 1.0)))) // pushes watermark far ahead
+    // events at 0,10 merge (gap 10m < 30m); event at 100 is a new session
+    val sessions = rows.filter(_.getAs[Long]("user_id") == 7L)
+      .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Long]("n")))
+    assert(sessions.contains((ts(0), 2L)))
+    assert(sessions.contains((ts(100), 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0), Event(2, ts(10), 1, "a", 2.0),
+      Event(3, ts(120), 1, "a", 3.0), // gap > 30m closes first session
+      Event(4, ts(0), 2, "b", 5.0)).toDS()
+    val sessions: Seq[UserSession] =
+      EventStreams.sessionize(events).collect().toSeq
+    // batch mode emits only CLOSED sessions (open state never times out)
+    assert(sessions.contains(UserSession(1, ts(0),
+      new Timestamp(ts(10).getTime + EventStreams.SessionGapMs), 2, 3.0)))
+    assert(!sessions.exists(s => s.user_id == 2)) // still open, not emitted
+  }
+
+  test("batch and streaming tumbling agree on the same data") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, ts(5), 1, "x", 1.5), Event(2, ts(30), 1, "x", 2.5),
+      Event(3, ts(70), 2, "y", 1.0)).toDF()
+    val rows = EventStreams.tumblingCounts(batch).collect()
+    assert(rows.length == 2)
+    val h0 = rows.find(_.getAs[Timestamp]("window_start") == ts(0)).get
+    assert(h0.getAs[Long]("n") == 2 && h0.getAs[Double]("sum_value") == 4.0)
+  }
+}
