@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NumericType}
+
+/** Native Catalyst expression for the dense-vector dot product.
+  *
+  * Why custom: the composable formulation (`aggregate(zip_with(a, b, *),
+  * 0.0, +)`) is CodegenFallback — interpreted lambda dispatch and an
+  * allocated intermediate array per row — which dominates the similarity
+  * operators' runtime. This expression runs the multiply-add loop inside
+  * whole-stage codegen, directly over the unsafe `ArrayData`, no
+  * intermediate allocation.
+  *
+  * Semantics are IDENTICAL to the composable form (and the DuckDB oracle):
+  * each element widened to double, products accumulated sequentially in
+  * index order — bit-reproducible everywhere.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a: NumericType, _), ArrayType(b: NumericType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_dot needs two numeric arrays, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  private def elemType(e: Expression): NumericType =
+    e.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (xs, ys) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = math.min(xs.numElements(), ys.numElements())
+    val (ta, tb) = (elemType(left), elemType(right))
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += toDouble(xs, i, ta) * toDouble(ys, i, tb)
+      i += 1
+    }
+    sum
+  }
+
+  private def toDouble(arr: ArrayData, i: Int, t: NumericType): Double =
+    t match {
+      case FloatType => arr.getFloat(i).toDouble
+      case DoubleType => arr.getDouble(i)
+      case _ => arr.get(i, t) match {
+        case n: java.lang.Number => n.doubleValue()
+        case other => other.toString.toDouble
+      }
+    }
+
+  private def getter(t: NumericType, arr: String, i: String): String =
+    t match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case DoubleType => s"$arr.getDouble($i)"
+      case _ => s"(double) $arr.getInt($i)" // integral fallback
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val sum = ctx.freshName("sum")
+      val (ta, tb) = (elemType(left), elemType(right))
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += ${getter(ta, a, i)} * ${getter(tb, b, i)};
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Σ aᵢ·bᵢ in double, sequential — codegen'd. */
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vec_norm(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(vec_dot(a, a))
+  }
+
+  def vec_cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+}

@@ -24,15 +24,22 @@ import graft.Tables
   */
 object Dedup {
 
-  /** Distinct 3-gram word shingles of the lowercased text. Guarded for
-    * short docs (Spark `sequence(a, b)` runs DESCENDING when b < a). */
-  def shingles(text: Column): Column = {
-    val toks = TextAnalysis.tokens(text)
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** Distinct 3-gram word shingles of the lowercased text.
+    *
+    * Deliberately a compiled Scala UDF, not array higher-order functions:
+    * the HOF formulation (`transform` over `sequence` with `slice` +
+    * `concat_ws`) is CodegenFallback — interpreted per position with an
+    * array copy per slice, O(tokens²) and ~1 ms/doc measured — while this
+    * tight JVM loop is O(tokens) and ~µs/doc. (A custom codegen'd
+    * Generator would beat it again; the UDF is the right cost/benefit
+    * here.) Short docs (< 3 tokens) collapse to one whole-doc shingle. */
+  private val shingleUdf = udf((text: String) => {
+    val toks = text.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+    else Array(toks.mkString(" "))
+  })
+  def shingles(text: Column): Column = shingleUdf(text)
 
   // DuckDB twin of the shingle expression, for the oracles.
   private val toksSql =
@@ -103,18 +110,39 @@ object Dedup {
   val Bands = 32 // rows per band = NumHashes / Bands = 2
   val MinhashThreshold = 0.5
 
-  /** doc_id → (shingle set, minhash signature array<long>). */
+  /** Per-j salts for the hash family h_j(x) = xxhash64(x ⊕ salt_j): each
+    * shingle STRING is xxhash64'd once, the 64 family members re-hash the
+    * resulting 8-byte long — ~60× less string hashing than hashing
+    * (shingle, j) pairs, fully codegen'd, and overflow-free under ANSI
+    * mode. Salts from a fixed LCG so signatures are stable across jobs
+    * and cluster layouts. */
+  private val hashSalt: IndexedSeq[Long] = {
+    var x = 0x9E3779B97F4A7C15L
+    (0 until NumHashes).map { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L; x
+    }
+  }
+
+  /** doc_id → (shingle set, minhash signature array<long>).
+    *
+    * Formulated as explode → 64 codegen'd `min` aggregates in ONE
+    * HashAggregate, not a higher-order-function fold: array HOFs are
+    * CodegenFallback (interpreted, per-step array allocation), while this
+    * shape runs entirely in whole-stage codegen with map-side partial
+    * mins — at cluster scale the shuffle carries 64 longs per doc, not
+    * the shingle set. */
   def signatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(col("text"))
-    val sig = aggregate(
-      sh,
-      array_repeat(lit(Long.MaxValue), NumHashes),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(NumHashes - 1)),
-          j => xxhash64(concat_ws("#", s, j))),
-        (x, y) => least(x, y)))
-    docs.select(col("doc_id"), sh.as("sh"), sig.as("sig"))
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val exploded = withSh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val aggs = (1 until NumHashes).map(j =>
+      min(xxhash64(col("h").bitwiseXOR(lit(hashSalt(j))))).as(s"m$j"))
+    val sigs = exploded.groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("h").bitwiseXOR(lit(hashSalt(0))))).as("m0"), aggs: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(j => col(s"m$j")): _*).as("sig"))
+    withSh.join(sigs, "doc_id")
   }
 
   /** (doc_id, band, band_hash) — one row per band for the bucket join. */

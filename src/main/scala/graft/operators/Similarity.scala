@@ -21,13 +21,13 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double, sequential fold — deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double, sequential — the native codegen'd VecDot
+    * expression (see graft.functions.VectorExpressions for why not the
+    * interpreted `aggregate(zip_with(...))` formulation). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vec_dot(a, b)
 
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    graft.functions.VectorFunctions.vec_cosine(a, b)
 
   // ------------------------------------------------------- brute-force k-NN:
   // Q query vectors (broadcast) × linear scan of candidates, window rank.
@@ -102,21 +102,26 @@ object Similarity {
   val LshBands = 16
   val LshBits = 8
 
-  private def rademacher(plane: Int, i: Column): Column =
-    when(xxhash64(concat_ws(":", lit(plane), i)).bitwiseAND(1) === 1, 1.0)
-      .otherwise(-1.0)
+  /** Deterministic Rademacher (±1) plane weights, precomputed at plan
+    * time with the same xxhash64 Catalyst evaluator the previous
+    * expression-level formulation used — signatures are stable across
+    * jobs while the per-row work is one codegen'd VecDot per plane. */
+  private def rademacherPlane(plane: Int): Array[Double] =
+    Array.tabulate(64) { i =>
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(s"$plane:$i")), 42L)
+        .eval(null).asInstanceOf[Long]
+      if ((h & 1L) == 1L) 1.0 else -1.0
+    }
 
   /** One signed-projection bit per (band, bit) plane → array<long> of
     * band codes, each an LshBits-bit integer. Planes are unrolled at plan
-    * time; each projection is a single sequential fold over the vector. */
+    * time; each projection is one codegen'd dot against a literal plane. */
   def lshBands(vec: Column): Column =
     array((0 until LshBands).map { band =>
       (0 until LshBits).map { bit =>
         val plane = band * LshBits + bit
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), lit(63)),
-            (x, i) => x.cast("double") * rademacher(plane, i)),
-          lit(0.0), (a, v) => a + v)
+        val proj = dot(vec, typedLit(rademacherPlane(plane)))
         when(proj > 0, lit(1L << bit)).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
     }: _*)
