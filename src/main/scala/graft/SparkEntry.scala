@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Advanced, Dedup, Multimodal, Relational, Similarity, TextAnalysis, WordCount}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,8 +20,9 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame](
       "wordcount_mapreduce" -> ((s, d) => WordCount.viaMapReduce(s, d)),
       "wordcount_dataframe" -> ((s, d) => WordCount.viaDataFrame(s, d)),
-    ) ++ Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ EventStreams.queries
+    ) ++ Relational.queries ++ Advanced.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      EventStreams.queries
 
   private val wordcountOracle =
     """SELECT word, count(*) AS cnt
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "wordcount_mapreduce" -> wordcountOracle,
     "wordcount_dataframe" -> wordcountOracle,
-  ) ++ Relational.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-    Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles
+  ) ++ Relational.oracles ++ Advanced.oracles ++ TextAnalysis.oracles ++
+    Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
+    EventStreams.oracles
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second tranche of relational coverage: exact percentiles, array
+  * functions, pivot, deterministic hash sampling. */
+object Advanced {
+
+  // ------------------------------------------------------ exact percentiles
+  // (sort-based `percentile`, linear interpolation — same definition as
+  // DuckDB's quantile_cont, so results are engine-exact).
+  def q23Percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_discount, 0.25)").as("p25_disc"),
+        count(lit(1)).as("n"))
+  }
+
+  val q23Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  quantile_cont(l_discount, 0.25) AS p25_disc,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------- array functions
+  def q24ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).select(
+      $"vec_id",
+      size($"embedding").as("dim"),
+      array_max($"embedding").cast("double").as("vmax"),
+      array_min($"embedding").cast("double").as("vmin"),
+      element_at($"embedding", 1).cast("double").as("first"),
+      // explicit left-assoc double adds — engine-exact (arrays themselves
+      // don't survive the driver's hash compare, so emit a scalar)
+      (element_at($"embedding", 1).cast("double")
+        + element_at($"embedding", 2).cast("double")
+        + element_at($"embedding", 3).cast("double")
+        + element_at($"embedding", 4).cast("double")).as("head4_sum"),
+      array_contains($"embedding", 0.0f).as("has_zero"))
+  }
+
+  val q24Sql: String =
+    """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+      |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS vmax,
+      |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS vmin,
+      |  CAST(embedding[1] AS DOUBLE) AS first,
+      |  ((CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE))
+      |    + CAST(embedding[3] AS DOUBLE)) + CAST(embedding[4] AS DOUBLE) AS head4_sum,
+      |  list_contains(embedding, 0.0) AS has_zero
+      |FROM embeddings""".stripMargin
+
+  // ------------------------------------------------------------------ pivot
+  // (explicit value list ⇒ deterministic schema, single-pass Expand+agg).
+  def q25Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").cast("int").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+  }
+
+  val q25Sql: String =
+    """SELECT CAST(YEAR(o_orderdate) AS INT) AS yr,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------- deterministic sampling:
+  // hash-threshold on md5 hex — the stable ~10% sample every engine agrees
+  // on (seeded, reproducible across runs/engines; the right way to carve
+  // eval sets out of a 100 TB corpus — no RNG state, no coordination).
+  def q26SampleHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter(substring(md5($"o_orderkey".cast("string")), 1, 2) <= "19")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+  }
+
+  val q26Sql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |WHERE SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_percentiles" -> q23Percentiles,
+    "q24_array_funcs" -> q24ArrayFuncs,
+    "q25_pivot" -> q25Pivot,
+    "q26_sample_hash" -> q26SampleHash,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q23_percentiles" -> q23Sql,
+    "q24_array_funcs" -> q24Sql,
+    "q25_pivot" -> q25Sql,
+    "q26_sample_hash" -> q26Sql,
+  )
+}
