@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL-surface registration for graft's custom expressions, so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the Column
+  * API.
+  *
+  * Two entry points:
+  *  - `register(spark)` — imperative, for an existing session;
+  *  - `GraftExtensions` — declarative, for
+  *    `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build (the deployment shape for a shared cluster).
+  */
+object GraftFunctions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
+  )
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  private[functions] def inject(extensions: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VecDot", name),
+        builder))
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftFunctions.inject(extensions)
+}

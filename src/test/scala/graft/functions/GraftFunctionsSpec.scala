@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraftFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("vec_dot is callable from SQL after register()") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(got == 11.0)
+  }
+
+  test("GraftExtensions injects the function builders") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // builders must be applied into a session's registry to take effect;
+    // validate the injection list is non-empty and builders construct
+    val fns = GraftFunctions.functions
+    assert(fns.nonEmpty)
+    val expr = fns.head._2(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    assert(expr.eval(null) == 2.0)
+  }
+}
