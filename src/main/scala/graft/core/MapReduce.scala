@@ -152,6 +152,30 @@ object MapReduce {
       }
     }
 
+  /** The reference's binary combiner as a DataFrame-side typed UDAF
+    * (org.apache.spark.sql.expressions.Aggregator): `reduce`/`merge` are
+    * both the user function — exactly the contract of
+    * /root/reference/lib/map_reduce/reduceable.rb:17-36, which re-reduces
+    * partial results in arbitrary grouping. Usable in `agg(...)` where a
+    * whole-column aggregation is wanted instead of reduceGroups. */
+  def aggregatorOf[V](f: (V, V) => V)(
+      implicit vEnc: Encoder[V], optEnc: Encoder[Option[V]]):
+      org.apache.spark.sql.expressions.Aggregator[V, Option[V], V] =
+    new org.apache.spark.sql.expressions.Aggregator[V, Option[V], V] {
+      override def zero: Option[V] = None
+      override def reduce(b: Option[V], a: V): Option[V] =
+        Some(b.fold(a)(prev => f(prev, a)))
+      override def merge(b1: Option[V], b2: Option[V]): Option[V] =
+        (b1, b2) match {
+          case (Some(x), Some(y)) => Some(f(x, y))
+          case _ => b1.orElse(b2)
+        }
+      override def finish(r: Option[V]): V =
+        r.getOrElse(throw new NoSuchElementException("empty aggregation"))
+      override def bufferEncoder: Encoder[Option[V]] = optEnc
+      override def outputEncoder: Encoder[V] = vEnc
+    }
+
   /** Reduce-stage entry (/root/reference/lib/map_reduce/reducer.rb:69-100):
     * merge many sorted (or unsorted) chunk sets and fold per key, emitting
     * key-sorted output. In Spark the multi-pass fd-bounded merge dance is

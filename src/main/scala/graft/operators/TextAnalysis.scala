@@ -42,17 +42,20 @@ object TextAnalysis {
 
   def taLangId(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val counts = markers.map { case (l, ws) => l -> countIn(toks, ws) }
-    val Seq(en, de, fr, es) = counts.map(_._2)
-    Tables.documents(s, dir).select(
-      $"doc_id", $"lang",
-      en.cast("long").as("c_en"), de.cast("long").as("c_de"),
-      fr.cast("long").as("c_fr"), es.cast("long").as("c_es"),
-      when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es").as("pred_lang"))
+    // materialize tokens once per row (projection stage), then count —
+    // the single-select form re-splits `text` for every marker column
+    val Seq(en, de, fr, es) = markers.map { case (_, ws) =>
+      countIn($"toks", ws).cast("long")
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", tokens($"text").as("toks"))
+      .select(
+        $"doc_id", $"lang",
+        en.as("c_en"), de.as("c_de"), fr.as("c_fr"), es.as("c_es"),
+        when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es").as("pred_lang"))
   }
 
   val taLangIdSql: String = {
@@ -72,20 +75,21 @@ object TextAnalysis {
 
   def taQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = tokens($"text")
-    val nTok = size(toks).cast("long")
+    val nTok = size($"toks").cast("long")
     val nChars = length($"text").cast("long")
     val alphaChars = length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("long")
-    val stopRatio = countIn(toks, stopwords).cast("double") / nTok
+    val stopRatio = countIn($"toks", stopwords).cast("double") / nTok
     val meanTokLen = (nChars - (nTok - lit(1L))).cast("double") / nTok
-    Tables.documents(s, dir).select(
-      $"doc_id", nChars.as("n_chars"), nTok.as("n_tokens"),
-      alphaChars.as("n_alpha"),
-      stopRatio.as("stopword_ratio"),
-      meanTokLen.as("mean_token_len"),
-      (least(nTok.cast("double") / lit(50.0), lit(1.0)) * lit(0.5)
-        + stopRatio * lit(0.3)
-        + (alphaChars.cast("double") / nChars) * lit(0.2)).as("quality_score"))
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", tokens($"text").as("toks"))
+      .select(
+        $"doc_id", nChars.as("n_chars"), nTok.as("n_tokens"),
+        alphaChars.as("n_alpha"),
+        stopRatio.as("stopword_ratio"),
+        meanTokLen.as("mean_token_len"),
+        (least(nTok.cast("double") / lit(50.0), lit(1.0)) * lit(0.5)
+          + stopRatio * lit(0.3)
+          + (alphaChars.cast("double") / nChars) * lit(0.2)).as("quality_score"))
   }
 
   val taQualitySql: String = {

@@ -86,4 +86,14 @@ class MapReduceKernelSpec extends AnyFunSuite {
       (Seq("key1", 1L), 1L), (Seq("key3", 1L), 2L), (Seq("key3", 2L), 1L),
       (Seq("key3", 3L), 1L), (Seq("key3", 11L), 1L)))
   }
+
+  test("aggregatorOf: binary reduce as a typed DataFrame-side UDAF") {
+    import spark.implicits._
+    val agg = MapReduce.aggregatorOf[Long](_ + _)
+    val ds = Seq(("a", 1L), ("a", 2L), ("b", 5L)).toDS()
+    val out = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(agg.toColumn.name("total"))
+      .collect().toMap
+    assert(out == Map("a" -> 3L, "b" -> 5L))
+  }
 }
