@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shingle kernel shared by the interpreted and generated paths: the
+  * whole tokenize→slide→dedup loop in one JVM method over UTF8String,
+  * no Row/encoder round-trip (which is the hidden cost of a Scala UDF —
+  * Catalyst converts UTF8String→String→Array[String]→ArrayData per row;
+  * here only the unavoidable String conversion for the regex remains). */
+object ShingleKernel {
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.toString
+      .split("\\s+").filter(_.nonEmpty)
+    val out: Array[AnyRef] =
+      if (toks.length >= n)
+        toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+          .map(UTF8String.fromString(_): AnyRef)
+      else Array(UTF8String.fromString(toks.mkString(" ")): AnyRef)
+    new GenericArrayData(out)
+  }
+}
+
+/** Distinct n-gram word shingles as a native expression. Codegen emits a
+  * direct static call into ShingleKernel — stays inside the generated
+  * stage with zero per-row closure/encoder overhead. */
+case class NGramShingles(child: Expression, n: Int = 3)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngram_shingles needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleKernel.shingles(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NGramShingles =
+    copy(child = newChild)
+}
+
+object ShingleFunctions {
+  def ngram_shingles(text: Column, n: Int = 3): Column =
+    ColumnBridge.column(NGramShingles(ColumnBridge.expression(text), n))
+}

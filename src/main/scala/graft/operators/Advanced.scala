@@ -91,7 +91,24 @@ object Advanced {
     """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
       |WHERE SUBSTRING(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'""".stripMargin
 
+  // ------------------------------------------- approximate aggregates (HLL
+  // count-distinct sketch + quantile sketch): the sub-linear-memory forms
+  // for 100 TB cardinality/quantile work. No SQL twin (sketches are
+  // engine-specific) — rows-only in the driver; ApproxSpec pins the error
+  // envelope against exact answers.
+  def q27ApproxAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_median_price"),
+        count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_approx_agg" -> q27ApproxAgg,
     "q23_percentiles" -> q23Percentiles,
     "q24_array_funcs" -> q24ArrayFuncs,
     "q25_pivot" -> q25Pivot,

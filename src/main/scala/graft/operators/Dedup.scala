@@ -26,20 +26,16 @@ object Dedup {
 
   /** Distinct 3-gram word shingles of the lowercased text.
     *
-    * Deliberately a compiled Scala UDF, not array higher-order functions:
-    * the HOF formulation (`transform` over `sequence` with `slice` +
-    * `concat_ws`) is CodegenFallback — interpreted per position with an
-    * array copy per slice, O(tokens²) and ~1 ms/doc measured — while this
-    * tight JVM loop is O(tokens) and ~µs/doc. (A custom codegen'd
-    * Generator would beat it again; the UDF is the right cost/benefit
-    * here.) Short docs (< 3 tokens) collapse to one whole-doc shingle. */
-  private val shingleUdf = udf((text: String) => {
-    val toks = text.toLowerCase(java.util.Locale.ROOT)
-      .split("\\s+").filter(_.nonEmpty)
-    if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toArray.distinct
-    else Array(toks.mkString(" "))
-  })
-  def shingles(text: Column): Column = shingleUdf(text)
+    * A native codegen'd expression (graft.functions.NGramShingles), not
+    * array higher-order functions and not a UDF: the HOF formulation
+    * (`transform` over `sequence` with `slice` + `concat_ws`) is
+    * CodegenFallback — interpreted per position with an array copy per
+    * slice, O(tokens²), ~1 ms/doc measured — and a Scala UDF pays a
+    * Row/encoder conversion per row. The expression is one O(tokens) JVM
+    * loop invoked directly from the generated stage. Short docs
+    * (< 3 tokens) collapse to one whole-doc shingle. */
+  def shingles(text: Column): Column =
+    graft.functions.ShingleFunctions.ngram_shingles(text, 3)
 
   // DuckDB twin of the shingle expression, for the oracles.
   private val toksSql =

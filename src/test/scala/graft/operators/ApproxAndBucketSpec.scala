@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class ApproxAndBucketSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("approximate aggregates land within the sketch error envelope") {
+    import spark.implicits._
+    val approx = Advanced.q27ApproxAgg(spark, TestSpark.sf001)
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("approx_orders"), r.getAs[Double]("approx_median_price"))).toMap
+    val exact = Tables.lineitem(spark, TestSpark.sf001)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("orders"),
+        expr("percentile(l_extendedprice, 0.5)").as("median"))
+      .collect().map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("orders"), r.getAs[Double]("median"))).toMap
+    exact.foreach { case (flag, (orders, median)) =>
+      val (aOrders, aMedian) = approx(flag)
+      assert(math.abs(aOrders - orders).toDouble / orders < 0.05,
+        s"$flag HLL error: $aOrders vs $orders")
+      assert(math.abs(aMedian - median) / median < 0.05,
+        s"$flag quantile-sketch error: $aMedian vs $median")
+    }
+  }
+
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(spark, TestSpark.sf0001)
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, TestSpark.sf0001)
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("li_b").join(spark.table("ord_b"), "l_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+}

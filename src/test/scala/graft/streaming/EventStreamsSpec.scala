@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -81,5 +82,43 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows.length == 2)
     val h0 = rows.find(_.getAs[Timestamp]("window_start") == ts(0)).get
     assert(h0.getAs[Long]("n") == 2 && h0.getAs[Double]("sum_value") == 4.0)
+  }
+
+  test("stream-stream interval join: purchases enriched with recent signups") {
+    import spark.implicits._
+    val purchases = MemoryStream[Event](spark)
+    val signups = MemoryStream[Event](spark)
+    // rename BEFORE withWatermark: aliasing afterwards can drop the
+    // event-time tag from the renamed attribute
+    val p = purchases.toDF()
+      .select($"ts".as("p_ts"), $"user_id", $"value")
+      .withWatermark("p_ts", "10 minutes")
+    val s = signups.toDF()
+      .select($"ts".as("s_ts"), $"user_id".as("s_user"))
+      .withWatermark("s_ts", "10 minutes")
+    // join purchases to a signup of the same user within the prior hour
+    val joined = p.join(s,
+      $"user_id" === $"s_user" &&
+        $"p_ts" >= $"s_ts" && $"p_ts" <= $"s_ts" + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ss_join").outputMode("append").start()
+    try {
+      // NB: keep event times well above epoch 0 — the initial watermark
+      // is 0, and rows at event-time <= watermark are dropped as late
+      signups.addData(Seq(Event(1, ts(60), 42, "signup", 0.0)))
+      q.processAllAvailable()
+      purchases.addData(Seq(
+        Event(2, ts(90), 42, "purchase", 9.99),   // within the hour -> joins
+        Event(3, ts(150), 42, "purchase", 5.00))) // outside -> dropped
+      q.processAllAvailable()
+      // advance both watermarks so held state flushes
+      signups.addData(Seq(Event(4, ts(2000), 7, "signup", 0.0)))
+      purchases.addData(Seq(Event(5, ts(2000), 7, "purchase", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join")
+        .filter(org.apache.spark.sql.functions.col("user_id") === 42).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Double]("value") == 9.99)
+    } finally q.stop()
   }
 }
