@@ -107,8 +107,26 @@ object Advanced {
         count(lit(1)).as("n"))
   }
 
+  // ------------------------------------------- correlated scalar subquery
+  // (Catalyst de-correlates to an aggregate + left outer join; SQL form —
+  // the DataFrame API has no scalar-subquery builder).
+  def q28ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("ssq_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("ssq_orders")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT COUNT(*) FROM ssq_orders WHERE o_custkey = c_custkey) AS n_orders
+        |FROM ssq_customer""".stripMargin)
+  }
+
+  val q28Sql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_approx_agg" -> q27ApproxAgg,
+    "q28_scalar_subquery" -> q28ScalarSubquery,
     "q23_percentiles" -> q23Percentiles,
     "q24_array_funcs" -> q24ArrayFuncs,
     "q25_pivot" -> q25Pivot,
@@ -116,6 +134,7 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_scalar_subquery" -> q28Sql,
     "q23_percentiles" -> q23Sql,
     "q24_array_funcs" -> q24Sql,
     "q25_pivot" -> q25Sql,
