@@ -461,6 +461,26 @@ object Relational {
       |  FROM orders GROUP BY o_custkey, o_orderdate) o
       |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin
 
+  /** Same as-of semantics through the NATIVE operator
+    * (graft.plans.AsofJoin: LogicalPlan → Strategy → merge-pass SparkPlan)
+    * instead of the union + window sweep — identical results, one
+    * streaming merge per co-partition. Shares q21's DuckDB oracle. */
+  def q29AsofNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordersDaily = Tables.orders(s, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+        max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+    val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+    graft.plans.AsofJoinApi.joinAsof(
+      ev, ordersDaily,
+      Seq(ev("user_id")), Seq(ordersDaily("o_custkey")),
+      ev("ts"), ordersDaily("o_orderdate"))
+      .select($"event_id", $"user_id",
+        $"o_orderkey".as("asof_orderkey"),
+        $"o_totalprice".as("asof_totalprice"))
+  }
+
   // ----------------------------------------------- time bucketing over events
   def q22EventsHourly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -499,6 +519,7 @@ object Relational {
     "q19_in_subquery" -> q19InSubquery,
     "q20_range_join" -> q20RangeJoin,
     "q21_asof_join" -> q21AsofJoin,
+    "q29_asof_native" -> q29AsofNative,
     "q22_events_hourly" -> q22EventsHourly,
   )
 
@@ -524,6 +545,7 @@ object Relational {
     "q19_in_subquery" -> q19Sql,
     "q20_range_join" -> q20Sql,
     "q21_asof_join" -> q21Sql,
+    "q29_asof_native" -> q21Sql, // identical semantics, same oracle
     "q22_events_hourly" -> q22Sql,
   )
 }

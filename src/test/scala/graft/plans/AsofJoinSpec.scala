@@ -1,0 +1,55 @@
+package graft.plans
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsofJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def ts(m: Long): Timestamp = new Timestamp(m * 60000L)
+
+  test("asof join picks the latest right row at or before left time") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts(1), 10.0), (1L, ts(5), 11.0), (1L, ts(9), 12.0),
+      (2L, ts(4), 50.0)).toDF("id", "qt", "price")
+    val trades = Seq(
+      (1L, ts(0)),  // before any quote -> null
+      (1L, ts(5)),  // equal time counts -> 11.0
+      (1L, ts(7)),  // between -> 11.0
+      (1L, ts(100)), // after all -> 12.0
+      (2L, ts(4)),  // -> 50.0
+      (3L, ts(9))).toDF("id", "tt") // key with no quotes -> null
+    val out = AsofJoinApi.joinAsof(trades, quotes,
+      Seq(trades("id")), Seq(quotes("id")), trades("tt"), quotes("qt"))
+      .select(trades("id"), $"tt", $"price")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set(
+      (1L, ts(0), None), (1L, ts(5), Some(11.0)), (1L, ts(7), Some(11.0)),
+      (1L, ts(100), Some(12.0)), (2L, ts(4), Some(50.0)), (3L, ts(9), None)))
+  }
+
+  test("native asof equals the window-sweep formulation on real data") {
+    val sweep = graft.operators.Relational
+      .q21AsofJoin(spark, TestSpark.sf0001)
+      .orderBy("event_id").collect().toSeq
+    val native = graft.operators.Relational
+      .q29AsofNative(spark, TestSpark.sf0001)
+      .orderBy("event_id").collect().toSeq
+    assert(native == sweep)
+  }
+
+  test("physical plan is the custom exec with clustered+sorted children") {
+    import spark.implicits._
+    val l = Seq((1L, ts(1))).toDF("id", "t")
+    val r = Seq((1L, ts(0), 1.0)).toDF("id", "t2", "v")
+    val df = AsofJoinApi.joinAsof(l, r, Seq(l("id")), Seq(r("id")),
+      l("t"), r("t2"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+  }
+}
