@@ -121,4 +121,21 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows.head.getAs[Double]("value") == 9.99)
     } finally q.stop()
   }
+
+  test("late data beyond the watermark is dropped from finalized windows") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val out = EventStreams.streamingTumbling(input.toDF())
+    val rows = runStream(input, out, OutputMode.Append(), Seq(
+      Seq(Event(1, ts(65), 1, "click", 1.0)),
+      // advances watermark to ts(190) > end of window [60,120)
+      Seq(Event(2, ts(200), 1, "click", 1.0)),
+      // late arrival for the already-finalized [60,120) window: dropped
+      Seq(Event(3, ts(70), 1, "click", 99.0)),
+      Seq(Event(4, ts(400), 1, "click", 1.0))))
+    val w1 = rows.filter(_.getAs[Timestamp]("window_start") == ts(60))
+    assert(w1.length == 1)
+    assert(w1.head.getAs[Long]("n") == 1) // late event not counted
+    assert(w1.head.getAs[Double]("sum_value") == 1.0)
+  }
 }
