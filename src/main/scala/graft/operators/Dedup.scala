@@ -153,8 +153,26 @@ object Dedup {
   }
 
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sigs = signatures(docs).cache()
-    val buckets = bandedBuckets(sigs)
+    // Lean pipeline: band hashes come straight off the 64 min-aggregate
+    // columns (multi-arg xxhash64) — no signature-array assembly, no
+    // join-back, nothing cached. Shingles are evaluated once for the
+    // corpus-wide signature scan and once more ONLY for candidate docs
+    // in the verify join.
+    val rows = NumHashes / Bands
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val exploded = withSh
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    val aggs = (1 until NumHashes).map(j =>
+      min(xxhash64(col("h").bitwiseXOR(lit(hashSalt(j))))).as(s"m$j"))
+    val mins = exploded.groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("h").bitwiseXOR(lit(hashSalt(0))))).as("m0"), aggs: _*)
+    val bandHashes = (0 until Bands).map(b =>
+      xxhash64((lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}"))): _*))
+    val buckets = mins
+      .select(col("doc_id"), posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
     val cands = buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") &&
@@ -162,9 +180,17 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // exact-verify ONLY candidate docs: broadcast the candidate id set,
+    // shingle just those rows, broadcast the (small) shingle table to
+    // both sides of the pair join — the full corpus is never re-scanned
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val shCand = docs
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
     cands
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(broadcast(shCand.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
+      .join(broadcast(shCand.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
