@@ -53,7 +53,41 @@ case class NGramShingles(child: Expression, n: Int = 3)
     copy(child = newChild)
 }
 
+object TokenKernel {
+  /** Non-empty whitespace tokens of the lowercased text — the exact
+    * semantics of `filter(split(lower(text), "\\s+"), _ != "")`, one JVM
+    * loop, order preserved, duplicates preserved. */
+  def tokens(text: UTF8String): ArrayData =
+    new GenericArrayData(text.toLowerCase.toString
+      .split("\\s+").filter(_.nonEmpty)
+      .map(UTF8String.fromString(_): AnyRef))
+}
+
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"tokens needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    TokenKernel.tokens(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenKernel.tokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+}
+
 object ShingleFunctions {
   def ngram_shingles(text: Column, n: Int = 3): Column =
     ColumnBridge.column(NGramShingles(ColumnBridge.expression(text), n))
+
+  def tokens(text: Column): Column =
+    ColumnBridge.column(Tokens(ColumnBridge.expression(text)))
 }

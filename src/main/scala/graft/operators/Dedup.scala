@@ -273,7 +273,30 @@ object Dedup {
   def ddSimhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(s, dir), maxHamming = 3)
 
+  // ------------------------------------------------ fuzzy (edit-distance)
+  // dedup: blocked by a cheap key (brand), exact levenshtein within the
+  // block — the classic blocking+verify shape for typo-level near-dups.
+  val FuzzyMaxEdits = 5
+  def ddFuzzyNames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir).select($"p_partkey", $"p_brand", $"p_name")
+    val a = p.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("name_a"))
+    val b = p.select($"p_brand", $"p_partkey".as("key_b"), $"p_name".as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter($"key_a" < $"key_b")
+      .select($"p_brand", $"key_a", $"key_b",
+        levenshtein($"name_a", $"name_b").as("edits"))
+      .filter($"edits" <= FuzzyMaxEdits)
+  }
+
+  val ddFuzzyNamesSql: String =
+    s"""SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edits
+       |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+       |WHERE levenshtein(a.p_name, b.p_name) <= $FuzzyMaxEdits""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_fuzzy_names" -> ddFuzzyNames,
     "dd_exact" -> ddExact,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash_lsh" -> ddMinhashLsh,
@@ -285,6 +308,7 @@ object Dedup {
   /** dd_minhash_lsh_full / dd_simhash* are probabilistic-structure ops with
     * no SQL twin — the driver records rows-only; specs pin their behavior. */
   val oracles: Map[String, String] = Map(
+    "dd_fuzzy_names" -> ddFuzzyNamesSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,

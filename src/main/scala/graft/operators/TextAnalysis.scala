@@ -16,9 +16,11 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Non-empty whitespace tokens of the lowercased text. */
+  /** Non-empty whitespace tokens of the lowercased text — the native
+    * codegen'd Tokens expression (identical semantics to
+    * `filter(split(lower(text)), _ != "")`, which is CodegenFallback). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => t =!= "")
+    graft.functions.ShingleFunctions.tokens(text)
 
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))

@@ -138,4 +138,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(w1.head.getAs[Long]("n") == 1) // late event not counted
     assert(w1.head.getAs[Double]("sum_value") == 1.0)
   }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark keeps first occurrence") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val deduped = input.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        Event(100, ts(60), 1, "a", 1.0), Event(100, ts(61), 1, "a", 2.0),
+        Event(101, ts(62), 1, "b", 3.0)))
+      q.processAllAvailable()
+      input.addData(Seq(Event(100, ts(63), 1, "a", 4.0))) // dup within watermark
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup")
+        .collect().map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted == Seq(100L, 101L)) // one row per event_id
+    } finally q.stop()
+  }
 }
