@@ -124,9 +124,35 @@ object Advanced {
       |  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
       |FROM customer""".stripMargin
 
+  // -------------------------------------------------- lag/lead/ntile windows
+  // (deterministic: the window order carries the unique orderkey).
+  def q30LagLead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    Tables.orders(s, dir).select(
+      $"o_custkey", $"o_orderkey", $"o_totalprice",
+      lag($"o_totalprice", 1).over(w).as("prev_price"),
+      lead($"o_totalprice", 1).over(w).as("next_price"),
+      ntile(4).over(w).as("quartile"),
+      datediff($"o_orderdate",
+        lag($"o_orderdate", 1).over(w)).as("days_since_prev"))
+  }
+
+  val q30Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER w AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |  CAST(DATE_DIFF('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS INT)
+      |    AS days_since_prev
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_approx_agg" -> q27ApproxAgg,
     "q28_scalar_subquery" -> q28ScalarSubquery,
+    "q30_lag_lead" -> q30LagLead,
     "q23_percentiles" -> q23Percentiles,
     "q24_array_funcs" -> q24ArrayFuncs,
     "q25_pivot" -> q25Pivot,
@@ -135,6 +161,7 @@ object Advanced {
 
   val oracles: Map[String, String] = Map(
     "q28_scalar_subquery" -> q28Sql,
+    "q30_lag_lead" -> q30Sql,
     "q23_percentiles" -> q23Sql,
     "q24_array_funcs" -> q24Sql,
     "q25_pivot" -> q25Sql,
