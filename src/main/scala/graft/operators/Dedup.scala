@@ -159,7 +159,9 @@ object Dedup {
     // corpus-wide signature scan and once more ONLY for candidate docs
     // in the verify join.
     val rows = NumHashes / Bands
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // CPU-heavy scan stages must not run on one small-file input split
+    val docsP = Scale.ensureParallelism(docs)
+    val withSh = docsP.select(col("doc_id"), shingles(col("text")).as("sh"))
     val exploded = withSh
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
@@ -185,7 +187,7 @@ object Dedup {
     // both sides of the pair join — the full corpus is never re-scanned
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
-    val shCand = docs
+    val shCand = docsP
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     cands

@@ -13,6 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Repartition ONLY when the plan is under-parallel (e.g. one small
+    * parquet file ⇒ one input split ⇒ a single task doing all the CPU
+    * work). At real scale the scan already has thousands of splits and
+    * this is a no-op — it guards the small-file edge without imposing a
+    * corpus-wide shuffle on big inputs. */
+  def ensureParallelism(df: DataFrame, minParts: Int): DataFrame =
+    if (df.rdd.getNumPartitions >= minParts) df
+    else df.repartition(minParts)
+
+  def ensureParallelism(df: DataFrame): DataFrame =
+    ensureParallelism(df, df.sparkSession.sparkContext.defaultParallelism)
+
   /** Two-phase aggregation for hot grouping keys: group by (key, salt)
     * first (spreads a hot key over `salts` reducers), then re-aggregate
     * by key. Correct for any associative aggregate expressed as

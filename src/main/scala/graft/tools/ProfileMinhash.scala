@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Scale}
 
 /** Throwaway stage profiler for the minhash pipeline (not part of the
   * driver contract). */
@@ -24,20 +24,13 @@ object ProfileMinhash {
     }
     val docs = Tables.documents(spark, sfDir)
     time("warmup count")(docs.count())
-    val withSh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
-    time("shingles")(withSh.write.format("noop").mode("overwrite").save().asInstanceOf[Any] match { case _ => withSh.count() })
+    val docsP = Scale.ensureParallelism(docs)
+    val withSh = docsP.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    time("shingles (x2)")({ withSh.count(); withSh.count() })
     val sigs = Dedup.signatures(docs)
-    time("signatures")(sigs.count())
-    val sigsC = sigs.cache()
-    time("signatures cached")(sigsC.count())
-    val buckets = Dedup.bandedBuckets(sigsC)
-    time("buckets")(buckets.count())
-    val cands = buckets.as("x").join(buckets.as("y"),
-      col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-    time("candidates")(cands.count())
-    time("full pairs")(Dedup.ddMinhashLshFull(spark, sfDir).count())
+    time("signatures+join (x2)")({ sigs.count(); sigs.count() })
+    for (i <- 1 to 3)
+      time(s"full pairs run$i")(Dedup.ddMinhashLshFull(spark, sfDir).count())
     spark.stop()
   }
 }
