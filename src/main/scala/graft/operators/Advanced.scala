@@ -149,10 +149,55 @@ object Advanced {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
 
+  // --------------------------------------------------------- string agg
+  // (deterministic: the collected list is sorted before joining).
+  def q31StringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(array_join(sort_array(collect_list($"n_name")), ",").as("nations"),
+        count(lit(1)).as("n"))
+  }
+
+  val q31Sql: String =
+    """SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  // ------------------------------------------- date arithmetic + null ops
+  def q32DateArith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      $"o_orderkey",
+      // ISO strings, not DATE: date columns round-trip through parquet/
+      // pandas with engine-dependent dtypes and break the hash compare
+      date_format(date_add($"o_orderdate", 30), "yyyy-MM-dd").as("due_date"),
+      date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"),
+      date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
+      coalesce(nullif($"o_orderstatus", lit("P")), lit("PENDING")).as("status_norm"),
+      // explicit floor: Spark truncates double->int casts, DuckDB rounds
+      floor(datediff($"o_orderdate", lit("1995-01-01").cast("date")) / 7)
+        .cast("int").as("weeks_since_epoch"))
+  }
+
+  val q32Sql: String =
+    """SELECT o_orderkey,
+      |  STRFTIME(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+      |  STRFTIME(CAST(LAST_DAY(o_orderdate) AS DATE), '%Y-%m-%d') AS month_end,
+      |  STRFTIME(CAST(DATE_TRUNC('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+      |  COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+      |  CAST(FLOOR(DATE_DIFF('day', DATE '1995-01-01', o_orderdate) / 7) AS INT)
+      |    AS weeks_since_epoch
+      |FROM orders""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_approx_agg" -> q27ApproxAgg,
     "q28_scalar_subquery" -> q28ScalarSubquery,
     "q30_lag_lead" -> q30LagLead,
+    "q31_string_agg" -> q31StringAgg,
+    "q32_date_arith" -> q32DateArith,
     "q23_percentiles" -> q23Percentiles,
     "q24_array_funcs" -> q24ArrayFuncs,
     "q25_pivot" -> q25Pivot,
@@ -162,6 +207,8 @@ object Advanced {
   val oracles: Map[String, String] = Map(
     "q28_scalar_subquery" -> q28Sql,
     "q30_lag_lead" -> q30Sql,
+    "q31_string_agg" -> q31Sql,
+    "q32_date_arith" -> q32Sql,
     "q23_percentiles" -> q23Sql,
     "q24_array_funcs" -> q24Sql,
     "q25_pivot" -> q25Sql,
