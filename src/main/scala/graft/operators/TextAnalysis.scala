@@ -146,7 +146,33 @@ object TextAnalysis {
       |  SUBSTRING(md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 8) AS fp_prefix
       |FROM documents""".stripMargin
 
+  // ---------------------------------------- corpus n-gram document freq:
+  // explode distinct per-doc shingles → hash-aggregate → deterministic
+  // global top-k (TakeOrderedAndProject; count-desc with ngram tiebreak).
+  val TopNgrams = 100
+  def taTopNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(Dedup.shingles($"text")).as("ngram"))
+      .groupBy($"ngram").agg(count(lit(1)).as("doc_freq"))
+      .orderBy($"doc_freq".desc, $"ngram".asc)
+      .limit(TopNgrams)
+  }
+
+  val taTopNgramsSql: String =
+    s"""SELECT ngram, COUNT(*) AS doc_freq FROM (
+       |  SELECT doc_id, UNNEST(
+       |    CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) >= 3
+       |     THEN list_distinct(list_transform(range(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) - 2),
+       |            i -> list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')[i+1] || ' ' ||
+       |                 list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')[i+2] || ' ' ||
+       |                 list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')[i+3]))
+       |     ELSE [array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''), ' ')] END
+       |  ) AS ngram FROM documents) t
+       |GROUP BY ngram ORDER BY doc_freq DESC, ngram ASC LIMIT $TopNgrams""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_top_ngrams" -> taTopNgrams,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,
@@ -154,6 +180,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_top_ngrams" -> taTopNgramsSql,
     "ta_langid" -> taLangIdSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,
