@@ -220,6 +220,52 @@ object Dedup {
   def ddMinhashLshFull(s: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(s, dir), MinhashThreshold)
 
+  // -------------------------------------------------- dedup CLUSTERS:
+  // connected components over the verified near-dup pairs — the actual
+  // deliverable of corpus dedup (keep min doc_id per component, drop the
+  // rest). Min-label propagation: each round every vertex takes the min
+  // label among itself and its neighbors; converges in O(component
+  // diameter) rounds. Each round is one join + one aggregate (all
+  // executor-side); localCheckpoint truncates the iterative lineage.
+  // Deterministic: the fixpoint is the component-minimum, independent of
+  // iteration order or partitioning.
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = true
+    while (changed) {
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.select(col("doc_id"), col("label")).union(prop)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") < col("prev")).limit(1).count() > 0
+      labels = next
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Block-capped cluster assignment over the LSH-verified pairs (same
+    * cap/threshold as dd_minhash_lsh ⇒ shares its oracle data). */
+  def ddClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(ddMinhashLsh(s, dir))
+
+  /** Recursive-CTE twin: transitive closure of the exact pair set, then
+    * min reachable id per doc. */
+  val ddClustersSql: String =
+    s"""WITH RECURSIVE pairs AS (${ddMinhashLshSql.replace("\n", " ")}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
+
   // --------------------------------------------------------------- SimHash:
   // 64-bit weighted sign hash of the token multiset. Bit i of the simhash
   // is the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1).
@@ -303,6 +349,7 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_minhash_lsh_full" -> ddMinhashLshFull,
+    "dd_clusters" -> ddClusters,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_pairs" -> ddSimhashPairs,
   )
@@ -314,5 +361,6 @@ object Dedup {
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_clusters" -> ddClustersSql,
   )
 }

@@ -60,4 +60,14 @@ class DedupSpec extends AnyFunSuite {
     assert(grouped.length == 1 && grouped(0).getAs[Long]("n") == 2
       && grouped(0).getAs[Long]("canonical") == 1L)
   }
+
+  test("connected components: chains merge into one min-labeled cluster") {
+    import spark.implicits._
+    // a-b, b-c chain + isolated pair (x, y)
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9), (10L, 11L, 0.8))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val out = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
