@@ -152,16 +152,28 @@ object Dedup {
       .withColumnRenamed("col", "band_hash")
   }
 
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    // Lean pipeline: band hashes come straight off the 64 min-aggregate
-    // columns (multi-arg xxhash64) — no signature-array assembly, no
-    // join-back, nothing cached. Shingles are evaluated once for the
-    // corpus-wide signature scan and once more ONLY for candidate docs
-    // in the verify join.
+  /** Buckets with more than this many docs switch from all-pairs to
+    * adjacent-by-id pairing. All-pairs on a bucket of B near-identical
+    * docs (the "every page has this boilerplate" corpus) is B²/2
+    * candidates from a single bucket — the one place LSH degenerates to
+    * quadratic. Adjacent pairing emits B−1 chain pairs instead; the
+    * chain still connects every true duplicate through
+    * [[connectedComponents]], so cluster-level dedup output is
+    * unchanged while candidate volume stays O(B) per bucket. Below the
+    * threshold all-pairs is kept (≤ T²/2 pairs, constant-bounded) so
+    * the pair-level result is exhaustive for normal buckets. */
+  val MegaBucketThreshold = 64
+
+  /** LSH candidate pairs (doc_a < doc_b), mega-bucket-guarded.
+    *
+    * Band hashes come straight off the 64 min-aggregate columns
+    * (multi-arg xxhash64) — no signature-array assembly, no join-back,
+    * nothing cached. One extra window pass (same shuffle key as the
+    * bucket join) ranks docs within their bucket so oversized buckets
+    * can pair adjacent-by-id instead of all-pairs. */
+  def candidatePairs(docs: DataFrame): DataFrame = {
     val rows = NumHashes / Bands
-    // CPU-heavy scan stages must not run on one small-file input split
-    val docsP = Scale.ensureParallelism(docs)
-    val withSh = docsP.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
     val exploded = withSh
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
@@ -175,24 +187,47 @@ object Dedup {
       .select(col("doc_id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val cands = buckets.as("x")
-      .join(buckets.as("y"),
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("band_hash"))
+    val ranked = buckets
+      .withColumn("rk", row_number().over(byBucket.orderBy(col("doc_id"))))
+      .withColumn("bsz", count(lit(1)).over(byBucket))
+    val small = ranked.filter(col("bsz") <= MegaBucketThreshold)
+    val smallPairs = small.as("x")
+      .join(small.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // exact-verify ONLY candidate docs: broadcast the candidate id set,
-    // shingle just those rows, broadcast the (small) shingle table to
-    // both sides of the pair join — the full corpus is never re-scanned
+    val mega = ranked.filter(col("bsz") > MegaBucketThreshold)
+    val megaPairs = mega.as("x")
+      .join(mega.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.rk") + 1 === col("y.rk"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    smallPairs.union(megaPairs).distinct()
+  }
+
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // CPU-heavy scan stages must not run on one small-file input split
+    val docsP = Scale.ensureParallelism(docs)
+    val cands = candidatePairs(docsP)
+    // Exact-verify ONLY candidate docs: semi-join the candidate id set,
+    // shingle just those rows, join the shingle table to both sides of
+    // the pair join — the full corpus is never re-scanned. No broadcast
+    // hints: the candidate set is corpus-dependent (boilerplate-heavy
+    // corpora make it a large fraction of the input), so AQE picks
+    // broadcast vs shuffle from the MEASURED size instead of an
+    // unbounded compile-time promise.
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val shCand = docsP
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     cands
-      .join(broadcast(shCand.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))), "doc_a")
-      .join(broadcast(shCand.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))), "doc_b")
+      .join(shCand.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shCand.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -223,30 +258,46 @@ object Dedup {
   // -------------------------------------------------- dedup CLUSTERS:
   // connected components over the verified near-dup pairs — the actual
   // deliverable of corpus dedup (keep min doc_id per component, drop the
-  // rest). Min-label propagation: each round every vertex takes the min
-  // label among itself and its neighbors; converges in O(component
-  // diameter) rounds. Each round is one join + one aggregate (all
-  // executor-side); localCheckpoint truncates the iterative lineage.
-  // Deterministic: the fixpoint is the component-minimum, independent of
-  // iteration order or partitioning.
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  // rest). Each round combines min-label propagation over edges with
+  // pointer jumping (label(v) := label(label(v))): propagation alone is
+  // O(component diameter) rounds — fine for blob-shaped near-dup
+  // clusters, degenerate on chain-shaped graphs (exactly what the
+  // mega-bucket guard's adjacent-by-id pairing produces) — while the
+  // jump halves the label-tree depth every round, so convergence is
+  // O(log diameter). Every step is a join + min-aggregate (all
+  // executor-side, no collect); localCheckpoint truncates the iterative
+  // lineage. Deterministic: the fixpoint is the component-minimum,
+  // independent of iteration order or partitioning.
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** Exposes the round count so specs can pin the O(log n) behavior. */
+  def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .localCheckpoint()
     var changed = true
+    var rounds = 0
     while (changed) {
-      val prop = labels.join(edges, col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"), col("label"))
-      val next = labels.select(col("doc_id"), col("label")).union(prop)
+      rounds += 1
+      // min label among neighbors (edges run both directions)
+      val prop = edges.join(labels, col("dst") === col("doc_id"))
+        .select(col("src").as("doc_id"), col("label"))
+      // pointer jump: adopt the label of your label
+      val jump = labels.as("l")
+        .join(labels.as("p"), col("l.label") === col("p.doc_id"))
+        .select(col("l.doc_id").as("doc_id"), col("p.label").as("label"))
+      val next = labels.union(prop).union(jump)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
         .filter(col("label") < col("prev")).limit(1).count() > 0
       labels = next
     }
-    labels.withColumnRenamed("label", "cluster_id")
+    (labels.withColumnRenamed("label", "cluster_id"), rounds)
   }
 
   /** Block-capped cluster assignment over the LSH-verified pairs (same

@@ -29,6 +29,34 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("mega-bucket guard: candidate volume stays O(B) on a planted bucket") {
+    // 500 identical docs — every band puts them in ONE bucket. All-pairs
+    // would be 500·499/2 ≈ 125k candidates; the guard pairs adjacent ids
+    // instead: 499 distinct chain pairs (identical across bands).
+    val boiler = (1 to 40).map(i => s"b$i").mkString(" ")
+    val mega = (0 until 500).map(i => (i.toLong, boiler))
+    val other = (1000 until 1010).map(i =>
+      (i.toLong, (i * 100 to i * 100 + 40).map(j => s"u$j").mkString(" ")))
+    val docs = (mega ++ other).toDF("doc_id", "text")
+    val cands = Dedup.candidatePairs(docs)
+    val n = cands.count()
+    assert(n == 499L, s"candidate count was $n, want 499 (B-1 chain pairs)")
+    // the chain still recovers the full duplicate set as ONE cluster
+    val clusters = Dedup.connectedComponents(Dedup.minhashPairs(docs, 0.9))
+    val byCluster = clusters.groupBy("cluster_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byCluster == Map(0L -> 500L), s"clusters were $byCluster")
+  }
+
+  test("small buckets keep exhaustive all-pairs candidates") {
+    // 3 identical docs (bucket size 3 ≤ threshold) → all 3 pairs emitted
+    val txt = (1 to 30).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, txt), (2L, txt), (3L, txt)).toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val s1 = Dedup.signatures(docs).select("sig").head().getSeq[Long](0)
@@ -69,5 +97,16 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: 1000-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    val chain = (0L until 999L).map(i => (i, i + 1, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain)
+    assert(rounds <= 12, s"took $rounds rounds — pointer jumping regressed")
+    val distinctLabels = labels.select("cluster_id").distinct().collect()
+    assert(distinctLabels.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(labels.count() == 1000L)
   }
 }
