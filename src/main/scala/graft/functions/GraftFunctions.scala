@@ -18,6 +18,12 @@ object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
+    "tokens" -> (exprs => Tokens(exprs(0))),
+    // optional 2nd arg: shingle width as a foldable int literal (default 3)
+    "ngram_shingles" -> (exprs => NGramShingles(exprs(0),
+      if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+      else 3)),
+    "simhash64" -> (exprs => SimHash64(exprs(0))),
   )
 
   def register(spark: SparkSession): Unit =
@@ -30,7 +36,7 @@ object GraftFunctions {
     functions.foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions.VecDot", name),
+        new ExpressionInfo(s"graft.functions.$name", name),
         builder))
     }
 }

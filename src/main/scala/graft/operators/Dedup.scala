@@ -320,13 +320,23 @@ object Dedup {
   // --------------------------------------------------------------- SimHash:
   // 64-bit weighted sign hash of the token multiset. Bit i of the simhash
   // is the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1).
-  // Two projection stages (bit-count fold, then sign pack) so the token
-  // fold is evaluated once per row — scan-parallel, no shuffle. Near-dup
-  // candidates pair on any equal 16-bit chunk (Hamming ≤ 3 over 4 chunks
-  // ⇒ some chunk equal, pigeonhole).
-  private def simhashCounts(text: Column): Column = {
+  // The fold runs in the native codegen'd SimHash64 expression — the
+  // previous `aggregate`/`zip_with` higher-order-function formulation is
+  // CodegenFallback (interpreted, ~64 allocations per token per row);
+  // `hofSimhash` below keeps that formulation as the spec's semantic
+  // twin. Scan-parallel, no shuffle. Near-dup candidates pair on any
+  // equal 16-bit chunk (Hamming ≤ 3 over 4 chunks ⇒ some chunk equal,
+  // pigeonhole).
+  /** doc_id → 64-bit simhash. */
+  def withSimhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHashFunctions.simhash64(col("text")).as("simhash"))
+
+  /** The original interpreted HOF formulation, retained ONLY as the
+    * reference implementation the spec pins SimHash64 against. */
+  def hofSimhash(text: Column): Column = {
     val toks = TextAnalysis.tokens(text)
-    aggregate(
+    val counts = aggregate(
       toks,
       array_repeat(lit(0L), 64),
       (acc, t) => zip_with(
@@ -334,17 +344,10 @@ object Dedup {
         array((0 until 64).map(i =>
           when(shiftright(xxhash64(t), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
         (x, y) => x + y))
-  }
-
-  private def packSigns(counts: Column): Column =
     (0 until 64).map(i =>
       when(element_at(counts, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
-
-  /** doc_id → 64-bit simhash. */
-  def withSimhash(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhashCounts(col("text")).as("counts"))
-      .select(col("doc_id"), packSigns(col("counts")).as("simhash"))
+  }
 
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
     withSimhash(Tables.documents(s, dir))

@@ -16,6 +16,26 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(got == 11.0)
   }
 
+  test("tokens / ngram_shingles / simhash64 are callable from SQL") {
+    GraftFunctions.register(spark)
+    val toks = spark.sql("SELECT tokens('A  b c') AS t")
+      .head().getSeq[String](0)
+    assert(toks == Seq("a", "b", "c"))
+    val sh = spark.sql("SELECT ngram_shingles('a b c d', 3) AS s")
+      .head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val shDefault = spark.sql("SELECT ngram_shingles('a b c d') AS s")
+      .head().getSeq[String](0)
+    assert(shDefault == sh)
+    // simhash64 in SQL agrees with the Column API
+    val viaSql = spark.sql("SELECT simhash64('alpha beta gamma') AS h")
+      .head().getLong(0)
+    import spark.implicits._
+    val viaCol = Seq("alpha beta gamma").toDF("text")
+      .select(SimHashFunctions.simhash64($"text")).head().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("GraftExtensions injects the function builders") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)

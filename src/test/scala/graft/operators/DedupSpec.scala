@@ -64,6 +64,22 @@ class DedupSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.length == Dedup.NumHashes)
   }
 
+  test("native SimHash64 is bit-identical to the interpreted HOF fold") {
+    // real corpus text + synthetic edge cases (empty, whitespace-only,
+    // single token, mixed case)
+    val corpus = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select($"doc_id", $"text")
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "One"),
+      (9004L, "a A a\tB b")).toDF("doc_id", "text")
+    val mismatches = corpus.union(edge)
+      .select($"doc_id",
+        graft.functions.SimHashFunctions.simhash64($"text").as("native"),
+        Dedup.hofSimhash($"text").as("hof"))
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(mismatches == 0L)
+  }
+
   test("simhash: identical docs collide, near-dups within small hamming") {
     val base = (1 to 50).map(i => s"t$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base), (3L, base + " x y z"))

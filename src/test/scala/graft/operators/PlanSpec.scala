@@ -48,6 +48,13 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("simhash runs through the codegen'd SimHash64, not interpreted HOFs") {
+    val plan = planOf("dd_simhash")
+    assert(plan.contains("simhash64") || plan.contains("SimHash64"), plan)
+    assert(!plan.contains("ArrayAggregate"), plan)
+    assert(!plan.contains("aggregate("), plan)
+  }
+
   test("knn scores through the codegen'd VecDot, not interpreted HOFs") {
     val plan = planOf("ss_knn_brute")
     assert(plan.contains("vecdot") || plan.contains("VecDot"), plan)
