@@ -376,20 +376,39 @@ object Dedup {
     simhashPairs(Tables.documents(s, dir), maxHamming = 3)
 
   // ------------------------------------------------ fuzzy (edit-distance)
-  // dedup: blocked by a cheap key (brand), exact levenshtein within the
-  // block — the classic blocking+verify shape for typo-level near-dups.
+  // dedup: blocked by (brand × name-length band), exact levenshtein
+  // within the block — the classic blocking+verify shape for typo-level
+  // near-dups. Brand alone is a CONSTANT number of blocks (~25 in
+  // TPC-H), so within-block pairing would stay O(n²/25) at any scale;
+  // the length band grows the block count with the data. Blocking is
+  // lossless: edits ≤ FuzzyMaxEdits bounds |len(a) − len(b)| ≤
+  // FuzzyMaxEdits < FuzzyBandWidth, so a true pair is at most one band
+  // apart — the a-side is replicated into its three adjacent bands
+  // (3× one side, the price of losslessness) and every true pair meets
+  // exactly once. The levenshtein threshold variant bails out of the
+  // DP early for clearly-distant names.
   val FuzzyMaxEdits = 5
-  def ddFuzzyNames(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val p = Tables.part(s, dir).select($"p_partkey", $"p_brand", $"p_name")
-    val a = p.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("name_a"))
-    val b = p.select($"p_brand", $"p_partkey".as("key_b"), $"p_name".as("name_b"))
-    a.join(b, Seq("p_brand"))
-      .filter($"key_a" < $"key_b")
-      .select($"p_brand", $"key_a", $"key_b",
-        levenshtein($"name_a", $"name_b").as("edits"))
-      .filter($"edits" <= FuzzyMaxEdits)
+  /** Must exceed FuzzyMaxEdits for the adjacent-band guarantee. */
+  val FuzzyBandWidth = 8
+  def fuzzyNamePairs(part: DataFrame): DataFrame = {
+    val p = part
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        expr(s"length(p_name) div $FuzzyBandWidth").as("band"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"),
+      col("p_name").as("name_a"),
+      explode(array(col("band") - 1, col("band"), col("band") + 1)).as("band"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"),
+      col("p_name").as("name_b"), col("band"))
+    a.join(b, Seq("p_brand", "band"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= FuzzyMaxEdits)
+      .select(col("p_brand"), col("key_a"), col("key_b"),
+        levenshtein(col("name_a"), col("name_b"), FuzzyMaxEdits).as("edits"))
+      .filter(col("edits") >= 0 && col("edits") <= FuzzyMaxEdits)
   }
+
+  def ddFuzzyNames(s: SparkSession, dir: String): DataFrame =
+    fuzzyNamePairs(Tables.part(s, dir))
 
   val ddFuzzyNamesSql: String =
     s"""SELECT a.p_brand, a.p_partkey AS key_a, b.p_partkey AS key_b,

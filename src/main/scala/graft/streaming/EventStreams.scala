@@ -113,6 +113,38 @@ object EventStreams {
   def evTumbling(s: SparkSession, dir: String): DataFrame =
     tumblingCounts(Tables.events(s, dir))
 
+  /** STREAMING-mode twin of [[evTumbling]], registered in the driver's
+    * oracle gate: the events parquet is replayed through a real
+    * file-source micro-batch stream (micro-batch engine, state store,
+    * watermark tracking all live) into a memory sink, and the sink's
+    * final state is returned for the DuckDB compare — proving
+    * batch/stream equivalence at the gate, not just in specs.
+    *
+    * One input file ⇒ one micro-batch, so the 10-minute watermark never
+    * advances past in-flight rows and drops nothing; with complete
+    * output the converged state must equal the batch aggregate exactly.
+    * The memory sink holds one row per (window, event_type) — thousands
+    * at verification SF; at production scale the same query writes to a
+    * real sink (see ForeachBatchSpec) and this entry stays a gate-sized
+    * harness. */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  def evTumblingStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = java.nio.file.Files.createTempDirectory("graft_ev_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("events.parquet"))
+    val stream = s.readStream.schema(rawSchema).parquet(src.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"ev_tumbling_stream_${streamRuns.incrementAndGet()}"
+    val q = streamingTumbling(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   val evTumblingSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
       |  COUNT(*) AS n,
@@ -154,12 +186,14 @@ object EventStreams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev_tumbling" -> evTumbling,
+    "ev_tumbling_stream" -> evTumblingStream,
     "ev_sliding" -> evSliding,
     "ev_sessions" -> evSessions,
   )
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling" -> evTumblingSql,
+    "ev_tumbling_stream" -> evTumblingSql, // same oracle: batch ≡ stream
     "ev_sliding" -> evSlidingSql,
     "ev_sessions" -> evSessionsSql,
   )

@@ -105,6 +105,36 @@ class DedupSpec extends AnyFunSuite {
       && grouped(0).getAs[Long]("canonical") == 1L)
   }
 
+  test("fuzzy length-band blocking is lossless and shrinks blocks") {
+    // lengths 7 and 8 straddle a band boundary (width 8) but are 1 edit
+    // apart — adjacent-band replication must still pair them
+    val part = Seq(
+      (1L, "BrandX", "abcdefg"),
+      (2L, "BrandX", "abcdefgh"),
+      (3L, "BrandX", "abcdefgi"),
+      (4L, "BrandX", "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      (5L, "BrandY", "abcdefg")
+    ).toDF("p_partkey", "p_brand", "p_name")
+    val got = Dedup.fuzzyNamePairs(part)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    // brute force within brand
+    val a = part.select($"p_brand", $"p_partkey".as("key_a"), $"p_name".as("na"))
+    val b = part.select($"p_brand", $"p_partkey".as("key_b"), $"p_name".as("nb"))
+    val brute = a.join(b, Seq("p_brand")).filter($"key_a" < $"key_b")
+      .filter(levenshtein($"na", $"nb") <= Dedup.FuzzyMaxEdits)
+      .select("key_a", "key_b").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the composite key yields strictly more, smaller blocks than
+    // brand-only: doc 4 never meets docs 1-3 in any candidate block
+    val blocks = part
+      .groupBy($"p_brand", expr(s"length(p_name) div ${Dedup.FuzzyBandWidth}"))
+      .count().agg(max("count")).head().getLong(0)
+    val brandOnly = part.groupBy($"p_brand").count()
+      .agg(max("count")).head().getLong(0)
+    assert(blocks < brandOnly)
+  }
+
   test("connected components: chains merge into one min-labeled cluster") {
     import spark.implicits._
     // a-b, b-c chain + isolated pair (x, y)
