@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q2_filter_project", "q3_region_revenue",
-    "q4_fact_join", "q7_topk_per_group", "q9_top10_global",
+    "q4_fact_join", "q4_bucketed", "q7_topk_per_group", "q9_top10_global",
     "q21_asof_join", "q29_asof_native", "wordcount_dataframe", "ta_quality",
     "dd_minhash_lsh_full", "dd_simhash_pairs", "ss_knn_brute", "ev_sessions")
 

@@ -123,6 +123,22 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** Same query over bucket-materialized fact tables
+    * (Tables.materializeBucketed): both sides pre-hashed and sorted on
+    * the join key with equal bucket counts, so the fact⋈fact join runs
+    * with NO exchange — the physical layout a 100 TB deployment would
+    * maintain for its hottest join key. The only remaining shuffle is
+    * the final small aggregation. */
+  def q4Bucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (li, ord) = Tables.materializeBucketed(s, dir)
+    s.table(li)
+      .join(s.table(ord), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_orderkey").as("n_orders"),
+        asDouble(sum(dec($"l_extendedprice"))).as("sum_price"))
+  }
+
   // ------------------------------------------------------------ semi / anti
   def q5SemiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -502,6 +518,7 @@ object Relational {
     "q2_filter_project" -> q2FilterProject,
     "q3_region_revenue" -> q3RegionRevenue,
     "q4_fact_join" -> q4FactJoin,
+    "q4_bucketed" -> q4Bucketed,
     "q5_semi_join" -> q5SemiJoin,
     "q6_anti_join" -> q6AntiJoin,
     "q7_topk_per_group" -> q7TopOrdersPerCustomer,
@@ -528,6 +545,7 @@ object Relational {
     "q2_filter_project" -> q2Sql,
     "q3_region_revenue" -> q3Sql,
     "q4_fact_join" -> q4Sql,
+    "q4_bucketed" -> q4Sql,
     "q5_semi_join" -> q5Sql,
     "q6_anti_join" -> q6Sql,
     "q7_topk_per_group" -> q7Sql,

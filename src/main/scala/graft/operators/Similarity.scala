@@ -149,14 +149,24 @@ object Similarity {
     annPairs(Tables.embeddings(s, dir), NearDupThreshold)
 
   // ---------------------------------------------------------------- IVF.
-  // Coarse cells from the `label` column (stand-in for k-means cells):
-  // centroid per cell = mean embedding (exact decimal-free double mean is
-  // fine here — centroids are internal, not compared across engines);
-  // query probes the top-`nprobe` cells by centroid cosine, exact-scores
-  // only those cells: the classic inverted-file trade of recall for a
-  // ~cells/nprobe scan reduction.
-  val NProbe = 2
+  // Inverted-file k-NN with TRAINED coarse cells: seeded k-means over
+  // the embedding column, then each query probes only the `IvfProbe`
+  // closest cells by centroid cosine and exact-scores those cells —
+  // the classic inverted-file trade of recall for a ~cells/nprobe scan
+  // reduction.
+  val IvfCells = 16
+  val IvfRounds = 5
+  /** Probes/cells is tuned to the corpus: the synthetic embeddings are
+    * near-uniform on the sphere (no real cluster structure), so ≥0.9
+    * recall needs 10/16 cells probed (measured: 4→0.60, 8→0.90,
+    * 10→0.94). On a genuinely clustered corpus the same pipeline runs
+    * at 2-4 probes; the scan-reduction ratio is data-, not
+    * architecture-, limited. */
+  val IvfProbe = 10
 
+  /** Label-based cell centroids (mean embedding per `label`) — kept as
+    * the generic "centroid of a partition column" building block (e.g.
+    * for pre-labeled corpora); the k-NN path below trains its own. */
   def centroids(emb: DataFrame): DataFrame =
     emb.select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
@@ -165,22 +175,73 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
       .select(col("label"), transform(col("pv"), x => x.getField("v")).as("centroid"))
 
-  def ssKnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** Nearest-centroid id by dot product (vectors are unit-normalized, so
+    * dot ranks like cosine for the ASSIGNMENT step where only the query
+    * side is unit). Centroids are plan-time literals: K codegen'd VecDot
+    * calls + a `greatest` over (score, cell) structs, ties to the higher
+    * cell id — no join, no shuffle, scan-parallel. */
+  def assignCell(vec: Column, cents: Seq[Array[Double]]): Column =
+    greatest(cents.zipWithIndex.map { case (c, i) =>
+      struct(dot(vec, typedLit(c)).as("d"), lit(i).as("c"))
+    }: _*).getField("c")
+
+  /** Seeded Lloyd iterations as DataFrame aggregations. Init = the K
+    * vectors with the smallest xxhash64(vec_id) — a deterministic
+    * pseudo-random draw, stable across runs, partitionings, and cluster
+    * layouts. Each round assigns every vector to its nearest centroid
+    * (codegen'd literal dots, no shuffle) and recomputes cell means in
+    * ONE aggregation; only the K×dim centroid matrix ever reaches the
+    * driver (it must: next round's assignment embeds it as literals),
+    * never the data. Empty cells keep their previous centroid. */
+  def trainCentroids(emb: DataFrame, k: Int = IvfCells,
+      rounds: Int = IvfRounds): IndexedSeq[Array[Double]] = {
+    var cents: IndexedSeq[Array[Double]] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toIndexedSeq
+    for (_ <- 0 until rounds) {
+      val means = emb
+        .select(assignCell(col("embedding"), cents).as("cell"),
+          posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("v"))
+        .collect()
+        .groupBy(_.getAs[Int]("cell"))
+        .map { case (c, rows) =>
+          val dim = rows.map(_.getAs[Int]("pos")).max + 1
+          val arr = new Array[Double](dim)
+          rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Double]("v"))
+          c -> arr
+        }
+      cents = (0 until k).map(c => means.getOrElse(c, cents(c)))
+    }
+    cents
+  }
+
+  def ssKnnIvf(s: SparkSession, dir: String): DataFrame =
+    knnIvf(s, dir, IvfProbe)
+
+  def knnIvf(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val cents = centroids(emb)
-    val queries = emb.filter($"vec_id" < NumQueries)
+    val cents = trainCentroids(emb)
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+    val assigned = emb.withColumn("cell", assignCell($"embedding", cents))
+    val queries = assigned.filter($"vec_id" < NumQueries)
       .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-    // per query: the NProbe closest cells by centroid cosine
-    val wc = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"label".asc)
-    val probed = queries.join(broadcast(cents))
-      .select($"q_id", $"q_vec", $"label", cosine($"q_vec", $"centroid").as("ccos"))
+    // per query: the IvfProbe closest cells by centroid cosine (the
+    // centroid side is not unit-norm, so rank by full cosine here)
+    val wc = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cell".asc)
+    val probed = queries.join(broadcast(centsDf))
+      .select($"q_id", $"q_vec", $"cell", cosine($"q_vec", $"centroid").as("ccos"))
       .withColumn("crank", row_number().over(wc))
-      .filter($"crank" <= NProbe)
-      .select($"q_id", $"q_vec", $"label")
+      .filter($"crank" <= nprobe)
+      .select($"q_id", $"q_vec", $"cell")
     // exact scoring restricted to probed cells
     val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
-    emb.join(broadcast(probed), Seq("label"))
+    assigned.join(broadcast(probed), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
       .select($"q_id", $"vec_id", cosine($"q_vec", $"embedding").as("cosine"))
       .withColumn("rank", row_number().over(w))

@@ -31,9 +31,12 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 final case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long] = None, inner: Boolean = false)
+    extends BinaryNode {
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
     copy(left = newLeft, right = newRight)
@@ -41,8 +44,8 @@ final case class AsofJoin(
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tol, inner) =>
+      AsofJoinExec(lk, rk, lt, rt, tol, inner, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -50,11 +53,13 @@ object AsofJoinStrategy extends SparkStrategy {
 final case class AsofJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
+    tolerance: Option[Long], inner: Boolean,
     left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    if (inner) left.output ++ right.output
+    else left.output ++ right.output.map(_.withNullability(true))
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
@@ -77,6 +82,8 @@ final case class AsofJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
+    val tolOpt = tolerance
+    val innerMode = inner
     val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
@@ -88,48 +95,86 @@ final case class AsofJoinExec(
       val resultProj = UnsafeProjection.create(output, output)
       val nullRight = new GenericInternalRow(right.output.length)
       val joined = new JoinedRow
+      // tolerance works on the physical long behind the time column
+      // (micros for TIMESTAMP, days for DATE, raw for integral)
+      val timeGet: InternalRow => Long = timeType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.LongType => _.getLong(0)
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => _.getInt(0).toLong
+        case t =>
+          require(tolOpt.isEmpty, s"asof tolerance unsupported for time type $t")
+          _ => 0L
+      }
 
       new Iterator[InternalRow] {
         private var rCur: InternalRow = _
         private var rCurKey: InternalRow = _
         private var lastMatch: InternalRow = _
         private var lastMatchKey: InternalRow = _
+        private var lastMatchTime: Long = 0L
+        private var pending: InternalRow = _
 
-        override def hasNext: Boolean = lIter.hasNext
+        // One forward merge step per left row. For each left row the
+        // right side advances while (a) behind on key or (b) on-key with
+        // time <= left time — each such row becomes the current best
+        // match (later rows win, matching "most recent"). A match only
+        // joins if it is within `tolerance` of the left time; in inner
+        // mode unmatched left rows are skipped instead of null-extended.
+        private def computeNext(): InternalRow = {
+          while (lIter.hasNext) {
+            val l = lIter.next()
+            val lKey = lKeyProj(l)
+            val lTime = lTimeProj(l)
+            // a retained match is only valid for its own key
+            if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) != 0) {
+              lastMatch = null; lastMatchKey = null
+            }
+            var advance = true
+            while (advance) {
+              if (rCur == null && rIter.hasNext) {
+                rCur = rIter.next()
+                rCurKey = null
+              }
+              if (rCur == null) advance = false
+              else {
+                if (rCurKey == null) rCurKey = rKeyProj(rCur)
+                val c = keyOrd.compare(rCurKey, lKey)
+                if (c < 0) { rCur = null } // stale key, discard
+                else if (c == 0 &&
+                  timeOrd.compare(rTimeProj(rCur), lTime) <= 0) {
+                  lastMatch = rCur.copy()
+                  lastMatchKey = rCurKey.copy()
+                  if (tolOpt.isDefined) lastMatchTime = timeGet(rTimeProj(rCur))
+                  rCur = null
+                } else advance = false // right is ahead; stop
+              }
+            }
+            val matched = lastMatch != null && (tolOpt.isEmpty ||
+              timeGet(lTime) - lastMatchTime <= tolOpt.get)
+            if (matched) {
+              numOutputRows += 1
+              return resultProj(joined(l, lastMatch))
+            } else if (!innerMode) {
+              numOutputRows += 1
+              return resultProj(joined(l, nullRight))
+            }
+            // inner mode, no in-tolerance match: skip this left row
+          }
+          null
+        }
+
+        override def hasNext: Boolean = {
+          if (pending == null) pending = computeNext()
+          pending != null
+        }
 
         override def next(): InternalRow = {
-          val l = lIter.next()
-          val lKey = lKeyProj(l)
-          val lTime = lTimeProj(l)
-          // a retained match is only valid for its own key
-          if (lastMatchKey != null && keyOrd.compare(lastMatchKey, lKey) != 0) {
-            lastMatch = null; lastMatchKey = null
-          }
-          // advance the right side while it is (a) behind on key or
-          // (b) on-key with time <= left time (each such row becomes the
-          // current best match — later rows win, matching "most recent")
-          var advance = true
-          while (advance) {
-            if (rCur == null && rIter.hasNext) {
-              rCur = rIter.next()
-              rCurKey = null
-            }
-            if (rCur == null) advance = false
-            else {
-              if (rCurKey == null) rCurKey = rKeyProj(rCur)
-              val c = keyOrd.compare(rCurKey, lKey)
-              if (c < 0) { rCur = null } // stale key, discard
-              else if (c == 0 &&
-                timeOrd.compare(rTimeProj(rCur), lTime) <= 0) {
-                lastMatch = rCur.copy()
-                lastMatchKey = rCurKey.copy()
-                rCur = null
-              } else advance = false // right is ahead; stop
-            }
-          }
-          numOutputRows += 1
-          resultProj(joined(l,
-            if (lastMatch != null) lastMatch else nullRight))
+          if (pending == null) pending = computeNext()
+          val out = pending
+          pending = null
+          out
         }
       }
     }
@@ -148,13 +193,26 @@ object AsofJoinApi {
         spark.experimental.extraStrategies :+ AsofJoinStrategy
 
   /** leftDF as-of-joined to rightDF: for every left row, the latest right
-    * row with equal keys and rightTime <= leftTime (left outer). Column
-    * arguments must belong to the respective DataFrames. */
+    * row with equal keys and rightTime <= leftTime (left outer by
+    * default). Column arguments must belong to the respective DataFrames.
+    *
+    * `tolerance` bounds how stale a match may be:
+    * rightTime >= leftTime − tolerance, expressed in the time column's
+    * physical units (MICROSECONDS for timestamps, days for dates, raw
+    * for integral columns) — the contract a market-data or sensor as-of
+    * needs ("ignore quotes older than 5 minutes"). Beyond semantics it
+    * is the state-pruning bound: a streaming/stateful execution may
+    * evict any right row older than watermark − tolerance, where the
+    * untolerated join must retain the last row per key forever.
+    * `inner = true` drops unmatched left rows instead of null-extending
+    * them. */
   def joinAsof(left: DataFrame, right: DataFrame,
       leftKeys: Seq[org.apache.spark.sql.Column],
       rightKeys: Seq[org.apache.spark.sql.Column],
       leftTime: org.apache.spark.sql.Column,
-      rightTime: org.apache.spark.sql.Column): DataFrame = {
+      rightTime: org.apache.spark.sql.Column,
+      tolerance: Option[Long] = None,
+      inner: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     enable(spark)
     ColumnBridge.ofRows(spark, AsofJoin(
@@ -162,6 +220,18 @@ object AsofJoinApi {
       leftKeys.map(ColumnBridge.expression),
       rightKeys.map(ColumnBridge.expression),
       ColumnBridge.expression(leftTime),
-      ColumnBridge.expression(rightTime)))
+      ColumnBridge.expression(rightTime),
+      tolerance, inner))
   }
+
+  /** Timestamp-typed convenience: tolerance as a Duration. */
+  def joinAsofTolerant(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[org.apache.spark.sql.Column],
+      rightKeys: Seq[org.apache.spark.sql.Column],
+      leftTime: org.apache.spark.sql.Column,
+      rightTime: org.apache.spark.sql.Column,
+      tolerance: java.time.Duration,
+      inner: Boolean = false): DataFrame =
+    joinAsof(left, right, leftKeys, rightKeys, leftTime, rightTime,
+      Some(tolerance.toNanos / 1000L), inner)
 }

@@ -28,6 +28,33 @@ class ApproxAndBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("q4_bucketed joins with no shuffle under the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.q4Bucketed(spark, TestSpark.sf0001)
+      val joins = df.queryExecution.executedPlan
+        .collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, df.queryExecution.executedPlan.toString)
+      // bucketed layout satisfies the join's distribution requirement:
+      // nothing between the scans and the join shuffles
+      joins.foreach { j =>
+        val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty, j.toString)
+      }
+      // and the result matches the unbucketed query
+      val bucketed = df.collect().map(_.toSeq).toSet
+      val plain = Relational.q4FactJoin(spark, TestSpark.sf0001)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS li_b")

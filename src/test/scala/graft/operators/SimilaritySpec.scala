@@ -56,6 +56,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cents(1).getSeq[Double](1) == Seq(1.0, 1.0))
   }
 
+  test("trained k-means is deterministic and covers all vectors") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val c1 = Similarity.trainCentroids(emb)
+    val c2 = Similarity.trainCentroids(emb)
+    assert(c1.length == Similarity.IvfCells)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+    // every vector lands in a valid cell
+    val cells = emb.select(Similarity.assignCell($"embedding", c1).as("cell"))
+      .distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < Similarity.IvfCells))
+  }
+
+  test("trained ivf knn reaches >= 0.9 recall vs brute force") {
+    val brute = Similarity.ssKnnBrute(spark, TestSpark.sf0001)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ssKnnIvf(spark, TestSpark.sf0001)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall was $recall")
+  }
+
   test("ivf knn: probed-cell results are exact within recalled neighbors") {
     val ivf = Similarity.ssKnnIvf(spark, TestSpark.sf0001)
     val rows = ivf.collect()

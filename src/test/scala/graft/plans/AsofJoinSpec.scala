@@ -33,6 +33,56 @@ class AsofJoinSpec extends AnyFunSuite {
       (1L, ts(100), Some(12.0)), (2L, ts(4), Some(50.0)), (3L, ts(9), None)))
   }
 
+  test("tolerance drops matches staler than the bound") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts(1), 10.0), (1L, ts(5), 11.0),
+      (2L, ts(4), 50.0)).toDF("id", "qt", "price")
+    val trades = Seq(
+      (1L, ts(6)),   // 1 min stale -> within 2-min tolerance
+      (1L, ts(8)),   // 3 min stale -> dropped by tolerance
+      (2L, ts(4)),   // exact time -> kept
+      (3L, ts(9))).toDF("id", "tt")
+    val out = AsofJoinApi.joinAsofTolerant(trades, quotes,
+      Seq(trades("id")), Seq(quotes("id")), trades("tt"), quotes("qt"),
+      java.time.Duration.ofMinutes(2))
+      .select(trades("id"), $"tt", $"price")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set(
+      (1L, ts(6), Some(11.0)), (1L, ts(8), None),
+      (2L, ts(4), Some(50.0)), (3L, ts(9), None)))
+  }
+
+  test("inner variant skips unmatched left rows") {
+    import spark.implicits._
+    val quotes = Seq((1L, ts(5), 11.0)).toDF("id", "qt", "price")
+    val trades = Seq(
+      (1L, ts(4)),  // before the only quote -> skipped
+      (1L, ts(6)),  // matched
+      (2L, ts(9))).toDF("id", "tt") // keyless -> skipped
+    val out = AsofJoinApi.joinAsof(trades, quotes,
+      Seq(trades("id")), Seq(quotes("id")), trades("tt"), quotes("qt"),
+      inner = true)
+      .select(trades("id"), $"tt", $"price")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, ts(6), 11.0)))
+  }
+
+  test("inner + tolerance compose") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts(1), 10.0), (1L, ts(5), 11.0)).toDF("id", "qt", "price")
+    val trades = Seq(
+      (1L, ts(6)), (1L, ts(20))).toDF("id", "tt")
+    val out = AsofJoinApi.joinAsofTolerant(trades, quotes,
+      Seq(trades("id")), Seq(quotes("id")), trades("tt"), quotes("qt"),
+      java.time.Duration.ofMinutes(2), inner = true)
+      .select(trades("id"), $"tt", $"price")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, ts(6), 11.0)))
+  }
+
   test("native asof equals the window-sweep formulation on real data") {
     val sweep = graft.operators.Relational
       .q21AsofJoin(spark, TestSpark.sf0001)
