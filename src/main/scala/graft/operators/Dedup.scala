@@ -251,9 +251,31 @@ object Dedup {
        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= $MinhashThreshold""".stripMargin
 
-  /** Unbounded scale path (no oracle — driver records rows-only). */
+  /** Unbounded scale path. Oracle-able after all: the emitted pairs are
+    * exact-verified (true Jaccard ≥ threshold), so the output equals
+    * the brute-force pair set whenever banding catches every true pair
+    * — guaranteed on this corpus by the similarity gap (planted dups at
+    * j ≥ 0.9 miss a band with P ≈ (1−0.81)³² ≈ 1e-23, and the hashes
+    * are deterministic, so the result is a fixed set, not a sample).
+    * The DuckDB twin is the full-corpus quadratic compare — fine at
+    * verification SF, never the Spark-side plan. */
   def ddMinhashLshFull(s: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(s, dir), MinhashThreshold)
+
+  /** Inverted-index formulation (docs pair only through a SHARED
+    * shingle, intersection = count of shared shingles) — equivalent to
+    * the quadratic all-pairs compare because jaccard > 0 requires a
+    * shared shingle, but near-linear on a corpus where unrelated docs
+    * overlap rarely: the quadratic twin takes ~10 min in DuckDB at
+    * sf0.1, this one seconds. */
+  val ddMinhashLshFullSql: String =
+    s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s, len($shinglesSql) AS n FROM documents),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (n_a + n_b - i) AS jaccard
+       |FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= $MinhashThreshold""".stripMargin
 
   // -------------------------------------------------- dedup CLUSTERS:
   // connected components over the verified near-dup pairs — the actual
@@ -427,13 +449,15 @@ object Dedup {
     "dd_simhash_pairs" -> ddSimhashPairs,
   )
 
-  /** dd_minhash_lsh_full / dd_simhash* are probabilistic-structure ops with
-    * no SQL twin — the driver records rows-only; specs pin their behavior. */
+  /** dd_simhash* need xxhash64 inside the oracle engine (DuckDB has
+    * none) — the driver records rows-only; specs pin their behavior
+    * (including bit-equality of SimHash64 with its reference fold). */
   val oracles: Map[String, String] = Map(
     "dd_fuzzy_names" -> ddFuzzyNamesSql,
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_minhash_lsh_full" -> ddMinhashLshFullSql,
     "dd_clusters" -> ddClustersSql,
   )
 }

@@ -144,9 +144,37 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
-  /** Full-corpus ANN near-dup pairs (probabilistic recall — rows-only). */
+  /** Full-corpus ANN near-dup pairs. Deterministic despite being
+    * "approximate": the planes are fixed plan-time literals and the
+    * verify stage is exact cosine, so the output is a fixed set —
+    * oracle-able by replaying the SAME plane literals in DuckDB (the
+    * sequential double dot product is bit-exact across both engines,
+    * and sign tests/band-code equality are integer-exact). */
   def ssAnnLsh(s: SparkSession, dir: String): DataFrame =
     annPairs(Tables.embeddings(s, dir), NearDupThreshold)
+
+  /** DuckDB twin of [[ssAnnLsh]]: the 128 Rademacher planes inlined as
+    * literal arrays, band codes packed with the same bit weights, a
+    * candidate = any band-code match, then the exact-cosine filter. */
+  val ssAnnLshSql: String = {
+    def planeLit(p: Array[Double]): String =
+      p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bandExprs = (0 until LshBands).map { band =>
+      (0 until LshBits).map { bit =>
+        val plane = planeLit(rademacherPlane(band * LshBits + bit))
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $plane::DOUBLE[]) > 0 THEN ${1L << bit} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+    val cos = """list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"""
+      .replaceAll("\\s+", " ")
+    s"""WITH sigs AS (SELECT vec_id, embedding, $bandExprs AS bands FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, $cos AS cosine
+       |FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+       |WHERE len(list_filter(range($LshBands), i -> a.bands[i+1] = b.bands[i+1])) > 0
+       |  AND $cos >= $NearDupThreshold""".stripMargin
+  }
 
   // ---------------------------------------------------------------- IVF.
   // Inverted-file k-NN with TRAINED coarse cells: seeded k-means over
@@ -256,10 +284,13 @@ object Similarity {
     "ss_knn_ivf" -> ssKnnIvf,
   )
 
-  /** ss_ann_lsh / ss_knn_ivf are approximate (probabilistic recall) — no
-    * SQL twin; rows-only in the driver, recall pinned by specs. */
+  /** ss_knn_ivf stays rows-only: its cells come from k-means over
+    * floating-point means, which is deterministic per engine but not
+    * reproducible bit-for-bit in SQL; its recall/exactness contract is
+    * pinned by specs instead. */
   val oracles: Map[String, String] = Map(
     "ss_knn_brute" -> ssKnnBruteSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
+    "ss_ann_lsh" -> ssAnnLshSql,
   )
 }
