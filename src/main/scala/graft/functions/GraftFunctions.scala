@@ -24,6 +24,10 @@ object GraftFunctions {
       if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
       else 3)),
     "simhash64" -> (exprs => SimHash64(exprs(0))),
+    // optional 2nd arg: sketch size k as a foldable int literal
+    "theta_distinct" -> (exprs => ThetaDistinct(exprs(0),
+      if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+      else 256)),
   )
 
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,115 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Mutable KMV state: the `k` smallest distinct hash values seen, under
+  * UNSIGNED 64-bit order (hashes are uniform over the full u64 space).
+  * Backed by a TreeSet for O(log k) insert with cheap max-eviction. */
+final class KmvState(val k: Int) {
+  val heap = new java.util.TreeSet[java.lang.Long](
+    (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b))
+
+  def insert(h: Long): Unit = {
+    if (heap.size < k) { heap.add(h); () }
+    else if (java.lang.Long.compareUnsigned(h, heap.last) < 0) {
+      if (heap.add(h)) heap.pollLast()
+      ()
+    }
+  }
+
+  def mergeFrom(other: KmvState): Unit = {
+    val it = other.heap.iterator()
+    while (it.hasNext) insert(it.next())
+  }
+
+  /** (k−1)/θ estimator: exact below k, else scale by the fraction of
+    * hash space below the k-th minimum. */
+  def estimate: Long =
+    if (heap.size < k) heap.size.toLong
+    else {
+      // θ = unsigned kth-min / 2^64
+      val last = heap.last.longValue()
+      val x = last.toDouble + (if (last < 0) 1.8446744073709552e19 else 0.0)
+      val theta = x / 1.8446744073709552e19
+      math.round((k - 1) / math.max(theta, Double.MinPositiveValue))
+    }
+}
+
+/** Approximate COUNT(DISTINCT) as a native TypedImperativeAggregate — a
+  * K-Minimum-Values theta sketch (Bar-Yossef et al.; the core of the
+  * theta-sketch family). Properties that matter at cluster scale:
+  *
+  *  - MERGEABLE state: partial sketches union losslessly (union of KMV
+  *    sets, re-trimmed to k), so the plan is a normal partial/final
+  *    aggregate — map-side combine works, shuffle carries ≤ k longs per
+  *    group, and sketches persisted from different jobs can be merged.
+  *  - DETERMINISTIC: hashes are Spark's xxhash64 (seed 42), so the
+  *    estimate is a pure function of the value set — stable across
+  *    runs, partitionings, and cluster sizes.
+  *  - Error ~ 1/√(k−2): k=256 ⇒ ~6.3% RSE; exact below k distincts.
+  *
+  * Contrast with `approx_count_distinct` (HLL++): same plan shape; KMV
+  * additionally yields θ (needed for set-expression sketches —
+  * intersection/difference estimates) and demonstrates the
+  * TypedImperativeAggregate surface the reference's users would extend.
+  */
+case class ThetaDistinct(
+    child: Expression,
+    k: Int = 256,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvState] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): KmvState = new KmvState(k)
+
+  override def update(state: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) state.insert(XxHash64Function.hash(v, child.dataType, 42L))
+    state
+  }
+
+  override def merge(state: KmvState, other: KmvState): KmvState = {
+    state.mergeFrom(other); state
+  }
+
+  override def eval(state: KmvState): Any = state.estimate
+
+  override def serialize(state: KmvState): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 8 * state.heap.size)
+    buf.putInt(state.k)
+    state.heap.forEach(h => { buf.putLong(h); () })
+    buf.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvState = {
+    val buf = ByteBuffer.wrap(bytes)
+    val state = new KmvState(buf.getInt)
+    while (buf.remaining() >= 8) state.insert(buf.getLong)
+    state
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaDistinct =
+    copy(child = newChildren.head)
+}
+
+object ThetaSketchFunctions {
+  def theta_distinct(col: Column, k: Int = 256): Column =
+    ColumnBridge.column(
+      ThetaDistinct(ColumnBridge.expression(col), k).toAggregateExpression())
+}

@@ -107,6 +107,24 @@ object Advanced {
         count(lit(1)).as("n"))
   }
 
+  /** Same shape on graft's own mergeable KMV theta sketch
+    * (graft.functions.ThetaDistinct, a native TypedImperativeAggregate):
+    * partial sketches merge losslessly across partitions/jobs, shuffle
+    * carries ≤ k longs per group. Deterministic (pure function of the
+    * value set) but not SQL-reproducible — rows-only in the driver;
+    * ThetaSketchSpec pins the error envelope and merge invariance. */
+  def q33ThetaSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        graft.functions.ThetaSketchFunctions.theta_distinct($"l_orderkey")
+          .as("theta_orders"),
+        graft.functions.ThetaSketchFunctions.theta_distinct($"l_partkey")
+          .as("theta_parts"),
+        count(lit(1)).as("n"))
+  }
+
   // ------------------------------------------- correlated scalar subquery
   // (Catalyst de-correlates to an aggregate + left outer join; SQL form —
   // the DataFrame API has no scalar-subquery builder).
@@ -194,6 +212,7 @@ object Advanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_approx_agg" -> q27ApproxAgg,
+    "q33_theta_sketch" -> q33ThetaSketch,
     "q28_scalar_subquery" -> q28ScalarSubquery,
     "q30_lag_lead" -> q30LagLead,
     "q31_string_agg" -> q31StringAgg,

@@ -19,7 +19,10 @@ object Scale {
     * this is a no-op — it guards the small-file edge without imposing a
     * corpus-wide shuffle on big inputs. */
   def ensureParallelism(df: DataFrame, minParts: Int): DataFrame =
-    if (df.rdd.getNumPartitions >= minParts) df
+    // probe the physical plan's partition count directly (toRdd is the
+    // InternalRow RDD — no Row-encoder lineage is instantiated, and no
+    // job runs; getNumPartitions only asks the scan for its splits)
+    if (df.queryExecution.toRdd.getNumPartitions >= minParts) df
     else df.repartition(minParts)
 
   def ensureParallelism(df: DataFrame): DataFrame =

@@ -127,8 +127,13 @@ object Similarity {
     }: _*)
 
   def annPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    // deliberately NOT cached: the verify join-back below reads only
+    // (vec_id, embedding), so Catalyst prunes the 128-dot `bands`
+    // projection out of that branch entirely — a cache would force
+    // materializing it (and pin the full signature table in memory at
+    // corpus scale) to save nothing
     val sigs = emb.select(col("vec_id"), col("embedding"),
-      lshBands(col("embedding")).as("bands")).cache()
+      lshBands(col("embedding")).as("bands"))
     val buckets = sigs.select(col("vec_id"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "code")
     val cands = buckets.as("x")

@@ -19,7 +19,7 @@ class EntrySpec extends AnyFunSuite {
     // each is pinned by specs instead (dd_minhash_lsh_full and
     // ss_ann_lsh graduated to full oracles in round 2)
     assert(rowsOnly == Set("dd_simhash", "dd_simhash_pairs",
-      "ss_knn_ivf", "q27_approx_agg"),
+      "ss_knn_ivf", "q27_approx_agg", "q33_theta_sketch"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -36,6 +36,21 @@ class SourcesSpec extends AnyFunSuite {
       == expected)
   }
 
+  test("text source round-trips raw lines (one column, one row per line)") {
+    import spark.implicits._
+    val dir = tmp("graft_text")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select($"text").filter(!$"text".contains("\n"))
+    docs.write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.schema.fieldNames.toSeq == Seq("value"))
+    assert(back.as[String].collect().sorted.toSeq ==
+      docs.as[String].collect().sorted.toSeq)
+    // wholetext mode: one row per file
+    val whole = spark.read.option("wholetext", "true").text(dir)
+    assert(whole.count() == back.inputFiles.length.toLong)
+  }
+
   test("partitioned write + filtered read prunes partitions at plan time") {
     val dir = tmp("graft_part")
     Tables.lineitem(spark, TestSpark.sf0001)
