@@ -98,13 +98,94 @@ object Multimodal {
        |  CAST(UNNEST(range(0, 1 + n_chars % 24, $FrameStride)) AS INT) AS frame_idx
        |FROM documents""".stripMargin
 
+  // ------------------------------------------------------- REAL codec path.
+  // PPM (P6) is a complete, real image format implementable without any
+  // library, so one leg of the pipeline runs an ACTUAL decoder — header
+  // parse, dimension extraction, pixel scan — not a stand-in. The gate
+  // query proves it end to end: Spark reads width/height out of the
+  // binary payload's header bytes, while the DuckDB oracle derives the
+  // same values from the synthesis arithmetic; any decode bug
+  // hash-mismatches.
+  object PpmCodec {
+    def encode(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == width * height * 3, "rgb size mismatch")
+      s"P6\n$width $height\n255\n".getBytes("US-ASCII") ++ rgb
+    }
+
+    /** (width, height, rgb bytes) from a P6 payload. */
+    def decode(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(payload.length >= 2 &&
+        payload(0) == 'P'.toByte && payload(1) == '6'.toByte, "not a P6 PPM")
+      var i = 2
+      def nextInt(): Int = {
+        while (Character.isWhitespace(payload(i))) i += 1
+        var v = 0
+        while (i < payload.length && !Character.isWhitespace(payload(i))) {
+          v = v * 10 + (payload(i) - '0'.toByte); i += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxVal = nextInt()
+      require(maxVal == 255, s"unsupported max value $maxVal")
+      i += 1 // exactly one whitespace byte separates header and raster
+      (w, h, java.util.Arrays.copyOfRange(payload, i, i + w * h * 3))
+    }
+  }
+
+  final case class PpmRecord(doc_id: Long, payload: Array[Byte])
+  final case class PpmFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Int, brightness: Double)
+
+  /** Synthesize a real PPM payload per document (deterministic pixels
+    * from doc_id, so the oracle can predict the decoded features without
+    * parsing bytes). Typed-map synthesis is source-side scaffolding —
+    * production ingests payloads from storage. */
+  def ingestPpm(s: SparkSession, dir: String): Dataset[PpmRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id").as[Long].map { id =>
+      val w = 2 + (id % 7).toInt
+      val h = 2 + (id % 5).toInt
+      val rgb = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
+      PpmRecord(id, PpmCodec.encode(w, h, rgb))
+    }
+  }
+
+  /** Batched partition-parallel decode through the REAL codec: width and
+    * height come out of the payload header, brightness from the pixel
+    * raster. */
+  def decodePpm(media: Dataset[PpmRecord]): Dataset[PpmFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.map { r =>
+      val (w, h, px) = PpmCodec.decode(r.payload)
+      PpmFeatures(r.doc_id, w, h, w * h,
+        px.map(_ & 0xFF).sum.toDouble / px.length)
+    }))
+  }
+
+  def mmDecodePpm(s: SparkSession, dir: String): DataFrame =
+    decodePpm(ingestPpm(s, dir)).toDF()
+
+  /** The synthesis arithmetic, replayed in SQL: exact integer sums, so
+    * the division matches bit-for-bit. */
+  val mmDecodePpmSql: String =
+    """SELECT doc_id,
+      |  CAST(2 + doc_id % 7 AS INT) AS width,
+      |  CAST(2 + doc_id % 5 AS INT) AS height,
+      |  CAST((2 + doc_id % 7) * (2 + doc_id % 5) AS INT) AS n_pixels,
+      |  list_sum(list_transform(range((2 + doc_id % 7) * (2 + doc_id % 5) * 3),
+      |    i -> (doc_id * 31 + i * 7) % 256))::DOUBLE
+      |    / ((2 + doc_id % 7) * (2 + doc_id % 5) * 3) AS brightness
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> mmDecodeMeta,
+    "mm_decode_ppm" -> mmDecodePpm,
     "mm_frame_sample" -> mmFrameSample,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> mmDecodeMetaSql,
+    "mm_decode_ppm" -> mmDecodePpmSql,
     "mm_frame_sample" -> mmFrameSampleSql,
   )
 }

@@ -35,6 +35,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.filter(f => f.brightness <= 0).count() == 0)
   }
 
+  test("ppm codec round-trips and rejects corrupt headers") {
+    val rgb = Array.tabulate(2 * 3 * 3)(i => (i * 11 % 256).toByte)
+    val payload = Multimodal.PpmCodec.encode(2, 3, rgb)
+    val (w, h, back) = Multimodal.PpmCodec.decode(payload)
+    assert(w == 2 && h == 3 && back.sameElements(rgb))
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmCodec.decode("JFIF-nope".getBytes("US-ASCII"))
+    }
+  }
+
+  test("ppm decode recovers dimensions from the payload header, not metadata") {
+    val out = Multimodal.mmDecodePpm(spark, graft.TestSpark.sf0001)
+      .orderBy("doc_id").limit(5).collect()
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("width") == 2 + (id % 7).toInt)
+      assert(r.getAs[Int]("height") == 2 + (id % 5).toInt)
+      assert(r.getAs[Double]("brightness") > 0.0)
+    }
+  }
+
   test("frame sampling emits every k-th frame") {
     import spark.implicits._
     val frames = Multimodal.mmFrameSample(spark, TestSpark.sf0001)
