@@ -186,6 +186,20 @@ object MapReduce {
       numPartitions: Int = 32): RDD[(K, V)] =
     shufflePairs(chunks, numPartitions, Some(reduce))
 
+  /** Reference parity for the block-LESS `Reducer#reduce` → Enumerator
+    * form (/root/reference/lib/map_reduce/reducer.rb:70): a lazy
+    * driver-side pull stream of the reduced, key-sorted output. Spark's
+    * `toLocalIterator` fetches ONE partition per job as the consumer
+    * advances, so driver memory holds a single partition of results,
+    * never the full set — the same incremental-consumption contract the
+    * reference's Enumerator gives its caller (keys arrive sorted within
+    * each partition, partitions in SHA1-partitioner order). */
+  def reduceStream[K: ClassTag: Ordering, V: ClassTag](
+      chunks: RDD[(K, V)],
+      reduce: (K, V, V) => V,
+      numPartitions: Int = 32): Iterator[(K, V)] =
+    reduceSorted(chunks, reduce, numPartitions).toLocalIterator
+
   /** Convenience for building an RDD of inputs from a Dataset column. */
   def inputRdd[In](ds: Dataset[In]): RDD[In] = ds.rdd
 

@@ -24,6 +24,10 @@ object GraftFunctions {
       if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
       else 3)),
     "simhash64" -> (exprs => SimHash64(exprs(0))),
+    // optional 2nd arg: shingle width as a foldable int literal (default 3)
+    "minhash_signature" -> (exprs => MinHashSignature(exprs(0),
+      if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+      else 3)),
     // optional 2nd arg: sketch size k as a foldable int literal
     "theta_distinct" -> (exprs => ThetaDistinct(exprs(0),
       if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue

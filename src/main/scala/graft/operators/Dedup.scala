@@ -109,25 +109,24 @@ object Dedup {
   /** Per-j salts for the hash family h_j(x) = xxhash64(x ⊕ salt_j): each
     * shingle STRING is xxhash64'd once, the 64 family members re-hash the
     * resulting 8-byte long — ~60× less string hashing than hashing
-    * (shingle, j) pairs, fully codegen'd, and overflow-free under ANSI
-    * mode. Salts from a fixed LCG so signatures are stable across jobs
-    * and cluster layouts. */
-  private val hashSalt: IndexedSeq[Long] = {
-    var x = 0x9E3779B97F4A7C15L
-    (0 until NumHashes).map { _ =>
-      x = x * 6364136223846793005L + 1442695040888963407L; x
-    }
-  }
+    * (shingle, j) pairs, and overflow-free under ANSI mode. Owned by
+    * the native kernel (one source of truth); from a fixed LCG so
+    * signatures are stable across jobs and cluster layouts. */
+  private def hashSalt(j: Int): Long = graft.functions.MinHashKernel.salts(j)
 
-  /** doc_id → (shingle set, minhash signature array<long>).
-    *
-    * Formulated as explode → 64 codegen'd `min` aggregates in ONE
-    * HashAggregate, not a higher-order-function fold: array HOFs are
-    * CodegenFallback (interpreted, per-step array allocation), while this
-    * shape runs entirely in whole-stage codegen with map-side partial
-    * mins — at cluster scale the shuffle carries 64 longs per doc, not
-    * the shingle set. */
-  def signatures(docs: DataFrame): DataFrame = {
+  /** doc_id → (shingle set, minhash signature array<long>), computed by
+    * the native MinHashSignature expression: the whole 64-min fold is
+    * row-local (every shingle of a doc lives in its row), so it runs
+    * scan-side in ONE codegen'd loop — no explode, no aggregate, no
+    * shuffle. [[aggSignatures]] keeps the old explode + 64-min-aggs
+    * formulation as the spec's semantic twin. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh"),
+      graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig"))
+
+  /** The original aggregate formulation, retained ONLY as the reference
+    * implementation the spec pins MinHashSignature against. */
+  def aggSignatures(docs: DataFrame): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
     val exploded = withSh
       .select(col("doc_id"), explode(col("sh")).as("s"))
@@ -141,13 +140,15 @@ object Dedup {
     withSh.join(sigs, "doc_id")
   }
 
-  /** (doc_id, band, band_hash) — one row per band for the bucket join. */
+  /** (doc_id, band, band_hash) — one row per band for the bucket join;
+    * band hash = multi-arg xxhash64 over (band, its signature slice),
+    * read straight off the signature array (element_at is codegen'd). */
   def bandedBuckets(sigs: DataFrame): DataFrame = {
     val rows = NumHashes / Bands
-    sigs.select(col("doc_id"), posexplode(
-      transform(sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(concat_ws(",", b,
-          concat_ws("_", slice(col("sig"), b * rows + 1, lit(rows))))))))
+    val bandHashes = (0 until Bands).map(b =>
+      xxhash64((lit(b) +: (0 until rows).map(r =>
+        element_at(col("sig"), b * rows + r + 1))): _*))
+    sigs.select(col("doc_id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
   }
@@ -166,47 +167,35 @@ object Dedup {
 
   /** LSH candidate pairs (doc_a < doc_b), mega-bucket-guarded.
     *
-    * Band hashes come straight off the 64 min-aggregate columns
-    * (multi-arg xxhash64) — no signature-array assembly, no join-back,
-    * nothing cached. One extra window pass (same shuffle key as the
-    * bucket join) ranks docs within their bucket so oversized buckets
-    * can pair adjacent-by-id instead of all-pairs. */
+    * Signatures materialize scan-side in the native MinHashSignature
+    * expression (zero shuffle, see [[signatures]]); band hashes read
+    * straight off the signature array. One window pass (same shuffle
+    * key as the bucket join) ranks docs within their bucket so
+    * oversized buckets can pair adjacent-by-id instead of all-pairs. */
   def candidatePairs(docs: DataFrame): DataFrame = {
-    val rows = NumHashes / Bands
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val exploded = withSh
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-    val aggs = (1 until NumHashes).map(j =>
-      min(xxhash64(col("h").bitwiseXOR(lit(hashSalt(j))))).as(s"m$j"))
-    val mins = exploded.groupBy(col("doc_id"))
-      .agg(min(xxhash64(col("h").bitwiseXOR(lit(hashSalt(0))))).as("m0"), aggs: _*)
-    val bandHashes = (0 until Bands).map(b =>
-      xxhash64((lit(b) +: (0 until rows).map(r => col(s"m${b * rows + r}"))): _*))
-    val buckets = mins
-      .select(col("doc_id"), posexplode(array(bandHashes: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig"))
+    val buckets = bandedBuckets(sigs)
     val byBucket = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("band_hash"))
     val ranked = buckets
       .withColumn("rk", row_number().over(byBucket.orderBy(col("doc_id"))))
       .withColumn("bsz", count(lit(1)).over(byBucket))
-    val small = ranked.filter(col("bsz") <= MegaBucketThreshold)
-    val smallPairs = small.as("x")
-      .join(small.as("y"),
+    // ONE self-join serves both regimes (bsz is bucket-constant, so the
+    // OR below resolves per bucket): normal buckets pair exhaustively,
+    // mega buckets pair adjacent-by-rank only. A single join keeps the
+    // ranked pipeline to the two scans a self-join needs, instead of
+    // four with separate small/mega joins.
+    ranked.as("x")
+      .join(ranked.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
+          ((col("x.bsz") <= MegaBucketThreshold &&
+            col("x.doc_id") < col("y.doc_id")) ||
+           (col("x.bsz") > MegaBucketThreshold &&
+            col("x.rk") + 1 === col("y.rk"))))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    val mega = ranked.filter(col("bsz") > MegaBucketThreshold)
-    val megaPairs = mega.as("x")
-      .join(mega.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.rk") + 1 === col("y.rk"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    smallPairs.union(megaPairs).distinct()
+      .distinct()
   }
 
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
@@ -396,6 +385,22 @@ object Dedup {
 
   def ddSimhashPairs(s: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(s, dir), maxHamming = 3)
+
+  // ---------------------------------------------------- STREAMING dedup:
+  /** Near-exact dedup on an unbounded stream: key = the full 64-min
+    * MinHash signature (computed scan-side by the native expression, so
+    * the stream stage stays stateless until the dedup operator), state
+    * bounded by the watermark — the ingest-time guard a training-data
+    * firehose needs. Full-signature equality keeps precision ~1 (only
+    * j≈1 docs collide on all 64 mins); band-level candidate suppression
+    * would also drop moderate-similarity docs and is left to the batch
+    * LSH path where candidates get exact verification. */
+  def streamingMinhashDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("sig",
+        graft.functions.MinHashFunctions.minhash_signature(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig")
 
   // ------------------------------------------------ fuzzy (edit-distance)
   // dedup: blocked by (brand × name-length band), exact levenshtein

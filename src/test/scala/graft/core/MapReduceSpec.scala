@@ -87,6 +87,21 @@ class MapReduceKernelSpec extends AnyFunSuite {
       (Seq("key3", 3L), 1L), (Seq("key3", 11L), 1L)))
   }
 
+  test("reduceStream pulls reduced output lazily, one partition per job (reducer.rb:70)") {
+    val sc = spark.sparkContext
+    val acc = sc.longAccumulator("folds")
+    val pairs = sc.parallelize((1 to 1000).map(i => (i % 100, 1L)), 8)
+    val stream = MapReduce.reduceStream(pairs,
+      (_: Int, a: Long, b: Long) => { acc.add(1); a + b }, numPartitions = 4)
+    val first = stream.next() // forces the map stage + partition 0's fold only
+    val foldsAfterFirst = acc.value
+    val rest = stream.toSeq
+    assert(acc.value > foldsAfterFirst,
+      "remaining partitions folded eagerly — stream is not lazy")
+    val all = (first +: rest).toMap
+    assert(all == (0 until 100).map(k => k -> 10L).toMap)
+  }
+
   test("aggregatorOf: binary reduce as a typed DataFrame-side UDAF") {
     import spark.implicits._
     val agg = MapReduce.aggregatorOf[Long](_ + _)

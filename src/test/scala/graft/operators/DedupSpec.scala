@@ -64,6 +64,17 @@ class DedupSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.length == Dedup.NumHashes)
   }
 
+  test("native MinHashSignature is bit-identical to the aggregate formulation") {
+    val corpus = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select($"doc_id", $"text")
+    val native = Dedup.signatures(corpus).select($"doc_id", $"sig")
+    val agg = Dedup.aggSignatures(corpus)
+      .select($"doc_id", $"sig".as("agg_sig"))
+    val mismatches = native.join(agg, "doc_id")
+      .filter($"sig" =!= $"agg_sig").count()
+    assert(mismatches == 0L)
+  }
+
   test("native SimHash64 is bit-identical to the interpreted HOF fold") {
     // real corpus text + synthetic edge cases (empty, whitespace-only,
     // single token, mixed case)

@@ -47,6 +47,32 @@ class StreamingStateSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming minhash dedup suppresses near-identical docs within watermark") {
+    import spark.implicits._
+    // offset away from epoch 0: a row AT the initial watermark (0) is
+    // treated as late by dropDuplicatesWithinWatermark and silently
+    // dropped — epoch-adjacent event times are a real deployment footgun
+    def ts(m: Long): Timestamp = new Timestamp((1440 + m) * 60000L)
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val reordered = base // identical text → identical signature
+    val other = (100 to 160).map(i => s"v$i").mkString(" ")
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = graft.operators.Dedup.streamingMinhashDedup(
+      input.toDF().toDF("doc_id", "ts", "text"))
+    val name = "mh_stream_dedup"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(Seq((1L, ts(0), base), (2L, ts(1), other)))
+      q.processAllAvailable()
+      // same signature inside the watermark → suppressed
+      input.addData(Seq((3L, ts(2), reordered)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table(name).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), s"kept $kept")
+  }
+
   test("as-of enrichment inside foreachBatch matches the batch join") {
     import spark.implicits._
     val quotes = Seq(
