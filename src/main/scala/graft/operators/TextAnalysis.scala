@@ -70,6 +70,91 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------- language ID, n-gram profiles
+  // The stronger standard technique: score = cosine between the doc's
+  // character-bigram count vector (over a fixed bigram vocabulary) and a
+  // per-language frequency profile. Profiles are PLAN-TIME LITERALS
+  // (public per-language bigram frequencies, unit-normalized at class
+  // load), so the whole operator is scan-parallel codegen'd arithmetic:
+  // per bigram one replace+length count, then one VecDot per language.
+  // The doc-side norm cancels in the argmax (it is language-independent),
+  // so scores are dot(counts, unitProfile) — no NaN guard needed, and
+  // the DuckDB oracle replays the identical arithmetic bit-for-bit.
+  private val bigramVocab: Seq[String] = Seq(
+    "th", "he", "er", "an", "de", "ie", "un", "es",
+    "le", "la", "qu", "en", "st", "ch", "on", "ar")
+
+  private val rawProfiles: Seq[(String, Array[Double])] = Seq(
+    "en" -> Array(3.56, 3.07, 2.05, 1.99, 0.30, 0.30, 0.30, 0.80,
+      0.60, 0.30, 0.10, 1.40, 0.90, 0.60, 1.80, 1.00),
+    "de" -> Array(0.20, 1.00, 3.90, 1.20, 1.50, 1.80, 1.30, 1.00,
+      0.60, 0.20, 0.05, 3.90, 1.20, 2.70, 0.80, 0.50),
+    "fr" -> Array(0.10, 0.30, 1.50, 1.50, 2.20, 1.00, 1.00, 2.60,
+      2.20, 1.50, 1.20, 2.40, 0.50, 0.50, 2.00, 0.60),
+    "es" -> Array(0.05, 0.30, 1.50, 1.50, 2.50, 0.80, 1.00, 2.30,
+      0.90, 2.50, 1.00, 2.10, 0.60, 0.30, 1.40, 1.20))
+
+  /** Unit-normalized, then QUANTIZED to k/2^20: a dyadic rational both
+    * engines can construct bit-exactly from the integer k (DuckDB's
+    * decimal-literal parser is off by 1 ULP for long mantissas — it
+    * divides a >2^53 digit string by a power of ten in double math — so
+    * weights are shipped as `k / 1048576.0`, which is exact in IEEE
+    * arithmetic, rather than as printed decimals). */
+  private val profileInts: Seq[(String, Array[Long])] =
+    rawProfiles.map { case (l, w) =>
+      val n = math.sqrt(w.map(x => x * x).sum)
+      (l, w.map(x => math.round(x / n * (1L << 20))))
+    }
+
+  private val profiles: Seq[(String, Array[Double])] =
+    profileInts.map { case (l, ks) =>
+      (l, ks.map(k => k.toDouble / (1L << 20)))
+    }
+
+  def langIdNgram(docs: DataFrame): DataFrame = {
+    val low = lower(col("text"))
+    // non-overlapping occurrence count via replace — identical semantics
+    // in both engines ("aaa" contains "aa" once)
+    val counts = array(bigramVocab.map(b =>
+      ((length(low) - length(replace(low, lit(b), lit(""))))
+        .cast("double") / 2.0)): _*)
+    val scores = profiles.map { case (l, w) =>
+      graft.functions.VectorFunctions.vec_dot(counts, typedLit(w)).as(s"s_$l")
+    }
+    val Seq(en, de, fr, es) = profiles.map { case (l, _) => col(s"s_$l") }
+    docs
+      .select((col("doc_id") +: col("lang") +: scores): _*)
+      .withColumn("pred_lang",
+        when(en >= de && en >= fr && en >= es, "en")
+          .when(de >= fr && de >= es, "de")
+          .when(fr >= es, "fr")
+          .otherwise("es"))
+  }
+
+  def taLangIdNgram(s: SparkSession, dir: String): DataFrame =
+    langIdNgram(Tables.documents(s, dir))
+
+  val taLangIdNgramSql: String = {
+    // explicit left-associative multiply-add chain, NOT
+    // list_dot_product: DuckDB's kernel does not accumulate strictly
+    // sequentially at this width (observed 1e-15 ULP drift), while the
+    // parsed `a*w0 + b*w1 + ...` chain reproduces VecDot's loop order
+    // bit-for-bit
+    val cnt = bigramVocab.map(b =>
+      s"(CAST(length(lower(text)) - length(replace(lower(text), '$b', '')) AS DOUBLE) / 2.0)")
+    val scoreSelects = profileInts.map { case (l, ks) =>
+      cnt.zip(ks).map { case (c, k) => s"$c * ($k / 1048576.0)" }
+        .mkString("", " + ", s" AS s_$l")
+    }.mkString(",\n  ")
+    """SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+      |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |       WHEN s_fr >= s_es THEN 'fr'
+      |       ELSE 'es' END AS pred_lang
+      |FROM (SELECT doc_id, lang,
+      |  """.stripMargin + scoreSelects + "\nFROM documents)"
+  }
+
   // --------------------------------------------------------- quality scoring
   // length / stopword-ratio / mean-token-length heuristics; a composite
   // score in [0,1] from deterministic double arithmetic.
@@ -174,6 +259,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_top_ngrams" -> taTopNgrams,
     "ta_langid" -> taLangId,
+    "ta_langid_ngram" -> taLangIdNgram,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,
     "ta_fingerprint" -> taFingerprint,
@@ -182,6 +268,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "ta_top_ngrams" -> taTopNgramsSql,
     "ta_langid" -> taLangIdSql,
+    "ta_langid_ngram" -> taLangIdNgramSql,
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,
     "ta_fingerprint" -> taFingerprintSql,

@@ -26,6 +26,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     row.collect().foreach(r => assert(r.getAs[String]("pred_lang") == "en"))
   }
 
+  test("ngram-profile langid scores bigram-typical text toward its language") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "??", "the weather there then and the other"), // th/he/er heavy
+      (2L, "??", "ich suche durch manche bücher nach sprache"), // ch/en heavy
+      (3L, "??", "le quai le quart quelque le")) // le/qu heavy
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.langIdNgram(docs)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("pred_lang") == "en")
+    assert(out(1).getAs[String]("pred_lang") == "de")
+    assert(out(2).getAs[String]("pred_lang") == "fr")
+    // deterministic: scores identical across evaluations
+    val again = TextAnalysis.langIdNgram(docs).orderBy("doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("quality metrics are consistent on a known doc") {
     val df = Seq((1L, "the cat and the hat")).toDF("doc_id", "text")
     val r = df.select(
