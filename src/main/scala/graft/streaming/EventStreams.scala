@@ -113,6 +113,53 @@ object EventStreams {
   def evTumbling(s: SparkSession, dir: String): DataFrame =
     tumblingCounts(Tables.events(s, dir))
 
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STREAMING-mode sessionization through the gate. Session windows in
+    * append mode only emit once the watermark passes a session's end —
+    * so a pure replay would withhold every trailing session forever.
+    * The harness appends PUNCTUATION rows (for a user id outside the
+    * domain, 10 then 20 hours past max ts) in their own micro-batches:
+    * eviction in batch N uses the watermark computed after batch N−1,
+    * so the batch carrying punct #2 flushes every real session, while
+    * the punctuation's own session stays open and is never emitted —
+    * the standard drain/barrier pattern for finite replays. Result:
+    * the streaming output must equal the batch gaps-and-islands oracle
+    * exactly. MemoryStream feeds the replay (the collect is gate-sized
+    * and driver-side by design; the file-source streaming leg is
+    * gate-covered by ev_tumbling_stream). */
+  def evSessionsStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = Tables.events(s, dir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Event].collect()
+    val maxMs = rows.iterator.map(_.ts.getTime).max
+    val input = MemoryStream[Event](s)
+    val name = s"ev_sessions_stream_${streamRuns.incrementAndGet()}"
+    // NOTE: do NOT filter the punctuation user inside the streaming
+    // query — a `user_id != -1` predicate on the aggregate is pushed
+    // below the session aggregation AND the EventTimeWatermark node
+    // (user_id is a grouping key), silently dropping the punctuation
+    // rows at the source so the watermark never advances. The filter
+    // is applied to the SINK table instead (batch side, post-stream).
+    val q = streamingSessions(input.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    def punct(id: Long, hours: Long): Event = Event(id,
+      new java.sql.Timestamp(maxMs + hours * 3600 * 1000L), -1L, "punct", 0.0)
+    try {
+      input.addData(rows.toSeq)
+      q.processAllAvailable()
+      input.addData(Seq(punct(-1L, 10)))
+      q.processAllAvailable() // watermark jumps past every session end
+      input.addData(Seq(punct(-2L, 20)))
+      q.processAllAvailable() // evicts with the previous watermark
+    } finally q.stop()
+    s.table(name).filter(col("user_id") =!= -1L)
+  }
+
+
   /** STREAMING-mode twin of [[evTumbling]], registered in the driver's
     * oracle gate: the events parquet is replayed through a real
     * file-source micro-batch stream (micro-batch engine, state store,
@@ -127,7 +174,6 @@ object EventStreams {
     * at verification SF; at production scale the same query writes to a
     * real sink (see ForeachBatchSpec) and this entry stays a gate-sized
     * harness. */
-  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   def evTumblingStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
@@ -189,6 +235,7 @@ object EventStreams {
     "ev_tumbling_stream" -> evTumblingStream,
     "ev_sliding" -> evSliding,
     "ev_sessions" -> evSessions,
+    "ev_sessions_stream" -> evSessionsStream,
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,5 +243,6 @@ object EventStreams {
     "ev_tumbling_stream" -> evTumblingSql, // same oracle: batch ≡ stream
     "ev_sliding" -> evSlidingSql,
     "ev_sessions" -> evSessionsSql,
+    "ev_sessions_stream" -> evSessionsSql, // same oracle: batch ≡ stream
   )
 }
