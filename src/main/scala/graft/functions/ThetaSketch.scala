@@ -108,8 +108,119 @@ case class ThetaDistinct(
     copy(child = newChildren.head)
 }
 
+/** Sketch-state plumbing for SET EXPRESSIONS: [[ThetaSketchBytes]]
+  * aggregates a column into the serialized KMV state (a BINARY value a
+  * user can store, ship between jobs, and combine later), and the
+  * scalar kernels below estimate over one or two stored sketches —
+  * the capability HLL lacks and the reason to keep θ around:
+  * |A ∩ B| ≈ |{h ∈ Sa ∩ Sb : h < θ}| / θ with θ = min(θa, θb). */
+object ThetaSetKernel {
+  private def frac(l: Long): Double = {
+    val d = l.toDouble
+    (if (l < 0) d + 1.8446744073709552e19 else d) / 1.8446744073709552e19
+  }
+
+  def deserialize(bytes: Array[Byte]): KmvState = {
+    val buf = ByteBuffer.wrap(bytes)
+    val state = new KmvState(buf.getInt)
+    while (buf.remaining() >= 8) state.insert(buf.getLong)
+    state
+  }
+
+  def serialize(state: KmvState): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 8 * state.heap.size)
+    buf.putInt(state.k)
+    state.heap.forEach(h => { buf.putLong(h); () })
+    buf.array()
+  }
+
+  private def theta(s: KmvState): Double =
+    if (s.heap.size < s.k) 1.0 else frac(s.heap.last.longValue())
+
+  def estimate(bytes: Array[Byte]): Long = deserialize(bytes).estimate
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = deserialize(a)
+    sa.mergeFrom(deserialize(b))
+    serialize(sa)
+  }
+
+  /** KMV intersection estimator over two stored sketches. */
+  def intersectEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val sa = deserialize(a)
+    val sb = deserialize(b)
+    val th = math.min(theta(sa), theta(sb))
+    var inter = 0
+    val it = sa.heap.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (frac(h) < th || th == 1.0) if (sb.heap.contains(h)) inter += 1
+    }
+    math.round(inter / th)
+  }
+}
+
+/** Same KMV aggregate, but emitting the serialized sketch itself. */
+case class ThetaSketchBytes(
+    child: Expression,
+    k: Int = 256,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KmvState] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def createAggregationBuffer(): KmvState = new KmvState(k)
+
+  override def update(state: KmvState, input: InternalRow): KmvState = {
+    val v = child.eval(input)
+    if (v != null) state.insert(XxHash64Function.hash(v, child.dataType, 42L))
+    state
+  }
+
+  override def merge(state: KmvState, other: KmvState): KmvState = {
+    state.mergeFrom(other); state
+  }
+
+  override def eval(state: KmvState): Any = ThetaSetKernel.serialize(state)
+
+  override def serialize(state: KmvState): Array[Byte] =
+    ThetaSetKernel.serialize(state)
+  override def deserialize(bytes: Array[Byte]): KmvState =
+    ThetaSetKernel.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ThetaSketchBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ThetaSketchBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ThetaSketchBytes =
+    copy(child = newChildren.head)
+}
+
 object ThetaSketchFunctions {
+  import org.apache.spark.sql.functions.udf
+
   def theta_distinct(col: Column, k: Int = 256): Column =
     ColumnBridge.column(
       ThetaDistinct(ColumnBridge.expression(col), k).toAggregateExpression())
+
+  def theta_sketch(col: Column, k: Int = 256): Column =
+    ColumnBridge.column(
+      ThetaSketchBytes(ColumnBridge.expression(col), k).toAggregateExpression())
+
+  // Scalar set-expression surface. These run once per GROUP (sketch
+  // values, not rows), so compiled-closure dispatch is fine — no
+  // per-row hot path to protect with a native Expression.
+  private val estimateUdf = udf((b: Array[Byte]) => ThetaSetKernel.estimate(b))
+  private val unionUdf =
+    udf((a: Array[Byte], b: Array[Byte]) => ThetaSetKernel.union(a, b))
+  private val intersectUdf =
+    udf((a: Array[Byte], b: Array[Byte]) => ThetaSetKernel.intersectEstimate(a, b))
+
+  def theta_estimate(sketch: Column): Column = estimateUdf(sketch)
+  def theta_union(a: Column, b: Column): Column = unionUdf(a, b)
+  def theta_intersect_estimate(a: Column, b: Column): Column = intersectUdf(a, b)
 }

@@ -44,6 +44,38 @@ class ThetaSketchSpec extends AnyFunSuite {
     assert(df.collect().length == 3)
   }
 
+  test("sketch set expressions: union and intersection estimates") {
+    // A = orderkeys of ship-early rows, B = of ship-late rows — stored
+    // sketches combined AFTER aggregation, the cross-job use case
+    val li = Tables.lineitem(spark, TestSpark.sf001)
+    val sk = li.agg(
+      ThetaSketchFunctions.theta_sketch(
+        when($"l_shipdate" < "1995-01-01", $"l_orderkey")).as("a"),
+      ThetaSketchFunctions.theta_sketch(
+        when($"l_shipdate" >= "1995-01-01", $"l_orderkey")).as("b"))
+    val row = sk.select(
+      ThetaSketchFunctions.theta_estimate($"a").as("ea"),
+      ThetaSketchFunctions.theta_estimate($"b").as("eb"),
+      ThetaSketchFunctions.theta_estimate(
+        ThetaSketchFunctions.theta_union($"a", $"b")).as("eu"),
+      ThetaSketchFunctions.theta_intersect_estimate($"a", $"b").as("ei"))
+      .head()
+    val exactA = li.filter($"l_shipdate" < "1995-01-01")
+      .agg(countDistinct($"l_orderkey")).head().getLong(0)
+    val exactB = li.filter($"l_shipdate" >= "1995-01-01")
+      .agg(countDistinct($"l_orderkey")).head().getLong(0)
+    val exactU = li.agg(countDistinct($"l_orderkey")).head().getLong(0)
+    val exactI = exactA + exactB - exactU
+    def within(est: Long, exact: Long, tol: Double): Unit =
+      assert(math.abs(est - exact).toDouble / math.max(exact, 1) < tol,
+        s"est $est vs exact $exact")
+    within(row.getAs[Long]("ea"), exactA, 0.19)
+    within(row.getAs[Long]("eb"), exactB, 0.19)
+    within(row.getAs[Long]("eu"), exactU, 0.19)
+    // intersection has higher variance (sampled at min theta)
+    within(row.getAs[Long]("ei"), exactI, 0.35)
+  }
+
   test("theta_distinct is callable from SQL with explicit k") {
     GraftFunctions.register(spark)
     Tables.lineitem(spark, TestSpark.sf001).createOrReplaceTempView("li_theta")
