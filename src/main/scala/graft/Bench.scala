@@ -15,6 +15,7 @@ object Bench {
     "q1_pricing_summary", "q2_filter_project", "q3_region_revenue",
     "q4_fact_join", "q4_bucketed", "q7_topk_per_group", "q9_top10_global",
     "q21_asof_join", "q29_asof_native", "wordcount_dataframe", "ta_quality",
+    "ta_langid_ngram", "q33_theta_sketch",
     "dd_minhash_lsh_full", "dd_simhash_pairs", "ss_knn_brute", "ev_sessions")
 
   def main(args: Array[String]): Unit = {
