@@ -58,6 +58,11 @@ object MinHashKernel {
 case class MinHashSignature(child: Expression, n: Int = 3)
     extends UnaryExpression {
 
+  // Null in => null out (nullSafeEval): lets constraint inference
+  // simplify isnotnull(f(x)) to isnotnull(x) instead of re-evaluating f.
+  override def nullIntolerant: Boolean = true
+
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes():

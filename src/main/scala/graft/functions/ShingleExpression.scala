@@ -32,6 +32,11 @@ object ShingleKernel {
 case class NGramShingles(child: Expression, n: Int = 3)
     extends UnaryExpression {
 
+  // Null in => null out (nullSafeEval): lets constraint inference
+  // simplify isnotnull(f(x)) to isnotnull(x) instead of re-evaluating f.
+  override def nullIntolerant: Boolean = true
+
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes():
@@ -64,6 +69,11 @@ object TokenKernel {
 }
 
 case class Tokens(child: Expression) extends UnaryExpression {
+
+  // Null in => null out (nullSafeEval): lets constraint inference
+  // simplify isnotnull(f(x)) to isnotnull(x) instead of re-evaluating f.
+  override def nullIntolerant: Boolean = true
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes():

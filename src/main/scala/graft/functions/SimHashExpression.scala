@@ -55,6 +55,12 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // Null in ⇒ null out (nullSafeEval), so constraint inference may
+  // rewrite isnotnull(simhash64(x)) to isnotnull(x) — without this the
+  // inferred join-key constraint re-evaluates the kernel in a Filter
+  // below the Project that computes it (docs/PLANS_r2.md dd_simhash_pairs).
+  override def nullIntolerant: Boolean = true
+
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)

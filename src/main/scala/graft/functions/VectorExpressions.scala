@@ -23,6 +23,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, N
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // Null in => null out (nullSafeEval): lets constraint inference
+  // simplify isnotnull(f(x)) to isnotnull(x) instead of re-evaluating f.
+  override def nullIntolerant: Boolean = true
+
+
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = left.nullable || right.nullable
 

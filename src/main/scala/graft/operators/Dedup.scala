@@ -363,24 +363,49 @@ object Dedup {
   def ddSimhash(s: SparkSession, dir: String): DataFrame =
     withSimhash(Tables.documents(s, dir))
 
-  /** SimHash near-dup pairs via 16-bit chunk banding + Hamming verify. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val withSim = withSimhash(docs)
+  /** SimHash near-dup pairs via 16-bit chunk banding + Hamming verify,
+    * mega-bucket-guarded like [[candidatePairs]]: a duplicate-heavy
+    * corpus puts B near-identical docs in the same 4 chunk buckets, and
+    * all-pairs within those buckets is ~4·B²/2 candidates from one
+    * cluster. One window pass (same shuffle key as the bucket join)
+    * ranks docs within their (chunk, chunk_val) bucket; buckets above
+    * [[MegaBucketThreshold]] pair adjacent-by-rank — O(B) candidates,
+    * Hamming-0 chains that [[connectedComponents]] reconnects — while
+    * normal buckets keep the exhaustive all-pairs compare. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashCandidates(docs)
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+
+  /** The banding stage: (doc_a, doc_b, hamming) candidates BEFORE the
+    * Hamming filter (and before distinct), exposed so specs can pin the
+    * O(B)-per-mega-bucket candidate-volume guarantee directly. */
+  def simhashCandidates(docs: DataFrame): DataFrame = {
+    // text IS NOT NULL up front: with SimHash64 marked nullIntolerant
+    // the join keys' inferred not-null constraints simplify to this
+    // same scan-level predicate instead of a second simhash64 eval.
+    val withSim = withSimhash(docs.filter(col("text").isNotNull))
     val chunks = withSim.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "chunk")
       .withColumnRenamed("col", "chunk_val")
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk"), col("chunk_val"))
+    val ranked = chunks
+      .withColumn("rk", row_number().over(byBucket.orderBy(col("doc_id"))))
+      .withColumn("bsz", count(lit(1)).over(byBucket))
     val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-    chunks.as("x")
-      .join(chunks.as("y"),
+    ranked.as("x")
+      .join(ranked.as("y"),
         col("x.chunk") === col("y.chunk") &&
           col("x.chunk_val") === col("y.chunk_val") &&
-          col("x.doc_id") < col("y.doc_id"))
+          ((col("x.bsz") <= MegaBucketThreshold &&
+            col("x.doc_id") < col("y.doc_id")) ||
+           (col("x.bsz") > MegaBucketThreshold &&
+            col("x.rk") + 1 === col("y.rk"))))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         hamming.as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   def ddSimhashPairs(s: SparkSession, dir: String): DataFrame =

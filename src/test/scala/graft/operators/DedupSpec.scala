@@ -105,6 +105,43 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash mega-bucket guard: candidate volume stays O(B) on a planted bucket") {
+    // 500 identical docs share all 4 simhash chunks — all-pairs banding
+    // would emit 4 × 500·499/2 ≈ 500k candidates; the guard pairs
+    // adjacent-by-rank instead: 4 × 499 chain pairs (one per chunk).
+    val boiler = (1 to 40).map(i => s"m$i").mkString(" ")
+    val mega = (0 until 500).map(i => (i.toLong, boiler))
+    val other = (1000 until 1010).map(i =>
+      (i.toLong, (i * 50 to i * 50 + 40).map(j => s"w$j").mkString(" ")))
+    val docs = (mega ++ other).toDF("doc_id", "text")
+    val cands = Dedup.simhashCandidates(docs).count()
+    assert(cands <= 4L * 499 + 100, s"candidate volume was $cands — guard regressed")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
+    assert(pairs.count() == 499L)
+    // the Hamming-0 chain still recovers the duplicate set as ONE cluster
+    val byCluster = Dedup.connectedComponents(pairs)
+      .groupBy("cluster_id").count().as[(Long, Long)].collect().toMap
+    assert(byCluster == Map(0L -> 500L), s"clusters were $byCluster")
+  }
+
+  test("simhash pairs equal brute-force Hamming pairs on the gate corpus") {
+    // Banding at maxHamming=3 over 4 chunks is lossless (pigeonhole: ≤3
+    // differing bits leave ≥1 of the 4 16-bit chunks equal), so on a
+    // corpus with no mega buckets the guarded pair set must EQUAL the
+    // all-pairs Hamming compare — pins "rows unchanged" for the guard.
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select($"doc_id", $"text")
+    val got = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sims = Dedup.withSimhash(docs)
+    val a = sims.select($"doc_id".as("doc_a"), $"simhash".as("sa"))
+    val b = sims.select($"doc_id".as("doc_b"), $"simhash".as("sb"))
+    val brute = a.join(b, $"doc_a" < $"doc_b")
+      .filter(bit_count($"sa".bitwiseXOR($"sb")) <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
   test("exact dedup groups identical normalized text") {
     val docs = Seq((1L, "Same  Doc"), (2L, "same doc"), (3L, "unique"))
       .toDF("doc_id", "text")

@@ -55,6 +55,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("aggregate("), plan)
   }
 
+  test("simhash pair join evaluates simhash64 once per side") {
+    // the inferred join-key not-null constraint used to re-evaluate
+    // simhash64(text) in a Filter below the Project that computes it;
+    // nullIntolerant + the explicit text-not-null pre-filter reduce it
+    // to one eval per join side (2 total in the self-join plan)
+    val plan = planOf("dd_simhash_pairs")
+    val evals = "simhash64\\(".r.findAllIn(plan).size
+    assert(evals <= 2, s"simhash64 evaluated $evals times in plan:\n$plan")
+  }
+
   test("knn scores through the codegen'd VecDot, not interpreted HOFs") {
     val plan = planOf("ss_knn_brute")
     assert(plan.contains("vecdot") || plan.contains("VecDot"), plan)
