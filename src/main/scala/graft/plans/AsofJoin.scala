@@ -4,11 +4,14 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeSeq, BindReferences, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, EmptyBlock, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.types._
 
 /** Native AS-OF join — the one operator in the target surface Spark
   * genuinely lacks (SURVEY §7.3 flagged it as the custom-strategy
@@ -55,7 +58,7 @@ final case class AsofJoinExec(
     leftTime: Expression, rightTime: Expression,
     tolerance: Option[Long], inner: Boolean,
     left: SparkPlan, right: SparkPlan)
-    extends BinaryExecNode {
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     if (inner) left.output ++ right.output
@@ -78,6 +81,186 @@ final case class AsofJoinExec(
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  // ------------------------------------------------- whole-stage codegen.
+  // The join is the stage's INPUT node (like SortMergeJoinExec): both
+  // children feed iterators into generated code that runs the same
+  // forward merge as doExecute below, but fused with every downstream
+  // operator in the stage — no per-row iterator virtual calls, no
+  // JoinedRow, no result projection; left columns flow as local
+  // variables straight into the consumer.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // right-side output vars read from a retained UnsafeRow copy that a
+  // later merge step may overwrite — downstream buffering must copy
+  override def needCopyResult: Boolean = true
+
+  /** Codegen handles the key/time shapes the gate exercises (primitive,
+    * string, date/time); anything exotic falls back to doExecute. */
+  override def supportCodegen: Boolean =
+    (leftKeys ++ rightKeys).forall(k => isSupportedKeyType(k.dataType)) &&
+      isSupportedKeyType(leftTime.dataType)
+
+  private def isSupportedKeyType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+         DoubleType | StringType | BooleanType | DateType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Lexicographic comparison of two evaluated var lists with the same
+    * null semantics as RowOrdering.createNaturalAscendingOrdering:
+    * null < any value, nulls compare equal. Emits into `comp`. */
+  private def genCompare(ctx: CodegenContext, comp: String,
+      a: Seq[ExprCode], b: Seq[ExprCode], dts: Seq[DataType]): String = {
+    val steps = a.zip(b).zip(dts).map { case ((x, y), dt) =>
+      s"""$comp = (${x.isNull} && ${y.isNull}) ? 0
+         |  : ${x.isNull} ? -1 : ${y.isNull} ? 1
+         |  : ${ctx.genComp(dt, x.value.toString, y.value.toString)};
+         |if ($comp != 0) break;""".stripMargin
+    }
+    s"""do {
+       |  ${steps.mkString("\n")}
+       |} while (false);""".stripMargin
+  }
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "leftInput",
+      v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "rightInput",
+      v => s"$v = inputs[1];")
+    val rCur = ctx.addMutableState("InternalRow", "asofRightRow")
+    val lastMatch = ctx.addMutableState("UnsafeRow", "asofLastMatch")
+    val lastMatchTime = ctx.addMutableState(CodeGenerator.JAVA_LONG, "asofLastMatchTime")
+    val prevValid = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "asofPrevKeyValid")
+
+    val keyTypes = leftKeys.map(_.dataType)
+    val leftRow = ctx.freshName("asofLeftRow")
+    val comp = ctx.freshName("asofComp")
+
+    // left key/time vars, evaluated from the current left row
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val lKeyVars = BindReferences
+      .bindReferences(leftKeys, AttributeSeq(left.output)).map(_.genCode(ctx))
+    val lTimeVar = BindReferences
+      .bindReference(leftTime, AttributeSeq(left.output)).genCode(ctx)
+
+    // previous left key, stored across rows to invalidate stale matches
+    // (a retained match is only valid while the left key is unchanged)
+    val prevKeyVars = keyTypes.zipWithIndex.map { case (dt, i) =>
+      val isNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, s"asofPrevKeyNull$i")
+      val value = ctx.addMutableState(CodeGenerator.javaType(dt), s"asofPrevKeyVal$i")
+      ExprCode(EmptyBlock, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, dt))
+    }
+    val storePrevKey = prevKeyVars.zip(lKeyVars).zip(keyTypes).map {
+      case ((p, l), dt) =>
+        val cloned = dt match {
+          case StringType => s"${l.value}.clone()"
+          case _ => l.value.toString
+        }
+        s"""${p.isNull} = ${l.isNull};
+           |${p.value} = ${p.isNull} ? ${CodeGenerator.defaultValue(dt)} : $cloned;"""
+          .stripMargin
+    }.mkString("\n")
+
+    // right key/time vars, evaluated from the buffered right row
+    ctx.INPUT_ROW = rCur
+    val rKeyVars = BindReferences
+      .bindReferences(rightKeys, AttributeSeq(right.output)).map(_.genCode(ctx))
+    val rTimeVar = BindReferences
+      .bindReference(rightTime, AttributeSeq(right.output)).genCode(ctx)
+
+    // physical long behind the time column, for the tolerance bound
+    def timeAsLong(v: ExprCode): String = leftTime.dataType match {
+      case TimestampType | TimestampNTZType | LongType => v.value.toString
+      case IntegerType | DateType => s"(long) ${v.value}"
+      case _ => "0L"
+    }
+
+    // output vars: left columns from the live row, right columns from the
+    // retained match (null-extended when unmatched)
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    val matchedRow = ctx.freshName("asofMatchedRow")
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofRIsNull")
+      val value = ctx.freshName("asofRValue")
+      val jt = CodeGenerator.javaType(a.dataType)
+      ExprCode(
+        code"""boolean $isNull = $matchedRow == null || $matchedRow.isNullAt($i);
+              |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)}
+              |  : (${CodeGenerator.getValue(matchedRow, a.dataType, i.toString)});""".stripMargin,
+        JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+
+    val matched = ctx.freshName("asofMatched")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    val tolCheck = tolerance.map { t =>
+      s"if ($matched) $matched = ${timeAsLong(lTimeVar)} - $lastMatchTime <= ${t}L;"
+    }.getOrElse("")
+    val storeMatchTime = tolerance.map { _ =>
+      s"$lastMatchTime = ${rTimeVar.isNull} ? 0L : ${timeAsLong(rTimeVar)};"
+    }.getOrElse("")
+    val emit =
+      s"""InternalRow $matchedRow = $matched ? $lastMatch : null;
+         |$numOutput.add(1);
+         |${consume(ctx, leftVars ++ rightVars)}""".stripMargin
+    val produceOutput =
+      if (inner) s"""if ($matched) {
+                    |  $emit
+                    |}""".stripMargin
+      else emit
+
+    s"""while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  ${lKeyVars.map(_.code.toString).mkString("\n")}
+       |  ${lTimeVar.code}
+       |  // invalidate a match retained from a different key
+       |  int $comp = 0;
+       |  if ($lastMatch != null) {
+       |    if (!$prevValid) { $lastMatch = null; }
+       |    else {
+       |      ${genCompare(ctx, comp, prevKeyVars, lKeyVars, keyTypes)}
+       |      if ($comp != 0) $lastMatch = null;
+       |    }
+       |  }
+       |  $storePrevKey
+       |  $prevValid = true;
+       |  // advance the right side through all rows at-or-before the left
+       |  // row, retaining the latest on-key one as the current best match
+       |  while (true) {
+       |    if ($rCur == null) {
+       |      if ($rightInput.hasNext()) { $rCur = (InternalRow) $rightInput.next(); }
+       |      else break;
+       |    }
+       |    ${rKeyVars.map(_.code.toString).mkString("\n")}
+       |    ${genCompare(ctx, comp, rKeyVars, lKeyVars, keyTypes)}
+       |    if ($comp < 0) { $rCur = null; continue; }  // stale key
+       |    if ($comp == 0) {
+       |      ${rTimeVar.code}
+       |      int ${comp}t;
+       |      ${genCompare(ctx, s"${comp}t", Seq(rTimeVar), Seq(lTimeVar), Seq(leftTime.dataType))}
+       |      if (${comp}t <= 0) {
+       |        $lastMatch = ((UnsafeRow) $rCur).copy();
+       |        $storeMatchTime
+       |        $rCur = null;
+       |        continue;
+       |      }
+       |    }
+       |    break;  // right side is ahead of this left row
+       |  }
+       |  boolean $matched = $lastMatch != null;
+       |  $tolCheck
+       |  $produceOutput
+       |  if (shouldStop()) return;
+       |}""".stripMargin
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyTypes = leftKeys.map(_.dataType)

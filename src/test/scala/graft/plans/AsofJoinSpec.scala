@@ -102,4 +102,28 @@ class AsofJoinSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan)
   }
+
+  test("merge pass runs inside whole-stage codegen (and matches the fallback)") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.operators.Relational.q29AsofNative(spark, TestSpark.sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      // the WSCG star marker on the AsofJoin row: the merge is IN a stage
+      assert("\\*\\(\\d+\\) AsofJoin".r.findFirstIn(plan).isDefined, plan)
+      val generated = org.apache.spark.sql.execution.debug
+        .codegenString(df.queryExecution.executedPlan)
+      assert(generated.contains("asofLastMatch"),
+        "generated stage lacks the as-of merge loop")
+      // codegen and iterator paths agree row-for-row
+      val withCodegen = df.orderBy("event_id").collect().toSeq
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val fallback = graft.operators.Relational
+        .q29AsofNative(spark, TestSpark.sf0001)
+        .orderBy("event_id").collect().toSeq
+      assert(withCodegen == fallback)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
 }
