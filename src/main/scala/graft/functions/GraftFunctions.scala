@@ -32,6 +32,15 @@ object GraftFunctions {
     "theta_distinct" -> (exprs => ThetaDistinct(exprs(0),
       if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
       else 256)),
+    // kll_quantile(col, q[, k]): q and k as foldable literals (a SQL
+    // `0.5` literal arrives as Decimal, not a java.lang.Number)
+    "kll_quantile" -> (exprs => KllQuantile(exprs(0),
+      exprs(1).eval(null) match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue
+      },
+      if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Number].intValue
+      else 200)),
   )
 
   def register(spark: SparkSession): Unit =

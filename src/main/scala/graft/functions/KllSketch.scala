@@ -1,0 +1,255 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Mutable KLL quantile-sketch state (Karnin/Lang/Liberty, FOCS'16): a
+  * ladder of compactors where level h holds items of weight 2^h. A full
+  * compactor sorts its buffer and promotes every second item to the
+  * level above — half the items survive at double weight, keeping total
+  * space O(k) while rank error stays O(1/k) at the top levels.
+  *
+  * DETERMINISTIC variant: the canonical algorithm flips a coin for the
+  * promotion offset; here the offset alternates with a compaction
+  * counter, so the sketch is a pure function of the insertion/merge
+  * sequence (the theoretical guarantee degrades by a constant; measured
+  * rank error at k=200 stays well under 1%). Like any mergeable sketch,
+  * different MERGE TREES (cluster layouts) may produce different —
+  * equally valid — sketches, so the gate checks an error ENVELOPE
+  * against exact answers rather than sketch bytes.
+  */
+final class KllState(val k: Int) {
+  val levels: ArrayBuffer[ArrayBuffer[Double]] =
+    ArrayBuffer(ArrayBuffer.empty[Double])
+  var count: Long = 0L
+  var compactions: Long = 0L
+
+  private def capacity(h: Int): Int = {
+    // top level gets k, each level below 2/3 of the one above
+    val depthFromTop = levels.size - 1 - h
+    math.max(2, math.ceil(k * math.pow(2.0 / 3.0, depthFromTop)).toInt)
+  }
+
+  def insert(v: Double): Unit = {
+    levels(0) += v
+    count += 1L
+    if (levels(0).size >= capacity(0)) compact(0)
+  }
+
+  private def compact(h: Int): Unit = {
+    val buf = levels(h)
+    val sorted = buf.sortInPlace()
+    if (h + 1 == levels.size) levels += ArrayBuffer.empty[Double]
+    val off = (compactions & 1L).toInt
+    compactions += 1L
+    var i = off
+    while (i < sorted.size) {
+      levels(h + 1) += sorted(i)
+      i += 2
+    }
+    buf.clear()
+    if (levels(h + 1).size >= capacity(h + 1)) compact(h + 1)
+  }
+
+  def mergeFrom(other: KllState): Unit = {
+    while (levels.size < other.levels.size) levels += ArrayBuffer.empty[Double]
+    var h = 0
+    while (h < other.levels.size) {
+      levels(h) ++= other.levels(h)
+      h += 1
+    }
+    count += other.count
+    h = 0
+    while (h < levels.size) {
+      if (levels(h).size >= capacity(h)) compact(h)
+      h += 1
+    }
+  }
+
+  /** Weighted-rank quantile: walk the (value, 2^h) pairs in value order
+    * until the cumulative weight reaches q·total. Total surviving weight
+    * can differ from `count` (compaction discards half a buffer), so
+    * ranks use the surviving mass. */
+  def quantile(q: Double): Double = {
+    if (count == 0L) return Double.NaN
+    val pairs = ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < levels.size) {
+      val w = 1L << h
+      levels(h).foreach(v => pairs += ((v, w)))
+      h += 1
+    }
+    val sorted = pairs.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    val target = math.max(1L, math.ceil(q * total).toLong)
+    var cum = 0L
+    var i = 0
+    while (i < sorted.size) {
+      cum += sorted(i)._2
+      if (cum >= target) return sorted(i)._1
+      i += 1
+    }
+    sorted.last._1
+  }
+}
+
+object KllKernel {
+  def serialize(state: KllState): Array[Byte] = {
+    val n = state.levels.iterator.map(_.size).sum
+    val buf = ByteBuffer.allocate(4 + 8 + 8 + 4 + state.levels.size * 4 + n * 8)
+    buf.putInt(state.k)
+    buf.putLong(state.count)
+    buf.putLong(state.compactions)
+    buf.putInt(state.levels.size)
+    state.levels.foreach { l =>
+      buf.putInt(l.size)
+      l.foreach(buf.putDouble)
+    }
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): KllState = {
+    val buf = ByteBuffer.wrap(bytes)
+    val state = new KllState(buf.getInt)
+    state.count = buf.getLong
+    state.compactions = buf.getLong
+    val nLevels = buf.getInt
+    state.levels.clear()
+    var h = 0
+    while (h < nLevels) {
+      val sz = buf.getInt
+      val l = ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < sz) { l += buf.getDouble; i += 1 }
+      state.levels += l
+      h += 1
+    }
+    state
+  }
+
+  def merged(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = deserialize(a)
+    sa.mergeFrom(deserialize(b))
+    serialize(sa)
+  }
+
+  def quantile(bytes: Array[Byte], q: Double): Double =
+    deserialize(bytes).quantile(q)
+}
+
+/** Approximate quantile as a native mergeable TypedImperativeAggregate —
+  * the second sketch in the family next to [[ThetaDistinct]]. Same
+  * cluster-scale properties: partial sketches merge losslessly across
+  * partitions/jobs (map-side combine works; shuffle carries O(k) doubles
+  * per group), space is O(k) regardless of input size, and results are
+  * exact while fewer than ~k values have been seen (single level, weight
+  * 1). Contrast with `percentile_approx` (Greenwald-Khanna): KLL is the
+  * asymptotically better bound and, via [[KllSketchBytes]], the state is
+  * a storable/mergeable BINARY the way the theta sketches are. */
+case class KllQuantile(
+    child: Expression,
+    q: Double,
+    k: Int = 200,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllState] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+
+  override def createAggregationBuffer(): KllState = new KllState(k)
+
+  override def update(state: KllState, input: InternalRow): KllState = {
+    val v = child.eval(input)
+    if (v != null) state.insert(v.asInstanceOf[Number].doubleValue())
+    state
+  }
+
+  override def merge(state: KllState, other: KllState): KllState = {
+    state.mergeFrom(other); state
+  }
+
+  override def eval(state: KllState): Any = state.quantile(q)
+
+  override def serialize(state: KllState): Array[Byte] = KllKernel.serialize(state)
+  override def deserialize(bytes: Array[Byte]): KllState = KllKernel.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllQuantile =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllQuantile =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllQuantile =
+    copy(child = newChildren.head)
+}
+
+/** Same KLL aggregate, emitting the serialized sketch for storage /
+  * cross-job merging (the [[ThetaSketchBytes]] pattern). */
+case class KllSketchBytes(
+    child: Expression,
+    k: Int = 200,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllState] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def createAggregationBuffer(): KllState = new KllState(k)
+
+  override def update(state: KllState, input: InternalRow): KllState = {
+    val v = child.eval(input)
+    if (v != null) state.insert(v.asInstanceOf[Number].doubleValue())
+    state
+  }
+
+  override def merge(state: KllState, other: KllState): KllState = {
+    state.mergeFrom(other); state
+  }
+
+  override def eval(state: KllState): Any = KllKernel.serialize(state)
+
+  override def serialize(state: KllState): Array[Byte] = KllKernel.serialize(state)
+  override def deserialize(bytes: Array[Byte]): KllState = KllKernel.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchBytes =
+    copy(child = newChildren.head)
+}
+
+object KllFunctions {
+  import org.apache.spark.sql.functions.udf
+
+  def kll_quantile(col: Column, q: Double, k: Int = 200): Column =
+    ColumnBridge.column(
+      KllQuantile(ColumnBridge.expression(col), q, k).toAggregateExpression())
+
+  def kll_sketch(col: Column, k: Int = 200): Column =
+    ColumnBridge.column(
+      KllSketchBytes(ColumnBridge.expression(col), k).toAggregateExpression())
+
+  // stored-sketch surface: once per group, not per row (see the theta
+  // kernel note on why a UDF is fine here)
+  private val mergeUdf =
+    udf((a: Array[Byte], b: Array[Byte]) => KllKernel.merged(a, b))
+  private val quantileUdf =
+    udf((b: Array[Byte], q: Double) => KllKernel.quantile(b, q))
+
+  def kll_merge(a: Column, b: Column): Column = mergeUdf(a, b)
+  def kll_sketch_quantile(sketch: Column, q: Column): Column =
+    quantileUdf(sketch, q)
+}
