@@ -13,13 +13,10 @@ class EntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val rowsOnly = q -- o
-    // the intentional rows-only set: dd_simhash* need xxhash64 inside
-    // the oracle engine, ss_knn_ivf's k-means cells are not bit-
-    // reproducible in SQL, q27 is a sketch with an error envelope —
-    // each is pinned by specs instead (dd_minhash_lsh_full and
-    // ss_ann_lsh graduated to full oracles in round 2)
-    assert(rowsOnly == Set("dd_simhash", "dd_simhash_pairs",
-      "ss_knn_ivf", "q27_approx_agg", "q33_theta_sketch"),
-      s"unexpected rows-only queries: $rowsOnly")
+    // round 4 closed the rows-only set: every hash-/sketch-dependent
+    // query now ships a measured-accuracy ENVELOPE gate form (exact
+    // columns the oracle recomputes + booleans asserting the measured
+    // error sits inside the shipped bound) instead of no_oracle
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 }

@@ -105,23 +105,67 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
-  test("simhash mega-bucket guard: candidate volume stays O(B) on a planted bucket") {
+  test("simhash mega-bucket guard: candidate volume stays O(B·k) on a planted bucket") {
     // 500 identical docs share all 4 simhash chunks — all-pairs banding
-    // would emit 4 × 500·499/2 ≈ 500k candidates; the guard pairs
-    // adjacent-by-rank instead: 4 × 499 chain pairs (one per chunk).
+    // would emit 4 × 500·499/2 ≈ 500k candidates; the guard pairs each
+    // doc with its next SimhashMegaAdjacency ranks instead: O(B·k) per
+    // chunk, and the 4 chunks emit the SAME rank pairs (identical sort).
     val boiler = (1 to 40).map(i => s"m$i").mkString(" ")
     val mega = (0 until 500).map(i => (i.toLong, boiler))
     val other = (1000 until 1010).map(i =>
       (i.toLong, (i * 50 to i * 50 + 40).map(j => s"w$j").mkString(" ")))
     val docs = (mega ++ other).toDF("doc_id", "text")
+    val k = Dedup.SimhashMegaAdjacency
     val cands = Dedup.simhashCandidates(docs).count()
-    assert(cands <= 4L * 499 + 100, s"candidate volume was $cands — guard regressed")
+    assert(cands <= 4L * 500 * k + 100, s"candidate volume was $cands — guard regressed")
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3)
-    assert(pairs.count() == 499L)
+    // next-k pairing over 500 equal sigs: Σ_{d=1..k} (500 − d) distinct pairs
+    val expected = (1 to k).map(500 - _).sum.toLong
+    assert(pairs.count() == expected)
     // the Hamming-0 chain still recovers the duplicate set as ONE cluster
     val byCluster = Dedup.connectedComponents(pairs)
       .groupBy("cluster_id").count().as[(Long, Long)].collect().toMap
     assert(byCluster == Map(0L -> 500L), s"clusters were $byCluster")
+  }
+
+  test("simhash heterogeneous mega-bucket: sorted-fingerprint recall, quantified") {
+    // The regime the docstring's recall bound describes: >64 docs share
+    // ONE 16-bit chunk value WITHOUT being near-identical. Planted
+    // fingerprints (not texts) pin the behavior exactly:
+    //  - a Hamming-2 pair whose ends sort ADJACENT in the remaining bits
+    //    is recovered even though the bucket is mega;
+    //  - a Hamming-1 pair separated by > SimhashMegaAdjacency ranks is
+    //    MISSED — the documented recall-for-scale trade;
+    //  - precision stays 1.0 (every emitted pair verified ≤ maxHamming).
+    // All 100 docs share chunks 0-2 (⇒ THREE mega buckets, each holding
+    // every doc, each with the SAME sort order) and differ only in chunk
+    // 3 — so the only candidate path is mega-bucket rank pairing; there
+    // is no small-bucket fallback that could mask the recall behavior.
+    def sig(c3: Long): Long = (c3 << 48) | (0x0ABCL << 32) | (0x5678L << 16) | 0x1234L
+    val fillers = (0 until 96).map(i => (i.toLong, sig(0x0200L + i * 0x40L)))
+    val nearA = (200L, sig(0x0100L))
+    val nearB = (201L, sig(0x0101L))   // hamming 1, numerically adjacent sort
+    val farA  = (300L, sig(0x0000L))   // sorts first
+    val farB  = (301L, sig(0x4000L))   // hamming 1 from farA, sorts after all fillers
+    val sigs = (fillers ++ Seq(nearA, nearB, farA, farB)).toDF("doc_id", "simhash")
+    // precondition: enough docs sort between the far pair's ends
+    val between = fillers.count { case (_, s) => s > farA._2 && s < farB._2 }
+    assert(between > Dedup.SimhashMegaAdjacency,
+      s"planted gap too small ($between) — adjust the far pair")
+    val cands = Dedup.simhashCandidatesFromSigs(sigs)
+    val volume = cands.count()
+    assert(volume <= 4L * 100 * Dedup.SimhashMegaAdjacency + 200,
+      s"candidate volume was $volume — mega guard not engaged")
+    val pairs = cands.distinct().filter($"hamming" <= 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((200L, 201L)), "adjacent-sort near pair must be recovered")
+    assert(!pairs.contains((300L, 301L)),
+      "far pair recovered — the documented miss regime changed; update the recall bound docs")
+    // precision 1.0: every emitted pair is a true ≤3-Hamming pair
+    val all = (fillers ++ Seq(nearA, nearB, farA, farB)).toMap
+    pairs.foreach { case (x, y) =>
+      assert(java.lang.Long.bitCount(all(x) ^ all(y)) <= 3)
+    }
   }
 
   test("simhash pairs equal brute-force Hamming pairs on the gate corpus") {
@@ -140,6 +184,16 @@ class DedupSpec extends AnyFunSuite {
       .filter(bit_count($"sa".bitwiseXOR($"sb")) <= 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got == brute)
+  }
+
+  test("simhash gate envelopes hold on the gate corpus") {
+    val env = Dedup.ddSimhashEnvelope(spark, graft.TestSpark.sf0001).collect()(0)
+    assert(env.getAs[Long]("n_mismatch") == 0L)
+    assert(env.getAs[Boolean]("kernels_agree"))
+    val pe = Dedup.ddSimhashPairsEnvelope(spark, graft.TestSpark.sf0001).collect()(0)
+    assert(pe.getAs[Long]("n_true_highsim") > 0L)
+    assert(pe.getAs[Boolean]("precision_ok"), "unigram-jaccard precision floor broken")
+    assert(pe.getAs[Boolean]("recall_ok"), "trigram-jaccard recall ratio floor broken")
   }
 
   test("exact dedup groups identical normalized text") {

@@ -49,7 +49,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("simhash runs through the codegen'd SimHash64, not interpreted HOFs") {
-    val plan = planOf("dd_simhash")
+    // probe the PRODUCTION operator (the gate entry is an envelope form
+    // that deliberately runs the interpreted HOF twin for comparison)
+    val plan = Dedup.ddSimhash(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("simhash64") || plan.contains("SimHash64"), plan)
     assert(!plan.contains("ArrayAggregate"), plan)
     assert(!plan.contains("aggregate("), plan)
@@ -60,7 +63,8 @@ class PlanSpec extends AnyFunSuite {
     // simhash64(text) in a Filter below the Project that computes it;
     // nullIntolerant + the explicit text-not-null pre-filter reduce it
     // to one eval per join side (2 total in the self-join plan)
-    val plan = planOf("dd_simhash_pairs")
+    val plan = Dedup.ddSimhashPairs(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
     val evals = "simhash64\\(".r.findAllIn(plan).size
     assert(evals <= 2, s"simhash64 evaluated $evals times in plan:\n$plan")
   }

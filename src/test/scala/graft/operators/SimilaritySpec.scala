@@ -71,18 +71,65 @@ class SimilaritySpec extends AnyFunSuite {
   test("trained ivf knn reaches >= 0.9 recall vs brute force") {
     val brute = Similarity.ssKnnBrute(spark, TestSpark.sf0001)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ssKnnIvf(spark, TestSpark.sf0001)
+    val ivf = Similarity.knnIvf(spark, TestSpark.sf0001, Similarity.IvfProbe)
       .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.9, s"recall was $recall")
   }
 
   test("ivf knn: probed-cell results are exact within recalled neighbors") {
-    val ivf = Similarity.ssKnnIvf(spark, TestSpark.sf0001)
+    val ivf = Similarity.knnIvf(spark, TestSpark.sf0001, Similarity.IvfProbe)
     val rows = ivf.collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
       assert(g.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to g.length))
     }
+  }
+
+  test("probe auto-tuning: clustered corpus needs far fewer probes than uniform") {
+    // planted corpus: 4 well-separated direction clusters in 64-dim —
+    // members = unit(center + small deterministic noise); queries
+    // (vec_id < NumQueries) spread across clusters
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = (0 until 4).map { c =>
+      val v = Array.tabulate(dim)(i => if (i % 4 == c) 1.0 else 0.0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => x / n)
+    }
+    val rows = (0 until 400).map { id =>
+      val c = centers(id % 4)
+      val noisy = c.map(x => x + rnd.nextGaussian() * 0.05)
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      (id.toLong, noisy.map(x => (x / n).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, k = 8, rounds = 3)
+    val clusteredProbe = Similarity.chooseProbe(emb, cents)
+    assert(clusteredProbe <= 4,
+      s"clustered corpus should need few probes, chose $clusteredProbe")
+    // recall contract holds at the chosen probe count
+    val brute = Similarity.knnBruteOn(emb)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.knnIvfOn(emb, cents, clusteredProbe)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((brute & ivf).size.toDouble / brute.size >= 0.9)
+    // the near-uniform real corpus needs more probes than the clustered one
+    val realEmb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val realProbe = Similarity.chooseProbe(
+      realEmb, Similarity.cachedCentroids(realEmb, TestSpark.sf0001))
+    assert(realProbe > clusteredProbe,
+      s"uniform corpus chose $realProbe vs clustered $clusteredProbe")
+    assert(realProbe <= Similarity.IvfProbe,
+      s"shipped IvfProbe=${Similarity.IvfProbe} should cover the measured $realProbe")
+  }
+
+  test("ssKnnIvf gate form reports the recall envelope as satisfied") {
+    val row = Similarity.ssKnnIvf(spark, TestSpark.sf0001).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("n_queries") == Similarity.NumQueries)
+    assert(row(0).getAs[Long]("k") == Similarity.K)
+    assert(row(0).getAs[Boolean]("recall_ok"),
+      "IVF recall vs brute force fell below the 0.9 envelope")
   }
 }
