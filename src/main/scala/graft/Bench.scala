@@ -13,10 +13,26 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q2_filter_project", "q3_region_revenue",
-    "q4_fact_join", "q4_bucketed", "q7_topk_per_group", "q9_top10_global",
+    "q4_fact_join", "q4_bucketed", "q35_bucketed_cust",
+    "q7_topk_per_group", "q9_top10_global",
     "q21_asof_join", "q29_asof_native", "wordcount_dataframe", "ta_quality",
-    "ta_langid_ngram", "q33_theta_sketch",
-    "dd_minhash_lsh_full", "dd_simhash_pairs", "ss_knn_brute", "ev_sessions")
+    "ta_langid_ngram", "q33_theta_sketch", "q34_kll_quantile",
+    "dd_minhash_lsh_full", "dd_simhash_pairs", "ss_knn_brute", "ss_knn_ivf",
+    "ev_sessions")
+
+  /** Production (raw) forms for names whose GATE entry is an accuracy
+    * ENVELOPE: the gate form recomputes the exact answer alongside the
+    * sketch/banded operator purely so the oracle can check it — timing
+    * that would measure oracle overhead, not the operator. The bench
+    * times the raw production operator under the same name (comparable
+    * with earlier rounds, which timed exactly these). */
+  val raw: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q33_theta_sketch" -> ((s, d) => graft.operators.Advanced.q33ThetaRaw(s, d)),
+    "q34_kll_quantile" -> ((s, d) => graft.operators.Advanced.q34KllRaw(s, d)),
+    "dd_simhash_pairs" -> ((s, d) => graft.operators.Dedup.ddSimhashPairs(s, d)),
+    "ss_knn_ivf" -> ((s, d) =>
+      graft.operators.Similarity.knnIvf(s, d, graft.operators.Similarity.IvfProbe)),
+  )
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,17 +50,21 @@ object Bench {
     // JVM/codegen warm-up outside the timed region
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    // two timed runs per query, report the min: steady-state cost without
-    // first-run codegen/JIT compilation noise
+    // three timed runs per query, report the min; per-run times go to
+    // stderr so run-to-run variance is attributable (round-2 verdict:
+    // shared-host noise made regressions indistinguishable from drift)
     val results = headline.map { name =>
-      val times = (1 to 2).map { _ =>
+      val q = raw.getOrElse(name, SparkEntry.queries(name))
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir)
+        try q(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
         finally spark.catalog.clearCache() // isolate per-query cache/memory
         (System.nanoTime() - t0) / 1e9
       }
+      System.err.println(
+        f"[bench] $name runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

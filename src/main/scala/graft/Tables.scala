@@ -59,4 +59,27 @@ object Tables {
     }
     (li, ord)
   }
+
+  /** Second bucketed hot key — customer ⋈ orders co-located on custkey —
+    * showing the bucketed-layout story generalizes beyond the lineitem
+    * fact join (same exchange-free plan shape on a different join
+    * axis). */
+  def materializeBucketedCust(s: SparkSession, dir: String,
+      buckets: Int = 8): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tag"
+    val cust = s"cust_bkt_$tag"
+    val ordc = s"ordc_bkt_$tag"
+    if (!s.catalog.tableExists(cust)) {
+      customer(s, dir).write
+        .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer").mode("overwrite").saveAsTable(cust)
+    }
+    if (!s.catalog.tableExists(ordc)) {
+      orders(s, dir).write
+        .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders_by_cust").mode("overwrite").saveAsTable(ordc)
+    }
+    (cust, ordc)
+  }
 }

@@ -139,6 +139,28 @@ object Relational {
         asDouble(sum(dec($"l_extendedprice"))).as("sum_price"))
   }
 
+  /** Bucketed layout on a SECOND hot key (customer ⋈ orders co-located
+    * on custkey, Tables.materializeBucketedCust): per-segment order
+    * stats with the join exchange-free — the bucketing story is a
+    * per-key layout decision, not a one-off. */
+  def q35BucketedCust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cust, ordc) = Tables.materializeBucketedCust(s, dir)
+    s.table(cust)
+      .join(s.table(ordc), $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"c_custkey").as("n_customers"),
+        asDouble(sum(dec($"o_totalprice"))).as("sum_price"))
+  }
+
+  val q35Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT c_custkey) AS n_customers,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   // ------------------------------------------------------------ semi / anti
   def q5SemiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -519,6 +541,7 @@ object Relational {
     "q3_region_revenue" -> q3RegionRevenue,
     "q4_fact_join" -> q4FactJoin,
     "q4_bucketed" -> q4Bucketed,
+    "q35_bucketed_cust" -> q35BucketedCust,
     "q5_semi_join" -> q5SemiJoin,
     "q6_anti_join" -> q6AntiJoin,
     "q7_topk_per_group" -> q7TopOrdersPerCustomer,
@@ -546,6 +569,7 @@ object Relational {
     "q3_region_revenue" -> q3Sql,
     "q4_fact_join" -> q4Sql,
     "q4_bucketed" -> q4Sql,
+    "q35_bucketed_cust" -> q35Sql,
     "q5_semi_join" -> q5Sql,
     "q6_anti_join" -> q6Sql,
     "q7_topk_per_group" -> q7Sql,

@@ -118,24 +118,57 @@ object EventStreams {
   /** STREAMING-mode sessionization through the gate. Session windows in
     * append mode only emit once the watermark passes a session's end —
     * so a pure replay would withhold every trailing session forever.
-    * The harness appends PUNCTUATION rows (for a user id outside the
-    * domain, 10 then 20 hours past max ts) in their own micro-batches:
-    * eviction in batch N uses the watermark computed after batch N−1,
-    * so the batch carrying punct #2 flushes every real session, while
-    * the punctuation's own session stays open and is never emitted —
-    * the standard drain/barrier pattern for finite replays. Result:
-    * the streaming output must equal the batch gaps-and-islands oracle
-    * exactly. MemoryStream feeds the replay (the collect is gate-sized
-    * and driver-side by design; the file-source streaming leg is
-    * gate-covered by ev_tumbling_stream). */
+    * The harness stages PUNCTUATION files (rows for a user id outside
+    * the domain, 10 then 20 hours past max ts) so they arrive in their
+    * own micro-batches: eviction in batch N uses the watermark computed
+    * after batch N−1, so the batch carrying punct #2 flushes every real
+    * session, while the punctuation's own session stays open and is
+    * never emitted — the standard drain/barrier pattern for finite
+    * replays. Result: the streaming output must equal the batch
+    * gaps-and-islands oracle exactly.
+    *
+    * The replay is a REAL file-source stream: all three files exist
+    * before the query starts (this build's FileStreamSource does not
+    * reliably discover files added mid-query under a stateful agg) with
+    * staged modification times, and `maxFilesPerTrigger=1` turns them
+    * into ordered micro-batches. No dataset ever reaches the driver —
+    * only max(ts) (one scalar) and the punctuation rows (two rows)
+    * do; round 2's whole-table collect is gone. */
   def evSessionsStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    val rows = Tables.events(s, dir)
-      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
-      .as[Event].collect()
-    val maxMs = rows.iterator.map(_.ts.getTime).max
-    val input = MemoryStream[Event](s)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    val src = java.nio.file.Files.createTempDirectory("graft_ev_sessions")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("00_events.parquet"))
+    // one punctuation file per drain step, written through Spark with
+    // the same raw (nanos-as-long) schema as the events file
+    def writePunct(idx: Int, id: Long, hours: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_punct$idx")
+      Seq((id, maxNs + hours * 3600L * 1000000000L, -1L, "punct", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet")).sorted.head
+      val dest = src.resolve(f"0${idx}_punct.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+      ()
+    }
+    writePunct(1, -1L, 10)
+    writePunct(2, -2L, 20)
+    // staged mtimes pin the micro-batch order (FileStreamSource takes
+    // oldest files first)
+    Seq("00_events.parquet", "01_punct.parquet", "02_punct.parquet")
+      .zipWithIndex.foreach { case (f, i) =>
+        src.resolve(f).toFile.setLastModified(1000000L + i * 10000L)
+      }
+    val rawSchema = raw.schema
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"ev_sessions_stream_${streamRuns.incrementAndGet()}"
     // NOTE: do NOT filter the punctuation user inside the streaming
     // query — a `user_id != -1` predicate on the aggregate is pushed
@@ -143,19 +176,10 @@ object EventStreams {
     // (user_id is a grouping key), silently dropping the punctuation
     // rows at the source so the watermark never advances. The filter
     // is applied to the SINK table instead (batch side, post-stream).
-    val q = streamingSessions(input.toDF())
+    val q = streamingSessions(stream)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
-    def punct(id: Long, hours: Long): Event = Event(id,
-      new java.sql.Timestamp(maxMs + hours * 3600 * 1000L), -1L, "punct", 0.0)
-    try {
-      input.addData(rows.toSeq)
-      q.processAllAvailable()
-      input.addData(Seq(punct(-1L, 10)))
-      q.processAllAvailable() // watermark jumps past every session end
-      input.addData(Seq(punct(-2L, 20)))
-      q.processAllAvailable() // evicts with the previous watermark
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     s.table(name).filter(col("user_id") =!= -1L)
   }
 

@@ -10,7 +10,13 @@ class ApproxAndBucketSpec extends AnyFunSuite {
 
   test("approximate aggregates land within the sketch error envelope") {
     import spark.implicits._
-    val approx = Advanced.q27ApproxAgg(spark, TestSpark.sf001)
+    // raw estimates vs exact answers (the gate form reduces these to
+    // envelope booleans; this pins the underlying sketch accuracy)
+    val approx = Tables.lineitem(spark, TestSpark.sf001)
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .cast("double").as("approx_median_price"))
       .collect().map(r => r.getAs[String]("l_returnflag") ->
         (r.getAs[Long]("approx_orders"), r.getAs[Double]("approx_median_price"))).toMap
     val exact = Tables.lineitem(spark, TestSpark.sf001)
@@ -25,6 +31,18 @@ class ApproxAndBucketSpec extends AnyFunSuite {
         s"$flag HLL error: $aOrders vs $orders")
       assert(math.abs(aMedian - median) / median < 0.05,
         s"$flag quantile-sketch error: $aMedian vs $median")
+    }
+  }
+
+  test("q27/q33 gate envelopes report all measured errors in bounds") {
+    Seq(Advanced.q27ApproxAgg(spark, TestSpark.sf001),
+        Advanced.q33ThetaSketch(spark, TestSpark.sf001)).foreach { df =>
+      val boolCols = df.schema.fields.filter(_.dataType ==
+        org.apache.spark.sql.types.BooleanType).map(_.name)
+      assert(boolCols.nonEmpty)
+      df.collect().foreach { r =>
+        boolCols.foreach(c => assert(r.getAs[Boolean](c), s"$c was false: $r"))
+      }
     }
   }
 
@@ -47,6 +65,38 @@ class ApproxAndBucketSpec extends AnyFunSuite {
       // and the result matches the unbucketed query
       val bucketed = df.collect().map(_.toSeq).toSet
       val plain = Relational.q4FactJoin(spark, TestSpark.sf0001)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("q35 second-hot-key bucketing joins with no shuffle under the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.q35BucketedCust(spark, TestSpark.sf0001)
+      val joins = df.queryExecution.executedPlan
+        .collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, df.queryExecution.executedPlan.toString)
+      joins.foreach { j =>
+        val shuffles = j.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.isEmpty, j.toString)
+      }
+      // and the result matches the unbucketed formulation
+      val bucketed = df.collect().map(_.toSeq).toSet
+      val cust = graft.Tables.customer(spark, TestSpark.sf0001)
+      val ord = graft.Tables.orders(spark, TestSpark.sf0001)
+      val plain = cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_customers"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("sum_price"))
         .collect().map(_.toSeq).toSet
       assert(bucketed == plain)
     } finally {
