@@ -211,6 +211,46 @@ object TextAnalysis {
        |  CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS est_llm_tokens
        |FROM documents""".stripMargin
 
+  // ----------------------------------------------------------- repetition:
+  // Gopher/C4-style WITHIN-document repetition metrics — the standard
+  // pretraining filter for boilerplate/spam ("repetitious documents
+  // carry little signal"). Scan-parallel, fully codegen'd (size /
+  // array_distinct / the native shingle kernel), and exactly
+  // reproducible in the oracle engine:
+  //  - distinct_token_ratio: |set(tokens)| / |tokens| (low ⇒ repeated
+  //    vocabulary);
+  //  - dup_trigram_frac: 1 − |distinct trigrams| / (|tokens| − 2) (high
+  //    ⇒ repeated phrases — NGramShingles emits the DISTINCT trigram
+  //    set, so the count of repeats is total minus distinct).
+  def taRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("long")
+    val nTri = greatest(nTok - 2, lit(1L))
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      nTok.as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") /
+        greatest(nTok, lit(1L))).as("distinct_token_ratio"),
+      (lit(1.0) - size(graft.operators.Dedup.shingles($"text")).cast("double") / nTri)
+        .as("dup_trigram_frac"))
+  }
+
+  val taRepetitionSql: String = {
+    val nTok = s"len($toksSql)"
+    val shingles =
+      s"""CASE WHEN $nTok >= 3
+         | THEN list_distinct(list_transform(range($nTok - 2),
+         |        i -> $toksSql[i+1] || ' ' || $toksSql[i+2] || ' ' || $toksSql[i+3]))
+         | ELSE [array_to_string($toksSql, ' ')] END""".stripMargin.replace("\n", " ")
+    s"""SELECT doc_id, CAST($nTok AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct($toksSql)) AS DOUBLE)
+       |    / GREATEST($nTok, 1) AS distinct_token_ratio,
+       |  1.0 - CAST(len($shingles) AS DOUBLE)
+       |    / GREATEST($nTok - 2, 1) AS dup_trigram_frac
+       |FROM documents""".stripMargin
+  }
+
   // -------------------------------------------------------- fingerprinting:
   // md5 over whitespace-normalized text — the exact-dedup key. (A rolling
   // Rabin-Karp hash over token windows feeds the shingle machinery in
@@ -263,6 +303,7 @@ object TextAnalysis {
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,
     "ta_fingerprint" -> taFingerprint,
+    "ta_repetition" -> taRepetition,
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,5 +313,6 @@ object TextAnalysis {
     "ta_quality" -> taQualitySql,
     "ta_tokens" -> taTokensSql,
     "ta_fingerprint" -> taFingerprintSql,
+    "ta_repetition" -> taRepetitionSql,
   )
 }

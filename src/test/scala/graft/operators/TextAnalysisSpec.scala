@@ -55,6 +55,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("repetition metrics: repeated phrases raise dup_trigram_frac") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),                       // no repetition
+      (2L, "spam spam spam spam spam spam spam"),    // one token repeated
+      (3L, "buy now buy now buy now buy now"),       // repeated phrase
+      (4L, "xy"),                                    // short-doc edge
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.taRepetition(spark, TestSpark.sf0001)
+    // gate-corpus sanity: ratios in range
+    val bad = out.filter($"distinct_token_ratio" < 0 || $"distinct_token_ratio" > 1 ||
+      $"dup_trigram_frac" < 0 || $"dup_trigram_frac" > 1).count()
+    assert(bad == 0)
+    // behavioral pins on planted docs (run the same projection inline)
+    val toks = TextAnalysis.tokens($"text")
+    val nTok = size(toks).cast("long")
+    val planted = docs.select($"doc_id",
+      (size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1L)))
+        .as("dtr"),
+      (lit(1.0) - size(Dedup.shingles($"text")).cast("double") /
+        greatest(nTok - 2, lit(1L))).as("dup"))
+      .collect().map(row => row.getLong(0) ->
+        ((row.getDouble(1), row.getDouble(2)))).toMap
+    assert(planted(1L) == ((1.0, 0.0)))                 // all distinct
+    assert(planted(2L)._1 < 0.2 && planted(2L)._2 > 0.7) // token spam
+    assert(planted(3L)._1 < 0.4 && planted(3L)._2 > 0.5) // phrase spam
+    assert(planted(4L) == ((1.0, 0.0)))                 // short doc
+    assert(planted(5L)._2 == 0.0)                       // empty doc
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fps = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "other"))
       .toDF("doc_id", "text")
