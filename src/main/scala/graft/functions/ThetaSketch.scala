@@ -158,6 +158,24 @@ object ThetaSetKernel {
     }
     math.round(inter / th)
   }
+
+  /** KMV set-difference estimator |A \ B|: sample A's retained hashes
+    * below the joint θ and count the ones absent from B — the same
+    * θ-resample argument as intersection (both sketches see everything
+    * below min θ, so membership tests there are exact). Completes the
+    * set algebra: union, intersection, difference. */
+  def differenceEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val sa = deserialize(a)
+    val sb = deserialize(b)
+    val th = math.min(theta(sa), theta(sb))
+    var only = 0
+    val it = sa.heap.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (frac(h) < th || th == 1.0) if (!sb.heap.contains(h)) only += 1
+    }
+    math.round(only / th)
+  }
 }
 
 /** Same KMV aggregate, but emitting the serialized sketch itself. */
@@ -219,8 +237,11 @@ object ThetaSketchFunctions {
     udf((a: Array[Byte], b: Array[Byte]) => ThetaSetKernel.union(a, b))
   private val intersectUdf =
     udf((a: Array[Byte], b: Array[Byte]) => ThetaSetKernel.intersectEstimate(a, b))
+  private val differenceUdf =
+    udf((a: Array[Byte], b: Array[Byte]) => ThetaSetKernel.differenceEstimate(a, b))
 
   def theta_estimate(sketch: Column): Column = estimateUdf(sketch)
   def theta_union(a: Column, b: Column): Column = unionUdf(a, b)
   def theta_intersect_estimate(a: Column, b: Column): Column = intersectUdf(a, b)
+  def theta_difference_estimate(a: Column, b: Column): Column = differenceUdf(a, b)
 }

@@ -74,6 +74,16 @@ class ThetaSketchSpec extends AnyFunSuite {
     within(row.getAs[Long]("eu"), exactU, 0.19)
     // intersection has higher variance (sampled at min theta)
     within(row.getAs[Long]("ei"), exactI, 0.35)
+    // set difference completes the algebra: |A \ B| and |B \ A|
+    val diffs = sk.select(
+      ThetaSketchFunctions.theta_difference_estimate($"a", $"b").as("dab"),
+      ThetaSketchFunctions.theta_difference_estimate($"b", $"a").as("dba"))
+      .head()
+    within(diffs.getAs[Long]("dab"), exactA - exactI, 0.35)
+    within(diffs.getAs[Long]("dba"), exactB - exactI, 0.35)
+    // algebra consistency: |A\B| + |A∩B| ≈ |A| on the same sketches
+    within(diffs.getAs[Long]("dab") + row.getAs[Long]("ei"),
+      exactA, 0.3)
   }
 
   test("theta_distinct is callable from SQL with explicit k") {
