@@ -209,10 +209,16 @@ object Relational {
   // --------------------------------------------- window: running aggregate.
   // Decimal accumulator ⇒ the cumulative sum is exact, so the row-framed
   // running total is engine-independent given the deterministic sort key.
+  // The synthetic lineitem does NOT keep (l_orderkey, l_linenumber)
+  // unique, so l_quantity joins the tie-break: rows still tied after
+  // that are tied on the ADDEND too, making every ordering of them
+  // produce identical running sums (sf0.1 has exactly one such tie —
+  // ambiguous under the shorter key, harmless under this one).
   def q8RunningTotal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"l_suppkey")
-      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc,
+        $"l_quantity".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.lineitem(s, dir)
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
@@ -222,7 +228,8 @@ object Relational {
   val q8Sql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER (
-      |    PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_quantity ASC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem""".stripMargin
 
