@@ -251,6 +251,48 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  // --------------------------------------------------------- PII scrubbing:
+  // redaction pass a training-data pipeline runs before anything else:
+  // emails, phone-shaped sequences, and long digit runs (account/card
+  // ids) replaced by typed placeholder tokens, with per-doc redaction
+  // counts for audit. Patterns stay inside the regex subset Java and
+  // RE2 share, so the oracle replays them exactly; Spark's
+  // regexp_replace is global by default, DuckDB's needs the 'g' flag.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+  private val idRe = "[0-9]{9,}"
+
+  // order matters: emails first (digits inside stay intact), then PURE
+  // long digit runs as ids (a 9+ digit run would otherwise always match
+  // the looser phone shape), then phone-shaped spans with separators
+  def scrubbed(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        idRe, "<ID>"),
+      phoneRe, "<PHONE>")
+
+  def taPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select(
+      $"doc_id",
+      scrubbed($"text").as("scrubbed"),
+      size(regexp_extract_all($"text", lit(emailRe), lit(0))).cast("long")
+        .as("n_emails"),
+      size(regexp_extract_all($"text", lit(phoneRe), lit(0))).cast("long")
+        .as("n_phones"))
+  }
+
+  val taPiiScrubSql: String =
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$emailRe', '<EMAIL>', 'g'),
+       |    '$idRe', '<ID>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones
+       |FROM documents""".stripMargin
+
   // -------------------------------------------------------- fingerprinting:
   // md5 over whitespace-normalized text — the exact-dedup key. (A rolling
   // Rabin-Karp hash over token windows feeds the shingle machinery in
@@ -304,6 +346,7 @@ object TextAnalysis {
     "ta_tokens" -> taTokens,
     "ta_fingerprint" -> taFingerprint,
     "ta_repetition" -> taRepetition,
+    "ta_pii_scrub" -> taPiiScrub,
   )
 
   val oracles: Map[String, String] = Map(
@@ -314,5 +357,6 @@ object TextAnalysis {
     "ta_tokens" -> taTokensSql,
     "ta_fingerprint" -> taFingerprintSql,
     "ta_repetition" -> taRepetitionSql,
+    "ta_pii_scrub" -> taPiiScrubSql,
   )
 }

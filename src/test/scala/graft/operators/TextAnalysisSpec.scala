@@ -84,6 +84,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(planted(5L)._2 == 0.0)                       // empty doc
   }
 
+  test("pii scrub redacts emails, phones, and long ids; counts them") {
+    val docs = Seq(
+      (1L, "contact jane.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "account 123456789012 paid"),
+      (3L, "clean text with no pii")).toDF("doc_id", "text")
+    val out = docs.select($"doc_id",
+        TextAnalysis.scrubbed($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "contact <EMAIL> or call <PHONE> now", out(1L))
+    assert(out(2L) == "account <ID> paid")
+    assert(out(3L) == "clean text with no pii")
+    // counts on the gate corpus stay consistent with the scrub
+    val gate = TextAnalysis.taPiiScrub(spark, TestSpark.sf0001)
+    val bad = gate.filter(
+      ($"n_emails" > 0 && !$"scrubbed".contains("<EMAIL>")) ||
+      ($"n_phones" > 0 && !$"scrubbed".contains("<PHONE>"))).count()
+    assert(bad == 0)
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fps = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "other"))
       .toDF("doc_id", "text")
