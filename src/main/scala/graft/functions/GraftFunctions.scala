@@ -58,8 +58,13 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: custom functions AND the as-of
+  * join planner strategy, so a cluster configured with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` gets the full
+  * surface declaratively (no imperative enable() call needed). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(extensions)
+    extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+  }
 }

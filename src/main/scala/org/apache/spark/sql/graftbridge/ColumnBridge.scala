@@ -24,3 +24,14 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Test-visible accessor for the private[sql] extension builders —
+  * lets specs assert what a `spark.sql.extensions=GraftExtensions`
+  * deployment would actually register. */
+object ExtensionsBridge {
+  def plannerStrategies(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession):
+      Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+}

@@ -52,4 +52,13 @@ class GraftFunctionsSpec extends AnyFunSuite {
           org.apache.spark.sql.types.DoubleType))))
     assert(expr.eval(null) == 2.0)
   }
+
+  test("GraftExtensions injects the as-of planner strategy declaratively") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val strategies = org.apache.spark.sql.graftbridge.ExtensionsBridge
+      .plannerStrategies(ext, spark)
+    assert(strategies.contains(graft.plans.AsofJoinStrategy),
+      s"strategies were $strategies")
+  }
 }
