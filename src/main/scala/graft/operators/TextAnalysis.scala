@@ -251,6 +251,47 @@ object TextAnalysis {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------------------------- chunking:
+  // overlapping token windows (size/stride), the standard pre-embedding
+  // step of an LLM data pipeline: doc → (doc_id, chunk_id, token count,
+  // chunk text). Codegen'd end to end — sequence/posexplode for the
+  // window index, slice + concat_ws to materialize the window; no UDF,
+  // no shuffle: at corpus scale this is a pure scan-side fan-out whose
+  // output is ~len/stride × input.
+  val ChunkSize = 64
+  val ChunkStride = 32
+
+  def taChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks)
+    // windows start at 0, ChunkStride apart, while start < nTok; ≥1
+    // window even for empty/short docs
+    val nChunks = greatest(
+      ceil((nTok - lit(ChunkSize)).cast("double") / ChunkStride).cast("int")
+        + lit(1),
+      lit(1))
+    Tables.documents(s, dir)
+      .select($"doc_id", toks.as("toks"), nChunks.as("nc"))
+      .select($"doc_id", $"toks", posexplode(sequence(lit(0), $"nc" - 1)))
+      .select($"doc_id",
+        col("col").cast("long").as("chunk_id"),
+        size(slice($"toks", col("col") * ChunkStride + 1, lit(ChunkSize)))
+          .cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice($"toks", col("col") * ChunkStride + 1, lit(ChunkSize)))
+          .as("chunk_text"))
+  }
+
+  val taChunksSql: String = {
+    val nTok = s"len($toksSql)"
+    val win = s"$toksSql[(i*$ChunkStride + 1):(i*$ChunkStride + $ChunkSize)]"
+    s"""SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |  CAST(len($win) AS BIGINT) AS chunk_tokens,
+       |  array_to_string($win, ' ') AS chunk_text
+       |FROM documents, UNNEST(range(0, GREATEST(
+       |  CAST(CEIL(CAST($nTok - $ChunkSize AS DOUBLE) / $ChunkStride) AS INT) + 1, 1))) AS t(i)""".stripMargin
+  }
+
   // --------------------------------------------------------- PII scrubbing:
   // redaction pass a training-data pipeline runs before anything else:
   // emails, phone-shaped sequences, and long digit runs (account/card
@@ -347,6 +388,7 @@ object TextAnalysis {
     "ta_fingerprint" -> taFingerprint,
     "ta_repetition" -> taRepetition,
     "ta_pii_scrub" -> taPiiScrub,
+    "ta_chunks" -> taChunks,
   )
 
   val oracles: Map[String, String] = Map(
@@ -358,5 +400,6 @@ object TextAnalysis {
     "ta_fingerprint" -> taFingerprintSql,
     "ta_repetition" -> taRepetitionSql,
     "ta_pii_scrub" -> taPiiScrubSql,
+    "ta_chunks" -> taChunksSql,
   )
 }

@@ -84,6 +84,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(planted(5L)._2 == 0.0)                       // empty doc
   }
 
+  test("chunking: overlapping token windows with full coverage") {
+    val out = TextAnalysis.taChunks(spark, TestSpark.sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { chunks =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk ids are dense from 0
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until sorted.length.toLong))
+      // every chunk bounded by ChunkSize; all but possibly the last are
+      // full or end-clamped
+      sorted.foreach(c =>
+        assert(c.getAs[Long]("chunk_tokens") <= TextAnalysis.ChunkSize))
+    }
+    // reconstruction: stride-aligned prefix of each chunk re-concatenates
+    // to the tokenized doc (coverage without gaps)
+    val doc = graft.Tables.documents(spark, TestSpark.sf0001)
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .collect().map(r => r.getAs[Long](0) -> r.getSeq[String](1)).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      val rebuilt = sorted.zipWithIndex.flatMap { case (c, i) =>
+        val toks = c.getAs[String]("chunk_text").split(" ").filter(_.nonEmpty)
+        if (i == sorted.length - 1) toks
+        else toks.take(TextAnalysis.ChunkStride)
+      }.toSeq
+      assert(rebuilt == doc(id), s"doc $id chunk coverage broken")
+    }
+  }
+
   test("pii scrub redacts emails, phones, and long ids; counts them") {
     val docs = Seq(
       (1L, "contact jane.doe+x@example.co.uk or call +1 (555) 123-4567 now"),
