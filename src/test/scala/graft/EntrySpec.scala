@@ -19,4 +19,16 @@ class EntrySpec extends AnyFunSuite {
     // error sits inside the shipped bound) instead of no_oracle
     assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
+
+  test("bench headline and raw overrides stay consistent with the query map") {
+    Bench.headline.foreach(n =>
+      assert(SparkEntry.queries.contains(n), s"headline $n not in queries"))
+    // a raw override must shadow a real gate entry of the same name —
+    // the bench times the production form of exactly that operator
+    assert(Bench.raw.keySet.subsetOf(Bench.headline.toSet),
+      s"raw overrides outside headline: ${Bench.raw.keySet -- Bench.headline}")
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      assert(v.trim.nonEmpty, s"empty oracle for $k")
+    }
+  }
 }
