@@ -47,6 +47,21 @@ class KllSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("rank error shrinks as k grows (50 → 200 → 800)") {
+    val li = Tables.lineitem(spark, TestSpark.sf001)
+    def band(tol: Double) = li.agg(
+      expr(s"percentile(CAST(l_extendedprice AS DOUBLE), ${0.5 - tol})"),
+      expr(s"percentile(CAST(l_extendedprice AS DOUBLE), ${0.5 + tol})")).head()
+    for ((k, tol) <- Seq(50 -> 0.10, 200 -> 0.05, 800 -> 0.03)) {
+      val est = li.agg(KllFunctions
+        .kll_quantile($"l_extendedprice".cast("double"), 0.5, k))
+        .head().getDouble(0)
+      val b = band(tol)
+      assert(est >= b.getDouble(0) && est <= b.getDouble(1),
+        s"k=$k median $est outside ±$tol rank band [${b.getDouble(0)}, ${b.getDouble(1)}]")
+    }
+  }
+
   test("grouped sketch runs as a partial+final aggregate") {
     val df = Tables.lineitem(spark, TestSpark.sf001)
       .groupBy($"l_returnflag")
