@@ -98,10 +98,22 @@ final case class AsofJoinExec(
   override def needCopyResult: Boolean = true
 
   /** Codegen handles the key/time shapes the gate exercises (primitive,
-    * string, date/time); anything exotic falls back to doExecute. */
+    * string, date/time); anything exotic falls back to doExecute. A
+    * tolerance additionally needs a time type with a physical long
+    * behind it (timeAsLong below) — for any other time type codegen
+    * would silently compare 0L-0L and ignore the bound, while the
+    * interpreted path fails loudly (`require(tolOpt.isEmpty)`), so
+    * those combinations must fall back. */
   override def supportCodegen: Boolean =
     (leftKeys ++ rightKeys).forall(k => isSupportedKeyType(k.dataType)) &&
-      isSupportedKeyType(leftTime.dataType)
+      isSupportedKeyType(leftTime.dataType) &&
+      (tolerance.isEmpty || isToleranceTimeType(leftTime.dataType))
+
+  private def isToleranceTimeType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
 
   private def isSupportedKeyType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |
