@@ -43,19 +43,27 @@ object GraftFunctions {
       else 200)),
   )
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // table-valued surface (FROM asof_join(...)) + the strategy it plans to
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      graft.plans.AsofSqlFunction.name, graft.plans.AsofSqlFunction.build,
+      "built-in")
+    graft.plans.AsofJoinApi.enable(spark)
+  }
 
-  private[functions] def inject(extensions: SparkSessionExtensions): Unit =
+  private[functions] def inject(extensions: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(s"graft.functions.$name", name),
         builder))
     }
+    extensions.injectTableFunction(graft.plans.AsofSqlFunction.description)
+  }
 }
 
 /** `spark.sql.extensions` entry point: custom functions AND the as-of

@@ -517,13 +517,37 @@ object Relational {
       .agg(max($"o_orderkey").as("o_orderkey"),
         max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
     val ev = Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+    // o_orderdate is TIMESTAMP_NTZ in the parquet; cast to the left side's
+    // TIMESTAMP explicitly (the q21 window sweep gets the same coercion
+    // implicitly from unionByName) — the strategy rejects mixed time types
     graft.plans.AsofJoinApi.joinAsof(
       ev, ordersDaily,
       Seq(ev("user_id")), Seq(ordersDaily("o_custkey")),
-      ev("ts"), ordersDaily("o_orderdate"))
+      ev("ts"), ordersDaily("o_orderdate").cast("timestamp"))
       .select($"event_id", $"user_id",
         $"o_orderkey".as("asof_orderkey"),
         $"o_totalprice".as("asof_totalprice"))
+  }
+
+  /** q29's as-of reached ENTIRELY through SQL: the asof_join table-valued
+    * function (graft.plans.AsofSqlFunction) over temp views — what a
+    * spark.sql-only user writes. Shares q21's DuckDB oracle. */
+  def q36AsofSql(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, dir).select($"event_id", $"user_id", $"ts")
+      .createOrReplaceTempView("asof_events")
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"),
+        max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      .createOrReplaceTempView("asof_orders_daily")
+    s.sql(
+      """SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+        |  o_totalprice AS asof_totalprice
+        |FROM asof_join('asof_events', 'asof_orders_daily',
+        |  'l.user_id', 'r.o_custkey',
+        |  'l.ts', 'CAST(r.o_orderdate AS TIMESTAMP)')""".stripMargin)
   }
 
   // ----------------------------------------------- time bucketing over events
@@ -567,6 +591,7 @@ object Relational {
     "q20_range_join" -> q20RangeJoin,
     "q21_asof_join" -> q21AsofJoin,
     "q29_asof_native" -> q29AsofNative,
+    "q36_asof_sql" -> q36AsofSql,
     "q22_events_hourly" -> q22EventsHourly,
   )
 
@@ -595,6 +620,7 @@ object Relational {
     "q20_range_join" -> q20Sql,
     "q21_asof_join" -> q21Sql,
     "q29_asof_native" -> q21Sql, // identical semantics, same oracle
+    "q36_asof_sql" -> q21Sql, // SQL TVF surface over the same native op
     "q22_events_hourly" -> q22Sql,
   )
 }

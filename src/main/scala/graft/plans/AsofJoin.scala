@@ -46,8 +46,44 @@ final case class AsofJoin(
 }
 
 object AsofJoinStrategy extends SparkStrategy {
+
+  /** Time types with a physical long behind them — the only ones a
+    * tolerance bound can be computed against (micros for timestamps,
+    * days for dates, raw for integral columns). */
+  private[plans] def isToleranceTimeType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DateType | TimestampType |
+         TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Driver-side validation at plan time, where expressions are resolved
+    * and dataTypes known (the API takes unresolved Columns, so this is
+    * the earliest point the checks can run). Without this, a tolerance on
+    * an unsupported time type or a left/right time-type mismatch would
+    * surface as an executor-side failure (interpreted path) or a silently
+    * wrong tolerance comparison (timeAsLong keys off leftTime only). */
+  private def validate(j: AsofJoin): Unit = {
+    require(j.leftKeys.length == j.rightKeys.length,
+      s"asof join: ${j.leftKeys.length} left keys vs ${j.rightKeys.length} right keys")
+    j.leftKeys.zip(j.rightKeys).foreach { case (l, r) =>
+      require(l.dataType == r.dataType,
+        s"asof join: key type mismatch ${l.dataType.sql} vs ${r.dataType.sql} " +
+          s"for keys ($l, $r)")
+    }
+    require(j.leftTime.dataType == j.rightTime.dataType,
+      s"asof join: time type mismatch ${j.leftTime.dataType.sql} (left) vs " +
+        s"${j.rightTime.dataType.sql} (right)")
+    j.tolerance.foreach { t =>
+      require(t >= 0, s"asof join: negative tolerance $t")
+      require(isToleranceTimeType(j.leftTime.dataType),
+        s"asof join: tolerance unsupported for time type " +
+          s"${j.leftTime.dataType.sql} (needs an integral/date/timestamp column)")
+    }
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt, tol, inner) =>
+    case j @ AsofJoin(l, r, lk, rk, lt, rt, tol, inner) =>
+      validate(j)
       AsofJoinExec(lk, rk, lt, rt, tol, inner, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -107,13 +143,8 @@ final case class AsofJoinExec(
   override def supportCodegen: Boolean =
     (leftKeys ++ rightKeys).forall(k => isSupportedKeyType(k.dataType)) &&
       isSupportedKeyType(leftTime.dataType) &&
-      (tolerance.isEmpty || isToleranceTimeType(leftTime.dataType))
-
-  private def isToleranceTimeType(dt: DataType): Boolean = dt match {
-    case LongType | IntegerType | DateType | TimestampType |
-         TimestampNTZType => true
-    case _ => false
-  }
+      (tolerance.isEmpty ||
+        AsofJoinStrategy.isToleranceTimeType(leftTime.dataType))
 
   private def isSupportedKeyType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | FloatType |

@@ -10,7 +10,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * that ship custom Catalyst expressions. */
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
-  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode → Expression conversion. ExpressionUtils.expression
+    * returns a LAZY ColumnNodeExpression wrapper that claims
+    * resolved=true with dataType=NullType until an analyzer rule converts
+    * it inside a standard operator — inside a custom LogicalPlan node
+    * that conversion never happens for derived columns (e.g. `.cast`), so
+    * convert eagerly here instead. */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Analyzed logical plan of a DataFrame. */
   def plan(df: org.apache.spark.sql.DataFrame):

@@ -103,6 +103,50 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(plan.contains("AsofJoin"), plan)
   }
 
+  private def planFailure(df: org.apache.spark.sql.DataFrame): String = {
+    val e = intercept[Throwable] { df.queryExecution.executedPlan }
+    // plan-time (driver-side) failure, possibly wrapped by the planner
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).find(m => m != null && m.contains("asof join"))
+      .getOrElse(fail(s"expected an asof-join validation error, got $e"))
+  }
+
+  test("tolerance on a non-temporal time type is rejected at plan time") {
+    import spark.implicits._
+    val l = Seq((1L, "a")).toDF("id", "t")
+    val r = Seq((1L, "b", 1.0)).toDF("id", "t2", "v")
+    val msg = planFailure(AsofJoinApi.joinAsof(l, r, Seq(l("id")),
+      Seq(r("id")), l("t"), r("t2"), tolerance = Some(5L)))
+    assert(msg.contains("tolerance unsupported"), msg)
+    // the same shape WITHOUT a tolerance is fine (string time, plain asof)
+    val ok = AsofJoinApi.joinAsof(l, r, Seq(l("id")), Seq(r("id")),
+      l("t"), r("t2")).collect()
+    assert(ok.length == 1)
+  }
+
+  test("left/right time type mismatch is rejected at plan time") {
+    import spark.implicits._
+    val l = Seq((1L, ts(1))).toDF("id", "t")
+    val r = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("id", "t2", "v")
+    val msg = planFailure(AsofJoinApi.joinAsof(l, r, Seq(l("id")),
+      Seq(r("id")), l("t"), r("t2")))
+    assert(msg.contains("time type mismatch"), msg)
+  }
+
+  test("key type mismatch and negative tolerance are rejected at plan time") {
+    import spark.implicits._
+    val l = Seq((1L, ts(1))).toDF("id", "t")
+    val r = Seq(("x", ts(0), 1.0)).toDF("id", "t2", "v")
+    val msg = planFailure(AsofJoinApi.joinAsof(l, r, Seq(l("id")),
+      Seq(r("id")), l("t"), r("t2")))
+    assert(msg.contains("key type mismatch"), msg)
+    val r2 = Seq((1L, ts(0), 1.0)).toDF("id", "t2", "v")
+    val msg2 = planFailure(AsofJoinApi.joinAsof(l, r2, Seq(l("id")),
+      Seq(r2("id")), l("t"), r2("t2"), tolerance = Some(-1L)))
+    assert(msg2.contains("negative tolerance"), msg2)
+  }
+
   test("merge pass runs inside whole-stage codegen (and matches the fallback)") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
