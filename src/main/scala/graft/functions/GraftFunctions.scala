@@ -41,6 +41,10 @@ object GraftFunctions {
       },
       if (exprs.length > 2) exprs(2).eval(null).asInstanceOf[Number].intValue
       else 200)),
+    // optional 2nd arg: counter budget k as a foldable int literal
+    "heavy_hitters" -> (exprs => HeavyHitters(exprs(0),
+      if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
+      else 64)),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -379,7 +379,41 @@ object TextAnalysis {
        |  ) AS ngram FROM documents) t
        |GROUP BY ngram ORDER BY doc_freq DESC, ngram ASC LIMIT $TopNgrams""".stripMargin
 
+  // ------------------------------------------------------- heavy hitters
+  /** Frequent tokens via the mergeable Misra–Gries aggregate
+    * (graft.functions.HeavyHitters — the third graft sketch after theta
+    * and KLL). The plan is one partial/final aggregate: each scan task
+    * summarizes its partition into ≤ k counters, the shuffle carries
+    * ≤ k (token, count) pairs per task, and the final merge preserves
+    * the N/(k+1) bound — the 100 TB-shaped "what are the frequent
+    * tokens/domains" query.
+    *
+    * Gate regime: the corpus vocabulary (31 tokens at every SF) sits
+    * below the k=64 counter budget, where MG is provably EXACT, so this
+    * hash-matches the true token counts as a full oracle. The
+    * over-capacity approximation regime (estimates within N/(k+1),
+    * every sufficiently-frequent item retained, bounds stable under any
+    * partitioning) is pinned in HeavyHittersSpec on a planted Zipf
+    * corpus. */
+  val HhK = 64
+
+  def taHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("token"))
+      .agg(graft.functions.HeavyHitterFunctions
+        .heavy_hitters($"token", HhK).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item".as("token"), $"e.est".as("est"))
+  }
+
+  val taHeavyHittersSql: String =
+    s"""SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS est
+       |FROM (SELECT unnest($toksSql) AS t FROM documents)
+       |GROUP BY t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heavy_hitters" -> taHeavyHitters,
     "ta_top_ngrams" -> taTopNgrams,
     "ta_langid" -> taLangId,
     "ta_langid_ngram" -> taLangIdNgram,
@@ -392,6 +426,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_heavy_hitters" -> taHeavyHittersSql,
     "ta_top_ngrams" -> taTopNgramsSql,
     "ta_langid" -> taLangIdSql,
     "ta_langid_ngram" -> taLangIdNgramSql,
