@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+
+/** Bloom filter state: a plain long-word bit array + double hashing
+  * (Kirsch–Mitzenmacher: index_i = h1 + i·h2). Deterministic — both
+  * hashes are Spark's xxhash64 at fixed seeds — and merge is a bitwise
+  * OR, which is order- and partitioning-independent, so a sketch built
+  * from the same value set is BYTE-IDENTICAL however the data was
+  * distributed. */
+final class BloomState(val numBits: Int, val numHashes: Int) {
+  require(numBits > 0 && numBits % 64 == 0, s"numBits $numBits not a multiple of 64")
+  val words = new Array[Long](numBits / 64)
+
+  @inline private def index(h1: Long, h2: Long, i: Int): Int = {
+    val combined = h1 + i * h2
+    // floorMod keeps the index non-negative for negative hashes
+    java.lang.Math.floorMod(combined, numBits.toLong).toInt
+  }
+
+  def put(h1: Long, h2: Long): Unit = {
+    var i = 0
+    while (i < numHashes) {
+      val idx = index(h1, h2, i)
+      words(idx >>> 6) |= (1L << (idx & 63))
+      i += 1
+    }
+  }
+
+  def mightContain(h1: Long, h2: Long): Boolean = {
+    var i = 0
+    while (i < numHashes) {
+      val idx = index(h1, h2, i)
+      if ((words(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def mergeFrom(other: BloomState): Unit = {
+    require(other.numBits == numBits && other.numHashes == numHashes,
+      s"bloom merge shape mismatch: ($numBits,$numHashes) vs " +
+        s"(${other.numBits},${other.numHashes})")
+    var i = 0
+    while (i < words.length) { words(i) |= other.words(i); i += 1 }
+  }
+}
+
+object BloomKernel {
+  val Seed1 = 42L
+  val Seed2 = 977L
+
+  /** Standard sizing: m = -n ln p / (ln 2)², rounded up to whole words. */
+  def optimalNumBits(expectedItems: Long, fpp: Double): Int = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    val m = math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2)))
+    (((m.toLong + 63) / 64) * 64).min(Int.MaxValue.toLong - 64).toInt
+  }
+
+  def optimalNumHashes(expectedItems: Long, numBits: Int): Int =
+    math.max(1, math.round(numBits.toDouble / expectedItems * math.log(2)).toInt)
+
+  def hash1(v: Any, dt: DataType): Long = XxHash64Function.hash(v, dt, Seed1)
+  def hash2(v: Any, dt: DataType): Long = XxHash64Function.hash(v, dt, Seed2)
+
+  def serialize(state: BloomState): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(8 + 8 * state.words.length)
+    buf.putInt(state.numBits)
+    buf.putInt(state.numHashes)
+    state.words.foreach(buf.putLong)
+    buf.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomState = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    val state = new BloomState(buf.getInt, buf.getInt)
+    var i = 0
+    while (i < state.words.length) { state.words(i) = buf.getLong; i += 1 }
+    state
+  }
+
+  def merged(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val sa = deserialize(a)
+    sa.mergeFrom(deserialize(b))
+    serialize(sa)
+  }
+}
+
+/** Mergeable Bloom sketch aggregate — the INCREMENTAL-dedup primitive a
+  * 100 TB corpus needs: build the membership sketch of the existing
+  * corpus once (per shard/day, OR-merged — each partial is just the m-bit
+  * array), persist the bytes, then admit each incoming batch with ONE
+  * scan-side [[BloomMightContain]] filter instead of an anti-join against
+  * the full corpus. No false negatives (a known fingerprint is always
+  * caught), false-positive rate ≤ fpp at the sized capacity — i.e. at
+  * most ~fpp of genuinely-new docs are needlessly dropped, the safe
+  * failure direction for dedup. At extreme corpus sizes the same
+  * construction shards by fingerprint prefix (one sketch per shard)
+  * rather than growing m unboundedly. */
+case class BloomSketchBytes(
+    child: Expression,
+    expectedItems: Long,
+    fpp: Double = 0.01,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[BloomState] {
+
+  private val numBits = BloomKernel.optimalNumBits(expectedItems, fpp)
+  private val numHashes = BloomKernel.optimalNumHashes(expectedItems, numBits)
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): BloomState =
+    new BloomState(numBits, numHashes)
+
+  override def update(state: BloomState, input: InternalRow): BloomState = {
+    val v = child.eval(input)
+    if (v != null) {
+      state.put(BloomKernel.hash1(v, child.dataType),
+        BloomKernel.hash2(v, child.dataType))
+    }
+    state
+  }
+
+  override def merge(state: BloomState, other: BloomState): BloomState = {
+    state.mergeFrom(other); state
+  }
+
+  override def eval(state: BloomState): Any = BloomKernel.serialize(state)
+
+  override def serialize(state: BloomState): Array[Byte] =
+    BloomKernel.serialize(state)
+  override def deserialize(bytes: Array[Byte]): BloomState =
+    BloomKernel.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomSketchBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomSketchBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomSketchBytes =
+    copy(child = newChildren.head)
+}
+
+/** Scan-side membership test against a STORED sketch. The sketch
+  * argument must be foldable (a literal — the bytes collected once,
+  * driver-side, like the IVF centroids), so the filter deserializes
+  * exactly once per task instead of once per row, and the row-side work
+  * is two xxhash64 calls + numHashes bit probes inside whole-stage
+  * codegen. */
+case class BloomMightContain(sketch: Expression, child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!sketch.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain needs a foldable (literal) sketch argument")
+    else if (sketch.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sketch must be BINARY, got ${sketch.dataType.sql}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val filter: BloomState =
+    BloomKernel.deserialize(sketch.eval(null).asInstanceOf[Array[Byte]])
+
+  def mightContainValue(v: Any): Boolean =
+    filter.mightContain(BloomKernel.hash1(v, child.dataType),
+      BloomKernel.hash2(v, child.dataType))
+
+  override def nullSafeEval(v: Any): Any = mightContainValue(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // ship `this` once per task; the lazy filter deserializes on first use
+    val ref = ctx.addReferenceObj("bloomExpr", this,
+      classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.mightContainValue($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BloomMightContain = copy(child = newChild)
+}
+
+object BloomFunctions {
+  def bloom_sketch(col: Column, expectedItems: Long, fpp: Double = 0.01): Column =
+    ColumnBridge.column(
+      BloomSketchBytes(ColumnBridge.expression(col), expectedItems, fpp)
+        .toAggregateExpression())
+
+  /** `sketch` must be a literal (e.g. `lit(bytes)` of a collected
+    * sketch); see [[BloomMightContain]]. */
+  def bloom_might_contain(sketch: Column, col: Column): Column =
+    ColumnBridge.column(BloomMightContain(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(col)))
+
+  private val mergeUdf = org.apache.spark.sql.functions.udf(
+    (a: Array[Byte], b: Array[Byte]) => BloomKernel.merged(a, b))
+  /** OR two stored sketches of identical shape (runs once per group). */
+  def bloom_merge(a: Column, b: Column): Column = mergeUdf(a, b)
+}

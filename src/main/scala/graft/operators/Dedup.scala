@@ -66,6 +66,63 @@ object Dedup {
       |  COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
       |FROM documents GROUP BY 1""".stripMargin
 
+  // --------------------------------------- incremental dedup (Bloom sketch).
+  /** Dedup an INCOMING batch against the EXISTING corpus without joining
+    * it: aggregate the corpus fingerprints into a mergeable Bloom sketch
+    * (graft.functions.BloomSketchBytes — partials are m-bit arrays,
+    * merge is a bitwise OR, so partitioning never changes the bytes),
+    * then admit the batch with one scan-side BloomMightContain filter on
+    * the collected sketch literal. At 100 TB the sketch is built once
+    * per shard/day and OR-merged; each new batch then pays a single scan
+    * instead of an anti-join against the full corpus. Guarantees: no
+    * false negatives (a known fingerprint is always dropped); at most
+    * ~fpp of genuinely-new docs lost to false positives.
+    *
+    * Gate form (envelope): the corpus = docs with doc_id % 10 != 0, the
+    * batch = all docs. Exact n_incoming / n_truly_new hash-match the
+    * DuckDB oracle; the booleans assert zero false negatives and the
+    * measured false-positive count within the sized envelope. The
+    * verification join exists only to gate — production is sketch +
+    * filter. */
+  val BloomFpp = 0.01
+
+  def ddBloomIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", md5(TextAnalysis.normalized($"text")).as("fp"))
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val nCorpus = corpus.count() // sizing pass (table stats at scale)
+    val sketch = corpus
+      .agg(graft.functions.BloomFunctions
+        .bloom_sketch($"fp", nCorpus, BloomFpp).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+    val admitted = !graft.functions.BloomFunctions
+      .bloom_might_contain(lit(sketch), $"fp")
+    docs
+      .join(broadcast(corpus.select($"fp".as("cfp")).distinct()),
+        $"fp" === $"cfp", "left")
+      .select($"fp", $"cfp".isNotNull.as("in_corpus"), admitted.as("admitted"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(!$"in_corpus", 1L).otherwise(0L)).as("n_truly_new"),
+        (sum(when($"in_corpus" && $"admitted", 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"),
+        (sum(when(!$"in_corpus" && !$"admitted", 1L).otherwise(0L)) <=
+          greatest(lit(5.0), lit(3 * BloomFpp) *
+            sum(when(!$"in_corpus", 1L).otherwise(0L)))).as("fpr_ok"))
+  }
+
+  val ddBloomIncrementalSql: String =
+    """WITH fps AS (SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 <> 0)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_incoming,
+      |  CAST(SUM(CASE WHEN fp NOT IN (SELECT fp FROM corpus) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_truly_new,
+      |  TRUE AS no_false_negatives, TRUE AS fpr_ok
+      |FROM fps""".stripMargin
+
   // ------------------------------------------- exact n-gram Jaccard pairs.
   // Quadratic by construction — bounded to a doc_id block so the exact
   // variant stays a verification tool; the full-corpus path is MinHash.
@@ -587,6 +644,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_fuzzy_names" -> ddFuzzyNames,
     "dd_exact" -> ddExact,
+    "dd_bloom_incremental" -> ddBloomIncremental,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_minhash_lsh_full" -> ddMinhashLshFull,
@@ -604,6 +662,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_fuzzy_names" -> ddFuzzyNamesSql,
     "dd_exact" -> ddExactSql,
+    "dd_bloom_incremental" -> ddBloomIncrementalSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_lsh_full" -> ddMinhashLshFullSql,

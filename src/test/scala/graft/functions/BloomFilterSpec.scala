@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class BloomFilterSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sketchOf(data: Seq[String], n: Long, fpp: Double = 0.01,
+      parts: Int = 4): Array[Byte] =
+    data.toDF("v").repartition(parts)
+      .agg(BloomFunctions.bloom_sketch($"v", n, fpp).as("sk"))
+      .head().getAs[Array[Byte]]("sk")
+
+  test("no false negatives: every inserted value is found") {
+    val data = (1 to 2000).map(i => s"doc-$i")
+    val sk = sketchOf(data, 2000)
+    val misses = data.toDF("v")
+      .filter(!BloomFunctions.bloom_might_contain(lit(sk), $"v"))
+      .count()
+    assert(misses == 0L)
+  }
+
+  test("false-positive rate near the sized fpp") {
+    val inserted = (1 to 5000).map(i => s"in-$i")
+    val sk = sketchOf(inserted, 5000, fpp = 0.01)
+    val probes = (1 to 20000).map(i => s"out-$i")
+    val fps = probes.toDF("v")
+      .filter(BloomFunctions.bloom_might_contain(lit(sk), $"v"))
+      .count()
+    val rate = fps.toDouble / probes.size
+    assert(rate <= 0.03, s"fpr $rate vs sized 0.01") // 3x envelope
+  }
+
+  test("sketch bytes are partitioning-invariant (OR-merge determinism)") {
+    val data = (1 to 3000).map(i => s"x-$i")
+    val a = sketchOf(data, 3000, parts = 1)
+    val b = sketchOf(data, 3000, parts = 7)
+    val c = sketchOf(data, 3000, parts = 32)
+    assert(java.util.Arrays.equals(a, b) && java.util.Arrays.equals(b, c))
+  }
+
+  test("stored shard sketches OR-merge to the whole-corpus sketch") {
+    val shard1 = (1 to 1000).map(i => s"s-$i")
+    val shard2 = (800 to 1800).map(i => s"s-$i")
+    val n = 2000L
+    val merged = BloomKernel.merged(
+      sketchOf(shard1, n), sketchOf(shard2, n))
+    val whole = sketchOf(shard1 ++ shard2, n)
+    assert(java.util.Arrays.equals(merged, whole))
+  }
+
+  test("might_contain agrees between codegen and interpreted paths") {
+    val data = (1 to 500).map(i => s"cg-$i")
+    val sk = sketchOf(data, 500)
+    val probe = ((1 to 500) ++ (5000 to 5500)).map(i => s"cg-$i").toDF("v")
+    def run(): Seq[(String, Boolean)] = probe
+      .select($"v", BloomFunctions.bloom_might_contain(lit(sk), $"v").as("m"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq.sorted
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = run()
+      assert(withCodegen == interpreted)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // and the codegen result is itself correct on the inserted half
+    assert(withCodegen.filter(_._1.length <= 6).forall(_._2))
+  }
+
+  test("non-foldable sketch argument is rejected at analysis") {
+    val e = intercept[Exception] {
+      Seq(("a", Array[Byte](1, 2))).toDF("v", "sk")
+        .select(BloomFunctions.bloom_might_contain($"sk", $"v")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable"), e.getMessage)
+  }
+
+  test("shape mismatch fails loudly on merge") {
+    val a = sketchOf(Seq("a"), 100)
+    val b = sketchOf(Seq("b"), 10000)
+    val e = intercept[Exception] { BloomKernel.merged(a, b) }
+    assert(e.getMessage.contains("shape mismatch"), e.getMessage)
+  }
+
+  test("incremental-dedup gate query: exact counts + envelope booleans") {
+    val row = graft.operators.Dedup
+      .ddBloomIncremental(spark, TestSpark.sf0001).head()
+    assert(row.getLong(0) == 500L, "n_incoming")
+    assert(row.getLong(1) == 50L, "n_truly_new")
+    assert(row.getBoolean(2), "no_false_negatives")
+    assert(row.getBoolean(3), "fpr_ok")
+  }
+}
