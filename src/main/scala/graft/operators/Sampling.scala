@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sampling + source-mixing operators — the "dataset
+  * build" step of a training-data pipeline: draw a reproducible sample,
+  * or re-weight sources (downsample web, upsample books) so the SAME
+  * inputs always produce the SAME mixed corpus, on any cluster, at any
+  * partitioning, on reruns months later.
+  *
+  * Mechanism: a per-row uniform draw u = hash(salt | stable key),
+  * compared against a precomputed threshold. Everything is scan-side —
+  * a filter (Bernoulli/stratified) or a narrow explode (upsampling
+  * copies); no shuffle at any corpus size. Two hash flavors:
+  *
+  *  - md5-hex (this file's gate queries): u is the first 8 hex chars of
+  *    md5, compared LEXICOGRAPHICALLY against a threshold hex string —
+  *    fixed-width lowercase hex ordering == numeric ordering, and md5
+  *    is available bit-identically in DuckDB, so the gate is a full
+  *    oracle match;
+  *  - xxhash64 (`u01`): the fast codegen'd production flavor for 100 TB
+  *    scans, property-pinned in SamplingSpec (deterministic, correct
+  *    proportions) since DuckDB cannot reproduce it.
+  */
+object Sampling {
+
+  /** Lowercase 8-hex-char uniform draw from the row's stable key. */
+  def hashHex(key: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), lit("|"), key.cast("string"))), 1, 8)
+
+  private[operators] def hashHexSql(keySql: String, salt: String): String =
+    s"substring(md5('$salt' || '|' || CAST($keySql AS VARCHAR)), 1, 8)"
+
+  /** Threshold hex string for a fraction in [0,1): keep iff
+    * hashHex < thresholdHex. Precomputed driver-side so Spark and the
+    * SQL oracle compare the same literal. */
+  def thresholdHex(frac: Double): String = {
+    require(frac >= 0 && frac < 1, s"fraction $frac outside [0,1)")
+    f"${(frac * 4294967296.0).toLong.min(4294967295L).max(0L)}%08x"
+  }
+
+  /** xxhash64 flavor: uniform double in [0,1) — the production hot path
+    * (one codegen'd hash per row, no string materialization). */
+  def u01(key: Column, salt: Long): Column =
+    (xxhash64(key, lit(salt)).cast("double") / lit(1.8446744073709552e19)) +
+      lit(0.5)
+
+  /** Deterministic Bernoulli sample: keep ~frac of rows, selected by
+    * key hash — reproducible and stable under any partitioning. */
+  def sampleFraction(df: DataFrame, key: Column, frac: Double,
+      salt: String): DataFrame =
+    if (frac >= 1.0) df
+    else df.filter(hashHex(key, salt) < lit(thresholdHex(frac)))
+
+  /** xxhash64 production variant of [[sampleFraction]]. */
+  def sampleFractionFast(df: DataFrame, key: Column, frac: Double,
+      salt: Long): DataFrame =
+    if (frac >= 1.0) df else df.filter(u01(key, salt) < lit(frac))
+
+  /** Deterministic exact-size sample: the n rows with the smallest key
+    * hashes (key tie-break) — the distributed, rerun-stable equivalent
+    * of reservoir sampling. Plans as TakeOrderedAndProject: each task
+    * keeps its local top-n, the driver merges k·n rows — no full sort,
+    * no shuffle of the corpus. */
+  def sampleExactN(df: DataFrame, key: Column, n: Int,
+      salt: String): DataFrame =
+    df.withColumn("__h", hashHex(key, salt))
+      .orderBy(col("__h"), key)
+      .limit(n)
+      .drop("__h")
+
+  /** Source re-weighting with upsampling: each stratum's weight w emits
+    * floor(w) full copies per row plus one more for the hash-selected
+    * w − floor(w) fraction. Output gains a `copy` index (1..n_copies),
+    * so downstream shuffles/dedup see distinct rows. Strata absent from
+    * `weights` keep `defaultWeight`. */
+  def weightedMix(df: DataFrame, strata: Column, weights: Map[String, Double],
+      key: Column, salt: String, defaultWeight: Double = 1.0): DataFrame = {
+    def copiesFor(w: Double): (Int, String) =
+      (math.floor(w).toInt, thresholdHex(w - math.floor(w)))
+    val (defBase, defThr) = copiesFor(defaultWeight)
+    val (baseCol, thrCol) = weights.foldLeft(
+      (lit(defBase), lit(defThr))) { case ((b, t), (stratum, w)) =>
+      val (base, thr) = copiesFor(w)
+      (when(strata === stratum, base).otherwise(b),
+        when(strata === stratum, thr).otherwise(t))
+    }
+    val nCopies = (baseCol +
+      when(hashHex(key, salt) < thrCol, 1).otherwise(0)).as("__n")
+    // sequence(1, 0) would run DESCENDING ([1,0]); guard n=0 with an
+    // empty array, which explode drops
+    df.withColumn("__n", nCopies)
+      .withColumn("copy", explode(when(col("__n") >= 1,
+        sequence(lit(1), col("__n"))).otherwise(array().cast("array<int>"))))
+      .drop("__n")
+  }
+
+  // --------------------------------------------------------- gate queries
+
+  /** 20 sources × 4 weight tiers: drop-heavy 0.25, keep 1.0, upsample
+    * 1.75 and 2.5 — all three regimes (down, keep, up) in one mix. */
+  val MixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) * 0.75 + 0.25)).toMap
+  val MixSalt = "graft-mix-r6"
+
+  def saWeightedMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    weightedMix(Tables.documents(s, dir).select($"doc_id", $"source"),
+      $"source", MixWeights, $"doc_id", MixSalt)
+  }
+
+  val saWeightedMixSql: String = {
+    val h = hashHexSql("doc_id", MixSalt)
+    val baseCase = MixWeights.toSeq.sortBy(_._1).map { case (k, w) =>
+      s"WHEN source = '$k' THEN ${math.floor(w).toInt}"
+    }.mkString(" ")
+    val thrCase = MixWeights.toSeq.sortBy(_._1).map { case (k, w) =>
+      s"WHEN source = '$k' THEN '${thresholdHex(w - math.floor(w))}'"
+    }.mkString(" ")
+    s"""SELECT doc_id, source, CAST(unnest(generate_series(1, n)) AS INT) AS copy
+       |FROM (SELECT doc_id, source,
+       |  (CASE $baseCase ELSE 1 END)
+       |    + (CASE WHEN $h < (CASE $thrCase ELSE '00000000' END)
+       |       THEN 1 ELSE 0 END) AS n
+       |  FROM documents) t""".stripMargin
+  }
+
+  val SampleN = 300
+  val SampleSalt = "graft-sample-r6"
+
+  def saSampleN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sampleExactN(Tables.documents(s, dir).select($"doc_id", $"source"),
+      $"doc_id", SampleN, SampleSalt)
+  }
+
+  val saSampleNSql: String =
+    s"""SELECT doc_id, source FROM documents
+       |ORDER BY ${hashHexSql("doc_id", SampleSalt)}, doc_id
+       |LIMIT $SampleN""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sa_weighted_mix" -> saWeightedMix,
+    "sa_sample_n" -> saSampleN,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sa_weighted_mix" -> saWeightedMixSql,
+    "sa_sample_n" -> saSampleNSql,
+  )
+}

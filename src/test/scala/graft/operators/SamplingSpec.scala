@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ids(n: Int) = (1L to n.toLong).toDF("id")
+
+  test("sampleFraction: deterministic, partitioning-invariant, right rate") {
+    val df = ids(20000)
+    def run(parts: Int): Set[Long] =
+      Sampling.sampleFraction(df.repartition(parts), $"id", 0.3, "s1")
+        .collect().map(_.getLong(0)).toSet
+    val a = run(1)
+    assert(run(8) == a && run(32) == a)
+    val rate = a.size / 20000.0
+    assert(math.abs(rate - 0.3) < 0.02, s"rate $rate")
+    // a different salt draws a (near) independent sample
+    val b = Sampling.sampleFraction(df, $"id", 0.3, "s2")
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (a intersect b).size / 20000.0
+    assert(math.abs(overlap - 0.09) < 0.02, s"overlap $overlap") // 0.3² = 0.09
+  }
+
+  test("u01 fast flavor: uniform in [0,1), deterministic, right rate") {
+    val df = ids(20000)
+    val u = df.select(Sampling.u01($"id", 7L).as("u"))
+      .agg(min($"u"), max($"u"), avg($"u")).head()
+    assert(u.getDouble(0) >= 0.0 && u.getDouble(1) < 1.0)
+    assert(math.abs(u.getDouble(2) - 0.5) < 0.01, s"mean ${u.getDouble(2)}")
+    val n1 = Sampling.sampleFractionFast(df, $"id", 0.25, 7L).count()
+    val n2 = Sampling.sampleFractionFast(df.repartition(13), $"id", 0.25, 7L)
+      .count()
+    assert(n1 == n2)
+    assert(math.abs(n1 / 20000.0 - 0.25) < 0.02, s"rate ${n1 / 20000.0}")
+  }
+
+  test("sampleExactN: exactly n, stable, plans as TakeOrdered") {
+    val df = ids(5000).withColumn("payload", $"id" * 2)
+    val s1 = Sampling.sampleExactN(df, $"id", 100, "k")
+    assert(s1.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      s1.queryExecution.executedPlan.toString)
+    val r1 = s1.collect().map(_.getLong(0)).toSeq
+    val r2 = Sampling.sampleExactN(df.repartition(17), $"id", 100, "k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(r1.size == 100 && r1.toSet == r2.toSet)
+    // growing n only ADDS rows (prefix property of the hash order)
+    val r3 = Sampling.sampleExactN(df, $"id", 200, "k")
+      .collect().map(_.getLong(0)).toSet
+    assert(r1.toSet.subsetOf(r3))
+  }
+
+  test("weightedMix: copies per stratum track the weights, copy index distinct") {
+    val df = (1L to 8000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val weights = Map("s0" -> 0.0, "s1" -> 0.5, "s2" -> 1.0, "s3" -> 2.25)
+    val out = Sampling.weightedMix(df, $"src", weights, $"id", "mix")
+    val byStratum = out.groupBy($"src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byStratum.contains("s0"))
+    assert(math.abs(byStratum("s1") / 2000.0 - 0.5) < 0.06)
+    assert(byStratum("s2") == 2000L)
+    assert(math.abs(byStratum("s3") / 2000.0 - 2.25) < 0.06)
+    // (id, copy) pairs are distinct → downstream sees distinguishable rows
+    assert(out.select($"id", $"copy").distinct().count() == out.count())
+    // determinism across partitionings
+    val out2 = Sampling.weightedMix(df.repartition(23), $"src", weights,
+      $"id", "mix")
+    assert(out2.orderBy($"id", $"copy").collect().toSeq ==
+      out.orderBy($"id", $"copy").collect().toSeq)
+  }
+
+  test("gate queries run and cover all three weight regimes") {
+    val mix = Sampling.saWeightedMix(spark, TestSpark.sf0001)
+    val n = mix.count()
+    // expected total = 500 docs/20 sources = 25 per source × Σ weights
+    val expected = Sampling.MixWeights.values.sum * 25
+    assert(math.abs(n - expected) < expected * 0.15, s"$n vs $expected")
+    assert(Sampling.saSampleN(spark, TestSpark.sf0001).count() ==
+      Sampling.SampleN)
+  }
+}
