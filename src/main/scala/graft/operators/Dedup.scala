@@ -229,7 +229,31 @@ object Dedup {
     * straight off the signature array. One window pass (same shuffle
     * key as the bucket join) ranks docs within their bucket so
     * oversized buckets can pair adjacent-by-id instead of all-pairs. */
-  def candidatePairs(docs: DataFrame): DataFrame = {
+  /** Corpus-adaptive mega-bucket threshold: buckets up to the q-quantile
+    * of observed bucket sizes are "normal for this corpus" and pair
+    * exhaustively; only genuine outliers get the adjacency guard. On a
+    * short-doc / low-diversity corpus where 200-doc buckets are TYPICAL,
+    * the fixed 64 would needlessly degrade recall on a third of the
+    * data; conversely the cap keeps a boilerplate-heavy corpus (where
+    * the p99 itself explodes) from re-opening the quadratic path —
+    * all-pairs work stays ≤ cap²/2 per bucket. percentile_approx over
+    * one row per bucket (the same aggregate the banding shuffle already
+    * groups by), collected as a single scalar — the corpus-statistics
+    * analog of the IVF probe tuning. Opt-in via `candidatePairs(docs,
+    * Some(threshold))`; gate queries keep the fixed default so their
+    * output is partition-exact. */
+  def observedBucketThreshold(buckets: DataFrame, q: Double = 0.99,
+      floor: Int = MegaBucketThreshold, cap: Int = 1024): Int = {
+    val p = buckets.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("bsz"))
+      .agg(percentile_approx(col("bsz"), lit(q), lit(10000)).as("p"))
+      .head().getLong(0)
+    p.max(floor.toLong).min(cap.toLong).toInt
+  }
+
+  def candidatePairs(docs: DataFrame,
+      thresholdOverride: Option[Int] = None): DataFrame = {
+    val threshold = thresholdOverride.getOrElse(MegaBucketThreshold)
     val sigs = docs.select(col("doc_id"),
       graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig"))
     val buckets = bandedBuckets(sigs)
@@ -247,9 +271,9 @@ object Dedup {
       .join(ranked.as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash") &&
-          ((col("x.bsz") <= MegaBucketThreshold &&
+          ((col("x.bsz") <= threshold &&
             col("x.doc_id") < col("y.doc_id")) ||
-           (col("x.bsz") > MegaBucketThreshold &&
+           (col("x.bsz") > threshold &&
             col("x.rk") + 1 === col("y.rk"))))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()

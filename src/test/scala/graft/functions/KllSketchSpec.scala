@@ -62,6 +62,26 @@ class KllSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("kForRankTolerance: requested tolerance is honored across eps tiers") {
+    val li = Tables.lineitem(spark, TestSpark.sf001)
+    def band(tol: Double) = li.agg(
+      expr(s"percentile(CAST(l_extendedprice AS DOUBLE), ${0.5 - tol})"),
+      expr(s"percentile(CAST(l_extendedprice AS DOUBLE), ${0.5 + tol})")).head()
+    for (eps <- Seq(0.10, 0.05, 0.02)) {
+      val est = li.agg(KllFunctions
+        .kll_quantile_tol($"l_extendedprice".cast("double"), 0.5, eps))
+        .head().getDouble(0)
+      val b = band(eps)
+      assert(est >= b.getDouble(0) && est <= b.getDouble(1),
+        s"eps=$eps (k=${KllFunctions.kForRankTolerance(eps)}) median $est " +
+          s"outside ±$eps rank band [${b.getDouble(0)}, ${b.getDouble(1)}]")
+    }
+    // sizing sanity: monotone in 1/eps, clamped at both ends
+    assert(KllFunctions.kForRankTolerance(0.05) == 200)
+    assert(KllFunctions.kForRankTolerance(0.9) == 12)
+    assert(KllFunctions.kForRankTolerance(1e-6) == 65536)
+  }
+
   test("grouped sketch runs as a partial+final aggregate") {
     val df = Tables.lineitem(spark, TestSpark.sf001)
       .groupBy($"l_returnflag")

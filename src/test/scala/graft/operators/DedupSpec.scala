@@ -57,6 +57,45 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("adaptive threshold: typical buckets widen it, the cap bounds outliers") {
+    import spark.implicits._
+    // synthetic bucket frame: 100 buckets of size 3 and 5 of size 200 —
+    // a "short docs, low signature diversity" corpus where 200-doc
+    // buckets are normal. p99 lands on 200, so the adaptive threshold
+    // lets them pair exhaustively instead of degrading recall.
+    val buckets = ((0 until 100).flatMap(b =>
+      (0 until 3).map(i => (0, b.toLong, (b * 10 + i).toLong))) ++
+      (100 until 105).flatMap(b =>
+        (0 until 200).map(i => (0, b.toLong, (10000 + b * 1000 + i).toLong))))
+      .toDF("band", "band_hash", "doc_id")
+    val t = Dedup.observedBucketThreshold(buckets)
+    assert(t == 200, s"threshold $t, want 200 (p99 of observed sizes)")
+    // uniform tiny buckets: stays at the fixed floor
+    val uniform = (0 until 200).flatMap(b =>
+      (0 until 2).map(i => (0, b.toLong, (b * 10 + i).toLong)))
+      .toDF("band", "band_hash", "doc_id")
+    assert(Dedup.observedBucketThreshold(uniform) == Dedup.MegaBucketThreshold)
+    // degenerate corpus: one colossal bucket — the cap still guards it
+    val giant = (0 until 5000).map(i => (0, 1L, i.toLong))
+      .toDF("band", "band_hash", "doc_id")
+    assert(Dedup.observedBucketThreshold(giant) == 1024)
+  }
+
+  test("adaptive threshold recovers all-pairs recall on a moderate bucket") {
+    // 100 near-identical docs: bucket size 100 > fixed 64 → chain pairs
+    // only; with the adaptive override (p99 = 100) all-pairs come back.
+    val boiler = (1 to 40).map(i => s"m$i").mkString(" ")
+    val docs = (0 until 100).map(i => (i.toLong, boiler)).toDF("doc_id", "text")
+    val fixed = Dedup.candidatePairs(docs).count()
+    assert(fixed == 99L, s"fixed-threshold chain pairs: $fixed")
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig"))
+    val t = Dedup.observedBucketThreshold(Dedup.bandedBuckets(sigs))
+    assert(t == 100, s"adaptive threshold $t")
+    val adaptive = Dedup.candidatePairs(docs, Some(t)).count()
+    assert(adaptive == 100L * 99 / 2, s"adaptive all-pairs: $adaptive")
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val s1 = Dedup.signatures(docs).select("sig").head().getSeq[Long](0)
