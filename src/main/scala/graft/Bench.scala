@@ -17,8 +17,9 @@ object Bench {
     "q7_topk_per_group", "q9_top10_global",
     "q21_asof_join", "q29_asof_native", "wordcount_dataframe", "ta_quality",
     "ta_langid_ngram", "q33_theta_sketch", "q34_kll_quantile",
-    "dd_minhash_lsh_full", "dd_simhash_pairs", "ss_knn_brute", "ss_knn_ivf",
-    "ev_sessions")
+    "ta_heavy_hitters", "dd_bloom_incremental", "sa_weighted_mix",
+    "dd_minhash_lsh_full", "dd_simhash_pairs", "dd_dup_spans",
+    "ss_knn_brute", "ss_knn_ivf", "ev_sessions")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -32,6 +33,7 @@ object Bench {
     "dd_simhash_pairs" -> ((s, d) => graft.operators.Dedup.ddSimhashPairs(s, d)),
     "ss_knn_ivf" -> ((s, d) =>
       graft.operators.Similarity.knnIvf(s, d, graft.operators.Similarity.IvfProbe)),
+    "dd_bloom_incremental" -> ((s, d) => graft.operators.Dedup.ddBloomAdmit(s, d)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -58,6 +58,73 @@ case class NGramShingles(child: Expression, n: Int = 3)
     copy(child = newChild)
 }
 
+object PositionalShingleKernel {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  /** ALL positional n-gram shingles (0-based token position, duplicates
+    * kept — unlike [[ShingleKernel]] there is no distinct and no
+    * short-doc fallback: a doc with fewer than n tokens has no n-gram,
+    * exactly like the SQL `range(len - n + 1)` formulation). */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toLowerCase.toString
+      .split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val sb = new java.lang.StringBuilder
+      val rows = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i < rows.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        rows(i) = InternalRow(i, UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      new GenericArrayData(rows)
+    }
+  }
+}
+
+/** Positional shingles as a native codegen'd expression:
+  * array<struct<pos:int, gram:string>> — the input to cross-document
+  * duplicate-span detection, where the POSITION of a repeated n-gram
+  * matters (coverage masks), so the distinct-set NGramShingles form
+  * doesn't fit. */
+case class PositionalShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("gram", StringType,
+        nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"positional_shingles needs a string, got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    PositionalShingleKernel.shingles(s.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PositionalShingleKernel.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalShingles =
+    copy(child = newChild)
+}
+
 object TokenKernel {
   /** Non-empty whitespace tokens of the lowercased text — the exact
     * semantics of `filter(split(lower(text), "\\s+"), _ != "")`, one JVM
@@ -100,4 +167,7 @@ object ShingleFunctions {
 
   def tokens(text: Column): Column =
     ColumnBridge.column(Tokens(ColumnBridge.expression(text)))
+
+  def positional_shingles(text: Column, n: Int): Column =
+    ColumnBridge.column(PositionalShingles(ColumnBridge.expression(text), n))
 }

@@ -86,7 +86,8 @@ object Dedup {
     * filter. */
   val BloomFpp = 0.01
 
-  def ddBloomIncremental(s: SparkSession, dir: String): DataFrame = {
+  private def bloomParts(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Array[Byte]) = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", md5(TextAnalysis.normalized($"text")).as("fp"))
@@ -96,6 +97,22 @@ object Dedup {
       .agg(graft.functions.BloomFunctions
         .bloom_sketch($"fp", nCorpus, BloomFpp).as("sk"))
       .head().getAs[Array[Byte]]("sk")
+    (docs, corpus, sketch)
+  }
+
+  /** Production form (what the bench times): corpus sketch build + the
+    * scan-side admit filter, emitting the admitted batch — no
+    * verification join (that exists only so the gate can check). */
+  def ddBloomAdmit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (docs, _, sketch) = bloomParts(s, dir)
+    docs.filter(!graft.functions.BloomFunctions
+      .bloom_might_contain(lit(sketch), $"fp"))
+  }
+
+  def ddBloomIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (docs, corpus, sketch) = bloomParts(s, dir)
     val admitted = !graft.functions.BloomFunctions
       .bloom_might_contain(lit(sketch), $"fp")
     docs
@@ -122,6 +139,75 @@ object Dedup {
       |    AS BIGINT) AS n_truly_new,
       |  TRUE AS no_false_negatives, TRUE AS fpr_ok
       |FROM fps""".stripMargin
+
+  // ------------------------------- cross-document duplicate spans (W-grams).
+  /** Exact substring-level dedup signal (the "dedup training data"
+    * construction): token spans of length ≥ W that appear in MORE THAN
+    * ONE document, reported per doc as start count, covered-token count
+    * and covered fraction — the C4/Gopher-grade filter for boilerplate
+    * and cross-page template text that document-level near-dup misses.
+    *
+    * Plan: positional W-gram shingles scan-side (native codegen'd
+    * PositionalShingles — positions matter here, so the distinct-set
+    * shingle form doesn't fit) → one hash-aggregate over grams keeps
+    * those in >1 distinct doc → semi-join marks duplicated starts → an
+    * explode(W offsets)+distinct turns starts into the covered-index
+    * union, all grouped per doc. Every stage is a shuffle on a key
+    * (gram, then doc_id) — no quadratic pairing anywhere, corpus-size
+    * scalable. At 100 TB, group grams by xxhash64(gram) instead of the
+    * string to cut shuffle bytes (W-gram text is ~8× token bytes); the
+    * gate keeps the string so DuckDB reproduces it verbatim. */
+  val SpanW = 8
+
+  def ddDupSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val nTok = docs.select($"doc_id",
+      size(graft.functions.ShingleFunctions.tokens($"text")).cast("long")
+        .as("n_tokens"))
+    val starts = docs.select($"doc_id",
+        explode(graft.functions.ShingleFunctions
+          .positional_shingles($"text", SpanW)).as("g"))
+      .select($"doc_id", $"g.pos".as("pos"), $"g.gram".as("gram"))
+    val dupGrams = starts.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1).select($"gram")
+    val dupStarts = starts.join(dupGrams, Seq("gram"), "left_semi")
+    val covered = dupStarts
+      .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanW - 1)))
+        .as("idx"))
+      .distinct()
+      .groupBy($"doc_id").agg(count(lit(1)).as("covered_tokens"))
+    val startCounts = dupStarts.groupBy($"doc_id")
+      .agg(count(lit(1)).as("dup_starts"))
+    nTok
+      .join(startCounts, Seq("doc_id"), "left")
+      .join(covered, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"dup_starts", lit(0L)).as("dup_starts"),
+        coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
+        (coalesce($"covered_tokens", lit(0L)).cast("double") / $"n_tokens")
+          .as("dup_frac"))
+  }
+
+  val ddDupSpansSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+$SpanW], ' ') AS gram
+       |       FROM toks, unnest(range(len(tk) - ${SpanW - 1})) u(i)
+       |       WHERE len(tk) >= $SpanW),
+       |dup AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+       |ds AS (SELECT doc_id, pos FROM sh WHERE gram IN (SELECT gram FROM dup)),
+       |cov AS (SELECT doc_id, COUNT(*) AS covered_tokens FROM
+       |  (SELECT DISTINCT doc_id, pos + o AS idx FROM ds, unnest(range($SpanW)) v(o)) c
+       |  GROUP BY doc_id),
+       |dsc AS (SELECT doc_id, COUNT(*) AS dup_starts FROM ds GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(dsc.dup_starts, 0) AS BIGINT) AS dup_starts,
+       |  CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / len(t.tk) AS dup_frac
+       |FROM toks t
+       |LEFT JOIN dsc ON t.doc_id = dsc.doc_id
+       |LEFT JOIN cov ON t.doc_id = cov.doc_id""".stripMargin
 
   // ------------------------------------------- exact n-gram Jaccard pairs.
   // Quadratic by construction — bounded to a doc_id block so the exact
@@ -669,6 +755,7 @@ object Dedup {
     "dd_fuzzy_names" -> ddFuzzyNames,
     "dd_exact" -> ddExact,
     "dd_bloom_incremental" -> ddBloomIncremental,
+    "dd_dup_spans" -> ddDupSpans,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_minhash_lsh_full" -> ddMinhashLshFull,
@@ -687,6 +774,7 @@ object Dedup {
     "dd_fuzzy_names" -> ddFuzzyNamesSql,
     "dd_exact" -> ddExactSql,
     "dd_bloom_incremental" -> ddBloomIncrementalSql,
+    "dd_dup_spans" -> ddDupSpansSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_lsh_full" -> ddMinhashLshFullSql,

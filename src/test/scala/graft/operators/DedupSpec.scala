@@ -235,6 +235,37 @@ class DedupSpec extends AnyFunSuite {
     assert(pe.getAs[Boolean]("recall_ok"), "trigram-jaccard recall ratio floor broken")
   }
 
+  test("positional shingles: 0-based positions, duplicates kept, short docs empty") {
+    import spark.implicits._
+    val out = Seq("A b c b c", "x y").toDF("text")
+      .select(graft.functions.ShingleFunctions
+        .positional_shingles(col("text"), 3).as("sh"))
+      .select(explode(col("sh")).as("g"))
+      .select(col("g.pos"), col("g.gram"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    // lowercased, sliding, positions 0..2; the 2-token doc emits nothing
+    assert(out == Seq((0, "a b c"), (1, "b c b"), (2, "c b c")))
+  }
+
+  test("duplicate spans: shared W-token run found, coverage exact, clean docs zero") {
+    import spark.implicits._
+    // docs 1+2 share a 10-token run (→ three 8-gram starts each, covering
+    // 10 tokens); doc 3 is disjoint
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d1 = s"$shared ${(1 to 5).map(i => s"a$i").mkString(" ")}"   // 15 toks
+    val d2 = s"${(1 to 4).map(i => s"b$i").mkString(" ")} $shared"   // 14 toks
+    val d3 = (1 to 20).map(i => s"c$i").mkString(" ")                // 20 toks
+    val dir = java.nio.file.Files.createTempDirectory("dupspans").toString
+    Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.ddDupSpans(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows(1L) == ((15L, 3L, 10L, 10.0 / 15)), rows(1L).toString)
+    assert(rows(2L) == ((14L, 3L, 10L, 10.0 / 14)), rows(2L).toString)
+    assert(rows(3L) == ((20L, 0L, 0L, 0.0)), rows(3L).toString)
+  }
+
   test("exact dedup groups identical normalized text") {
     val docs = Seq((1L, "Same  Doc"), (2L, "same doc"), (3L, "unique"))
       .toDF("doc_id", "text")
