@@ -390,11 +390,44 @@ object Similarity {
     lo
   }
 
+  // ---------------------------------------- int8 embedding quantization.
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    * q_i = round-half-up(x_i / scale) — 4× smaller vectors for the ANN
+    * index/shipping tier, with cosine preserved to ~1% (spec-pinned).
+    * Fully deterministic and bit-exact across engines: float32 → double
+    * promotion is exact, and rounding is floor(x + 0.5) in BOTH engines
+    * (SQL round() half-away vs half-even varies by engine; floor form
+    * doesn't). Scan-side only — no shuffle at any corpus size. */
+  def ssQuantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val dvec = transform(col("embedding"), x => abs(x.cast("double")))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        (array_max(dvec) / 127.0).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(0)))
+          .otherwise(transform(col("embedding"), x =>
+            least(greatest(floor(x.cast("double") / col("scale") + 0.5),
+              lit(-127.0)), lit(127.0)).cast("int")))
+          .as("qvec"))
+  }
+
+  val ssQuantizeInt8Sql: String =
+    """SELECT vec_id, scale,
+      |  CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+      |  ELSE list_transform(embedding, x -> CAST(
+      |    least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5), -127.0),
+      |      127.0) AS INT)) END AS qvec
+      |FROM (SELECT vec_id, embedding,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+      |    AS scale FROM embeddings) t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_knn_brute" -> ssKnnBrute,
     "dd_embed_cosine" -> ddEmbedCosine,
     "ss_ann_lsh" -> ssAnnLsh,
     "ss_knn_ivf" -> ssKnnIvf,
+    "ss_quantize_int8" -> ssQuantizeInt8,
   )
 
   /** ss_knn_ivf's neighbor lists come from k-means over floating-point
@@ -407,5 +440,6 @@ object Similarity {
     "dd_embed_cosine" -> ddEmbedCosineSql,
     "ss_ann_lsh" -> ssAnnLshSql,
     "ss_knn_ivf" -> ssKnnIvfSql,
+    "ss_quantize_int8" -> ssQuantizeInt8Sql,
   )
 }

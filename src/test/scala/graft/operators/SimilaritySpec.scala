@@ -132,4 +132,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(row(0).getAs[Boolean]("recall_ok"),
       "IVF recall vs brute force fell below the 0.9 envelope")
   }
+
+  test("int8 quantization: values in range, dequantized cosine within 1%") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val q = Similarity.ssQuantizeInt8(spark, TestSpark.sf0001)
+    // all quantized components within the int8 symmetric range
+    val bad = q.select(explode($"qvec").as("c"))
+      .filter($"c" > 127 || $"c" < -127).count()
+    assert(bad == 0L)
+    // cosine(original, dequantized) >= 0.99 for every vector
+    val joined = emb.join(q, "vec_id")
+      .select($"vec_id", $"embedding", transform($"qvec",
+        c => c.cast("double") * $"scale").as("dq"))
+    val worst = joined.select(Similarity.cosine($"embedding", $"dq").as("c"))
+      .agg(min($"c")).head().getDouble(0)
+    assert(worst >= 0.99, s"worst dequantized cosine $worst")
+  }
 }
