@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Skew-handling building blocks for the 1000-executor case. AQE's skew
   * join handles sort-merge skew automatically; these are for the two
@@ -54,4 +56,61 @@ object Scale {
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  // --------------------------------------------------------- gate queries.
+  // Salting is only admissible if it is SEMANTICS-PRESERVING — the salted
+  // plan must produce byte-identical results to the plain one under any
+  // partitioning and any (nondeterministic) salt assignment. These gates
+  // pin that contract against plain-SQL oracles: the oracle knows nothing
+  // about salts, so a salt leaking into the result (wrong re-aggregate,
+  // dropped/duplicated rows at the replicate join) fails the hash gate.
+
+  val SaltedSalts = 8
+
+  /** l_returnflag is a 3-value key — the degenerate hot-key case where an
+    * unsalted aggregate would bottleneck on 3 reducers at any cluster
+    * size. Decimal sums keep the total order-independent (exact decimal
+    * addition), so the two-phase re-aggregate is bit-stable no matter
+    * which salt each row draws. */
+  def scSaltedSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    saltedSum(Tables.lineitem(s, dir),
+      $"l_returnflag", $"l_quantity".cast("decimal(12,2)"), SaltedSalts)
+      .select($"key", $"total".cast("double").as("total"), $"n")
+  }
+
+  val scSaltedSumSql: String =
+    """SELECT l_returnflag AS key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Salted fact⋈fact equi-join vs the plain join oracle: every lineitem
+    * row must meet its order exactly once (the right side is replicated
+    * once per salt, and each left row carries exactly one salt — a wrong
+    * replication range or a salt collision would duplicate or drop
+    * rows). */
+  def scSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val left = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("orderkey"), $"l_linenumber", $"l_quantity")
+    val right = Tables.orders(s, dir)
+      .select($"o_orderkey".as("orderkey"), $"o_custkey", $"o_orderstatus")
+    saltedJoin(left, right, "orderkey", SaltedSalts)
+  }
+
+  val scSaltedJoinSql: String =
+    """SELECT l_orderkey AS orderkey, l_linenumber, l_quantity,
+      |  o_custkey, o_orderstatus
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sc_salted_sum" -> scSaltedSum,
+    "sc_salted_join" -> scSaltedJoin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sc_salted_sum" -> scSaltedSumSql,
+    "sc_salted_join" -> scSaltedJoinSql,
+  )
 }
