@@ -30,13 +30,26 @@ object Scale {
   def ensureParallelism(df: DataFrame): DataFrame =
     ensureParallelism(df, df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Deterministic per-row salt in [0, salts), derived by hashing STABLE
+    * row columns (a primary key, or any columns that identify the row in
+    * its source). Determinism is not optional at cluster scale: a salt
+    * drawn from `rand()` or `monotonically_increasing_id()` is a
+    * nondeterministic SHUFFLE KEY, and on a partial stage retry (fetch
+    * failure) the re-executed map tasks would assign different salts
+    * while reducers have already consumed the old attempt's output —
+    * duplicating or dropping rows (the SPARK-23207 failure class). A
+    * hash of stable columns reproduces the same salt on every attempt. */
+  def saltOf(saltBy: Seq[Column], salts: Int): Column =
+    pmod(xxhash64(saltBy: _*), lit(salts.toLong)).cast("int")
+
   /** Two-phase aggregation for hot grouping keys: group by (key, salt)
     * first (spreads a hot key over `salts` reducers), then re-aggregate
     * by key. Correct for any associative aggregate expressed as
-    * (partialExpr, mergeExpr) pair on the same column name. */
-  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+    * (partialExpr, mergeExpr) pair on the same column name. `saltBy`
+    * must be stable row-identifying columns (see [[saltOf]]). */
+  def saltedSum(df: DataFrame, key: Column, value: Column, salts: Int,
+      saltBy: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", saltOf(saltBy, salts))
     salted
       .groupBy(key.as("key"), col("__salt"))
       .agg(sum(value).as("partial"), count(lit(1)).as("pn"))
@@ -44,26 +57,29 @@ object Scale {
       .agg(sum(col("partial")).as("total"), sum(col("pn")).as("n"))
   }
 
-  /** Salted equi-join for a skewed LEFT side: left rows get a random salt
-    * in [0, salts); the right side is replicated `salts` times so every
-    * (key, salt) bucket finds its match. Turns one flooded task into
-    * `salts` even ones; right-side blowup is the explicit price. */
+  /** Salted equi-join for a skewed LEFT side: left rows get a
+    * deterministic salt in [0, salts); the right side is replicated
+    * `salts` times so every (key, salt) bucket finds its match. Turns
+    * one flooded task into `salts` even ones; right-side blowup is the
+    * explicit price. `saltBy` must be stable left-row columns (see
+    * [[saltOf]]). */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      salts: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+      salts: Int, saltBy: Seq[Column]): DataFrame = {
+    val saltedLeft = left.withColumn("__salt", saltOf(saltBy, salts))
     val replicatedRight = right.withColumn("__salt",
-      explode(sequence(lit(0L), lit(salts - 1L))))
+      explode(sequence(lit(0), lit(salts - 1))))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
 
   // --------------------------------------------------------- gate queries.
   // Salting is only admissible if it is SEMANTICS-PRESERVING — the salted
   // plan must produce byte-identical results to the plain one under any
-  // partitioning and any (nondeterministic) salt assignment. These gates
-  // pin that contract against plain-SQL oracles: the oracle knows nothing
-  // about salts, so a salt leaking into the result (wrong re-aggregate,
-  // dropped/duplicated rows at the replicate join) fails the hash gate.
+  // partitioning. These gates pin that contract against plain-SQL
+  // oracles: the oracle knows nothing about salts, so a salt leaking
+  // into the result (wrong re-aggregate, dropped/duplicated rows at the
+  // replicate join) fails the hash gate. The salt itself is a hash of
+  // the row's primary key (l_orderkey, l_linenumber), so the salted
+  // shuffle key is deterministic across task retries too.
 
   val SaltedSalts = 8
 
@@ -75,7 +91,8 @@ object Scale {
   def scSaltedSum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     saltedSum(Tables.lineitem(s, dir),
-      $"l_returnflag", $"l_quantity".cast("decimal(12,2)"), SaltedSalts)
+      $"l_returnflag", $"l_quantity".cast("decimal(12,2)"), SaltedSalts,
+      Seq($"l_orderkey", $"l_linenumber"))
       .select($"key", $"total".cast("double").as("total"), $"n")
   }
 
@@ -96,7 +113,8 @@ object Scale {
       .select($"l_orderkey".as("orderkey"), $"l_linenumber", $"l_quantity")
     val right = Tables.orders(s, dir)
       .select($"o_orderkey".as("orderkey"), $"o_custkey", $"o_orderstatus")
-    saltedJoin(left, right, "orderkey", SaltedSalts)
+    saltedJoin(left, right, "orderkey", SaltedSalts,
+      Seq($"orderkey", $"l_linenumber"))
   }
 
   val scSaltedJoinSql: String =
@@ -104,13 +122,34 @@ object Scale {
       |  o_custkey, o_orderstatus
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  /** High-cardinality twin of sc_salted_sum: l_orderkey % 1000 gives ~1000
+    * distinct keys sharing the same 8 salt values, so salt REUSE across
+    * keys (the (key, salt) composite grouping, not just per-key spread)
+    * is exercised — the 3-key gate alone only touches ≤24 composite
+    * groups. */
+  def scSaltedSumHicard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    saltedSum(Tables.lineitem(s, dir),
+      pmod($"l_orderkey", lit(1000L)), $"l_quantity".cast("decimal(12,2)"),
+      SaltedSalts, Seq($"l_orderkey", $"l_linenumber"))
+      .select($"key", $"total".cast("double").as("total"), $"n")
+  }
+
+  val scSaltedSumHicardSql: String =
+    """SELECT l_orderkey % 1000 AS key,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc_salted_sum" -> scSaltedSum,
+    "sc_salted_sum_hicard" -> scSaltedSumHicard,
     "sc_salted_join" -> scSaltedJoin,
   )
 
   val oracles: Map[String, String] = Map(
     "sc_salted_sum" -> scSaltedSumSql,
+    "sc_salted_sum_hicard" -> scSaltedSumHicardSql,
     "sc_salted_join" -> scSaltedJoinSql,
   )
 }

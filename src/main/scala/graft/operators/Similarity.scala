@@ -412,12 +412,23 @@ object Similarity {
           .as("qvec"))
   }
 
+  /** GATE form: same computation, but `qvec` serialized to a ','-joined
+    * string — the driver's comparator lexsorts rows via pandas, and
+    * array cells are unhashable there, so gate queries must emit scalar
+    * columns only. The array-typed [[ssQuantizeInt8]] stays the public
+    * API. */
+  def ssQuantizeInt8Gate(s: SparkSession, dir: String): DataFrame =
+    ssQuantizeInt8(s, dir)
+      .select(col("vec_id"), col("scale"),
+        array_join(col("qvec"), ",").as("qvec"))
+
   val ssQuantizeInt8Sql: String =
     """SELECT vec_id, scale,
+      |  array_to_string(
       |  CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
       |  ELSE list_transform(embedding, x -> CAST(
       |    least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5), -127.0),
-      |      127.0) AS INT)) END AS qvec
+      |      127.0) AS INT)) END, ',') AS qvec
       |FROM (SELECT vec_id, embedding,
       |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
       |    AS scale FROM embeddings) t""".stripMargin
@@ -427,7 +438,7 @@ object Similarity {
     "dd_embed_cosine" -> ddEmbedCosine,
     "ss_ann_lsh" -> ssAnnLsh,
     "ss_knn_ivf" -> ssKnnIvf,
-    "ss_quantize_int8" -> ssQuantizeInt8,
+    "ss_quantize_int8" -> ssQuantizeInt8Gate,
   )
 
   /** ss_knn_ivf's neighbor lists come from k-means over floating-point
