@@ -34,6 +34,7 @@ object Bench {
     "ss_knn_ivf" -> ((s, d) =>
       graft.operators.Similarity.knnIvf(s, d, graft.operators.Similarity.IvfProbe)),
     "dd_bloom_incremental" -> ((s, d) => graft.operators.Dedup.ddBloomAdmit(s, d)),
+    "dd_dup_spans" -> ((s, d) => graft.operators.Dedup.ddDupSpansHashed(s, d)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
@@ -192,6 +193,47 @@ case class BloomMightContain(sketch: Expression, child: Expression)
       : BloomMightContain = copy(child = newChild)
 }
 
+/** Scan-side membership test against a BROADCAST sketch — the at-scale
+  * form of [[BloomMightContain]]. A literal sketch travels inside the
+  * serialized plan of EVERY task; at 1% FPP the sketch is ~1.2
+  * bytes/element (m = -n·ln p/ln²2 bits), i.e. ~1.2 GB for a 10⁹-doc
+  * corpus — a driver/plan-size killer. A `Broadcast[Array[Byte]]`
+  * instead serializes as a tiny handle; executors torrent-fetch the
+  * blocks once per EXECUTOR (not per task) and the expression
+  * deserializes the bit array lazily once per JVM reference. Same
+  * kernel, byte-identical semantics to the literal form (spec-pinned).
+  *
+  * Sizing guidance at 100 TB: don't grow one sketch unboundedly — shard
+  * by fingerprint prefix (one sketch per shard, OR-merged per shard),
+  * keeping each broadcast in the low hundreds of MB. */
+case class BloomMightContainBroadcast(
+    bcast: Broadcast[Array[Byte]], child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val filter: BloomState =
+    BloomKernel.deserialize(bcast.value)
+
+  def mightContainValue(v: Any): Boolean =
+    filter.mightContain(BloomKernel.hash1(v, child.dataType),
+      BloomKernel.hash2(v, child.dataType))
+
+  override def nullSafeEval(v: Any): Any = mightContainValue(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // `this` is shipped once per task holding only the broadcast HANDLE;
+    // the bit array itself arrives via the broadcast manager per executor
+    val ref = ctx.addReferenceObj("bloomBcExpr", this,
+      classOf[BloomMightContainBroadcast].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.mightContainValue($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BloomMightContainBroadcast = copy(child = newChild)
+}
+
 object BloomFunctions {
   def bloom_sketch(col: Column, expectedItems: Long, fpp: Double = 0.01): Column =
     ColumnBridge.column(
@@ -199,10 +241,18 @@ object BloomFunctions {
         .toAggregateExpression())
 
   /** `sketch` must be a literal (e.g. `lit(bytes)` of a collected
-    * sketch); see [[BloomMightContain]]. */
+    * sketch); see [[BloomMightContain]]. Fine for small sketches and SQL;
+    * for corpus-scale sketches use [[bloom_might_contain_bc]]. */
   def bloom_might_contain(sketch: Column, col: Column): Column =
     ColumnBridge.column(BloomMightContain(
       ColumnBridge.expression(sketch), ColumnBridge.expression(col)))
+
+  /** Broadcast-backed membership test — the production form: the sketch
+    * bytes never enter the plan, only a broadcast handle does. See
+    * [[BloomMightContainBroadcast]] for the sizing rationale. */
+  def bloom_might_contain_bc(sketch: Broadcast[Array[Byte]], col: Column): Column =
+    ColumnBridge.column(BloomMightContainBroadcast(
+      sketch, ColumnBridge.expression(col)))
 
   private val mergeUdf = org.apache.spark.sql.functions.udf(
     (a: Array[Byte], b: Array[Byte]) => BloomKernel.merged(a, b))

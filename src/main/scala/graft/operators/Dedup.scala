@@ -102,19 +102,26 @@ object Dedup {
 
   /** Production form (what the bench times): corpus sketch build + the
     * scan-side admit filter, emitting the admitted batch — no
-    * verification join (that exists only so the gate can check). */
+    * verification join (that exists only so the gate can check). The
+    * sketch rides a BROADCAST variable, not a plan literal: a corpus-
+    * scale sketch (~1.2 bytes/element at 1% FPP) embedded via `lit`
+    * would be re-serialized with every task's plan and blow up the
+    * driver; the broadcast handle is bytes-small and executors fetch
+    * the bit array once each (see BloomMightContainBroadcast). */
   def ddBloomAdmit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (docs, _, sketch) = bloomParts(s, dir)
+    val bc = s.sparkContext.broadcast(sketch)
     docs.filter(!graft.functions.BloomFunctions
-      .bloom_might_contain(lit(sketch), $"fp"))
+      .bloom_might_contain_bc(bc, $"fp"))
   }
 
   def ddBloomIncremental(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (docs, corpus, sketch) = bloomParts(s, dir)
+    val bc = s.sparkContext.broadcast(sketch)
     val admitted = !graft.functions.BloomFunctions
-      .bloom_might_contain(lit(sketch), $"fp")
+      .bloom_might_contain_bc(bc, $"fp")
     docs
       .join(broadcast(corpus.select($"fp".as("cfp")).distinct()),
         $"fp" === $"cfp", "left")
@@ -154,21 +161,36 @@ object Dedup {
     * explode(W offsets)+distinct turns starts into the covered-index
     * union, all grouped per doc. Every stage is a shuffle on a key
     * (gram, then doc_id) — no quadratic pairing anywhere, corpus-size
-    * scalable. At 100 TB, group grams by xxhash64(gram) instead of the
-    * string to cut shuffle bytes (W-gram text is ~8× token bytes); the
-    * gate keeps the string so DuckDB reproduces it verbatim. */
+    * scalable.
+    *
+    * Two flavors of the gram shuffle key:
+    *  - GATE flavor keys by the gram STRING, so DuckDB reproduces every
+    *    intermediate verbatim;
+    *  - PRODUCTION flavor ([[ddDupSpansHashed]]) keys by xxhash64(gram)
+    *    and drops the string before the shuffle — W-gram text is ~8×
+    *    token bytes, the hash is 8 bytes, so shuffle volume drops ~8×
+    *    at identical output (a 64-bit collision needs ~2³² distinct
+    *    grams colliding pairwise — harmless for the >1-doc predicate,
+    *    and the spec pins output equality on the gate corpus). */
   val SpanW = 8
 
-  def ddDupSpans(s: SparkSession, dir: String): DataFrame = {
+  private def dupSpansPipeline(s: SparkSession, dir: String,
+      hashedGramKey: Boolean): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val nTok = docs.select($"doc_id",
       size(graft.functions.ShingleFunctions.tokens($"text")).cast("long")
         .as("n_tokens"))
-    val starts = docs.select($"doc_id",
+    val rawStarts = docs.select($"doc_id",
         explode(graft.functions.ShingleFunctions
           .positional_shingles($"text", SpanW)).as("g"))
       .select($"doc_id", $"g.pos".as("pos"), $"g.gram".as("gram"))
+    // production: replace the gram string with its 64-bit hash BEFORE the
+    // shuffle so only 8 bytes per start travel the wire
+    val starts =
+      if (hashedGramKey)
+        rawStarts.select($"doc_id", $"pos", xxhash64($"gram").as("gram"))
+      else rawStarts
     val dupGrams = starts.groupBy($"gram")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" > 1).select($"gram")
@@ -189,6 +211,14 @@ object Dedup {
         (coalesce($"covered_tokens", lit(0L)).cast("double") / $"n_tokens")
           .as("dup_frac"))
   }
+
+  /** Gate flavor (string gram key — DuckDB-reproducible). */
+  def ddDupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansPipeline(s, dir, hashedGramKey = false)
+
+  /** Production flavor (xxhash64 gram key — ~8× fewer shuffle bytes). */
+  def ddDupSpansHashed(s: SparkSession, dir: String): DataFrame =
+    dupSpansPipeline(s, dir, hashedGramKey = true)
 
   val ddDupSpansSql: String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),

@@ -412,8 +412,52 @@ object TextAnalysis {
        |FROM (SELECT unnest($toksSql) AS t FROM documents)
        |GROUP BY t""".stripMargin
 
+  /** OVER-CAPACITY heavy-hitters gate: k=8 counters against the corpus's
+    * 31-token vocabulary, so the sketch is genuinely approximating (the
+    * k=64 gate above stays in the provably-exact regime). The gate emits
+    * exact corpus totals (hash-matched) plus the two Misra–Gries
+    * envelope booleans, computed by joining the ≤k-row sketch against
+    * the true counts:
+    *  - every token with true count > N/(k+1) is retained;
+    *  - every estimate lies in [true − N/(k+1), true].
+    * Both hold under ANY partitioning by the PODS'12 merge bound — the
+    * same claims HeavyHittersSpec pins on a planted Zipf corpus, here
+    * oracle-asserted on driver data. */
+  val HhKOver = 8
+
+  def taHeavyHittersApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("token"))
+    val sketch = toks
+      .agg(graft.functions.HeavyHitterFunctions
+        .heavy_hitters($"token", HhKOver).as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item".as("token"), $"e.est".as("est"))
+    val truth = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = truth.agg(sum($"cnt").as("n_total_l")) // 1 row
+    val bound = $"n_total_l".cast("double") / (HhKOver + 1)
+    truth.join(broadcast(sketch), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .agg(
+        max($"n_total_l").as("n_total"),
+        count(lit(1)).as("n_vocab"),
+        (sum(when($"cnt".cast("double") > bound && $"est".isNull, 1L)
+          .otherwise(0L)) === 0L).as("all_frequent_retained"),
+        (sum(when($"est".isNotNull &&
+          ($"est" > $"cnt" || $"est".cast("double") < $"cnt" - bound), 1L)
+          .otherwise(0L)) === 0L).as("est_within_bound"))
+  }
+
+  val taHeavyHittersApproxSql: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(COUNT(DISTINCT t) AS BIGINT) AS n_vocab,
+       |  TRUE AS all_frequent_retained, TRUE AS est_within_bound
+       |FROM (SELECT unnest($toksSql) AS t FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_heavy_hitters" -> taHeavyHitters,
+    "ta_heavy_hitters_approx" -> taHeavyHittersApprox,
     "ta_top_ngrams" -> taTopNgrams,
     "ta_langid" -> taLangId,
     "ta_langid_ngram" -> taLangIdNgram,
@@ -427,6 +471,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "ta_heavy_hitters" -> taHeavyHittersSql,
+    "ta_heavy_hitters_approx" -> taHeavyHittersApproxSql,
     "ta_top_ngrams" -> taTopNgramsSql,
     "ta_langid" -> taLangIdSql,
     "ta_langid_ngram" -> taLangIdNgramSql,

@@ -35,7 +35,8 @@ final case class AsofJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    tolerance: Option[Long] = None, inner: Boolean = false)
+    tolerance: Option[Long] = None, inner: Boolean = false,
+    toleranceIsInterval: Boolean = false)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     if (inner) left.output ++ right.output
@@ -81,10 +82,34 @@ object AsofJoinStrategy extends SparkStrategy {
     }
   }
 
+  private val MicrosPerDay = 86400000000L
+
+  /** An INTERVAL-form tolerance (stored as micros) converts to the time
+    * column's physical units HERE — the earliest point the time type is
+    * resolved: micros pass through for timestamps, whole days for DATE
+    * columns; raw integral time columns have no physical duration, so an
+    * interval against them is rejected rather than guessed. */
+  private def physicalTolerance(j: AsofJoin): Option[Long] = j.tolerance.map { t =>
+    if (!j.toleranceIsInterval) t
+    else j.leftTime.dataType match {
+      case TimestampType | TimestampNTZType => t
+      case DateType =>
+        require(t % MicrosPerDay == 0,
+          s"asof join: interval tolerance over a DATE column must be a " +
+            s"whole number of days, got ${t}us")
+        t / MicrosPerDay
+      case dt => throw new IllegalArgumentException(
+        s"asof join: interval tolerance needs a date/timestamp time " +
+          s"column; ${dt.sql} has no physical duration — pass a raw " +
+          s"integral tolerance in the column's own units instead")
+    }
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case j @ AsofJoin(l, r, lk, rk, lt, rt, tol, inner) =>
+    case j @ AsofJoin(l, r, lk, rk, lt, rt, _, inner, _) =>
       validate(j)
-      AsofJoinExec(lk, rk, lt, rt, tol, inner, planLater(l), planLater(r)) :: Nil
+      AsofJoinExec(lk, rk, lt, rt, physicalTolerance(j), inner,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }

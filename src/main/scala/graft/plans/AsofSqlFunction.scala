@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedRel
 import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.IntervalUtils
+import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
 
 /** `spark.sql` surface for the native as-of join — a table-valued
   * function, so SQL users reach [[AsofJoin]] without the Scala DSL:
@@ -15,7 +17,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *   'trades', 'quotes',            -- table/view names (multipart ok)
   *   'l.symbol', 'r.symbol',        -- join key expressions (comma-sep)
   *   'l.trade_ts', 'r.quote_ts',    -- time expressions
-  *   300000000,                     -- optional tolerance (physical units)
+  *   300000000,                     -- optional tolerance (physical units,
+  *                                  --  or INTERVAL '5' MINUTE / '5 minutes')
   *   'inner')                       -- optional mode: 'left' | 'inner'
   * }}}
   *
@@ -43,11 +46,40 @@ object AsofSqlFunction {
       s"$name: $what must be a string literal, got $other — usage: $usage")
   }
 
-  private def lng(e: Expression): Long = e match {
-    case Literal(v: java.lang.Number, IntegerType | LongType) => v.longValue
+  /** Tolerance argument: either a raw integral literal (the time
+    * column's physical units — micros/days/raw, as before), or an
+    * INTERVAL — `INTERVAL '5' MINUTE` or the string `'5 minutes'` —
+    * normalized to micros here and converted to physical units at
+    * strategy time, once the time column's type is resolved (the tables
+    * are still unresolved names at this point). Returns
+    * (value, isInterval). */
+  private def tol(e: Expression): (Long, Boolean) = e match {
+    case Literal(v: java.lang.Number, IntegerType | LongType) =>
+      (v.longValue, false)
+    case Literal(v, _: DayTimeIntervalType) if v != null =>
+      (v.asInstanceOf[Long], true)
+    case Literal(ci: CalendarInterval, CalendarIntervalType) =>
+      (calendarMicros(ci), true)
+    case Literal(s, StringType) if s != null =>
+      val ci =
+        try IntervalUtils.stringToInterval(s.asInstanceOf[UTF8String])
+        catch {
+          case ex: IllegalArgumentException => throw new IllegalArgumentException(
+            s"$name: cannot parse tolerance '$s' as an interval " +
+              s"(try e.g. '5 minutes'): ${ex.getMessage}")
+        }
+      (calendarMicros(ci), true)
     case other => throw new IllegalArgumentException(
-      s"$name: tolerance must be an integral literal in the time column's " +
-        s"physical units (micros/days/raw), got $other")
+      s"$name: tolerance must be an integral literal (time column's " +
+        s"physical units), an INTERVAL literal, or an interval string " +
+        s"like '5 minutes', got $other")
+  }
+
+  private def calendarMicros(ci: CalendarInterval): Long = {
+    if (ci.months != 0) throw new IllegalArgumentException(
+      s"$name: month/year intervals are not a fixed physical duration — " +
+        s"use days/hours/minutes/seconds")
+    ci.days * 86400000000L + ci.microseconds
   }
 
   /** Parse a comma-separated expression list with real top-level comma
@@ -77,7 +109,9 @@ object AsofSqlFunction {
     val rightKeys = exprList(str(args(3), "right keys"), "right keys")
     val leftTime = CatalystSqlParser.parseExpression(str(args(4), "left time"))
     val rightTime = CatalystSqlParser.parseExpression(str(args(5), "right time"))
-    val tolerance = if (args.length > 6) Some(lng(args(6))) else None
+    val (tolerance, tolIsInterval) =
+      if (args.length > 6) { val (v, i) = tol(args(6)); (Some(v), i) }
+      else (None, false)
     val inner = if (args.length > 7) {
       str(args(7), "mode").toLowerCase match {
         case "inner" => true
@@ -87,7 +121,7 @@ object AsofSqlFunction {
       }
     } else false
     AsofJoin(left, right, leftKeys, rightKeys, leftTime, rightTime,
-      tolerance, inner)
+      tolerance, inner, tolIsInterval)
   }
 
   /** injectTableFunction-shaped description. */

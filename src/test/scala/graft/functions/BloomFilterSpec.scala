@@ -85,6 +85,42 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(e.getMessage.contains("shape mismatch"), e.getMessage)
   }
 
+  test("broadcast membership matches literal membership, byte for byte") {
+    val data = (1 to 2000).map(i => s"bc-$i")
+    val sk = sketchOf(data, 2000)
+    val bc = spark.sparkContext.broadcast(sk)
+    val probe = ((1 to 2000) ++ (9000 to 9999)).map(i => s"bc-$i").toDF("v")
+    def results(c: org.apache.spark.sql.Column): Seq[(String, Boolean)] =
+      probe.select($"v", c.as("m")).collect()
+        .map(r => (r.getString(0), r.getBoolean(1))).toSeq.sorted
+    assert(results(BloomFunctions.bloom_might_contain_bc(bc, $"v")) ==
+      results(BloomFunctions.bloom_might_contain(lit(sk), $"v")))
+  }
+
+  test("broadcast form keeps the sketch bytes out of the plan") {
+    // sized for 5M items at 1% fpp ⇒ ~6 MB sketch: embedded as a literal
+    // this would ride every serialized task; the broadcast form must leave
+    // only a handle in the plan
+    val n = 5_000_000L
+    val bits = BloomKernel.optimalNumBits(n, 0.01)
+    assert(bits / 8 > (5 << 20), s"test premise: sketch ${bits / 8}B not multi-MB")
+    val big = BloomKernel.serialize(
+      new BloomState(bits, BloomKernel.optimalNumHashes(n, bits)))
+    val bc = spark.sparkContext.broadcast(big)
+    val df = (1 to 10).map(i => s"p-$i").toDF("v")
+      .filter(BloomFunctions.bloom_might_contain_bc(bc, $"v"))
+    val maxLiteral = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            b: Array[Byte], _) => b.length
+      })
+    }.flatten
+    assert(maxLiteral.forall(_ < 1024),
+      s"binary literal of ${maxLiteral.maxOption.getOrElse(0)}B in plan")
+    df.collect() // and it still executes
+    bc.destroy()
+  }
+
   test("incremental-dedup gate query: exact counts + envelope booleans") {
     val row = graft.operators.Dedup
       .ddBloomIncremental(spark, TestSpark.sf0001).head()

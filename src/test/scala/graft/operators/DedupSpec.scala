@@ -266,6 +266,17 @@ class DedupSpec extends AnyFunSuite {
     assert(rows(3L) == ((20L, 0L, 0L, 0.0)), rows(3L).toString)
   }
 
+  test("hashed-gram production flavor matches the string-gram gate flavor") {
+    import spark.implicits._
+    // real corpus (sf0.001, 500 docs with genuine cross-doc duplicates):
+    // keying the gram shuffle by xxhash64 must not change a single row
+    val dir = graft.TestSpark.sf0001
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().toSeq
+    assert(sorted(Dedup.ddDupSpansHashed(spark, dir)) ==
+      sorted(Dedup.ddDupSpans(spark, dir)))
+  }
+
   test("exact dedup groups identical normalized text") {
     val docs = Seq((1L, "Same  Doc"), (2L, "same doc"), (3L, "unique"))
       .toDF("doc_id", "text")

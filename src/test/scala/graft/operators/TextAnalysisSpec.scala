@@ -134,6 +134,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("over-capacity heavy-hitters gate: MG envelope holds on real corpus") {
+    // k=8 < 31-token vocabulary → the sketch must actually approximate,
+    // and both Misra–Gries envelope booleans must still come out true
+    val row = TextAnalysis.taHeavyHittersApprox(spark, TestSpark.sf0001).head()
+    assert(row.getAs[Long]("n_vocab") == 31L, "premise: vocab over k=8")
+    assert(row.getAs[Long]("n_total") > 0L)
+    assert(row.getAs[Boolean]("all_frequent_retained"))
+    assert(row.getAs[Boolean]("est_within_bound"))
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fps = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "other"))
       .toDF("doc_id", "text")

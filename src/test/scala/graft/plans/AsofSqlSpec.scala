@@ -44,6 +44,44 @@ class AsofSqlSpec extends AnyFunSuite {
     assert(out == Set((1L, ts(6), 11.0), (2L, ts(4), 50.0)))
   }
 
+  test("interval tolerance: INTERVAL literal and '2 minutes' string match micros") {
+    setup()
+    def run(tolSql: String): Set[(Long, Timestamp, Double)] = spark.sql(
+      s"""SELECT l.id, tt, price FROM asof_join('sql_trades', 'sql_quotes',
+         |  'l.id', 'r.id', 'l.tt', 'r.qt', $tolSql, 'inner')""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    val viaMicros = run("120000000")
+    assert(viaMicros == Set((1L, ts(6), 11.0), (2L, ts(4), 50.0)))
+    assert(run("INTERVAL '2' MINUTE") == viaMicros)
+    assert(run("'2 minutes'") == viaMicros)
+  }
+
+  test("interval tolerance rejects month intervals and raw-long time columns") {
+    setup()
+    import spark.implicits._
+    val months = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM asof_join('sql_trades', 'sql_quotes',
+          |  'l.id', 'r.id', 'l.tt', 'r.qt', '1 month')""".stripMargin).collect()
+    }
+    assert(months.getMessage.contains("not a fixed physical duration"), months)
+    // raw bigint time column: integral tolerance fine, interval rejected
+    Seq((1L, 10L), (1L, 50L)).toDF("id", "t")
+      .createOrReplaceTempView("sql_raw_r")
+    Seq((1L, 60L)).toDF("id", "t").createOrReplaceTempView("sql_raw_l")
+    val rawOk = spark.sql(
+      """SELECT r.t FROM asof_join('sql_raw_l', 'sql_raw_r',
+        |  'l.id', 'r.id', 'l.t', 'r.t', 15)""".stripMargin).collect()
+    assert(rawOk.map(_.getLong(0)).toSeq == Seq(50L))
+    val rawInterval = intercept[Exception] {
+      spark.sql(
+        """SELECT * FROM asof_join('sql_raw_l', 'sql_raw_r',
+          |  'l.id', 'r.id', 'l.t', 'r.t', '5 minutes')""".stripMargin).collect()
+    }
+    assert(rawInterval.getMessage.contains("no physical duration"), rawInterval)
+  }
+
   test("computed time expressions parse (cast inside the argument string)") {
     setup()
     // identical result through a cast that round-trips the time column
