@@ -15,11 +15,12 @@ object Bench {
     "q1_pricing_summary", "q2_filter_project", "q3_region_revenue",
     "q4_fact_join", "q4_bucketed", "q35_bucketed_cust",
     "q7_topk_per_group", "q9_top10_global",
-    "q21_asof_join", "q29_asof_native", "wordcount_dataframe", "ta_quality",
+    "q21_asof_join", "q29_asof_native", "q36_asof_sql",
+    "wordcount_dataframe", "ta_quality",
     "ta_langid_ngram", "q33_theta_sketch", "q34_kll_quantile",
     "ta_heavy_hitters", "dd_bloom_incremental", "sa_weighted_mix",
     "dd_minhash_lsh_full", "dd_simhash_pairs", "dd_dup_spans",
-    "ss_knn_brute", "ss_knn_ivf", "ev_sessions")
+    "dd_decontaminate", "ss_knn_brute", "ss_knn_ivf", "ev_sessions")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -35,6 +36,7 @@ object Bench {
       graft.operators.Similarity.knnIvf(s, d, graft.operators.Similarity.IvfProbe)),
     "dd_bloom_incremental" -> ((s, d) => graft.operators.Dedup.ddBloomAdmit(s, d)),
     "dd_dup_spans" -> ((s, d) => graft.operators.Dedup.ddDupSpansHashed(s, d)),
+    "dd_decontaminate" -> ((s, d) => graft.operators.Dedup.ddDecontaminateHashed(s, d)),
   )
 
   def main(args: Array[String]): Unit = {

@@ -220,6 +220,72 @@ object Dedup {
   def ddDupSpansHashed(s: SparkSession, dir: String): DataFrame =
     dupSpansPipeline(s, dir, hashedGramKey = true)
 
+  // ------------------------------------- eval-set decontamination (W-grams).
+  /** Benchmark DECONTAMINATION — the training-data hygiene step the
+    * dedup ladder doesn't cover: find training documents that share any
+    * W-token span with an evaluation/benchmark document, so they can be
+    * dropped (or the eval marked compromised) before training. The
+    * classic construction is N-gram overlap against the eval set
+    * (C4/GPT-3-style); here W = [[SpanW]] tokens.
+    *
+    * Gate split: docs with doc_id % 25 == 0 play the eval set (4%), the
+    * rest are the training corpus. Output: one row per ≥W-token train
+    * doc with its distinct-gram count, how many of those grams appear in
+    * ANY eval doc, and the contaminated flag.
+    *
+    * Plan shape at 100 TB: distinct (doc, gram) pairs scan-side → the
+    * eval gram set is grouped then BROADCAST (an eval benchmark is small
+    * by construction — even 10⁶ grams hash to single-digit MBs in the
+    * hashed flavor) → per-doc count aggregate. The only corpus-sized
+    * shuffles are keyed on (doc_id, gram) and doc_id; no pairing, and
+    * the train side never shuffles on the gram at all thanks to the
+    * broadcast. Same two flavors as dup spans: the gate keys grams by
+    * STRING (DuckDB twin), production by xxhash64. */
+  private def decontamPipeline(s: SparkSession, dir: String,
+      hashedGramKey: Boolean): DataFrame = {
+    import s.implicits._
+    val raw = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(graft.functions.ShingleFunctions
+          .positional_shingles($"text", SpanW)).as("g"))
+      .select($"doc_id", $"g.gram".as("gram"))
+    val grams = (if (hashedGramKey)
+      raw.select($"doc_id", xxhash64($"gram").as("gram"))
+    else raw).distinct()
+    val evalGrams = grams.filter($"doc_id" % 25 === 0)
+      .select($"gram").distinct().withColumn("__hit", lit(1))
+    grams.filter($"doc_id" % 25 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("contaminated", $"n_contaminated" > 0)
+  }
+
+  /** Gate flavor (string gram key — DuckDB-reproducible). */
+  def ddDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontamPipeline(s, dir, hashedGramKey = false)
+
+  /** Production flavor (xxhash64 gram key). */
+  def ddDecontaminateHashed(s: SparkSession, dir: String): DataFrame =
+    decontamPipeline(s, dir, hashedGramKey = true)
+
+  val ddDecontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         array_to_string(tk[i+1:i+$SpanW], ' ') AS gram
+       |       FROM toks, unnest(range(len(tk) - ${SpanW - 1})) u(i)
+       |       WHERE len(tk) >= $SpanW),
+       |ev AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 25 = 0)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_contaminated,
+       |  SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+       |    AS contaminated
+       |FROM sh d LEFT JOIN ev e ON d.gram = e.gram
+       |WHERE d.doc_id % 25 <> 0
+       |GROUP BY d.doc_id""".stripMargin
+
   val ddDupSpansSql: String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |sh AS (SELECT doc_id, i AS pos, array_to_string(tk[i+1:i+$SpanW], ' ') AS gram
@@ -740,6 +806,61 @@ object Dedup {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sig")
 
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** STREAMING-mode dedup gate: the documents parquet replayed through a
+    * real file-source micro-batch stream — split into TWO files
+    * (`maxFilesPerTrigger=1` ⇒ two micro-batches) so duplicate pairs
+    * cross the batch boundary and the dedup STATE STORE, not just
+    * within-batch hashing, does the work. Keyed on the exact content
+    * fingerprint (md5 of normalized text) rather than the minhash
+    * signature so the gate emits a value DuckDB recomputes verbatim;
+    * only the fingerprint column reaches the sink because WHICH doc of
+    * a duplicate group survives is partition-order-dependent, while the
+    * SET of surviving fingerprints is exact.
+    *
+    * Event time is synthesized as doc_id mod 60 seconds past a fixed
+    * epoch, so the whole corpus spans one minute against a 1-hour
+    * watermark delay: no fingerprint's state can be evicted mid-replay
+    * and the converged sink must equal batch DISTINCT exactly. (The
+    * production form keys the same operator on the minhash signature —
+    * [[streamingMinhashDedup]] — where near-j=1 docs also collapse.) */
+  def ddStreamExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val schema = docs.schema
+    val src = java.nio.file.Files.createTempDirectory("graft_dd_stream")
+    def writeSplit(idx: Int, part: DataFrame): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_dd_split$idx")
+      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.head
+      val dest = src.resolve(f"0${idx}_docs.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(f), dest)
+      dest.toFile.setLastModified(1000000L + idx * 10000L)
+      ()
+    }
+    writeSplit(1, docs.filter($"doc_id" % 2 === 0))
+    writeSplit(2, docs.filter($"doc_id" % 2 =!= 0))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + $"doc_id" % 60))
+      .withColumn("fp", md5(TextAnalysis.normalized($"text")))
+      .select($"ts", $"fp")
+    val name = s"dd_stream_exact_${streamRuns.incrementAndGet()}"
+    val q = stream.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .select($"fp")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  val ddStreamExactSql: String =
+    """SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+      |  AS fp FROM documents""".stripMargin
+
   // ------------------------------------------------ fuzzy (edit-distance)
   // dedup: blocked by (brand × name-length band), exact levenshtein
   // within the block — the classic blocking+verify shape for typo-level
@@ -784,8 +905,10 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_fuzzy_names" -> ddFuzzyNames,
     "dd_exact" -> ddExact,
+    "dd_stream_exact" -> ddStreamExact,
     "dd_bloom_incremental" -> ddBloomIncremental,
     "dd_dup_spans" -> ddDupSpans,
+    "dd_decontaminate" -> ddDecontaminate,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_minhash_lsh_full" -> ddMinhashLshFull,
@@ -803,8 +926,10 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_fuzzy_names" -> ddFuzzyNamesSql,
     "dd_exact" -> ddExactSql,
+    "dd_stream_exact" -> ddStreamExactSql,
     "dd_bloom_incremental" -> ddBloomIncrementalSql,
     "dd_dup_spans" -> ddDupSpansSql,
+    "dd_decontaminate" -> ddDecontaminateSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_lsh_full" -> ddMinhashLshFullSql,

@@ -72,6 +72,30 @@ object Sampling {
       .limit(n)
       .drop("__h")
 
+  /** Deterministic exact-n-per-stratum sample: within each stratum, the
+    * n rows with the smallest key hashes (key tie-break) — stratified
+    * reservoir sampling, rerun-stable and partitioning-independent like
+    * [[sampleExactN]]. One shuffle, keyed on the stratum, then a
+    * row_number rank inside each — no global sort.
+    *
+    * Scale note: a single hot stratum lands on one reducer. When one
+    * stratum dominates (say >10⁸ rows) compose with
+    * [[sampleFraction]] first — over-sample each stratum to ~4·n/|S|
+    * expected rows with the SAME salt (the hash order is preserved:
+    * u < t keeps exactly the smallest hashes), then rank the survivors;
+    * the window then sees thousands of rows per stratum, not billions.
+    * The composition is exact as long as every stratum retains ≥ n rows
+    * after the pre-filter. */
+  def sampleExactNPerStratum(df: DataFrame, strata: Column, key: Column,
+      n: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(col("__h"), key)
+    df.withColumn("__h", hashHex(key, salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__h", "__rn")
+  }
+
   /** Source re-weighting with upsampling: each stratum's weight w emits
     * floor(w) full copies per row plus one more for the hash-selected
     * w − floor(w) fraction. Output gains a `copy` index (1..n_copies),
@@ -142,13 +166,31 @@ object Sampling {
        |ORDER BY ${hashHexSql("doc_id", SampleSalt)}, doc_id
        |LIMIT $SampleN""".stripMargin
 
+  val StratumN = 15
+  val StratumSalt = "graft-strat-r7"
+
+  def saStratifiedN(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sampleExactNPerStratum(
+      Tables.documents(s, dir).select($"doc_id", $"source"),
+      $"source", $"doc_id", StratumN, StratumSalt)
+  }
+
+  val saStratifiedNSql: String =
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY ${hashHexSql("doc_id", StratumSalt)}, doc_id) AS rn
+       |  FROM documents) t WHERE rn <= $StratumN""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sa_weighted_mix" -> saWeightedMix,
     "sa_sample_n" -> saSampleN,
+    "sa_stratified_n" -> saStratifiedN,
   )
 
   val oracles: Map[String, String] = Map(
     "sa_weighted_mix" -> saWeightedMixSql,
     "sa_sample_n" -> saSampleNSql,
+    "sa_stratified_n" -> saStratifiedNSql,
   )
 }

@@ -71,6 +71,36 @@ object Scale {
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Choose a salt count from OBSERVED key skew instead of a guess
+    * (mirrors Dedup's adaptive mega-bucket threshold): estimate the top
+    * key's share of rows from a deterministic-seed sample, then size
+    * salts so the hot key's per-(key,salt) slice shrinks to roughly the
+    * even per-reducer share — share·N/m ≈ N/P gives m = ceil(share·P),
+    * clamped to [1, parallelism]. A near-uniform key (share ≤ 1/P)
+    * yields 1, i.e. salting disabled — the common case should pay zero
+    * overhead. TUNING-time only (like the IVF probe autotune): the
+    * sample is partitioning-dependent, so pin the result into job
+    * config rather than recomputing per run when bit-stable plans
+    * matter. */
+  def chooseSalts(df: DataFrame, key: Column, parallelism: Int,
+      sampleFrac: Double = 0.01, seed: Long = 42L): Int = {
+    val counts = df.sample(sampleFrac, seed).groupBy(key.as("k")).count()
+    val row = counts.agg(max(col("count")).as("top"),
+      sum(col("count")).as("n")).head()
+    if (row.isNullAt(1) || row.getLong(1) == 0L) 1
+    else {
+      val share = row.getLong(0).toDouble / row.getLong(1)
+      math.min(parallelism, math.max(1, math.ceil(share * parallelism).toInt))
+    }
+  }
+
+  /** [[saltedSum]] with the salt count measured from the data. */
+  def saltedSumAdaptive(df: DataFrame, key: Column, value: Column,
+      saltBy: Seq[Column]): DataFrame =
+    saltedSum(df, key, value,
+      chooseSalts(df, key, df.sparkSession.sparkContext.defaultParallelism),
+      saltBy)
+
   // --------------------------------------------------------- gate queries.
   // Salting is only admissible if it is SEMANTICS-PRESERVING — the salted
   // plan must produce byte-identical results to the plain one under any

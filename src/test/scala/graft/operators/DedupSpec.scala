@@ -277,6 +277,58 @@ class DedupSpec extends AnyFunSuite {
       sorted(Dedup.ddDupSpans(spark, dir)))
   }
 
+  test("decontamination flags planted eval-overlap, exact counts") {
+    import spark.implicits._
+    // doc 25 is "eval" (25 % 25 == 0); train doc 1 embeds eval's 8-token
+    // run, train doc 2 is clean, train doc 3 is too short to shingle
+    val run = (1 to 8).map(i => s"e$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("decontam").toString
+    Seq(
+      (25L, s"$run x1 x2"),                                   // eval: 3 grams
+      (1L, s"t1 t2 $run t3"),                                 // overlaps: 1 gram of 4
+      (2L, (1 to 12).map(i => s"c$i").mkString(" ")),          // clean: 5 grams
+      (3L, "too short")                                        // < 8 tokens
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.ddDecontaminate(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L) == ((4L, 1L, true)), rows(1L).toString)
+    assert(rows(2L) == ((5L, 0L, false)), rows(2L).toString)
+  }
+
+  test("decontamination hashed flavor matches string flavor on real corpus") {
+    import spark.implicits._
+    val dir = graft.TestSpark.sf0001
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().toSeq
+    assert(sorted(Dedup.ddDecontaminateHashed(spark, dir)) ==
+      sorted(Dedup.ddDecontaminate(spark, dir)))
+  }
+
+  test("streaming exact-dedup gate equals batch DISTINCT across micro-batches") {
+    import spark.implicits._
+    val dir = graft.TestSpark.sf0001
+    val streamed = Dedup.ddStreamExact(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    val batch = graft.Tables.documents(spark, dir)
+      .select(md5(TextAnalysis.normalized($"text")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(streamed == batch)
+    // and on a planted corpus with cross-batch duplicates (even/odd split
+    // puts each dup pair in DIFFERENT micro-batches), the state store
+    // catches them: 6 docs, 3 distinct texts
+    val planted = java.nio.file.Files.createTempDirectory("ddstream").toString
+    Seq((0L, "alpha beta"), (1L, "alpha  BETA"), (2L, "gamma"),
+      (3L, "Gamma "), (4L, "delta"), (5L, "DELTA"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$planted/documents.parquet")
+    val kept = Dedup.ddStreamExact(spark, planted)
+      .collect().map(_.getString(0)).toSet
+    assert(kept.size == 3)
+  }
+
   test("exact dedup groups identical normalized text") {
     val docs = Seq((1L, "Same  Doc"), (2L, "same doc"), (3L, "unique"))
       .toDF("doc_id", "text")

@@ -75,6 +75,35 @@ class SamplingSpec extends AnyFunSuite {
       out.orderBy($"id", $"copy").collect().toSeq)
   }
 
+  test("sampleExactNPerStratum: exactly n per stratum, partitioning-stable") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, s"s${i % 4}")).toDF("id", "src")
+    def run(parts: Int): Seq[(Long, String)] =
+      Sampling.sampleExactNPerStratum(df.repartition(parts), $"src", $"id",
+          10, "strat-test")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val out = run(3)
+    assert(out.size == 40)
+    assert(out.groupBy(_._2).forall(_._2.size == 10))
+    assert(out == run(17)) // same sample under any partitioning
+  }
+
+  test("pre-filter composition is exact while every stratum keeps >= n rows") {
+    import spark.implicits._
+    // the documented hot-stratum path: over-sample with the SAME salt
+    // (keeps exactly the smallest hashes), then rank — must equal the
+    // direct rank as long as each stratum retains >= n survivors
+    val df = (1 to 2000).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "src")
+    val direct = Sampling.sampleExactNPerStratum(df, $"src", $"id", 20, "cmp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val pre = Sampling.sampleFraction(df, $"id", 0.2, "cmp")
+    assert(pre.groupBy($"src").count().collect()
+      .forall(_.getLong(1) >= 20), "premise: every stratum keeps >= n")
+    val composed = Sampling.sampleExactNPerStratum(pre, $"src", $"id", 20, "cmp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(composed == direct)
+  }
+
   test("gate queries run and cover all three weight regimes") {
     val mix = Sampling.saWeightedMix(spark, TestSpark.sf0001)
     val n = mix.count()

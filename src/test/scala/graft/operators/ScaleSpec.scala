@@ -43,6 +43,24 @@ class ScaleSpec extends AnyFunSuite {
     assert(buckets.map(_.getAs[Int]("__salt")).forall(s => s >= 0 && s < 8))
   }
 
+  test("chooseSalts scales with observed skew and disables on uniform keys") {
+    import spark.implicits._
+    // 90% hot key at P=32 → need ~29 salts; uniform 100 keys → 1 (off)
+    val skewed = ((1 to 9000).map(i => ("hot", i)) ++
+      (1 to 1000).map(i => (s"k${i % 100}", i))).toDF("k", "v")
+    val skewedSalts = Scale.chooseSalts(skewed, $"k", 32, sampleFrac = 0.5)
+    assert(skewedSalts >= 24 && skewedSalts <= 32, s"got $skewedSalts")
+    val uniform = (1 to 10000).map(i => (s"k${i % 100}", i)).toDF("k", "v")
+    assert(Scale.chooseSalts(uniform, $"k", 32, sampleFrac = 0.5) == 1)
+    // and the adaptive wrapper still sums correctly
+    val plain = skewed.groupBy($"k").agg(sum($"v").as("total"))
+      .orderBy($"k").collect().map(r => (r.getString(0), r.getLong(1)))
+    val adaptive = Scale.saltedSumAdaptive(skewed, $"k", $"v", Seq($"k", $"v"))
+      .select($"key", $"total".cast("long"), $"n")
+      .orderBy($"key").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(adaptive.toSeq == plain.toSeq)
+  }
+
   test("saltOf is deterministic under re-partitioning (retry safety)") {
     import spark.implicits._
     // The salt is a pure function of the stable columns, so recomputing it
