@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -234,6 +234,75 @@ case class BloomMightContainBroadcast(
       : BloomMightContainBroadcast = copy(child = newChild)
 }
 
+/** Membership test for the SHARDED sketch construction: the corpus is
+  * split by fingerprint hash into S shards, each with its own (much
+  * smaller, independently refreshable) sketch, and incoming rows join
+  * their shard's sketch as a per-row COLUMN. No single byte array then
+  * needs to approach JVM limits at 10¹⁰+ elements, shards rebuild
+  * incrementally (OR-merge per shard), and the join can be broadcast
+  * (S rows) or shuffled on the shard key.
+  *
+  * A per-row column can't be deserialized per row (MB-scale sketches);
+  * instead the expression caches deserialized shards in a per-task map
+  * keyed by the shard id — one deserialization per shard per task, at
+  * most S live states (≈ the whole-corpus sketch bytes, same as the
+  * broadcast form's worst case; after a shard-keyed shuffle each task
+  * touches ~S/P shards). */
+case class BloomMightContainShard(
+    shard: Expression, sketch: Expression, child: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = shard
+  override def second: Expression = sketch
+  override def third: Expression = child
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (sketch.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sketch must be BINARY, got ${sketch.dataType.sql}")
+    else if (!Seq[DataType](org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(shard.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shard id must be integral, got ${shard.dataType.sql}")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean =
+    shard.nullable || sketch.nullable || child.nullable
+
+  @transient private lazy val cache =
+    new java.util.HashMap[Long, BloomState]()
+
+  def mightContainValue(shardId: Long, bytes: Array[Byte], v: Any): Boolean = {
+    var state = cache.get(shardId)
+    if (state == null) {
+      state = BloomKernel.deserialize(bytes)
+      cache.put(shardId, state)
+    }
+    state.mightContain(BloomKernel.hash1(v, child.dataType),
+      BloomKernel.hash2(v, child.dataType))
+  }
+
+  override def nullSafeEval(shardId: Any, bytes: Any, v: Any): Any =
+    mightContainValue(shardId.asInstanceOf[Number].longValue,
+      bytes.asInstanceOf[Array[Byte]], v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomShardExpr", this,
+      classOf[BloomMightContainShard].getName)
+    nullSafeCodeGen(ctx, ev, (s, b, v) =>
+      s"${ev.value} = $ref.mightContainValue((long) $s, $b, $v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression)
+      : BloomMightContainShard =
+    copy(shard = newFirst, sketch = newSecond, child = newThird)
+}
+
 object BloomFunctions {
   def bloom_sketch(col: Column, expectedItems: Long, fpp: Double = 0.01): Column =
     ColumnBridge.column(
@@ -253,6 +322,14 @@ object BloomFunctions {
   def bloom_might_contain_bc(sketch: Broadcast[Array[Byte]], col: Column): Column =
     ColumnBridge.column(BloomMightContainBroadcast(
       sketch, ColumnBridge.expression(col)))
+
+  /** Sharded membership test: `sketch` is a per-row column (each row
+    * joined with its shard's sketch); see [[BloomMightContainShard]]. */
+  def bloom_might_contain_shard(shard: Column, sketch: Column,
+      col: Column): Column =
+    ColumnBridge.column(BloomMightContainShard(
+      ColumnBridge.expression(shard), ColumnBridge.expression(sketch),
+      ColumnBridge.expression(col)))
 
   private val mergeUdf = org.apache.spark.sql.functions.udf(
     (a: Array[Byte], b: Array[Byte]) => BloomKernel.merged(a, b))

@@ -136,6 +136,76 @@ object Dedup {
             sum(when(!$"in_corpus", 1L).otherwise(0L)))).as("fpr_ok"))
   }
 
+  // ----------------------------------------- SHARDED Bloom construction.
+  /** The 10¹⁰+-element rung of the Bloom ladder: shard the corpus by
+    * fingerprint hash, build one mergeable sketch per shard (a single
+    * aggregate — each shard's partials OR-merge exactly like the global
+    * sketch's), and admit incoming rows by joining their shard's sketch.
+    * No single byte array grows with the corpus beyond its shard's
+    * slice, shards refresh independently (ingest day N touches only the
+    * shards its fingerprints land in), and the S-row sketch table
+    * broadcasts. Determinism carries over: the shard assignment is
+    * xxhash64 (stable anywhere) and each per-shard sketch is the same
+    * OR-merge the whole-corpus sketch is. */
+  val BloomShards = 16
+
+  /** One row per shard: (shard, sk). `expectedItems` sizes EACH shard's
+    * sketch (corpus size / shards, padded for imbalance). */
+  def shardedBloomSketches(corpus: DataFrame, fp: Column, shards: Int,
+      expectedItems: Long, fpp: Double): DataFrame =
+    corpus.groupBy(pmod(xxhash64(fp), lit(shards.toLong)).as("shard"))
+      .agg(graft.functions.BloomFunctions
+        .bloom_sketch(fp, expectedItems, fpp).as("sk"))
+
+  /** Sharded twin of [[ddBloomAdmit]]: same corpus/batch split, admit
+    * via the per-shard sketch table instead of one whole-corpus
+    * sketch. */
+  def ddBloomAdmitSharded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", md5(TextAnalysis.normalized($"text")).as("fp"))
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val nCorpus = corpus.count()
+    // pad per-shard capacity 2x over the even split so hash imbalance
+    // cannot push a shard past its sized fpp
+    val perShard = math.max(64L, 2L * nCorpus / BloomShards)
+    val sketches = shardedBloomSketches(corpus, $"fp", BloomShards,
+      perShard, BloomFpp)
+    docs.withColumn("shard", pmod(xxhash64($"fp"), lit(BloomShards.toLong)))
+      .join(broadcast(sketches), Seq("shard"))
+      .filter(!graft.functions.BloomFunctions
+        .bloom_might_contain_shard($"shard", $"sk", $"fp"))
+      .select($"doc_id", $"fp")
+  }
+
+  /** Envelope gate for the sharded construction — same shape as
+    * [[ddBloomIncremental]]: exact incoming/truly-new counts hash-match
+    * the oracle; booleans assert zero false negatives (no corpus member
+    * admitted — the property sharding must not break: every fp joins
+    * the sketch that contains it) and the sized FPR envelope. */
+  def ddBloomSharded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val admitted = ddBloomAdmitSharded(s, dir).select($"fp").distinct()
+      .withColumn("__adm", lit(1))
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", md5(TextAnalysis.normalized($"text")).as("fp"))
+    val corpusFps = docs.filter($"doc_id" % 10 =!= 0)
+      .select($"fp".as("cfp")).distinct()
+    docs
+      .join(broadcast(corpusFps), $"fp" === $"cfp", "left")
+      .join(broadcast(admitted), Seq("fp"), "left")
+      .select($"fp", $"cfp".isNotNull.as("in_corpus"),
+        ($"__adm".isNotNull).as("admitted"))
+      .agg(
+        count(lit(1)).as("n_incoming"),
+        sum(when(!$"in_corpus", 1L).otherwise(0L)).as("n_truly_new"),
+        (sum(when($"in_corpus" && $"admitted", 1L).otherwise(0L)) === 0L)
+          .as("no_false_negatives"),
+        (sum(when(!$"in_corpus" && !$"admitted", 1L).otherwise(0L)) <=
+          greatest(lit(5.0), lit(3 * BloomFpp) *
+            sum(when(!$"in_corpus", 1L).otherwise(0L)))).as("fpr_ok"))
+  }
+
   val ddBloomIncrementalSql: String =
     """WITH fps AS (SELECT doc_id,
       |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
@@ -907,6 +977,7 @@ object Dedup {
     "dd_exact" -> ddExact,
     "dd_stream_exact" -> ddStreamExact,
     "dd_bloom_incremental" -> ddBloomIncremental,
+    "dd_bloom_sharded" -> ddBloomSharded,
     "dd_dup_spans" -> ddDupSpans,
     "dd_decontaminate" -> ddDecontaminate,
     "dd_ngram_jaccard" -> ddNgramJaccard,
@@ -928,6 +999,9 @@ object Dedup {
     "dd_exact" -> ddExactSql,
     "dd_stream_exact" -> ddStreamExactSql,
     "dd_bloom_incremental" -> ddBloomIncrementalSql,
+    // same expected row as the whole-corpus form: exact counts + TRUE
+    // booleans — the sharded construction must preserve both
+    "dd_bloom_sharded" -> ddBloomIncrementalSql,
     "dd_dup_spans" -> ddDupSpansSql,
     "dd_decontaminate" -> ddDecontaminateSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,

@@ -121,6 +121,39 @@ class BloomFilterSpec extends AnyFunSuite {
     bc.destroy()
   }
 
+  test("sharded sketches: no false negatives, per-shard membership exact") {
+    import org.apache.spark.sql.functions.{broadcast, pmod, xxhash64}
+    val shards = 8
+    val data = (1 to 4000).map(i => s"sh-$i")
+    val df = data.toDF("v").repartition(5)
+    val sketches = graft.operators.Dedup.shardedBloomSketches(
+      df, $"v", shards, 2L * 4000 / shards, 0.01)
+    assert(sketches.count() == shards)
+    // every inserted value must be found through its shard's sketch
+    val probe = df.withColumn("shard", pmod(xxhash64($"v"), lit(shards.toLong)))
+      .join(broadcast(sketches), Seq("shard"))
+    val misses = probe.filter(!BloomFunctions
+      .bloom_might_contain_shard($"shard", $"sk", $"v")).count()
+    assert(misses == 0L)
+    // and per-shard sketch bytes are partitioning-invariant
+    val again = graft.operators.Dedup.shardedBloomSketches(
+      data.toDF("v").repartition(13), $"v", shards, 2L * 4000 / shards, 0.01)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val first = sketches.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    assert(first.keySet == again.keySet)
+    assert(first.forall { case (k, b) => java.util.Arrays.equals(b, again(k)) })
+  }
+
+  test("sharded-dedup gate query: exact counts + envelope booleans") {
+    val row = graft.operators.Dedup
+      .ddBloomSharded(spark, graft.TestSpark.sf0001).head()
+    assert(row.getLong(0) == 500L, "n_incoming")
+    assert(row.getLong(1) == 50L, "n_truly_new")
+    assert(row.getBoolean(2), "no_false_negatives")
+    assert(row.getBoolean(3), "fpr_ok")
+  }
+
   test("incremental-dedup gate query: exact counts + envelope booleans") {
     val row = graft.operators.Dedup
       .ddBloomIncremental(spark, TestSpark.sf0001).head()
