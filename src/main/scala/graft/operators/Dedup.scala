@@ -265,16 +265,23 @@ object Dedup {
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" > 1).select($"gram")
     val dupStarts = starts.join(dupGrams, Seq("gram"), "left_semi")
-    val covered = dupStarts
-      .select($"doc_id", explode(sequence($"pos", $"pos" + (SpanW - 1)))
-        .as("idx"))
-      .distinct()
-      .groupBy($"doc_id").agg(count(lit(1)).as("covered_tokens"))
-    val startCounts = dupStarts.groupBy($"doc_id")
-      .agg(count(lit(1)).as("dup_starts"))
+    // covered tokens = |union of [pos, pos+W-1] intervals| — computed by
+    // interval merging over pos-sorted starts (first start contributes W,
+    // each next start min(gap, W)), NOT by exploding W indices per start
+    // and distinct-counting them: the lag window needs one shuffle on
+    // doc_id, reused as-is by the per-doc aggregate, where the explode
+    // form shipped 8x the rows through an extra distinct exchange.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val perDoc = dupStarts
+      .withColumn("__prev", lag($"pos", 1).over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("dup_starts"),
+        sum(when($"__prev".isNull, lit(SpanW.toLong))
+          .otherwise(least(($"pos" - $"__prev").cast("long"),
+            lit(SpanW.toLong)))).as("covered_tokens"))
     nTok
-      .join(startCounts, Seq("doc_id"), "left")
-      .join(covered, Seq("doc_id"), "left")
+      .join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id", $"n_tokens",
         coalesce($"dup_starts", lit(0L)).as("dup_starts"),
         coalesce($"covered_tokens", lit(0L)).as("covered_tokens"),
@@ -363,17 +370,18 @@ object Dedup {
        |       WHERE len(tk) >= $SpanW),
        |dup AS (SELECT gram FROM sh GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
        |ds AS (SELECT doc_id, pos FROM sh WHERE gram IN (SELECT gram FROM dup)),
-       |cov AS (SELECT doc_id, COUNT(*) AS covered_tokens FROM
-       |  (SELECT DISTINCT doc_id, pos + o AS idx FROM ds, unnest(range($SpanW)) v(o)) c
-       |  GROUP BY doc_id),
-       |dsc AS (SELECT doc_id, COUNT(*) AS dup_starts FROM ds GROUP BY doc_id)
+       |lagged AS (SELECT doc_id, pos,
+       |    LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM ds),
+       |agg AS (SELECT doc_id, COUNT(*) AS dup_starts,
+       |    SUM(CASE WHEN prev IS NULL THEN $SpanW
+       |        ELSE LEAST(pos - prev, $SpanW) END) AS covered_tokens
+       |  FROM lagged GROUP BY doc_id)
        |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
-       |  CAST(COALESCE(dsc.dup_starts, 0) AS BIGINT) AS dup_starts,
-       |  CAST(COALESCE(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
-       |  CAST(COALESCE(cov.covered_tokens, 0) AS DOUBLE) / len(t.tk) AS dup_frac
+       |  CAST(COALESCE(a.dup_starts, 0) AS BIGINT) AS dup_starts,
+       |  CAST(COALESCE(a.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       |  CAST(COALESCE(a.covered_tokens, 0) AS DOUBLE) / len(t.tk) AS dup_frac
        |FROM toks t
-       |LEFT JOIN dsc ON t.doc_id = dsc.doc_id
-       |LEFT JOIN cov ON t.doc_id = cov.doc_id""".stripMargin
+       |LEFT JOIN agg a ON t.doc_id = a.doc_id""".stripMargin
 
   // ------------------------------------------- exact n-gram Jaccard pairs.
   // Quadratic by construction — bounded to a doc_id block so the exact
