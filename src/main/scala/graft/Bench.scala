@@ -18,7 +18,8 @@ object Bench {
     "q21_asof_join", "q29_asof_native", "q36_asof_sql",
     "wordcount_dataframe", "ta_quality",
     "ta_langid_ngram", "q33_theta_sketch", "q34_kll_quantile",
-    "ta_heavy_hitters", "dd_bloom_incremental", "sa_weighted_mix",
+    "ta_heavy_hitters", "dd_bloom_incremental", "dd_bloom_sharded",
+    "sa_weighted_mix", "sa_stratified_n",
     "dd_minhash_lsh_full", "dd_simhash_pairs", "dd_dup_spans",
     "dd_decontaminate", "ss_knn_brute", "ss_knn_ivf", "ev_sessions")
 
@@ -37,6 +38,7 @@ object Bench {
     "dd_bloom_incremental" -> ((s, d) => graft.operators.Dedup.ddBloomAdmit(s, d)),
     "dd_dup_spans" -> ((s, d) => graft.operators.Dedup.ddDupSpansHashed(s, d)),
     "dd_decontaminate" -> ((s, d) => graft.operators.Dedup.ddDecontaminateHashed(s, d)),
+    "dd_bloom_sharded" -> ((s, d) => graft.operators.Dedup.ddBloomAdmitSharded(s, d)),
   )
 
   def main(args: Array[String]): Unit = {

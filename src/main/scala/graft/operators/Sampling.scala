@@ -78,14 +78,19 @@ object Sampling {
     * [[sampleExactN]]. One shuffle, keyed on the stratum, then a
     * row_number rank inside each — no global sort.
     *
-    * Scale note: a single hot stratum lands on one reducer. When one
-    * stratum dominates (say >10⁸ rows) compose with
-    * [[sampleFraction]] first — over-sample each stratum to ~4·n/|S|
-    * expected rows with the SAME salt (the hash order is preserved:
-    * u < t keeps exactly the smallest hashes), then rank the survivors;
-    * the window then sees thousands of rows per stratum, not billions.
+    * The rank-≤-n filter triggers Catalyst's WindowGroupLimit rewrite
+    * (visible in docs/PLANS_r7.md): each input task pre-prunes to its
+    * local top-n per stratum BEFORE the exchange, so the shuffle carries
+    * at most n·tasks rows per stratum, not the stratum's full volume —
+    * the same partial/final shape as TakeOrderedAndProject, per group.
+    *
+    * Scale note: the post-shuffle reducer still holds one stratum's
+    * n·tasks survivors. If even that dominates (very hot stratum ×
+    * many tasks), compose with [[sampleFraction]] first — over-sample
+    * each stratum with the SAME salt (the hash order is preserved:
+    * u < t keeps exactly the smallest hashes), then rank the survivors.
     * The composition is exact as long as every stratum retains ≥ n rows
-    * after the pre-filter. */
+    * after the pre-filter (spec-proved). */
   def sampleExactNPerStratum(df: DataFrame, strata: Column, key: Column,
       n: Int, salt: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
