@@ -607,6 +607,77 @@ object Dedup {
        |SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (n_a + n_b - i) AS jaccard
        |FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= $MinhashThreshold""".stripMargin
 
+  // ------------------------------------- INCREMENTAL MinHash near-dedup.
+  /** The near-dup analog of the Bloom admit: screen an incoming BATCH
+    * against an already-ingested CORPUS without re-pairing the corpus
+    * with itself. In production the corpus side is a STORED band table
+    * ((band, band_hash, doc_id) — exactly [[bandedBuckets]]' output,
+    * appended per ingest since signatures/bands are deterministic);
+    * each new batch computes its own bands scan-side and joins the
+    * stored table on the band key, so the work is
+    * O(batch + matched buckets), never O(corpus²) and never a corpus
+    * rescan. Candidates are exact-verified like every minhash path.
+    *
+    * `perDocCap` bounds verification fan-out for boilerplate-heavy
+    * batches (a batch doc landing in a mega bucket would otherwise
+    * verify against the whole bucket): keep the `cap` smallest corpus
+    * ids per batch doc — enough to answer "does this doc have a
+    * near-dup" deterministically, though no longer the exhaustive pair
+    * list. The gate runs uncapped (this corpus's similarity gap keeps
+    * candidate volume tiny) so the DuckDB exact cross-pair oracle
+    * matches in full. */
+  def minhashIncrementalPairs(batch: DataFrame, corpus: DataFrame,
+      threshold: Double, perDocCap: Option[Int] = None): DataFrame = {
+    val bBands = bandedBuckets(batch.select(col("doc_id"),
+        graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig")))
+      .withColumnRenamed("doc_id", "batch_doc")
+    val cBands = bandedBuckets(corpus.select(col("doc_id"),
+        graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig")))
+      .withColumnRenamed("doc_id", "corpus_doc")
+    val cands0 = bBands.join(cBands, Seq("band", "band_hash"))
+      .select(col("batch_doc"), col("corpus_doc")).distinct()
+    val cands = perDocCap match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("batch_doc")).orderBy(col("corpus_doc"))
+        cands0.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= cap).drop("__rk")
+      case None => cands0
+    }
+    val shB = batch
+      .join(cands.select(col("batch_doc").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("batch_doc"), shingles(col("text")).as("sh_a"))
+    val shC = corpus
+      .join(cands.select(col("corpus_doc").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_doc"), shingles(col("text")).as("sh_b"))
+    cands.join(shB, "batch_doc").join(shC, "corpus_doc")
+      .select(col("batch_doc"), col("corpus_doc"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Gate: batch = docs ≡ 0 (mod 10), corpus = the rest; verified
+    * cross pairs against the exact inverted-index oracle (same recall
+    * argument as [[ddMinhashLshFull]]). */
+  def ddMinhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    minhashIncrementalPairs(docs.filter($"doc_id" % 10 === 0),
+      docs.filter($"doc_id" % 10 =!= 0), MinhashThreshold)
+  }
+
+  val ddMinhashIncrementalSql: String =
+    s"""WITH sh AS (SELECT doc_id, unnest($shinglesSql) AS s, len($shinglesSql) AS n FROM documents),
+       |inter AS (SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc,
+       |    ANY_VALUE(a.n) AS n_a, ANY_VALUE(b.n) AS n_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT batch_doc, corpus_doc, CAST(i AS DOUBLE) / (n_a + n_b - i) AS jaccard
+       |FROM inter WHERE CAST(i AS DOUBLE) / (n_a + n_b - i) >= $MinhashThreshold""".stripMargin
+
   // -------------------------------------------------- dedup CLUSTERS:
   // connected components over the verified near-dup pairs — the actual
   // deliverable of corpus dedup (keep min doc_id per component, drop the
@@ -991,6 +1062,7 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_minhash_lsh_full" -> ddMinhashLshFull,
+    "dd_minhash_incremental" -> ddMinhashIncremental,
     "dd_clusters" -> ddClusters,
     "dd_simhash" -> ddSimhashEnvelope,
     "dd_simhash_pairs" -> ddSimhashPairsEnvelope,
@@ -1015,6 +1087,7 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_minhash_lsh_full" -> ddMinhashLshFullSql,
+    "dd_minhash_incremental" -> ddMinhashIncrementalSql,
     "dd_clusters" -> ddClustersSql,
     "dd_simhash" -> ddSimhashEnvelopeSql,
     "dd_simhash_pairs" -> ddSimhashPairsEnvelopeSql,

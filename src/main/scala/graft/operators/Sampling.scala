@@ -127,6 +127,27 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Token-budget BIN PACKING — the "build training shards" step: assign
+    * documents, in a deterministic order, to consecutive bins of
+    * ~`budget` tokens (sequential greedy fill: a doc goes to the bin its
+    * preceding cumulative token count falls in, so bins average exactly
+    * the budget and a bin overshoots by at most one document). Packing
+    * runs WITHIN a shard (partitionBy column) so the window never needs
+    * a global sort: at 100 TB, shard = source/date/hash-range gives
+    * thousands of independent packing streams, each sorted only within
+    * its partition. Bin identity is (shard, bin) — deterministic under
+    * any partitioning because both the order column and the token counts
+    * are data, not runtime state. */
+  def packBins(df: DataFrame, shard: Column, order: Column, tokens: Column,
+      budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shard).orderBy(order)
+    df.withColumn("__cum", sum(tokens).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - tokens).cast("double") / budget).cast("long"))
+      .drop("__cum")
+  }
+
   // --------------------------------------------------------- gate queries
 
   /** 20 sources × 4 weight tiers: drop-heavy 0.25, keep 1.0, upsample
@@ -187,15 +208,37 @@ object Sampling {
        |    ORDER BY ${hashHexSql("doc_id", StratumSalt)}, doc_id) AS rn
        |  FROM documents) t WHERE rn <= $StratumN""".stripMargin
 
+  val PackBudget = 512L
+
+  def saPackBins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source",
+      size(graft.functions.ShingleFunctions.tokens($"text")).cast("long")
+        .as("n_tokens"))
+    packBins(docs, $"source", $"doc_id", $"n_tokens", PackBudget)
+  }
+
+  val saPackBinsSql: String = {
+    val toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    s"""SELECT doc_id, source, n_tokens,
+       |  CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT) AS bin
+       |FROM (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
+       |  SUM(CAST(len($toks) AS BIGINT)) OVER (PARTITION BY source
+       |    ORDER BY doc_id) AS cum
+       |  FROM documents) t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sa_weighted_mix" -> saWeightedMix,
     "sa_sample_n" -> saSampleN,
     "sa_stratified_n" -> saStratifiedN,
+    "sa_pack_bins" -> saPackBins,
   )
 
   val oracles: Map[String, String] = Map(
     "sa_weighted_mix" -> saWeightedMixSql,
     "sa_sample_n" -> saSampleNSql,
     "sa_stratified_n" -> saStratifiedNSql,
+    "sa_pack_bins" -> saPackBinsSql,
   )
 }

@@ -307,6 +307,33 @@ class DedupSpec extends AnyFunSuite {
       sorted(Dedup.ddDecontaminate(spark, dir)))
   }
 
+  test("incremental minhash: batch near-dups found vs corpus, bipartite, cap bounds fan-out") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 29).map(i => s"tok$i").mkString(" ") + " changed"
+    val dir = java.nio.file.Files.createTempDirectory("mhinc").toString
+    // corpus = ids not ≡0 mod 10 (three copies of `base` + one unrelated);
+    // batch = ids ≡0 mod 10 (one near-dup of base, one unrelated)
+    Seq((1L, base), (2L, base), (3L, base),
+      (4L, (1 to 30).map(i => s"other$i").mkString(" ")),
+      (10L, nearDup),
+      (20L, (1 to 30).map(i => s"unique$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.ddMinhashIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch doc 10 pairs with every corpus copy of base; nothing else, and
+    // never corpus-corpus (1,2,3 are mutual dups but not emitted)
+    assert(pairs == Set((10L, 1L), (10L, 2L), (10L, 3L)), pairs.toString)
+    // the per-doc cap bounds verification fan-out but still flags the doc
+    val capped = Dedup.minhashIncrementalPairs(
+      spark.read.parquet(s"$dir/documents.parquet").filter($"doc_id" % 10 === 0),
+      spark.read.parquet(s"$dir/documents.parquet").filter($"doc_id" % 10 =!= 0),
+      Dedup.MinhashThreshold, perDocCap = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 1L), (10L, 2L)), capped.toString)
+  }
+
   test("streaming exact-dedup gate equals batch DISTINCT across micro-batches") {
     import spark.implicits._
     val dir = graft.TestSpark.sf0001

@@ -104,6 +104,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(composed == direct)
   }
 
+  test("packBins: sequential fill, budget-sized bins, partitioning-stable") {
+    import spark.implicits._
+    // 10 docs of 100 tokens each, budget 250 → bins of cum-prev/250:
+    // docs 1-3 bin 0 (0,100,200), 4-5 bin 1 (300,400), 6-8 bin 2, 9-10 bin 3
+    val df = (1 to 10).map(i => (i.toLong, "s", 100L)).toDF("id", "shard", "tok")
+    def run(parts: Int): Seq[(Long, Long)] =
+      Sampling.packBins(df.repartition(parts), $"shard", $"id", $"tok", 250L)
+        .select($"id", $"bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+    val out = run(2)
+    assert(out.map(_._2) == Seq(0L, 0L, 0L, 1L, 1L, 2L, 2L, 2L, 3L, 3L), out.toString)
+    assert(out == run(7))
+    // bins track the budget within ±one doc (a bin's token total is the
+    // cum span it covers, shifted by the previous bin's overshoot)
+    val totals = out.groupBy(_._2).view.mapValues(_.size * 100L).toMap
+    assert(totals.filterKeys(_ < 3L).values.forall(t => t > 150L && t < 350L),
+      totals.toString)
+  }
+
   test("gate queries run and cover all three weight regimes") {
     val mix = Sampling.saWeightedMix(spark, TestSpark.sf0001)
     val n = mix.count()
