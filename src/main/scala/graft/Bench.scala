@@ -18,8 +18,10 @@ object Bench {
     "q21_asof_join", "q29_asof_native", "q36_asof_sql",
     "wordcount_dataframe", "ta_quality",
     "ta_langid_ngram", "q33_theta_sketch", "q34_kll_quantile",
-    "ta_heavy_hitters", "dd_bloom_incremental", "dd_bloom_sharded",
-    "sa_weighted_mix", "sa_stratified_n",
+    "ta_heavy_hitters", "ta_commonness",
+    "dd_bloom_incremental", "dd_bloom_sharded",
+    "dd_minhash_incremental",
+    "sa_weighted_mix", "sa_stratified_n", "sa_pack_bins",
     "dd_minhash_lsh_full", "dd_simhash_pairs", "dd_dup_spans",
     "dd_decontaminate", "ss_knn_brute", "ss_knn_ivf", "ev_sessions")
 

@@ -455,8 +455,45 @@ object TextAnalysis {
        |  TRUE AS all_frequent_retained, TRUE AS est_within_bound
        |FROM (SELECT unnest($toksSql) AS t FROM documents)""".stripMargin
 
+  // --------------------------------------------------- token commonness
+  /** Corpus-relative token commonness — the unigram-LM quality proxy
+    * (CCNet-style filters score docs under a language model; the
+    * unigram rung of that ladder needs only the corpus's own token
+    * counts): for each doc, the mean global occurrence count of its
+    * tokens. Gibberish/OOV-heavy docs score low, stopword-heavy
+    * boilerplate scores high; both tails are filter candidates.
+    *
+    * Numerically EXACT across engines by construction: per-token global
+    * counts are bigints, the per-doc numerator is a bigint SUM (no
+    * float addition-order hazard at any partitioning), and the single
+    * double division happens once at the end. Plan: one token-count
+    * aggregate (vocab-sized), joined back to the exploded scan —
+    * Spark's planner broadcasts it while it fits; at web-corpus vocab
+    * sizes (10⁸+) AQE falls back to a shuffle join on the token, still
+    * one keyed shuffle — then a per-doc aggregate. */
+  def taCommonness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+    val counts = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    toks.join(counts, Seq("token"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"cnt").as("freq_mass"))
+      .select($"doc_id", $"n_tokens",
+        ($"freq_mass".cast("double") / $"n_tokens").as("avg_token_count"))
+  }
+
+  val taCommonnessSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token)
+       |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(c.cnt) AS DOUBLE) / COUNT(*) AS avg_token_count
+       |FROM toks t JOIN counts c ON t.token = c.token
+       |GROUP BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_heavy_hitters" -> taHeavyHitters,
+    "ta_commonness" -> taCommonness,
     "ta_heavy_hitters_approx" -> taHeavyHittersApprox,
     "ta_top_ngrams" -> taTopNgrams,
     "ta_langid" -> taLangId,
@@ -471,6 +508,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "ta_heavy_hitters" -> taHeavyHittersSql,
+    "ta_commonness" -> taCommonnessSql,
     "ta_heavy_hitters_approx" -> taHeavyHittersApproxSql,
     "ta_top_ngrams" -> taTopNgramsSql,
     "ta_langid" -> taLangIdSql,

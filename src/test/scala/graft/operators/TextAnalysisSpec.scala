@@ -144,6 +144,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row.getAs[Boolean]("est_within_bound"))
   }
 
+  test("token commonness: planted rare-token doc scores below common-token doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("commonness").toString
+    // "common common" appears in both docs 1,2 → count 4 each token slot;
+    // doc 3 is all singletons
+    Seq((1L, "common common"), (2L, "common common"), (3L, "rare1 rare2"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.taCommonness(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(1L) == ((2L, 4.0)))   // 'common' occurs 4x globally
+    assert(rows(2L) == ((2L, 4.0)))
+    assert(rows(3L) == ((2L, 1.0)))   // singletons
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fps = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "other"))
       .toDF("doc_id", "text")
