@@ -45,6 +45,17 @@ object GraftFunctions {
     "heavy_hitters" -> (exprs => HeavyHitters(exprs(0),
       if (exprs.length > 1) exprs(1).eval(null).asInstanceOf[Number].intValue
       else 64)),
+    // bloom_sketch(col, expected_items[, fpp]) — mergeable sketch bytes
+    "bloom_sketch" -> (exprs => BloomSketchBytes(exprs(0),
+      exprs(1).eval(null).asInstanceOf[Number].longValue,
+      if (exprs.length > 2) exprs(2).eval(null) match {
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case n: Number => n.doubleValue
+      } else 0.01)),
+    "bloom_might_contain" -> (exprs =>
+      BloomMightContain(exprs(0), exprs(1))),
+    "bloom_might_contain_shard" -> (exprs =>
+      BloomMightContainShard(exprs(0), exprs(1), exprs(2))),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -626,15 +626,32 @@ object Dedup {
     * list. The gate runs uncapped (this corpus's similarity gap keeps
     * candidate volume tiny) so the DuckDB exact cross-pair oracle
     * matches in full. */
+  /** (band, band_hash, doc_id) for a docs frame — the rows a stored
+    * corpus band table accumulates per ingest (signatures and band
+    * hashes are deterministic, so appended rows from different jobs
+    * agree). */
+  def docBands(docs: DataFrame): DataFrame =
+    bandedBuckets(docs.select(col("doc_id"),
+      graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig")))
+
   def minhashIncrementalPairs(batch: DataFrame, corpus: DataFrame,
-      threshold: Double, perDocCap: Option[Int] = None): DataFrame = {
-    val bBands = bandedBuckets(batch.select(col("doc_id"),
-        graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig")))
-      .withColumnRenamed("doc_id", "batch_doc")
-    val cBands = bandedBuckets(corpus.select(col("doc_id"),
-        graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig")))
-      .withColumnRenamed("doc_id", "corpus_doc")
-    val cands0 = bBands.join(cBands, Seq("band", "band_hash"))
+      threshold: Double, perDocCap: Option[Int] = None): DataFrame =
+    minhashIncrementalAgainstBands(batch,
+      docBands(corpus).withColumnRenamed("doc_id", "corpus_doc"),
+      corpus, threshold, perDocCap)
+
+  /** The stored-table form: `corpusBands` is the accumulated
+    * (band, band_hash, corpus_doc) table (see [[docBands]]) — the shape
+    * a foreachBatch ingest loop appends to per micro-batch — and
+    * `corpusDocs` supplies text only for the candidate ids the verify
+    * step semi-joins (at scale, a store of shingle sets serves the same
+    * role without keeping raw text). */
+  def minhashIncrementalAgainstBands(batch: DataFrame, corpusBands: DataFrame,
+      corpusDocs: DataFrame, threshold: Double,
+      perDocCap: Option[Int] = None): DataFrame = {
+    val bBands = docBands(batch).withColumnRenamed("doc_id", "batch_doc")
+    val corpus = corpusDocs
+    val cands0 = bBands.join(corpusBands, Seq("band", "band_hash"))
       .select(col("batch_doc"), col("corpus_doc")).distinct()
     val cands = perDocCap match {
       case Some(cap) =>

@@ -36,6 +36,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("bloom sketch + sharded membership runs end-to-end from pure SQL") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    (1 to 500).map(i => s"sq-$i").toDF("v").createOrReplaceTempView("bloom_t")
+    // sk.sk joined as a per-row column — the literal-form function's
+    // foldable check rejects it at analysis (the SHARD form below is
+    // the column-sketch surface); spark.sql analyzes eagerly
+    val e = intercept[Exception] {
+      spark.sql(
+        """WITH sk AS (SELECT bloom_sketch(v, 500) AS sk FROM bloom_t)
+          |SELECT count(*) AS n FROM bloom_t, sk
+          |WHERE NOT bloom_might_contain(sk.sk, v)""".stripMargin).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable"), e.getMessage)
+    // sharded construction: group sketches, join, per-shard membership
+    val n = spark.sql(
+      """WITH sk AS (SELECT pmod(xxhash64(v), 4L) AS shard,
+        |    bloom_sketch(v, 250) AS sk FROM bloom_t GROUP BY 1)
+        |SELECT count(*) AS n
+        |FROM bloom_t t JOIN sk ON pmod(xxhash64(t.v), 4L) = sk.shard
+        |WHERE bloom_might_contain_shard(sk.shard, sk.sk, t.v)""".stripMargin)
+      .head().getLong(0)
+    assert(n == 500L) // zero false negatives through the SQL surface
+  }
+
   test("GraftExtensions injects the function builders") {
     val ext = new SparkSessionExtensions
     new GraftExtensions().apply(ext)
