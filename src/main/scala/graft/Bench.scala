@@ -23,7 +23,8 @@ object Bench {
     "dd_minhash_incremental",
     "sa_weighted_mix", "sa_stratified_n", "sa_pack_bins",
     "dd_minhash_lsh_full", "dd_simhash_pairs", "dd_dup_spans",
-    "dd_decontaminate", "ss_knn_brute", "ss_knn_ivf", "ev_sessions")
+    "dd_decontaminate", "ss_knn_brute", "ss_knn_ivf", "ss_knn_pq",
+    "ev_sessions")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -37,6 +38,7 @@ object Bench {
     "dd_simhash_pairs" -> ((s, d) => graft.operators.Dedup.ddSimhashPairs(s, d)),
     "ss_knn_ivf" -> ((s, d) =>
       graft.operators.Similarity.knnIvf(s, d, graft.operators.Similarity.IvfProbe)),
+    "ss_knn_pq" -> ((s, d) => graft.operators.Similarity.knnPq(s, d)),
     "dd_bloom_incremental" -> ((s, d) => graft.operators.Dedup.ddBloomAdmit(s, d)),
     "dd_dup_spans" -> ((s, d) => graft.operators.Dedup.ddDupSpansHashed(s, d)),
     "dd_decontaminate" -> ((s, d) => graft.operators.Dedup.ddDecontaminateHashed(s, d)),

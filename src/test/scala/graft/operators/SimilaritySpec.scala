@@ -133,6 +133,46 @@ class SimilaritySpec extends AnyFunSuite {
       "IVF recall vs brute force fell below the 0.9 envelope")
   }
 
+  test("pq: codes in range and deterministic, gate envelope satisfied") {
+    import spark.implicits._
+    val dir = TestSpark.sf0001
+    val emb = graft.Tables.embeddings(spark, dir)
+    val books = Similarity.cachedCodebooks(emb, dir)
+    assert(books.size == Similarity.PqM)
+    assert(books.forall(_.size == Similarity.PqK))
+    assert(books.forall(_.forall(_.length == Similarity.PqDim / Similarity.PqM)))
+    // codes: M entries per vector, all in [0, K)
+    val codes = emb.select($"vec_id",
+      Similarity.pqEncode($"embedding", books).as("codes"))
+    val bad = codes.select(explode($"codes").as("c"))
+      .filter($"c" < 0 || $"c" >= Similarity.PqK).count()
+    assert(bad == 0L)
+    // deterministic under re-partitioning (scan-side literal dots)
+    val a = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = emb.repartition(7)
+      .select($"vec_id", Similarity.pqEncode($"embedding", books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+    // gate envelope on the real corpus
+    val row = Similarity.ssKnnPq(spark, dir).head()
+    assert(row.getAs[Boolean]("recall_ok"),
+      s"PQ recall fell below ${Similarity.PqRecallFloor}")
+  }
+
+  test("pq exact rerank: emitted cosines equal the brute-force scorer's") {
+    import spark.implicits._
+    // for every (q, neighbor) PQ emits that also appears in brute-force
+    // output, the cosine/rank must come from the same exact scorer
+    val dir = TestSpark.sf0001
+    val pq = Similarity.knnPq(spark, dir)
+      .select($"q_id", $"neighbor_id", $"cosine".as("pq_cos"))
+    val brute = Similarity.ssKnnBrute(spark, dir)
+      .select($"q_id", $"neighbor_id", $"cosine".as("b_cos"))
+    val joined = pq.join(brute, Seq("q_id", "neighbor_id")).collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getAs[Double]("pq_cos") == r.getAs[Double]("b_cos")))
+  }
+
   test("int8 quantization: values in range, dequantized cosine within 1%") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
