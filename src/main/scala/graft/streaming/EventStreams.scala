@@ -55,6 +55,9 @@ object EventStreams {
   def streamingSessions(events: DataFrame): DataFrame =
     sessionCounts(events.withWatermark("ts", "10 minutes"))
 
+  def streamingSliding(events: DataFrame): DataFrame =
+    slidingCounts(events.withWatermark("ts", "10 minutes"))
+
   // -------------------------------------- custom state: flatMapGroupsWithState
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -215,6 +218,27 @@ object EventStreams {
     s.table(name)
   }
 
+  /** STREAMING-mode twin of [[evSliding]] (overlapping windows: every
+    * event lands in TWO live windows, so the state store tracks ~2× the
+    * window count of the tumbling gate) — same single-file replay /
+    * complete-output convergence argument as [[evTumblingStream]]. */
+  def evSlidingStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val src = java.nio.file.Files.createTempDirectory("graft_ev_sliding")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("events.parquet"))
+    val stream = s.readStream.schema(rawSchema).parquet(src.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"ev_sliding_stream_${streamRuns.incrementAndGet()}"
+    val q = streamingSliding(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   val evTumblingSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
       |  COUNT(*) AS n,
@@ -258,6 +282,7 @@ object EventStreams {
     "ev_tumbling" -> evTumbling,
     "ev_tumbling_stream" -> evTumblingStream,
     "ev_sliding" -> evSliding,
+    "ev_sliding_stream" -> evSlidingStream,
     "ev_sessions" -> evSessions,
     "ev_sessions_stream" -> evSessionsStream,
   )
@@ -266,6 +291,7 @@ object EventStreams {
     "ev_tumbling" -> evTumblingSql,
     "ev_tumbling_stream" -> evTumblingSql, // same oracle: batch ≡ stream
     "ev_sliding" -> evSlidingSql,
+    "ev_sliding_stream" -> evSlidingSql, // same oracle: batch ≡ stream
     "ev_sessions" -> evSessionsSql,
     "ev_sessions_stream" -> evSessionsSql, // same oracle: batch ≡ stream
   )

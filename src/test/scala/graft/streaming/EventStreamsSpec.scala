@@ -159,4 +159,13 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(ids.sorted == Seq(100L, 101L)) // one row per event_id
     } finally q.stop()
   }
+
+  test("ev_sliding_stream gate equals the batch sliding aggregate") {
+    val dir = graft.TestSpark.sf0001
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+    assert(rows(EventStreams.evSlidingStream(spark, dir)) ==
+      rows(EventStreams.evSliding(spark, dir)))
+  }
 }
