@@ -646,14 +646,34 @@ object Dedup {
     * `corpusDocs` supplies text only for the candidate ids the verify
     * step semi-joins (at scale, a store of shingle sets serves the same
     * role without keeping raw text). */
+  /** Corpus-adaptive verify cap for the incremental band join — the
+    * [[observedBucketThreshold]] idea applied to per-batch-doc
+    * candidate counts: caps at the q-quantile of observed fan-outs
+    * (clamped), so normal docs verify exhaustively and only genuine
+    * boilerplate outliers are truncated. One aggregate over the
+    * candidate set the join already produced. Opt-in (tuning-time),
+    * like every adaptive knob here. */
+  def observedPerDocCap(cands: DataFrame, q: Double = 0.99,
+      floor: Int = 16, cap: Int = 1024): Int = {
+    val p = cands.groupBy(col("batch_doc"))
+      .agg(count(lit(1)).as("n"))
+      .agg(percentile_approx(col("n"), lit(q), lit(10000)).as("p"))
+      .head()
+    if (p.isNullAt(0)) floor
+    else p.getLong(0).max(floor.toLong).min(cap.toLong).toInt
+  }
+
   def minhashIncrementalAgainstBands(batch: DataFrame, corpusBands: DataFrame,
       corpusDocs: DataFrame, threshold: Double,
-      perDocCap: Option[Int] = None): DataFrame = {
+      perDocCap: Option[Int] = None,
+      adaptiveCap: Boolean = false): DataFrame = {
     val bBands = docBands(batch).withColumnRenamed("doc_id", "batch_doc")
     val corpus = corpusDocs
     val cands0 = bBands.join(corpusBands, Seq("band", "band_hash"))
       .select(col("batch_doc"), col("corpus_doc")).distinct()
-    val cands = perDocCap match {
+    val effectiveCap =
+      if (adaptiveCap) Some(observedPerDocCap(cands0)) else perDocCap
+    val cands = effectiveCap match {
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("batch_doc")).orderBy(col("corpus_doc"))

@@ -334,6 +334,21 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == Set((10L, 1L), (10L, 2L)), capped.toString)
   }
 
+  test("adaptive per-doc cap: p99 of normal fan-outs, outliers truncated") {
+    import spark.implicits._
+    // 300 batch docs with 1 candidate each + one boilerplate doc with 500
+    // (outlier beyond the p99 rank): p99 of fan-outs is 1 → the outlier
+    // is capped at the floor, normals untouched
+    val cands = ((1 to 300).map(b => (b.toLong, 1000L + b)) ++
+      (1 to 500).map(c => (999L, 2000L + c)))
+      .toDF("batch_doc", "corpus_doc")
+    val cap = Dedup.observedPerDocCap(cands)
+    assert(cap >= 16 && cap < 500, s"cap $cap")
+    // empty candidate set falls back to the floor
+    assert(Dedup.observedPerDocCap(
+      Seq.empty[(Long, Long)].toDF("batch_doc", "corpus_doc")) == 16)
+  }
+
   test("streaming exact-dedup gate equals batch DISTINCT across micro-batches") {
     import spark.implicits._
     val dir = graft.TestSpark.sf0001
