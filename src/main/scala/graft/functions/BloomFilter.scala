@@ -20,7 +20,13 @@ final class BloomState(val numBits: Int, val numHashes: Int) {
   val words = new Array[Long](numBits / 64)
 
   @inline private def index(h1: Long, h2: Long, i: Int): Int = {
-    val combined = h1 + i * h2
+    // The step MUST be odd: numBits is a multiple of 64, so an h2 sharing
+    // a large power-of-two factor with numBits walks a tiny coset —
+    // observed in practice (two md5-hex fingerprints both drew h2 ≡ 0
+    // mod 128 against numBits=640, probing the SAME 5 indices: a
+    // structural false positive from one inserted element). An odd step
+    // is coprime to the 2^k part, making the probe cycle ≥ numBits/5.
+    val combined = h1 + i * (h2 | 1L)
     // floorMod keeps the index non-negative for negative hashes
     java.lang.Math.floorMod(combined, numBits.toLong).toInt
   }
@@ -70,13 +76,31 @@ object BloomKernel {
   def hash1(v: Any, dt: DataType): Long = XxHash64Function.hash(v, dt, Seed1)
   def hash2(v: Any, dt: DataType): Long = XxHash64Function.hash(v, dt, Seed2)
 
+  /** Serialized layout: numBits, numHashes, words…, contentHash. The
+    * trailing 8-byte content hash lets per-row consumers
+    * ([[BloomMightContainShard]]'s cache) detect in O(1) that a shard's
+    * sketch CHANGED (a new generation of the same shard id) without
+    * comparing or re-hashing the whole bit array per row. Purely a
+    * function of the words, so serialization stays deterministic. */
   def serialize(state: BloomState): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(8 + 8 * state.words.length)
+    val buf = java.nio.ByteBuffer.allocate(8 + 8 * state.words.length + 8)
     buf.putInt(state.numBits)
     buf.putInt(state.numHashes)
     state.words.foreach(buf.putLong)
+    buf.putLong(contentHash(state.words))
     buf.array()
   }
+
+  def contentHash(words: Array[Long]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < words.length) { h = h * 31 + words(i); i += 1 }
+    h
+  }
+
+  /** Reads the trailing content hash without deserializing. */
+  def storedContentHash(bytes: Array[Byte]): Long =
+    java.nio.ByteBuffer.wrap(bytes, bytes.length - 8, 8).getLong
 
   def deserialize(bytes: Array[Byte]): BloomState = {
     val buf = java.nio.ByteBuffer.wrap(bytes)
@@ -247,7 +271,13 @@ case class BloomMightContainBroadcast(
   * keyed by the shard id — one deserialization per shard per task, at
   * most S live states (≈ the whole-corpus sketch bytes, same as the
   * broadcast form's worst case; after a shard-keyed shuffle each task
-  * touches ~S/P shards). */
+  * touches ~S/P shards). Cache entries carry the sketch's trailing
+  * CONTENT HASH (see BloomKernel.serialize), checked per row in O(1):
+  * if a query carries two generations of the same shard id (appended
+  * per-ingest sketch tables, old∪new unions), the changed bytes
+  * re-deserialize instead of silently testing against the stale
+  * generation. Sketches must come from [[BloomSketchBytes]] /
+  * BloomKernel.serialize (the hash is part of the format). */
 case class BloomMightContainShard(
     shard: Expression, sketch: Expression, child: Expression)
     extends TernaryExpression {
@@ -273,16 +303,19 @@ case class BloomMightContainShard(
   override def nullable: Boolean =
     shard.nullable || sketch.nullable || child.nullable
 
+  private final class Entry(val hash: Long, val state: BloomState)
+
   @transient private lazy val cache =
-    new java.util.HashMap[Long, BloomState]()
+    new java.util.HashMap[Long, Entry]()
 
   def mightContainValue(shardId: Long, bytes: Array[Byte], v: Any): Boolean = {
-    var state = cache.get(shardId)
-    if (state == null) {
-      state = BloomKernel.deserialize(bytes)
-      cache.put(shardId, state)
+    val hash = BloomKernel.storedContentHash(bytes)
+    var entry = cache.get(shardId)
+    if (entry == null || entry.hash != hash) {
+      entry = new Entry(hash, BloomKernel.deserialize(bytes))
+      cache.put(shardId, entry)
     }
-    state.mightContain(BloomKernel.hash1(v, child.dataType),
+    entry.state.mightContain(BloomKernel.hash1(v, child.dataType),
       BloomKernel.hash2(v, child.dataType))
   }
 

@@ -51,6 +51,8 @@ object GraftFunctions {
       if (exprs.length > 2) exprs(2).eval(null) match {
         case d: org.apache.spark.sql.types.Decimal => d.toDouble
         case n: Number => n.doubleValue
+        case other => throw new IllegalArgumentException(
+          s"bloom_sketch: fpp must be a numeric literal, got $other")
       } else 0.01)),
     "bloom_might_contain" -> (exprs =>
       BloomMightContain(exprs(0), exprs(1))),

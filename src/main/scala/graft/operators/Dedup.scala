@@ -37,9 +37,9 @@ object Dedup {
   def shingles(text: Column): Column =
     graft.functions.ShingleFunctions.ngram_shingles(text, 3)
 
-  // DuckDB twin of the shingle expression, for the oracles.
-  private val toksSql =
-    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+  // DuckDB twin of the shingle expression, for the oracles (tokenizer
+  // twin shared with TextAnalysis — single source of truth).
+  private val toksSql = TextAnalysis.toksSql
   private val shinglesSql =
     s"""CASE WHEN len($toksSql) >= 3
        | THEN list_distinct(list_transform(range(len($toksSql) - 2),
@@ -159,7 +159,12 @@ object Dedup {
 
   /** Sharded twin of [[ddBloomAdmit]]: same corpus/batch split, admit
     * via the per-shard sketch table instead of one whole-corpus
-    * sketch. */
+    * sketch. The sketch join is a LEFT join and a missing sketch row
+    * ADMITS: a shard with no corpus fingerprints (skewed hash, small
+    * corpus, or a per-day incremental table that only carries the
+    * shards that day touched) provably cannot contain the incoming
+    * fingerprint — an inner join would silently drop those provably
+    * new docs instead. */
   def ddBloomAdmitSharded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -172,9 +177,9 @@ object Dedup {
     val sketches = shardedBloomSketches(corpus, $"fp", BloomShards,
       perShard, BloomFpp)
     docs.withColumn("shard", pmod(xxhash64($"fp"), lit(BloomShards.toLong)))
-      .join(broadcast(sketches), Seq("shard"))
-      .filter(!graft.functions.BloomFunctions
-        .bloom_might_contain_shard($"shard", $"sk", $"fp"))
+      .join(broadcast(sketches), Seq("shard"), "left")
+      .filter(coalesce(!graft.functions.BloomFunctions
+        .bloom_might_contain_shard($"shard", $"sk", $"fp"), lit(true)))
       .select($"doc_id", $"fp")
   }
 
@@ -671,6 +676,11 @@ object Dedup {
     val corpus = corpusDocs
     val cands0 = bBands.join(corpusBands, Seq("band", "band_hash"))
       .select(col("batch_doc"), col("corpus_doc")).distinct()
+    // the adaptive measurement executes the candidate subtree eagerly and
+    // the main query would recompute it — cache around the two uses (the
+    // bench/gate path clears per-query; long-lived callers should
+    // unpersist after materializing the result)
+    if (adaptiveCap) { cands0.cache(); () }
     val effectiveCap =
       if (adaptiveCap) Some(observedPerDocCap(cands0)) else perDocCap
     val cands = effectiveCap match {
@@ -1018,13 +1028,17 @@ object Dedup {
     val src = java.nio.file.Files.createTempDirectory("graft_dd_stream")
     def writeSplit(idx: Int, part: DataFrame): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_dd_split$idx")
-      part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val f = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).sorted.head
-      val dest = src.resolve(f"0${idx}_docs.parquet")
-      java.nio.file.Files.move(java.nio.file.Paths.get(f), dest)
-      dest.toFile.setLastModified(1000000L + idx * 10000L)
-      ()
+      try {
+        part.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = java.nio.file.Files.list(tmp)
+        val f = try listing.toArray.map(_.toString)
+          .filter(_.endsWith(".parquet")).sorted.head
+        finally listing.close()
+        val dest = src.resolve(f"0${idx}_docs.parquet")
+        java.nio.file.Files.move(java.nio.file.Paths.get(f), dest)
+        dest.toFile.setLastModified(1000000L + idx * 10000L)
+        ()
+      } finally deleteRecursively(tmp)
     }
     writeSplit(1, docs.filter($"doc_id" % 2 === 0))
     writeSplit(2, docs.filter($"doc_id" % 2 =!= 0))
@@ -1039,8 +1053,17 @@ object Dedup {
       .select($"fp")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    // drain, stop, then reclaim the corpus-sized replay dir — repeated
+    // gate/bench runs must not accumulate copies of the corpus in /tmp
+    try q.processAllAvailable() finally { q.stop(); deleteRecursively(src) }
     s.table(name)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+    finally walk.close()
   }
 
   val ddStreamExactSql: String =

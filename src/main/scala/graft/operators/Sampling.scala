@@ -219,7 +219,7 @@ object Sampling {
   }
 
   val saPackBinsSql: String = {
-    val toks = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+    val toks = TextAnalysis.toksSql
     s"""SELECT doc_id, source, n_tokens,
        |  CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT) AS bin
        |FROM (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,

@@ -425,7 +425,7 @@ object Similarity {
             slice(col("embedding"), m * sub + 1, sub).as("embedding")),
             PqK, PqRounds)
         }
-      } finally { trainSample(emb).unpersist(); () }
+      } finally { sample.unpersist(); () }
     })
   }
 

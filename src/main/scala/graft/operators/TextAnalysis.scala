@@ -25,8 +25,11 @@ object TextAnalysis {
   private def countIn(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
-  // DuckDB equivalents of tokens/countIn, for the oracles.
-  private val toksSql = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+  // DuckDB equivalent of tokens, for the oracles — the single source of
+  // truth for the tokenizer's SQL twin (Dedup and Sampling reference it;
+  // a drifting copy would silently diverge an oracle from the Spark side).
+  private[operators] val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
   private def countInSql(words: Seq[String]): String =
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 

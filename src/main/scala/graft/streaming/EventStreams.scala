@@ -201,43 +201,44 @@ object EventStreams {
     * at verification SF; at production scale the same query writes to a
     * real sink (see ForeachBatchSpec) and this entry stays a gate-sized
     * harness. */
-  def evTumblingStream(s: SparkSession, dir: String): DataFrame = {
+  def evTumblingStream(s: SparkSession, dir: String): DataFrame =
+    replayToMemorySink(s, dir, "ev_tumbling_stream", streamingTumbling)
+
+  /** Shared single-file replay harness for the complete-output streaming
+    * gates: stage the events parquet in a temp dir, run `transform` over
+    * a file-source stream of it into a memory sink, drain, stop, and
+    * reclaim the staged copy. One input file ⇒ one micro-batch, so the
+    * watermark never drops in-flight rows and the converged sink equals
+    * the batch aggregate (see [[evTumblingStream]]'s contract note). */
+  private def replayToMemorySink(s: SparkSession, dir: String,
+      namePrefix: String, transform: DataFrame => DataFrame): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val src = java.nio.file.Files.createTempDirectory("graft_ev_stream")
+    val src = java.nio.file.Files.createTempDirectory(namePrefix)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       src.resolve("events.parquet"))
     val stream = s.readStream.schema(rawSchema).parquet(src.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val name = s"ev_tumbling_stream_${streamRuns.incrementAndGet()}"
-    val q = streamingTumbling(stream)
+    val name = s"${namePrefix}_${streamRuns.incrementAndGet()}"
+    val q = transform(stream)
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      val walk = java.nio.file.Files.walk(src)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
     s.table(name)
   }
 
   /** STREAMING-mode twin of [[evSliding]] (overlapping windows: every
     * event lands in TWO live windows, so the state store tracks ~2× the
-    * window count of the tumbling gate) — same single-file replay /
-    * complete-output convergence argument as [[evTumblingStream]]. */
-  def evSlidingStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
-    val src = java.nio.file.Files.createTempDirectory("graft_ev_sliding")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      src.resolve("events.parquet"))
-    val stream = s.readStream.schema(rawSchema).parquet(src.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val name = s"ev_sliding_stream_${streamRuns.incrementAndGet()}"
-    val q = streamingSliding(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
-  }
+    * window count of the tumbling gate). */
+  def evSlidingStream(s: SparkSession, dir: String): DataFrame =
+    replayToMemorySink(s, dir, "ev_sliding_stream", streamingSliding)
 
   val evTumblingSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

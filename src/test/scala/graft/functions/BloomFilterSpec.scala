@@ -145,6 +145,40 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(first.forall { case (k, b) => java.util.Arrays.equals(b, again(k)) })
   }
 
+  test("shard cache invalidates on a changed sketch for the same shard id") {
+    import org.apache.spark.sql.functions.col
+    // two GENERATIONS of shard 0 in one query (appended sketch tables):
+    // each row must be tested against ITS OWN sketch bytes, not the
+    // first-seen generation cached per shard id
+    val genA = sketchOf((1 to 50).map(i => s"genA-$i"), 100)
+    val genB = sketchOf((1 to 50).map(i => s"genB-$i"), 100)
+    val rows = Seq(
+      (0L, genA, "genA-7", true), (0L, genB, "genB-7", true),
+      (0L, genA, "genB-7", false), (0L, genB, "genA-7", false))
+    val df = spark.createDataFrame(rows).toDF("shard", "sk", "v", "expected")
+      .coalesce(1) // one task ⇒ one expression instance ⇒ shared cache
+    val wrong = df.filter(BloomFunctions
+      .bloom_might_contain_shard(col("shard"), col("sk"), col("v"))
+      =!= col("expected")).count()
+    assert(wrong == 0L, "stale cached sketch served for a changed shard")
+  }
+
+  test("sharded admit: docs in sketch-less shards are admitted, not dropped") {
+    import spark.implicits._
+    // 3-doc corpus covers at most 3 of 16 shards; every batch doc whose
+    // shard has no sketch row is provably new and must appear in the
+    // admit output (an inner sketch join would silently drop it)
+    val dir = java.nio.file.Files.createTempDirectory("shardadmit").toString
+    val docs = (1 to 3).map(i => (i.toLong, s"corpus doc $i")) ++
+      (10 to 60 by 10).map(i => (i.toLong, s"novel doc $i")) // doc_id%10==0 ⇒ batch
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val admitted = graft.operators.Dedup.ddBloomAdmitSharded(spark, dir)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert((10 to 60 by 10).map(_.toLong).toSet.subsetOf(admitted),
+      s"novel docs dropped: admitted only $admitted")
+  }
+
   test("sharded-dedup gate query: exact counts + envelope booleans") {
     val row = graft.operators.Dedup
       .ddBloomSharded(spark, graft.TestSpark.sf0001).head()
