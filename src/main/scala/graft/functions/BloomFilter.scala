@@ -63,11 +63,26 @@ object BloomKernel {
   val Seed1 = 42L
   val Seed2 = 977L
 
-  /** Standard sizing: m = -n ln p / (ln 2)², rounded up to whole words. */
+  /** Format tag leading every serialized sketch: 8 bits of magic + a
+    * format version, chosen NEGATIVE so it can never collide with the
+    * first field of the tagless round-1 layout (numBits, a positive
+    * multiple of 64) — legacy bytes are rejected with a typed error
+    * instead of silently probing the wrong sequence (the unsafe
+    * direction for dedup: false negatives admit duplicates
+    * undetected). Bump the version whenever probe semantics or layout
+    * change; readers reject rather than translate, because a sketch is
+    * cheap to rebuild from data and a translated bit array CANNOT be —
+    * the bits already encode the old probe sequence. */
+  val FormatTag: Int = 0xB100F000 | 2 // version 2: odd-step probe + trailing content hash
+
+  /** Standard sizing: m = -n ln p / (ln 2)², rounded up to whole words.
+    * The overflow clamp stays word-aligned (largest multiple of 64
+    * ≤ Int.MaxValue) so BloomState's numBits invariant holds even when
+    * the clamp engages (expectedItems ≳ 2.2e8 at fpp 0.01). */
   def optimalNumBits(expectedItems: Long, fpp: Double): Int = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
     val m = math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2)))
-    (((m.toLong + 63) / 64) * 64).min(Int.MaxValue.toLong - 64).toInt
+    (((m.toLong + 63) / 64) * 64).min(((Int.MaxValue.toLong - 63) / 64) * 64).toInt
   }
 
   def optimalNumHashes(expectedItems: Long, numBits: Int): Int =
@@ -76,14 +91,16 @@ object BloomKernel {
   def hash1(v: Any, dt: DataType): Long = XxHash64Function.hash(v, dt, Seed1)
   def hash2(v: Any, dt: DataType): Long = XxHash64Function.hash(v, dt, Seed2)
 
-  /** Serialized layout: numBits, numHashes, words…, contentHash. The
-    * trailing 8-byte content hash lets per-row consumers
-    * ([[BloomMightContainShard]]'s cache) detect in O(1) that a shard's
-    * sketch CHANGED (a new generation of the same shard id) without
-    * comparing or re-hashing the whole bit array per row. Purely a
-    * function of the words, so serialization stays deterministic. */
+  /** Serialized layout: [[FormatTag]], numBits, numHashes, words…,
+    * contentHash. The trailing 8-byte content hash lets per-row
+    * consumers ([[BloomMightContainShard]]'s cache) detect in O(1) that
+    * a shard's sketch CHANGED (a new generation of the same shard id)
+    * without comparing or re-hashing the whole bit array per row.
+    * Purely a function of the words, so serialization stays
+    * deterministic. */
   def serialize(state: BloomState): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(8 + 8 * state.words.length + 8)
+    val buf = java.nio.ByteBuffer.allocate(4 + 8 + 8 * state.words.length + 8)
+    buf.putInt(FormatTag)
     buf.putInt(state.numBits)
     buf.putInt(state.numHashes)
     state.words.foreach(buf.putLong)
@@ -98,12 +115,31 @@ object BloomKernel {
     h
   }
 
-  /** Reads the trailing content hash without deserializing. */
-  def storedContentHash(bytes: Array[Byte]): Long =
+  private def checkTag(bytes: Array[Byte]): Unit = {
+    require(bytes.length >= 4 + 8 + 8,
+      s"Bloom sketch bytes too short (${bytes.length})")
+    val tag = java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt
+    require(tag == FormatTag,
+      if (tag > 0)
+        "legacy (untagged) Bloom sketch bytes: rebuilt sketches are " +
+          "required — the stored bit array encodes an older probe " +
+          "sequence and would yield silent false negatives"
+      else
+        f"Bloom sketch format mismatch: stored 0x$tag%08x, this build " +
+          f"reads 0x$FormatTag%08x — rebuild the sketch")
+  }
+
+  /** Reads the trailing content hash without deserializing (tag still
+    * verified — on legacy bytes the last word is bit-array data, not a
+    * hash, and must not silently key a cache). */
+  def storedContentHash(bytes: Array[Byte]): Long = {
+    checkTag(bytes)
     java.nio.ByteBuffer.wrap(bytes, bytes.length - 8, 8).getLong
+  }
 
   def deserialize(bytes: Array[Byte]): BloomState = {
-    val buf = java.nio.ByteBuffer.wrap(bytes)
+    checkTag(bytes)
+    val buf = java.nio.ByteBuffer.wrap(bytes, 4, bytes.length - 4)
     val state = new BloomState(buf.getInt, buf.getInt)
     var i = 0
     while (i < state.words.length) { state.words(i) = buf.getLong; i += 1 }

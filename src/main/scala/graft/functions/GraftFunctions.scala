@@ -47,12 +47,25 @@ object GraftFunctions {
       else 64)),
     // bloom_sketch(col, expected_items[, fpp]) — mergeable sketch bytes
     "bloom_sketch" -> (exprs => BloomSketchBytes(exprs(0),
-      exprs(1).eval(null).asInstanceOf[Number].longValue,
-      if (exprs.length > 2) exprs(2).eval(null) match {
-        case d: org.apache.spark.sql.types.Decimal => d.toDouble
-        case n: Number => n.doubleValue
-        case other => throw new IllegalArgumentException(
-          s"bloom_sketch: fpp must be a numeric literal, got $other")
+      {
+        if (!exprs(1).foldable) throw new IllegalArgumentException(
+          "bloom_sketch: expected_items must be a foldable numeric literal")
+        exprs(1).eval(null) match {
+          case d: org.apache.spark.sql.types.Decimal => d.toLong
+          case n: Number => n.longValue
+          case other => throw new IllegalArgumentException(
+            s"bloom_sketch: expected_items must be a numeric literal, got $other")
+        }
+      },
+      if (exprs.length > 2) {
+        if (!exprs(2).foldable) throw new IllegalArgumentException(
+          "bloom_sketch: fpp must be a foldable numeric literal")
+        exprs(2).eval(null) match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"bloom_sketch: fpp must be a numeric literal, got $other")
+        }
       } else 0.01)),
     "bloom_might_contain" -> (exprs =>
       BloomMightContain(exprs(0), exprs(1))),

@@ -668,6 +668,21 @@ object Dedup {
     else p.getLong(0).max(floor.toLong).min(cap.toLong).toInt
   }
 
+  /** [[observedPerDocCap]] as a LAZY one-row frame, for use inside a
+    * single plan: the quantile aggregate broadcast-joins onto the
+    * candidate set instead of being collected driver-side. Nothing
+    * executes eagerly and nothing needs caching — the right shape for
+    * a foreachBatch ingest loop, which must not leak a cached RDD per
+    * micro-batch (the empty set falls back to the floor via coalesce). */
+  private def perDocCapFrame(cands: DataFrame, q: Double = 0.99,
+      floor: Int = 16, cap: Int = 1024): DataFrame =
+    cands.groupBy(col("batch_doc"))
+      .agg(count(lit(1)).as("n"))
+      .agg(percentile_approx(col("n"), lit(q), lit(10000)).as("p"))
+      .select(greatest(lit(floor.toLong),
+        least(lit(cap.toLong), coalesce(col("p"), lit(floor.toLong))))
+        .as("__cap"))
+
   def minhashIncrementalAgainstBands(batch: DataFrame, corpusBands: DataFrame,
       corpusDocs: DataFrame, threshold: Double,
       perDocCap: Option[Int] = None,
@@ -676,21 +691,23 @@ object Dedup {
     val corpus = corpusDocs
     val cands0 = bBands.join(corpusBands, Seq("band", "band_hash"))
       .select(col("batch_doc"), col("corpus_doc")).distinct()
-    // the adaptive measurement executes the candidate subtree eagerly and
-    // the main query would recompute it — cache around the two uses (the
-    // bench/gate path clears per-query; long-lived callers should
-    // unpersist after materializing the result)
-    if (adaptiveCap) { cands0.cache(); () }
-    val effectiveCap =
-      if (adaptiveCap) Some(observedPerDocCap(cands0)) else perDocCap
-    val cands = effectiveCap match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("batch_doc")).orderBy(col("corpus_doc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("batch_doc")).orderBy(col("corpus_doc"))
+    val cands =
+      if (adaptiveCap) {
+        // the measured cap joins in as a broadcast scalar — one plan, no
+        // eager job, no cache to leak (the distinct's exchange is shared
+        // between the quantile subtree and the main path via Spark's
+        // exchange reuse)
         cands0.withColumn("__rk", row_number().over(w))
-          .filter(col("__rk") <= cap).drop("__rk")
-      case None => cands0
-    }
+          .join(broadcast(perDocCapFrame(cands0)))
+          .filter(col("__rk") <= col("__cap")).drop("__rk", "__cap")
+      } else perDocCap match {
+        case Some(cap) =>
+          cands0.withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= cap).drop("__rk")
+        case None => cands0
+      }
     val shB = batch
       .join(cands.select(col("batch_doc").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")

@@ -137,11 +137,22 @@ object Sampling {
     * thousands of independent packing streams, each sorted only within
     * its partition. Bin identity is (shard, bin) — deterministic under
     * any partitioning because both the order column and the token counts
-    * are data, not runtime state. */
+    * are data, not runtime state.
+    *
+    * The running sum uses an explicit ROWS frame: the default RANGE
+    * frame makes order-key TIES share a cumulative that includes each
+    * other's tokens, so `__cum - tokens` is no longer the preceding
+    * cumulative and bins silently overshoot by whole tie groups. ROWS
+    * gives every row a well-defined preceding sum under ANY total
+    * order; when `order` alone isn't unique, pass `tiebreak` columns
+    * that complete it (e.g. doc_id) so that order — and therefore the
+    * bin assignment — is also deterministic. */
   def packBins(df: DataFrame, shard: Column, order: Column, tokens: Column,
-      budget: Long): DataFrame = {
+      budget: Long, tiebreak: Column*): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(shard).orderBy(order)
+      .partitionBy(shard).orderBy(order +: tiebreak: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     df.withColumn("__cum", sum(tokens).over(w))
       .withColumn("bin",
         floor((col("__cum") - tokens).cast("double") / budget).cast("long"))
@@ -224,7 +235,8 @@ object Sampling {
        |  CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT) AS bin
        |FROM (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens,
        |  SUM(CAST(len($toks) AS BIGINT)) OVER (PARTITION BY source
-       |    ORDER BY doc_id) AS cum
+       |    ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM documents) t""".stripMargin
   }
 

@@ -78,6 +78,30 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("foldable"), e.getMessage)
   }
 
+  test("legacy or foreign sketch bytes are rejected, not misread") {
+    // round-1 layout had no tag: first int = numBits (positive multiple
+    // of 64) and NO trailing content hash. Under the current probe
+    // sequence those bits would yield silent false negatives — dedup's
+    // unsafe direction — so both entry points must refuse them.
+    val sk = sketchOf(Seq("a", "b"), 100)
+    val tag = java.nio.ByteBuffer.wrap(sk, 0, 4).getInt
+    assert(tag == BloomKernel.FormatTag)
+    // forge a legacy sketch: strip the tag and the trailing hash
+    val legacy = sk.slice(4, sk.length - 8)
+    val e1 = intercept[IllegalArgumentException] { BloomKernel.deserialize(legacy) }
+    assert(e1.getMessage.contains("legacy"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { BloomKernel.storedContentHash(legacy) }
+    assert(e2.getMessage.contains("legacy"), e2.getMessage)
+    // a future/foreign version tag is named in the error, not misread
+    val foreign = sk.clone()
+    java.nio.ByteBuffer.wrap(foreign, 0, 4).putInt(0xB100F000 | 99)
+    val e3 = intercept[IllegalArgumentException] { BloomKernel.deserialize(foreign) }
+    assert(e3.getMessage.contains("format mismatch"), e3.getMessage)
+    // and tagged bytes round-trip
+    val rt = BloomKernel.serialize(BloomKernel.deserialize(sk))
+    assert(java.util.Arrays.equals(rt, sk))
+  }
+
   test("shape mismatch fails loudly on merge") {
     val a = sketchOf(Seq("a"), 100)
     val b = sketchOf(Seq("b"), 10000)

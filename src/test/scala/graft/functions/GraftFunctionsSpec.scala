@@ -59,6 +59,16 @@ class GraftFunctionsSpec extends AnyFunSuite {
         |WHERE bloom_might_contain_shard(sk.shard, sk.sk, t.v)""".stripMargin)
       .head().getLong(0)
     assert(n == 500L) // zero false negatives through the SQL surface
+    // non-foldable / non-numeric expected_items gets a typed error naming
+    // the function and argument, not an opaque NPE/ClassCastException
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT bloom_sketch(v, xxhash64(v)) FROM bloom_t").collect()
+    }
+    assert(e2.getMessage.contains("expected_items"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT bloom_sketch(v, 'many') FROM bloom_t").collect()
+    }
+    assert(e3.getMessage.contains("expected_items"), e3.getMessage)
   }
 
   test("GraftExtensions injects the function builders") {

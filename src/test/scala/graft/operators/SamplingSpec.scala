@@ -123,6 +123,27 @@ class SamplingSpec extends AnyFunSuite {
       totals.toString)
   }
 
+  test("packBins: tied order keys get per-row preceding sums via the ROWS frame") {
+    import spark.implicits._
+    // every doc shares ONE order value (priority 0) — the worst tie
+    // case: under the default RANGE frame all six would share cum=600
+    // and land in bin floor((600-100)/250)=2, skipping bins 0-1
+    // entirely; the ROWS frame + doc_id tiebreak packs them
+    // sequentially exactly like the unique-key case
+    val df = (1 to 6).map(i => (i.toLong, 0L, "s", 100L))
+      .toDF("id", "priority", "shard", "tok")
+    def run(parts: Int): Seq[(Long, Long)] =
+      Sampling.packBins(df.repartition(parts), $"shard", $"priority", $"tok",
+        250L, $"id")
+        .select($"id", $"bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+    val out = run(3)
+    assert(out == Seq(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 2L),
+      out.toString)
+    // deterministic under re-partitioning despite the fully-tied order key
+    assert(out == run(5))
+  }
+
   test("gate queries run and cover all three weight regimes") {
     val mix = Sampling.saWeightedMix(spark, TestSpark.sf0001)
     val n = mix.count()

@@ -173,6 +173,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(joined.forall(r => r.getAs[Double]("pq_cos") == r.getAs[Double]("b_cos")))
   }
 
+  test("pq shortlist: fixed default reaches >= 0.9 recall on a clustered corpus") {
+    // the scale contract: on realistically clustered embeddings the
+    // FIXED PqShortlist (non-corpus-proportional) recovers the true
+    // top-k, so the exact rerank and the q_id shuffle stay O(Q·100)
+    // regardless of corpus size. Planted corpus = 8 well-separated
+    // direction clusters (the chooseProbe fixture, scaled up).
+    val rnd = new scala.util.Random(7)
+    val dim = Similarity.PqDim
+    val centers = (0 until 8).map { c =>
+      val v = Array.tabulate(dim)(i => if (i % 8 == c) 1.0 else 0.0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => x / n)
+    }
+    val rows = (0 until 1200).map { id =>
+      val c = centers(id % 8)
+      val noisy = c.map(x => x + rnd.nextGaussian() * 0.05)
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      (id.toLong, noisy.map(x => (x / n).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val books = Similarity.trainCodebooks(emb)
+    val brute = Similarity.knnBruteOn(emb)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // default (fixed) shortlist — the knnPqOn signature default
+    val pq = Similarity.knnPqOn(emb, books)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"fixed-shortlist recall on clustered corpus was $recall")
+    // and the autotune agrees the corpus needs no more than the default
+    val tuned = Similarity.chooseShortlist(emb, books)
+    assert(tuned <= Similarity.PqShortlist,
+      s"clustered corpus tuned shortlist $tuned exceeds fixed ${Similarity.PqShortlist}")
+  }
+
   test("int8 quantization: values in range, dequantized cosine within 1%") {
     import spark.implicits._
     val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)

@@ -35,7 +35,7 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val pairs = Dedup.minhashIncrementalAgainstBands(batch,
           spark.read.parquet(bandDir), spark.read.parquet(docsDir),
-          Dedup.MinhashThreshold)
+          Dedup.MinhashThreshold, adaptiveCap = true)
         pairs.collect().foreach(r => flagged.add((r.getLong(0), r.getLong(1))))
         Dedup.docBands(batch).withColumnRenamed("doc_id", "corpus_doc")
           .write.mode("append").parquet(bandDir)
@@ -63,5 +63,61 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 20L), s"novel doc falsely flagged: $got")
     // and batch-1 docs were never flagged (empty corpus at that point)
     assert(!got.exists(p => p._1 == 1L || p._1 == 2L), got.toString)
+  }
+
+  test("adaptive cap in the loop: mega-bucket truncated, normals exact, no cache leak") {
+    import spark.implicits._
+    // corpus batch: 120 distinct "normal" docs + 60 identical boilerplate
+    // copies (a planted cross-batch mega bucket); probe batch: one
+    // near-dup per normal doc + one more boilerplate copy. The p99 of
+    // observed fan-outs is 1 (the 120 normals), so the boilerplate doc
+    // is truncated to the floor (16) while every normal pair survives —
+    // and because the cap rides inside the plan as a broadcast scalar,
+    // the loop leaves no cached RDD behind per micro-batch.
+    def normal(i: Int): String = (1 to 30).map(w => s"n${i}w$w").mkString(" ")
+    def nearDup(i: Int): String = (1 to 29).map(w => s"n${i}w$w").mkString(" ") + " tail"
+    val boiler = (1 to 30).map(w => s"boilW$w").mkString(" ")
+    val bandDir = java.nio.file.Files.createTempDirectory("cap_bands").toString
+    val docsDir = java.nio.file.Files.createTempDirectory("cap_docs").toString
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    Dedup.docBands(emptyDocs).withColumnRenamed("doc_id", "corpus_doc")
+      .write.mode("overwrite").parquet(bandDir)
+    emptyDocs.write.mode("overwrite").parquet(docsDir)
+
+    val flagged = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pairs = Dedup.minhashIncrementalAgainstBands(batch,
+          spark.read.parquet(bandDir), spark.read.parquet(docsDir),
+          Dedup.MinhashThreshold, adaptiveCap = true)
+        pairs.collect().foreach(r => flagged.add((r.getLong(0), r.getLong(1))))
+        Dedup.docBands(batch).withColumnRenamed("doc_id", "corpus_doc")
+          .write.mode("append").parquet(bandDir)
+        batch.write.mode("append").parquet(docsDir)
+      }
+      .start()
+    try {
+      input.addData((1 to 120).map(i => (i.toLong, normal(i))) ++
+        (200 to 259).map(i => (i.toLong, boiler)))
+      q.processAllAvailable()
+      input.addData((1 to 120).map(i => (1000L + i, nearDup(i))) :+
+        (2000L, boiler))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = flagged.asScala.toSet
+    // every normal near-dup pair survives the cap exactly
+    (1 to 120).foreach(i => assert(got.contains((1000L + i, i.toLong)),
+      s"normal pair $i missing"))
+    // the boilerplate doc is flagged but truncated to the floor of 16
+    // smallest corpus ids — not all 60 copies
+    val boilerPairs = got.filter(_._1 == 2000L)
+    assert(boilerPairs.map(_._2) == (200L to 215L).toSet, boilerPairs.toString)
+    // and nothing new was left cached by the adaptive path
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 }
