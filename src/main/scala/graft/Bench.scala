@@ -24,7 +24,13 @@ object Bench {
     "sa_weighted_mix", "sa_stratified_n", "sa_pack_bins",
     "dd_minhash_lsh_full", "dd_simhash_pairs", "dd_dup_spans",
     "dd_decontaminate", "ss_knn_brute", "ss_knn_ivf", "ss_knn_pq",
-    "ev_sessions")
+    "ev_sessions",
+    // round 8: the skew-handling building blocks (salted agg/join have
+    // no perf tracking without these), CDC compaction, deterministic
+    // corpus shuffle, stream-stream attribution (batch form), CMS build,
+    // and the dedup-retention deliverable
+    "sc_salted_sum_hicard", "sc_salted_join", "cdc_latest", "sa_shuffle",
+    "ev_attribution", "ta_cms_freq", "dd_retain")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -43,6 +49,16 @@ object Bench {
     "dd_dup_spans" -> ((s, d) => graft.operators.Dedup.ddDupSpansHashed(s, d)),
     "dd_decontaminate" -> ((s, d) => graft.operators.Dedup.ddDecontaminateHashed(s, d)),
     "dd_bloom_sharded" -> ((s, d) => graft.operators.Dedup.ddBloomAdmitSharded(s, d)),
+    // production CMS: one sketch-build aggregate at production width
+    // (the gate form also recomputes exact counts for the oracle)
+    "ta_cms_freq" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.Tables.documents(s, d)
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text")))
+          .as("token"))
+        .agg(graft.functions.CmsFunctions.cms_sketch(col("token"),
+          graft.operators.TextAnalysis.CmsDepth, 1024).as("sk"))
+    }),
   )
 
   def main(args: Array[String]): Unit = {

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Dedup, Multimodal, Relational, Sampling, Scale, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Advanced, Changelog, Dedup, Multimodal, Relational, Sampling, Scale, Similarity, TextAnalysis, WordCount}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,8 @@ object SparkEntry {
       "wordcount_dataframe" -> ((s, d) => WordCount.viaDataFrame(s, d)),
     ) ++ Relational.queries ++ Advanced.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
-      EventStreams.queries ++ Sampling.queries ++ Scale.queries
+      EventStreams.queries ++ Sampling.queries ++ Scale.queries ++
+      Changelog.queries
 
   private val wordcountOracle =
     """SELECT word, count(*) AS cnt
@@ -34,5 +35,6 @@ object SparkEntry {
     "wordcount_dataframe" -> wordcountOracle,
   ) ++ Relational.oracles ++ Advanced.oracles ++ TextAnalysis.oracles ++
     Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
-    EventStreams.oracles ++ Sampling.oracles ++ Scale.oracles
+    EventStreams.oracles ++ Sampling.oracles ++ Scale.oracles ++
+    Changelog.oracles
 }

@@ -16,6 +16,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  /** Foldable integer literal or a typed error naming the function and
+    * argument (the friendly-error contract the bloom_sketch args set). */
+  private def foldableInt(fn: String, arg: String, e: Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $arg must be a foldable numeric literal")
+    e.eval(null) match {
+      case d: org.apache.spark.sql.types.Decimal => d.toInt
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a numeric literal, got $other")
+    }
+  }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
     "tokens" -> (exprs => Tokens(exprs(0))),
@@ -69,6 +82,12 @@ object GraftFunctions {
       } else 0.01)),
     "bloom_might_contain" -> (exprs =>
       BloomMightContain(exprs(0), exprs(1))),
+    // cms_sketch(col[, depth[, width]]) — mergeable count-min bytes
+    "cms_sketch" -> (exprs => CmsSketchBytes(exprs(0),
+      if (exprs.length > 1) foldableInt("cms_sketch", "depth", exprs(1))
+      else 4,
+      if (exprs.length > 2) foldableInt("cms_sketch", "width", exprs(2))
+      else 1024)),
     "bloom_might_contain_shard" -> (exprs =>
       BloomMightContainShard(exprs(0), exprs(1), exprs(2))),
   )

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** CDC / changelog materialization — the "apply the upsert stream"
+  * operator every warehouse ingest pipeline runs: a changelog of
+  * versioned UPSERT/DELETE rows per key compacts to the latest state
+  * (latest-wins, tombstones drop the key), and a stored snapshot plus a
+  * newer changelog slice re-compacts to exactly the full-history state.
+  *
+  * The gate treats `events` as the changelog: key = user_id, total
+  * version order = (ts, event_id), `event_type = 'error'` rows as
+  * tombstones, everything else as an upsert of `value`.
+  *
+  * Plan shape at 100 TB: one shuffle keyed on the CDC key, then a
+  * per-key window taking rank 1 by version DESC — the rank-1 filter
+  * triggers Catalyst's WindowGroupLimit rewrite, so every map task
+  * pre-prunes to its local latest row per key BEFORE the exchange and
+  * the shuffle carries ≤ one row per (task, key), not the full
+  * changelog. The incremental form ([[applyChangelog]]) is the
+  * production loop: state tables stay snapshot-sized, each batch
+  * compacts against the snapshot instead of re-reading history —
+  * the same snapshot+delta shape as the incremental minhash dedup.
+  */
+object Changelog {
+
+  /** Latest row per key (ties impossible once `versions` is a total
+    * order), tombstones dropped. Emits the key, the version columns,
+    * and `payload` columns of the winning row. */
+  def compact(log: DataFrame, key: Seq[String], versions: Seq[Column],
+      isDelete: Column, payload: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key.map(col): _*)
+      .orderBy(versions.map(_.desc): _*)
+    log.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1 && !isDelete)
+      .drop("__rk")
+      .select((key ++ payload).map(col): _*)
+  }
+
+  /** Apply a newer changelog slice to a compacted snapshot: the snapshot
+    * rows re-enter as upserts at their stored versions (all older than
+    * every slice row), so one [[compact]] over the union yields the same
+    * state as compacting the full history — tombstoned keys stay dead
+    * unless the slice re-inserts them, upserts win by version. The gate
+    * asserts this equivalence against the full-history oracle. */
+  def applyChangelog(snapshot: DataFrame, slice: DataFrame, key: Seq[String],
+      versions: Seq[Column], isDelete: Column, payload: Seq[String])
+      : DataFrame =
+    compact(snapshot.unionByName(slice, allowMissingColumns = true),
+      key, versions, isDelete, payload)
+
+  // --------------------------------------------------------- gate queries
+
+  private val eventKey = Seq("user_id")
+  private def eventVersions: Seq[Column] = Seq(col("ts"), col("event_id"))
+  private def eventDelete: Column = col("event_type") === "error"
+  private val eventPayload = Seq("ts", "event_id", "value")
+
+  /** Full-history compaction: current state of every user. */
+  def cdcLatest(s: SparkSession, dir: String): DataFrame =
+    compact(Tables.events(s, dir), eventKey, eventVersions, eventDelete,
+      eventPayload)
+
+  val cdcLatestSql: String =
+    """SELECT user_id, ts, event_id, value FROM (
+      |  SELECT user_id, ts, event_id, value, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events) t
+      |WHERE rk = 1 AND event_type <> 'error'""".stripMargin
+
+  /** Snapshot + delta equivalence: compact the first half of the month
+    * into a state table, apply the second half as a changelog slice —
+    * must equal the full-history compaction exactly (same oracle). The
+    * snapshot keeps only live keys (tombstoned users are absent), and
+    * the slice can delete, update, or re-insert them. */
+  val CdcSplit = "2024-01-16 00:00:00"
+
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val cutoff = to_timestamp(lit(CdcSplit))
+    // the snapshot keeps its version columns (ts, event_id are payload
+    // here), so re-compaction needs no sentinel versions
+    val snapshot = compact(events.filter(col("ts") < cutoff),
+      eventKey, eventVersions, eventDelete, eventPayload)
+      .withColumn("event_type", lit("upsert"))
+    applyChangelog(snapshot, events.filter(col("ts") >= cutoff),
+      eventKey, eventVersions, eventDelete, eventPayload)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_latest" -> cdcLatest,
+    "cdc_apply" -> cdcApply,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_latest" -> cdcLatestSql,
+    // snapshot+delta must reproduce the full-history state exactly
+    "cdc_apply" -> cdcLatestSql,
+  )
+}

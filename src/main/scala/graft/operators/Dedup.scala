@@ -804,6 +804,45 @@ object Dedup {
        |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
        |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
 
+  // --------------------------------------------------------- dedup RETENTION:
+  // the final corpus-dedup DELIVERABLE: one canonical document per
+  // near-duplicate cluster (the cluster minimum — any deterministic
+  // data-derived rule works) plus every singleton. Everything upstream
+  // (pairs, components) exists to produce THIS table.
+  /** Documents surviving dedup: `docs` minus every clustered doc that is
+    * not its cluster's canonical (minimum) id. Plan: the cluster table is
+    * proportional to the DUPLICATED subset, not the corpus — on real
+    * corpora a small fraction — so the anti-join's build side stays
+    * small and AQE broadcasts it; the corpus side streams through
+    * map-side without a shuffle. Falls back to a doc_id-keyed shuffle
+    * join only when duplication is pathological (and then the shuffle is
+    * the honest cost of the answer). */
+  def retainAfterDedup(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+  /** Gate: retention over the block-capped LSH clusters (shares
+    * dd_clusters' oracle data); emits the kept ids with their metadata
+    * columns (no text — the gate checks membership, not payload). */
+  def ddRetain(s: SparkSession, dir: String): DataFrame =
+    retainAfterDedup(Tables.documents(s, dir), ddClusters(s, dir))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  val ddRetainSql: String =
+    s"""WITH RECURSIVE pairs AS (${ddMinhashLshSql.replace("\n", " ")}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION SELECT src, dst FROM edges
+       |  UNION SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |clus AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |         FROM reach GROUP BY src)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN
+       |  (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)""".stripMargin
+
   // --------------------------------------------------------------- SimHash:
   // 64-bit weighted sign hash of the token multiset. Bit i of the simhash
   // is the sign of Σ_tokens (bit i of xxhash64(token) ? +1 : −1).
@@ -1141,6 +1180,7 @@ object Dedup {
     "dd_minhash_lsh_full" -> ddMinhashLshFull,
     "dd_minhash_incremental" -> ddMinhashIncremental,
     "dd_clusters" -> ddClusters,
+    "dd_retain" -> ddRetain,
     "dd_simhash" -> ddSimhashEnvelope,
     "dd_simhash_pairs" -> ddSimhashPairsEnvelope,
   )
@@ -1166,6 +1206,7 @@ object Dedup {
     "dd_minhash_lsh_full" -> ddMinhashLshFullSql,
     "dd_minhash_incremental" -> ddMinhashIncrementalSql,
     "dd_clusters" -> ddClustersSql,
+    "dd_retain" -> ddRetainSql,
     "dd_simhash" -> ddSimhashEnvelopeSql,
     "dd_simhash_pairs" -> ddSimhashPairsEnvelopeSql,
   )

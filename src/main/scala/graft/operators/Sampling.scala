@@ -159,6 +159,46 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Deterministic GLOBAL SHUFFLE with an explicit position — "shuffle
+    * the corpus before training" as a reproducible operator: order every
+    * row by hash(salt | key) and emit its 1-based global position. Same
+    * inputs + salt ⇒ the same permutation on any cluster, any
+    * partitioning, any rerun.
+    *
+    * Scale shape: a global row_number over a total order normally means
+    * a single-partition window — a non-starter. Instead the classic
+    * two-phase rank: rows bucket by their hash PREFIX (fixed fan-out
+    * [[ShuffleBuckets]]), per-bucket counts (a tiny fan-out-sized
+    * aggregate) turn into cumulative offsets with one fan-out-sized
+    * window, and each row's position is its bucket's offset plus its
+    * row_number WITHIN the bucket — a window partitioned by bucket, so
+    * the heavy sort runs across [[ShuffleBuckets]] independent
+    * partitions. Prefix-bucketing preserves the global hash order
+    * (bucket = leading bits of the sort key), so the result equals the
+    * single-window rank exactly — the oracle asserts that. */
+  val ShuffleBuckets = 256
+
+  def globalShuffleRank(df: DataFrame, key: Column, salt: String): DataFrame = {
+    val h = hashHex(key, salt)
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val withBucket = df.withColumn("__h", h).withColumn("__b", bucket)
+    // fan-out-sized aggregate: 256 rows however large the corpus is
+    val counts = withBucket.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // single-partition window over ≤ ShuffleBuckets rows — trivially tiny
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), key)
+    withBucket
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("pos", col("__off") + row_number().over(wIn).cast("long"))
+      .drop("__h", "__b", "__off")
+  }
+
   // --------------------------------------------------------- gate queries
 
   /** 20 sources × 4 weight tiers: drop-heavy 0.25, keep 1.0, upsample
@@ -240,7 +280,22 @@ object Sampling {
        |  FROM documents) t""".stripMargin
   }
 
+  val ShuffleSalt = "graft-shuffle-r8"
+
+  def saShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    globalShuffleRank(Tables.documents(s, dir).select($"doc_id", $"source"),
+      $"doc_id", ShuffleSalt)
+  }
+
+  val saShuffleSql: String =
+    s"""SELECT doc_id, source,
+       |  ROW_NUMBER() OVER (ORDER BY ${hashHexSql("doc_id", ShuffleSalt)},
+       |    doc_id) AS pos
+       |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sa_shuffle" -> saShuffle,
     "sa_weighted_mix" -> saWeightedMix,
     "sa_sample_n" -> saSampleN,
     "sa_stratified_n" -> saStratifiedN,
@@ -248,6 +303,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sa_shuffle" -> saShuffleSql,
     "sa_weighted_mix" -> saWeightedMixSql,
     "sa_sample_n" -> saSampleNSql,
     "sa_stratified_n" -> saStratifiedNSql,

@@ -458,6 +458,55 @@ object TextAnalysis {
        |  TRUE AS all_frequent_retained, TRUE AS est_within_bound
        |FROM (SELECT unnest($toksSql) AS t FROM documents)""".stripMargin
 
+  // -------------------------------------------------- count-min frequency
+  /** Point-frequency estimates from a count-min sketch (the fourth graft
+    * sketch: theta = distincts, KLL = quantiles, Misra–Gries = which
+    * items are frequent, count-min = how often is THIS item — for
+    * arbitrary later-chosen items in O(depth·width) space independent of
+    * vocabulary). Plan is one partial/final aggregate whose shuffle
+    * carries a single fixed-size byte blob per task, then a vocab-sized
+    * estimate join — the one-pass "frequency service" shape at 100 TB.
+    *
+    * Gate regime: width 16 against the 31-token vocabulary, so cells
+    * genuinely collide and estimates genuinely overcount. The gate
+    * hash-matches the exact per-token counts and asserts the two CMS
+    * guarantees per token:
+    *  - estimates NEVER undercount (deterministic: counters only add
+    *    non-negative collision mass);
+    *  - est ≤ true + e·N/width (the Markov bound holds per row with
+    *    probability 1 − 1/e; the min over depth=4 rows fails with
+    *    probability e^−4 ≈ 0.018 per item — on this fixed corpus and
+    *    fixed seeds it is a measured fact, stable under any
+    *    partitioning because merge is pointwise addition).
+    * CmsSketchSpec pins byte-identity under re-partitioning, merge
+    * associativity, the format-tag reject, and the bounds on a planted
+    * Zipf corpus. */
+  val CmsDepth = 4
+  val CmsWidth = 16
+
+  def taCmsFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("token"))
+    val sketch = toks.agg(graft.functions.CmsFunctions
+      .cms_sketch($"token", CmsDepth, CmsWidth).as("sk"))
+    val truth = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = truth.agg(sum($"cnt").as("n_total_l")) // 1 row
+    val est = graft.functions.CmsFunctions.cms_estimate($"sk", $"token")
+    truth.crossJoin(broadcast(sketch)).crossJoin(broadcast(total))
+      .select($"token", $"cnt",
+        (est >= $"cnt").as("never_undercounts"),
+        (est.cast("double") <=
+          $"cnt" + lit(math.E) * $"n_total_l" / CmsWidth)
+          .as("within_markov_bound"))
+  }
+
+  val taCmsFreqSql: String =
+    s"""SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  TRUE AS never_undercounts, TRUE AS within_markov_bound
+       |FROM (SELECT unnest($toksSql) AS t FROM documents)
+       |GROUP BY t""".stripMargin
+
   // --------------------------------------------------- token commonness
   /** Corpus-relative token commonness — the unigram-LM quality proxy
     * (CCNet-style filters score docs under a language model; the
@@ -498,6 +547,7 @@ object TextAnalysis {
     "ta_heavy_hitters" -> taHeavyHitters,
     "ta_commonness" -> taCommonness,
     "ta_heavy_hitters_approx" -> taHeavyHittersApprox,
+    "ta_cms_freq" -> taCmsFreq,
     "ta_top_ngrams" -> taTopNgrams,
     "ta_langid" -> taLangId,
     "ta_langid_ngram" -> taLangIdNgram,
@@ -513,6 +563,7 @@ object TextAnalysis {
     "ta_heavy_hitters" -> taHeavyHittersSql,
     "ta_commonness" -> taCommonnessSql,
     "ta_heavy_hitters_approx" -> taHeavyHittersApproxSql,
+    "ta_cms_freq" -> taCmsFreqSql,
     "ta_top_ngrams" -> taTopNgramsSql,
     "ta_langid" -> taLangIdSql,
     "ta_langid_ngram" -> taLangIdNgramSql,

@@ -58,6 +58,50 @@ object EventStreams {
   def streamingSliding(events: DataFrame): DataFrame =
     slidingCounts(events.withWatermark("ts", "10 minutes"))
 
+  // ------------------------------------------------- stream-stream join
+  /** View→purchase attribution: each purchase joins every view by the
+    * same user in the preceding [[AttributionWindowSql]] — written
+    * against plain DataFrames so the SAME code runs in batch (oracle)
+    * and as a Structured Streaming STREAM-STREAM inner join (the
+    * streaming gate below). */
+  val AttributionWindowSql = "INTERVAL 6 HOURS"
+
+  private def attributionViews(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+
+  private def attributionPurchases(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+
+  private def attributionJoin(views: DataFrame, purchases: DataFrame)
+      : DataFrame =
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(AttributionWindowSql))
+      .select(col("v_user").as("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+
+  def attribution(events: DataFrame): DataFrame =
+    attributionJoin(attributionViews(events), attributionPurchases(events))
+
+  /** Streaming form: both sides carry a watermark (applied AFTER the
+    * rename — aliasing a watermarked attribute can drop its event-time
+    * tag) and the join carries the time-range condition, so the state
+    * store can evict a buffered view once the watermark passes
+    * view_ts + window, and a purchase once it passes purchase_ts —
+    * bounded state under unbounded input, the contract that makes
+    * stream-stream joins viable at production rates. Inner join in
+    * append mode: a match is emitted as soon as both sides have
+    * arrived. */
+  def streamingAttribution(events: DataFrame): DataFrame =
+    attributionJoin(
+      attributionViews(events).withWatermark("view_ts", "10 minutes"),
+      attributionPurchases(events).withWatermark("purchase_ts", "10 minutes"))
+
   // -------------------------------------- custom state: flatMapGroupsWithState
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
@@ -211,7 +255,8 @@ object EventStreams {
     * watermark never drops in-flight rows and the converged sink equals
     * the batch aggregate (see [[evTumblingStream]]'s contract note). */
   private def replayToMemorySink(s: SparkSession, dir: String,
-      namePrefix: String, transform: DataFrame => DataFrame): DataFrame = {
+      namePrefix: String, transform: DataFrame => DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     val src = java.nio.file.Files.createTempDirectory(namePrefix)
@@ -223,7 +268,7 @@ object EventStreams {
     val name = s"${namePrefix}_${streamRuns.incrementAndGet()}"
     val q = transform(stream)
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete").start()
+      .outputMode(mode).start()
     try q.processAllAvailable() finally {
       q.stop()
       val walk = java.nio.file.Files.walk(src)
@@ -239,6 +284,20 @@ object EventStreams {
     * window count of the tumbling gate). */
   def evSlidingStream(s: SparkSession, dir: String): DataFrame =
     replayToMemorySink(s, dir, "ev_sliding_stream", streamingSliding)
+
+  def evAttribution(s: SparkSession, dir: String): DataFrame =
+    attribution(Tables.events(s, dir))
+
+  /** STREAMING-mode stream-stream join gate: the events parquet replays
+    * as ONE micro-batch feeding BOTH join sides (a streaming self-join —
+    * two filtered branches of the same watermarked source), through the
+    * real symmetric-hash join state store, in append mode. One batch ⇒
+    * the watermark never evicts an in-flight row, and an INNER join
+    * emits a match in the batch where both sides are present — so the
+    * sink must equal the batch join exactly (same oracle). */
+  def evAttributionStream(s: SparkSession, dir: String): DataFrame =
+    replayToMemorySink(s, dir, "ev_attribution_stream",
+      streamingAttribution, OutputMode.Append())
 
   val evTumblingSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
@@ -286,7 +345,17 @@ object EventStreams {
     "ev_sliding_stream" -> evSlidingStream,
     "ev_sessions" -> evSessions,
     "ev_sessions_stream" -> evSessionsStream,
+    "ev_attribution" -> evAttribution,
+    "ev_attribution_stream" -> evAttributionStream,
   )
+
+  val evAttributionSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+      |  p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  p.value AS purchase_value
+      |FROM events v JOIN events p ON v.user_id = p.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '6 hours'""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ev_tumbling" -> evTumblingSql,
@@ -295,5 +364,7 @@ object EventStreams {
     "ev_sliding_stream" -> evSlidingSql, // same oracle: batch ≡ stream
     "ev_sessions" -> evSessionsSql,
     "ev_sessions_stream" -> evSessionsSql, // same oracle: batch ≡ stream
+    "ev_attribution" -> evAttributionSql,
+    "ev_attribution_stream" -> evAttributionSql, // same oracle: batch ≡ stream
   )
 }

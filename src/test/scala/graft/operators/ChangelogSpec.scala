@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ChangelogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (key, version, op, value) — op "d" = tombstone
+  private def log(rows: (Long, Long, String, Double)*) =
+    rows.toDF("k", "v", "op", "payload")
+
+  private def compacted(df: org.apache.spark.sql.DataFrame) =
+    Changelog.compact(df, Seq("k"), Seq(col("v")), col("op") === "d",
+      Seq("v", "payload"))
+      .select($"k", $"v", $"payload").as[(Long, Long, Double)]
+      .collect().toSet
+
+  test("compact: latest version wins, tombstones drop the key") {
+    val l = log(
+      (1L, 1L, "u", 10.0), (1L, 3L, "u", 30.0), (1L, 2L, "u", 20.0),
+      (2L, 1L, "u", 1.0), (2L, 2L, "d", 0.0),
+      (3L, 5L, "d", 0.0), (3L, 7L, "u", 7.0))
+    assert(compacted(l) == Set((1L, 3L, 30.0), (3L, 7L, 7.0)))
+  }
+
+  test("compact is partitioning-invariant") {
+    val rows = (1L to 500L).map(i =>
+      (i % 40, i, if (i % 17 == 0) "d" else "u", i.toDouble))
+    val ref = compacted(log(rows: _*))
+    for (parts <- Seq(1, 7, 32))
+      assert(compacted(log(rows: _*).repartition(parts)) == ref, s"parts=$parts")
+  }
+
+  test("applyChangelog(snapshot, slice) == compact(full history) at any split") {
+    val rows = (1L to 400L).map(i =>
+      (i % 25, i, if (i % 11 == 0) "d" else "u", i * 1.5))
+    val full = log(rows: _*)
+    val ref = compacted(full)
+    for (split <- Seq(100L, 250L, 399L)) {
+      val snapshot = Changelog.compact(full.filter($"v" < split),
+        Seq("k"), Seq(col("v")), col("op") === "d", Seq("v", "payload"))
+        .withColumn("op", lit("u"))
+      val applied = Changelog.applyChangelog(snapshot,
+        full.filter($"v" >= split), Seq("k"), Seq(col("v")),
+        col("op") === "d", Seq("v", "payload"))
+        .select($"k", $"v", $"payload").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(applied == ref, s"split=$split")
+    }
+  }
+
+  test("a tombstoned key stays dead unless the slice re-inserts it") {
+    val history = log((9L, 1L, "u", 1.0), (9L, 2L, "d", 0.0))
+    val snapshot = Changelog.compact(history, Seq("k"), Seq(col("v")),
+      col("op") === "d", Seq("v", "payload")).withColumn("op", lit("u"))
+    assert(snapshot.isEmpty) // key 9 is dead in the snapshot
+    val slice = log((9L, 3L, "u", 3.0))
+    val applied = Changelog.applyChangelog(snapshot, slice, Seq("k"),
+      Seq(col("v")), col("op") === "d", Seq("v", "payload"))
+    assert(applied.select($"k", $"v", $"payload").as[(Long, Long, Double)]
+      .collect().toSet == Set((9L, 3L, 3.0)))
+  }
+
+  test("rank-1 compaction plans a WindowGroupLimit pre-prune") {
+    val plan = Changelog.cdcLatest(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pre-prune in:\n$plan")
+  }
+
+  test("gate twins agree: cdc_apply == cdc_latest on testdata") {
+    val latest = Changelog.cdcLatest(spark, TestSpark.sf0001)
+    val applied = Changelog.cdcApply(spark, TestSpark.sf0001)
+    assert(latest.count() > 0)
+    assert(latest.exceptAll(applied).isEmpty && applied.exceptAll(latest).isEmpty)
+  }
+}

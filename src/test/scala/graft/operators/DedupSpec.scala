@@ -422,6 +422,17 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("retainAfterDedup keeps singletons plus one canonical doc per cluster") {
+    import spark.implicits._
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters: {1,4,7} (min 1) and {2,8} (min 2); 0,3,5,6,9 singletons
+    val pairs = Seq((1L, 4L), (4L, 7L), (2L, 8L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.connectedComponents(pairs)
+    val kept = Dedup.retainAfterDedup(docs, clusters)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 5L, 6L, 9L))
+  }
+
   test("connected components: 1000-node chain converges in O(log n) rounds") {
     import spark.implicits._
     val chain = (0L until 999L).map(i => (i, i + 1, 1.0))

@@ -144,6 +144,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(out == run(5))
   }
 
+  test("globalShuffleRank: a bijective, partitioning-invariant permutation") {
+    val df = ids(5000)
+    def run(parts: Int): Seq[(Long, Long)] =
+      Sampling.globalShuffleRank(df.repartition(parts), $"id", "sh1")
+        .select($"id", $"pos").as[(Long, Long)].collect().toSeq.sorted
+    val a = run(1)
+    // positions are exactly 1..n (a permutation, no gaps or dups)
+    assert(a.map(_._2).sorted == (1L to 5000L))
+    assert(run(8) == a && run(32) == a)
+  }
+
+  test("globalShuffleRank equals the single-window global rank") {
+    val df = ids(3000)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(Sampling.hashHex($"id", "sh2"), $"id")
+    val ref = df.withColumn("pos", row_number().over(w).cast("long"))
+      .select($"id", $"pos").as[(Long, Long)].collect().toSet
+    val got = Sampling.globalShuffleRank(df.repartition(16), $"id", "sh2")
+      .select($"id", $"pos").as[(Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
   test("gate queries run and cover all three weight regimes") {
     val mix = Sampling.saWeightedMix(spark, TestSpark.sf0001)
     val n = mix.count()

@@ -159,6 +159,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(3L) == ((2L, 1.0)))   // singletons
   }
 
+  test("ta_cms_freq gate: both CMS guarantees hold on the gate corpus") {
+    val rows = TextAnalysis.taCmsFreq(spark, graft.TestSpark.sf0001).collect()
+    assert(rows.length == 31) // the corpus vocabulary
+    assert(rows.forall(_.getAs[Boolean]("never_undercounts")))
+    assert(rows.forall(_.getAs[Boolean]("within_markov_bound")))
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fps = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "other"))
       .toDF("doc_id", "text")

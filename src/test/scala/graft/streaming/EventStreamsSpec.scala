@@ -122,6 +122,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingAttribution: matches cross micro-batches, window enforced") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val out = EventStreams.streamingAttribution(input.toDF())
+    val name = "attr_stream_spec"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      // views arrive first; purchases land in a LATER micro-batch, so the
+      // join must serve them from buffered state
+      input.addData(Seq(
+        Event(1, ts(60), 1, "view", 0.0),
+        Event(2, ts(60), 2, "view", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Event(3, ts(90), 1, "purchase", 9.0),   // 30 min after the view
+        Event(4, ts(60 + 361), 2, "purchase", 5.0))) // outside the 6h window
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select($"user_id", $"view_id", $"purchase_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming attribution equals the batch join on a replayed corpus") {
+    val batch = EventStreams.evAttribution(spark, graft.TestSpark.sf0001)
+    val streamed = EventStreams.evAttributionStream(spark, graft.TestSpark.sf0001)
+    assert(batch.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty && streamed.exceptAll(batch).isEmpty)
+  }
+
   test("late data beyond the watermark is dropped from finalized windows") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
