@@ -124,6 +124,48 @@ class SimilaritySpec extends AnyFunSuite {
       s"shipped IvfProbe=${Similarity.IvfProbe} should cover the measured $realProbe")
   }
 
+  test("semantic dedup: planted dup groups collapse to one survivor each") {
+    // 4 well-separated direction clusters; inside each, vec ids that are
+    // EXACT copies of the cluster center (cosine 1 with each other) plus
+    // distinct noisy members below the threshold
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val centers = (0 until 4).map { c =>
+      val v = Array.tabulate(dim)(i => if (i % 4 == c) 1.0 else 0.0)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => x / n)
+    }
+    val copies = Seq( // (vec_id, cluster) — ids 0..7 are planted copies
+      (0L, 0), (1L, 0), (2L, 0), (3L, 1), (4L, 1), (5L, 2), (6L, 2), (7L, 3))
+    val copyRows = copies.map { case (id, c) =>
+      (id, centers(c).map(_.toFloat)) }
+    val noiseRows = (8 until 200).map { id =>
+      val c = centers(id % 4)
+      val noisy = c.map(x => x + rnd.nextGaussian() * 0.45)
+      val n = math.sqrt(noisy.map(x => x * x).sum)
+      (id.toLong, noisy.map(x => (x / n).toFloat))
+    }
+    val emb = (copyRows ++ noiseRows).toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, k = 8, rounds = 3)
+    val kept = Similarity.semanticDedupRetain(emb, cents, threshold = 0.995)
+      .select($"vec_id").as[Long].collect().toSet
+    // identical copies always co-cluster (same vector, same nearest
+    // centroid), so keep-first retains exactly the min id per group
+    assert(Set(0L, 3L, 5L, 7L).subsetOf(kept))
+    assert(!kept.exists(Seq(1L, 2L, 4L, 6L).contains(_)),
+      s"non-canonical copies survived: ${kept.intersect(Set(1L, 2L, 4L, 6L))}")
+    // distinct members all survive at this threshold
+    assert((8L until 200L).forall(kept.contains))
+  }
+
+  test("ss_semdedup gate: anchors exact, both claims hold") {
+    val row = Similarity.ssSemDedup(spark, TestSpark.sf0001).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("n_docs") == 500L)
+    assert(row(0).getAs[Boolean]("drops_all_verified"))
+    assert(row(0).getAs[Boolean]("coverage_ok"))
+  }
+
   test("ssKnnIvf gate form reports the recall envelope as satisfied") {
     val row = Similarity.ssKnnIvf(spark, TestSpark.sf0001).collect()
     assert(row.length == 1)
