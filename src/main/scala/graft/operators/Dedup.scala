@@ -683,13 +683,38 @@ object Dedup {
         least(lit(cap.toLong), coalesce(col("p"), lit(floor.toLong))))
         .as("__cap"))
 
+  /** `bucketCap`: mega-bucket guard on the STORED-table side — the
+    * batch path's [[MegaBucketThreshold]] idea applied to the
+    * incremental join. A boilerplate bucket in the corpus band table
+    * (B near-identical docs sharing a band hash) would otherwise emit B
+    * candidates per matching batch doc BEFORE the per-doc cap can
+    * trim them — the cap bounds verification, not the join's shuffle.
+    * With `bucketCap = c`, each (band, band_hash) keeps its c smallest
+    * corpus ids (rank-≤-c plans a map-side WindowGroupLimit pre-prune,
+    * so the trim happens before the bucket rows ever shuffle), bounding
+    * join output at c per (batch band, bucket). Recall argument: a
+    * batch doc matching a boilerplate bucket is near-identical to ALL
+    * its members, so any representative suffices to flag it — the same
+    * trade the batch path's adjacent-rank pairing makes, spec-pinned.
+    * At ingest time the same rank filter can compact the stored table
+    * itself (the representatives are stable: smallest ids). */
   def minhashIncrementalAgainstBands(batch: DataFrame, corpusBands: DataFrame,
       corpusDocs: DataFrame, threshold: Double,
       perDocCap: Option[Int] = None,
-      adaptiveCap: Boolean = false): DataFrame = {
+      adaptiveCap: Boolean = false,
+      bucketCap: Option[Int] = None): DataFrame = {
     val bBands = docBands(batch).withColumnRenamed("doc_id", "batch_doc")
     val corpus = corpusDocs
-    val cands0 = bBands.join(corpusBands, Seq("band", "band_hash"))
+    val prunedBands = bucketCap match {
+      case Some(c) =>
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+          .orderBy(col("corpus_doc"))
+        corpusBands.withColumn("__bk", row_number().over(wb))
+          .filter(col("__bk") <= c).drop("__bk")
+      case None => corpusBands
+    }
+    val cands0 = bBands.join(prunedBands, Seq("band", "band_hash"))
       .select(col("batch_doc"), col("corpus_doc")).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("batch_doc")).orderBy(col("corpus_doc"))

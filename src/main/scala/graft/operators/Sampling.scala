@@ -199,6 +199,42 @@ object Sampling {
       .drop("__h", "__b", "__off")
   }
 
+  /** Balanced RANGE BUCKETS from a KLL sketch — "write sorted, evenly
+    * sized output files" as an operator: one mergeable-sketch aggregate
+    * over the column (the shuffle carries one small blob per task, like
+    * every graft sketch), quantile boundaries at i/n read from the
+    * sketch, and a scan-side codegen'd boundary chain assigns each row
+    * its bucket. The boundaries are a TUNING-TIME bounded scalar
+    * (n−1 doubles through the driver — the IVF-centroid pattern);
+    * the per-row path never shuffles. This is how a 100 TB job gets
+    * a balanced `repartitionByRange`-equivalent layout with ONE
+    * lightweight pass instead of Spark's per-job range sampling, and
+    * the sketch is storable/mergeable across ingests (day N+1 reuses
+    * or merges day N's sketch — rebalancing without rescanning).
+    *
+    * Balance contract: KLL rank error ε (~1.3% at k=200) bounds each
+    * bucket's share within 1/n ± 2ε of rows — the gate asserts the
+    * measured envelope; exact evenness is NTILE's job (a global sort),
+    * not a one-pass sketch's. */
+  def rangeBucketBoundaries(df: DataFrame, value: Column, numBuckets: Int,
+      k: Int = 200): Seq[Double] = {
+    val sketch = df.agg(
+      graft.functions.KllFunctions.kll_sketch(value, k).as("sk"))
+    val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
+    val row = sketch.select(qs.map(q =>
+      graft.functions.KllFunctions.kll_sketch_quantile(col("sk"), lit(q))): _*)
+      .head()
+    qs.indices.map(row.getDouble)
+  }
+
+  /** Scan-side bucket assignment: bucket = #{boundaries ≤ value}, as a
+    * literal comparison chain (codegen'd, no shuffle, no lookup join). */
+  def withRangeBucket(df: DataFrame, value: Column,
+      boundaries: Seq[Double]): DataFrame =
+    df.withColumn("bucket",
+      boundaries.map(b => when(value >= b, 1).otherwise(0))
+        .reduceOption(_ + _).getOrElse(lit(0)))
+
   // --------------------------------------------------------- gate queries
 
   /** 20 sources × 4 weight tiers: drop-heavy 0.25, keep 1.0, upsample
@@ -280,6 +316,44 @@ object Sampling {
        |  FROM documents) t""".stripMargin
   }
 
+  val RangeBuckets = 16
+  /** ABSOLUTE bucket-share tolerance for the gate envelope. A bucket's
+    * share is the rank difference of two boundary quantiles, and KLL
+    * bounds each boundary's rank error by ±ε ABSOLUTELY (independent of
+    * the share), so the right contract is share ∈ 1/n ± 2ε — not a
+    * relative band. Measured worst absolute deviations
+    * (MeasureRangeBuckets, k=200, 16 buckets): 0.0105 / 0.0141 / 0.0306
+    * at sf0.001/0.01/0.1 — inside the ±2ε ≈ ±0.033 that ε ≈ 1.65%
+    * predicts for k=200; 0.045 leaves margin while still asserting
+    * real balance (even share is 0.0625). */
+  val RangeBucketTolAbs = 0.045
+
+  def saRangeBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_extendedprice".cast("double").as("v"))
+    val bounds = rangeBucketBoundaries(li, $"v", RangeBuckets)
+    val counts = withRangeBucket(li, $"v", bounds)
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+    counts.agg(sum($"n").as("n_total"), count(lit(1)).as("__k"),
+      max($"n").as("__max"), min($"n").as("__min"))
+      .select($"n_total",
+        lit(RangeBuckets).as("n_buckets"),
+        ($"__k" === RangeBuckets).as("all_buckets_nonempty"),
+        ($"__max".cast("double") <=
+          lit(1.0 / RangeBuckets + RangeBucketTolAbs) * $"n_total")
+          .as("max_share_ok"),
+        ($"__min".cast("double") >=
+          lit(1.0 / RangeBuckets - RangeBucketTolAbs) * $"n_total")
+          .as("min_share_ok"))
+  }
+
+  val saRangeBucketsSql: String =
+    s"""SELECT COUNT(*) AS n_total, CAST($RangeBuckets AS INT) AS n_buckets,
+       |  TRUE AS all_buckets_nonempty, TRUE AS max_share_ok,
+       |  TRUE AS min_share_ok
+       |FROM lineitem""".stripMargin
+
   val ShuffleSalt = "graft-shuffle-r8"
 
   def saShuffle(s: SparkSession, dir: String): DataFrame = {
@@ -295,6 +369,7 @@ object Sampling {
        |FROM documents""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sa_range_buckets" -> saRangeBuckets,
     "sa_shuffle" -> saShuffle,
     "sa_weighted_mix" -> saWeightedMix,
     "sa_sample_n" -> saSampleN,
@@ -303,6 +378,7 @@ object Sampling {
   )
 
   val oracles: Map[String, String] = Map(
+    "sa_range_buckets" -> saRangeBucketsSql,
     "sa_shuffle" -> saShuffleSql,
     "sa_weighted_mix" -> saWeightedMixSql,
     "sa_sample_n" -> saSampleNSql,

@@ -422,6 +422,35 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("bucketCap bounds the incremental band join on a planted mega bucket") {
+    import spark.implicits._
+    // corpus: 60 near-identical boilerplate docs (one mega bucket per
+    // band) + distinct docs; batch: one boilerplate twin + one distinct
+    val boiler = "terms of service apply to all users of this site always"
+    val corpus = ((0 until 60).map(i => (100L + i, boiler)) ++
+      Seq((500L, "a completely different document about gardening plants"),
+        (501L, "yet another unrelated text concerning astronomy and stars")))
+      .toDF("doc_id", "text")
+    val batch = Seq((1L, boiler),
+      (2L, "this batch document matches nothing in the stored corpus at all"))
+      .toDF("doc_id", "text")
+    val bands = Dedup.docBands(corpus).withColumnRenamed("doc_id", "corpus_doc")
+    val cap = 4
+    val capped = Dedup.minhashIncrementalAgainstBands(
+      batch, bands, corpus, Dedup.MinhashThreshold, bucketCap = Some(cap))
+    val rows = capped.collect()
+    // the boilerplate batch doc is still flagged (any representative
+    // suffices), the distinct one is not
+    assert(rows.map(_.getLong(0)).toSet == Set(1L))
+    // candidate/verify volume is bounded by the cap: only the cap
+    // smallest corpus ids can appear, not the whole 60-doc bucket
+    assert(rows.length <= cap)
+    assert(rows.map(_.getLong(1)).forall(_ < 100L + cap))
+    // and the capped-path plan pre-prunes map-side
+    assert(capped.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
+
   test("retainAfterDedup keeps singletons plus one canonical doc per cluster") {
     import spark.implicits._
     val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -166,6 +166,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == ref)
   }
 
+  test("range buckets: monotone boundaries, full assignment, balance") {
+    val df = ids(40000).select(($"id" % 1000).cast("double").as("v"))
+    val bounds = Sampling.rangeBucketBoundaries(df, $"v", 8)
+    assert(bounds == bounds.sorted)
+    val counts = Sampling.withRangeBucket(df.repartition(16), $"v", bounds)
+      .groupBy($"bucket").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf((0 until 8).toSet))
+    assert(counts.values.sum == 40000L)
+    // uniform data: every bucket within the absolute KLL envelope
+    counts.values.foreach { n =>
+      assert(math.abs(n / 40000.0 - 0.125) <= Sampling.RangeBucketTolAbs, n)
+    }
+    // deterministic replay: the same layout yields the same boundaries
+    // (different merge trees may yield different — equally valid —
+    // sketches; the ±2ε balance envelope is what holds for ALL of them)
+    assert(Sampling.rangeBucketBoundaries(df, $"v", 8) == bounds)
+  }
+
+  test("sa_range_buckets gate: anchors exact, envelope booleans hold") {
+    val row = Sampling.saRangeBuckets(spark, graft.TestSpark.sf0001).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Int]("n_buckets") == Sampling.RangeBuckets)
+    assert(row(0).getAs[Boolean]("all_buckets_nonempty"))
+    assert(row(0).getAs[Boolean]("max_share_ok"))
+    assert(row(0).getAs[Boolean]("min_share_ok"))
+  }
+
   test("gate queries run and cover all three weight regimes") {
     val mix = Sampling.saWeightedMix(spark, TestSpark.sf0001)
     val n = mix.count()
