@@ -53,6 +53,35 @@ object Changelog {
     compact(snapshot.unionByName(slice, allowMissingColumns = true),
       key, versions, isDelete, payload)
 
+  /** SCD2 intervalization: the changelog re-expressed as validity
+    * intervals — each surviving version of a key is valid from its own
+    * timestamp until the NEXT change of that key (upsert or tombstone),
+    * `valid_to` NULL for the current version. The other half of the CDC
+    * family: [[compact]] answers "what is the state now", `scd2` answers
+    * "what was the state at time t" (point-in-time joins, training-data
+    * as-of-date snapshots).
+    *
+    * Tombstones participate in the LEAD (they close the preceding
+    * version's interval) but emit no row themselves — a deleted key has
+    * no valid version until re-inserted.
+    *
+    * Plan shape at 100 TB: identical to [[compact]] — one shuffle keyed
+    * on the CDC key, one per-key sorted window pass (LEAD over the
+    * version order). No self-join, no second exchange; history stays
+    * distributed. `timeCol` is the version column that defines interval
+    * endpoints (the remaining `versions` only tie-break the order). */
+  def scd2(log: DataFrame, key: Seq[String], timeCol: Column,
+      versions: Seq[Column], isDelete: Column, payload: Seq[String])
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key.map(col): _*)
+      .orderBy(timeCol +: versions: _*)
+    log.withColumn("__valid_to", lead(timeCol, 1).over(w))
+      .filter(!isDelete)
+      .select((key.map(col) :+ timeCol.as("valid_from") :+
+        col("__valid_to").as("valid_to")) ++ payload.map(col): _*)
+  }
+
   // --------------------------------------------------------- gate queries
 
   private val eventKey = Seq("user_id")
@@ -92,14 +121,33 @@ object Changelog {
       eventKey, eventVersions, eventDelete, eventPayload)
   }
 
+  /** SCD2 over the events changelog: every non-tombstone version of
+    * every user with its validity interval. Full oracle — the LEAD is
+    * computed over ALL rows (tombstones included) in both engines, then
+    * tombstones are dropped. */
+  def cdcScd2(s: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(s, dir), eventKey, col("ts"),
+      Seq(col("event_id")), eventDelete, Seq("event_id", "value"))
+
+  val cdcScd2Sql: String =
+    """SELECT user_id, valid_from, valid_to, event_id, value FROM (
+      |  SELECT user_id, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS valid_to,
+      |    event_id, value, event_type
+      |  FROM events) t
+      |WHERE event_type <> 'error'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest" -> cdcLatest,
     "cdc_apply" -> cdcApply,
+    "cdc_scd2" -> cdcScd2,
   )
 
   val oracles: Map[String, String] = Map(
     "cdc_latest" -> cdcLatestSql,
     // snapshot+delta must reproduce the full-history state exactly
     "cdc_apply" -> cdcLatestSql,
+    "cdc_scd2" -> cdcScd2Sql,
   )
 }

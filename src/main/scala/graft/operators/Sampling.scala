@@ -199,6 +199,59 @@ object Sampling {
       .drop("__h", "__b", "__off")
   }
 
+  /** Temperature-weighted source mixing (α = ½): each source's share of
+    * the sampled corpus is ∝ √n_s instead of ∝ n_s — the standard
+    * "temperature" rebalance that keeps big web crawls from drowning
+    * small high-quality sources without the hard caps of a fixed weight
+    * table ([[weightedMix]] is the explicit-weights alternative). The
+    * per-source keep-rate is (budget · w_s)/(totW · n_s) with
+    * w_s = ⌊√n_s⌋, so source s contributes ≈ budget · w_s/totW docs.
+    *
+    * Selection is INTEGER-EXACT end-to-end, which is what makes the gate
+    * a full row-identical oracle: ⌊√n⌋ is exact for n < 2⁵⁰ (doubles
+    * represent the integers and sqrt is correctly rounded, so the floor
+    * cannot straddle), totW is an integer sum, and the keep test
+    * compares the 8-hex-char md5 draw against ⌊budget·w·2³²/(totW·n)⌋ —
+    * no float ever enters, so Spark and DuckDB agree on every row.
+    * Overflow bound: budget · w_s < 2³¹ (budget ≤ ~10⁶ at w ≤ ~10³).
+    *
+    * Plan shape at 100 TB: the per-source table is S rows (one
+    * aggregate), rides a broadcast join back onto the scan, and the
+    * keep test is a scan-side codegen'd filter — no corpus shuffle.
+    * For budgets beyond the integer bound, use the xxhash64 float
+    * flavor ([[temperatureMixFast]]). */
+  def temperatureMixSqrt(df: DataFrame, strata: Column, key: Column,
+      budget: Long, salt: String): DataFrame = {
+    val counts = df.groupBy(strata.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    val dims = counts.crossJoin(
+      counts.agg(sum(col("__w")).as("__totw")))
+    df.join(broadcast(dims), strata === col("__stratum"))
+      .withColumn("__thr",
+        expr(s"($budget * __w * 4294967296) div (__totw * __n)"))
+      .filter(col("__thr") >= lit(4294967296L) ||
+        hashHex(key, salt) < format_string("%08x", col("__thr")))
+      .drop("__stratum", "__n", "__w", "__totw", "__thr")
+  }
+
+  /** xxhash64 production flavor of [[temperatureMixSqrt]]: float rates,
+    * no integer-magnitude bound — property-pinned in SamplingSpec since
+    * DuckDB cannot reproduce xxhash64. */
+  def temperatureMixFast(df: DataFrame, strata: Column, key: Column,
+      budget: Long, salt: Long): DataFrame = {
+    val counts = df.groupBy(strata.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+    val dims = counts.crossJoin(
+      counts.agg(sum(col("__w")).as("__totw")))
+    df.join(broadcast(dims), strata === col("__stratum"))
+      .withColumn("__rate",
+        lit(budget.toDouble) * col("__w") / (col("__totw") * col("__n")))
+      .filter(u01(key, salt) < col("__rate"))
+      .drop("__stratum", "__n", "__w", "__totw", "__rate")
+  }
+
   /** Balanced RANGE BUCKETS from a KLL sketch — "write sorted, evenly
     * sized output files" as an operator: one mergeable-sketch aggregate
     * over the column (the shuffle carries one small blob per task, like
@@ -354,6 +407,36 @@ object Sampling {
        |  TRUE AS min_share_ok
        |FROM lineitem""".stripMargin
 
+  /** Budget below every SF's corpus size so the gate exercises the real
+    * hash-threshold branch, not the rate ≥ 1 keep-all clamp (driver
+    * sources are uniform — the sqrt-FLATTENING semantics are pinned on a
+    * 16:4:1-skewed corpus in SamplingSpec instead). */
+  val TempBudget = 150L
+  val TempSalt = "graft-temp-r8"
+
+  /** Full row-identical oracle: the integer-exact selection means DuckDB
+    * reproduces the exact (doc_id, source) set Spark keeps. */
+  def saTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    temperatureMixSqrt(Tables.documents(s, dir), col("source"),
+      col("doc_id"), TempBudget, TempSalt)
+      .select(col("doc_id"), col("source"))
+
+  val saTemperatureMixSql: String = {
+    // CASTs keep the arithmetic in BIGINT: DuckDB widens the literal
+    // product to HUGEINT, which its printf cannot %x-format
+    val thr = s"CAST(($TempBudget * c.w * 4294967296) // (t.totw * c.n)" +
+      " AS BIGINT)"
+    s"""WITH c AS (SELECT source, COUNT(*) AS n,
+       |    CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+       |  FROM documents GROUP BY source),
+       |  t AS (SELECT SUM(w) AS totw FROM c)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
+       |WHERE $thr >= 4294967296
+       |   OR ${hashHexSql("d.doc_id", TempSalt)} < printf('%08x', $thr)"""
+      .stripMargin
+  }
+
   val ShuffleSalt = "graft-shuffle-r8"
 
   def saShuffle(s: SparkSession, dir: String): DataFrame = {
@@ -370,6 +453,7 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sa_range_buckets" -> saRangeBuckets,
+    "sa_temperature_mix" -> saTemperatureMix,
     "sa_shuffle" -> saShuffle,
     "sa_weighted_mix" -> saWeightedMix,
     "sa_sample_n" -> saSampleN,
@@ -379,6 +463,7 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "sa_range_buckets" -> saRangeBucketsSql,
+    "sa_temperature_mix" -> saTemperatureMixSql,
     "sa_shuffle" -> saShuffleSql,
     "sa_weighted_mix" -> saWeightedMixSql,
     "sa_sample_n" -> saSampleNSql,

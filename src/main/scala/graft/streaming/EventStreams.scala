@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -101,6 +101,65 @@ object EventStreams {
     attributionJoin(
       attributionViews(events).withWatermark("view_ts", "10 minutes"),
       attributionPurchases(events).withWatermark("purchase_ts", "10 minutes"))
+
+  // ----------------------------------------------------- ordered funnel
+  /** Ordered-funnel stage times: for each user, t₁ = earliest stage-1
+    * event, tᵢ = earliest stage-i event STRICTLY after tᵢ₋₁
+    * (earliest-completion semantics; equal timestamps do not advance a
+    * stage). One row per user with one nullable timestamp per stage —
+    * a user reached stage i iff tᵢ is non-null.
+    *
+    * Plan shape at 100 TB: ONE shuffle keyed on the user. Each stage is
+    * a whole-partition window min (unbounded frame — no sort needed) on
+    * the same partitioning, and the per-user collapse is a groupBy on
+    * that same key, so Catalyst plans window → window → … → aggregate
+    * over a single exchange. No self-joins — the classic k-way
+    * funnel-by-join (one join per stage) would shuffle the events k
+    * times; this shuffles them once. */
+  def funnelTimes(events: DataFrame, user: Column, ts: Column,
+      stages: Seq[Column]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(user)
+    val staged = stages.zipWithIndex.foldLeft(events) {
+      case (df, (pred, i)) =>
+        val gate = if (i == 0) pred else pred && ts > col(s"__t$i")
+        df.withColumn(s"__t${i + 1}", min(when(gate, ts)).over(w))
+    }
+    staged.groupBy(user.as("user"))
+      .agg(max(col("__t1")).as("t1"),
+        (2 to stages.size).map(i => max(col(s"__t$i")).as(s"t$i")): _*)
+  }
+
+  /** Funnel gate: signup → view → purchase over the events table, with
+    * an exact 24h completion-latency count — every output column is a
+    * bigint count, so the oracle match is exact. */
+  def evFunnel(s: SparkSession, dir: String): DataFrame = {
+    val times = funnelTimes(Tables.events(s, dir), col("user_id"), col("ts"),
+      Seq(col("event_type") === "signup", col("event_type") === "view",
+        col("event_type") === "purchase"))
+    times.agg(count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_signup"),
+      count(col("t2")).as("n_signup_view"),
+      count(col("t3")).as("n_full_funnel"),
+      count(when(col("t3") <= col("t1") + expr("INTERVAL 24 HOURS"), 1))
+        .as("n_within_24h"))
+  }
+
+  val evFunnelSql: String =
+    """WITH s1 AS (SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1 FROM events),
+      |  s2 AS (SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t1
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |  s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |  u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      |    FROM s3 GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users, COUNT(t1) AS n_signup,
+      |  COUNT(t2) AS n_signup_view, COUNT(t3) AS n_full_funnel,
+      |  COUNT(CASE WHEN t3 <= t1 + INTERVAL 24 HOURS THEN 1 END)
+      |    AS n_within_24h
+      |FROM u""".stripMargin
 
   // -------------------------------------- custom state: flatMapGroupsWithState
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -347,6 +406,7 @@ object EventStreams {
     "ev_sessions_stream" -> evSessionsStream,
     "ev_attribution" -> evAttribution,
     "ev_attribution_stream" -> evAttributionStream,
+    "ev_funnel" -> evFunnel,
   )
 
   val evAttributionSql: String =
@@ -366,5 +426,6 @@ object EventStreams {
     "ev_sessions_stream" -> evSessionsSql, // same oracle: batch ≡ stream
     "ev_attribution" -> evAttributionSql,
     "ev_attribution_stream" -> evAttributionSql, // same oracle: batch ≡ stream
+    "ev_funnel" -> evFunnelSql,
   )
 }

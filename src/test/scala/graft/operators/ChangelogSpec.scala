@@ -72,6 +72,47 @@ class ChangelogSpec extends AnyFunSuite {
       s"expected WindowGroupLimit pre-prune in:\n$plan")
   }
 
+  private def scd2Of(df: org.apache.spark.sql.DataFrame) =
+    Changelog.scd2(df, Seq("k"), col("v"), Seq.empty, col("op") === "d",
+      Seq("payload"))
+      .select($"k", $"valid_from", $"valid_to", $"payload")
+      .as[(Long, Long, Option[Long], Double)].collect().toSet
+
+  test("scd2: versions chain, tombstones close but emit nothing") {
+    val l = log(
+      (1L, 1L, "u", 10.0), (1L, 3L, "u", 30.0), (1L, 2L, "u", 20.0),
+      (2L, 1L, "u", 1.0), (2L, 2L, "d", 0.0),
+      (3L, 5L, "d", 0.0), (3L, 7L, "u", 7.0))
+    assert(scd2Of(l) == Set(
+      (1L, 1L, Some(2L), 10.0), (1L, 2L, Some(3L), 20.0),
+      (1L, 3L, None, 30.0),
+      (2L, 1L, Some(2L), 1.0), // closed by the tombstone, which emits nothing
+      (3L, 7L, None, 7.0)))
+  }
+
+  test("scd2 point-in-time slice == compact of the history up to t") {
+    val rows = (1L to 400L).map(i =>
+      (i % 25, i, if (i % 11 == 0) "d" else "u", i * 1.5))
+    val full = log(rows: _*)
+    val intervals = scd2Of(full)
+    for (t <- Seq(50L, 199L, 400L)) {
+      val atT = intervals.collect {
+        case (k, from, to, p) if from <= t && to.forall(_ > t) => (k, p)
+      }
+      val ref = compacted(full.filter($"v" <= t))
+        .map { case (k, _, p) => (k, p) }
+      assert(atT == ref, s"t=$t")
+    }
+  }
+
+  test("scd2 plans one exchange: keyed shuffle + window, no self-join") {
+    val plan = Changelog.cdcScd2(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "ReusedExchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one exchange in:\n$plan")
+  }
+
   test("gate twins agree: cdc_apply == cdc_latest on testdata") {
     val latest = Changelog.cdcLatest(spark, TestSpark.sf0001)
     val applied = Changelog.cdcApply(spark, TestSpark.sf0001)

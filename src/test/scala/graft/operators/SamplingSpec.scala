@@ -194,6 +194,56 @@ class SamplingSpec extends AnyFunSuite {
     assert(row(0).getAs[Boolean]("min_share_ok"))
   }
 
+  test("temperature mix flattens source shares toward sqrt weights") {
+    import spark.implicits._
+    // 3 sources with 16:4:1 size ratio → sqrt weights 4:2:1
+    val docs = ((1 to 3200).map(i => (i.toLong, "big")) ++
+      (3201 to 4000).map(i => (i.toLong, "mid")) ++
+      (4001 to 4200).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val budget = 700L
+    val sel = Sampling.temperatureMixSqrt(docs, $"source", $"doc_id",
+      budget, "t-spec")
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected ≈ budget·w/totW: big 400, mid 200, small 100 — the raw
+    // proportional split would be 560/140/35
+    assert(math.abs(sel("big") - 400.0) < 80, sel)
+    assert(math.abs(sel("mid") - 200.0) < 60, sel)
+    assert(math.abs(sel("small") - 100.0) < 40, sel)
+    // deterministic and partitioning-invariant
+    val again = Sampling.temperatureMixSqrt(docs.repartition(13), $"source",
+      $"doc_id", budget, "t-spec").select($"doc_id").as[Long].collect().toSet
+    val ref = Sampling.temperatureMixSqrt(docs, $"source", $"doc_id",
+      budget, "t-spec").select($"doc_id").as[Long].collect().toSet
+    assert(again == ref)
+    // a rate ≥ 1 keeps the whole source (the clamp branch)
+    val tiny = ((1 to 5).map(i => (i.toLong, "a")) ++
+      (6 to 5000).map(i => (i.toLong, "b"))).toDF("doc_id", "source")
+    val keptA = Sampling.temperatureMixSqrt(tiny, $"source", $"doc_id",
+      4000L, "t-spec2").filter($"source" === "a").count()
+    assert(keptA == 5L)
+  }
+
+  test("temperature mix fast flavor matches sqrt-weight expectations") {
+    import spark.implicits._
+    val docs = ((1 to 3200).map(i => (i.toLong, "big")) ++
+      (3201 to 4000).map(i => (i.toLong, "mid"))).toDF("doc_id", "source")
+    val sel = Sampling.temperatureMixFast(docs, $"source", $"doc_id",
+      600L, 0xA11CEL)
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // sqrt weights ≈ 56.6:28.3 → 2:1 split of 600
+    assert(math.abs(sel("big") - 400.0) < 80, sel)
+    assert(math.abs(sel("mid") - 200.0) < 60, sel)
+  }
+
+  test("sa_temperature_mix gate selects a plausible budget-sized sample") {
+    val sel = Sampling.saTemperatureMix(spark, TestSpark.sf0001)
+    val n = sel.count()
+    assert(n > 0 && n < 2 * Sampling.TempBudget, n)
+  }
+
   test("gate queries run and cover all three weight regimes") {
     val mix = Sampling.saWeightedMix(spark, TestSpark.sf0001)
     val n = mix.count()

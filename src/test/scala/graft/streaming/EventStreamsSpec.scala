@@ -200,4 +200,48 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(rows(EventStreams.evSlidingStream(spark, dir)) ==
       rows(EventStreams.evSliding(spark, dir)))
   }
+
+  test("funnel: stages only advance on strictly later events") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: clean signup → view → purchase
+      Event(1, ts(10), 1, "signup", 0), Event(2, ts(20), 1, "view", 0),
+      Event(3, ts(30), 1, "purchase", 0),
+      // user 2: view BEFORE signup only — stage 2 never reached
+      Event(4, ts(5), 2, "view", 0), Event(5, ts(10), 2, "signup", 0),
+      Event(6, ts(15), 2, "purchase", 0),
+      // user 3: view at the SAME instant as signup — strict > rejects it
+      Event(7, ts(10), 3, "signup", 0), Event(8, ts(10), 3, "view", 0),
+      // user 4: never signs up
+      Event(9, ts(10), 4, "view", 0), Event(10, ts(20), 4, "purchase", 0),
+      // user 5: earliest-completion — the LATER view still counts, and
+      // the purchase between signup and that view does not complete it
+      Event(11, ts(10), 5, "signup", 0), Event(12, ts(15), 5, "purchase", 0),
+      Event(13, ts(20), 5, "view", 0)).toDF()
+    val times = EventStreams.funnelTimes(events, $"user_id", $"ts",
+      Seq($"event_type" === "signup", $"event_type" === "view",
+        $"event_type" === "purchase"))
+      .collect().map(r => r.getAs[Long]("user") ->
+        (Option(r.getAs[Timestamp]("t1")), Option(r.getAs[Timestamp]("t2")),
+          Option(r.getAs[Timestamp]("t3")))).toMap
+    assert(times(1L) == ((Some(ts(10)), Some(ts(20)), Some(ts(30)))))
+    assert(times(2L) == ((Some(ts(10)), None, None)))
+    assert(times(3L) == ((Some(ts(10)), None, None)))
+    assert(times(4L) == ((None, None, None)))
+    assert(times(5L) == ((Some(ts(10)), Some(ts(20)), None)))
+  }
+
+  test("funnel plans one exchange for k stages") {
+    val plan = EventStreams.evFunnel(spark, graft.TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "ReusedExchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, // user-key shuffle + final single-row agg
+      s"expected no per-stage shuffles in:\n$plan")
+    val row = EventStreams.evFunnel(spark, graft.TestSpark.sf0001).head()
+    assert(row.getAs[Long]("n_users") > 0)
+    assert(row.getAs[Long]("n_signup") >= row.getAs[Long]("n_signup_view"))
+    assert(row.getAs[Long]("n_signup_view") >= row.getAs[Long]("n_full_funnel"))
+    assert(row.getAs[Long]("n_full_funnel") >= row.getAs[Long]("n_within_24h"))
+  }
 }
