@@ -82,6 +82,46 @@ object Changelog {
         col("__valid_to").as("valid_to")) ++ payload.map(col): _*)
   }
 
+  /** Incremental SCD2 maintenance — merge a newer changelog slice into a
+    * stored [[scd2]] interval table WITHOUT rebuilding history: each key
+    * touched by the slice gets its open interval closed at the key's
+    * FIRST slice version (tombstone or upsert — both end the previous
+    * validity), and the slice's own intervals are appended via [[scd2]]
+    * on the slice alone. Precondition (same as [[applyChangelog]]):
+    * every slice version is newer than every stored version of its key.
+    *
+    * Equivalence to `scd2(full history)` — the gate proves it against
+    * the same oracle: intervals fully inside the snapshot are untouched
+    * by later rows (LEAD looks only forward within a key, and slice rows
+    * sort after all snapshot rows); the one OPEN interval per touched
+    * key is exactly the row whose LEAD, in the full history, is the
+    * key's first slice version; slice-internal LEADs see nothing after
+    * the slice. Tombstone-first slices close without emitting —
+    * a deleted key's interval ends at the delete, and the key has no
+    * valid version until re-inserted.
+    *
+    * Plan shape at 100 TB: the close-join's build side is one row per
+    * TOUCHED key (slice-sized, typically delta ≪ snapshot) so AQE
+    * broadcasts it and the snapshot streams map-side; the append side
+    * shuffles only the slice. History is never rescanned — the same
+    * snapshot+delta economics as [[applyChangelog]]. */
+  def scd2Apply(snapshot: DataFrame, slice: DataFrame, key: Seq[String],
+      timeCol: Column, versions: Seq[Column], isDelete: Column,
+      payload: Seq[String]): DataFrame = {
+    val ordered = struct(timeCol.as("__t") +:
+      versions.zipWithIndex.map { case (c, i) => c.as(s"__v$i") }: _*)
+    val firsts = slice.groupBy(key.map(col): _*)
+      .agg(min(ordered).as("__m"))
+      .select(key.map(col) :+ col("__m.__t").as("__first"): _*)
+    val closed = snapshot.join(firsts, key, "left")
+      .withColumn("valid_to",
+        when(col("valid_to").isNull && col("__first").isNotNull,
+          col("__first")).otherwise(col("valid_to")))
+      .drop("__first")
+    closed.unionByName(
+      scd2(slice, key, timeCol, versions, isDelete, payload))
+  }
+
   // --------------------------------------------------------- gate queries
 
   private val eventKey = Seq("user_id")
@@ -138,10 +178,23 @@ object Changelog {
       |  FROM events) t
       |WHERE event_type <> 'error'""".stripMargin
 
+  /** Merge-into gate: SCD2 of the first half of the month merged with
+    * the second half as a slice — must equal the full-history [[scd2]]
+    * exactly (same oracle), the interval analog of [[cdcApply]]. */
+  def cdcScd2Apply(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val cutoff = to_timestamp(lit(CdcSplit))
+    val snapshot = scd2(events.filter(col("ts") < cutoff), eventKey,
+      col("ts"), Seq(col("event_id")), eventDelete, Seq("event_id", "value"))
+    scd2Apply(snapshot, events.filter(col("ts") >= cutoff), eventKey,
+      col("ts"), Seq(col("event_id")), eventDelete, Seq("event_id", "value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest" -> cdcLatest,
     "cdc_apply" -> cdcApply,
     "cdc_scd2" -> cdcScd2,
+    "cdc_scd2_apply" -> cdcScd2Apply,
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,5 +202,7 @@ object Changelog {
     // snapshot+delta must reproduce the full-history state exactly
     "cdc_apply" -> cdcLatestSql,
     "cdc_scd2" -> cdcScd2Sql,
+    // merge-into must reproduce the full-history intervals exactly
+    "cdc_scd2_apply" -> cdcScd2Sql,
   )
 }

@@ -220,6 +220,7 @@ object EventStreams {
     tumblingCounts(Tables.events(s, dir))
 
   private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[streaming] def nextStreamRun(): Int = streamRuns.incrementAndGet()
 
   /** STREAMING-mode sessionization through the gate. Session windows in
     * append mode only emit once the watermark passes a session's end —
@@ -407,6 +408,7 @@ object EventStreams {
     "ev_attribution" -> evAttribution,
     "ev_attribution_stream" -> evAttributionStream,
     "ev_funnel" -> evFunnel,
+    "ev_funnel_stream" -> ((s, d) => StreamingFunnel.evFunnelStream(s, d)),
   )
 
   val evAttributionSql: String =
@@ -427,5 +429,6 @@ object EventStreams {
     "ev_attribution" -> evAttributionSql,
     "ev_attribution_stream" -> evAttributionSql, // same oracle: batch ≡ stream
     "ev_funnel" -> evFunnelSql,
+    "ev_funnel_stream" -> StreamingFunnel.evFunnelStreamSql,
   )
 }

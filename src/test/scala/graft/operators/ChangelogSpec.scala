@@ -113,6 +113,38 @@ class ChangelogSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly one exchange in:\n$plan")
   }
 
+  test("scd2Apply(snapshot, slice) == scd2(full history) at any split") {
+    val rows = (1L to 400L).map(i =>
+      (i % 25, i, if (i % 11 == 0) "d" else "u", i * 1.5))
+    val full = log(rows: _*)
+    val ref = scd2Of(full)
+    for (split <- Seq(100L, 250L, 399L)) {
+      val snapshot = Changelog.scd2(full.filter($"v" < split), Seq("k"),
+        col("v"), Seq.empty, col("op") === "d", Seq("payload"))
+      val merged = Changelog.scd2Apply(snapshot, full.filter($"v" >= split),
+        Seq("k"), col("v"), Seq.empty, col("op") === "d", Seq("payload"))
+        .select($"k", $"valid_from", $"valid_to", $"payload")
+        .as[(Long, Long, Option[Long], Double)].collect().toSet
+      assert(merged == ref, s"split=$split")
+    }
+  }
+
+  test("scd2Apply: tombstone-first slice closes without emitting; untouched keys stay open") {
+    val history = log((1L, 1L, "u", 1.0), (2L, 1L, "u", 2.0))
+    val snapshot = Changelog.scd2(history, Seq("k"), col("v"), Seq.empty,
+      col("op") === "d", Seq("payload"))
+    // slice touches only key 1, and its first row is a tombstone
+    val slice = log((1L, 5L, "d", 0.0), (1L, 8L, "u", 8.0))
+    val merged = Changelog.scd2Apply(snapshot, slice, Seq("k"), col("v"),
+      Seq.empty, col("op") === "d", Seq("payload"))
+      .select($"k", $"valid_from", $"valid_to", $"payload")
+      .as[(Long, Long, Option[Long], Double)].collect().toSet
+    assert(merged == Set(
+      (1L, 1L, Some(5L), 1.0), // closed at the tombstone, which emits nothing
+      (1L, 8L, None, 8.0), // re-inserted after the delete
+      (2L, 1L, None, 2.0))) // untouched key keeps its open interval
+  }
+
   test("gate twins agree: cdc_apply == cdc_latest on testdata") {
     val latest = Changelog.cdcLatest(spark, TestSpark.sf0001)
     val applied = Changelog.cdcApply(spark, TestSpark.sf0001)
