@@ -171,15 +171,71 @@ object Scale {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY 1""".stripMargin
 
+  /** Bloom-pruned join — semi-join reduction for the regime where the
+    * build side is too big to broadcast-HASH-join (hashtable = keys +
+    * rows) but its BLOOM fits comfortably (~1.2 bytes/key at 1% FPP:
+    * 10⁸ keys ≈ 120 MB sketch vs a multi-GB hashtable): build one
+    * mergeable sketch over the small side's keys, broadcast the BYTES,
+    * and filter the big side AT THE SCAN, before its rows ever enter
+    * the join exchange. A 1% match rate means ~99% of the big side's
+    * shuffle bytes never leave the map side; Bloom false positives are
+    * removed by the real join, so the result is EXACTLY the plain join
+    * (the gate's oracle). The sketch collect is one sized scalar
+    * (expectedItems · 1.2 bytes), the bounded-driver pattern every
+    * graft sketch uses; Spark's own runtime row-group Bloom pushdown
+    * (spark.sql.optimizer.runtime.bloomFilter) is the built-in cousin —
+    * this form makes the reduction explicit, sizable, and reusable
+    * across queries (store the sketch, reuse per batch). */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bytes = small.agg(graft.functions.BloomFunctions
+      .bloom_sketch(col(key), expectedItems, fpp).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val bc = big.sparkSession.sparkContext.broadcast(bytes)
+    big.filter(graft.functions.BloomFunctions
+      .bloom_might_contain_bc(bc, col(key)))
+      .join(small, Seq(key))
+  }
+
+  /** Gate: lineitem pruned-joined to a selective slice of orders — must
+    * equal the plain join exactly (false positives die in the join). */
+  def scBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("orderkey"), $"l_linenumber", $"l_quantity")
+    val small = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        $"o_totalprice" > 150000.0)
+      .select($"o_orderkey".as("orderkey"), $"o_totalprice")
+    val n = small.count()
+    bloomPrunedJoin(big, small, "orderkey", math.max(n, 1L))
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_quantity".cast("decimal(12,2)")).cast("double")
+          .as("sum_qty"),
+        sum($"o_totalprice".cast("decimal(14,2)")).cast("double")
+          .as("sum_price"))
+  }
+
+  val scBloomJoinSql: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc_salted_sum" -> scSaltedSum,
     "sc_salted_sum_hicard" -> scSaltedSumHicard,
     "sc_salted_join" -> scSaltedJoin,
+    "sc_bloom_join" -> scBloomJoin,
   )
 
   val oracles: Map[String, String] = Map(
     "sc_salted_sum" -> scSaltedSumSql,
     "sc_salted_sum_hicard" -> scSaltedSumHicardSql,
     "sc_salted_join" -> scSaltedJoinSql,
+    "sc_bloom_join" -> scBloomJoinSql,
   )
 }

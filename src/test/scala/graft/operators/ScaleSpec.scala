@@ -61,6 +61,43 @@ class ScaleSpec extends AnyFunSuite {
     assert(adaptive.toSeq == plain.toSeq)
   }
 
+  test("bloom-pruned join equals the plain join and prunes at the scan") {
+    import spark.implicits._
+    // repartition so the big side is a real scan, not a LocalRelation
+    // (Catalyst folds filters over LocalRelation at optimization time,
+    // which would hide the membership filter from the plan assert)
+    val big = (1L to 20000L).map(i => (i % 4000, i)).toDF("k", "payload")
+      .repartition(4)
+    // small side matches 2.5% of the big side's keys
+    val small = (1L to 100L).map(i => (i * 7 % 4000, i)).toDF("k", "tag")
+    val pruned = Scale.bloomPrunedJoin(big, small, "k", 100L)
+    val plain = big.join(small, Seq("k"))
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+
+    // measured reduction: the filter keeps far fewer rows than the scan
+    val kept = big.filter(graft.functions.BloomFunctions
+      .bloom_might_contain_bc(
+        spark.sparkContext.broadcast(
+          small.agg(graft.functions.BloomFunctions
+            .bloom_sketch($"k", 100L).as("sk")).head().getAs[Array[Byte]](0)),
+        $"k")).count()
+    val matching = big.join(small.select($"k").distinct(), Seq("k")).count()
+    assert(kept >= matching) // no false negatives
+    assert(kept <= matching + (0.05 * 20000).toLong, // ~1% FPP + slack
+      s"kept=$kept matching=$matching")
+  }
+
+  test("sc_bloom_join gate: membership filter sits on the parquet scan") {
+    val gate = Scale.scBloomJoin(spark, graft.TestSpark.sf0001)
+    // plan asserts run against the parquet-backed gate (a LocalRelation
+    // fixture gets its filter constant-folded away at optimization time)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(plan.contains("bloommightcontainbroadcast"), plan)
+    assert(plan.length < 100000) // sketch rides a broadcast, not a literal
+    val row = gate.head()
+    assert(row.getAs[Long]("n_rows") > 0)
+  }
+
   test("saltOf is deterministic under re-partitioning (retry safety)") {
     import spark.implicits._
     // The salt is a pure function of the stable columns, so recomputing it
