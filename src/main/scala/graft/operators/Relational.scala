@@ -566,7 +566,92 @@ object Relational {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------- window: RANGE interval frame
+  /** Trailing 6-hour activity per user — a RANGE frame over event time
+    * (every peer row within the interval joins the frame, unlike q8's
+    * ROWS frame). Spark's `rangeBetween` takes numeric offsets, so the
+    * order key is epoch MICROS and the frame is −6h in micros; the
+    * oracle mirrors the same numeric frame. RANGE semantics make the
+    * result tie-independent (all rows at the same instant share one
+    * frame), and the decimal accumulator keeps the sum exact — full
+    * oracle. One keyed shuffle + one sorted window pass, same 100 TB
+    * shape as every window query here. */
+  def q37TrailingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-6L * 3600 * 1000000, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros($"ts"))
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_6h"),
+        asDouble(sum(dec($"value")).over(w)).as("sum_6h"))
+  }
+
+  val q37Sql: String =
+    """SELECT user_id, event_id,
+      |  COUNT(*) OVER w AS n_6h,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_6h
+      |FROM (SELECT *, epoch_us(ts) AS ts_us FROM events) t
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |  RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // --------------------------------------------------------- full outer join
+  /** FULL OUTER customer ⋈ per-customer order aggregate. The two sides
+    * are filtered on DIFFERENT moduli (customers: key % 3 ≠ 0; orders:
+    * key % 2 = 0) so both unmatched directions occur by construction in
+    * the synthetic data (where otherwise every customer has orders):
+    * odd-keyed customers keep null aggregates, and order groups whose
+    * customer key is a multiple of 3 keep a null name. */
+  def q38FullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .filter(pmod($"c_custkey", lit(3L)) =!= 0)
+      .select($"c_custkey", $"c_name")
+    val ords = Tables.orders(s, dir)
+      .filter(pmod($"o_custkey", lit(2L)) === 0)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec($"o_totalprice"))).as("total_price"))
+    cust.join(ords, $"c_custkey" === $"o_custkey", "full_outer")
+      .select(coalesce($"c_custkey", $"o_custkey").as("custkey"),
+        $"c_name", $"n_orders", $"total_price")
+  }
+
+  val q38Sql: String =
+    """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+      |  o.n_orders, o.total_price
+      |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0) c
+      |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |      AS total_price
+      |  FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey) o
+      |ON c.c_custkey = o.o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- unpivot
+  /** UNPIVOT via `stack`: the four lineitem measures melt into
+    * (measure, value) rows — the inverse of q25's pivot. Scan-side
+    * narrow fan-out (4 rows per input row, no shuffle); values are the
+    * raw column doubles, so the oracle (a UNION ALL melt) is exact. */
+  def q39Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 100)
+      .selectExpr("l_orderkey", "l_linenumber",
+        """stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice,
+          |  'discount', l_discount, 'tax', l_tax) AS (measure, value)"""
+          .stripMargin)
+
+  val q39Sql: String =
+    """SELECT l_orderkey, l_linenumber, m AS measure, v AS value
+      |FROM (SELECT * FROM lineitem WHERE l_orderkey < 100) l, LATERAL (
+      |  VALUES ('quantity', l.l_quantity),
+      |    ('extendedprice', l.l_extendedprice),
+      |    ('discount', l.l_discount), ('tax', l.l_tax)) AS t(m, v)"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_trailing_window" -> q37TrailingWindow,
+    "q38_full_outer" -> q38FullOuter,
+    "q39_unpivot" -> q39Unpivot,
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_project" -> q2FilterProject,
     "q3_region_revenue" -> q3RegionRevenue,
@@ -596,6 +681,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q37_trailing_window" -> q37Sql,
+    "q38_full_outer" -> q38Sql,
+    "q39_unpivot" -> q39Sql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project" -> q2Sql,
     "q3_region_revenue" -> q3Sql,

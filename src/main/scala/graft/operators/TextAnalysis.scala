@@ -543,7 +543,54 @@ object TextAnalysis {
        |FROM toks t JOIN counts c ON t.token = c.token
        |GROUP BY t.doc_id""".stripMargin
 
+  /** Characteristic terms per document — the TF-IDF idea with a
+    * cross-engine-EXACT score: score = tf / df (per-doc term frequency
+    * over corpus document frequency). One IEEE double DIVISION of two
+    * small integers is correctly rounded in every engine (unlike the
+    * usual log-idf, whose `ln` differs in ulps between libms and would
+    * flap a hash gate), so ranking by (score DESC, token ASC) is fully
+    * deterministic and the gate is a full oracle.
+    *
+    * Plan shape at 100 TB: tf = one (doc, token)-keyed aggregate; df =
+    * one token-keyed distinct-doc aggregate (partial map-side distinct);
+    * the tf⋈df join is token-keyed; the top-3-per-doc rank filter plans
+    * a map-side WindowGroupLimit pre-prune. No driver-side anything. */
+  val CharTermsK = 3
+
+  def taCharTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(tokens($"text")).as("token"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token")
+      .agg(countDistinct($"doc_id").as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")
+      .orderBy(($"tf".cast("double") / $"df").desc, $"token".asc)
+    tf.join(df, Seq("token"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= CharTermsK)
+      .select($"doc_id", $"token", $"tf", $"df",
+        ($"tf".cast("double") / $"df").as("score"), $"rk")
+  }
+
+  val taCharTermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, token, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($toksSql) AS token FROM documents)
+       |  GROUP BY doc_id, token),
+       |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf
+       |  GROUP BY token)
+       |SELECT doc_id, token, tf, df, score, rk FROM (
+       |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       |    CAST(tf.tf AS DOUBLE) / df.df AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.token ASC)
+       |      AS rk
+       |  FROM tf JOIN df ON tf.token = df.token) t
+       |WHERE rk <= $CharTermsK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_char_terms" -> taCharTerms,
     "ta_heavy_hitters" -> taHeavyHitters,
     "ta_commonness" -> taCommonness,
     "ta_heavy_hitters_approx" -> taHeavyHittersApprox,
@@ -560,6 +607,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_char_terms" -> taCharTermsSql,
     "ta_heavy_hitters" -> taHeavyHittersSql,
     "ta_commonness" -> taCommonnessSql,
     "ta_heavy_hitters_approx" -> taHeavyHittersApproxSql,

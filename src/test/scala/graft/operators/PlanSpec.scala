@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -84,5 +85,61 @@ class PlanSpec extends AnyFunSuite {
       // codegen'd stages render as "*(n)" markers in the plan string
       assert(plan.contains("*(1)"), plan)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q37 RANGE frame: peers at one instant share the frame; interval bounds hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(h * 3600_000L)
+    // user 1: events at 0h, 5h, 5h (tie), 12h — the 6h trailing frame at
+    // 5h includes 0h and BOTH 5h peers; at 12h it includes only itself
+    val ev = Seq((1L, 10L, ts(0), 1.0), (1L, 11L, ts(5), 2.0),
+      (1L, 12L, ts(5), 4.0), (1L, 13L, ts(12), 8.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-6L * 3600 * 1000000, Window.currentRow)
+    val out = ev.withColumn("ts_us", unix_micros($"ts"))
+      .select($"event_id", count(lit(1)).over(w).as("n"),
+        sum($"value").over(w).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(10L) == ((1L, 1.0)))
+    assert(out(11L) == ((3L, 7.0))) // tie peer included despite later event_id
+    assert(out(12L) == ((3L, 7.0))) // identical frame for the peer
+    assert(out(13L) == ((1L, 8.0))) // 5h is 7h earlier — outside the frame
+  }
+
+  test("q38 full outer keeps both unmatched directions") {
+    val rows = Relational.q38FullOuter(spark, TestSpark.sf0001).collect()
+    assert(rows.exists(r => r.isNullAt(2))) // customer with no orders
+    assert(rows.exists(r => r.isNullAt(1))) // order block with filtered customer
+    assert(rows.forall(!_.isNullAt(0))) // coalesced key never null
+  }
+
+  test("q39 unpivot melts each row into exactly four measures") {
+    import spark.implicits._
+    val out = Relational.q39Unpivot(spark, TestSpark.sf0001)
+    val base = graft.Tables.lineitem(spark, TestSpark.sf0001)
+      .filter($"l_orderkey" < 100).count()
+    assert(out.count() == 4 * base)
+    assert(out.select($"measure").distinct().as[String].collect().sorted
+      .toSeq == Seq("discount", "extendedprice", "quantity", "tax"))
+  }
+
+  test("ta_char_terms ranks rare-but-frequent tokens first, prunes map-side") {
+    val gate = TextAnalysis.taCharTerms(spark, TestSpark.sf0001)
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val rows = gate.collect()
+    // exactly ≤ k rows per doc, rk contiguous from 1
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= TextAnalysis.CharTermsK)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
+    }
+    // score really is tf/df for every emitted row
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") ==
+        r.getAs[Long]("tf").toDouble / r.getAs[Long]("df"))
+    }
   }
 }
