@@ -222,9 +222,19 @@ object Sampling {
     * flavor ([[temperatureMixFast]]). */
   def temperatureMixSqrt(df: DataFrame, strata: Column, key: Column,
       budget: Long, salt: String): DataFrame = {
+    // the integer threshold product is budget · w · 2³² with w = ⌊√n⌋;
+    // past budget·w ≥ 2³¹ the long multiply would WRAP silently and
+    // select garbage — the guard is IN-PLAN (w is data), raising with a
+    // pointer at the float flavor instead of mis-sampling
+    require(budget > 0, s"budget must be positive, got $budget")
+    val wGuard = when(lit(budget) * col("__w") >= lit(1L << 31),
+      raise_error(concat(lit(s"temperatureMixSqrt: budget $budget * weight "),
+        col("__w"), lit(" exceeds the integer-exact bound 2^31; " +
+          "use temperatureMixFast")))).otherwise(col("__w"))
     val counts = df.groupBy(strata.as("__stratum"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+      .withColumn("__w", wGuard)
     val dims = counts.crossJoin(
       counts.agg(sum(col("__w")).as("__totw")))
     df.join(broadcast(dims), strata === col("__stratum"))
@@ -271,12 +281,15 @@ object Sampling {
     * not a one-pass sketch's. */
   def rangeBucketBoundaries(df: DataFrame, value: Column, numBuckets: Int,
       k: Int = 200): Seq[Double] = {
+    require(numBuckets >= 2, s"need at least 2 buckets, got $numBuckets")
     val sketch = df.agg(
       graft.functions.KllFunctions.kll_sketch(value, k).as("sk"))
     val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
     val row = sketch.select(qs.map(q =>
       graft.functions.KllFunctions.kll_sketch_quantile(col("sk"), lit(q))): _*)
       .head()
+    require(!row.isNullAt(0),
+      "rangeBucketBoundaries: empty or all-null input — no quantiles to cut")
     qs.indices.map(row.getDouble)
   }
 
@@ -407,6 +420,39 @@ object Sampling {
        |  TRUE AS min_share_ok
        |FROM lineitem""".stripMargin
 
+  /** Deterministic train/val/test split: one uniform draw per row
+    * assigns the split by threshold — disjoint and exhaustive BY
+    * CONSTRUCTION (one draw, adjacent intervals), reproducible on any
+    * cluster/partitioning/rerun, and stable under corpus growth (a
+    * row's split never changes when other rows are added — the property
+    * that keeps yesterday's eval docs out of tomorrow's training set).
+    * Scan-side filter only; no shuffle at any corpus size. Fractions
+    * are cut points: train = [0, f₁), val = [f₁, f₂), test = [f₂, 1). */
+  def splitAssign(key: Column, salt: String, trainFrac: Double,
+      valFrac: Double): Column = {
+    val h = hashHex(key, salt)
+    when(h < lit(thresholdHex(trainFrac)), "train")
+      .when(h < lit(thresholdHex(trainFrac + valFrac)), "val")
+      .otherwise("test")
+  }
+
+  val SplitSalt = "graft-split-r8"
+
+  /** Full row-identical oracle: every (doc_id, split) assignment. */
+  def saSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        splitAssign(col("doc_id"), SplitSalt, 0.8, 0.1).as("split"))
+
+  val saSplitSql: String = {
+    val h = hashHexSql("doc_id", SplitSalt)
+    s"""SELECT doc_id,
+       |  CASE WHEN $h < '${thresholdHex(0.8)}' THEN 'train'
+       |    WHEN $h < '${thresholdHex(0.9)}' THEN 'val'
+       |    ELSE 'test' END AS split
+       |FROM documents""".stripMargin
+  }
+
   /** Budget below every SF's corpus size so the gate exercises the real
     * hash-threshold branch, not the rate ≥ 1 keep-all clamp (driver
     * sources are uniform — the sqrt-FLATTENING semantics are pinned on a
@@ -453,6 +499,7 @@ object Sampling {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sa_range_buckets" -> saRangeBuckets,
+    "sa_split" -> saSplit,
     "sa_temperature_mix" -> saTemperatureMix,
     "sa_shuffle" -> saShuffle,
     "sa_weighted_mix" -> saWeightedMix,
@@ -463,6 +510,7 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "sa_range_buckets" -> saRangeBucketsSql,
+    "sa_split" -> saSplitSql,
     "sa_temperature_mix" -> saTemperatureMixSql,
     "sa_shuffle" -> saShuffleSql,
     "sa_weighted_mix" -> saWeightedMixSql,

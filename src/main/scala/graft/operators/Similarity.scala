@@ -738,7 +738,53 @@ object Similarity {
        |  (SELECT COUNT(*) FROM droppable) AS n_droppable,
        |  TRUE AS drops_all_verified, TRUE AS coverage_ok""".stripMargin
 
+  // ------------------------------------------------ grouped centroids.
+  /** Per-group mean embeddings — prototype/class-centroid computation
+    * (label centroids, cluster prototypes, per-source "average
+    * document"). posexplode fans each vector into (group, pos, value)
+    * rows and ONE keyed aggregate computes every (group, dimension)
+    * mean: scan-side narrow fan-out + one shuffle keyed on
+    * (group, pos) — no per-group collect, no driver loop, any number
+    * of groups, any corpus size. */
+  def groupedCentroids(emb: DataFrame, group: Column): DataFrame =
+    emb.select(group.as("grp"), posexplode(col("embedding")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"), avg(col("col")).as("mean"))
+
+  /** GATE flavor: float sums are addition-order-dependent, so the gate
+    * sums SCALED INTEGERS instead — v ↦ ⌊v·10⁶ + 0.5⌋ (the int8 gate's
+    * bit-exact floor trick at micro precision), making every column
+    * bigint-exact and the mean a single exact-inputs division. Group =
+    * first md5 hex char of vec_id (16 buckets, reproducible in DuckDB —
+    * production callers group by any real label/cluster column). */
+  def ssCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(substring(md5(col("vec_id").cast("string")), 1, 1).as("grp"),
+        posexplode(col("embedding")))
+      .select(col("grp"), col("pos"),
+        floor(col("col").cast("double") * 1000000d + 0.5d)
+          .cast("long").as("v"))
+      .groupBy(col("grp"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_micro"))
+      .select(col("grp"), col("pos"), col("n"), col("sum_micro"),
+        (col("sum_micro").cast("double") / col("n")).as("mean_micro"))
+
+  // CAST(SUM(...) AS BIGINT): DuckDB's bigint SUM returns HUGEINT,
+  // which the driver's pandas comparator reads as float64 and
+  // dtype-mismatches Spark's int64
+  val ssCentroidsSql: String =
+    """SELECT grp, pos, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS sum_micro,
+      |  CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_micro
+      |FROM (
+      |  SELECT substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) AS grp,
+      |    generate_subscripts(embedding, 1) - 1 AS pos,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+      |      AS BIGINT) AS v
+      |  FROM embeddings) t
+      |GROUP BY grp, pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_centroids" -> ssCentroids,
     "ss_knn_brute" -> ssKnnBrute,
     "dd_embed_cosine" -> ddEmbedCosine,
     "ss_ann_lsh" -> ssAnnLsh,
@@ -754,6 +800,7 @@ object Similarity {
     * IVF recovered ≥90% of the brute-force top-k) — which the oracle CAN
     * assert: the expected row is fully literal. */
   val oracles: Map[String, String] = Map(
+    "ss_centroids" -> ssCentroidsSql,
     "ss_knn_brute" -> ssKnnBruteSql,
     "dd_embed_cosine" -> ddEmbedCosineSql,
     "ss_ann_lsh" -> ssAnnLshSql,

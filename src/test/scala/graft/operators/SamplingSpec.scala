@@ -194,6 +194,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(row(0).getAs[Boolean]("min_share_ok"))
   }
 
+  test("split assignment is disjoint, exhaustive, growth-stable, near-proportioned") {
+    import spark.implicits._
+    val docs = (1L to 10000L).toDF("doc_id")
+    val split = docs.select($"doc_id",
+      Sampling.splitAssign($"doc_id", "sp-spec", 0.8, 0.1).as("split"))
+    val counts = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L) // exhaustive by construction
+    assert(math.abs(counts("train") - 8000L) < 300, counts)
+    assert(math.abs(counts("val") - 1000L) < 150, counts)
+    assert(math.abs(counts("test") - 1000L) < 150, counts)
+    // growth stability: assignments of existing rows never change when
+    // the corpus grows (the eval-contamination guarantee)
+    val grown = (1L to 20000L).toDF("doc_id")
+      .select($"doc_id", Sampling.splitAssign($"doc_id", "sp-spec", 0.8, 0.1)
+        .as("split"))
+    val before = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = grown.filter($"doc_id" <= 10000).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before == after)
+  }
+
   test("temperature mix flattens source shares toward sqrt weights") {
     import spark.implicits._
     // 3 sources with 16:4:1 size ratio → sqrt weights 4:2:1

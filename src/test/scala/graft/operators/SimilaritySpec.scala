@@ -265,4 +265,25 @@ class SimilaritySpec extends AnyFunSuite {
       .agg(min($"c")).head().getDouble(0)
     assert(worst >= 0.99, s"worst dequantized cosine $worst")
   }
+
+  test("grouped centroids: one row per (group, dim), true means, no collect") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)), // group a
+      (3L, Array(10.0f, 20.0f))) // group b
+      .toDF("vec_id", "embedding")
+    val out = Similarity.groupedCentroids(emb,
+      when($"vec_id" <= 2, "a").otherwise("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("a", 0)) == ((2L, 2.0))) // (1+3)/2
+    assert(out(("a", 1)) == ((2L, 3.0))) // (2+4)/2
+    assert(out(("b", 0)) == ((1L, 10.0)))
+    assert(out(("b", 1)) == ((1L, 20.0)))
+    // gate flavor covers every (bucket, dim) cell exactly once
+    val gate = Similarity.ssCentroids(spark, graft.TestSpark.sf0001)
+    assert(gate.count() == 16L * 64L)
+    assert(gate.groupBy($"grp", $"pos").count()
+      .filter($"count" > 1).isEmpty)
+  }
 }
