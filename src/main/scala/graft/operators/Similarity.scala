@@ -738,6 +738,109 @@ object Similarity {
        |  (SELECT COUNT(*) FROM droppable) AS n_droppable,
        |  TRUE AS drops_all_verified, TRUE AS coverage_ok""".stripMargin
 
+  // ------------------------------------------------- OPQ rotation.
+  /** OPQ-style deterministic rotation (the non-parametric init of Ge et
+    * al., CVPR'13): PCA basis + eigenvalue-balanced "snake" allocation
+    * of the rotated dimensions into the M subspaces (balancing Σ log λ
+    * per subspace). PQ quantizes each subspace INDEPENDENTLY, so
+    * correlated/anisotropic data wastes its code budget; rotating into
+    * the decorrelated basis and spreading variance evenly across
+    * subspaces recovers it. Measured (MeasureOpq): recall@10 at the
+    * fixed shortlist 0.66 → 1.00 on an anisotropic clustered fixture;
+    * neutral (0.96 vs 0.94) on the near-uniform driver corpus, which
+    * has nothing to decorrelate — rotation of a sphere is a sphere.
+    *
+    * Deterministic: trained on the same bounded [[trainSample]] draw as
+    * the codebooks (breeze eigSym of the 64×64 sample covariance — a
+    * tuning-time driver computation of codebook class), cached by data
+    * fingerprint. Applying it is scan-side: dim literal dots per row
+    * (same cost class as PQ encoding), no shuffle, cosine-invariant
+    * (orthogonal), so the exact rerank and ground truth are unchanged. */
+  def opqRotation(sample: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    require(sample.nonEmpty && dim % m == 0, s"dim $dim not divisible by $m")
+    val n = sample.length.toDouble
+    val mean = Array.tabulate(dim)(j => sample.map(_(j)).sum / n)
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    sample.foreach { v =>
+      var i = 0
+      while (i < dim) {
+        var j = 0
+        while (j < dim) {
+          cov(i, j) += (v(i) - mean(i)) * (v(j) - mean(j)); j += 1
+        }
+        i += 1
+      }
+    }
+    cov :/= n
+    val eig = breeze.linalg.eigSym(cov)
+    val order = (0 until dim).sortBy(i => -eig.eigenvalues(i))
+    val sub = dim / m
+    val sums = Array.fill(m)(0.0)
+    val buckets = Array.fill(m)(List.empty[Int])
+    order.foreach { e =>
+      val open = (0 until m).filter(b => buckets(b).length < sub)
+      val b = open.minBy(sums)
+      buckets(b) = e :: buckets(b)
+      sums(b) += math.log(math.max(eig.eigenvalues(e), 1e-12))
+    }
+    val perm = buckets.flatMap(_.reverse)
+    perm.map(e => Array.tabulate(dim)(j => eig.eigenvectors(j, e)))
+  }
+
+  /** Scan-side application: rotated_i = R(i) · x, dim codegen'd literal
+    * dots (the [[assignCell]] pattern). */
+  def rotateVec(vec: Column, r: Array[Array[Double]]): Column =
+    array(r.map(row => dot(vec, typedLit(row))): _*)
+
+  private val rotationCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), Array[Array[Double]]]()
+
+  def cachedRotation(emb: DataFrame, dir: String): Array[Array[Double]] = {
+    val fp = dataFingerprint(emb.sparkSession, dir)
+    rotationCache.keySet().removeIf(key => key._1 == dir && key._2 != fp)
+    rotationCache.computeIfAbsent((dir, fp), _ => {
+      val sample = trainSample(emb).select(col("embedding"))
+        .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      opqRotation(sample, PqM)
+    })
+  }
+
+  /** Rotated corpus view: vec_id + rotated embedding (float, like the
+    * input, so every downstream PQ path is unchanged). */
+  def rotatedEmb(emb: DataFrame, r: Array[Array[Double]]): DataFrame =
+    emb.select(col("vec_id"),
+      rotateVec(col("embedding").cast("array<double>"), r)
+        .cast("array<float>").as("embedding"))
+
+  /** OPQ+PQ k-NN gate: rotate, train codebooks on the rotated sample,
+    * run the standard fixed-shortlist PQ pipeline. Same recall-envelope
+    * form as `ss_knn_pq` (ground truth is rotation-invariant). */
+  def ssKnnPqOpq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val r = cachedRotation(emb, dir)
+    val rot = rotatedEmb(emb, r)
+    val books = pqCache.computeIfAbsent((dir + "#opq",
+      dataFingerprint(s, dir)), _ => {
+      val sample = trainSample(rot).cache()
+      try trainCodebooks(sample)
+      finally { sample.unpersist(); () }
+    })
+    val pq = knnPqOn(rot, books)
+    val brute = knnBruteOn(emb).select($"q_id", $"neighbor_id")
+    val hits = pq.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
+    hits.agg(count(lit(1)).as("hits"))
+      .select(
+        lit(NumQueries).cast("long").as("n_queries"),
+        lit(K).cast("long").as("k"),
+        ($"hits".cast("double") / (NumQueries * K) >= PqRecallFloor)
+          .as("recall_ok"))
+  }
+
+  val ssKnnPqOpqSql: String =
+    s"SELECT CAST($NumQueries AS BIGINT) AS n_queries, CAST($K AS BIGINT) AS k, TRUE AS recall_ok"
+
   // ------------------------------------------------ grouped centroids.
   /** Per-group mean embeddings — prototype/class-centroid computation
     * (label centroids, cluster prototypes, per-source "average
@@ -790,6 +893,7 @@ object Similarity {
     "ss_ann_lsh" -> ssAnnLsh,
     "ss_knn_ivf" -> ssKnnIvf,
     "ss_knn_pq" -> ssKnnPq,
+    "ss_knn_pq_opq" -> ssKnnPqOpq,
     "ss_quantize_int8" -> ssQuantizeInt8Gate,
     "ss_semdedup" -> ssSemDedup,
   )
@@ -806,6 +910,7 @@ object Similarity {
     "ss_ann_lsh" -> ssAnnLshSql,
     "ss_knn_ivf" -> ssKnnIvfSql,
     "ss_knn_pq" -> ssKnnPqSql,
+    "ss_knn_pq_opq" -> ssKnnPqOpqSql,
     "ss_quantize_int8" -> ssQuantizeInt8Sql,
     "ss_semdedup" -> ssSemDedupSql,
   )

@@ -266,6 +266,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(worst >= 0.99, s"worst dequantized cosine $worst")
   }
 
+  test("OPQ rotation: orthogonal, recall-lifting on anisotropic clusters") {
+    import spark.implicits._
+    val fix = graft.tools.MeasureOpq.clusteredFixture(spark, 2000)
+    val sample = Similarity.trainSample(fix).select($"embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val r = Similarity.opqRotation(sample, Similarity.PqM)
+    // orthogonality: R·Rᵀ = I (cosines — and therefore ground truth —
+    // are invariant under the rotation)
+    for (i <- r.indices; j <- r.indices) {
+      val d = r(i).zip(r(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"R·Rᵀ($i,$j)=$d")
+    }
+    def recallOf(base: org.apache.spark.sql.DataFrame): Double = {
+      val books = Similarity.trainCodebooks(Similarity.trainSample(base))
+      val pq = Similarity.knnPqOn(base, books)
+      val brute = Similarity.knnBruteOn(fix).select($"q_id", $"neighbor_id")
+      pq.join(brute, Seq("q_id", "neighbor_id"), "left_semi").count().toDouble /
+        (Similarity.NumQueries * Similarity.K)
+    }
+    val plain = recallOf(fix)
+    val opq = recallOf(Similarity.rotatedEmb(fix, r))
+    // measured (seed 7, 2000 rows): plain ~0.66, opq ~1.0 — margins wide
+    assert(opq >= 0.9, s"opq recall $opq")
+    assert(opq >= plain + 0.1,
+      s"rotation should lift recall on correlated clusters: $plain -> $opq")
+  }
+
   test("grouped centroids: one row per (group, dim), true means, no collect") {
     import spark.implicits._
     val emb = Seq(
