@@ -32,9 +32,11 @@ object Bench {
     "sc_salted_sum_hicard", "sc_salted_join", "cdc_latest", "sa_shuffle",
     "ev_attribution", "ta_cms_freq", "dd_retain", "ss_semdedup",
     // round 8 second half: SCD2 intervalization, ordered funnel,
-    // temperature mixing, KLL range buckets, bloom-pruned join
+    // temperature mixing, KLL range buckets, bloom-pruned join,
+    // RANGE-frame window, characteristic terms, grouped centroids
     "cdc_scd2", "ev_funnel", "sa_temperature_mix", "sa_range_buckets",
-    "sc_bloom_join")
+    "sc_bloom_join", "q37_trailing_window", "ta_char_terms",
+    "ss_centroids")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

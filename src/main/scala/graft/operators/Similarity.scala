@@ -756,7 +756,24 @@ object Similarity {
     * fingerprint. Applying it is scan-side: dim literal dots per row
     * (same cost class as PQ encoding), no shuffle, cosine-invariant
     * (orthogonal), so the exact rerank and ground truth are unchanged. */
-  def opqRotation(sample: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+  def opqRotation(sample: Array[Array[Double]], m: Int): Array[Array[Double]] =
+    opqRotationIfAnisotropic(sample, m, threshold = 0.0).get
+
+  /** Anisotropy gate: rotation is only applied when the sample spectrum
+    * shows something to decorrelate — ratio = λ_max / λ_median of the
+    * sample covariance. Measured: 331.7 on the anisotropic fixture vs
+    * 1.8–2.0 on the near-uniform driver corpora at every SF, so the
+    * default threshold 4 separates them by two orders of magnitude.
+    * On isotropic data rotation is recall-NEUTRAL in expectation but
+    * jitters the subspace grouping (measured: 0.84 → ~0.78 at sf0.1,
+    * crossing the envelope floor), so identity is strictly safer there
+    * — returning None keeps the un-rotated pipeline and its measured
+    * recall exactly. */
+  val OpqAnisotropyThreshold = 4.0
+
+  def opqRotationIfAnisotropic(sample: Array[Array[Double]], m: Int,
+      threshold: Double = OpqAnisotropyThreshold)
+      : Option[Array[Array[Double]]] = {
     val dim = sample.head.length
     require(sample.nonEmpty && dim % m == 0, s"dim $dim not divisible by $m")
     val n = sample.length.toDouble
@@ -774,6 +791,9 @@ object Similarity {
     }
     cov :/= n
     val eig = breeze.linalg.eigSym(cov)
+    val sortedEv = eig.eigenvalues.toArray.sorted.reverse
+    val ratio = sortedEv(0) / math.max(sortedEv(dim / 2), 1e-12)
+    if (ratio < threshold) return None
     val order = (0 until dim).sortBy(i => -eig.eigenvalues(i))
     val sub = dim / m
     val sums = Array.fill(m)(0.0)
@@ -785,7 +805,7 @@ object Similarity {
       sums(b) += math.log(math.max(eig.eigenvalues(e), 1e-12))
     }
     val perm = buckets.flatMap(_.reverse)
-    perm.map(e => Array.tabulate(dim)(j => eig.eigenvectors(j, e)))
+    Some(perm.map(e => Array.tabulate(dim)(j => eig.eigenvectors(j, e))))
   }
 
   /** Scan-side application: rotated_i = R(i) · x, dim codegen'd literal
@@ -794,15 +814,18 @@ object Similarity {
     array(r.map(row => dot(vec, typedLit(row))): _*)
 
   private val rotationCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Array[Array[Double]]]()
+    (String, Long), Option[Array[Array[Double]]]]()
 
-  def cachedRotation(emb: DataFrame, dir: String): Array[Array[Double]] = {
+  /** None = the corpus is near-isotropic and rotation is skipped (the
+    * anisotropy gate above). */
+  def cachedRotation(emb: DataFrame, dir: String)
+      : Option[Array[Array[Double]]] = {
     val fp = dataFingerprint(emb.sparkSession, dir)
     rotationCache.keySet().removeIf(key => key._1 == dir && key._2 != fp)
     rotationCache.computeIfAbsent((dir, fp), _ => {
       val sample = trainSample(emb).select(col("embedding"))
         .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      opqRotation(sample, PqM)
+      opqRotationIfAnisotropic(sample, PqM)
     })
   }
 
@@ -819,15 +842,25 @@ object Similarity {
   def ssKnnPqOpq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, dir)
-    val r = cachedRotation(emb, dir)
-    val rot = rotatedEmb(emb, r)
-    val books = pqCache.computeIfAbsent((dir + "#opq",
-      dataFingerprint(s, dir)), _ => {
-      val sample = trainSample(rot).cache()
-      try trainCodebooks(sample)
-      finally { sample.unpersist(); () }
-    })
-    val pq = knnPqOn(rot, books)
+    // near-isotropic corpus (the driver data at every SF) → the
+    // anisotropy gate returns None and this delegates to EXACTLY the
+    // plain pipeline (tuned shortlist + its cached codebooks — the
+    // autotune is what carries adversarial uniform data); anisotropic
+    // data rotates and keeps the FIXED shortlist, which the rotation
+    // makes sufficient (the whole point: recall 0.66 → 1.00 on the
+    // clustered fixture at shortlist 100)
+    val pq = cachedRotation(emb, dir) match {
+      case None => knnPq(s, dir)
+      case Some(r) =>
+        val rot = rotatedEmb(emb, r)
+        val books = pqCache.computeIfAbsent((dir + "#opq",
+          dataFingerprint(s, dir)), _ => {
+          val sample = trainSample(rot).cache()
+          try trainCodebooks(sample)
+          finally { sample.unpersist(); () }
+        })
+        knnPqOn(rot, books)
+    }
     val brute = knnBruteOn(emb).select($"q_id", $"neighbor_id")
     val hits = pq.join(brute, Seq("q_id", "neighbor_id"), "left_semi")
     hits.agg(count(lit(1)).as("hits"))

@@ -293,6 +293,22 @@ class SimilaritySpec extends AnyFunSuite {
       s"rotation should lift recall on correlated clusters: $plain -> $opq")
   }
 
+  test("OPQ anisotropy gate: rotates clusters, skips isotropic data") {
+    import spark.implicits._
+    val fix = graft.tools.MeasureOpq.clusteredFixture(spark, 2000)
+    val aniso = Similarity.trainSample(fix).select($"embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    assert(Similarity.opqRotationIfAnisotropic(aniso, Similarity.PqM).isDefined)
+    // near-uniform sphere (the driver corpus shape): ratio ~1.8 < 4 →
+    // identity wins (rotation is neutral-at-best there and jitters the
+    // subspace grouping)
+    val rnd = new scala.util.Random(11)
+    val iso = Array.fill(1000)(
+      Array.fill(Similarity.PqDim)(rnd.nextGaussian()))
+      .map(v => { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) })
+    assert(Similarity.opqRotationIfAnisotropic(iso, Similarity.PqM).isEmpty)
+  }
+
   test("grouped centroids: one row per (group, dim), true means, no collect") {
     import spark.implicits._
     val emb = Seq(
