@@ -178,11 +178,18 @@ object Sampling {
     * single-window rank exactly — the oracle asserts that. */
   val ShuffleBuckets = 256
 
-  def globalShuffleRank(df: DataFrame, key: Column, salt: String): DataFrame = {
+  /** @param prefixChars hex chars of the hash used as the bucket key —
+    *   fan-out = 16^prefixChars (default 2 → 256). Widen for very large
+    *   corpora so the per-bucket sorts stay executor-sized; capped at 7
+    *   so the bucket id fits an Int (16⁷ ≈ 2.7×10⁸). */
+  def globalShuffleRank(df: DataFrame, key: Column, salt: String,
+      prefixChars: Int = 2): DataFrame = {
+    require(prefixChars >= 1 && prefixChars <= 7,
+      s"prefixChars must be in [1,7], got $prefixChars")
     val h = hashHex(key, salt)
-    val bucket = conv(substring(h, 1, 2), 16, 10).cast("int")
+    val bucket = conv(substring(h, 1, prefixChars), 16, 10).cast("int")
     val withBucket = df.withColumn("__h", h).withColumn("__b", bucket)
-    // fan-out-sized aggregate: 256 rows however large the corpus is
+    // fan-out-sized aggregate: 16^prefixChars rows however large the corpus
     val counts = withBucket.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
     val wOff = org.apache.spark.sql.expressions.Window
       .orderBy(col("__b"))
@@ -227,6 +234,12 @@ object Sampling {
     // select garbage — the guard is IN-PLAN (w is data), raising with a
     // pointer at the float flavor instead of mis-sampling
     require(budget > 0, s"budget must be positive, got $budget")
+    // budget < 2³¹ makes the guard's own multiply safe: w ≤ ⌊√n⌋ < 2²⁵
+    // for any n < 2⁵⁰, so budget·w < 2⁵⁶ — the product below can never
+    // wrap past 2⁶³ and silently bypass the ≥ 2³¹ test
+    require(budget < (1L << 31),
+      s"temperatureMixSqrt: budget $budget exceeds the integer-exact " +
+        "bound 2^31; use temperatureMixFast")
     val wGuard = when(lit(budget) * col("__w") >= lit(1L << 31),
       raise_error(concat(lit(s"temperatureMixSqrt: budget $budget * weight "),
         col("__w"), lit(" exceeds the integer-exact bound 2^31; " +
@@ -428,11 +441,20 @@ object Sampling {
     * that keeps yesterday's eval docs out of tomorrow's training set).
     * Scan-side filter only; no shuffle at any corpus size. Fractions
     * are cut points: train = [0, f₁), val = [f₁, f₂), test = [f₂, 1). */
+  /** Both cut points from ONE driver-side computation — the val
+    * threshold is thresholdHex(trainFrac + valFrac), and any oracle MUST
+    * use these same hex strings: recomputing thresholdHex(0.9) from a
+    * fresh literal could land one ulp across a 32-bit integer boundary
+    * from thresholdHex(0.8 + 0.1) and flap a row-identical comparison. */
+  def splitCutHexes(trainFrac: Double, valFrac: Double): (String, String) =
+    (thresholdHex(trainFrac), thresholdHex(trainFrac + valFrac))
+
   def splitAssign(key: Column, salt: String, trainFrac: Double,
       valFrac: Double): Column = {
+    val (trainHex, valHex) = splitCutHexes(trainFrac, valFrac)
     val h = hashHex(key, salt)
-    when(h < lit(thresholdHex(trainFrac)), "train")
-      .when(h < lit(thresholdHex(trainFrac + valFrac)), "val")
+    when(h < lit(trainHex), "train")
+      .when(h < lit(valHex), "val")
       .otherwise("test")
   }
 
@@ -446,9 +468,10 @@ object Sampling {
 
   val saSplitSql: String = {
     val h = hashHexSql("doc_id", SplitSalt)
+    val (trainHex, valHex) = splitCutHexes(0.8, 0.1)
     s"""SELECT doc_id,
-       |  CASE WHEN $h < '${thresholdHex(0.8)}' THEN 'train'
-       |    WHEN $h < '${thresholdHex(0.9)}' THEN 'val'
+       |  CASE WHEN $h < '$trainHex' THEN 'train'
+       |    WHEN $h < '$valHex' THEN 'val'
        |    ELSE 'test' END AS split
        |FROM documents""".stripMargin
   }

@@ -521,6 +521,15 @@ object Similarity {
     * property of the DATA, not of N: the per-query rerank and shuffle
     * stay bounded by a measured constant, unlike a corpus-proportional
     * policy. */
+  /** Upper bound of the shortlist tuning search: min(corpus, 64·
+    * [[PqShortlist]]), never below [[K]]. The tune exists to find a
+    * SMALL data-dependent constant — an uncapped `count().toInt` would
+    * overflow negative past 2³¹ rows and degenerate the binary search,
+    * and a corpus that genuinely needs a 64·PqShortlist shortlist has
+    * no business in PQ anyway. */
+  def shortlistSearchCap(n: Long): Int =
+    math.max(K.toLong, math.min(n, 64L * PqShortlist)).toInt
+
   def chooseShortlist(emb: DataFrame, books: IndexedSeq[IndexedSeq[Array[Double]]],
       target: Double = 0.9, numQueries: Int = NumQueries): Int = {
     val truth = knnBruteOn(emb, numQueries)
@@ -534,7 +543,7 @@ object Similarity {
       hits.toDouble / total
     }
     var lo = K
-    var hi = emb.count().toInt
+    var hi = shortlistSearchCap(emb.count())
     while (lo < hi) {
       val mid = (lo + hi) / 2
       if (recallAt(mid) >= target) hi = mid else lo = mid + 1
@@ -774,8 +783,9 @@ object Similarity {
   def opqRotationIfAnisotropic(sample: Array[Array[Double]], m: Int,
       threshold: Double = OpqAnisotropyThreshold)
       : Option[Array[Array[Double]]] = {
+    require(sample.nonEmpty, "opqRotationIfAnisotropic: empty training sample")
     val dim = sample.head.length
-    require(sample.nonEmpty && dim % m == 0, s"dim $dim not divisible by $m")
+    require(dim % m == 0, s"dim $dim not divisible by $m")
     val n = sample.length.toDouble
     val mean = Array.tabulate(dim)(j => sample.map(_(j)).sum / n)
     val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
@@ -853,8 +863,12 @@ object Similarity {
       case None => knnPq(s, dir)
       case Some(r) =>
         val rot = rotatedEmb(emb, r)
-        val books = pqCache.computeIfAbsent((dir + "#opq",
-          dataFingerprint(s, dir)), _ => {
+        val fp = dataFingerprint(s, dir)
+        // evict stale "#opq"-keyed entries too — cachedCodebooks' sweep
+        // matches key._1 == dir only, so a regenerated fixture would
+        // otherwise accumulate dead OPQ codebook entries in one JVM
+        pqCache.keySet().removeIf(key => key._1 == dir + "#opq" && key._2 != fp)
+        val books = pqCache.computeIfAbsent((dir + "#opq", fp), _ => {
           val sample = trainSample(rot).cache()
           try trainCodebooks(sample)
           finally { sample.unpersist(); () }

@@ -158,6 +158,77 @@ class SimilaritySpec extends AnyFunSuite {
     assert((8L until 200L).forall(kept.contains))
   }
 
+  test("shortlist tuning search bound is clamped: no Int overflow at huge N") {
+    import Similarity.{K, PqShortlist, shortlistSearchCap}
+    // >2³¹-row corpus: an uncapped count().toInt would go negative and
+    // degenerate the binary search — the cap keeps it a small constant
+    assert(shortlistSearchCap(3_000_000_000L) == 64 * PqShortlist)
+    assert(shortlistSearchCap(Long.MaxValue) == 64 * PqShortlist)
+    // small corpora pass through; never below K (the search's lo)
+    assert(shortlistSearchCap(500L) == 500)
+    assert(shortlistSearchCap(2L) == K)
+  }
+
+  test("semantic dedup coverage on BORDERLINE (0.45-0.5 cosine) planted groups") {
+    // The gate's 0.25 coverage floor is measured on the near-uniform
+    // driver sphere, where borderline pairs straddle cell boundaries.
+    // This fixture pins the regime the operator exists for: well-
+    // separated GROUPS whose members are near-dups of each other at
+    // cosines just above the 0.45 threshold — a clustering regression
+    // (e.g. random assignment ⇒ coverage ~1/k) must fail the floor.
+    val rnd = new scala.util.Random(19)
+    val dim = 64
+    val nGroups = 8
+    val perGroup = 6
+    // orthonormal group centers: center g is the indicator of dims
+    // {8g..8g+7} normalized — exactly orthogonal to every other center
+    val centers = (0 until nGroups).map { g =>
+      Array.tabulate(dim)(i => if (i / 8 == g) 1.0 / math.sqrt(8.0) else 0.0)
+    }
+    // member = cosA·center + sinA·w with w a random unit vector ⊥ center;
+    // pairwise member cosine ≈ cos²A + sin²A·(wᵢ·wⱼ) ≈ 0.48 ± noise
+    val cosA = math.sqrt(0.48)
+    val sinA = math.sqrt(1 - 0.48)
+    val rows = for {
+      g <- 0 until nGroups; m <- 0 until perGroup
+    } yield {
+      val c = centers(g)
+      val raw = Array.fill(dim)(rnd.nextGaussian())
+      val d = raw.zip(c).map { case (x, y) => x * y }.sum
+      val perp = raw.zip(c).map { case (x, y) => x - d * y }
+      val pn = math.sqrt(perp.map(x => x * x).sum)
+      val v = c.zip(perp).map { case (ci, pi) => cosA * ci + sinA * pi / pn }
+      ((g * perGroup + m).toLong, v.map(_.toFloat))
+    }
+    // exact borderline pair set, brute-forced driver-side (48 vectors)
+    val vecs = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val exactPairs = (for {
+      i <- ids; j <- ids if i < j
+      c = cos(vecs(i), vecs(j)) if c >= Similarity.SemDedupThreshold
+    } yield (i, j, c)).toSeq
+    assert(exactPairs.nonEmpty)
+    // the fixture is genuinely borderline: median pair cosine in band
+    val cosines = exactPairs.map(_._3).sorted
+    val median = cosines(cosines.length / 2)
+    assert(median >= 0.44 && median <= 0.55,
+      s"fixture drifted out of the borderline band: median cosine $median")
+    val emb = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, k = nGroups, rounds = 5)
+    val found = Similarity
+      .semanticPairs(emb, cents, Similarity.SemDedupThreshold)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val covered = exactPairs.count { case (a, b, _) => found.contains((a, b)) }
+    val coverage = covered.toDouble / exactPairs.size
+    assert(coverage >= 0.8,
+      s"borderline-group coverage $coverage < 0.8 " +
+        s"($covered of ${exactPairs.size} exact pairs found within-cluster)")
+  }
+
   test("ss_semdedup gate: anchors exact, both claims hold") {
     val row = Similarity.ssSemDedup(spark, TestSpark.sf0001).collect()
     assert(row.length == 1)
