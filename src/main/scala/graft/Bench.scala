@@ -36,7 +36,10 @@ object Bench {
     // RANGE-frame window, characteristic terms, grouped centroids
     "cdc_scd2", "ev_funnel", "sa_temperature_mix", "sa_range_buckets",
     "sc_bloom_join", "q37_trailing_window", "ta_char_terms",
-    "ss_centroids")
+    "ss_centroids",
+    // round 9: serving a query batch from the STORED PQ index (the
+    // first run builds the index; min-of-3 reports steady-state serving)
+    "ss_knn_pq_stored")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -55,6 +58,16 @@ object Bench {
     "dd_dup_spans" -> ((s, d) => graft.operators.Dedup.ddDupSpansHashed(s, d)),
     "dd_decontaminate" -> ((s, d) => graft.operators.Dedup.ddDecontaminateHashed(s, d)),
     "dd_bloom_sharded" -> ((s, d) => graft.operators.Dedup.ddBloomAdmitSharded(s, d)),
+    // stored-index serving only (no brute-force oracle recompute): the
+    // ensure is a meta-read cache hit after the first run
+    "ss_knn_pq_stored" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = graft.operators.PqIndex.ensurePqIndex(s, d)
+      val batch = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < graft.operators.Similarity.NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+      graft.operators.PqIndex.knnPqStored(s, base, batch)
+    }),
     // production CMS: one sketch-build aggregate at production width
     // (the gate form also recomputes exact counts for the oracle)
     "ta_cms_freq" -> ((s, d) => {

@@ -254,7 +254,7 @@ object Similarity {
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int), IndexedSeq[Array[Double]]]()
 
-  private def dataFingerprint(s: SparkSession, dir: String): Long = {
+  private[operators] def dataFingerprint(s: SparkSession, dir: String): Long = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.listStatus(path).foldLeft(0L) { (acc, st) =>
@@ -941,6 +941,7 @@ object Similarity {
     "ss_knn_ivf" -> ssKnnIvf,
     "ss_knn_pq" -> ssKnnPq,
     "ss_knn_pq_opq" -> ssKnnPqOpq,
+    "ss_knn_pq_stored" -> (PqIndex.ssKnnPqStored(_, _)),
     "ss_quantize_int8" -> ssQuantizeInt8Gate,
     "ss_semdedup" -> ssSemDedup,
   )
@@ -958,6 +959,7 @@ object Similarity {
     "ss_knn_ivf" -> ssKnnIvfSql,
     "ss_knn_pq" -> ssKnnPqSql,
     "ss_knn_pq_opq" -> ssKnnPqOpqSql,
+    "ss_knn_pq_stored" -> PqIndex.ssKnnPqStoredSql,
     "ss_quantize_int8" -> ssQuantizeInt8Sql,
     "ss_semdedup" -> ssSemDedupSql,
   )
