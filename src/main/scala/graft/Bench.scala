@@ -39,7 +39,10 @@ object Bench {
     "ss_centroids",
     // round 9: serving a query batch from the STORED PQ index (the
     // first run builds the index; min-of-3 reports steady-state serving)
-    "ss_knn_pq_stored")
+    "ss_knn_pq_stored",
+    // round 10: SCD2 point-in-time join (native as-of over the interval
+    // dimension)
+    "cdc_scd2_pit")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -98,25 +101,46 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // three timed runs per query, report the min; per-run times go to
     // stderr so run-to-run variance is attributable (round-2 verdict:
-    // shared-host noise made regressions indistinguishable from drift)
+    // shared-host noise made regressions indistinguishable from drift).
+    // A query that throws is marked "err" in the JSON, excluded from the
+    // total, and fails the whole bench (nonzero exit) — time-to-crash
+    // must never masquerade as a fast run (round-9 verdict).
     val results = headline.map { name =>
       val q = raw.getOrElse(name, SparkEntry.queries(name))
-      val times = (1 to 3).map { _ =>
+      var err: Option[String] = None
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var run = 0
+      while (run < 3 && err.isEmpty) {
+        run += 1
         val t0 = System.nanoTime()
-        try q(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        finally spark.catalog.clearCache() // isolate per-query cache/memory
-        (System.nanoTime() - t0) / 1e9
+        try {
+          q(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            err = Some(e.toString.replaceAll("""["\\\n\r\t]""", " ").take(300))
+            System.err.println(s"[bench] $name FAILED: $e")
+        } finally spark.catalog.clearCache() // isolate per-query cache/memory
       }
-      System.err.println(
+      if (err.isEmpty) System.err.println(
         f"[bench] $name runs: ${times.map(t => f"$t%.3f").mkString(", ")}")
-      name -> times.min
+      (name, if (err.isEmpty) Some(times.min) else None, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Some(v), _) => "\"" + k + f"\":$v%.3f"
+      case (k, None, _)    => "\"" + k + "\":\"err\""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + e + "\"" }
+    val errsJson =
+      if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val nErr = errs.size
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nErr,"queries":$qs$errsJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (nErr > 0) {
+      System.err.println(s"[bench] $nErr queries FAILED — bench is invalid")
+      sys.exit(1)
+    }
   }
 }

@@ -21,15 +21,71 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a raw nanos long and convert to
-    * a microsecond TIMESTAMP with integer `div` (a double division would
-    * lose precision above 2^53 ns). */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** Raw events scan. The driver has shipped `ts` in two physical
+    * encodings across data generations — parquet TIMESTAMP(NANOS)
+    * (which vanilla Spark rejects with [PARQUET_TYPE_ILLEGAL] unless
+    * read as a raw long under the legacy flag) and native TIMESTAMP
+    * micros (read as TIMESTAMP_NTZ). Setting the legacy flag is
+    * harmless for the micros encoding, so always set it and let
+    * [[normalizeEventTs]] branch on whatever type the scan produced. */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+
+  /** Adapt whatever physical `ts` the scan produced to one logical
+    * type, session-TZ TIMESTAMP, so every downstream event-time
+    * operator is encoding-agnostic:
+    *   - LongType        → legacy nanos-as-long; integer `div` keeps
+    *                       precision above 2^53 ns (double would not)
+    *   - TimestampNTZType→ cast, instant-identical under the UTC session
+    *   - TimestampType   → pass-through
+    * Works on batch and streaming DataFrames alike (pure projection). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other")
+    }
+  }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(eventsRaw(s, d))
+
+  /** max(ts) of a raw events scan in epoch MICROSECONDS regardless of
+    * the physical encoding — the one scalar the streaming replay
+    * harnesses pull to the driver to place their punctuation rows. */
+  def maxTsMicros(raw: DataFrame): Long = {
+    import org.apache.spark.sql.functions._
+    normalizeEventTs(raw).agg(max(unix_micros(col("ts")))).head().getLong(0)
+  }
+
+  /** Punctuation rows for the replay harnesses, with `ts` rendered in
+    * the RAW physical type of the staged events file so the file-source
+    * stream's declared schema matches what we write. Rows are
+    * (event_id, tsMicros, user_id). */
+  def punctDF(s: SparkSession, rawTsType: org.apache.spark.sql.types.DataType,
+      rows: Seq[(Long, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import s.implicits._
+    val base = rows.map { case (id, us, uid) => (id, us, uid, "punct", 0.0) }
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val tsCol = rawTsType match {
+      case LongType         => col("ts_us") * lit(1000L)
+      case TimestampNTZType => timestamp_micros(col("ts_us")).cast(TimestampNTZType)
+      case TimestampType    => timestamp_micros(col("ts_us"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported physical type $other")
+    }
+    base.withColumn("ts", tsCol)
+      .select("event_id", "ts", "user_id", "event_type", "value")
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

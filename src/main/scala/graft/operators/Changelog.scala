@@ -190,11 +190,80 @@ object Changelog {
       col("ts"), Seq(col("event_id")), eventDelete, Seq("event_id", "value"))
   }
 
+  /** Point-in-time (AS OF) join — the query SCD2 exists to serve: each
+    * fact row (a purchase) looks up the dimension version (the user's
+    * latest non-purchase state) valid AT the fact's own event time.
+    *
+    * Implementation bridges the CDC and as-of machinery: [[scd2]] builds
+    * the interval table, the NATIVE as-of operator
+    * (graft.plans.AsofJoin) picks the latest `valid_from <= ts` version
+    * per fact in one streaming merge, and a `valid_to` guard nulls out
+    * matches whose interval closed before the fact time — which is
+    * exactly interval containment, including tombstone gaps (a deleted
+    * user's purchases between delete and re-insert get NULL state). The
+    * changelog is pre-collapsed to one version per (user, ts) so
+    * `valid_from` is strictly increasing per key and containment is
+    * unique.
+    *
+    * Plan shape at 100 TB: dimension build is one keyed shuffle + one
+    * window pass (the [[scd2]] contract); the as-of is one co-partitioned
+    * merge — no per-row range probe, no interval explosion. */
+  def cdcScd2Pit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val log = events.filter($"event_type" =!= "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"event_id").as("event_id"),
+        max_by($"value", $"event_id").as("value"),
+        max_by($"event_type", $"event_id").as("event_type"))
+    val dim = scd2(log, eventKey, col("ts"), Seq(col("event_id")),
+        eventDelete, Seq("event_id", "value"))
+      .select(col("user_id").as("d_user_id"), col("valid_from"),
+        col("valid_to"), col("event_id").as("s_event_id"),
+        col("value").as("s_value"))
+    val facts = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    val joined = graft.plans.AsofJoinApi.joinAsof(
+      facts, dim,
+      Seq(facts("user_id")), Seq(dim("d_user_id")),
+      facts("ts"), dim("valid_from"))
+    val live = col("valid_from").isNotNull &&
+      (col("valid_to").isNull || col("ts") < col("valid_to"))
+    joined.select($"purchase_id", $"user_id", $"ts",
+      when(live, col("s_event_id")).as("state_event_id"),
+      when(live, col("s_value")).as("state_value"),
+      when(live, col("valid_from")).as("state_valid_from"))
+  }
+
+  /** Interval-containment oracle: LEFT JOIN on
+    * valid_from <= ts < valid_to — the declarative form of the same
+    * point-in-time semantics (LEAD over the FULL log including
+    * tombstones, tombstone versions dropped before the join). */
+  val cdcScd2PitSql: String =
+    """WITH log AS (
+      |  SELECT user_id, ts, MAX(event_id) AS event_id,
+      |    MAX_BY(value, event_id) AS value,
+      |    MAX_BY(event_type, event_id) AS event_type
+      |  FROM events WHERE event_type <> 'purchase' GROUP BY user_id, ts),
+      |dim AS (
+      |  SELECT user_id, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+      |    event_id, value, event_type
+      |  FROM log)
+      |SELECT f.event_id AS purchase_id, f.user_id, f.ts,
+      |  d.event_id AS state_event_id, d.value AS state_value,
+      |  d.valid_from AS state_valid_from
+      |FROM events f LEFT JOIN (SELECT * FROM dim WHERE event_type <> 'error') d
+      |  ON f.user_id = d.user_id AND d.valid_from <= f.ts
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |WHERE f.event_type = 'purchase'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest" -> cdcLatest,
     "cdc_apply" -> cdcApply,
     "cdc_scd2" -> cdcScd2,
     "cdc_scd2_apply" -> cdcScd2Apply,
+    "cdc_scd2_pit" -> cdcScd2Pit,
   )
 
   val oracles: Map[String, String] = Map(
@@ -204,5 +273,6 @@ object Changelog {
     "cdc_scd2" -> cdcScd2Sql,
     // merge-into must reproduce the full-history intervals exactly
     "cdc_scd2_apply" -> cdcScd2Sql,
+    "cdc_scd2_pit" -> cdcScd2PitSql,
   )
 }

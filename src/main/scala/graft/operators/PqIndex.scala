@@ -247,17 +247,49 @@ object PqIndex {
         col("rank"), col("cosine"))
   }
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+
   /** Idempotent per (JVM tmpdir, corpus dir): build once, reuse while
     * the source data fingerprint matches (the `materializeBucketed`
-    * contract). Returns the index directory. */
+    * contract). Returns the index directory.
+    *
+    * Existence is probed with a filesystem check, NOT by catching
+    * `readMeta`'s failure — a genuinely corrupt index must propagate as
+    * an error, never trigger a silent rebuild that papers over it. The
+    * build lands in a process-unique staging directory and is swapped in
+    * with an ATOMIC_MOVE rename, so concurrent builders each complete a
+    * consistent tree, exactly one rename wins, and no reader ever
+    * observes a half-written index (the losing staging tree is
+    * discarded — the build is deterministic, so both are identical). At
+    * cluster scale the same protocol runs through the object-store
+    * commit rename instead of a local-FS move. */
   def ensurePqIndex(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index/$tag"
     val current = dataFingerprint(s, dir)
-    val fresh =
-      try readMeta(s, base).dataFp == current
-      catch { case _: Exception => false }
-    if (!fresh) buildPqIndex(s, dir, base)
+    val metaExists = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/meta.parquet"))
+    val fresh = metaExists && readMeta(s, base).dataFp == current
+    if (!fresh) {
+      val staging = s"${base}__staging_${java.util.UUID.randomUUID().toString.take(8)}"
+      buildPqIndex(s, dir, staging)
+      deleteRecursively(java.nio.file.Paths.get(base))
+      try java.nio.file.Files.move(
+        java.nio.file.Paths.get(staging), java.nio.file.Paths.get(base),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          // a concurrent builder's rename won; its index is complete
+          deleteRecursively(java.nio.file.Paths.get(staging))
+      }
+    }
     base
   }
 

@@ -242,20 +242,18 @@ object EventStreams {
     * only max(ts) (one scalar) and the punctuation rows (two rows)
     * do; round 2's whole-table collect is gone. */
   def evSessionsStream(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    val raw = Tables.eventsRaw(s, dir)
+    val maxUs = Tables.maxTsMicros(raw)
+    val tsType = raw.schema("ts").dataType
     val src = java.nio.file.Files.createTempDirectory("graft_ev_sessions")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       src.resolve("00_events.parquet"))
     // one punctuation file per drain step, written through Spark with
-    // the same raw (nanos-as-long) schema as the events file
+    // the same raw physical ts type as the events file
     def writePunct(idx: Int, id: Long, hours: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_punct$idx")
-      Seq((id, maxNs + hours * 3600L * 1000000000L, -1L, "punct", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      Tables.punctDF(s, tsType, Seq((id, maxUs + hours * 3600L * 1000000L, -1L)))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet")).sorted.head
@@ -271,11 +269,10 @@ object EventStreams {
       .zipWithIndex.foreach { case (f, i) =>
         src.resolve(f).toFile.setLastModified(1000000L + i * 10000L)
       }
-    val rawSchema = raw.schema
-    val stream = s.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+      s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString))
     val name = s"ev_sessions_stream_${streamRuns.incrementAndGet()}"
     // NOTE: do NOT filter the punctuation user inside the streaming
     // query — a `user_id != -1` predicate on the aggregate is pushed
@@ -317,14 +314,13 @@ object EventStreams {
   private def replayToMemorySink(s: SparkSession, dir: String,
       namePrefix: String, transform: DataFrame => DataFrame,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
+    val rawSchema = Tables.eventsRaw(s, dir).schema
     val src = java.nio.file.Files.createTempDirectory(namePrefix)
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       src.resolve("events.parquet"))
-    val stream = s.readStream.schema(rawSchema).parquet(src.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+      s.readStream.schema(rawSchema).parquet(src.toString))
     val name = s"${namePrefix}_${streamRuns.incrementAndGet()}"
     val q = transform(stream)
       .writeStream.format("memory").queryName(name)

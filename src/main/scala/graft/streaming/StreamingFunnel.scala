@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
+import graft.Tables
+
 /** STREAMING ordered funnel: the unbounded-input form of
   * [[EventStreams.funnelTimes]], built on `flatMapGroupsWithState` with
   * event-time timeouts — per user, the earliest-completion stage times
@@ -143,17 +145,17 @@ object StreamingFunnel {
     * times exactly (same oracle CTE as `ev_funnel`, per-user form). */
   def evFunnelStream(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val maxNs = raw.agg(max(col("ts"))).head().getLong(0)
+    val raw = Tables.eventsRaw(s, dir)
+    val maxUs = Tables.maxTsMicros(raw)
+    val tsType = raw.schema("ts").dataType
     val src = java.nio.file.Files.createTempDirectory("graft_ev_funnel")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       src.resolve("00_events.parquet"))
     def writePunct(idx: Int, id: Long, days: Long): Unit = {
       val tmp = java.nio.file.Files.createTempDirectory(s"graft_fpunct$idx")
-      Seq((id, maxNs + days * 86400L * 1000000000L, -1L * idx, "punct", 0.0))
-        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      Tables.punctDF(s, tsType,
+          Seq((id, maxUs + days * 86400L * 1000000L, -1L * idx)))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
         .filter(p => p.endsWith(".parquet")).sorted.head
@@ -167,10 +169,10 @@ object StreamingFunnel {
       .zipWithIndex.foreach { case (f, i) =>
         src.resolve(f).toFile.setLastModified(1000000L + i * 10000L)
       }
-    val stream = s.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(src.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventTs(
+      s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString))
       .select(col("user_id"), col("ts"),
         when(col("event_type") === "signup", 0)
           .when(col("event_type") === "view", 1)

@@ -151,4 +151,52 @@ class ChangelogSpec extends AnyFunSuite {
     assert(latest.count() > 0)
     assert(latest.exceptAll(applied).isEmpty && applied.exceptAll(latest).isEmpty)
   }
+
+  test("point-in-time join: facts hit the interval containing them; tombstone gaps give NULL") {
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(60000L * min)
+    // user 1: v1@10, tombstone@20, v2@30  → intervals [10,20) and [30,∞)
+    // user 2: no versions at all
+    val dimLog = Seq(
+      (1L, ts(10), 100L, 1.0, "view"),
+      (1L, ts(20), 101L, 0.0, "error"),
+      (1L, ts(30), 102L, 2.0, "view"))
+      .toDF("user_id", "ts", "event_id", "value", "event_type")
+    val dim = Changelog.scd2(dimLog, Seq("user_id"), col("ts"),
+        Seq(col("event_id")), col("event_type") === "error",
+        Seq("event_id", "value"))
+      .select($"user_id".as("d_user_id"), $"valid_from", $"valid_to",
+        $"event_id".as("s_event_id"), $"value".as("s_value"))
+    val facts = Seq(
+      (900L, 1L, ts(5)),   // before any version → NULL
+      (901L, 1L, ts(15)),  // inside [10,20) → v1
+      (902L, 1L, ts(20)),  // AT the tombstone boundary → NULL (gap)
+      (903L, 1L, ts(25)),  // inside the gap → NULL
+      (904L, 1L, ts(30)),  // AT v2's valid_from → v2 (inclusive)
+      (905L, 1L, ts(99)),  // open interval → v2
+      (906L, 2L, ts(50)))  // keyless user → NULL
+      .toDF("purchase_id", "user_id", "ts")
+    val joined = graft.plans.AsofJoinApi.joinAsof(
+      facts, dim, Seq(facts("user_id")), Seq(dim("d_user_id")),
+      facts("ts"), dim("valid_from"))
+    val live = col("valid_from").isNotNull &&
+      (col("valid_to").isNull || col("ts") < col("valid_to"))
+    val got = joined.select($"purchase_id",
+        when(live, $"s_event_id").as("state_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(
+      900L -> None, 901L -> Some(100L), 902L -> None, 903L -> None,
+      904L -> Some(102L), 905L -> Some(102L), 906L -> None))
+  }
+
+  test("cdc_scd2_pit gate: every purchase resolves, state versions precede the fact") {
+    val pit = Changelog.cdcScd2Pit(spark, TestSpark.sf0001)
+    val n = pit.count()
+    assert(n > 0)
+    // no resolved state may start after its fact's time
+    assert(pit.filter($"state_valid_from" > $"ts").isEmpty)
+    // matched rows carry a full state tuple; unmatched rows a fully-null one
+    assert(pit.filter($"state_event_id".isNotNull &&
+      ($"state_value".isNull || $"state_valid_from".isNull)).isEmpty)
+  }
 }

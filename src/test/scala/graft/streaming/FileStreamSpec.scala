@@ -12,25 +12,19 @@ import graft.TestSpark
 class FileStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  // raw schema: ts is nanos-int64 in the parquet footer (readStream
-  // needs an explicit schema; same conversion as Tables.events)
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   test("file-source stream reproduces the batch tumbling aggregate") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // raw schema from the file footer (readStream needs an explicit
+    // schema); Tables.normalizeEventTs adapts whatever ts type it has
+    val rawSchema = graft.Tables.eventsRaw(spark, TestSpark.sf0001).schema
     // file stream sources watch a directory
     val dir = java.nio.file.Files.createTempDirectory("graft_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"${TestSpark.sf0001}/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream
+    val stream = graft.Tables.normalizeEventTs(spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir.toString))
     val name = "file_stream_tumbling"
     val q = EventStreams.tumblingCounts(stream)
       .writeStream.format("memory").queryName(name)
