@@ -157,8 +157,18 @@ object PqIndex {
     * meta pin) and append to `codes.parquet` — O(batch), no corpus
     * touch. Deterministic codebooks ⇒ appended rows from any job agree. */
   def appendToPqIndex(s: SparkSession, indexBase: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, expectBookFp: Option[Long] = None): Unit = {
     val meta = readMeta(s, indexBase)
+    // a caller that prepared its batch against codebook version v pins
+    // that expectation; if the index was REBUILT in between (new
+    // codebooks, new fp), appending v-encoded work would silently mix
+    // incompatible code spaces — refuse instead
+    expectBookFp.foreach { fp =>
+      require(fp == meta.bookFp,
+        s"PqIndex: append expects codebook version $fp but the stored " +
+          s"index now pins ${meta.bookFp} — the index was rebuilt since " +
+          "this batch was prepared; re-encode against the current index")
+    }
     val books = readCodebooks(s, indexBase, meta)
     val sub = meta.dim / meta.m
     val subCols = (0 until meta.m).map(m =>

@@ -115,4 +115,56 @@ class PqIndexSpec extends AnyFunSuite {
     assert(stored.join(fresh, Seq("vec_id"))
       .filter(stored("codes") =!= fresh("codes")).count() == 0)
   }
+
+  test("append with a stale codebook expectation is refused; current pin is accepted") {
+    val base = freshIndex()
+    val meta = PqIndex.readMeta(spark, base)
+    val batch = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .filter($"vec_id" === 3L)
+      .select(lit(888888L).as("vec_id"), $"embedding")
+    // a batch prepared against a codebook version the index no longer
+    // pins (rebuilt in between) must be refused, not silently mixed in
+    val ex = intercept[IllegalArgumentException] {
+      PqIndex.appendToPqIndex(spark, base, batch,
+        expectBookFp = Some(meta.bookFp + 1L))
+    }
+    assert(ex.getMessage.contains("rebuilt"))
+    assert(spark.read.parquet(s"$base/codes.parquet")
+      .filter($"vec_id" === 888888L).count() == 0, "refused append wrote rows")
+    // the matching pin goes through
+    PqIndex.appendToPqIndex(spark, base, batch,
+      expectBookFp = Some(meta.bookFp))
+    assert(spark.read.parquet(s"$base/codes.parquet")
+      .filter($"vec_id" === 888888L).count() == 1)
+  }
+
+  test("concurrent ensurePqIndex builders converge on one consistent index") {
+    // point both builders at a base that does not exist yet
+    val tmp = java.nio.file.Files.createTempDirectory("pq_race")
+    val saved = System.getProperty("java.io.tmpdir")
+    System.setProperty("java.io.tmpdir", tmp.toString)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val dirs = Await.result(
+        Future.sequence(Seq(
+          Future(PqIndex.ensurePqIndex(spark, TestSpark.sf0001)),
+          Future(PqIndex.ensurePqIndex(spark, TestSpark.sf0001)))),
+        10.minutes)
+      assert(dirs.distinct.size == 1)
+      val base = dirs.head
+      // the surviving index is complete and readable...
+      val meta = PqIndex.readMeta(spark, base)
+      assert(meta.dataFp == Similarity.dataFingerprint(spark, TestSpark.sf0001))
+      assert(spark.read.parquet(s"$base/codes.parquet").count() ==
+        graft.Tables.embeddings(spark, TestSpark.sf0001).count())
+      // ...and no losing staging tree lingers next to it
+      val siblings = java.nio.file.Files.list(
+          java.nio.file.Paths.get(base).getParent)
+        .toArray.map(_.toString)
+      assert(!siblings.exists(_.contains("__staging_")),
+        s"staging leftovers: ${siblings.filter(_.contains("__staging_")).toSeq}")
+    } finally System.setProperty("java.io.tmpdir", saved)
+  }
 }
