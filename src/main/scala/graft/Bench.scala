@@ -41,8 +41,8 @@ object Bench {
     // first run builds the index; min-of-3 reports steady-state serving)
     "ss_knn_pq_stored",
     // round 10: SCD2 point-in-time join (native as-of over the interval
-    // dimension)
-    "cdc_scd2_pit")
+    // dimension) and incremental semantic dedup (stored-store ingest)
+    "cdc_scd2_pit", "ss_semdedup_incr")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -70,6 +70,25 @@ object Bench {
         .filter(col("vec_id") < graft.operators.Similarity.NumQueries)
         .select(col("vec_id").as("q_id"), col("embedding"))
       graft.operators.PqIndex.knnPqStored(s, base, batch)
+    }),
+    // production ingest only: fresh store, two id-ordered half batches
+    // (the gate form additionally recomputes the full-batch keep-set
+    // for its equivalence booleans — oracle overhead, not the operator)
+    "ss_semdedup_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val ops = graft.operators.Similarity
+      val emb = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < ops.NearDupCap)
+      val cents = ops.cachedCentroids(graft.Tables.embeddings(s, d), d)
+      val store = java.nio.file.Files
+        .createTempDirectory("bench_sdi").toString
+      graft.operators.IncrementalSemDedup.initStore(s, store, cents,
+        ops.SemDedupThreshold)
+      val mid = ops.NearDupCap / 2
+      graft.operators.IncrementalSemDedup.ingest(s, store,
+        emb.filter(col("vec_id") < mid), cents)
+      graft.operators.IncrementalSemDedup.ingest(s, store,
+        emb.filter(col("vec_id") >= mid), cents)
     }),
     // production CMS: one sketch-build aggregate at production width
     // (the gate form also recomputes exact counts for the oracle)

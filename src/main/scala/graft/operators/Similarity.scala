@@ -944,6 +944,7 @@ object Similarity {
     "ss_knn_pq_stored" -> (PqIndex.ssKnnPqStored(_, _)),
     "ss_quantize_int8" -> ssQuantizeInt8Gate,
     "ss_semdedup" -> ssSemDedup,
+    "ss_semdedup_incr" -> (IncrementalSemDedup.ssSemDedupIncr(_, _)),
   )
 
   /** ss_knn_ivf's neighbor lists come from k-means over floating-point
@@ -962,5 +963,6 @@ object Similarity {
     "ss_knn_pq_stored" -> PqIndex.ssKnnPqStoredSql,
     "ss_quantize_int8" -> ssQuantizeInt8Sql,
     "ss_semdedup" -> ssSemDedupSql,
+    "ss_semdedup_incr" -> IncrementalSemDedup.ssSemDedupIncrSql,
   )
 }
