@@ -42,7 +42,9 @@ object Bench {
     "ss_knn_pq_stored",
     // round 10: SCD2 point-in-time join (native as-of over the interval
     // dimension) and incremental semantic dedup (stored-store ingest)
-    "cdc_scd2_pit", "ss_semdedup_incr")
+    "cdc_scd2_pit", "ss_semdedup_incr",
+    // round 10: generalized k-stage funnel, 4-stage instance
+    "ev_funnel4")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

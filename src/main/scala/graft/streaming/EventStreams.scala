@@ -145,6 +145,36 @@ object EventStreams {
         .as("n_within_24h"))
   }
 
+  /** 4-stage instance of the GENERALIZED funnel (signup → click → view
+    * → purchase) through the same k-generic [[funnelTimes]] — the stage
+    * list is data, not code. Same bigint-exact count shape. */
+  def evFunnel4(s: SparkSession, dir: String): DataFrame = {
+    val times = funnelTimes(Tables.events(s, dir), col("user_id"), col("ts"),
+      Seq(col("event_type") === "signup", col("event_type") === "click",
+        col("event_type") === "view", col("event_type") === "purchase"))
+    times.agg(count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_s1"),
+      count(col("t2")).as("n_s2"),
+      count(col("t3")).as("n_s3"),
+      count(col("t4")).as("n_s4"))
+  }
+
+  val evFunnel4Sql: String =
+    """WITH s1 AS (SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1 FROM events),
+      |  s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |  s3 AS (SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t2
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |  s4 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t3
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t4 FROM s3),
+      |  u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3,
+      |    MAX(t4) AS t4 FROM s4 GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users, COUNT(t1) AS n_s1, COUNT(t2) AS n_s2,
+      |  COUNT(t3) AS n_s3, COUNT(t4) AS n_s4
+      |FROM u""".stripMargin
+
   val evFunnelSql: String =
     """WITH s1 AS (SELECT user_id, ts, event_type,
       |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
@@ -405,6 +435,8 @@ object EventStreams {
     "ev_attribution_stream" -> evAttributionStream,
     "ev_funnel" -> evFunnel,
     "ev_funnel_stream" -> ((s, d) => StreamingFunnel.evFunnelStream(s, d)),
+    "ev_funnel4" -> evFunnel4,
+    "ev_funnel4_stream" -> ((s, d) => StreamingFunnel.evFunnel4Stream(s, d)),
   )
 
   val evAttributionSql: String =
@@ -426,5 +458,7 @@ object EventStreams {
     "ev_attribution_stream" -> evAttributionSql, // same oracle: batch ≡ stream
     "ev_funnel" -> evFunnelSql,
     "ev_funnel_stream" -> StreamingFunnel.evFunnelStreamSql,
+    "ev_funnel4" -> evFunnel4Sql,
+    "ev_funnel4_stream" -> StreamingFunnel.evFunnel4StreamSql,
   )
 }

@@ -56,6 +56,10 @@ object StreamingFunnel {
   final case class FunnelTimes(user_id: Long, t1: Option[Timestamp],
       t2: Option[Timestamp], t3: Option[Timestamp])
 
+  /** k-stage output row: `times(i)` is tᵢ₊₁ or null — the generalized
+    * funnel's shape (arbitrary stage count, declared at call time). */
+  final case class FunnelTimesK(user_id: Long, times: Seq[Timestamp])
+
   /** Timestamps cross the state machine as MICROSECONDS — `getTime`
     * alone would silently truncate the data's micros to millis, which
     * the gate's hash-equality with the batch oracle would catch. */
@@ -79,18 +83,32 @@ object StreamingFunnel {
       else if (t(st) < 0 && t(st - 1) >= 0 && t(st - 1) < tsUs) t(st) = tsUs
     }
 
+  /** 3-stage funnel over the default [[Stages]] — the original gate
+    * shape, now a thin adapter over the k-generic [[funnelStreamK]]. */
   def funnelStream(events: Dataset[StageEvent], gapMs: Long,
       watermark: String = "10 minutes"): Dataset[FunnelTimes] = {
     import events.sparkSession.implicits._
+    funnelStreamK(events, Stages, gapMs, watermark)
+      .map(r => FunnelTimes(r.user_id, Option(r.times(0)),
+        Option(r.times(1)), Option(r.times(2))))
+  }
+
+  /** GENERALIZED k-stage streaming funnel: identical state machine, the
+    * stage count is a parameter — `stages` slots per user instead of a
+    * fixed 3. Stage indices in [[StageEvent]] must be < `stages`. */
+  def funnelStreamK(events: Dataset[StageEvent], stages: Int, gapMs: Long,
+      watermark: String = "10 minutes"): Dataset[FunnelTimesK] = {
+    import events.sparkSession.implicits._
+    require(stages >= 1, "funnel needs at least one stage")
     val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FunnelState, FunnelTimes](
+      .flatMapGroupsWithState[FunnelState, FunnelTimesK](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user, it, state) =>
           val prev = state.getOption.getOrElse(
-            FunnelState(Seq.fill(Stages)(-1L), hasEvents = false,
+            FunnelState(Seq.fill(stages)(-1L), hasEvents = false,
               Long.MinValue, Nil))
           val incoming = it.toSeq
           val all = (prev.pending ++ incoming.collect {
@@ -105,11 +123,10 @@ object StreamingFunnel {
           val t = prev.done.toArray
           var has = prev.hasEvents
           var lastFold = prev.lastFoldUs
-          val out = scala.collection.mutable.ListBuffer.empty[FunnelTimes]
+          val out = scala.collection.mutable.ListBuffer.empty[FunnelTimesK]
           def emit(): Unit = {
-            def ot(i: Int) =
-              if (t(i) >= 0) Some(toTimestamp(t(i))) else None
-            out += FunnelTimes(user, ot(0), ot(1), ot(2))
+            out += FunnelTimesK(user, (0 until stages).map(i =>
+              if (t(i) >= 0) toTimestamp(t(i)) else null))
             java.util.Arrays.fill(t, -1L)
             has = false
           }
@@ -143,7 +160,15 @@ object StreamingFunnel {
     * 45-day gap exceeds the one-month data span, so every user's history
     * is ONE episode and the output must equal the batch per-user funnel
     * times exactly (same oracle CTE as `ev_funnel`, per-user form). */
-  def evFunnelStream(s: SparkSession, dir: String): DataFrame = {
+  def evFunnelStream(s: SparkSession, dir: String): DataFrame =
+    evFunnelStreamK(s, dir, Seq("signup", "view", "purchase"))
+
+  /** GENERALIZED replay gate: the same staged-file drain harness for an
+    * arbitrary ordered stage-type sequence; emits one row per user with
+    * t1..tk columns. `ev_funnel_stream` is the 3-stage instance,
+    * `ev_funnel4_stream` the 4-stage one — one code path for both. */
+  def evFunnelStreamK(s: SparkSession, dir: String,
+      stageTypes: Seq[String]): DataFrame = {
     import s.implicits._
     val raw = Tables.eventsRaw(s, dir)
     val maxUs = Tables.maxTsMicros(raw)
@@ -174,13 +199,13 @@ object StreamingFunnel {
         .option("maxFilesPerTrigger", "1")
         .parquet(src.toString))
       .select(col("user_id"), col("ts"),
-        when(col("event_type") === "signup", 0)
-          .when(col("event_type") === "view", 1)
-          .when(col("event_type") === "purchase", 2)
-          .otherwise(-1).as("stage"))
+        stageTypes.zipWithIndex.foldLeft(lit(-1)) {
+          case (acc, (tpe, i)) =>
+            when(col("event_type") === tpe, i).otherwise(acc)
+        }.as("stage"))
       .as[StageEvent]
     val name = s"ev_funnel_stream_${EventStreams.nextStreamRun()}"
-    val q = funnelStream(stream, 45L * 86400000L)
+    val q = funnelStreamK(stream, stageTypes.size, 45L * 86400000L)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
     try q.processAllAvailable() finally {
@@ -192,7 +217,12 @@ object StreamingFunnel {
     }
     // punctuation users are negative; filter at the sink (batch side)
     s.table(name).filter(col("user_id") >= 0)
+      .select(col("user_id") +: stageTypes.indices.map(i =>
+        col("times").getItem(i).as(s"t${i + 1}")): _*)
   }
+
+  def evFunnel4Stream(s: SparkSession, dir: String): DataFrame =
+    evFunnelStreamK(s, dir, Seq("signup", "click", "view", "purchase"))
 
   /** Per-user oracle: the same nested-window CTE as `ev_funnel`,
     * emitting the times instead of the counts. */
@@ -206,4 +236,19 @@ object StreamingFunnel {
       |      THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM s2)
       |SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
       |FROM s3 GROUP BY user_id""".stripMargin
+
+  /** 4-stage oracle: one more link in the same CTE chain. */
+  val evFunnel4StreamSql: String =
+    """WITH s1 AS (SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1 FROM events),
+      |  s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |  s3 AS (SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t2
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |  s4 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t3
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t4 FROM s3)
+      |SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3,
+      |  MAX(t4) AS t4
+      |FROM s4 GROUP BY user_id""".stripMargin
 }

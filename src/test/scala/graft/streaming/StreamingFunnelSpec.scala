@@ -109,4 +109,46 @@ class StreamingFunnelSpec extends AnyFunSuite {
     assert(streamed.keySet == batch.keySet)
     assert(streamed == batch)
   }
+
+  test("k-generalized funnel (k=4): out-of-order stages fold exactly like batch") {
+    import spark.implicits._
+    val gap = 60L * 60000L
+    val input = MemoryStream[StageEvent](spark)
+    val name = s"funnel4_spec_${System.nanoTime()}"
+    val q = StreamingFunnel.funnelStreamK(input.toDS(), 4, gap)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 completes all four stages, stages 2-3 arriving before
+      // stage 1 within the watermark window (batch-1 max 24m -> wm 14m,
+      // so the late signups at 16/17m are still admitted); user 2 has
+      // no stage-2 event so stages 3-4 cannot count
+      input.addData(Seq(StageEvent(1, ts(22), 1), StageEvent(1, ts(24), 2),
+        StageEvent(2, ts(20), 2), StageEvent(2, ts(24), 3)))
+      q.processAllAvailable()
+      input.addData(Seq(StageEvent(1, ts(16), 0), StageEvent(1, ts(26), 3),
+        StageEvent(2, ts(17), 0)))
+      q.processAllAvailable()
+      input.addData(Seq(StageEvent(-1L, ts(200000), -1)))
+      q.processAllAvailable()
+      input.addData(Seq(StageEvent(-2L, ts(300000), -1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .filter($"user_id" >= 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Timestamp](1)).toMap
+    assert(rows(1L) == Seq(ts(16), ts(22), ts(24), ts(26)))
+    assert(rows(2L) == Seq(ts(17), null, null, null))
+    // equivalence with the k-generic BATCH operator on the same rows
+    val batch = EventStreams.funnelTimes(
+      Seq((1L, ts(22), 1), (1L, ts(24), 2), (2L, ts(20), 2),
+        (2L, ts(24), 3), (1L, ts(16), 0), (1L, ts(26), 3), (2L, ts(17), 0))
+        .toDF("user_id", "ts", "stage"),
+      col("user_id"), col("ts"),
+      (0 until 4).map(i => col("stage") === i))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 4).map(i => r.getTimestamp(i))).toMap
+    assert(rows.view.mapValues(_.toSeq).toMap ==
+      batch.view.mapValues(_.toSeq).toMap)
+  }
 }
