@@ -130,6 +130,65 @@ object EventStreams {
         (2 to stages.size).map(i => max(col(s"__t$i")).as(s"t$i")): _*)
   }
 
+  /** [[funnelTimes]] with PER-STAGE HORIZONS: stage i counts only if it
+    * happens within `horizons(i)` of stage i−1 (strictly after it, at
+    * most the horizon later) — "view within 24h of signup, purchase
+    * within 48h of that view". `horizons(i) = None` means unbounded
+    * (plain strictly-after); index 0 is ignored (stage 1 has no
+    * predecessor). Same earliest-anchor semantics as the base operator
+    * — tᵢ is anchored on the EARLIEST qualifying tᵢ₋₁, which both the
+    * streaming fold and the oracle CTE encode identically — and the
+    * same single-shuffle plan: the horizon is one more conjunct in the
+    * stage gate, not a join. */
+  def funnelTimesH(events: DataFrame, user: Column, ts: Column,
+      stages: Seq[Column], horizons: Seq[Option[String]]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(horizons.size == stages.size,
+      "one horizon slot per stage (index 0 is ignored)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(user)
+    val staged = stages.zipWithIndex.foldLeft(events) {
+      case (df, (pred, i)) =>
+        val gate =
+          if (i == 0) pred
+          else horizons(i).foldLeft(pred && ts > col(s"__t$i")) {
+            case (g, h) => g && ts <= col(s"__t$i") + expr(s"INTERVAL $h")
+          }
+        df.withColumn(s"__t${i + 1}", min(when(gate, ts)).over(w))
+    }
+    staged.groupBy(user.as("user"))
+      .agg(max(col("__t1")).as("t1"),
+        (2 to stages.size).map(i => max(col(s"__t$i")).as(s"t$i")): _*)
+  }
+
+  /** Horizon-funnel gate: signup → view within 24h → purchase within
+    * 48h of that view. Bigint-exact counts like the base gate. */
+  def evFunnelHorizon(s: SparkSession, dir: String): DataFrame = {
+    val times = funnelTimesH(Tables.events(s, dir), col("user_id"), col("ts"),
+      Seq(col("event_type") === "signup", col("event_type") === "view",
+        col("event_type") === "purchase"),
+      Seq(None, Some("24 HOURS"), Some("48 HOURS")))
+    times.agg(count(lit(1)).as("n_users"),
+      count(col("t1")).as("n_s1"),
+      count(col("t2")).as("n_s2"),
+      count(col("t3")).as("n_s3"))
+  }
+
+  val evFunnelHorizonSql: String =
+    """WITH s1 AS (SELECT user_id, ts, event_type,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t1 FROM events),
+      |  s2 AS (SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t1
+      |      AND ts <= t1 + INTERVAL 24 HOURS
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |  s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+      |      AND ts <= t2 + INTERVAL 48 HOURS
+      |      THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |  u AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      |    FROM s3 GROUP BY user_id)
+      |SELECT COUNT(*) AS n_users, COUNT(t1) AS n_s1, COUNT(t2) AS n_s2,
+      |  COUNT(t3) AS n_s3
+      |FROM u""".stripMargin
+
   /** Funnel gate: signup → view → purchase over the events table, with
     * an exact 24h completion-latency count — every output column is a
     * bigint count, so the oracle match is exact. */
@@ -436,6 +495,7 @@ object EventStreams {
     "ev_funnel" -> evFunnel,
     "ev_funnel_stream" -> ((s, d) => StreamingFunnel.evFunnelStream(s, d)),
     "ev_funnel4" -> evFunnel4,
+    "ev_funnel_horizon" -> evFunnelHorizon,
     "ev_funnel4_stream" -> ((s, d) => StreamingFunnel.evFunnel4Stream(s, d)),
   )
 
@@ -459,6 +519,7 @@ object EventStreams {
     "ev_funnel" -> evFunnelSql,
     "ev_funnel_stream" -> StreamingFunnel.evFunnelStreamSql,
     "ev_funnel4" -> evFunnel4Sql,
+    "ev_funnel_horizon" -> evFunnelHorizonSql,
     "ev_funnel4_stream" -> StreamingFunnel.evFunnel4StreamSql,
   )
 }

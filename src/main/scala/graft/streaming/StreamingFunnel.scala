@@ -73,14 +73,17 @@ object StreamingFunnel {
   }
 
   /** One step of the greedy ascending fold: a stage-0 event fills t₀ if
-    * empty; a stage-i event fills tᵢ if empty and STRICTLY after tᵢ₋₁.
-    * Applied in ascending (ts, stage) order this is exactly the batch
-    * operator's earliest-completion semantics, and it is
+    * empty; a stage-i event fills tᵢ if empty, STRICTLY after tᵢ₋₁, and
+    * (when a horizon is set for stage i) at most `horizonsUs(i)` after
+    * it. Applied in ascending (ts, stage) order this is exactly the
+    * batch operator's earliest-anchor semantics, and it is
     * prefix-incremental: folded events never need revisiting. */
-  private def foldOne(t: Array[Long], tsUs: Long, st: Int): Unit =
+  private def foldOne(t: Array[Long], tsUs: Long, st: Int,
+      horizonsUs: Seq[Option[Long]]): Unit =
     if (st >= 0 && st < t.length) {
       if (st == 0) { if (t(0) < 0) t(0) = tsUs }
-      else if (t(st) < 0 && t(st - 1) >= 0 && t(st - 1) < tsUs) t(st) = tsUs
+      else if (t(st) < 0 && t(st - 1) >= 0 && t(st - 1) < tsUs &&
+        horizonsUs(st).forall(h => tsUs <= t(st - 1) + h)) t(st) = tsUs
     }
 
   /** 3-stage funnel over the default [[Stages]] — the original gate
@@ -97,9 +100,15 @@ object StreamingFunnel {
     * stage count is a parameter — `stages` slots per user instead of a
     * fixed 3. Stage indices in [[StageEvent]] must be < `stages`. */
   def funnelStreamK(events: Dataset[StageEvent], stages: Int, gapMs: Long,
-      watermark: String = "10 minutes"): Dataset[FunnelTimesK] = {
+      watermark: String = "10 minutes",
+      horizonsUs: Seq[Option[Long]] = Seq.empty): Dataset[FunnelTimesK] = {
     import events.sparkSession.implicits._
     require(stages >= 1, "funnel needs at least one stage")
+    require(horizonsUs.isEmpty || horizonsUs.size == stages,
+      "one horizon slot per stage (index 0 is ignored)")
+    val horizons =
+      if (horizonsUs.isEmpty) Seq.fill(stages)(None: Option[Long])
+      else horizonsUs
     val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermark)
@@ -135,7 +144,7 @@ object StreamingFunnel {
             // finalize and the next episode's first events can share an
             // invocation without merging
             if (has && tsUs > lastFold + gapUs) emit()
-            foldOne(t, tsUs, st)
+            foldOne(t, tsUs, st, horizons)
             has = true
             lastFold = tsUs
           }

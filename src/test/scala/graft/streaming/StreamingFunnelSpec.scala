@@ -151,4 +151,47 @@ class StreamingFunnelSpec extends AnyFunSuite {
     assert(rows.view.mapValues(_.toSeq).toMap ==
       batch.view.mapValues(_.toSeq).toMap)
   }
+
+  test("per-stage horizons: batch and stream agree, out-of-horizon stages rejected") {
+    import spark.implicits._
+    val gap = 60L * 60000L
+    val horizons = Seq(None, Some(5L * 60000000L), None) // stage 2 within 5 min
+    val input = MemoryStream[StageEvent](spark)
+    val name = s"funnel_h_spec_${System.nanoTime()}"
+    val q = StreamingFunnel.funnelStreamK(input.toDS(), 3, gap,
+        horizonsUs = horizons)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: view 4 min after signup (inside horizon) -> counts;
+      // user 2: view 6 min after signup (outside) -> rejected, so the
+      // purchase cannot anchor either
+      input.addData(Seq(StageEvent(1, ts(10), 0), StageEvent(1, ts(14), 1),
+        StageEvent(1, ts(15), 2),
+        StageEvent(2, ts(10), 0), StageEvent(2, ts(16), 1),
+        StageEvent(2, ts(17), 2)))
+      q.processAllAvailable()
+      input.addData(Seq(StageEvent(-1L, ts(200000), -1)))
+      q.processAllAvailable()
+      input.addData(Seq(StageEvent(-2L, ts(300000), -1)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .filter($"user_id" >= 0).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Timestamp](1)).toMap
+    assert(rows(1L) == Seq(ts(10), ts(14), ts(15)))
+    assert(rows(2L) == Seq(ts(10), null, null))
+    // batch twin on the same rows (horizon as an interval string)
+    val batch = EventStreams.funnelTimesH(
+      Seq((1L, ts(10), 0), (1L, ts(14), 1), (1L, ts(15), 2),
+        (2L, ts(10), 0), (2L, ts(16), 1), (2L, ts(17), 2))
+        .toDF("user_id", "ts", "stage"),
+      col("user_id"), col("ts"),
+      (0 until 3).map(i => col("stage") === i),
+      Seq(None, Some("5 MINUTES"), None))
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).map(i => r.getTimestamp(i))).toMap
+    assert(rows.view.mapValues(_.toSeq).toMap ==
+      batch.view.mapValues(_.toSeq).toMap)
+  }
 }
