@@ -225,11 +225,59 @@ object Scale {
       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0"""
       .stripMargin
 
+  /** Exact ROW-skew report for a keyed shuffle — the diagnostic that
+    * closes AQE's blind spot (SCALE.md round 10): AQE detects skew in
+    * shuffle BYTES, and a single repeated key compresses to almost
+    * nothing, so a row-skewed-but-compressible hot key can flood one
+    * task's CPU while the byte stats look uniform. This reports rows:
+    * the heaviest key (ties broken by largest key — deterministic in
+    * both engines), its row count, totals, and the salt count
+    * [[chooseSalts]]' formula would pick at `parallelism`, computed in
+    * INTEGER arithmetic (⌈top·P/n⌉ via (top·P + n − 1) div n) so the
+    * oracle match is exact, not float-rounded. One aggregation pass —
+    * run it ad hoc before keying a 100 TB shuffle, or continuously on
+    * samples; `chooseSalts` is this probe folded into the operator. */
+  def skewReport(df: DataFrame, key: Column, parallelism: Int): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    counts
+      .agg(max(struct(col("cnt"), col("key"))).as("top"),
+        sum(col("cnt")).as("n"), count(lit(1)).as("n_keys"))
+      .select(col("top.key").as("top_key"), col("top.cnt").as("top_rows"),
+        col("n").as("n_rows"), col("n_keys"),
+        least(lit(parallelism.toLong), greatest(lit(1L),
+          expr(s"(top.cnt * ${parallelism}L + n - 1L) div n")))
+          .as("salts"))
+  }
+
+  /** Gate: report over a deterministically skewed key (~29% of lineitem
+    * rows collapse onto key 0) at parallelism 32 — every column integer,
+    * bigint-exact oracle. */
+  def scSkewReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    skewReport(Tables.lineitem(s, dir),
+      when(pmod($"l_orderkey", lit(10L)) < 8, 0L)
+        .otherwise(pmod($"l_orderkey", lit(1000L))),
+      parallelism = 32)
+  }
+
+  val scSkewReportSql: String =
+    """WITH c AS (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+      |    ELSE l_orderkey % 1000 END AS key, COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |  COUNT(*) AS n_keys FROM c),
+      |t AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key DESC LIMIT 1)
+      |SELECT t.key AS top_key, t.cnt AS top_rows, tot.n AS n_rows,
+      |  tot.n_keys,
+      |  LEAST(32, GREATEST(1, (t.cnt * 32 + tot.n - 1) // tot.n)) AS salts
+      |FROM t, tot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc_salted_sum" -> scSaltedSum,
     "sc_salted_sum_hicard" -> scSaltedSumHicard,
     "sc_salted_join" -> scSaltedJoin,
     "sc_bloom_join" -> scBloomJoin,
+    "sc_skew_report" -> scSkewReport,
   )
 
   val oracles: Map[String, String] = Map(
@@ -237,5 +285,6 @@ object Scale {
     "sc_salted_sum_hicard" -> scSaltedSumHicardSql,
     "sc_salted_join" -> scSaltedJoinSql,
     "sc_bloom_join" -> scBloomJoinSql,
+    "sc_skew_report" -> scSkewReportSql,
   )
 }

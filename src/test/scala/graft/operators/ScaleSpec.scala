@@ -112,4 +112,24 @@ class ScaleSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(salts(3) == salts(17))
   }
+
+  test("skewReport: exact counts, deterministic tie-break, salts match chooseSalts' formula") {
+    import spark.implicits._
+    // 80 rows of key 7, 10 each of keys 1 and 2 (tie, largest key wins)
+    val df = (Seq.fill(80)(7L) ++ Seq.fill(10)(1L) ++ Seq.fill(10)(2L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row")
+    val r = Scale.skewReport(df, $"k", parallelism = 10).head()
+    assert(r.getAs[Long]("top_key") == 7L)
+    assert(r.getAs[Long]("top_rows") == 80L)
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("salts") == 8L) // ceil(0.8 * 10)
+    // tie case: two equally-heavy keys -> largest key reported
+    val tie = (Seq.fill(5)(3L) ++ Seq.fill(5)(9L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "row")
+    assert(Scale.skewReport(tie, $"k", 10).head().getAs[Long]("top_key") == 9L)
+    // uniform keys -> 1 salt (the zero-overhead common case)
+    val uni = (1L to 100L).map(k => (k, k)).toDF("k", "row")
+    assert(Scale.skewReport(uni, $"k", 32).head().getAs[Long]("salts") == 1L)
+  }
 }
