@@ -177,15 +177,75 @@ object Multimodal {
       |    / ((2 + doc_id % 7) * (2 + doc_id % 5) * 3) AS brightness
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------- audio frame windows.
+  /** Audio-as-binary: PCM samples stand behind an opaque payload (here
+    * one byte = one sample, text bytes standing in for a WAV body) with
+    * typed metadata. The WINDOWING is the operator: fixed `AudioWin`
+    * samples every `AudioHop` (tail dropped — standard STFT framing),
+    * per-window energy computed in the partition-local batched decode.
+    * Every window boundary is integer arithmetic on the metadata, so the
+    * oracle checks the full framing AND the stub's energy exactly. At
+    * scale this is scan-side: windows per row explode locally, no
+    * shuffle, and a real PCM decoder swaps in at the same one function
+    * as the image stub. */
+  final case class AudioRecord(doc_id: Long, payload: Array[Byte],
+      sample_rate: Int, n_samples: Int)
+  final case class AudioWindow(doc_id: Long, window_idx: Int,
+      start_sample: Int, end_sample: Int, energy: Double)
+
+  val AudioWin = 256
+  val AudioHop = 128
+
+  def ingestAudio(s: SparkSession, dir: String): Dataset[AudioRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", encode($"text", "UTF-8").as("payload"),
+        lit(16000).as("sample_rate"),
+        length($"text").cast("int").as("n_samples"))
+      .as[AudioRecord]
+  }
+
+  def audioWindows(media: Dataset[AudioRecord]): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.flatMap { r =>
+      val nWin =
+        if (r.n_samples >= AudioWin) (r.n_samples - AudioWin) / AudioHop + 1
+        else 0
+      (0 until nWin).map { i =>
+        val start = i * AudioHop
+        val window = r.payload.slice(start, start + AudioWin).map(_ & 0xFF)
+        AudioWindow(r.doc_id, i, start, start + AudioWin,
+          window.sum.toDouble / AudioWin)
+      }
+    }))
+  }
+
+  def mmAudioWindows(s: SparkSession, dir: String): DataFrame =
+    audioWindows(ingestAudio(s, dir)).toDF()
+
+  val mmAudioWindowsSql: String =
+    s"""SELECT doc_id, CAST(i AS INT) AS window_idx,
+       |  CAST(i * $AudioHop AS INT) AS start_sample,
+       |  CAST(i * $AudioHop + $AudioWin AS INT) AS end_sample,
+       |  list_sum(list_transform(range(i * $AudioHop, i * $AudioHop + $AudioWin),
+       |    j -> ascii(text[j+1])))::DOUBLE / $AudioWin AS energy
+       |FROM (SELECT doc_id, text, UNNEST(range(0,
+       |    CASE WHEN LENGTH(text) >= $AudioWin
+       |      THEN (LENGTH(text) - $AudioWin) // $AudioHop + 1
+       |      ELSE 0 END)) AS i
+       |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_decode_ppm" -> mmDecodePpm,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_audio_windows" -> mmAudioWindows,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_decode_ppm" -> mmDecodePpmSql,
     "mm_frame_sample" -> mmFrameSampleSql,
+    "mm_audio_windows" -> mmAudioWindowsSql,
   )
 }

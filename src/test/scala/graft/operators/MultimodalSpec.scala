@@ -69,4 +69,28 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("count") == expect)
     }
   }
+
+  test("audio windows: framing arithmetic and energy from a handcrafted payload") {
+    import spark.implicits._
+    // 300 samples of constant value 65 ('A'): windows at hop 128 ->
+    // starts 0 and... (300-256)/128 = 0, so exactly ONE window; energy 65
+    val oneWin = Seq((1L, Array.fill(300)('A'.toByte), 16000, 300))
+      .toDF("doc_id", "payload", "sample_rate", "n_samples")
+      .as[Multimodal.AudioRecord]
+    val w1 = Multimodal.audioWindows(oneWin).collect()
+    assert(w1.toSeq == Seq(
+      Multimodal.AudioWindow(1L, 0, 0, 256, 65.0)))
+    // 512 samples: starts 0, 128, 256 -> three windows; too-short
+    // payload (100 < win) -> zero windows, no partial tail
+    val multi = Seq(
+      (2L, Array.fill(512)('B'.toByte), 16000, 512),
+      (3L, Array.fill(100)('C'.toByte), 16000, 100))
+      .toDF("doc_id", "payload", "sample_rate", "n_samples")
+      .as[Multimodal.AudioRecord]
+    val w2 = Multimodal.audioWindows(multi).collect()
+    assert(w2.count(_.doc_id == 2L) == 3)
+    assert(w2.count(_.doc_id == 3L) == 0)
+    assert(w2.filter(_.doc_id == 2L).map(_.start_sample).sorted.toSeq ==
+      Seq(0, 128, 256))
+  }
 }
