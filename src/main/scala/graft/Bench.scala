@@ -44,7 +44,11 @@ object Bench {
     // dimension) and incremental semantic dedup (stored-store ingest)
     "cdc_scd2_pit", "ss_semdedup_incr",
     // round 10: generalized k-stage funnel, 4-stage instance
-    "ev_funnel4")
+    "ev_funnel4",
+    // round 10 second half: z-order layout (Morton + pruning report),
+    // the one-scan quality-filter funnel report, and sketch-state
+    // streaming distinct (benched in its batch form)
+    "sc_zorder_prune", "ta_filter_funnel", "ev_distinct")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -53,6 +57,8 @@ object Bench {
     * times the raw production operator under the same name (comparable
     * with earlier rounds, which timed exactly these). */
   val raw: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "ev_distinct" -> ((s, d) => graft.streaming.EventStreams
+      .distinctUsersHourly(graft.Tables.events(s, d))),
     "q33_theta_sketch" -> ((s, d) => graft.operators.Advanced.q33ThetaRaw(s, d)),
     "q34_kll_quantile" -> ((s, d) => graft.operators.Advanced.q34KllRaw(s, d)),
     "dd_simhash_pairs" -> ((s, d) => graft.operators.Dedup.ddSimhashPairs(s, d)),

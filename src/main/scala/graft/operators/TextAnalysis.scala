@@ -589,6 +589,89 @@ object TextAnalysis {
        |  FROM tf JOIN df ON tf.token = df.token) t
        |WHERE rk <= $CharTermsK""".stripMargin
 
+  // ------------------------------------------------------- filter funnel:
+  // per-filter attribution for a chained quality-filter pipeline — the
+  // observability report every production cleaning job publishes (what
+  // C4/Gopher/FineWeb papers tabulate as "% removed by each rule").
+  // Three numbers per stage: how many docs fail the rule IN ISOLATION
+  // (n_fail — is the rule doing anything?), how many are DROPPED AT this
+  // stage in pipeline order (n_first_fail — attribution sums to total
+  // drops), and the cumulative survivor count (survivors — the funnel).
+  // ONE scan computes every rule's boolean; the aggregation is a single
+  // 1-row reduce fanned back out with `stack` — no per-rule rescan, so
+  // the report costs one pass at any corpus size.
+  val FunnelMinTokens = 20L
+  val FunnelMaxTokens = 90L
+  val FunnelMinStopRatio = 0.03
+  val FunnelMinDistinctRatio = 0.35
+  private val funnelLangs = Seq("en", "de", "fr", "es")
+
+  def taFilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = tokens($"text")
+    val nTok = size(toks).cast("long")
+    val base = Tables.documents(s, dir).select(
+      $"lang", nTok.as("n_tokens"),
+      (countIn(toks, stopwords).cast("double") / greatest(nTok, lit(1L)))
+        .as("stop_ratio"),
+      (size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1L)))
+        .as("dtr"))
+    val passes: Seq[(String, Column)] = Seq(
+      "min_tokens" -> ($"n_tokens" >= FunnelMinTokens),
+      "stopwords" -> ($"stop_ratio" >= FunnelMinStopRatio),
+      "repetition" -> ($"dtr" >= FunnelMinDistinctRatio),
+      "lang_known" -> $"lang".isin(funnelLangs: _*),
+      "max_tokens" -> ($"n_tokens" <= FunnelMaxTokens))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val aggCols = passes.zipWithIndex.flatMap { case ((_, p), i) =>
+      val prefix = passes.take(i).map(_._2)
+        .foldLeft(lit(true))(_ && _)
+      Seq(cnt(!p).as(s"f$i"), cnt(prefix && !p).as(s"ff$i"),
+        cnt(prefix && p).as(s"s$i"))
+    }
+    val one = base.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = passes.zipWithIndex.map { case ((n, _), i) =>
+      s"${i + 1}, '$n', f$i, ff$i, s$i"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${passes.size}, $stackArgs) " +
+      "AS (stage, filter, n_fail, n_first_fail, survivors)")
+  }
+
+  val taFilterFunnelSql: String = {
+    val nTok = s"len($toksSql)"
+    val langs = funnelLangs.map(l => s"'$l'").mkString(", ")
+    val names = Seq("min_tokens", "stopwords", "repetition", "lang_known",
+      "max_tokens")
+    val arms = names.zipWithIndex.map { case (n, i) =>
+      s"""SELECT ${i + 1} AS stage, '$n' AS filter, f$i AS n_fail,
+         |  ff$i AS n_first_fail, s$i AS survivors FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val ps = Seq(
+      s"n_tokens >= $FunnelMinTokens",
+      s"stop_ratio >= $FunnelMinStopRatio",
+      s"dtr >= $FunnelMinDistinctRatio",
+      s"lang IN ($langs)",
+      s"n_tokens <= $FunnelMaxTokens")
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val prefix = (ps.take(i) :+ "TRUE").mkString(" AND ")
+      Seq(
+        s"CAST(SUM(CASE WHEN NOT ($p) THEN 1 ELSE 0 END) AS BIGINT) AS f$i",
+        s"CAST(SUM(CASE WHEN ($prefix) AND NOT ($p) THEN 1 ELSE 0 END) AS BIGINT) AS ff$i",
+        s"CAST(SUM(CASE WHEN ($prefix) AND ($p) THEN 1 ELSE 0 END) AS BIGINT) AS s$i")
+    }.mkString(",\n  ")
+    s"""WITH b AS (
+       |  SELECT lang, CAST($nTok AS BIGINT) AS n_tokens,
+       |    CAST(${countInSql(stopwords)} AS DOUBLE)
+       |      / GREATEST($nTok, 1) AS stop_ratio,
+       |    CAST(len(list_distinct($toksSql)) AS DOUBLE)
+       |      / GREATEST($nTok, 1) AS dtr
+       |  FROM documents),
+       |a AS (SELECT
+       |  $aggs
+       |FROM b)
+       |$arms""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_char_terms" -> taCharTerms,
     "ta_heavy_hitters" -> taHeavyHitters,
@@ -604,6 +687,7 @@ object TextAnalysis {
     "ta_repetition" -> taRepetition,
     "ta_pii_scrub" -> taPiiScrub,
     "ta_chunks" -> taChunks,
+    "ta_filter_funnel" -> taFilterFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -621,5 +705,6 @@ object TextAnalysis {
     "ta_repetition" -> taRepetitionSql,
     "ta_pii_scrub" -> taPiiScrubSql,
     "ta_chunks" -> taChunksSql,
+    "ta_filter_funnel" -> taFilterFunnelSql,
   )
 }

@@ -58,6 +58,63 @@ object EventStreams {
   def streamingSliding(events: DataFrame): DataFrame =
     slidingCounts(events.withWatermark("ts", "10 minutes"))
 
+  // ------------------------------------------- streaming distinct (sketch)
+  /** Distinct users per hour with the mergeable KMV theta sketch as the
+    * aggregation state — the streaming-cardinality pattern that matters
+    * at scale: COUNT(DISTINCT) inside a streaming aggregation is not
+    * supported (and a dropDuplicates+count workaround keeps EVERY
+    * distinct key in the state store, state ∝ cardinality), while the
+    * sketch keeps ≤ k longs per window no matter how many users arrive.
+    * The same TypedImperativeAggregate serves batch and streaming — its
+    * serialized buffer IS the state-store row, and its merge is
+    * associative, so partial aggregation stays map-side in both modes.
+    *
+    * Gate contract (q33 pattern): the estimate is a deterministic
+    * function of the value set but not SQL-reproducible, so the gate
+    * recomputes the exact per-window cardinality alongside and asserts
+    * the envelope. At the gate SFs every window sits under k=256 —
+    * KMV's exact regime — so the shipped 3σ ≈ 19% bound holds with
+    * enormous margin; ThetaSketchSpec pins estimation-regime error. */
+  val DistinctErrBound = 0.19
+
+  def distinctUsersHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.ThetaSketchFunctions.theta_distinct(col("user_id"))
+        .as("theta_users"), count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("theta_users"), col("n"))
+
+  def streamingDistinct(events: DataFrame): DataFrame =
+    distinctUsersHourly(events.withWatermark("ts", "10 minutes"))
+
+  private def distinctGate(s: SparkSession, dir: String, est: DataFrame)
+      : DataFrame = {
+    val exact = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .select(col("w.start").as("window_start"), col("exact_users"))
+    est.join(exact, Seq("window_start"))
+      .select(col("window_start"), col("exact_users"), col("n"),
+        (abs(col("theta_users") - col("exact_users")).cast("double")
+          / col("exact_users") <= DistinctErrBound).as("theta_ok"))
+  }
+
+  def evDistinct(s: SparkSession, dir: String): DataFrame =
+    distinctGate(s, dir, distinctUsersHourly(Tables.events(s, dir)))
+
+  /** STREAMING-mode twin: the sketch aggregates through the state store
+    * (replay harness; complete mode, so the converged sink holds every
+    * window) and must land inside the same envelope as the batch form. */
+  def evDistinctStream(s: SparkSession, dir: String): DataFrame =
+    distinctGate(s, dir,
+      replayToMemorySink(s, dir, "ev_distinct_stream", streamingDistinct))
+
+  val evDistinctSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |  COUNT(DISTINCT user_id) AS exact_users, COUNT(*) AS n,
+      |  TRUE AS theta_ok
+      |FROM events GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- stream-stream join
   /** View→purchase attribution: each purchase joins every view by the
     * same user in the preceding [[AttributionWindowSql]] — written
@@ -497,6 +554,8 @@ object EventStreams {
     "ev_funnel4" -> evFunnel4,
     "ev_funnel_horizon" -> evFunnelHorizon,
     "ev_funnel4_stream" -> ((s, d) => StreamingFunnel.evFunnel4Stream(s, d)),
+    "ev_distinct" -> evDistinct,
+    "ev_distinct_stream" -> evDistinctStream,
   )
 
   val evAttributionSql: String =
@@ -521,5 +580,7 @@ object EventStreams {
     "ev_funnel4" -> evFunnel4Sql,
     "ev_funnel_horizon" -> evFunnelHorizonSql,
     "ev_funnel4_stream" -> StreamingFunnel.evFunnel4StreamSql,
+    "ev_distinct" -> evDistinctSql,
+    "ev_distinct_stream" -> evDistinctSql, // same oracle: batch ≡ stream
   )
 }

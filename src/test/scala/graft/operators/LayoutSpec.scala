@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly (known vectors)") {
+    // 2-D, 4 bits: x=0b1010, y=0b0110 -> bits of x at even positions,
+    // y at odd: z = sum over i of x_i<<2i | y_i<<(2i+1)
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (15L, 0L), (0L, 15L),
+      (10L, 6L), (15L, 15L)).toDF("x", "y")
+    val got = df.select(Layout.zValue(Seq($"x", $"y"), 4).as("z"))
+      .as[Long].collect().toSeq
+    def morton(x: Long, y: Long): Long =
+      (0 until 4).map(i => (((x >> i) & 1L) << (2 * i)) |
+        (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (15L, 0L), (0L, 15L),
+      (10L, 6L), (15L, 15L)).map { case (x, y) => morton(x, y) }
+    assert(got == want)
+    // 3-D round-trip of a distinct-bit pattern
+    val z3 = Seq((1L, 2L, 4L)).toDF("a", "b", "c")
+      .select(Layout.zValue(Seq($"a", $"b", $"c"), 3)).as[Long].head()
+    // a=0b001 -> pos 0; b=0b010 -> bit1 at pos 1*3+1=4; c=0b100 -> bit2
+    // at pos 2*3+2=8
+    assert(z3 == ((1L << 0) | (1L << 4) | (1L << 8)))
+  }
+
+  test("zValue is locality-preserving: adjacent cells differ less than far cells on average") {
+    // not a formal property of Morton codes per-pair, but the gate's
+    // pruning numbers depend on it in aggregate; sanity-pin the curve
+    val cells = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val df = cells.toDF("x", "y")
+      .select($"x", $"y", Layout.zValue(Seq($"x", $"y"), 4).as("z"))
+    val rows = df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // every 2x2 aligned quad is one contiguous z-range of 4 codes
+    for (x <- 0L until 16L by 2; y <- 0L until 16L by 2) {
+      val quad = Seq((x, y), (x + 1, y), (x, y + 1), (x + 1, y + 1))
+        .map(rows)
+      assert(quad.max - quad.min == 3, s"quad at ($x,$y) not contiguous")
+    }
+  }
+
+  test("gate: z-order bounds the worst slice while linear layout reads every file") {
+    val df = Layout.scZorderPrune(spark, TestSpark.sf001)
+    val r = df.head()
+    val nFiles = r.getAs[Long]("n_files")
+    val zx = r.getAs[Long]("z_hit_x"); val zy = r.getAs[Long]("z_hit_y")
+    val lx = r.getAs[Long]("lin_hit_x"); val ly = r.getAs[Long]("lin_hit_y")
+    assert(nFiles == Layout.ZFiles)
+    // linear-by-x: excellent on x, hopeless on y (reads every file)
+    assert(ly == nFiles, s"linear layout should read all files for y-slice, got $ly")
+    assert(lx < nFiles / 4)
+    // z-order: BOTH slices bounded — the worst case is the sale
+    val zWorst = math.max(zx, zy)
+    assert(zWorst < ly, s"z worst-case $zWorst not better than linear worst $ly")
+    assert(zWorst <= nFiles / 2,
+      s"z worst-case $zWorst > half the files ($nFiles)")
+  }
+
+  test("production zorderFileId (KLL path, no global sort) keeps bounded worst-case pruning") {
+    val li = graft.Tables.lineitem(spark, TestSpark.sf001)
+    val filed = Layout.zorderFileId(li, Seq($"l_partkey", $"l_suppkey"),
+      bits = 6, numFiles = 32)
+    // physical-plan sanity: no single-partition global Sort anywhere
+    val plan = filed.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"production path must not range-shuffle/global-sort:\n$plan")
+    val stats = Layout.fileStats(filed, col("zfile"),
+      Seq(col("l_partkey"), col("l_suppkey"))).cache()
+    try {
+      val n = stats.count()
+      assert(n >= 24, s"expected ~32 populated files, got $n")
+      // slice = middle ~10% of each raw domain
+      def hitCount(minC: String, maxC: String, lo: Long, hi: Long): Long =
+        stats.filter(col(minC) <= hi && col(maxC) >= lo).count()
+      val mx = li.agg(max($"l_partkey")).as[Long].head()
+      val my = li.agg(max($"l_suppkey")).as[Long].head()
+      val hx = hitCount("min0", "max0", (mx * 45) / 100, (mx * 55) / 100)
+      val hy = hitCount("min1", "max1", (my * 45) / 100, (my * 55) / 100)
+      val worst = math.max(hx, hy)
+      assert(worst < n,
+        s"z-layout worst slice reads all $n files (hx=$hx hy=$hy)")
+      assert(worst <= (n * 3) / 4,
+        s"z-layout worst-case $worst of $n files — no pruning power")
+    } finally stats.unpersist()
+  }
+
+  test("zorderFileId is deterministic across invocations on the same input") {
+    // KLL boundaries are deterministic per merge tree, so the layout is
+    // rerun-stable for a fixed input partitioning (the property retries
+    // and restarts need). Across REpartitionings the merge order — and
+    // so the cut points — may shift a little; like rangeBucketBoundaries,
+    // a production job computes boundaries once and pins them in config.
+    val li = graft.Tables.lineitem(spark, TestSpark.sf0001)
+    def build() = Layout.zorderFileId(li, Seq($"l_partkey", $"l_suppkey"),
+        4, 8)
+      .select($"l_orderkey", $"l_linenumber", $"zfile")
+    val (a, b) = (build(), build())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // the z-value itself is pure integer arithmetic — exactly stable
+    // under any repartitioning
+    val zv = (d: org.apache.spark.sql.DataFrame) => d.select($"l_orderkey",
+      $"l_linenumber",
+      Layout.zValue(Seq(pmod($"l_partkey", lit(16L)),
+        pmod($"l_suppkey", lit(16L))), 4).as("zv"))
+    val (za, zb) = (zv(li), zv(li.repartition(7)))
+    assert(za.exceptAll(zb).isEmpty && zb.exceptAll(za).isEmpty)
+  }
+
+  test("gate quantization is integer-exact at bucket edges") {
+    // (v * L) div (max+1) never exceeds L-1 and is monotone
+    val df = Seq(0L, 1L, 127L, 128L, 255L, 256L, 511L).toDF("v")
+    val got = df.select(expr(s"(v * 256) div 512").as("q")).as[Long]
+      .collect().toSeq
+    assert(got == Seq(0L, 0L, 63L, 64L, 127L, 128L, 255L))
+  }
+}

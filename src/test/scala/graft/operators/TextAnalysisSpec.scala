@@ -166,6 +166,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("within_markov_bound")))
   }
 
+  test("filter funnel: attribution sums to total drops, funnel is monotone") {
+    val rows = TextAnalysis.taFilterFunnel(spark, graft.TestSpark.sf001)
+      .orderBy("stage").collect()
+    assert(rows.length == 5)
+    val nDocs = graft.Tables.documents(spark, graft.TestSpark.sf001).count()
+    val firstFails = rows.map(_.getAs[Long]("n_first_fail")).sum
+    val survivors = rows.map(_.getAs[Long]("survivors"))
+    // first-failing-filter attribution partitions the dropped docs
+    assert(firstFails + survivors.last == nDocs)
+    // the funnel only narrows, and stage i drops exactly n_first_fail(i+1)
+    survivors.toSeq.sliding(2).zip(rows.drop(1).iterator).foreach {
+      case (Seq(prev, next), r) =>
+        assert(prev - next == r.getAs[Long]("n_first_fail"))
+      case _ => fail("unexpected window shape")
+    }
+    // every rule does something in isolation on the gate corpus
+    assert(rows.forall(_.getAs[Long]("n_fail") > 0))
+  }
+
   test("fingerprint is whitespace/case insensitive") {
     val fps = Seq((1L, "Hello  World"), (2L, "hello world "), (3L, "other"))
       .toDF("doc_id", "text")

@@ -44,6 +44,23 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(firstHour.get.getAs[Double]("sum_value") == 3.0)
   }
 
+  test("streaming theta distinct: sketch state merges exactly across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val out = EventStreams.streamingDistinct(input.toDF())
+    // users overlap across batches (11-20 arrive twice): the converged
+    // window must count the UNION through the state-store sketch merge
+    val b1 = (1 to 20).map(u => Event(u.toLong, ts(5), u.toLong, "c", 1.0))
+    val b2 = (11 to 40).map(u =>
+      Event(100L + u, ts(30), u.toLong, "c", 1.0))
+    val rows = runStream(input, out, OutputMode.Complete(), Seq(b1, b2))
+    val w0 = rows.filter(_.getAs[Timestamp]("window_start") == ts(0))
+    assert(w0.size == 1)
+    assert(w0.head.getAs[Long]("n") == 50L)
+    // 40 distinct users < k=256 → KMV exact regime: estimate is exact
+    assert(w0.head.getAs[Long]("theta_users") == 40L)
+  }
+
   test("streaming session windows merge events within gap") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
