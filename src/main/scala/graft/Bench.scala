@@ -48,7 +48,10 @@ object Bench {
     // round 10 second half: z-order layout (Morton + pruning report),
     // the one-scan quality-filter funnel report, and sketch-state
     // streaming distinct (benched in its batch form)
-    "sc_zorder_prune", "ta_filter_funnel", "ev_distinct")
+    "sc_zorder_prune", "ta_filter_funnel", "ev_distinct",
+    // round 10: iterative OPQ (adoption-gated; serving cost class of
+    // ss_knn_pq either way — the gate decides rotate-vs-plain offline)
+    "ss_knn_pq_opq_it")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
