@@ -122,6 +122,60 @@ object Changelog {
       scd2(slice, key, timeCol, versions, isDelete, payload))
   }
 
+  /** Incremental materialized-aggregate maintenance — keep a grouped
+    * aggregate of the compacted state current under a changelog slice
+    * WITHOUT re-aggregating the full state (the DBSP/differential
+    * retract-add pattern: Budiu et al., "DBSP: Automatic Incremental
+    * View Maintenance", VLDB 2023).
+    *
+    * `stateAgg` maps a state table to the materialized view; its measure
+    * columns (everything not in `grpCols`) must be ADDITIVE and EXACT
+    * (counts, integral or decimal sums) — retraction is algebraic
+    * negation, which is only sound in exact arithmetic (a double sum
+    * retracted and re-added drifts by cancellation; a decimal does not).
+    * Averages and other ratios derive from maintained sums at read time.
+    *
+    * The update touches O(|slice|) state: the slice's distinct keys
+    * semi-join their OLD rows out of the snapshot, the NEW rows come
+    * from compacting just those keys' rows with the slice, and the MV
+    * merges `mv − stateAgg(old) + stateAgg(new)` with one grouped sum.
+    * Groups whose maintained `countGuard` drops to zero disappear —
+    * exactly as they would under a full re-aggregation.
+    *
+    * Plan shape at 100 TB: the touched-key semi-join broadcasts the
+    * slice's key set, so the snapshot is read once map-side with no
+    * shuffle of state; the merge aggregates |mv| + 2·|touched groups|
+    * rows, both delta-sized. The MV never depends on snapshot scan
+    * order, so the maintained table is bit-identical to the rebuilt one.
+    *
+    * Preconditions mirror [[applyChangelog]]: snapshot rows evaluate
+    * `isDelete` false and carry their version columns; every slice
+    * version is newer than every stored version of its key. Measure
+    * columns are cast back to the incoming MV's exact types so repeated
+    * maintenance cycles keep a stable schema (decimal sums widen per
+    * aggregation and would otherwise hit the precision cap). */
+  def aggMaintain(mv: DataFrame, snapshot: DataFrame, slice: DataFrame,
+      key: Seq[String], versions: Seq[Column], isDelete: Column,
+      payload: Seq[String], stateAgg: DataFrame => DataFrame,
+      grpCols: Seq[String], countGuard: String): DataFrame = {
+    val touched = slice.select(key.map(col): _*).distinct()
+    val oldRows = snapshot.join(broadcast(touched), key, "left_semi")
+    val newRows = applyChangelog(oldRows, slice, key, versions, isDelete,
+      payload)
+    val oldAgg = stateAgg(oldRows)
+    val measures = oldAgg.columns.filterNot(grpCols.contains).toSeq
+    val retract = oldAgg.select(
+      grpCols.map(col) ++ measures.map(c => (-col(c)).as(c)): _*)
+    val merged = mv.unionByName(retract).unionByName(stateAgg(newRows))
+      .groupBy(grpCols.map(col): _*)
+      .agg(sum(col(measures.head)).as(measures.head),
+        measures.tail.map(c => sum(col(c)).as(c)): _*)
+      .filter(col(countGuard) > 0)
+    val mvTypes = mv.schema.map(f => f.name -> f.dataType).toMap
+    merged.select(merged.columns.toSeq.map(c =>
+      col(c).cast(mvTypes(c)).as(c)): _*)
+  }
+
   // --------------------------------------------------------- gate queries
 
   private val eventKey = Seq("user_id")
@@ -258,12 +312,55 @@ object Changelog {
       |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
       |WHERE f.event_type = 'purchase'""".stripMargin
 
+  /** The gate MV: live users bucketed by value band (users migrate
+    * bands when an upsert changes `value`, so maintenance exercises
+    * cross-group moves, not just in-place updates), with a count and an
+    * exact decimal sum per band. */
+  private[operators] def valueBandAgg(state: DataFrame): DataFrame =
+    state.groupBy(floor(col("value") / 100).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+
+  /** Incremental-MV gate: the view built on the first half of the month
+    * and maintained with the second half as a changelog slice must equal
+    * the view rebuilt from the full-history state exactly — including
+    * groups that appear, empty out, or whose members migrated in from
+    * another band. */
+  def cdcAggMaintain(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val cutoff = to_timestamp(lit(CdcSplit))
+    val snapshot = compact(events.filter(col("ts") < cutoff),
+      eventKey, eventVersions, eventDelete, eventPayload)
+      .withColumn("event_type", lit("upsert"))
+    val mv0 = valueBandAgg(snapshot)
+    val mv1 = aggMaintain(mv0, snapshot, events.filter(col("ts") >= cutoff),
+      eventKey, eventVersions, eventDelete, eventPayload,
+      valueBandAgg, Seq("grp"), "n_keys")
+    mv1.select(col("grp"), col("n_keys"),
+      col("sum_value").cast("double").as("sum_value"))
+  }
+
+  /** Full rebuild in SQL: aggregate over the latest-wins live state. */
+  val cdcAggMaintainSql: String =
+    """SELECT CAST(FLOOR(value / 100) AS BIGINT) AS grp,
+      |  COUNT(*) AS n_keys,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, value, event_type,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rk
+      |    FROM events) t
+      |  WHERE rk = 1 AND event_type <> 'error')
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_latest" -> cdcLatest,
     "cdc_apply" -> cdcApply,
     "cdc_scd2" -> cdcScd2,
     "cdc_scd2_apply" -> cdcScd2Apply,
     "cdc_scd2_pit" -> cdcScd2Pit,
+    "cdc_agg_maintain" -> cdcAggMaintain,
   )
 
   val oracles: Map[String, String] = Map(
@@ -274,5 +371,7 @@ object Changelog {
     // merge-into must reproduce the full-history intervals exactly
     "cdc_scd2_apply" -> cdcScd2Sql,
     "cdc_scd2_pit" -> cdcScd2PitSql,
+    // maintained MV must equal the full rebuild exactly
+    "cdc_agg_maintain" -> cdcAggMaintainSql,
   )
 }

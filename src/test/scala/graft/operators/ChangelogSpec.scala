@@ -199,4 +199,99 @@ class ChangelogSpec extends AnyFunSuite {
     assert(pit.filter($"state_event_id".isNotNull &&
       ($"state_value".isNull || $"state_valid_from".isNull)).isEmpty)
   }
+
+  // ------------------------------------------------- aggMaintain (MV upkeep)
+
+  // MV over the test log's state: payload decade bands, count + exact sum.
+  private def bandAgg(state: org.apache.spark.sql.DataFrame) =
+    state.groupBy(floor(col("payload") / 10).cast("long").as("grp"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("payload").cast("decimal(12,2)")).as("sum_payload"))
+
+  private def mvRows(df: org.apache.spark.sql.DataFrame) =
+    df.select($"grp", $"n_keys", $"sum_payload".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+
+  private def maintained(full: org.apache.spark.sql.DataFrame, split: Long) = {
+    val snapshot = Changelog.compact(full.filter($"v" < split),
+      Seq("k"), Seq(col("v")), col("op") === "d", Seq("v", "payload"))
+      .withColumn("op", lit("u"))
+    Changelog.aggMaintain(bandAgg(snapshot), snapshot,
+      full.filter($"v" >= split), Seq("k"), Seq(col("v")),
+      col("op") === "d", Seq("v", "payload"), bandAgg,
+      Seq("grp"), "n_keys")
+  }
+
+  test("aggMaintain == full re-aggregation at any split") {
+    val rows = (1L to 400L).map(i =>
+      (i % 25, i, if (i % 11 == 0) "d" else "u", (i % 73) * 1.5))
+    val full = log(rows: _*)
+    val ref = mvRows(bandAgg(Changelog.compact(full, Seq("k"),
+      Seq(col("v")), col("op") === "d", Seq("v", "payload"))))
+    for (split <- Seq(100L, 250L, 399L))
+      assert(mvRows(maintained(full, split)) == ref, s"split=$split")
+  }
+
+  test("aggMaintain: a group empties out when its last key is tombstoned") {
+    // key 1 is band 9's only member in the snapshot; the slice deletes it
+    val full = log(
+      (1L, 1L, "u", 95.0), (2L, 1L, "u", 10.0), (3L, 1L, "u", 12.0),
+      (1L, 5L, "d", 0.0))
+    val mv = mvRows(maintained(full, 3L))
+    assert(!mv.exists(_._1 == 9L), s"band 9 should be gone: $mv")
+    assert(mv == Set((1L, 2L, 22.0)))
+  }
+
+  test("aggMaintain: an upsert migrates a key between groups exactly") {
+    // key 1 moves from band 0 (5.0) to band 3 (35.0); band 0 keeps key 2
+    val full = log(
+      (1L, 1L, "u", 5.0), (2L, 1L, "u", 7.0),
+      (1L, 5L, "u", 35.0))
+    val mv = mvRows(maintained(full, 3L))
+    assert(mv == Set((0L, 1L, 7.0), (3L, 1L, 35.0)))
+  }
+
+  test("aggMaintain: a slice-only insert creates its group from nothing") {
+    val full = log((2L, 1L, "u", 7.0), (8L, 5L, "u", 41.0))
+    val mv = mvRows(maintained(full, 3L))
+    assert(mv == Set((0L, 1L, 7.0), (4L, 1L, 41.0)))
+  }
+
+  test("aggMaintain keeps a stable MV schema across repeated cycles") {
+    val rows = (1L to 299L).map(i =>
+      (i % 20, i, if (i % 13 == 0) "d" else "u", (i % 57) * 2.0))
+    val full = log(rows: _*)
+    val ref = mvRows(bandAgg(Changelog.compact(full, Seq("k"),
+      Seq(col("v")), col("op") === "d", Seq("v", "payload"))))
+    // three maintenance cycles: 0→100→200→300
+    var snapshot = Changelog.compact(full.filter($"v" < 100),
+      Seq("k"), Seq(col("v")), col("op") === "d", Seq("v", "payload"))
+      .withColumn("op", lit("u"))
+    var mv = bandAgg(snapshot)
+    val schema0 = mv.schema.map(f => (f.name, f.dataType))
+    for (lo <- Seq(100L, 200L)) {
+      val slice = full.filter($"v" >= lo && $"v" < lo + 100)
+      mv = Changelog.aggMaintain(mv, snapshot, slice, Seq("k"),
+        Seq(col("v")), col("op") === "d", Seq("v", "payload"), bandAgg,
+        Seq("grp"), "n_keys")
+      snapshot = Changelog.applyChangelog(snapshot, slice, Seq("k"),
+        Seq(col("v")), col("op") === "d", Seq("v", "payload"))
+        .withColumn("op", lit("u"))
+      assert(mv.schema.map(f => (f.name, f.dataType)) == schema0,
+        "measure types must not widen across maintenance cycles")
+    }
+    assert(mvRows(mv) == ref)
+  }
+
+  test("cdc_agg_maintain gate: maintained MV equals the full rebuild") {
+    val got = Changelog.cdcAggMaintain(spark, TestSpark.sf0001)
+      .as[(Long, Long, Double)].collect().toSet
+    val events = graft.Tables.events(spark, TestSpark.sf0001)
+    val ref = Changelog.valueBandAgg(Changelog.compact(events,
+        Seq("user_id"), Seq(col("ts"), col("event_id")),
+        col("event_type") === "error", Seq("ts", "event_id", "value")))
+      .select($"grp", $"n_keys", $"sum_value".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == ref && got.nonEmpty)
+  }
 }

@@ -54,6 +54,56 @@ class StreamingChangelogSpec extends AnyFunSuite {
     assert(stored == ref)
   }
 
+  test("foreachBatch MV-maintenance loop converges to the full rebuild") {
+    import spark.implicits._
+    // maintain BOTH the snapshot (auxiliary state) and the aggregate MV;
+    // each micro-batch touches O(|batch|) state and O(|mv|) aggregate rows
+    def bandAgg(state: org.apache.spark.sql.DataFrame) =
+      state.groupBy(floor(col("payload") / 100).cast("long").as("grp"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("payload").cast("decimal(12,2)")).as("sum_payload"))
+    val root = java.nio.file.Files.createTempDirectory("mv_loop")
+    var snapDir: Option[String] = None
+    var mvDir: Option[String] = None
+    val input = MemoryStream[(Long, Long, String, Double)](spark)
+    val q = input.toDF().toDF("k", "v", "op", "payload").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val snapshot = snapDir match {
+          case Some(d) => spark.read.parquet(d).withColumn("op", lit("u"))
+          case None => batch.limit(0)
+        }
+        val mv = mvDir match {
+          case Some(d) => spark.read.parquet(d)
+          case None => bandAgg(snapshot)
+        }
+        val nextMv = Changelog.aggMaintain(mv, snapshot, batch, Seq("k"),
+          Seq(col("v")), col("op") === "d", Seq("v", "payload"),
+          bandAgg, Seq("grp"), "n_keys")
+        val nextSnap = Changelog.applyChangelog(snapshot, batch, Seq("k"),
+          Seq(col("v")), col("op") === "d", Seq("v", "payload"))
+        val (mvOut, snapOut) =
+          (root.resolve(s"mv_$id").toString, root.resolve(s"snap_$id").toString)
+        nextMv.write.mode("overwrite").parquet(mvOut)
+        nextSnap.write.mode("overwrite").parquet(snapOut)
+        mvDir = Some(mvOut); snapDir = Some(snapOut)
+      }
+      .start()
+    try {
+      history.grouped(75).foreach { slice =>
+        input.addData(slice); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val stored = spark.read.parquet(mvDir.get)
+      .select($"grp", $"n_keys", $"sum_payload".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    val ref = bandAgg(Changelog.compact(
+        history.toDF("k", "v", "op", "payload"), Seq("k"), Seq(col("v")),
+        col("op") === "d", Seq("v", "payload")))
+      .select($"grp", $"n_keys", $"sum_payload".cast("double"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(stored == ref && stored.nonEmpty)
+  }
+
   test("foreachBatch SCD2 loop converges to the full-history intervals") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("scd2_loop")
