@@ -96,6 +96,89 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Pack the sign bits of `width` consecutive vector elements (starting
+  * at `offset`) into one long: bit i set iff `vec[offset+i] >= 0`.
+  *
+  * The scan-side half of 1-bit (binary) embedding quantization: a
+  * 64-dim float vector (256 B) compresses to two 32-bit sign words
+  * (16 B), and angular distance is estimated by Hamming distance over
+  * the words (XOR + bit_count — both codegen'd builtins). `width` stays
+  * ≤ 62 so the packed value is always a non-negative long and the
+  * DuckDB oracle can rebuild it with exact BIGINT arithmetic.
+  *
+  * Why custom (same reason as [[VecDot]]): the composable
+  * `aggregate(sequence(...), ...)` formulation is CodegenFallback and
+  * allocates an index array per row; this runs the bit loop inside
+  * whole-stage codegen directly over the unsafe `ArrayData`. Elements
+  * past the array's end contribute 0-bits, so ragged inputs degrade
+  * instead of throwing.
+  */
+case class SignPack(child: Expression, offset: Int, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(offset >= 0 && width > 0 && width <= 62,
+    s"sign_pack needs 0 <= offset and 0 < width <= 62, got ($offset, $width)")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_pack needs a numeric array, got $other")
+    }
+
+  private def elemType: NumericType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[NumericType]
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = math.min(width, math.max(0, xs.numElements() - offset))
+    val t = elemType
+    var w = 0L
+    var i = 0
+    while (i < n) {
+      val v = t match {
+        case FloatType => xs.getFloat(offset + i).toDouble
+        case DoubleType => xs.getDouble(offset + i)
+        case _ => xs.get(offset + i, t).asInstanceOf[java.lang.Number].doubleValue()
+      }
+      if (v >= 0) w |= (1L << i)
+      i += 1
+    }
+    w
+  }
+
+  private def getter(arr: String, i: String): String = elemType match {
+    case FloatType => s"(double) $arr.getFloat($i)"
+    case DoubleType => s"$arr.getDouble($i)"
+    case _ => s"(double) $arr.getInt($i)"
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val w = ctx.freshName("w")
+      s"""
+         |int $n = java.lang.Math.min($width,
+         |  java.lang.Math.max(0, $a.numElements() - $offset));
+         |long $w = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (${getter(a, s"($offset + $i)")} >= 0) $w |= (1L << $i);
+         |}
+         |${ev.value} = $w;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Σ aᵢ·bᵢ in double, sequential — codegen'd. */
   def vec_dot(a: Column, b: Column): Column =
@@ -109,4 +192,8 @@ object VectorFunctions {
 
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  /** Sign bits of vec[offset .. offset+width) packed into a long. */
+  def sign_pack(vec: Column, offset: Int, width: Int): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(vec), offset, width))
 }

@@ -400,4 +400,77 @@ class SimilaritySpec extends AnyFunSuite {
     assert(gate.groupBy($"grp", $"pos").count()
       .filter($"count" > 1).isEmpty)
   }
+
+  // ----------------------------------------------- 1-bit Hamming k-NN
+
+  test("sign_pack matches a reference bit loop, handles ragged and negative zero") {
+    import graft.functions.VectorFunctions.sign_pack
+    val vecs = Seq(
+      Array(1.0f, -1.0f, 0.0f, -0.0f, 2.5f),       // ragged: only 5 elems
+      Array.fill(40)(-1.0f),
+      Array.tabulate(40)(i => if (i % 3 == 0) 1.0f else -1.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+    def ref(v: Array[Float], off: Int, width: Int): Long = {
+      var w = 0L
+      for (i <- 0 until math.min(width, math.max(0, v.length - off)))
+        if (v(off + i) >= 0) w |= (1L << i)
+      w
+    }
+    val gotPairs = df.select($"id", sign_pack($"vec", 0, 32), sign_pack($"vec", 32, 8))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(gotPairs(i.toLong) == ((ref(v, 0, 32), ref(v, 32, 8))), s"vec $i")
+    }
+    // -0.0f >= 0 in IEEE comparison: bit set (same in DuckDB)
+    assert((gotPairs(0L)._1 & (1L << 3)) != 0)
+  }
+
+  test("hamming knn equals a driver-side reference on real data") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+      .as[(Long, Array[Float], Int)].collect().sortBy(_._1)
+    val signs = emb.map { case (id, v, _) => id -> v.map(_ >= 0) }
+    val q = Similarity.NumQueries
+    val expect = signs.take(q).flatMap { case (qid, qs) =>
+      signs.filter(_._1 != qid)
+        .map { case (id, s) =>
+          (id, s.zip(qs).count { case (a, b) => a != b }) }
+        .sortBy { case (id, h) => (h, id) }
+        .take(Similarity.K).zipWithIndex
+        .map { case ((id, h), r) => (qid, id, r + 1, h) }
+    }.toSet
+    val got = Similarity.ssKnnHamming(spark, TestSpark.sf0001)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(got == expect)
+  }
+
+  test("hamming rerank reaches >= 0.9 recall vs brute force at the shipped shortlist") {
+    val emb = graft.Tables.embeddings(spark, TestSpark.sf0001)
+    val brute = Similarity.ssKnnBrute(spark, TestSpark.sf0001)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val rer = Similarity.hammingRerank(emb)
+      .select($"q_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & rer).size.toDouble / brute.size
+    assert(recall >= 0.9, s"hamming-rerank recall was $recall")
+    // rerank cosines are the exact scorer's values on the overlap
+    val bc = Similarity.ssKnnBrute(spark, TestSpark.sf0001)
+      .select($"q_id", $"neighbor_id", $"cosine").as[(Long, Long, Double)]
+      .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+    Similarity.hammingRerank(emb)
+      .select($"q_id", $"neighbor_id", $"cosine").as[(Long, Long, Double)]
+      .collect().foreach { case (a, b, c) =>
+        bc.get((a, b)).foreach(e => assert(c == e, s"cosine drift at ($a,$b)"))
+      }
+  }
+
+  test("hamming knn plan: signatures scan-side, WindowGroupLimit pre-prune, one shuffle") {
+    val plan = Similarity.ssKnnHamming(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pre-prune in:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length -
+      "BroadcastExchange".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"expected at most one data shuffle, got $exchanges in:\n$plan")
+  }
 }
