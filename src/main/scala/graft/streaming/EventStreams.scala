@@ -115,6 +115,77 @@ object EventStreams {
       |  TRUE AS theta_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  // ----------------------------------------- streaming quantiles (sketch)
+  /** Per-hour value quantiles with the mergeable KLL sketch as the
+    * aggregation state — the quantile analog of [[distinctUsersHourly]]:
+    * exact streaming percentiles would buffer every value per window
+    * (state ∝ rows), while the KLL buffer is O(k) per window at any
+    * input rate, and the same TypedImperativeAggregate serves batch and
+    * streaming.
+    *
+    * Gate contract: a KLL estimate is deterministic but not
+    * SQL-reproducible, so the gate asserts the RANK envelope — the
+    * fraction of the window's values ≤ (resp. <) the estimate must
+    * bracket q within [[QuantileRankBound]]. The two-sided ≤/< form is
+    * the correct discrete statement (a one-row window has frac_le 1 and
+    * frac_lt 0 — both sides hold trivially, as they must). At gate SFs
+    * every window is far below k=200, KLL's exact regime, so the 5%
+    * bound holds with enormous margin; KllSketchSpec pins
+    * estimation-regime error. The gate also re-counts the window rows
+    * through the join (`n_ok`), so a replay that dropped rows fails
+    * even if the surviving values still bracket the quantile. */
+  val QuantileRankBound = 0.05
+
+  def valueQuantilesHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.KllFunctions
+          .kll_quantile(col("value").cast("double"), 0.5).as("kll_median"),
+        graft.functions.KllFunctions
+          .kll_quantile(col("value").cast("double"), 0.9).as("kll_p90"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"),
+        col("kll_median"), col("kll_p90"), col("n"))
+
+  def streamingQuantiles(events: DataFrame): DataFrame =
+    valueQuantilesHourly(events.withWatermark("ts", "10 minutes"))
+
+  private def quantilesGate(s: SparkSession, dir: String, est: DataFrame)
+      : DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(window(col("ts"), "1 hour").getField("start")
+        .as("window_start"), col("value").cast("double").as("v"))
+    def rankOk(q: Double, estCol: Column): Column = {
+      val le = sum(when(col("v") <= estCol, 1L).otherwise(0L))
+      val lt = sum(when(col("v") < estCol, 1L).otherwise(0L))
+      (le.cast("double") / count(lit(1)) >= q - QuantileRankBound) &&
+        (lt.cast("double") / count(lit(1)) <= q + QuantileRankBound)
+    }
+    est.join(ev, "window_start")
+      .groupBy(col("window_start"), col("kll_median"), col("kll_p90"),
+        col("n"))
+      .agg(rankOk(0.5, col("kll_median")).as("median_ok"),
+        rankOk(0.9, col("kll_p90")).as("p90_ok"),
+        (count(lit(1)) === col("n")).as("n_ok"))
+      .select(col("window_start"), col("n"),
+        col("median_ok"), col("p90_ok"), col("n_ok"))
+  }
+
+  def evQuantiles(s: SparkSession, dir: String): DataFrame =
+    quantilesGate(s, dir, valueQuantilesHourly(Tables.events(s, dir)))
+
+  /** STREAMING-mode twin: the KLL buffer aggregates through the state
+    * store (replay harness, complete mode) and must land inside the
+    * same rank envelope as the batch form. */
+  def evQuantilesStream(s: SparkSession, dir: String): DataFrame =
+    quantilesGate(s, dir,
+      replayToMemorySink(s, dir, "ev_quantiles_stream", streamingQuantiles))
+
+  val evQuantilesSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |  COUNT(*) AS n, TRUE AS median_ok, TRUE AS p90_ok, TRUE AS n_ok
+      |FROM events GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- stream-stream join
   /** View→purchase attribution: each purchase joins every view by the
     * same user in the preceding [[AttributionWindowSql]] — written
@@ -556,6 +627,8 @@ object EventStreams {
     "ev_funnel4_stream" -> ((s, d) => StreamingFunnel.evFunnel4Stream(s, d)),
     "ev_distinct" -> evDistinct,
     "ev_distinct_stream" -> evDistinctStream,
+    "ev_quantiles" -> evQuantiles,
+    "ev_quantiles_stream" -> evQuantilesStream,
   )
 
   val evAttributionSql: String =
@@ -582,5 +655,7 @@ object EventStreams {
     "ev_funnel4_stream" -> StreamingFunnel.evFunnel4StreamSql,
     "ev_distinct" -> evDistinctSql,
     "ev_distinct_stream" -> evDistinctSql, // same oracle: batch ≡ stream
+    "ev_quantiles" -> evQuantilesSql,
+    "ev_quantiles_stream" -> evQuantilesSql, // same oracle: batch ≡ stream
   )
 }

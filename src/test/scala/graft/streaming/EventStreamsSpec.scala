@@ -61,6 +61,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(w0.head.getAs[Long]("theta_users") == 40L)
   }
 
+  test("streaming kll quantiles: sketch state merges across micro-batches, exact regime") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val out = EventStreams.streamingQuantiles(input.toDF())
+    // values 1..100 split across batches; 100 < k=200 keeps the merged
+    // sketch in the exact (single-buffer) regime, so the median must sit
+    // at the true discrete quantile of the UNION
+    val b1 = (1 to 60).map(i => Event(i.toLong, ts(5), i.toLong, "c", i.toDouble))
+    val b2 = (61 to 100).map(i => Event(i.toLong, ts(30), i.toLong, "c", i.toDouble))
+    val rows = runStream(input, out, OutputMode.Complete(), Seq(b1, b2))
+    val w0 = rows.filter(_.getAs[Timestamp]("window_start") == ts(0))
+    assert(w0.size == 1)
+    assert(w0.head.getAs[Long]("n") == 100L)
+    val med = w0.head.getAs[Double]("kll_median")
+    val p90 = w0.head.getAs[Double]("kll_p90")
+    // rank envelope with a tight exact-regime bound: within one rank
+    assert(med >= 49.0 && med <= 51.0, s"median $med")
+    assert(p90 >= 89.0 && p90 <= 91.0, s"p90 $p90")
+  }
+
+  test("ev_quantiles gate: every window inside the rank envelope, counts intact") {
+    val gate = EventStreams.evQuantiles(spark, TestSpark.sf0001)
+    val rows = gate.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("median_ok"), s"median envelope failed: $r")
+      assert(r.getAs[Boolean]("p90_ok"), s"p90 envelope failed: $r")
+      assert(r.getAs[Boolean]("n_ok"), s"count mismatch: $r")
+    }
+  }
+
   test("streaming session windows merge events within gap") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
