@@ -550,6 +550,68 @@ object Relational {
         |  'l.ts', 'CAST(r.o_orderdate AS TIMESTAMP)')""".stripMargin)
   }
 
+  /** FORWARD as-of: each purchase looks up the user's NEXT error event
+    * at-or-after the purchase time — the "what broke after this"
+    * direction pandas calls `direction='forward'`, composed from the
+    * native backward merge by time negation
+    * (graft.plans.AsofDirectionsApi). Errors pre-collapse to one row per
+    * (user, ts) so the match is unique and the oracle deterministic. */
+  def q40AsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val errs = events.filter($"event_type" === "error")
+      .groupBy($"user_id".as("e_user"), $"ts".as("e_ts"))
+      .agg(max($"event_id").as("err_id"))
+    val facts = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    graft.plans.AsofDirectionsApi.joinAsofForward(
+      facts, errs, Seq(facts("user_id")), Seq(errs("e_user")),
+      facts("ts"), errs("e_ts"))
+      .select($"purchase_id", $"user_id", $"ts",
+        $"e_ts".as("next_error_ts"), $"err_id".as("next_error_id"))
+  }
+
+  val q40Sql: String =
+    """WITH errs AS (
+      |  SELECT user_id AS e_user, ts AS e_ts, MAX(event_id) AS err_id
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT f.event_id AS purchase_id, f.user_id, f.ts,
+      |  n.e_ts AS next_error_ts, n.err_id AS next_error_id
+      |FROM events f LEFT JOIN LATERAL (
+      |  SELECT e_ts, err_id FROM errs e
+      |  WHERE e.e_user = f.user_id AND e.e_ts >= f.ts
+      |  ORDER BY e.e_ts LIMIT 1) n ON TRUE
+      |WHERE f.event_type = 'purchase'""".stripMargin
+
+  /** NEAREST as-of: the closer of the previous and next error, ties to
+    * the earlier — `direction='nearest'`. Backward pass + forward pass
+    * over the same key partitioning, then a codegen'd per-row choice. */
+  def q41AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val events = Tables.events(s, dir)
+    val errs = events.filter($"event_type" === "error")
+      .groupBy($"user_id".as("e_user"), $"ts".as("e_ts"))
+      .agg(max($"event_id").as("err_id"))
+    val facts = events.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts")
+    graft.plans.AsofDirectionsApi.joinAsofNearest(
+      facts, errs, Seq("user_id" -> "e_user"), "ts", "e_ts")
+      .select($"purchase_id", $"user_id", $"ts",
+        $"e_ts".as("near_error_ts"), $"err_id".as("near_error_id"))
+  }
+
+  val q41Sql: String =
+    """WITH errs AS (
+      |  SELECT user_id AS e_user, ts AS e_ts, MAX(event_id) AS err_id
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+      |SELECT f.event_id AS purchase_id, f.user_id, f.ts,
+      |  n.e_ts AS near_error_ts, n.err_id AS near_error_id
+      |FROM events f LEFT JOIN LATERAL (
+      |  SELECT e_ts, err_id FROM errs e WHERE e.e_user = f.user_id
+      |  ORDER BY abs(epoch_us(e.e_ts) - epoch_us(f.ts)) ASC, e.e_ts ASC
+      |  LIMIT 1) n ON TRUE
+      |WHERE f.event_type = 'purchase'""".stripMargin
+
   // ----------------------------------------------- time bucketing over events
   def q22EventsHourly(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -676,6 +738,8 @@ object Relational {
     "q20_range_join" -> q20RangeJoin,
     "q21_asof_join" -> q21AsofJoin,
     "q29_asof_native" -> q29AsofNative,
+    "q40_asof_forward" -> q40AsofForward,
+    "q41_asof_nearest" -> q41AsofNearest,
     "q36_asof_sql" -> q36AsofSql,
     "q22_events_hourly" -> q22EventsHourly,
   )
@@ -708,6 +772,8 @@ object Relational {
     "q20_range_join" -> q20Sql,
     "q21_asof_join" -> q21Sql,
     "q29_asof_native" -> q21Sql, // identical semantics, same oracle
+    "q40_asof_forward" -> q40Sql,
+    "q41_asof_nearest" -> q41Sql,
     "q36_asof_sql" -> q21Sql, // SQL TVF surface over the same native op
     "q22_events_hourly" -> q22Sql,
   )
