@@ -51,7 +51,13 @@ object Bench {
     "sc_zorder_prune", "ta_filter_funnel", "ev_distinct",
     // round 10: iterative OPQ (adoption-gated; serving cost class of
     // ss_knn_pq either way — the gate decides rotate-vs-plain offline)
-    "ss_knn_pq_opq_it")
+    "ss_knn_pq_opq_it",
+    // round 10 third wave: incremental MV maintenance (delta-sized
+    // retract-add vs full re-agg), 1-bit Hamming candidate tier + exact
+    // rerank, sketch-state streaming quantiles (batch form), and the
+    // forward/nearest as-of directions over the native merge
+    "cdc_agg_maintain", "ss_knn_hamming", "ev_quantiles",
+    "q40_asof_forward", "q41_asof_nearest")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -62,6 +68,12 @@ object Bench {
   val raw: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "ev_distinct" -> ((s, d) => graft.streaming.EventStreams
       .distinctUsersHourly(graft.Tables.events(s, d))),
+    "ev_quantiles" -> ((s, d) => graft.streaming.EventStreams
+      .valueQuantilesHourly(graft.Tables.events(s, d))),
+    // production serving = shortlist + exact rerank (the gate times the
+    // oracle-able first stage alone)
+    "ss_knn_hamming" -> ((s, d) => graft.operators.Similarity
+      .hammingRerank(graft.Tables.embeddings(s, d))),
     "q33_theta_sketch" -> ((s, d) => graft.operators.Advanced.q33ThetaRaw(s, d)),
     "q34_kll_quantile" -> ((s, d) => graft.operators.Advanced.q34KllRaw(s, d)),
     "dd_simhash_pairs" -> ((s, d) => graft.operators.Dedup.ddSimhashPairs(s, d)),
