@@ -221,6 +221,57 @@ object Layout {
        |FROM za, la""".stripMargin
   }
 
+  // --------------------------------------------------- small-files compaction
+  /** One planned compaction: which files to rewrite, which to leave. */
+  case class CompactionPlan(
+      smallFiles: Seq[(String, Long)],   // (path, bytes) to rewrite
+      keepFiles: Seq[(String, Long)],    // already at target — untouched
+      targetFileCount: Int,              // outputs for the rewritten set
+      smallBytes: Long)
+
+  /** Plan an INCREMENTAL compaction of a parquet directory: files
+    * already ≥ `smallThreshold` are kept as-is (rewriting a
+    * right-sized file is pure write amplification — the sin of naive
+    * `repartition(n).write` table rewrites); the small-file tail is
+    * binned into `ceil(smallBytes / targetBytes)` outputs.
+    *
+    * This is the table-maintenance loop every long-lived 100 TB table
+    * needs: streaming ingest and per-batch CDC appends produce
+    * micro-batch-sized files, and scan cost degrades with file COUNT
+    * (footer reads, scheduling, no intra-file parallelism) long before
+    * it degrades with bytes. The plan itself is a pure metadata
+    * operation — one FileSystem listing, no data read. */
+  def planCompaction(spark: SparkSession, dir: String,
+      targetBytes: Long, smallThreshold: Option[Long] = None): CompactionPlan = {
+    val small = smallThreshold.getOrElse(targetBytes / 2)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(path).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.toString, f.getLen))
+      .sortBy(_._1)
+    val (keep, smalls) = files.partition(_._2 >= small)
+    val smallBytes = smalls.map(_._2).sum
+    val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
+    CompactionPlan(smalls, keep, n, smallBytes)
+  }
+
+  /** Execute a plan: rewrite ONLY the small files into
+    * `plan.targetFileCount` outputs under `outDir`. Kept files are the
+    * caller's to retain (at scale that is a metadata move in the table
+    * format's commit, not a byte copy — which is exactly why this
+    * function never touches them). Returns the rewritten row count.
+    * No-op (0 rows, no write) on an empty small set. */
+  def compactSmallFiles(spark: SparkSession, plan: CompactionPlan,
+      outDir: String): Long = {
+    if (plan.smallFiles.isEmpty) return 0L
+    val df = spark.read.parquet(plan.smallFiles.map(_._1): _*)
+    val n = df.count()
+    df.repartition(plan.targetFileCount)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sc_zorder" -> scZorder,
     "sc_zorder_prune" -> scZorderPrune,

@@ -120,4 +120,66 @@ class LayoutSpec extends AnyFunSuite {
       .collect().toSeq
     assert(got == Seq(0L, 0L, 63L, 64L, 127L, 128L, 255L))
   }
+
+  // ------------------------------------------------- compaction planner
+
+  private def parquetFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles.toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+
+  test("compaction: small-file tail binned to the byte-target, rows preserved") {
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val li = graft.Tables.lineitem(spark, TestSpark.sf0001)
+    li.repartition(40).write.parquet(s"$root/in")
+    val inFiles = parquetFiles(s"$root/in")
+    assert(inFiles.size == 40)
+    val totalBytes = inFiles.map(_.length).sum
+    val target = totalBytes / 4 // aim for ~4 outputs
+    val plan = Layout.planCompaction(spark, s"$root/in", target)
+    assert(plan.keepFiles.isEmpty) // every 1/40th file is below target/2
+    assert(plan.smallFiles.size == 40 && plan.smallBytes == totalBytes)
+    assert(plan.targetFileCount == math.ceil(totalBytes.toDouble / target).toInt)
+    val n = Layout.compactSmallFiles(spark, plan, s"$root/out")
+    assert(n == li.count())
+    assert(parquetFiles(s"$root/out").size == plan.targetFileCount)
+    assert(spark.read.parquet(s"$root/out").count() == n)
+  }
+
+  test("compaction is incremental: right-sized files are never rewritten") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact2").toString
+    // one big file + a micro-batch tail of small ones, same schema
+    (1L to 50000L).toDF("v").coalesce(1).write.parquet(s"$root/in")
+    (1L to 100L).toDF("v").repartition(8).write.mode("append")
+      .parquet(s"$root/in")
+    val files = parquetFiles(s"$root/in").map(f => (f.getName, f.length))
+    val bigBytes = files.map(_._2).max
+    val plan = Layout.planCompaction(spark, s"$root/in",
+      targetBytes = bigBytes, smallThreshold = Some(bigBytes / 2))
+    assert(plan.keepFiles.size == 1 && plan.keepFiles.head._2 == bigBytes)
+    assert(plan.smallFiles.size == 8)
+    assert(plan.targetFileCount == 1)
+    val before = parquetFiles(s"$root/in").map(f =>
+      (f.getName, f.lastModified)).toSet
+    val n = Layout.compactSmallFiles(spark, plan, s"$root/out")
+    assert(n == 100L)
+    // the input directory (incl. the kept file) is untouched
+    assert(parquetFiles(s"$root/in").map(f =>
+      (f.getName, f.lastModified)).toSet == before)
+    // kept + rewritten together still hold every row
+    val total = spark.read.parquet(s"$root/out").count() +
+      spark.read.parquet(plan.keepFiles.head._1).count()
+    assert(total == 50100L)
+  }
+
+  test("compaction no-op: nothing below threshold, nothing written") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("compact3").toString
+    (1L to 1000L).toDF("v").coalesce(1).write.parquet(s"$root/in")
+    val plan = Layout.planCompaction(spark, s"$root/in",
+      targetBytes = 10L, smallThreshold = Some(1L))
+    assert(plan.smallFiles.isEmpty)
+    assert(Layout.compactSmallFiles(spark, plan, s"$root/out") == 0L)
+    assert(!new java.io.File(s"$root/out").exists())
+  }
 }
