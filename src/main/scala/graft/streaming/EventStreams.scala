@@ -186,6 +186,96 @@ object EventStreams {
       |  COUNT(*) AS n, TRUE AS median_ok, TRUE AS p90_ok, TRUE AS n_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  // ------------------------------------- streaming heavy hitters (sketch)
+  /** Per-hour top users with the mergeable Misra–Gries sketch as the
+    * aggregation state — the third sketch-state streaming aggregate
+    * (distinct → theta, quantiles → KLL, frequent items → MG): exact
+    * per-window frequency tables keep every (window, user) pair in the
+    * state store, the MG sketch keeps ≤ k counters per window at any
+    * input rate and merges associatively through the store.
+    *
+    * k is deliberately small ([[HhWindowK]]): at sf0.01 windows sit
+    * below capacity (exact regime), at sf0.1 they exceed it, so the SAME
+    * gate exercises both regimes across the driver's verification SFs.
+    * The gate asserts the two PODS'12 merge-bound guarantees per window
+    * by joining the ≤k-row sketch against an exact recount:
+    * every user with true count > N/(k+1) is retained, and every
+    * estimate lies in [true − N/(k+1), true]. Both hold under ANY
+    * partitioning and any micro-batch split. */
+  val HhWindowK = 16
+
+  def topUsersHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(graft.functions.HeavyHitterFunctions
+          .heavy_hitters_sketch(col("user_id").cast("string"), HhWindowK)
+          .as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("sk"), col("n"))
+
+  def streamingTopUsers(events: DataFrame): DataFrame =
+    topUsersHourly(events.withWatermark("ts", "10 minutes"))
+
+  private def topUsersGate(s: SparkSession, dir: String, est0: DataFrame)
+      : DataFrame = {
+    import graft.functions.HeavyHitterFunctions.hh_items
+    // The gate references the estimate table three times (items, bound
+    // carrier, output spine). A memory-sink view keeps ONE attribute set
+    // across all references, which the analyzer rejects as conflicting
+    // in the outer joins — a parquet roundtrip of the (≤ hours-in-range)-
+    // row table gives each read fresh attributes. Batch callers pass a
+    // plain aggregate and pay one cheap materialization.
+    val tmp = java.nio.file.Files.createTempDirectory("hh_gate").toString
+    est0.write.mode("overwrite").parquet(tmp)
+    val est = s.read.parquet(tmp)
+    val exact = Tables.events(s, dir)
+      .select(window(col("ts"), "1 hour").getField("start")
+        .as("window_start"), col("user_id"))
+      .groupBy(col("window_start"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val items = est.select(col("window_start"), col("n"),
+        explode(hh_items(col("sk"))).as("e"))
+      .select(col("window_start"), col("n"),
+        col("e._1").cast("long").as("user_id"), col("e._2").as("est"))
+    val bound = col("n").cast("double") / (HhWindowK + 1)
+    // retention: every over-threshold user is present in the sketch
+    val ret = exact.join(items.select(col("window_start"),
+          col("user_id"), lit(true).as("in_sketch")),
+        Seq("window_start", "user_id"), "left")
+      .join(est.select(col("window_start"), col("n")), Seq("window_start"))
+      .groupBy(col("window_start"))
+      .agg(coalesce(bool_and(
+        when(col("cnt") > bound, coalesce(col("in_sketch"), lit(false)))
+          .otherwise(lit(true))), lit(true)).as("retained_ok"))
+    // bounds: no invented items; every estimate within [true − N/(k+1), true]
+    val bnd = items.join(exact, Seq("window_start", "user_id"), "left")
+      .groupBy(col("window_start"))
+      .agg(coalesce(bool_and(col("cnt").isNotNull &&
+        col("est") <= col("cnt") &&
+        col("est") >= col("cnt") - bound), lit(true)).as("bounds_ok"))
+    est.select(col("window_start"), col("n"))
+      .join(ret, Seq("window_start"), "left")
+      .join(bnd, Seq("window_start"), "left")
+      .select(col("window_start"), col("n"),
+        coalesce(col("retained_ok"), lit(true)).as("retained_ok"),
+        coalesce(col("bounds_ok"), lit(true)).as("bounds_ok"))
+  }
+
+  def evTopUsers(s: SparkSession, dir: String): DataFrame =
+    topUsersGate(s, dir, topUsersHourly(Tables.events(s, dir)))
+
+  /** STREAMING-mode twin: MG counters merge through the state store
+    * across micro-batches; the merged sketch must satisfy the same
+    * per-window bounds. */
+  def evTopUsersStream(s: SparkSession, dir: String): DataFrame =
+    topUsersGate(s, dir,
+      replayToMemorySink(s, dir, "ev_top_users_stream", streamingTopUsers))
+
+  val evTopUsersSql: String =
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+      |  COUNT(*) AS n, TRUE AS retained_ok, TRUE AS bounds_ok
+      |FROM events GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- stream-stream join
   /** View→purchase attribution: each purchase joins every view by the
     * same user in the preceding [[AttributionWindowSql]] — written
@@ -629,6 +719,8 @@ object EventStreams {
     "ev_distinct_stream" -> evDistinctStream,
     "ev_quantiles" -> evQuantiles,
     "ev_quantiles_stream" -> evQuantilesStream,
+    "ev_top_users" -> evTopUsers,
+    "ev_top_users_stream" -> evTopUsersStream,
   )
 
   val evAttributionSql: String =
@@ -657,5 +749,7 @@ object EventStreams {
     "ev_distinct_stream" -> evDistinctSql, // same oracle: batch ≡ stream
     "ev_quantiles" -> evQuantilesSql,
     "ev_quantiles_stream" -> evQuantilesSql, // same oracle: batch ≡ stream
+    "ev_top_users" -> evTopUsersSql,
+    "ev_top_users_stream" -> evTopUsersSql, // same oracle: batch ≡ stream
   )
 }

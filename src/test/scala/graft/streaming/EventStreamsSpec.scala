@@ -92,6 +92,39 @@ class EventStreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming MG heavy hitters: counters merge across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val out = EventStreams.streamingTopUsers(input.toDF())
+    // user 7 is heavy (30 events split across batches), 40 light users
+    // appear once each — over k=16 capacity, so decrements fire; the
+    // merged sketch must still retain the heavy user with a bound-tight
+    // estimate (MG: est in [true - N/(k+1), true], N = 70)
+    val b1 = (1 to 15).map(i => Event(i.toLong, ts(5), 7L, "c", 1.0)) ++
+      (101 to 120).map(u => Event(u.toLong, ts(10), u.toLong, "c", 1.0))
+    val b2 = (16 to 30).map(i => Event(i.toLong, ts(20), 7L, "c", 1.0)) ++
+      (121 to 140).map(u => Event(u.toLong, ts(30), u.toLong, "c", 1.0))
+    val rows = runStream(input, out, OutputMode.Complete(), Seq(b1, b2))
+    val w0 = rows.filter(_.getAs[Timestamp]("window_start") == ts(0))
+    assert(w0.size == 1 && w0.head.getAs[Long]("n") == 70L)
+    val sk = w0.head.getAs[Array[Byte]]("sk")
+    val items = graft.functions.MgKernel.deserialize(sk).sorted.toMap
+    val bound = 70.0 / (EventStreams.HhWindowK + 1)
+    assert(items.contains("7"), s"heavy user lost: $items")
+    assert(items("7") <= 30L && items("7") >= 30L - bound,
+      s"estimate ${items("7")} outside [${30 - bound}, 30]")
+  }
+
+  test("ev_top_users gate: retention and bounds hold in every window") {
+    val gate = EventStreams.evTopUsers(spark, TestSpark.sf0001)
+    val rows = gate.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("retained_ok"), s"retention failed: $r")
+      assert(r.getAs[Boolean]("bounds_ok"), s"bounds failed: $r")
+    }
+  }
+
   test("streaming session windows merge events within gap") {
     import spark.implicits._
     val input = MemoryStream[Event](spark)
