@@ -142,4 +142,38 @@ class PlanSpec extends AnyFunSuite {
         r.getAs[Long]("tf").toDouble / r.getAs[Long]("df"))
     }
   }
+
+  test("nested struct columns: schema pruning and predicate pushdown reach the scan") {
+    import spark.implicits._
+    // materialize a nested table (struct + array<struct>) — the shape a
+    // multimodal/metadata-rich 100 TB table actually has; reading one
+    // leaf must not drag the whole struct through the scan
+    val dir = java.nio.file.Files.createTempDirectory("nested").toString
+    graft.Tables.events(spark, TestSpark.sf0001)
+      .select($"event_id",
+        struct($"ts", $"value", $"event_type").as("payload"),
+        array(struct($"user_id".as("uid"), $"value".as("score")))
+          .as("tags"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter($"payload.event_type" === "click")
+      .select($"event_id", $"payload.value")
+    val plan = q.queryExecution.executedPlan.toString
+    // pruned: only event_type+value inside the struct, tags absent
+    assert(plan.contains("ReadSchema"), plan)
+    val readSchema = plan.split("ReadSchema: ").last.split("\n").head
+    assert(readSchema.contains("payload:struct<value:double,event_type:string>")
+      || readSchema.contains("payload:struct<event_type:string,value:double>"),
+      s"struct not pruned to the two read leaves: $readSchema")
+    assert(!readSchema.contains("tags"), s"unused array column read: $readSchema")
+    assert(!readSchema.contains("ts"), s"unused struct leaf read: $readSchema")
+    // nested predicate pushed into the parquet scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("payload.event_type"),
+      s"nested predicate not pushed: $plan")
+    // and the result is right
+    assert(q.count() ==
+      graft.Tables.events(spark, TestSpark.sf0001)
+        .filter($"event_type" === "click").count())
+  }
 }
