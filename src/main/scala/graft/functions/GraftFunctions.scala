@@ -90,6 +90,11 @@ object GraftFunctions {
       else 1024)),
     "bloom_might_contain_shard" -> (exprs =>
       BloomMightContainShard(exprs(0), exprs(1), exprs(2))),
+    // sign_pack(vec, offset, width): 1-bit quantization words for the
+    // Hamming ANN tier, from SQL
+    "sign_pack" -> (exprs => SignPack(exprs(0),
+      foldableInt("sign_pack", "offset", exprs(1)),
+      foldableInt("sign_pack", "width", exprs(2)))),
   )
 
   def register(spark: SparkSession): Unit = {

@@ -36,6 +36,23 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("sign_pack is callable from SQL; rejects non-literal shape args") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT sign_pack(array(1.0F, -1.0F, 2.0F, -3.0F), 0, 4) AS w")
+      .head().getLong(0)
+    assert(got == 5L) // bits 0 and 2
+    import spark.implicits._
+    val viaCol = Seq(Array(1.0f, -1.0f, 2.0f, -3.0f)).toDF("v")
+      .select(VectorFunctions.sign_pack($"v", 0, 4)).head().getLong(0)
+    assert(got == viaCol)
+    val e = intercept[Exception] {
+      spark.sql("SELECT sign_pack(array(1.0F), cast(rand() AS INT), 4)")
+        .collect()
+    }
+    assert(e.getMessage.contains("foldable"), e.getMessage)
+  }
+
   test("bloom sketch + sharded membership runs end-to-end from pure SQL") {
     GraftFunctions.register(spark)
     import spark.implicits._

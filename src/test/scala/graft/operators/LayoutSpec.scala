@@ -172,6 +172,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(total == 50100L)
   }
 
+  test("streaming ingest + compaction maintenance loop keeps file count bounded") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the production loop: micro-batches append small files; every few
+    // batches the maintenance pass rewrites the small tail into
+    // right-sized files that the NEXT pass then leaves alone
+    val root = java.nio.file.Files.createTempDirectory("ingest").toString
+    val input = MemoryStream[(Long, Double)](spark)
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.repartition(4).write.mode("append").parquet(s"$root/table")
+        if (id == 2) { // periodic maintenance
+          val plan = Layout.planCompaction(spark, s"$root/table",
+            targetBytes = 1L << 20)
+          Layout.compactSmallFiles(spark, plan, s"$root/compacted")
+          plan.smallFiles.foreach(f => java.nio.file.Files.delete(
+            java.nio.file.Paths.get(new java.net.URI(f._1).getPath)))
+          parquetFiles(s"$root/compacted").foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              java.nio.file.Paths.get(s"$root/table/${f.getName}"))
+          }
+        }
+      }.start()
+    try {
+      (0 until 4).foreach { b =>
+        input.addData((b * 100 until (b + 1) * 100).map(i => (i.toLong, i * 0.5)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 4 batches × 4 files = 16 raw appends; maintenance at batch 2
+    // collapsed the first 12 into 1, batch 3 appended 4 more
+    val files = parquetFiles(s"$root/table")
+    assert(files.size == 5, s"expected 5 files, got ${files.size}")
+    val rows = spark.read.parquet(s"$root/table")
+      .select($"id").as[Long].collect().sorted
+    assert(rows.length == 400 && rows.toSeq == (0L until 400L),
+      s"rows lost or duplicated by the maintenance pass: ${rows.length}")
+  }
+
   test("compaction no-op: nothing below threshold, nothing written") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("compact3").toString
