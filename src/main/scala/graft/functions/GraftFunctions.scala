@@ -128,5 +128,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(extensions)
     extensions.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.MvRewriteRule)
   }
 }

@@ -1,0 +1,230 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+/** Transparent materialized-view rewrite — the optimizer-rule extension
+  * point (`injectOptimizerRule` / `experimental.extraOptimizations`),
+  * complementing graft's custom expressions, TVF, and planner strategy.
+  *
+  * A registered MV is `SELECT keys, count(*) cnt, sum(m) sum_m, min(m)
+  * min_m, max(m) max_m GROUP BY keys` stored as parquet. The rule
+  * rewrites any aggregate over the BASE table whose shape the MV can
+  * answer — grouping by a subset of the MV keys, filters that touch only
+  * MV key columns, and SUM / MIN / MAX / COUNT(*) over MV measures —
+  * into a re-aggregation over the MV:
+  *
+  *   sum(x) → sum(sum_x)   min(x) → min(min_x)   max(x) → max(max_x)
+  *   count(*) → coalesce(sum(cnt), 0)
+  *
+  * all with the ORIGINAL output exprIds preserved, so parent operators
+  * keep resolving. At 100 TB this is the difference between scanning the
+  * fact table and scanning a keys-cardinality summary: the MV is built
+  * once (one shuffle) and kept current incrementally by
+  * [[graft.operators.Changelog.aggMaintain]] (DBSP-style retract-add),
+  * so dashboard-shaped aggregates never touch the raw data. Freshness is
+  * the registrar's contract: register an MV only while its maintenance
+  * loop runs; `MvCatalog.clear()` drops all rewrites.
+  *
+  * Correctness bar: gate queries `mv_rewrite` / `mv_rewrite_rollup` run
+  * the BASE-table query through the rewrite and are oracle-checked
+  * against DuckDB executing the same SQL on the raw parquet — the rewrite
+  * must be value-identical, not just plausible. `MvRewriteSpec` further
+  * pins that the rewritten plan scans ONLY the MV files and that
+  * out-of-shape queries (measure filters, AVG, count(col), distinct) are
+  * left untouched.
+  */
+case class MvDef(
+    name: String,
+    basePathTag: String,
+    groupKeys: Seq[String],
+    measures: Seq[String],
+    mvRelation: LogicalRelation) {
+  private val keySet = groupKeys.map(_.toLowerCase).toSet
+  def isKey(n: String): Boolean = keySet.contains(n.toLowerCase)
+  def isMeasure(n: String): Boolean =
+    measures.exists(_.equalsIgnoreCase(n))
+  /** Fresh-exprId copy of the MV scan for this rewrite site. */
+  def newMvRelation(): LogicalRelation =
+    mvRelation.asInstanceOf[MultiInstanceRelation].newInstance()
+      .asInstanceOf[LogicalRelation]
+}
+
+object MvCatalog {
+  private val defs = new ConcurrentHashMap[String, MvDef]()
+
+  /** Normalize a path to its filesystem form for matching against scan
+    * root paths (strip scheme + trailing slash). */
+  def pathTag(p: String): String = {
+    val noScheme = p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+      .replaceFirst("^file:", "")
+    noScheme.replaceAll("/+$", "")
+  }
+
+  def isEmpty: Boolean = defs.isEmpty
+  def clear(): Unit = defs.clear()
+  def lookup(tag: String): Option[MvDef] = Option(defs.get(tag))
+
+  /** Register `mvPath` (parquet written by [[buildMv]]) as the summary of
+    * `basePath` grouped by `groupKeys` with measures `measures`. */
+  def register(spark: SparkSession, name: String, basePath: String,
+      groupKeys: Seq[String], measures: Seq[String], mvPath: String): MvDef = {
+    val rel = ColumnBridge.plan(spark.read.parquet(mvPath)).collectFirst {
+      case r: LogicalRelation => r
+    }.getOrElse(throw new IllegalStateException(
+      s"mv $name: $mvPath did not analyze to a file relation"))
+    val expected = groupKeys ++ Seq("cnt") ++
+      measures.flatMap(m => Seq(s"sum_$m", s"min_$m", s"max_$m"))
+    val have = rel.output.map(_.name.toLowerCase).toSet
+    val missing = expected.filterNot(c => have.contains(c.toLowerCase))
+    require(missing.isEmpty,
+      s"mv $name at $mvPath is missing columns: ${missing.mkString(", ")}")
+    val d = MvDef(name, pathTag(basePath), groupKeys, measures, rel)
+    defs.put(d.basePathTag, d)
+    d
+  }
+
+  /** One-shuffle MV build: keys → (cnt, sum/min/max per measure). Refuses
+    * name collisions between keys and generated measure columns. */
+  def buildMv(base: DataFrame, groupKeys: Seq[String], measures: Seq[String],
+      mvPath: String): Unit = {
+    val generated = Seq("cnt") ++
+      measures.flatMap(m => Seq(s"sum_$m", s"min_$m", s"max_$m"))
+    val clash = groupKeys.map(_.toLowerCase) intersect generated.map(_.toLowerCase)
+    require(clash.isEmpty, s"mv key/measure name collision: ${clash.mkString(",")}")
+    val aggs = count(lit(1)).as("cnt") +: measures.flatMap(m => Seq(
+      sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
+      max(col(m)).as(s"max_$m")))
+    base.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+  }
+}
+
+object MvRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MvCatalog.isEmpty) plan
+    else plan.transform {
+      case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
+    }
+
+  /** Root path of a v1 file scan, or None for anything else. */
+  private def scanTag(rel: LogicalRelation): Option[String] = rel.relation match {
+    case fs: HadoopFsRelation => fs.location.rootPaths.headOption
+      .map(p => MvCatalog.pathTag(p.toString))
+    case _ => None
+  }
+
+  /** Strip pruning Projects and collect Filter conjuncts down to a bare
+    * file scan. Only attribute-only Projects are transparent — anything
+    * computed in between makes the shape unrecognizable. */
+  private def stripToScan(plan: LogicalPlan,
+      filters: Seq[Expression] = Nil): Option[(Seq[Expression], LogicalRelation)] =
+    plan match {
+      case Filter(cond, child) =>
+        stripToScan(child, filters ++ splitConjunctivePredicates(cond))
+      case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        stripToScan(child, filters)
+      case rel: LogicalRelation => Some((filters, rel))
+      case _ => None
+    }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
+    (filters, rel) <- stripToScan(agg.child)
+    tag <- scanTag(rel)
+    mv <- MvCatalog.lookup(tag)
+    if agg.groupingExpressions.forall {
+      case a: AttributeReference => mv.isKey(a.name)
+      case _ => false
+    }
+    // filters must touch only MV key columns — a measure filter changes
+    // which base rows aggregate and the MV cannot answer it
+    if filters.forall(_.references.forall(a => mv.isKey(a.name)))
+    rewritten <- rewriteAggExprs(agg, mv)
+  } yield {
+    val mvRel = mv.newMvRelation()
+    val byName = mvRel.output.map(a => a.name.toLowerCase -> a).toMap
+    def mvAttr(n: String): Attribute = byName(n.toLowerCase)
+    val remappedFilters = filters.map(_.transform {
+      case a: AttributeReference => mvAttr(a.name)
+    })
+    val filtered: LogicalPlan =
+      if (remappedFilters.isEmpty) mvRel
+      else Filter(remappedFilters.reduce(And), mvRel)
+    val newGroupings = agg.groupingExpressions.map {
+      case a: AttributeReference => mvAttr(a.name)
+    }
+    val newAggExprs = rewritten.map(_(mvAttr))
+    Aggregate(newGroupings, newAggExprs, filtered)
+  }
+
+  /** Per-output-expression rewrite plans, deferred until we have the MV
+    * attribute map; None overall if ANY output expression is out of
+    * shape (then the whole aggregate is left alone). */
+  private type AttrMap = String => Attribute
+  private def rewriteAggExprs(agg: Aggregate,
+      mv: MvDef): Option[Seq[AttrMap => NamedExpression]] = {
+    val plans = agg.aggregateExpressions.map { ne => rewriteOne(ne, mv) }
+    if (plans.forall(_.isDefined)) Some(plans.map(_.get)) else None
+  }
+
+  private def rewriteOne(ne: NamedExpression,
+      mv: MvDef): Option[AttrMap => NamedExpression] = ne match {
+    // bare grouping column in the output list
+    case a: AttributeReference if mv.isKey(a.name) =>
+      Some(m => Alias(m(a.name), a.name)(exprId = a.exprId))
+    // SELECT key AS k
+    case al @ Alias(a: AttributeReference, name) if mv.isKey(a.name) =>
+      Some(m => Alias(m(a.name), name)(exprId = al.exprId))
+    case al @ Alias(ae: AggregateExpression, name)
+        if !ae.isDistinct && ae.filter.isEmpty =>
+      val rw: Option[AttrMap => Expression] = ae.aggregateFunction match {
+        case Sum(x: AttributeReference, _) if mv.isMeasure(x.name) =>
+          Some(m => castTo(ae.copy(aggregateFunction =
+            Sum(m(s"sum_${x.name}"))), ae.dataType))
+        case Min(x: AttributeReference) if mv.isMeasure(x.name) =>
+          Some(m => castTo(ae.copy(aggregateFunction =
+            Min(m(s"min_${x.name}"))), ae.dataType))
+        case Max(x: AttributeReference) if mv.isMeasure(x.name) =>
+          Some(m => castTo(ae.copy(aggregateFunction =
+            Max(m(s"max_${x.name}"))), ae.dataType))
+        // count(*) / count(1): every child foldable and non-null
+        case c: Count if c.children.nonEmpty &&
+            c.children.forall(e => e.foldable && e.eval(null) != null) =>
+          Some(m => Coalesce(Seq(
+            ae.copy(aggregateFunction = Sum(m("cnt"))), Literal(0L))))
+        case _ => None
+      }
+      rw.map(f => (m: AttrMap) => Alias(f(m), name)(exprId = al.exprId))
+    case _ => None
+  }
+
+  /** Re-aggregation can widen (decimal sum-of-sum); pin the original
+    * result type so parents keep resolving. */
+  private def castTo(e: Expression, dt: org.apache.spark.sql.types.DataType): Expression =
+    if (e.dataType == dt) e else Cast(e, dt)
+}
+
+/** Imperative enablement for an existing session (the declarative path is
+  * `spark.sql.extensions=graft.functions.GraftExtensions`). */
+object MvRewriteApi {
+  def enable(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(MvRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ MvRewriteRule
+}
