@@ -672,7 +672,105 @@ object TextAnalysis {
        |$arms""".stripMargin
   }
 
+  // ------------------------------------------------- BM25 ranked retrieval
+  // Classic Robertson/Sparck-Jones BM25 (public formula) over the corpus:
+  // score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+  // idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+  //
+  // Plan shape at 100 TB: ONE wide shuffle (per-doc conditional tf
+  // aggregate, map-side combined), then a one-row corpus-stats aggregate
+  // broadcast onto the per-doc table, then TakeOrderedAndProject for the
+  // global top-k — the query terms ride as literals, never a join.
+  //
+  // Oracle-exactness: every aggregate is integer (tf, dl, df, N exact in
+  // doubles), and the float score is a FIXED-ORDER arithmetic chain
+  // mirrored token-for-token in the DuckDB SQL — per-term contributions
+  // added left-to-right, the one non-representable constant (k1 = 1.2)
+  // written as CAST(1.2 AS DOUBLE) so both engines hold the same binary
+  // value (a bare 1.2 literal is DECIMAL in DuckDB and re-rounds
+  // differently). ln() may differ by 1 ulp between libms, absorbed by
+  // ROUND(score, 6).
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75 // exactly representable; safe as a plain literal
+  val Bm25Terms: Seq[String] = Seq("spark", "merge", "window")
+  val Bm25TopK = 10
+
+  /** Top-k docs by BM25 over fixed query terms. `docs` needs (doc_id,
+    * text); tokenization is lowercased whitespace split. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = Bm25K1,
+      b: Double = Bm25B, topK: Int = Bm25TopK): DataFrame = {
+    require(terms.nonEmpty && terms.map(_.toLowerCase).distinct.size == terms.size,
+      "bm25: terms must be distinct")
+    val tok = docs.select(col("doc_id"),
+      explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tfCols = terms.map(t =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = tok.groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val statCols = Seq(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L))
+        .cast("double").as(s"df_$t"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    def contrib(t: String): Column = {
+      val tf = col(s"tf_$t").cast("double")
+      val df = col(s"df_$t")
+      val idf = log((col("n_docs") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      when(col(s"tf_$t") === 0, lit(0.0)).otherwise(
+        idf * (tf * (lit(k1) + lit(1.0))) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    }
+    val score = terms.map(contrib).reduce(_ + _)
+    val top = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("score"))
+      .orderBy(desc("score"), col("doc_id").asc)
+      .limit(topK)
+    top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score"), col("doc_id").asc)))
+      .select(col("doc_id"), col("rank"), round(col("score"), 6).as("score_r6"))
+  }
+
+  def taBm25(s: SparkSession, dir: String): DataFrame =
+    bm25(Tables.documents(s, dir), Bm25Terms)
+
+  val taBm25Sql: String = {
+    val terms = Bm25Terms
+    val tfCases = terms.map(t =>
+      s"    SUM(CASE WHEN term = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n")
+    val dfCols = terms.map(t =>
+      s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(",\n")
+    def contrib(t: String): String =
+      s"""CASE WHEN p.tf_$t = 0 THEN CAST(0 AS DOUBLE) ELSE
+         |    ln((s.n_docs - s.df_$t + 0.5) / (s.df_$t + 0.5) + 1)
+         |    * (CAST(p.tf_$t AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+         |    / (CAST(p.tf_$t AS DOUBLE) + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl)) END""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT doc_id, t AS term
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t FROM documents)
+       |  WHERE t <> ''
+       |), perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS dl,
+       |$tfCases
+       |  FROM tok GROUP BY doc_id
+       |), stats AS (
+       |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+       |$dfCols
+       |  FROM perdoc
+       |), scored AS (
+       |  SELECT p.doc_id,
+       |    ${terms.map(contrib).mkString("\n    + ")} AS score
+       |  FROM perdoc p, stats s
+       |)
+       |SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       |  ROUND(score, 6) AS score_r6
+       |FROM scored ORDER BY score DESC, doc_id ASC LIMIT $Bm25TopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bm25" -> taBm25,
     "ta_char_terms" -> taCharTerms,
     "ta_heavy_hitters" -> taHeavyHitters,
     "ta_commonness" -> taCommonness,
@@ -691,6 +789,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_bm25" -> taBm25Sql,
     "ta_char_terms" -> taCharTermsSql,
     "ta_heavy_hitters" -> taHeavyHittersSql,
     "ta_commonness" -> taCommonnessSql,
