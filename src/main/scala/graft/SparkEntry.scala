@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Advanced, Changelog, Dedup, Layout, MatView, Multimodal, Relational, Sampling, Scale, Similarity, TextAnalysis, WordCount}
+import graft.operators.{Advanced, Changelog, DataQuality, Dedup, Layout, MatView, Multimodal, Relational, Sampling, Scale, Similarity, TextAnalysis, WordCount}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,7 +23,8 @@ object SparkEntry {
     ) ++ Relational.queries ++ Advanced.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
       EventStreams.queries ++ Sampling.queries ++ Scale.queries ++
-      Changelog.queries ++ Layout.queries ++ MatView.queries
+      Changelog.queries ++ Layout.queries ++ MatView.queries ++
+      DataQuality.queries
 
   private val wordcountOracle =
     """SELECT word, count(*) AS cnt
@@ -36,5 +37,6 @@ object SparkEntry {
   ) ++ Relational.oracles ++ Advanced.oracles ++ TextAnalysis.oracles ++
     Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++
     EventStreams.oracles ++ Sampling.oracles ++ Scale.oracles ++
-    Changelog.oracles ++ Layout.oracles ++ MatView.oracles
+    Changelog.oracles ++ Layout.oracles ++ MatView.oracles ++
+    DataQuality.oracles
 }
