@@ -50,9 +50,15 @@ case class MvDef(
     measures: Seq[String],
     mvRelation: LogicalRelation) {
   private val keySet = groupKeys.map(_.toLowerCase).toSet
+  private val colSet = mvRelation.output.map(_.name.toLowerCase).toSet
   def isKey(n: String): Boolean = keySet.contains(n.toLowerCase)
   def isMeasure(n: String): Boolean =
     measures.exists(_.equalsIgnoreCase(n))
+  /** Does the stored MV carry this column? min_/max_ sidecars are
+    * optional — an incrementally-maintained MV (retract-add) has only
+    * the additive cnt/sum_ columns, and min/max rewrites must then be
+    * refused rather than assumed. */
+  def hasCol(n: String): Boolean = colSet.contains(n.toLowerCase)
   /** Fresh-exprId copy of the MV scan for this rewrite site. */
   def newMvRelation(): LogicalRelation =
     mvRelation.asInstanceOf[MultiInstanceRelation].newInstance()
@@ -82,8 +88,9 @@ object MvCatalog {
       case r: LogicalRelation => r
     }.getOrElse(throw new IllegalStateException(
       s"mv $name: $mvPath did not analyze to a file relation"))
-    val expected = groupKeys ++ Seq("cnt") ++
-      measures.flatMap(m => Seq(s"sum_$m", s"min_$m", s"max_$m"))
+    // required shape: keys + cnt + a sum per measure; min_/max_ columns
+    // are optional and unlock Min/Max rewrites only when present
+    val expected = groupKeys ++ Seq("cnt") ++ measures.map(m => s"sum_$m")
     val have = rel.output.map(_.name.toLowerCase).toSet
     val missing = expected.filterNot(c => have.contains(c.toLowerCase))
     require(missing.isEmpty,
@@ -93,17 +100,19 @@ object MvCatalog {
     d
   }
 
-  /** One-shuffle MV build: keys → (cnt, sum/min/max per measure). Refuses
-    * name collisions between keys and generated measure columns. */
+  /** One-shuffle MV build: keys → (cnt, sum[, min, max] per measure).
+    * Pass `withMinMax = false` for an MV that will be maintained
+    * incrementally (min/max are not retractable). Refuses name
+    * collisions between keys and generated measure columns. */
   def buildMv(base: DataFrame, groupKeys: Seq[String], measures: Seq[String],
-      mvPath: String): Unit = {
+      mvPath: String, withMinMax: Boolean = true): Unit = {
     val generated = Seq("cnt") ++
       measures.flatMap(m => Seq(s"sum_$m", s"min_$m", s"max_$m"))
     val clash = groupKeys.map(_.toLowerCase) intersect generated.map(_.toLowerCase)
     require(clash.isEmpty, s"mv key/measure name collision: ${clash.mkString(",")}")
-    val aggs = count(lit(1)).as("cnt") +: measures.flatMap(m => Seq(
-      sum(col(m)).as(s"sum_$m"), min(col(m)).as(s"min_$m"),
-      max(col(m)).as(s"max_$m")))
+    val aggs = count(lit(1)).as("cnt") +: measures.flatMap(m =>
+      sum(col(m)).as(s"sum_$m") +: (if (withMinMax)
+        Seq(min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")) else Nil))
     base.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
   }
@@ -194,13 +203,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case al @ Alias(ae: AggregateExpression, name)
         if !ae.isDistinct && ae.filter.isEmpty =>
       val rw: Option[AttrMap => Expression] = ae.aggregateFunction match {
-        case Sum(x: AttributeReference, _) if mv.isMeasure(x.name) =>
+        case Sum(x: AttributeReference, _)
+            if mv.isMeasure(x.name) && mv.hasCol(s"sum_${x.name}") =>
           Some(m => castTo(ae.copy(aggregateFunction =
             Sum(m(s"sum_${x.name}"))), ae.dataType))
-        case Min(x: AttributeReference) if mv.isMeasure(x.name) =>
+        case Min(x: AttributeReference)
+            if mv.isMeasure(x.name) && mv.hasCol(s"min_${x.name}") =>
           Some(m => castTo(ae.copy(aggregateFunction =
             Min(m(s"min_${x.name}"))), ae.dataType))
-        case Max(x: AttributeReference) if mv.isMeasure(x.name) =>
+        case Max(x: AttributeReference)
+            if mv.isMeasure(x.name) && mv.hasCol(s"max_${x.name}") =>
           Some(m => castTo(ae.copy(aggregateFunction =
             Max(m(s"max_${x.name}"))), ae.dataType))
         // count(*) / count(1): every child foldable and non-null
