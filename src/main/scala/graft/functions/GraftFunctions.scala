@@ -95,6 +95,12 @@ object GraftFunctions {
     "sign_pack" -> (exprs => SignPack(exprs(0),
       foldableInt("sign_pack", "offset", exprs(1)),
       foldableInt("sign_pack", "width", exprs(2)))),
+    // ams_sketch(col[, depth[, width]]) — mergeable join-size sketch
+    "ams_sketch" -> (exprs => AmsSketchBytes(exprs(0),
+      if (exprs.length > 1) foldableInt("ams_sketch", "depth", exprs(1))
+      else 5,
+      if (exprs.length > 2) foldableInt("ams_sketch", "width", exprs(2))
+      else 1024)),
   )
 
   def register(spark: SparkSession): Unit = {
