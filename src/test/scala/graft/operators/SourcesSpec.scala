@@ -63,6 +63,37 @@ class SourcesSpec extends AnyFunSuite {
     assert(r > 0 && r < all)
   }
 
+  test("schema evolution: mergeSchema unifies old+new batches, old rows read NULL, pushdown survives") {
+    import spark.implicits._
+    val dir = tmp("graft_evolve")
+    // batch 1: original schema (id, v); batch 2 adds a quality column —
+    // the daily-ingest reality of a long-lived 100 TB table
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.9), (4L, "d", 0.2)).toDF("id", "v", "q")
+      .write.mode("append").parquet(dir)
+
+    // without mergeSchema, parquet infers from one footer and may drop q;
+    // with it, the union schema appears and old rows are NULL-extended
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "q", "v"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.9)), (4L, "d", Some(0.2))))
+
+    // filter pushdown must still reach the scan on BOTH column vintages
+    val plan = merged.filter($"id" > 2 && $"q" > 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThan(id,2") && plan.contains("GreaterThan(q,0.5"),
+      s"pushdown lost under mergeSchema:\n$plan")
+    // and a filter on the NEW column simply drops the NULL-extended old
+    // rows (no tri-valued surprises)
+    assert(merged.filter($"q" > 0.5).count() == 1L)
+  }
+
   test("jdbc source/sink round-trips through embedded Derby with pushdown") {
     import spark.implicits._
     // Derby ships in /opt/spark/jars (Spark's Hive-metastore engine), so
