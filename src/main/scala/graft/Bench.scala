@@ -57,7 +57,12 @@ object Bench {
     // rerank, sketch-state streaming quantiles (batch form), and the
     // forward/nearest as-of directions over the native merge
     "cdc_agg_maintain", "ss_knn_hamming", "ev_quantiles",
-    "q40_asof_forward", "q41_asof_nearest")
+    "q40_asof_forward", "q41_asof_nearest",
+    // round 10 fourth wave: MV-rewrite serving (fact aggregate answered
+    // from the keys-level summary; first run pays the one-time MV
+    // build), BM25 retrieval, one-pass data-quality audit, AMS
+    // join-size estimation (sketch passes + the exact join it gates on)
+    "mv_rewrite", "ta_bm25", "dq_audit", "sc_join_estimate")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

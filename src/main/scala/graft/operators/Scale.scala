@@ -310,7 +310,70 @@ object Scale {
       |     SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey)) AS exact_f2,
       |  TRUE AS join_est_ok, TRUE AS f2_est_ok""".stripMargin
 
+  // ---------------------------------------------- join strategy advisor
+  // The pre-flight report a fact⋈fact decision wants, as ONE row of
+  // exact integers + a decision string: per-side row counts, per-side
+  // hottest-key row counts, the skewReport salt recommendation for
+  // each side, and the broadcast/salted/shuffle verdict. Decision rule
+  // (deterministic, mirrored in the DuckDB oracle):
+  //   n_right ≤ broadcastMaxRows → broadcast_right
+  //   else n_left ≤ broadcastMaxRows → broadcast_left
+  //   else either side's salt recommendation > 1 → salted_shuffle
+  //   else shuffle.
+  // The row-count broadcast proxy is the GATE form (byte sizes are not
+  // reproducible in the oracle); production callers can combine this
+  // report with ams_join_estimate/ams_self_join (sc_join_estimate) for
+  // output-size and skew-moment estimates from the same single passes.
+  def adviseJoin(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column,
+      broadcastMaxRows: Long, parallelism: Int): DataFrame = {
+    def side(df: DataFrame, key: Column, tag: String): DataFrame =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as(s"n_$tag"), max(col("cnt")).as(s"top_$tag"))
+    def salts(n: Column, top: Column): Column =
+      least(lit(parallelism.toLong), greatest(lit(1L),
+        expr(s"(${top.toString} * ${parallelism}L + ${n.toString} - 1L) div ${n.toString}")))
+    side(left, leftKey, "left").crossJoin(side(right, rightKey, "right"))
+      .select(col("n_left"), col("n_right"),
+        col("top_left").as("top_left_rows"), col("top_right").as("top_right_rows"),
+        salts(col("n_left"), col("top_left")).as("salts_left"),
+        salts(col("n_right"), col("top_right")).as("salts_right"))
+      .withColumn("decision",
+        when(col("n_right") <= broadcastMaxRows, "broadcast_right")
+          .when(col("n_left") <= broadcastMaxRows, "broadcast_left")
+          .when(greatest(col("salts_left"), col("salts_right")) > 1L,
+            "salted_shuffle")
+          .otherwise("shuffle"))
+  }
+
+  val AdvisorBroadcastMaxRows = 20000L
+
+  def scJoinAdvisor(s: SparkSession, dir: String): DataFrame =
+    adviseJoin(
+      Tables.lineitem(s, dir), col("l_orderkey"),
+      Tables.orders(s, dir), col("o_orderkey"),
+      AdvisorBroadcastMaxRows, parallelism = 32)
+
+  val scJoinAdvisorSql: String =
+    s"""WITH l AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, MAX(cnt) AS top FROM (
+       |    SELECT COUNT(*) AS cnt FROM lineitem GROUP BY l_orderkey)),
+       |r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, MAX(cnt) AS top FROM (
+       |    SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey))
+       |SELECT l.n AS n_left, r.n AS n_right,
+       |  l.top AS top_left_rows, r.top AS top_right_rows,
+       |  LEAST(32, GREATEST(1, (l.top * 32 + l.n - 1) // l.n)) AS salts_left,
+       |  LEAST(32, GREATEST(1, (r.top * 32 + r.n - 1) // r.n)) AS salts_right,
+       |  CASE WHEN r.n <= $AdvisorBroadcastMaxRows THEN 'broadcast_right'
+       |       WHEN l.n <= $AdvisorBroadcastMaxRows THEN 'broadcast_left'
+       |       WHEN GREATEST(
+       |           LEAST(32, GREATEST(1, (l.top * 32 + l.n - 1) // l.n)),
+       |           LEAST(32, GREATEST(1, (r.top * 32 + r.n - 1) // r.n))) > 1
+       |         THEN 'salted_shuffle'
+       |       ELSE 'shuffle' END AS decision
+       |FROM l, r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sc_join_advisor" -> scJoinAdvisor,
     "sc_join_estimate" -> scJoinEstimate,
     "sc_salted_sum" -> scSaltedSum,
     "sc_salted_sum_hicard" -> scSaltedSumHicard,
@@ -320,6 +383,7 @@ object Scale {
   )
 
   val oracles: Map[String, String] = Map(
+    "sc_join_advisor" -> scJoinAdvisorSql,
     "sc_join_estimate" -> scJoinEstimateSql,
     "sc_salted_sum" -> scSaltedSumSql,
     "sc_salted_sum_hicard" -> scSaltedSumHicardSql,
