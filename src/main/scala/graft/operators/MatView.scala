@@ -36,7 +36,14 @@ object MatView {
   def ensureLineitemMv(s: SparkSession, dir: String): String = {
     val path = mvPath(dir)
     val success = new java.io.File(path, "_SUCCESS")
-    if (!success.isFile) {
+    // rebuild when absent OR from an older schema vintage (a stored MV
+    // without the per-measure non-null counts would silently refuse
+    // avg/count(col) rewrites)
+    val stale = success.isFile && {
+      val cols = s.read.parquet(path).columns.map(_.toLowerCase).toSet
+      !measures.forall(m => cols.contains(s"cnt_$m"))
+    }
+    if (!success.isFile || stale) {
       MvCatalog.buildMv(Tables.lineitem(s, dir), keys, measures, path)
     }
     MvCatalog.register(s, "lineitem_by_flag_status",
@@ -45,14 +52,18 @@ object MatView {
     path
   }
 
-  /** Full-key aggregate: answered by the MV rows one-for-one. */
+  /** Full-key aggregate: answered by the MV rows one-for-one. avg rides
+    * sum_x/cnt_x (exact here: integral quantity sums, one division in
+    * both engines); count(col) rides the stored non-null count. */
   def mvRewrite(s: SparkSession, dir: String): DataFrame = {
     ensureLineitemMv(s, dir)
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
         max(col("l_extendedprice")).as("max_price"),
+        count(col("l_extendedprice")).as("cnt_price"),
         count(lit(1)).as("cnt_rows"))
   }
 
@@ -78,7 +89,9 @@ object MatView {
     "mv_rewrite" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
+        |  SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
         |  MAX(l_extendedprice) AS max_price,
+        |  COUNT(l_extendedprice) AS cnt_price,
         |  COUNT(*) AS cnt_rows
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,

@@ -107,11 +107,14 @@ object MvCatalog {
   def buildMv(base: DataFrame, groupKeys: Seq[String], measures: Seq[String],
       mvPath: String, withMinMax: Boolean = true): Unit = {
     val generated = Seq("cnt") ++
-      measures.flatMap(m => Seq(s"sum_$m", s"min_$m", s"max_$m"))
+      measures.flatMap(m => Seq(s"sum_$m", s"cnt_$m", s"min_$m", s"max_$m"))
     val clash = groupKeys.map(_.toLowerCase) intersect generated.map(_.toLowerCase)
     require(clash.isEmpty, s"mv key/measure name collision: ${clash.mkString(",")}")
     val aggs = count(lit(1)).as("cnt") +: measures.flatMap(m =>
-      sum(col(m)).as(s"sum_$m") +: (if (withMinMax)
+      Seq(sum(col(m)).as(s"sum_$m"),
+        // non-null count per measure: the denominator avg()/count(col)
+        // need; additive, so retract-add maintenance can carry it too
+        count(col(m)).as(s"cnt_$m")) ++ (if (withMinMax)
         Seq(min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")) else Nil))
     base.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
@@ -172,13 +175,20 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val remappedFilters = filters.map(_.transform {
       case a: AttributeReference => mvAttr(a.name)
     })
-    val filtered: LogicalPlan =
-      if (remappedFilters.isEmpty) mvRel
-      else Filter(remappedFilters.reduce(And), mvRel)
     val newGroupings = agg.groupingExpressions.map {
       case a: AttributeReference => mvAttr(a.name)
     }
     val newAggExprs = rewritten.map(_(mvAttr))
+    // prune the MV scan explicitly: this subtree is born AFTER the main
+    // optimizer's column-pruning batch, so without a Project the file
+    // scan would read every MV column
+    val needed = AttributeSet(
+      newAggExprs.flatMap(_.references) ++ newGroupings ++
+        remappedFilters.flatMap(_.references))
+    val pruned = Project(mvRel.output.filter(needed.contains), mvRel)
+    val filtered: LogicalPlan =
+      if (remappedFilters.isEmpty) pruned
+      else Filter(remappedFilters.reduce(And), pruned)
     Aggregate(newGroupings, newAggExprs, filtered)
   }
 
@@ -220,6 +230,33 @@ object MvRewriteRule extends Rule[LogicalPlan] {
             c.children.forall(e => e.foldable && e.eval(null) != null) =>
           Some(m => Coalesce(Seq(
             ae.copy(aggregateFunction = Sum(m("cnt"))), Literal(0L))))
+        // count(col): the stored per-measure NON-null count
+        case Count(Seq(x: AttributeReference))
+            if mv.isMeasure(x.name) && mv.hasCol(s"cnt_${x.name}") =>
+          Some(m => Coalesce(Seq(
+            ae.copy(aggregateFunction = Sum(m(s"cnt_${x.name}"))),
+            Literal(0L))))
+        // avg(col) = sum(sum_x) / sum(cnt_x) — the non-null denominator;
+        // needs BOTH stored columns and a double result (decimal avg
+        // widens differently and is refused). Two fresh
+        // AggregateExpressions (fresh resultIds) inside one result
+        // expression; null semantics carry: empty/all-null group →
+        // sum null → division null, exactly avg()'s contract.
+        case Average(x: AttributeReference, _)
+            if mv.isMeasure(x.name) && mv.hasCol(s"sum_${x.name}") &&
+              mv.hasCol(s"cnt_${x.name}") &&
+              ae.dataType == org.apache.spark.sql.types.DoubleType =>
+          Some { m =>
+            val sumAgg = AggregateExpression(Sum(m(s"sum_${x.name}")),
+              org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+              isDistinct = false)
+            val cntAgg = AggregateExpression(Sum(m(s"cnt_${x.name}")),
+              org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
+              isDistinct = false)
+            Divide(
+              Cast(sumAgg, org.apache.spark.sql.types.DoubleType),
+              Cast(cntAgg, org.apache.spark.sql.types.DoubleType))
+          }
         case _ => None
       }
       rw.map(f => (m: AttrMap) => Alias(f(m), name)(exprId = al.exprId))

@@ -106,6 +106,11 @@ class MvMaintainServeSpec extends AnyFunSuite {
     val paths = scanPaths(q)
     assert(paths.exists(_.contains("base_v1")) && !paths.exists(_.contains("mv_v1")),
       s"sums-only MV must not serve min(): $paths")
+    // avg needs the per-measure non-null count this MV also lacks
+    val qa = spark.read.parquet(base1).groupBy("k")
+      .agg(avg(col("amount")).as("a"))
+    assert(scanPaths(qa).exists(_.contains("base_v1")) &&
+      !scanPaths(qa).exists(_.contains("mv_v1")))
     // but a sum/count-only query on the same registration is served
     assert(scanPaths(baseQuery(base1)).forall(_.contains("mv_v1")))
   }

@@ -30,7 +30,9 @@ class MvRewriteSpec extends AnyFunSuite {
     val base = Tables.lineitem(spark, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
         max(col("l_extendedprice")).as("max_price"),
+        count(col("l_extendedprice")).as("cnt_price"),
         count(lit(1)).as("cnt_rows"))
     assert(scanPaths(base).exists(_.contains("lineitem.parquet")))
     val want = sortedRows(base)
@@ -40,6 +42,11 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(paths.nonEmpty && paths.forall(_.contains("graft_mv")),
       s"expected an MV-only scan, got $paths")
     assert(sortedRows(rewritten) == want)
+    // the rewrite is born after the optimizer's pruning batch, so it must
+    // prune the MV scan itself: unused sidecar columns stay unread
+    val exec = rewritten.queryExecution.executedPlan.toString
+    assert(!exec.contains("min_l_quantity") && !exec.contains("sum_l_extendedprice"),
+      s"MV scan reads unused columns:\n$exec")
   }
 
   test("subset-key rollup with key filter re-aggregates the MV") {
@@ -65,11 +72,11 @@ class MvRewriteSpec extends AnyFunSuite {
       // filter on a MEASURE changes which rows aggregate — MV can't answer
       "measure filter" -> li.filter(col("l_quantity") > 10)
         .groupBy("l_returnflag").agg(sum("l_quantity").as("s")),
-      // avg is not rewritten (only sum/min/max/count(*))
-      "avg" -> li.groupBy("l_returnflag").agg(avg("l_quantity").as("a")),
-      // count(col) differs from count(*) under NULLs — not rewritten
-      "count(col)" -> li.groupBy("l_returnflag")
-        .agg(count(col("l_quantity")).as("c")),
+      // avg/count of a NON-measure column
+      "avg non-measure" -> li.groupBy("l_returnflag")
+        .agg(avg("l_discount").as("a")),
+      "count non-measure" -> li.groupBy("l_returnflag")
+        .agg(count(col("l_discount")).as("c")),
       // distinct aggregate
       "sum(distinct)" -> li.groupBy("l_returnflag")
         .agg(sum_distinct(col("l_quantity")).as("sd")),
@@ -87,6 +94,27 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(!paths.exists(_.contains("graft_mv")),
         s"$label: unexpected MV scan")
     }
+  }
+
+  test("avg with planted NULLs uses the non-null denominator") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_nulls").toString
+    val basePath = s"$root/base"; val mvP = s"$root/mv"
+    Seq(("a", Some(10.0)), ("a", None), ("a", Some(20.0)), ("b", None))
+      .toDF("k", "x").write.parquet(basePath)
+    MvCatalog.buildMv(spark.read.parquet(basePath), Seq("k"), Seq("x"), mvP)
+    MvCatalog.register(spark, "nulls", basePath, Seq("k"), Seq("x"), mvP)
+    MvRewriteApi.enable(spark)
+    val df = spark.read.parquet(basePath).groupBy("k")
+      .agg(avg(col("x")).as("a"), count(col("x")).as("c"),
+        count(lit(1)).as("n"))
+    assert(scanPaths(df).forall(_.contains("/mv")))
+    val got = df.collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), r.getLong(2), r.getLong(3))))
+      .toMap
+    // avg ignores NULLs: 15.0 over 2 non-null of 3 rows; all-NULL -> null avg
+    assert(got("a") == ((Some(15.0), 2L, 3L)))
+    assert(got("b") == ((None, 0L, 1L)))
   }
 
   test("global count(*) over an empty key-filter returns 0 via the MV") {
