@@ -136,4 +136,75 @@ class StreamingChangelogSpec extends AnyFunSuite {
       .as[(Long, Long, Option[Long], Double)].collect().toSet
     assert(stored == ref)
   }
+
+  test("streamed MV maintenance SERVES the rewrite after every batch") {
+    import spark.implicits._
+    import graft.plans.{MvCatalog, MvRewriteApi}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // state rows carry the band as a STORED column so queries can group
+    // by an attribute the rewrite recognizes; MV naming follows the
+    // sums-only register contract (cnt + sum_payload)
+    def stateAgg(state: org.apache.spark.sql.DataFrame) =
+      state.groupBy("band").agg(count(lit(1)).as("cnt"),
+        sum(col("payload").cast("decimal(12,2)")).as("sum_payload"))
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+    val hist = (1L to 240L).map(i =>
+      (i % 20, i, if (i % 13 == 0) "d" else "u", i * 1.5, (i % 20) / 5))
+    val root = java.nio.file.Files.createTempDirectory("mv_serve_loop")
+    var snapDir: Option[String] = None
+    var mvDir: Option[String] = None
+    val input = MemoryStream[(Long, Long, String, Double, Long)](spark)
+    val q = input.toDF().toDF("k", "v", "op", "payload", "band").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val snapshot = snapDir match {
+          case Some(d) => spark.read.parquet(d).withColumn("op", lit("u"))
+          case None => batch.limit(0)
+        }
+        val mv = mvDir match {
+          case Some(d) => spark.read.parquet(d)
+          case None => stateAgg(snapshot)
+        }
+        val nextMv = Changelog.aggMaintain(mv, snapshot, batch, Seq("k"),
+          Seq(col("v")), col("op") === "d", Seq("v", "payload", "band"),
+          stateAgg, Seq("band"), "cnt")
+        val nextSnap = Changelog.applyChangelog(snapshot, batch, Seq("k"),
+          Seq(col("v")), col("op") === "d", Seq("v", "payload", "band"))
+        val (mvOut, snapOut) =
+          (root.resolve(s"summary_$id").toString, root.resolve(s"snap_$id").toString)
+        nextMv.write.mode("overwrite").parquet(mvOut)
+        nextSnap.write.mode("overwrite").parquet(snapOut)
+        mvDir = Some(mvOut); snapDir = Some(snapOut)
+        // publish: the freshly maintained MV now serves the new snapshot
+        MvCatalog.register(spark, "bands", snapOut, Seq("band"),
+          Seq("payload"), mvOut)
+        MvRewriteApi.enable(spark)
+      }
+      .start()
+    try {
+      var batchNo = 0
+      hist.grouped(80).foreach { slice =>
+        input.addData(slice); q.processAllAvailable()
+        batchNo += 1
+        // mid-stream query against the CURRENT snapshot: answered from
+        // the maintained MV, equal to the direct computation
+        val serveQ = () => spark.read.parquet(snapDir.get).groupBy("band")
+          .agg(sum(col("payload")).as("s"), count(lit(1)).as("c"))
+        MvCatalog.clear()
+        val want = serveQ().collect().map(_.toString).sorted.toSeq
+        MvCatalog.register(spark, "bands", snapDir.get, Seq("band"),
+          Seq("payload"), mvDir.get)
+        val served = serveQ()
+        assert(scanPaths(served).forall(_.contains("summary_")),
+          s"batch $batchNo not served from the MV: ${scanPaths(served)}")
+        assert(served.collect().map(_.toString).sorted.toSeq == want,
+          s"batch $batchNo served values diverge")
+      }
+    } finally q.stop()
+  }
 }
