@@ -62,7 +62,10 @@ object Bench {
     // from the keys-level summary; first run pays the one-time MV
     // build), BM25 retrieval, one-pass data-quality audit, AMS
     // join-size estimation (sketch passes + the exact join it gates on)
-    "mv_rewrite", "ta_bm25", "dq_audit", "sc_join_estimate")
+    "mv_rewrite", "ta_bm25", "dq_audit", "sc_join_estimate",
+    // round 10 fifth wave: copy-on-write MERGE INTO (per-run table
+    // init + file-pruned merge + full table read-back)
+    "lh_merge")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

@@ -1,0 +1,244 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Copy-on-write table with manifest-pinned snapshot versions and a
+  * MERGE INTO that rewrites ONLY the files containing touched keys —
+  * the lakehouse primitive (Delta/Iceberg's core idea, built here from
+  * plain parquet + a text manifest, no table-format dependency).
+  *
+  * Layout:
+  * {{{
+  *   <table>/data/v<N>/part-*.parquet   -- files written by version N
+  *   <table>/manifest/v<N>.manifest     -- header, then one file path/line
+  * }}}
+  * A version's manifest lists the files that make up that snapshot —
+  * typically a mix of files written by older versions (untouched by
+  * later merges) and the current version's rewrites. Readers resolve
+  * the highest complete manifest; old manifests stay readable (time
+  * travel), and replaced data files are never deleted by a merge.
+  *
+  * Commit protocol (optimistic concurrency): the committer atomically
+  * CREATES `v<N>.manifest` (create-exclusive — the loser of a race gets
+  * FileAlreadyExistsException and must retry on the new version), then
+  * writes the content through a temp file + atomic rename. A reader that
+  * lands in the tiny window between create and rename sees an empty
+  * manifest and falls back to the previous version ([[latestManifest]]
+  * skips unparseable/empty manifests).
+  *
+  * MERGE INTO semantics (update-all flavor): source rows REPLACE
+  * matched target rows' non-key columns; a matched source row with
+  * `deleteCond` true deletes the target row; unmatched source rows are
+  * inserted when `insert = true`. Source keys must be unique — multiple
+  * matches for one target row are refused (the SQL MERGE error).
+  *
+  * 100 TB shape: touched-file discovery is ONE scan of the target with
+  * the (broadcast, delta-sized) source key set semi-joined against
+  * `input_file_name()` — on a table laid out by key (range partition,
+  * Z-order, or compaction by key), a delta that touches few key ranges
+  * rewrites few files while every other file is carried by reference
+  * into the new manifest, never read or rewritten. The merge join runs
+  * only over the touched files' rows ∪ source.
+  */
+object CowTable {
+
+  private val Header = "graft-cow-manifest-v1"
+
+  case class Manifest(version: Int, files: Seq[String])
+
+  private def manifestDir(table: String): Path = Paths.get(table, "manifest")
+  private def manifestPath(table: String, v: Int): Path =
+    manifestDir(table).resolve(s"v$v.manifest")
+
+  /** `input_file_name()` yields a URI; manifests store filesystem paths. */
+  private def normalize(p: String): String = {
+    val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
+    java.net.URLDecoder.decode(noScheme, "UTF-8").replaceAll("/+", "/")
+  }
+
+  private def parseManifest(path: Path, v: Int): Option[Manifest] = {
+    if (!Files.isRegularFile(path)) return None
+    val lines = scala.io.Source.fromFile(path.toFile, "UTF-8")
+    try {
+      val all = lines.getLines().toList
+      all match {
+        case Header :: rest if rest.nonEmpty => Some(Manifest(v, rest))
+        case _ => None // empty or half-written: fall back to older version
+      }
+    } finally lines.close()
+  }
+
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    } finally s.close()
+  }
+
+  def latestManifest(table: String): Option[Manifest] = {
+    val dir = manifestDir(table)
+    if (!Files.isDirectory(dir)) return None
+    listDir(dir).map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted(Ordering[Int].reverse).iterator
+      .flatMap(v => parseManifest(manifestPath(table, v), v))
+      .nextOption()
+  }
+
+  def readManifest(table: String, version: Int): Manifest =
+    parseManifest(manifestPath(table, version), version).getOrElse(
+      throw new IllegalArgumentException(
+        s"cow table $table has no complete manifest v$version"))
+
+  /** Create-exclusive claim on the version, then tmp-write + atomic
+    * rename. Throws FileAlreadyExistsException when racing a committer
+    * that claimed the same version first. */
+  def commit(table: String, version: Int, files: Seq[String]): Manifest = {
+    require(files.nonEmpty, s"cow commit v$version with no files")
+    val dir = manifestDir(table)
+    Files.createDirectories(dir)
+    val target = manifestPath(table, version)
+    Files.createFile(target) // atomic claim; loser throws here
+    val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, (Header +: files).mkString("\n").getBytes("UTF-8"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    Manifest(version, files)
+  }
+
+  /** Write `df` as version `v`'s data files and return their paths. */
+  private def writeData(df: DataFrame, table: String, v: Int): Seq[String] = {
+    val out = Paths.get(table, "data", s"v$v")
+    df.write.mode("overwrite").parquet(out.toString)
+    listDir(out).map(_.toAbsolutePath.toString)
+      .filter { p =>
+        val n = Paths.get(p).getFileName.toString
+        n.startsWith("part-") && n.endsWith(".parquet")
+      }.sorted
+  }
+
+  /** Initialize the table at version 0 with `df`'s rows. */
+  def init(df: DataFrame, table: String): Manifest =
+    commit(table, 0, writeData(df, table, 0))
+
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    spark.read.parquet(m.files: _*)
+  }
+
+  def readVersion(spark: SparkSession, table: String, v: Int): DataFrame =
+    spark.read.parquet(readManifest(table, v).files: _*)
+
+  /** MERGE `source` into the table's latest snapshot on `keys`. Returns
+    * the committed manifest. See the object doc for semantics. */
+  def mergeInto(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], deleteCond: Option[Column] = None,
+      insert: Boolean = true): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    // unique-source-keys contract (multiple matches = SQL MERGE error);
+    // source is delta-sized so the check is one small aggregate
+    val uniq = source.agg(count(lit(1)).as("n"),
+      count_distinct(col(keys.head), keys.tail.map(col): _*).as("d")).head()
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"mergeInto: source has ${uniq.getLong(0) - uniq.getLong(1)} duplicate keys")
+
+    val target = spark.read.parquet(m.files: _*)
+    require(keys.forall(target.columns.contains) &&
+      keys.forall(source.columns.contains), s"merge keys $keys missing")
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
+    require(dataCols.forall(source.columns.contains),
+      "mergeInto: source must carry every target column (update-all form)")
+
+    // 1. touched-file discovery: one target scan, broadcast key set
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val touched = target.withColumn("__file", input_file_name())
+      .join(broadcast(srcKeys), keys, "left_semi")
+      .select("__file").distinct()
+      .collect().map(r => normalize(r.getString(0))).toSet
+    val (touchedFiles, untouchedFiles) =
+      m.files.partition(f => touched.contains(normalize(f)))
+
+    // 2. merge only touched rows with the source
+    val touchedRows =
+      if (touchedFiles.isEmpty) target.limit(0)
+      else spark.read.parquet(touchedFiles: _*)
+    val srcTagged = source
+      .withColumn("__del", deleteCond.getOrElse(lit(false)))
+      .withColumn("__src", lit(1))
+      .select(keys.map(col) ++ dataCols.map(col) :+ col("__del") :+
+        col("__src"): _*)
+    val tgtTagged = touchedRows.withColumn("__tgt", lit(1))
+    val joined = tgtTagged.as("t")
+      .join(srcTagged.as("s"), keys, "full_outer")
+    val matchedDelete = col("__src").isNotNull && col("__tgt").isNotNull &&
+      col("__del")
+    val insertOnly = col("__tgt").isNull
+    val kept = joined
+      .filter(!coalesce(matchedDelete, lit(false)))
+      .filter(if (insert) lit(true) else !insertOnly)
+    val merged = kept.select(
+      keys.map(col) ++ dataCols.map(c =>
+        when(col("__src").isNotNull, col(s"s.$c"))
+          .otherwise(col(s"t.$c")).as(c)): _*)
+
+    // 3. new snapshot = carried untouched files + this version's rewrites
+    val v = m.version + 1
+    val newFiles =
+      if (merged.isEmpty) Nil else writeData(merged, table, v)
+    commit(table, v, untouchedFiles ++ newFiles)
+  }
+
+  // ------------------------------------------------------------- gate
+  // Merge a doubled-price even-orderkey slice into a snapshot of the
+  // odd-ish orders (keys % 4 != 0): exercises update (matched, status
+  // not F), delete (matched source rows with status F), insert (keys
+  // % 4 == 0 absent from the target), and untouched carry (odd keys
+  // never in the source). The gate reads the final table content —
+  // oracle is the same MERGE expressed as anti-join/join/anti-join
+  // UNION ALL in DuckDB. Fresh table per invocation (UUID dir) so
+  // repeated verifies never double-merge.
+  def lhMerge(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    init(orders.filter(pmod(col("o_orderkey"), lit(4)) =!= 0), table)
+    val source = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    mergeInto(s, table, source, Seq("o_orderkey"),
+      deleteCond = Some(col("o_orderstatus") === "F"), insert = true)
+    read(s, table)
+  }
+
+  val lhMergeSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
+      |source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT * FROM target
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      |UNION ALL
+      |SELECT s.* FROM source s JOIN target t USING (o_orderkey)
+      |WHERE s.o_orderstatus <> 'F'
+      |UNION ALL
+      |SELECT s.* FROM source s
+      |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lh_merge" -> lhMerge,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lh_merge" -> lhMergeSql,
+  )
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class CowTableSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_cow_spec").resolve("t").toString
+
+  private def rows(table: String): Set[(Long, String, Double)] =
+    CowTable.read(spark, table).select("id", "name", "v")
+      .as[(Long, String, Double)].collect().toSet
+
+  // target laid out by key range so file pruning is observable: four
+  // files with disjoint id ranges [0..24], [25..49], [50..74], [75..99]
+  private def initRanged(table: String): Unit = {
+    val df = (0L until 100L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "v")
+      .withColumn("bucket", (col("id") / 25).cast("int"))
+      .repartition(4, col("bucket")).drop("bucket")
+    CowTable.init(df, table)
+  }
+
+  test("init + read round-trips and records manifest v0") {
+    val t = freshTable()
+    initRanged(t)
+    assert(CowTable.latestManifest(t).get.version == 0)
+    assert(rows(t).size == 100)
+    assert(rows(t).contains((7L, "n7", 7.0)))
+  }
+
+  test("merge applies update, delete, and insert in one commit") {
+    val t = freshTable()
+    initRanged(t)
+    val source = Seq(
+      (10L, "updated", -1.0, false), // update
+      (11L, "gone", 0.0, true),      // delete
+      (200L, "new", 42.0, false),    // insert
+    ).toDF("id", "name", "v", "kill")
+    CowTable.mergeInto(spark, t, source,
+      Seq("id"), deleteCond = Some(col("kill")), insert = true)
+    val got = rows(t)
+    assert(got.size == 100) // 100 - 1 delete + 1 insert
+    assert(got.contains((10L, "updated", -1.0)))
+    assert(!got.exists(_._1 == 11L))
+    assert(got.contains((200L, "new", 42.0)))
+    assert(got.contains((99L, "n99", 99.0))) // untouched row carried
+    assert(CowTable.latestManifest(t).get.version == 1)
+  }
+
+  test("copy-on-write: files without touched keys are carried by reference, never rewritten") {
+    val t = freshTable()
+    initRanged(t)
+    val m0 = CowTable.latestManifest(t).get
+    val mtimes0 = m0.files.map(f => f -> Files.getLastModifiedTime(Paths.get(f))).toMap
+    // touch only ids 0 and 3 — a single 25-key range, so ≥ half the
+    // files (in practice 3 of 4) must carry over untouched
+    val source = Seq((0L, "u0", 0.5), (3L, "u3", 3.5)).toDF("id", "name", "v")
+    Thread.sleep(20)
+    val m1 = CowTable.mergeInto(spark, t, source, Seq("id"))
+    val carried = m1.files.toSet intersect m0.files.toSet
+    assert(carried.nonEmpty, "expected untouched files carried by reference")
+    // every carried file is bit-untouched (same mtime)
+    carried.foreach { f =>
+      assert(Files.getLastModifiedTime(Paths.get(f)) == mtimes0(f),
+        s"carried file was rewritten: $f")
+    }
+    // at most one original file was rewritten (the one holding 0..24)
+    assert((m0.files.toSet -- carried).size <= 1,
+      s"too many files rewritten: ${m0.files.toSet -- carried}")
+    // content correct
+    val got = rows(t)
+    assert(got.contains((0L, "u0", 0.5)) && got.contains((3L, "u3", 3.5)))
+    assert(got.contains((50L, "n50", 50.0)))
+    assert(got.size == 100)
+  }
+
+  test("time travel: old versions stay readable after merges") {
+    val t = freshTable()
+    initRanged(t)
+    CowTable.mergeInto(spark, t,
+      Seq((5L, "v1", 5.5)).toDF("id", "name", "v"), Seq("id"))
+    CowTable.mergeInto(spark, t,
+      Seq((5L, "v2", 5.9)).toDF("id", "name", "v"), Seq("id"))
+    def at(v: Int) = CowTable.readVersion(spark, t, v)
+      .filter($"id" === 5L).select("name").as[String].head()
+    assert(at(0) == "n5" && at(1) == "v1" && at(2) == "v2")
+    assert(CowTable.latestManifest(t).get.version == 2)
+  }
+
+  test("duplicate source keys are refused") {
+    val t = freshTable()
+    initRanged(t)
+    val dup = Seq((1L, "a", 1.0), (1L, "b", 2.0)).toDF("id", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      CowTable.mergeInto(spark, t, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("insert=false drops unmatched source rows") {
+    val t = freshTable()
+    initRanged(t)
+    CowTable.mergeInto(spark, t,
+      Seq((1L, "u", 1.5), (500L, "ghost", 0.0)).toDF("id", "name", "v"),
+      Seq("id"), insert = false)
+    val got = rows(t)
+    assert(got.contains((1L, "u", 1.5)) && !got.exists(_._1 == 500L))
+    assert(got.size == 100)
+  }
+
+  test("commit race: the second claimant of a version fails loudly") {
+    val t = freshTable()
+    initRanged(t)
+    val m = CowTable.latestManifest(t).get
+    CowTable.commit(t, m.version + 1, m.files) // first claim wins
+    val e = intercept[java.nio.file.FileAlreadyExistsException] {
+      CowTable.commit(t, m.version + 1, m.files)
+    }
+    assert(e != null)
+    // a half-written (claimed but empty) newer manifest is skipped by readers
+    Files.createFile(Paths.get(t, "manifest", s"v${m.version + 2}.manifest"))
+    assert(CowTable.latestManifest(t).get.version == m.version + 1)
+  }
+}
