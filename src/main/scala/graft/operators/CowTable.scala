@@ -115,15 +115,18 @@ object CowTable {
     Manifest(version, files)
   }
 
-  /** Write `df` as version `v`'s data files and return their paths. */
-  private def writeData(df: DataFrame, table: String, v: Int): Seq[String] = {
-    val out = Paths.get(table, "data", s"v$v")
-    df.write.mode("overwrite").parquet(out.toString)
+  private def listPartFiles(out: Path): Seq[String] =
     listDir(out).map(_.toAbsolutePath.toString)
       .filter { p =>
         val n = Paths.get(p).getFileName.toString
         n.startsWith("part-") && n.endsWith(".parquet")
       }.sorted
+
+  /** Write `df` as version `v`'s data files and return their paths. */
+  private def writeData(df: DataFrame, table: String, v: Int): Seq[String] = {
+    val out = Paths.get(table, "data", s"v$v")
+    df.write.mode("overwrite").parquet(out.toString)
+    listPartFiles(out)
   }
 
   /** Initialize the table at version 0 with `df`'s rows. */
@@ -197,6 +200,65 @@ object CowTable {
     val newFiles =
       if (merged.isEmpty) Nil else writeData(merged, table, v)
     commit(table, v, untouchedFiles ++ newFiles)
+  }
+
+  /** Compact the latest snapshot's small files into ~targetBytes files
+    * as a NEW table version: right-sized files are carried by reference
+    * (the metadata-only move [[Layout.compactSmallFiles]] documents),
+    * only the small tail is read and rewritten. No-op (returns the
+    * current manifest) when ≤1 small file exists. */
+  def compactTable(spark: SparkSession, table: String, targetBytes: Long,
+      smallThreshold: Option[Long] = None): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    val small = smallThreshold.getOrElse(targetBytes / 2)
+    val sized = m.files.map(f => (f, Files.size(Paths.get(f))))
+    val (keep, smalls) = sized.partition(_._2 >= small)
+    if (smalls.size <= 1) return m
+    val smallBytes = smalls.map(_._2).sum
+    val plan = Layout.CompactionPlan(smalls, keep,
+      math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt),
+      smallBytes)
+    val v = m.version + 1
+    val out = Paths.get(table, "data", s"v$v")
+    Layout.compactSmallFiles(spark, plan, out.toString)
+    commit(table, v, keep.map(_._1) ++ listPartFiles(out))
+  }
+
+  /** Delete data files and manifests unreachable from the newest
+    * `keepVersions` complete snapshots; returns the deleted data files.
+    * Time travel to vacuumed versions is gone by design. Claimed-but-
+    * unwritten manifests NEWER than the latest complete one are left
+    * alone (an in-flight commit owns them). */
+  def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, s"vacuum must keep >= 1 version")
+    val dir = manifestDir(table)
+    if (!Files.isDirectory(dir)) return Nil
+    val versions = listDir(dir).map(_.getFileName.toString)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+      .sorted(Ordering[Int].reverse)
+    val complete = versions.flatMap(v => parseManifest(manifestPath(table, v), v))
+    val kept = complete.take(keepVersions)
+    if (kept.isEmpty) return Nil
+    val live = kept.flatMap(_.files).map(normalize).toSet
+    val oldestKept = kept.map(_.version).min
+    val dataRoot = Paths.get(table, "data")
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    if (Files.isDirectory(dataRoot)) {
+      listDir(dataRoot).filter(Files.isDirectory(_)).foreach { vdir =>
+        listPartFiles(vdir).foreach { f =>
+          if (!live.contains(normalize(f))) {
+            Files.deleteIfExists(Paths.get(f))
+            deleted += f
+          }
+        }
+      }
+    }
+    versions.filter(_ < oldestKept).foreach { v =>
+      Files.deleteIfExists(manifestPath(table, v))
+    }
+    deleted.toSeq
   }
 
   // ------------------------------------------------------------- gate

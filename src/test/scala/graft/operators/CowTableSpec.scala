@@ -115,6 +115,56 @@ class CowTableSpec extends AnyFunSuite {
     assert(got.size == 100)
   }
 
+  test("compactTable rewrites only the small tail into a new version") {
+    val t = freshTable()
+    initRanged(t)
+    // three merges leave three one-file versions of small deltas plus
+    // the carried originals — a small-file tail
+    (0 until 3).foreach { i =>
+      CowTable.mergeInto(spark, t,
+        Seq((i.toLong, s"m$i", i * 0.1)).toDF("id", "name", "v"), Seq("id"))
+    }
+    val before = CowTable.latestManifest(t).get
+    val sizes = before.files.map(f => Files.size(Paths.get(f)))
+    val target = sizes.max * 10 // everything is "small" except nothing; pick
+    val big = sizes.max         // threshold: keep only the largest file(s)
+    val m = CowTable.compactTable(spark, t, targetBytes = target,
+      smallThreshold = Some(big))
+    assert(m.version == before.version + 1)
+    // kept files carried by reference, small ones replaced by fewer files
+    val keptBefore = before.files.filter(f => Files.size(Paths.get(f)) >= big)
+    assert(keptBefore.forall(m.files.contains))
+    assert(m.files.size < before.files.size)
+    // content identical
+    assert(rows(t) == CowTable.readVersion(spark, t, before.version)
+      .select("id", "name", "v").as[(Long, String, Double)].collect().toSet)
+  }
+
+  test("vacuum deletes only files unreachable from the kept versions") {
+    val t = freshTable()
+    initRanged(t)
+    CowTable.mergeInto(spark, t,
+      Seq((1L, "u1", 1.1)).toDF("id", "name", "v"), Seq("id"))
+    CowTable.mergeInto(spark, t,
+      Seq((1L, "u2", 1.2)).toDF("id", "name", "v"), Seq("id"))
+    val keep2 = CowTable.readManifest(t, 1).files.toSet ++
+      CowTable.readManifest(t, 2).files.toSet
+    val deleted = CowTable.vacuum(t, keepVersions = 2)
+    // versions 1..2 stay fully readable; version 0 is gone
+    assert(CowTable.readVersion(spark, t, 2).count() == 100)
+    assert(CowTable.readVersion(spark, t, 1).count() == 100)
+    intercept[IllegalArgumentException] { CowTable.readManifest(t, 0) }
+    // nothing live was deleted, and every deleted file existed in v0 only
+    assert(deleted.nonEmpty)
+    deleted.foreach { f =>
+      assert(!keep2.contains(f), s"vacuum deleted a live file: $f")
+      assert(!Files.exists(Paths.get(f)))
+    }
+    keep2.foreach(f => assert(Files.exists(Paths.get(f))))
+    // current content unaffected
+    assert(rows(t).contains((1L, "u2", 1.2)))
+  }
+
   test("commit race: the second claimant of a version fails loudly") {
     val t = freshTable()
     initRanged(t)

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Changelog, CowTable}
+
+/** CDC → lakehouse ingestion: each micro-batch of changelog rows is
+  * compacted to latest-wins-per-key and MERGEd into the copy-on-write
+  * table (upserts replace, tombstones delete, new keys insert) — the
+  * Delta-style `foreachBatch MERGE INTO` loop. The table's final
+  * content must equal the full-history batch compaction exactly, and
+  * every batch commits one table version with untouched files carried
+  * by reference. */
+class StreamingCowMergeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("foreachBatch MERGE loop converges to the full-history compaction") {
+    import spark.implicits._
+    val history = (1L to 300L).map(i =>
+      (i % 20, i, if (i % 13 == 0) "d" else "u", i * 1.5))
+    val table = java.nio.file.Files
+      .createTempDirectory("cow_stream").resolve("t").toString
+    val input = MemoryStream[(Long, Long, String, Double)](spark)
+    val q = input.toDF().toDF("k", "v", "op", "payload").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // latest-wins within the batch (merge requires unique source keys)
+        val latest = batch
+          .withColumn("__r", row_number().over(
+            Window.partitionBy("k").orderBy(col("v").desc)))
+          .filter(col("__r") === 1).drop("__r")
+        if (CowTable.latestManifest(table).isEmpty) {
+          // bootstrap: first batch's live rows become version 0
+          CowTable.init(latest.filter(col("op") =!= "d").drop("op"), table)
+        } else {
+          CowTable.mergeInto(spark, table, latest,
+            Seq("k"), deleteCond = Some(col("op") === "d"), insert = true)
+        }
+        () // foreachBatch wants Unit
+      }
+      .start()
+    try {
+      history.grouped(60).foreach { slice =>
+        input.addData(slice); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val stored = CowTable.read(spark, table)
+      .select($"k", $"v", $"payload").as[(Long, Long, Double)].collect().toSet
+    val ref = Changelog.compact(history.toDF("k", "v", "op", "payload"),
+      Seq("k"), Seq(col("v")), col("op") === "d", Seq("v", "payload"))
+      .select($"k", $"v", $"payload").as[(Long, Long, Double)].collect().toSet
+    assert(stored == ref && stored.nonEmpty)
+    // one version per batch: bootstrap + four merges
+    assert(CowTable.latestManifest(table).get.version == 4)
+  }
+}
