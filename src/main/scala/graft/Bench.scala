@@ -65,7 +65,11 @@ object Bench {
     "mv_rewrite", "ta_bm25", "dq_audit", "sc_join_estimate",
     // round 10 fifth wave: copy-on-write MERGE INTO (per-run table
     // init + file-pruned merge + full table read-back)
-    "lh_merge")
+    "lh_merge",
+    // round 10 sixth wave: TPC-H-derived snowflake joins (q5: 6-table /
+    // q8: 8-table broadcast pipeline), left-outer histogram (q13),
+    // having-pushdown large-volume join (q18)
+    "tpch_q5", "tpch_q8", "tpch_q13", "tpch_q18")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

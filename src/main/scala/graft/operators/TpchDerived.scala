@@ -1,0 +1,313 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** TPC-H-derived multi-join suite (public benchmark queries, adapted to
+  * the driver schema: no partsupp table; lineitem lacks
+  * commitdate/receiptdate/shipmode, orders lacks shippriority, customer
+  * lacks phone — queries needing those are either adapted, with the
+  * adaptation noted, or omitted). Everything is DataFrame-API (one
+  * `spark.sql` surface already exists via q36's TVF), with the q1
+  * float discipline throughout: revenue terms are cast to
+  * DECIMAL(12,2) per factor BEFORE multiplying/summing in BOTH engines,
+  * so sums are exact under any partitioning and the DuckDB hash
+  * comparison is stable; ratios divide two exact decimals cast to
+  * double (one fp op, identical in both engines).
+  *
+  * Plan shapes worth noting at 100 TB: q5/q7/q8 are the classic
+  * snowflake joins — small dims (nation/region/supplier/customer at
+  * gate SF) broadcast onto the lineitem⋈orders backbone, which shuffles
+  * once on orderkey; q13 is the left-outer fact join + double
+  * aggregation; q18 reuses the lineitem orderkey aggregate as a
+  * semi-join filter before the wide join (having-pushdown by hand).
+  */
+object TpchDerived {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(12,2)")
+  /** Exact decimal revenue term: extprice · (1 − discount). */
+  private def revTerm: Column =
+    dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+  private val RevSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+
+  // ---------------------------------------------------------------- Q3
+  /** Shipping priority (adapted: no o_shippriority column). */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val d = lit("1998-01-01").cast("timestamp")
+    Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir).filter(col("o_orderdate") < d), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderdate"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val tpchQ3Sql: String =
+    s"""SELECT l_orderkey, o_orderdate, CAST(SUM($RevSql) AS DOUBLE) AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- Q4
+  /** Order-priority checking (adapted EXISTS: a line shipped more than
+    * 60 days after the order replaces commitdate < receiptdate). */
+  def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val l = Tables.lineitem(s, dir)
+    o.join(l, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+      "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val tpchQ4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- Q5
+  /** Local-supplier volume: revenue by nation inside one region where
+    * the customer and supplier share the nation. */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(revTerm).cast("double").as("revenue"))
+  }
+
+  val tpchQ5Sql: String =
+    s"""SELECT n_name, CAST(SUM($RevSql) AS DOUBLE) AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'EUROPE'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- Q7
+  /** Volume shipping between two nations by ship year. */
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+    Tables.supplier(s, dir)
+      .join(Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(n1, col("supp_nk") === col("s_nationkey"))
+      .join(n2, col("cust_nk") === col("c_nationkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+  }
+
+  val tpchQ7Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(YEAR(l_shipdate) AS INT) AS l_year,
+       |  CAST(SUM($RevSql) AS DOUBLE) AS revenue
+       |FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+       |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- Q8
+  /** Market share of NATION_3 suppliers for PROMO parts sold to EUROPE
+    * customers, by order year. Share = exact-decimal national volume /
+    * exact-decimal total volume, one double division. */
+  def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("cust_nk"), col("n_regionkey").as("cust_rk"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+    Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      .join(Tables.lineitem(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(n1, col("cust_nk") === col("c_nationkey"))
+      .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+        col("r_regionkey") === col("cust_rk"))
+      .join(n2, col("supp_nk") === col("s_nationkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", revTerm)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") /
+        sum(revTerm).cast("double")).as("mkt_share"))
+  }
+
+  val tpchQ8Sql: String =
+    s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN $RevSql
+       |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       |  / CAST(SUM($RevSql) AS DOUBLE) AS mkt_share
+       |FROM part JOIN lineitem ON l_partkey = p_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN customer ON c_custkey = o_custkey
+       |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+       |  JOIN region ON r_regionkey = n1.n_regionkey
+       |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+       |WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1""".stripMargin
+
+  // --------------------------------------------------------------- Q10
+  /** Returned-item reporting: top 20 customers by lost revenue. */
+  def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.nation(s, dir), col("n_nationkey") === col("c_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(revTerm).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(20)
+  }
+
+  val tpchQ10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  CAST(SUM($RevSql) AS DOUBLE) AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN lineitem ON l_orderkey = o_orderkey
+       |  JOIN nation ON n_nationkey = c_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-07-01'
+       |  AND o_orderdate < TIMESTAMP '1997-10-01'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------- Q13
+  /** Customer order-count distribution (left outer + double agg). */
+  def tpchQ13(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val tpchQ13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  // --------------------------------------------------------------- Q14
+  /** Promotion effect: PROMO revenue share of one month, in percent. */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+      .agg(((sum(when(col("p_type") === "PROMO", revTerm)
+          .otherwise(lit(0).cast("decimal(12,2)"))).cast("double") * 100.0) /
+        sum(revTerm).cast("double")).as("promo_revenue"))
+  }
+
+  val tpchQ14Sql: String =
+    s"""SELECT (CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $RevSql
+       |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) * 100.0)
+       |  / CAST(SUM($RevSql) AS DOUBLE) AS promo_revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+       |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin
+
+  // --------------------------------------------------------------- Q18
+  /** Large-volume customers: orders whose line quantities sum past 150
+    * (integral doubles — exact), with the aggregate reused as a
+    * semi-join filter BEFORE the wide join (hand-pushed HAVING). */
+  val Q18Threshold = 150.0
+
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+    val bigOrders = l.groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > Q18Threshold)
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+  }
+
+  val tpchQ18Sql: String =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |  JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+       |        FROM lineitem GROUP BY l_orderkey
+       |        HAVING SUM(l_quantity) > $Q18Threshold) big
+       |    ON big.l_orderkey = o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q3" -> tpchQ3,
+    "tpch_q4" -> tpchQ4,
+    "tpch_q5" -> tpchQ5,
+    "tpch_q7" -> tpchQ7,
+    "tpch_q8" -> tpchQ8,
+    "tpch_q10" -> tpchQ10,
+    "tpch_q13" -> tpchQ13,
+    "tpch_q14" -> tpchQ14,
+    "tpch_q18" -> tpchQ18,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "tpch_q3" -> tpchQ3Sql,
+    "tpch_q4" -> tpchQ4Sql,
+    "tpch_q5" -> tpchQ5Sql,
+    "tpch_q7" -> tpchQ7Sql,
+    "tpch_q8" -> tpchQ8Sql,
+    "tpch_q10" -> tpchQ10Sql,
+    "tpch_q13" -> tpchQ13Sql,
+    "tpch_q14" -> tpchQ14Sql,
+    "tpch_q18" -> tpchQ18Sql,
+  )
+}
