@@ -235,11 +235,75 @@ object Multimodal {
        |      ELSE 0 END)) AS i
        |  FROM documents)""".stripMargin
 
+  // ----------------------------------------------- ViT-style patchify.
+  /** Non-overlapping `PatchSize`×`PatchSize` patch grid per image
+    * (ragged right/bottom edges cropped — the ViT preprocessing
+    * convention), one output row per patch carrying the raw patch bytes
+    * (the model input) plus its grid position and mean intensity. The
+    * decode+patchify runs inside the partition-local batched loop: rows
+    * explode scan-side, no shuffle — at 100 TB this is the embarrassingly
+    * parallel leg feeding the embedding stage. The gate emits the
+    * integer-exact scalar columns (grid position, mean from an integer
+    * pixel sum) so the REAL decoder's raster indexing is oracle-checked
+    * patch by patch against the synthesis arithmetic. */
+  final case class PpmPatch(doc_id: Long, patch_row: Int, patch_col: Int,
+      patch_mean: Double, patch: Array[Byte])
+
+  val PatchSize = 2
+
+  def patchifyPpm(media: Dataset[PpmRecord],
+      patch: Int = PatchSize): Dataset[PpmPatch] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.flatMap { r =>
+      val (w, h, px) = PpmCodec.decode(r.payload)
+      for {
+        pr <- 0 until h / patch
+        pc <- 0 until w / patch
+      } yield {
+        val bytes = new Array[Byte](patch * patch * 3)
+        var sum = 0L
+        var o = 0
+        for (dy <- 0 until patch; k <- 0 until patch * 3) {
+          val i = ((pr * patch + dy) * w + pc * patch) * 3 + k
+          bytes(o) = px(i)
+          sum += (px(i) & 0xFF)
+          o += 1
+        }
+        PpmPatch(r.doc_id, pr, pc,
+          sum.toDouble / (patch * patch * 3), bytes)
+      }
+    }))
+  }
+
+  def mmPatches(s: SparkSession, dir: String): DataFrame =
+    patchifyPpm(ingestPpm(s, dir)).toDF()
+      .select("doc_id", "patch_row", "patch_col", "patch_mean")
+
+  /** The synthesis arithmetic replayed per patch: two rows of
+    * `PatchSize`·3 contiguous raster bytes each, integer sum, one
+    * division. */
+  val mmPatchesSql: String = {
+    val p = PatchSize
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(2 + doc_id % 7 AS INT) AS w,
+       |    CAST(2 + doc_id % 5 AS INT) AS h
+       |  FROM documents),
+       |p1 AS (SELECT doc_id, w, h, unnest(range(h // $p)) AS pr FROM d),
+       |p2 AS (SELECT doc_id, w, h, pr, unnest(range(w // $p)) AS pc FROM p1)
+       |SELECT doc_id, CAST(pr AS INT) AS patch_row, CAST(pc AS INT) AS patch_col,
+       |  CAST(list_sum(flatten(list_transform(range($p), dy ->
+       |    list_transform(range($p * 3), k ->
+       |      (doc_id * 31 + (((pr * $p + dy) * w + pc * $p) * 3 + k) * 7) % 256))))
+       |    AS DOUBLE) / ${p * p * 3} AS patch_mean
+       |FROM p2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_decode_ppm" -> mmDecodePpm,
     "mm_frame_sample" -> mmFrameSample,
     "mm_audio_windows" -> mmAudioWindows,
+    "mm_patches" -> mmPatches,
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,5 +311,6 @@ object Multimodal {
     "mm_decode_ppm" -> mmDecodePpmSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio_windows" -> mmAudioWindowsSql,
+    "mm_patches" -> mmPatchesSql,
   )
 }

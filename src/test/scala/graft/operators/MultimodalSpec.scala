@@ -70,6 +70,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("patchify: grid positions, byte content, and ragged-edge crop on a handcrafted image") {
+    import spark.implicits._
+    // 5x3 image -> 2x1 grid of 2x2 patches; col 4 and row 2 cropped
+    val w = 5; val h = 3
+    val rgb = Array.tabulate(w * h * 3)(i => i.toByte)
+    val rec = Multimodal.PpmRecord(7L,
+      Multimodal.PpmCodec.encode(w, h, rgb))
+    val got = Multimodal.patchifyPpm(Seq(rec).toDS(), patch = 2)
+      .collect().sortBy(p => (p.patch_row, p.patch_col))
+    assert(got.map(p => (p.patch_row, p.patch_col)).toSeq ==
+      Seq((0, 0), (0, 1)))
+    // patch (0,1) covers x in {2,3}, y in {0,1}: rows of 6 contiguous
+    // bytes starting at (y*5+2)*3
+    val expectBytes = (0 until 2).flatMap(y =>
+      (0 until 6).map(k => rgb((y * w + 2) * 3 + k))).toArray
+    assert(java.util.Arrays.equals(got(1).patch, expectBytes))
+    val expectMean = expectBytes.map(_ & 0xFF).sum.toDouble / 12
+    assert(got(1).patch_mean == expectMean)
+    // patch bytes tile the cropped region exactly: every byte of the
+    // kept 4x2 area appears in exactly one patch
+    val covered = got.flatMap(_.patch.map(_.toInt)).sorted.toSeq
+    val keptArea = (for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3)
+      yield rgb((y * w + x) * 3 + c).toInt).sorted
+    assert(covered == keptArea)
+  }
+
   test("audio windows: framing arithmetic and energy from a handcrafted payload") {
     import spark.implicits._
     // 300 samples of constant value 65 ('A'): windows at hop 128 ->
