@@ -261,6 +261,26 @@ object CowTable {
     deleted.toSeq
   }
 
+  /** Build (one snapshot scan) and register an MV of the CURRENT
+    * snapshot, pinned to its exact file set: after any later merge the
+    * scan's file set changes, the registration no longer matches, and
+    * the rewrite stands down instead of serving a stale summary —
+    * re-invoke after maintaining the MV for the new version. Sums-only
+    * by default (the maintained-MV shape); pass `withMinMax = true` for
+    * a rebuild-style MV that also answers min/max. */
+  def registerMv(spark: SparkSession, table: String, name: String,
+      groupKeys: Seq[String], measures: Seq[String], mvPath: String,
+      withMinMax: Boolean = false): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    graft.plans.MvCatalog.buildMv(spark.read.parquet(m.files: _*),
+      groupKeys, measures, mvPath, withMinMax)
+    graft.plans.MvCatalog.registerFiles(spark, name, m.files,
+      groupKeys, measures, mvPath)
+    graft.plans.MvRewriteApi.enable(spark)
+    m
+  }
+
   // ------------------------------------------------------------- gate
   // Merge a doubled-price even-orderkey slice into a snapshot of the
   // odd-ish orders (keys % 4 != 0): exercises update (matched, status

@@ -76,13 +76,36 @@ object MvCatalog {
     noScheme.replaceAll("/+$", "")
   }
 
+  /** Identity of a MULTI-file scan (a manifest-pinned snapshot like
+    * [[graft.operators.CowTable]]): order-insensitive hash of the
+    * normalized file set. Registering a summary against a file set
+    * pins it to that exact snapshot — after a merge commits a new
+    * manifest the scan's file set changes, the tag no longer matches,
+    * and the rewrite silently stands down instead of serving a STALE
+    * summary; re-register after re-maintaining the MV. */
+  def fileSetTag(files: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    files.map(pathTag).sorted.foreach(f => md.update((f + "\n").getBytes("UTF-8")))
+    "files:" + md.digest().map("%02x".format(_)).mkString
+  }
+
   def isEmpty: Boolean = defs.isEmpty
   def clear(): Unit = defs.clear()
   def lookup(tag: String): Option[MvDef] = Option(defs.get(tag))
 
+  /** Register `mvPath` as the summary of a manifest-pinned snapshot
+    * scanned as the exact file set `files` (see [[fileSetTag]]). */
+  def registerFiles(spark: SparkSession, name: String, files: Seq[String],
+      groupKeys: Seq[String], measures: Seq[String], mvPath: String): MvDef =
+    registerTag(spark, name, fileSetTag(files), groupKeys, measures, mvPath)
+
   /** Register `mvPath` (parquet written by [[buildMv]]) as the summary of
     * `basePath` grouped by `groupKeys` with measures `measures`. */
   def register(spark: SparkSession, name: String, basePath: String,
+      groupKeys: Seq[String], measures: Seq[String], mvPath: String): MvDef =
+    registerTag(spark, name, pathTag(basePath), groupKeys, measures, mvPath)
+
+  private def registerTag(spark: SparkSession, name: String, tag: String,
       groupKeys: Seq[String], measures: Seq[String], mvPath: String): MvDef = {
     val rel = ColumnBridge.plan(spark.read.parquet(mvPath)).collectFirst {
       case r: LogicalRelation => r
@@ -95,7 +118,7 @@ object MvCatalog {
     val missing = expected.filterNot(c => have.contains(c.toLowerCase))
     require(missing.isEmpty,
       s"mv $name at $mvPath is missing columns: ${missing.mkString(", ")}")
-    val d = MvDef(name, pathTag(basePath), groupKeys, measures, rel)
+    val d = MvDef(name, tag, groupKeys, measures, rel)
     defs.put(d.basePathTag, d)
     d
   }
@@ -129,10 +152,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** Root path of a v1 file scan, or None for anything else. */
+  /** Identity of a v1 file scan: its root path, or for a multi-path
+    * scan (manifest-pinned file listing) the file-set hash. */
   private def scanTag(rel: LogicalRelation): Option[String] = rel.relation match {
-    case fs: HadoopFsRelation => fs.location.rootPaths.headOption
-      .map(p => MvCatalog.pathTag(p.toString))
+    case fs: HadoopFsRelation => fs.location.rootPaths match {
+      case Seq(p) => Some(MvCatalog.pathTag(p.toString))
+      case Seq() => None
+      case many => Some(MvCatalog.fileSetTag(many.map(_.toString)))
+    }
     case _ => None
   }
 

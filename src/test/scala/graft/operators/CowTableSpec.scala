@@ -165,6 +165,48 @@ class CowTableSpec extends AnyFunSuite {
     assert(rows(t).contains((1L, "u2", 1.2)))
   }
 
+  test("MV serving over the snapshot file set; a merge auto-invalidates it") {
+    import graft.plans.MvCatalog
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+    val t = freshTable()
+    val df = (0L until 100L).map(i => (i, s"b${i % 4}", i * 1.0))
+      .toDF("id", "band", "v")
+    CowTable.init(df, t)
+    val mvP = s"$t-mv"
+    MvCatalog.clear()
+    def q() = CowTable.read(spark, t).groupBy("band")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+    val want = q().collect().map(_.toString).sorted.toSeq
+
+    CowTable.registerMv(spark, t, "cow_bands", Seq("band"), Seq("v"), mvP)
+    val served = q()
+    assert(scanPaths(served).forall(_.contains("-mv")), scanPaths(served))
+    assert(served.collect().map(_.toString).sorted.toSeq == want)
+
+    // a merge commits a new manifest -> file-set tag changes -> the
+    // stale registration must NOT serve the new snapshot
+    CowTable.mergeInto(spark, t,
+      Seq((1L, "b1", 100.0)).toDF("id", "band", "v"), Seq("id"))
+    val afterMerge = q()
+    assert(!scanPaths(afterMerge).exists(_.contains("-mv")),
+      s"stale MV served a merged snapshot: ${scanPaths(afterMerge)}")
+    val want2 = afterMerge.collect().map(_.toString).sorted.toSeq
+    assert(want2 != want) // the merge changed band b1's sum
+
+    // re-registering for the new version serves again
+    CowTable.registerMv(spark, t, "cow_bands", Seq("band"), Seq("v"), s"$t-mv2")
+    val served2 = q()
+    assert(scanPaths(served2).forall(_.contains("-mv2")))
+    assert(served2.collect().map(_.toString).sorted.toSeq == want2)
+  }
+
   test("commit race: the second claimant of a version fails loudly") {
     val t = freshTable()
     initRanged(t)
