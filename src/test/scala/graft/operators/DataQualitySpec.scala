@@ -80,6 +80,38 @@ class DataQualitySpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("foreachBatch audit accumulates to the full-data report for decomposable checks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // row-decomposable checks only: not-null/range/accepted/regex/ref
+    // sum across batches; uniqueness does NOT decompose (cross-batch
+    // duplicates are invisible per batch) and is deliberately excluded
+    val decomposable = checks.filterNot(_.isInstanceOf[DqUnique])
+    val acc = scala.collection.mutable.Map[String, (Long, Long)]()
+    val input = MemoryStream[(Option[Long], Option[Double], String, String, Long)](spark)
+    val q = input.toDF().toDF("fk", "price", "status", "prio", "id")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        audit(batch, decomposable).collect().foreach { r =>
+          val (v, n) = acc.getOrElse(r.getString(0), (0L, 0L))
+          acc(r.getString(0)) = (v + r.getLong(1), n + r.getLong(2))
+        }
+        ()
+      }
+      .start()
+    val allRows = fact.collect().map(r => (
+      if (r.isNullAt(0)) None else Some(r.getLong(0)),
+      if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+      r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    try {
+      allRows.grouped(3).foreach { slice =>
+        input.addData(slice); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val full = audit(fact, decomposable).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(acc.toMap == full)
+  }
+
   test("multiple refs keep their tag columns apart") {
     val dim2 = Seq(100L, 101L, 102L, 103L, 104L, 105L).toDF("id2")
     val got = audit(fact, Seq(DqRef("fk", dim, "k"), DqRef("id", dim2, "id2")))
