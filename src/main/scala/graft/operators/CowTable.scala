@@ -225,6 +225,32 @@ object CowTable {
     commit(table, v, keep.map(_._1) ++ listPartFiles(out))
   }
 
+  /** [[compactTable]] with Z-order re-clustering of the rewritten tail
+    * ([[Layout.compactSmallFilesZorder]]): right-sized files are still
+    * carried by reference, but the small files — which a streaming CDC
+    * merge loop produces in arrival order, i.e. clustered by NOTHING —
+    * come out tiling the `zCols` space, so file-level min/max pruning on
+    * any clustered dimension recovers as the table is maintained. The
+    * compaction IS the layout job; there is no separate rewrite. */
+  def compactTableZorder(spark: SparkSession, table: String,
+      targetBytes: Long, zCols: Seq[String], bits: Int = Layout.ZBits,
+      smallThreshold: Option[Long] = None): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    val small = smallThreshold.getOrElse(targetBytes / 2)
+    val sized = m.files.map(f => (f, Files.size(Paths.get(f))))
+    val (keep, smalls) = sized.partition(_._2 >= small)
+    if (smalls.size <= 1) return m
+    val smallBytes = smalls.map(_._2).sum
+    val plan = Layout.CompactionPlan(smalls, keep,
+      math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt),
+      smallBytes)
+    val v = m.version + 1
+    val out = Paths.get(table, "data", s"v$v")
+    Layout.compactSmallFilesZorder(spark, plan, out.toString, zCols, bits)
+    commit(table, v, keep.map(_._1) ++ listPartFiles(out))
+  }
+
   /** Delete data files and manifests unreachable from the newest
     * `keepVersions` complete snapshots; returns the deleted data files.
     * Time travel to vacuumed versions is gone by design. Claimed-but-
@@ -316,11 +342,69 @@ object CowTable {
       |SELECT s.* FROM source s
       |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)""".stripMargin
 
+  /** Gate: streaming-shaped ingest (init + three insert-only merges,
+    * each a quarter of orders by orderkey residue) leaves a tail of
+    * arrival-ordered files; [[compactTableZorder]] rewrites the whole
+    * tail clustered on (o_custkey, o_orderkey). The emitted per-z-cell
+    * aggregate recomputes the gate-exact Morton code from the COLUMNS at
+    * read time, so it pins exact content preservation through
+    * merge + z-compaction regardless of physical layout — the oracle is
+    * the same aggregate straight over orders. The layout property
+    * itself (contiguous z-ranges per rewritten file, pruning recovery,
+    * right-sized files carried by reference) is spec-measured on the
+    * real written files in CowTableSpec. */
+  def lhCompactZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    init(ord.filter(pmod($"o_orderkey", lit(4)) === 1), table)
+    Seq(2, 3, 0).foreach { r =>
+      mergeInto(s, table, ord.filter(pmod($"o_orderkey", lit(4)) === r),
+        Seq("o_orderkey"))
+    }
+    val sizes = latestManifest(table).get.files.map(f =>
+      Files.size(Paths.get(f)))
+    compactTableZorder(s, table, targetBytes = math.max(1L, sizes.sum / 2),
+      zCols = Seq("o_custkey", "o_orderkey"),
+      smallThreshold = Some(sizes.max + 1))
+    val t = read(s, table)
+    val m = t.agg(max($"o_custkey"), max($"o_orderkey")).head()
+    val (mx, my) = (m.getLong(0), m.getLong(1))
+    t.withColumn("zv", Layout.zValue(
+        Seq(expr(s"(o_custkey * ${Layout.ZLevels}) div ${mx + 1}"),
+          expr(s"(o_orderkey * ${Layout.ZLevels}) div ${my + 1}")),
+        Layout.ZBits))
+      .groupBy($"zv")
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"o_custkey").as("n_cust"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+  }
+
+  val lhCompactZorderSql: String = {
+    val z = Layout.zValueSql(Seq("xq", "yq"), Layout.ZBits)
+    s"""SELECT ($z) AS zv, COUNT(*) AS n,
+       |  COUNT(DISTINCT o_custkey) AS n_cust,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |    AS sum_price
+       |FROM (SELECT
+       |    ((o_custkey * ${Layout.ZLevels}) //
+       |      (SELECT MAX(o_custkey) + 1 FROM orders)) AS xq,
+       |    ((o_orderkey * ${Layout.ZLevels}) //
+       |      (SELECT MAX(o_orderkey) + 1 FROM orders)) AS yq,
+       |    o_custkey, o_totalprice
+       |  FROM orders) q
+       |GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lh_merge" -> lhMerge,
+    "lh_compact_zorder" -> lhCompactZorder,
   )
 
   val oracles: Map[String, String] = Map(
     "lh_merge" -> lhMergeSql,
+    "lh_compact_zorder" -> lhCompactZorderSql,
   )
 }

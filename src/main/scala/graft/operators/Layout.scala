@@ -76,13 +76,30 @@ object Layout {
     * dir) — no global sort at any corpus size. */
   def zorderFileId(df: DataFrame, cols: Seq[Column], bits: Int,
       numFiles: Int, k: Int = 200): DataFrame = {
-    val levels = 1 << bits
-    val quantized = cols.map { c =>
-      rankQuantize(c, Sampling.rangeBucketBoundaries(df, c, levels, k))
-    }
-    val withZ = df.withColumn("zv", zValue(quantized, bits))
+    val withZ = withZValue(df, cols, bits, k, "zv")
     val zBounds = Sampling.rangeBucketBoundaries(withZ, col("zv"), numFiles, k)
     withZ.withColumn("zfile", rankQuantize(col("zv"), zBounds).cast("int"))
+  }
+
+  /** Add `zName` = Morton code of the KLL-rank-quantized `cols`. The
+    * quantized columns are MATERIALIZED as their own projection before
+    * the interleave: [[zValue]] references each input `bits` times, and
+    * inlining a `levels`-term comparison chain per reference multiplies
+    * the expression tree by `bits` (at 8 bits × 256 levels that is a
+    * multi-MiB task binary and a codegen blowup). Projecting the chain
+    * once and interleaving attribute references keeps the tree — and
+    * the broadcast task binary — linear in `levels`. */
+  private def withZValue(df: DataFrame, cols: Seq[Column], bits: Int,
+      k: Int, zName: String): DataFrame = {
+    val levels = 1 << bits
+    val withQ = cols.zipWithIndex.foldLeft(df) { case (d, (c, j)) =>
+      d.withColumn(s"__zq$j",
+        rankQuantize(c, Sampling.rangeBucketBoundaries(df, c, levels, k)))
+    }
+    withQ
+      .withColumn(zName,
+        zValue(cols.indices.map(j => col(s"__zq$j")), bits))
+      .drop(cols.indices.map(j => s"__zq$j"): _*)
   }
 
   /** Per-file min/max statistics for the given columns — what a parquet
@@ -268,6 +285,33 @@ object Layout {
     val df = spark.read.parquet(plan.smallFiles.map(_._1): _*)
     val n = df.count()
     df.repartition(plan.targetFileCount)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
+  /** Z-order flavor of [[compactSmallFiles]]: the rewritten small-file
+    * tail is range-partitioned and sorted by the Morton code of the
+    * rank-quantized `zCols`, so every rewritten file covers a contiguous
+    * z-range — a bounded hyper-rectangle in each clustered dimension.
+    * This is compaction-as-layout-maintenance (what Delta's OPTIMIZE
+    * ZORDER sells): a long-lived table has to rewrite its small-file
+    * tail periodically anyway, and making THAT rewrite the clustering
+    * pass restores multi-dimensional pruning for free — no second
+    * table-sized rewrite job. Quantization boundaries come from one
+    * mergeable KLL pass per column over the small tail only (bounded
+    * driver scalars, the [[zorderFileId]] machinery); no global sort —
+    * repartitionByRange samples the z-value, each partition sorts
+    * locally. Returns the rewritten row count. */
+  def compactSmallFilesZorder(spark: SparkSession, plan: CompactionPlan,
+      outDir: String, zCols: Seq[String], bits: Int = ZBits,
+      k: Int = 200): Long = {
+    if (plan.smallFiles.isEmpty) return 0L
+    val df = spark.read.parquet(plan.smallFiles.map(_._1): _*)
+    val n = df.count()
+    withZValue(df, zCols.map(col), bits, k, "__zv")
+      .repartitionByRange(plan.targetFileCount, col("__zv"))
+      .sortWithinPartitions("__zv")
+      .drop("__zv")
       .write.mode("overwrite").parquet(outDir)
     n
   }

@@ -140,6 +140,81 @@ class CowTableSpec extends AnyFunSuite {
       .select("id", "name", "v").as[(Long, String, Double)].collect().toSet)
   }
 
+  test("compactTableZorder: rewritten tail tiles the z-space; kept file carried; content identical") {
+    // ids arrive in insertion order but (x, y) are decorrelated from it,
+    // so the small-file tail a CDC loop would produce is clustered by
+    // NOTHING — the worst case z-order compaction exists to repair
+    def batch(ids: Range) = ids.map { i =>
+      (i.toLong, (i * 17 % 64).toLong, (i * 29 % 64).toLong)
+    }.toDF("id", "x", "y")
+    def build(): String = {
+      val t = freshTable()
+      CowTable.init(batch(0 until 2048).repartition(1), t)
+      (0 until 4).foreach { b =>
+        CowTable.mergeInto(spark, t,
+          batch(2048 + b * 512 until 2048 + (b + 1) * 512).repartition(1),
+          Seq("id"))
+      }
+      t
+    }
+    def perFileHits(files: Seq[String]): (Long, Long) = {
+      // files a 1/8-domain slice query must read, by that file's min/max
+      // footer stats — the skipping decision a scan planner makes
+      val st = spark.read.parquet(files: _*)
+        .withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg(min($"x").as("minx"), max($"x").as("maxx"),
+          min($"y").as("miny"), max($"y").as("maxy"))
+        .cache()
+      val hx = st.filter($"minx" <= 7L).count()
+      val hy = st.filter($"miny" <= 7L).count()
+      st.unpersist()
+      (hx, hy)
+    }
+
+    val t = build()
+    val before = CowTable.latestManifest(t).get
+    val sizes = before.files.map(f => f -> Files.size(Paths.get(f))).toMap
+    val big = sizes.values.max
+    val smallBytes = sizes.values.filter(_ < big).sum
+    val mtime0 = before.files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f))).toMap
+    Thread.sleep(20)
+    val m = CowTable.compactTableZorder(spark, t,
+      targetBytes = math.max(1L, smallBytes / 4),
+      zCols = Seq("x", "y"), bits = 6, smallThreshold = Some(big))
+    assert(m.version == before.version + 1)
+    // the right-sized file is carried by reference, bit-untouched
+    val kept = before.files.filter(f => sizes(f) >= big)
+    assert(kept.nonEmpty && kept.forall(m.files.contains))
+    kept.foreach { f =>
+      assert(Files.getLastModifiedTime(Paths.get(f)) == mtime0(f),
+        s"kept file was rewritten: $f")
+    }
+    // content identical across the compaction version
+    def all(v: Int) = CowTable.readVersion(spark, t, v)
+      .select("id", "x", "y").as[(Long, Long, Long)].collect().toSet
+    assert(all(m.version) == all(before.version))
+
+    // z-compacted files are bounded boxes: a slice query in EITHER
+    // dimension skips some of them
+    val rewritten = m.files.filter(_.contains(s"/v${m.version}/"))
+    assert(rewritten.size >= 3, s"expected a multi-file rewrite: $rewritten")
+    val (zx, zy) = perFileHits(rewritten)
+    assert(zx < rewritten.size, s"x-slice hit all $zx z-files")
+    assert(zy < rewritten.size, s"y-slice hit all $zy z-files")
+
+    // twin table, plain compaction: round-robin files span the whole
+    // domain in both dimensions — nothing is skippable
+    val t2 = build()
+    val m2 = CowTable.compactTable(spark, t2,
+      targetBytes = math.max(1L, smallBytes / 4), smallThreshold = Some(big))
+    val rewritten2 = m2.files.filter(_.contains(s"/v${m2.version}/"))
+    val (px, py) = perFileHits(rewritten2)
+    assert(px == rewritten2.size && py == rewritten2.size,
+      s"plain compaction unexpectedly clustered: $px/$py of ${rewritten2.size}")
+  }
+
   test("vacuum deletes only files unreachable from the kept versions") {
     val t = freshTable()
     initRanged(t)
