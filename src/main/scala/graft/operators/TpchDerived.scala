@@ -287,6 +287,179 @@ object TpchDerived {
        |        HAVING SUM(l_quantity) > $Q18Threshold) big
        |    ON big.l_orderkey = o_orderkey""".stripMargin
 
+  // --------------------------------------------------------------- Q15
+  /** Top supplier: revenue per supplier over one quarter, keep the
+    * supplier(s) at the maximum. The tie-safe "= (SELECT MAX(...))"
+    * scalar subquery is a one-row broadcast cross join over the
+    * supplier-level aggregate — the aggregate shuffles once on suppkey,
+    * the max rides back as a scalar, no second shuffle. Revenue
+    * equality is decided on the EXACT decimal (cast to double only for
+    * output) so both engines select identical winners. */
+  def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(revTerm).as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("mx"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_dec") === col("mx"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+  }
+
+  val tpchQ15Sql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey, SUM($RevSql) AS rev_dec FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+       |WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)""".stripMargin
+
+  // --------------------------------------------------------------- Q16
+  /** Parts/supplier relationship (adapted: no partsupp — lineitem IS
+    * the observed part↔supplier relation; the complaints-comment
+    * exclusion becomes negative-balance suppliers). Distinct-count
+    * aggregation behind a broadcast NOT-IN anti-join. */
+  def tpchQ16(s: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN
+      |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------- Q17
+  /** Small-quantity-order revenue (adapted: brand only, no container).
+    * The correlated "quantity < 0.5 · per-part average" subquery is a
+    * per-part aggregate joined back to the fact — and the half-average
+    * comparison is done in INTEGER form (2·qty·cnt < sum over integral
+    * quantities), so the borderline row can never flip on a last-ulp
+    * float difference between engines. Both lineitem passes are
+    * pre-filtered to the brand's parts via a broadcast semi-join. */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val bParts = broadcast(Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(bParts, col("p_partkey") === col("l_partkey"), "left_semi")
+    val perPart = li.groupBy(col("l_partkey").as("agg_pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_q"),
+        count(lit(1)).as("cnt_q"))
+    li.join(perPart, col("agg_pk") === col("l_partkey"))
+      .filter(col("l_quantity").cast("long") * 2 * col("cnt_q") < col("sum_q"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+        .as("avg_yearly"))
+  }
+
+  val tpchQ17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    / 7.0 AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |JOIN (SELECT l_partkey AS agg_pk,
+      |        SUM(CAST(l_quantity AS BIGINT)) AS sum_q,
+      |        COUNT(*) AS cnt_q
+      |      FROM lineitem
+      |      WHERE l_partkey IN
+      |        (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+      |      GROUP BY 1) a ON agg_pk = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND CAST(l_quantity AS BIGINT) * 2 * cnt_q < sum_q""".stripMargin
+
+  // --------------------------------------------------------------- Q19
+  /** Discounted revenue (adapted: brand/size/quantity, no container):
+    * three disjunctive predicate arms across the part⋈lineitem join.
+    * The join stays a broadcast hash join on partkey with the OR-arms
+    * as a post-join filter; the part-side conjunction common to all
+    * arms (size ≤ 15, three brands) prunes the build side at the scan. */
+  def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_size").between(1, 15) &&
+        col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(revTerm).cast("double").as("revenue"))
+  }
+
+  val tpchQ19Sql: String =
+    s"""SELECT CAST(SUM($RevSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       |    AND l_quantity BETWEEN 1 AND 11)
+       |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       |    AND l_quantity BETWEEN 10 AND 20)
+       |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // --------------------------------------------------------------- Q22
+  /** Global sales opportunity (adapted: no phone column — the country
+    * codes become a nationkey list, and "never ordered" becomes "no
+    * order in the most recent window", because this data's customers
+    * average ten orders lifetime): customers above the average positive
+    * balance who have gone quiet. The above-average test is decided in
+    * exact decimal form (bal · cnt > sum) so no borderline customer
+    * flips on engine-specific AVG rounding; NOT EXISTS is a shuffle
+    * anti-join against the date-pruned orders scan. */
+  val Q22Since = "2001-06-01"
+
+  def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_nationkey").isin(1L, 3L, 5L, 7L, 9L, 11L))
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("sum_bal"),
+        count(lit(1)).as("cnt_bal"))
+    cust.crossJoin(broadcast(stats))
+      .filter(dec(col("c_acctbal")) * col("cnt_bal") > col("sum_bal"))
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(Q22Since).cast("timestamp"))
+          .select("o_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
+
+  val tpchQ22Sql: String =
+    s"""WITH cust AS (
+       |  SELECT * FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)),
+       |stats AS (
+       |  SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal,
+       |    COUNT(*) AS cnt_bal
+       |  FROM cust WHERE c_acctbal > 0)
+       |SELECT c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+       |FROM cust, stats
+       |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt_bal > sum_bal
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '$Q22Since')
+       |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3" -> tpchQ3,
     "tpch_q4" -> tpchQ4,
@@ -296,7 +469,12 @@ object TpchDerived {
     "tpch_q10" -> tpchQ10,
     "tpch_q13" -> tpchQ13,
     "tpch_q14" -> tpchQ14,
+    "tpch_q15" -> tpchQ15,
+    "tpch_q16" -> tpchQ16,
+    "tpch_q17" -> tpchQ17,
     "tpch_q18" -> tpchQ18,
+    "tpch_q19" -> tpchQ19,
+    "tpch_q22" -> tpchQ22,
   )
 
   val oracles: Map[String, String] = Map(
@@ -308,6 +486,11 @@ object TpchDerived {
     "tpch_q10" -> tpchQ10Sql,
     "tpch_q13" -> tpchQ13Sql,
     "tpch_q14" -> tpchQ14Sql,
+    "tpch_q15" -> tpchQ15Sql,
+    "tpch_q16" -> tpchQ16Sql,
+    "tpch_q17" -> tpchQ17Sql,
     "tpch_q18" -> tpchQ18Sql,
+    "tpch_q19" -> tpchQ19Sql,
+    "tpch_q22" -> tpchQ22Sql,
   )
 }
