@@ -15,7 +15,9 @@ import graft.Tables
   * Layout:
   * {{{
   *   <table>/data/v<N>/part-*.parquet   -- files written by version N
+  *   <table>/dv/v<N>/part-*.parquet     -- deletion vectors of version N
   *   <table>/manifest/v<N>.manifest     -- header, then one file path/line
+  *                                         (deletion vectors as dv:<path>)
   * }}}
   * A version's manifest lists the files that make up that snapshot —
   * typically a mix of files written by older versions (untouched by
@@ -48,8 +50,14 @@ import graft.Tables
 object CowTable {
 
   private val Header = "graft-cow-manifest-v1"
+  private val DvPrefix = "dv:"
 
-  case class Manifest(version: Int, files: Seq[String])
+  /** `files` are the data files of the snapshot; `dvs` are its deletion
+    * vector files — parquet of (file_path, row_index) row identities a
+    * reader must anti-join away. A v1 manifest with no `dv:` lines
+    * parses with `dvs = Nil`, so pre-DV manifests stay readable. */
+  case class Manifest(version: Int, files: Seq[String],
+      dvs: Seq[String] = Nil)
 
   private def manifestDir(table: String): Path = Paths.get(table, "manifest")
   private def manifestPath(table: String, v: Int): Path =
@@ -67,7 +75,9 @@ object CowTable {
     try {
       val all = lines.getLines().toList
       all match {
-        case Header :: rest if rest.nonEmpty => Some(Manifest(v, rest))
+        case Header :: rest if rest.nonEmpty =>
+          val (dvLines, dataLines) = rest.partition(_.startsWith(DvPrefix))
+          Some(Manifest(v, dataLines, dvLines.map(_.stripPrefix(DvPrefix))))
         case _ => None // empty or half-written: fall back to older version
       }
     } finally lines.close()
@@ -102,17 +112,20 @@ object CowTable {
   /** Create-exclusive claim on the version, then tmp-write + atomic
     * rename. Throws FileAlreadyExistsException when racing a committer
     * that claimed the same version first. */
-  def commit(table: String, version: Int, files: Seq[String]): Manifest = {
+  def commit(table: String, version: Int, files: Seq[String],
+      dvs: Seq[String] = Nil): Manifest = {
     require(files.nonEmpty, s"cow commit v$version with no files")
     val dir = manifestDir(table)
     Files.createDirectories(dir)
     val target = manifestPath(table, version)
     Files.createFile(target) // atomic claim; loser throws here
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, (Header +: files).mkString("\n").getBytes("UTF-8"))
+    Files.write(tmp,
+      (Header +: (files ++ dvs.map(DvPrefix + _))).mkString("\n")
+        .getBytes("UTF-8"))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    Manifest(version, files)
+    Manifest(version, files, dvs)
   }
 
   private def listPartFiles(out: Path): Seq[String] =
@@ -133,14 +146,98 @@ object CowTable {
   def init(df: DataFrame, table: String): Manifest =
     commit(table, 0, writeData(df, table, 0))
 
+  /** DV-aware snapshot read: scan the data files, anti-join away the
+    * deleted row identities. `_metadata.row_index` is the row's stable
+    * position within its parquet file — a PUBLIC Spark metadata column,
+    * so the anti-join is an exact positional delete with no key or
+    * schema requirement on the table. The DV side rides a broadcast
+    * (delete sets are delta-sized by design; a delete too big to
+    * broadcast is what [[rewriteDeletes]] is for). Restricting the scan
+    * to `onlyFiles` keeps the same semantics on a file subset: DV
+    * entries for files outside the subset simply never match. */
+  private def readSnapshot(spark: SparkSession, m: Manifest,
+      onlyFiles: Option[Seq[String]] = None): DataFrame = {
+    val files = onlyFiles.getOrElse(m.files)
+    if (files.isEmpty)
+      return spark.read.parquet(m.files: _*).limit(0)
+    val data = spark.read.parquet(files: _*)
+    if (m.dvs.isEmpty) data
+    else {
+      val dv = spark.read.parquet(m.dvs: _*)
+        .select(col("file_path").as("__dv_fp"),
+          col("row_index").as("__dv_ri"))
+      data
+        .withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__ri", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
+          "left_anti")
+        .drop("__fp", "__ri")
+    }
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    spark.read.parquet(m.files: _*)
+    readSnapshot(spark, m)
   }
 
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame =
-    spark.read.parquet(readManifest(table, v).files: _*)
+    readSnapshot(spark, readManifest(table, v))
+
+  /** Merge-on-read DELETE: one snapshot scan finds the matching rows'
+    * (file, row_index) identities and writes them as this version's
+    * deletion vector — NO data file is read back or rewritten. On a
+    * 100 TB table a delete touching a few thousand rows costs one scan
+    * (file-pruned by the predicate like any other scan) plus a KB-sized
+    * sidecar write; the copy-on-write alternative rewrites every file
+    * containing a matching row. Scans through [[readSnapshot]] pay one
+    * broadcast anti-join until [[rewriteDeletes]] or a compaction
+    * materializes. The scan excludes already-deleted rows, so repeating
+    * a delete is a no-op (returns the current manifest unchanged) and
+    * DV files never accumulate duplicate identities. */
+  def deleteWhere(spark: SparkSession, table: String,
+      cond: Column): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    val raw = spark.read.parquet(m.files: _*)
+    val cand = raw.filter(cond)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("row_index"))
+    val fresh =
+      if (m.dvs.isEmpty) cand
+      else cand.join(spark.read.parquet(m.dvs: _*),
+        Seq("file_path", "row_index"), "left_anti")
+    if (fresh.isEmpty) return m
+    val v = m.version + 1
+    val out = Paths.get(table, "dv", s"v$v")
+    fresh.write.mode("overwrite").parquet(out.toString)
+    commit(table, v, m.files, m.dvs ++ listPartFiles(out))
+  }
+
+  /** Materialize deletion vectors: rewrite ONLY the files that carry a
+    * live DV entry (discovered from the DVs themselves — a delta-sized
+    * read, not a table scan), drop every DV, carry the rest by
+    * reference. The periodic cleanup that bounds the reader's anti-join
+    * cost; a no-op on a DV-free table. */
+  def rewriteDeletes(spark: SparkSession, table: String): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    if (m.dvs.isEmpty) return m
+    val dvFiles = spark.read.parquet(m.dvs: _*)
+      .select("file_path").distinct()
+      .collect().map(r => normalize(r.getString(0))).toSet
+    val (touched, untouched) =
+      m.files.partition(f => dvFiles.contains(normalize(f)))
+    val v = m.version + 1
+    val newFiles =
+      if (touched.isEmpty) Nil
+      else {
+        val clean = readSnapshot(spark, m, Some(touched))
+        if (clean.isEmpty) Nil else writeData(clean, table, v)
+      }
+    commit(table, v, untouched ++ newFiles)
+  }
 
   /** MERGE `source` into the table's latest snapshot on `keys`. Returns
     * the committed manifest. See the object doc for semantics. */
@@ -163,7 +260,10 @@ object CowTable {
     require(dataCols.forall(source.columns.contains),
       "mergeInto: source must carry every target column (update-all form)")
 
-    // 1. touched-file discovery: one target scan, broadcast key set
+    // 1. touched-file discovery: one target scan, broadcast key set.
+    // The RAW scan is deliberate with DVs present: a file whose only
+    // matching rows are deleted gets rewritten (its DV entries
+    // materialize a version early) — conservative, never wrong.
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val touched = target.withColumn("__file", input_file_name())
       .join(broadcast(srcKeys), keys, "left_semi")
@@ -172,10 +272,12 @@ object CowTable {
     val (touchedFiles, untouchedFiles) =
       m.files.partition(f => touched.contains(normalize(f)))
 
-    // 2. merge only touched rows with the source
+    // 2. merge only touched rows (deletion-vector-applied: a deleted
+    // row is absent, so a source row with its key INSERTS) with the
+    // source
     val touchedRows =
       if (touchedFiles.isEmpty) target.limit(0)
-      else spark.read.parquet(touchedFiles: _*)
+      else readSnapshot(spark, m, Some(touchedFiles))
     val srcTagged = source
       .withColumn("__del", deleteCond.getOrElse(lit(false)))
       .withColumn("__src", lit(1))
@@ -195,11 +297,15 @@ object CowTable {
         when(col("__src").isNotNull, col(s"s.$c"))
           .otherwise(col(s"t.$c")).as(c)): _*)
 
-    // 3. new snapshot = carried untouched files + this version's rewrites
+    // 3. new snapshot = carried untouched files + this version's
+    // rewrites. DVs are carried as-is: entries for untouched files are
+    // still live; entries for rewritten files reference paths no longer
+    // in the manifest and can never match again (version dirs are never
+    // reused) — compaction or rewriteDeletes trims them.
     val v = m.version + 1
     val newFiles =
       if (merged.isEmpty) Nil else writeData(merged, table, v)
-    commit(table, v, untouchedFiles ++ newFiles)
+    commit(table, v, untouchedFiles ++ newFiles, m.dvs)
   }
 
   /** Compact the latest snapshot's small files into ~targetBytes files
@@ -216,13 +322,14 @@ object CowTable {
     val (keep, smalls) = sized.partition(_._2 >= small)
     if (smalls.size <= 1) return m
     val smallBytes = smalls.map(_._2).sum
-    val plan = Layout.CompactionPlan(smalls, keep,
-      math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt),
-      smallBytes)
+    val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val v = m.version + 1
     val out = Paths.get(table, "data", s"v$v")
-    Layout.compactSmallFiles(spark, plan, out.toString)
-    commit(table, v, keep.map(_._1) ++ listPartFiles(out))
+    // DV-applied rows: compaction materializes the tail's deletes for
+    // free; kept files' DV entries stay live and are carried
+    Layout.compactRows(readSnapshot(spark, m, Some(smalls.map(_._1))),
+      n, out.toString)
+    commit(table, v, keep.map(_._1) ++ listPartFiles(out), m.dvs)
   }
 
   /** [[compactTable]] with Z-order re-clustering of the rewritten tail
@@ -242,13 +349,12 @@ object CowTable {
     val (keep, smalls) = sized.partition(_._2 >= small)
     if (smalls.size <= 1) return m
     val smallBytes = smalls.map(_._2).sum
-    val plan = Layout.CompactionPlan(smalls, keep,
-      math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt),
-      smallBytes)
+    val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val v = m.version + 1
     val out = Paths.get(table, "data", s"v$v")
-    Layout.compactSmallFilesZorder(spark, plan, out.toString, zCols, bits)
-    commit(table, v, keep.map(_._1) ++ listPartFiles(out))
+    Layout.compactRowsZorder(readSnapshot(spark, m, Some(smalls.map(_._1))),
+      n, out.toString, zCols, bits)
+    commit(table, v, keep.map(_._1) ++ listPartFiles(out), m.dvs)
   }
 
   /** Delete data files and manifests unreachable from the newest
@@ -267,20 +373,20 @@ object CowTable {
     val complete = versions.flatMap(v => parseManifest(manifestPath(table, v), v))
     val kept = complete.take(keepVersions)
     if (kept.isEmpty) return Nil
-    val live = kept.flatMap(_.files).map(normalize).toSet
+    val live = kept.flatMap(m => m.files ++ m.dvs).map(normalize).toSet
     val oldestKept = kept.map(_.version).min
-    val dataRoot = Paths.get(table, "data")
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    if (Files.isDirectory(dataRoot)) {
-      listDir(dataRoot).filter(Files.isDirectory(_)).foreach { vdir =>
-        listPartFiles(vdir).foreach { f =>
-          if (!live.contains(normalize(f))) {
-            Files.deleteIfExists(Paths.get(f))
-            deleted += f
+    Seq(Paths.get(table, "data"), Paths.get(table, "dv"))
+      .filter(Files.isDirectory(_)).foreach { root =>
+        listDir(root).filter(Files.isDirectory(_)).foreach { vdir =>
+          listPartFiles(vdir).foreach { f =>
+            if (!live.contains(normalize(f))) {
+              Files.deleteIfExists(Paths.get(f))
+              deleted += f
+            }
           }
         }
       }
-    }
     versions.filter(_ < oldestKept).foreach { v =>
       Files.deleteIfExists(manifestPath(table, v))
     }
@@ -299,6 +405,12 @@ object CowTable {
       withMinMax: Boolean = false): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
+    // the rewrite matches the raw file-set scan, but a DV'd snapshot is
+    // scan + anti-join — the summary would silently include deleted
+    // rows. Materialize first.
+    require(m.dvs.isEmpty,
+      s"registerMv: $table v${m.version} has deletion vectors; " +
+        "run rewriteDeletes before registering an MV")
     graft.plans.MvCatalog.buildMv(spark.read.parquet(m.files: _*),
       groupKeys, measures, mvPath, withMinMax)
     graft.plans.MvCatalog.registerFiles(spark, name, m.files,
@@ -398,13 +510,48 @@ object CowTable {
        |GROUP BY 1""".stripMargin
   }
 
+  /** Gate: two stacked merge-on-read deletes (different predicates, so
+    * the second DV accumulates on top of the first and overlapping row
+    * identities are deduplicated) against a snapshot of orders, read
+    * back through the DV-applying reader and aggregated per status —
+    * the oracle is the same aggregate over orders with both delete
+    * predicates negated. That no data file was touched, the DV-file
+    * mechanics, and rewriteDeletes equivalence are spec-pinned on real
+    * files in CowTableSpec. */
+  def lhDeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    init(orders, table)
+    deleteWhere(s, table, col("o_orderstatus") === "F" &&
+      pmod(col("o_orderkey"), lit(10)) === 3)
+    deleteWhere(s, table, pmod(col("o_custkey"), lit(97)) === 5)
+    read(s, table).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col("o_custkey")).as("n_cust"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+  }
+
+  val lhDeleteVectorsSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  COUNT(DISTINCT o_custkey) AS n_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+      |  AND NOT (o_custkey % 97 = 5)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lh_merge" -> lhMerge,
     "lh_compact_zorder" -> lhCompactZorder,
+    "lh_delete_vectors" -> lhDeleteVectors,
   )
 
   val oracles: Map[String, String] = Map(
     "lh_merge" -> lhMergeSql,
     "lh_compact_zorder" -> lhCompactZorderSql,
+    "lh_delete_vectors" -> lhDeleteVectorsSql,
   )
 }

@@ -282,9 +282,17 @@ object Layout {
   def compactSmallFiles(spark: SparkSession, plan: CompactionPlan,
       outDir: String): Long = {
     if (plan.smallFiles.isEmpty) return 0L
-    val df = spark.read.parquet(plan.smallFiles.map(_._1): _*)
+    compactRows(spark.read.parquet(plan.smallFiles.map(_._1): _*),
+      plan.targetFileCount, outDir)
+  }
+
+  /** Row-level form of [[compactSmallFiles]]: callers that must apply
+    * row-level corrections to the tail first (a CoW table's deletion
+    * vectors) pass the already-filtered rows. */
+  def compactRows(df: DataFrame, targetFileCount: Int,
+      outDir: String): Long = {
     val n = df.count()
-    df.repartition(plan.targetFileCount)
+    df.repartition(targetFileCount)
       .write.mode("overwrite").parquet(outDir)
     n
   }
@@ -306,10 +314,18 @@ object Layout {
       outDir: String, zCols: Seq[String], bits: Int = ZBits,
       k: Int = 200): Long = {
     if (plan.smallFiles.isEmpty) return 0L
-    val df = spark.read.parquet(plan.smallFiles.map(_._1): _*)
+    compactRowsZorder(spark.read.parquet(plan.smallFiles.map(_._1): _*),
+      plan.targetFileCount, outDir, zCols, bits, k)
+  }
+
+  /** Row-level form of [[compactSmallFilesZorder]] (see
+    * [[compactRows]]). */
+  def compactRowsZorder(df: DataFrame, targetFileCount: Int,
+      outDir: String, zCols: Seq[String], bits: Int = ZBits,
+      k: Int = 200): Long = {
     val n = df.count()
     withZValue(df, zCols.map(col), bits, k, "__zv")
-      .repartitionByRange(plan.targetFileCount, col("__zv"))
+      .repartitionByRange(targetFileCount, col("__zv"))
       .sortWithinPartitions("__zv")
       .drop("__zv")
       .write.mode("overwrite").parquet(outDir)

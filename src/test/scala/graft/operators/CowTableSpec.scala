@@ -282,6 +282,101 @@ class CowTableSpec extends AnyFunSuite {
     assert(served2.collect().map(_.toString).sorted.toSeq == want2)
   }
 
+  test("deleteWhere is merge-on-read: DV sidecar only, no data file rewritten") {
+    val t = freshTable()
+    initRanged(t)
+    val m0 = CowTable.latestManifest(t).get
+    val mtimes0 = m0.files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f))).toMap
+    Thread.sleep(20)
+    val m1 = CowTable.deleteWhere(spark, t, pmod($"id", lit(10)) === 1)
+    // same data files, bit-untouched; the delete is a dv: sidecar
+    assert(m1.version == m0.version + 1)
+    assert(m1.files == m0.files)
+    m1.files.foreach { f =>
+      assert(Files.getLastModifiedTime(Paths.get(f)) == mtimes0(f),
+        s"delete rewrote a data file: $f")
+    }
+    assert(m1.dvs.nonEmpty)
+    val got1 = rows(t)
+    assert(got1.size == 90 && !got1.exists(_._1 % 10 == 1))
+    // a second delete stacks its DV on the first
+    val m2 = CowTable.deleteWhere(spark, t, $"id" >= 95L)
+    assert(m2.dvs.size > m1.dvs.size && m2.files == m0.files)
+    assert(rows(t).size == 85)
+    // re-issuing a fully-applied delete is a version no-op
+    val m3 = CowTable.deleteWhere(spark, t, pmod($"id", lit(10)) === 1)
+    assert(m3.version == m2.version)
+    // time travel ignores later DVs
+    assert(CowTable.readVersion(spark, t, m0.version).count() == 100)
+    assert(CowTable.readVersion(spark, t, m1.version).count() == 90)
+  }
+
+  test("merge over a DV'd snapshot: deleted keys re-insert, carried deletes persist") {
+    val t = freshTable()
+    initRanged(t)
+    CowTable.deleteWhere(spark, t, $"id" === 10L || $"id" === 60L)
+    assert(rows(t).size == 98)
+    // key 10's file is touched by the merge (re-insert through the
+    // DV-applied rows); key 60's file is untouched so its DV entry
+    // must keep applying after the commit
+    CowTable.mergeInto(spark, t,
+      Seq((10L, "back", 1.5)).toDF("id", "name", "v"), Seq("id"))
+    val got = rows(t)
+    assert(got.contains((10L, "back", 1.5)))
+    assert(!got.exists(_._1 == 60L), "carried delete was lost by the merge")
+    assert(got.size == 99)
+  }
+
+  test("rewriteDeletes materializes only DV-carrying files; registerMv refuses until then") {
+    val t = freshTable()
+    initRanged(t)
+    CowTable.deleteWhere(spark, t, $"id" === 10L)
+    val e = intercept[IllegalArgumentException] {
+      CowTable.registerMv(spark, t, "cow_dv_mv", Seq("name"), Seq("v"),
+        s"$t-mv")
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+    val before = CowTable.latestManifest(t).get
+    val mtimes0 = before.files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f))).toMap
+    Thread.sleep(20)
+    val m = CowTable.rewriteDeletes(spark, t)
+    assert(m.version == before.version + 1 && m.dvs.isEmpty)
+    // only the file holding id 10 was rewritten
+    val carried = m.files.toSet intersect before.files.toSet
+    assert((before.files.toSet -- carried).size == 1)
+    carried.foreach { f =>
+      assert(Files.getLastModifiedTime(Paths.get(f)) == mtimes0(f))
+    }
+    val got = rows(t)
+    assert(got.size == 99 && !got.exists(_._1 == 10L))
+    // already materialized: a second call is a version no-op
+    assert(CowTable.rewriteDeletes(spark, t).version == m.version)
+    // vacuum reclaims the obsolete DV files and the replaced data file
+    val deleted = CowTable.vacuum(t, keepVersions = 1)
+    assert(deleted.exists(_.contains("/dv/")), s"dv files not vacuumed: $deleted")
+    assert(rows(t).size == 99)
+  }
+
+  test("compaction applies the tail's deletion vectors while rewriting it") {
+    val t = freshTable()
+    initRanged(t)
+    (0 until 3).foreach { i =>
+      CowTable.mergeInto(spark, t,
+        Seq((200L + i, s"x$i", i * 1.0)).toDF("id", "name", "v"), Seq("id"))
+    }
+    CowTable.deleteWhere(spark, t, $"id" === 201L)
+    val before = CowTable.latestManifest(t).get
+    val sizes = before.files.map(f => Files.size(Paths.get(f)))
+    val m = CowTable.compactTable(spark, t, targetBytes = sizes.max * 10,
+      smallThreshold = Some(sizes.max))
+    assert(m.version == before.version + 1)
+    val got = rows(t)
+    assert(got.size == 102 && !got.exists(_._1 == 201L))
+    assert(got.contains((200L, "x0", 0.0)) && got.contains((202L, "x2", 2.0)))
+  }
+
   test("commit race: the second claimant of a version fails loudly") {
     val t = freshTable()
     initRanged(t)
