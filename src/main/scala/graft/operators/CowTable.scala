@@ -393,6 +393,72 @@ object CowTable {
     deleted.toSeq
   }
 
+  /** Change data feed: the row-level delta between two committed
+    * versions, classified per key as
+    * `insert` / `delete` / `update_preimage` / `update_postimage`
+    * (Delta CDF's vocabulary). `keys` must be a unique key in both
+    * versions — the same contract MERGE already enforces.
+    *
+    * The diff never scans the table: both sides are restricted to the
+    * CHANGED file set — files present in exactly one manifest (rewrites,
+    * compactions, new data) plus common files that gained deletion
+    * vector entries — so the cost is proportional to what the merges
+    * actually rewrote, not to table size. Rows a rewrite carried
+    * unchanged (and everything a compaction or Z-order pass moved
+    * between files) compare identical under the full-outer key join and
+    * vanish from the feed: layout maintenance is change-free by
+    * construction. One shuffle (the key join); the pre/post branches
+    * reuse its exchange.
+    *
+    * This is what closes the incremental-MV loop for CoW tables: feed
+    * the postimages/inserts as upserts and the deletes as tombstones
+    * into [[Changelog.aggMaintain]] and a downstream aggregate follows
+    * the table version-by-version without ever re-scanning it
+    * (CowCdfMaintainSpec proves maintained ≡ rebuilt). */
+  def tableChanges(spark: SparkSession, table: String, fromV: Int,
+      toV: Int, keys: Seq[String]): DataFrame = {
+    require(fromV < toV, s"tableChanges: need fromV < toV, got $fromV..$toV")
+    val fm = readManifest(table, fromV)
+    val tm = readManifest(table, toV)
+    val fmSet = fm.files.map(normalize).toSet
+    val tmSet = tm.files.map(normalize).toSet
+    val remF = fm.files.filterNot(f => tmSet.contains(normalize(f)))
+    val addF = tm.files.filterNot(f => fmSet.contains(normalize(f)))
+    val dvNew = tm.dvs.filterNot(fm.dvs.toSet)
+    val dvAffected: Seq[String] =
+      if (dvNew.isEmpty) Nil
+      else {
+        val touched = spark.read.parquet(dvNew: _*)
+          .select("file_path").distinct()
+          .collect().map(r => normalize(r.getString(0))).toSet
+        tm.files.filter(f => touched.contains(normalize(f)) &&
+          fmSet.contains(normalize(f)))
+      }
+    val oldSide = readSnapshot(spark, fm, Some((remF ++ dvAffected).distinct))
+    val newSide = readSnapshot(spark, tm, Some((addF ++ dvAffected).distinct))
+    require(keys.forall(oldSide.columns.contains), s"keys $keys missing")
+    val dataCols = oldSide.columns.filterNot(keys.contains).toSeq
+
+    val o = oldSide.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"__o_$c")) :+ lit(1).as("__in_o"): _*)
+    val n = newSide.select(keys.map(col) ++
+      dataCols.map(c => col(c).as(s"__n_$c")) :+ lit(1).as("__in_n"): _*)
+    val j = o.join(n, keys, "full_outer")
+    val same = dataCols.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val pre = j.filter(col("__in_o").isNotNull &&
+        (col("__in_n").isNull || !same))
+      .select(keys.map(col) ++ dataCols.map(c => col(s"__o_$c").as(c)) :+
+        when(col("__in_n").isNull, "delete").otherwise("update_preimage")
+          .as("_change_type"): _*)
+    val post = j.filter(col("__in_n").isNotNull &&
+        (col("__in_o").isNull || !same))
+      .select(keys.map(col) ++ dataCols.map(c => col(s"__n_$c").as(c)) :+
+        when(col("__in_o").isNull, "insert").otherwise("update_postimage")
+          .as("_change_type"): _*)
+    pre.unionByName(post)
+  }
+
   /** Build (one snapshot scan) and register an MV of the CURRENT
     * snapshot, pinned to its exact file set: after any later merge the
     * scan's file set changes, the registration no longer matches, and
@@ -543,15 +609,68 @@ object CowTable {
       |  AND NOT (o_custkey % 97 = 5)
       |GROUP BY 1""".stripMargin
 
+  /** Gate: the change feed across a MERGE (v0→v1, the lh_merge
+    * construction) followed by a merge-on-read DELETE (v1→v2), read as
+    * one v0→v2 diff. The oracle rebuilds the same classification
+    * relationally: deletes are target keys absent from the final state,
+    * inserts are final keys absent from the target, and matched keys
+    * whose row content differs emit a pre/post image pair. Only
+    * o_totalprice can differ for a matched key (the update rewrites it;
+    * every other column rides along from the same orders row), so the
+    * oracle's difference test is that single column in both engines. */
+  def lhChanges(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    init(orders.filter(pmod(col("o_orderkey"), lit(4)) =!= 0), table)
+    val source = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    mergeInto(s, table, source, Seq("o_orderkey"),
+      deleteCond = Some(col("o_orderstatus") === "F"), insert = true)
+    deleteWhere(s, table, pmod(col("o_custkey"), lit(5)) === 2)
+    tableChanges(s, table, 0, 2, Seq("o_orderkey"))
+  }
+
+  val lhChangesSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
+      |source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT * FROM target
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      |  UNION ALL
+      |  SELECT s.* FROM source s JOIN target t USING (o_orderkey)
+      |  WHERE s.o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT s.* FROM source s
+      |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)),
+      |final AS (SELECT * FROM merged WHERE o_custkey % 5 <> 2)
+      |SELECT t.*, 'delete' AS _change_type FROM target t
+      |WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM final)
+      |UNION ALL
+      |SELECT f.*, 'insert' FROM final f
+      |WHERE f.o_orderkey NOT IN (SELECT o_orderkey FROM target)
+      |UNION ALL
+      |SELECT t.*, 'update_preimage'
+      |FROM target t JOIN final f USING (o_orderkey)
+      |WHERE t.o_totalprice <> f.o_totalprice
+      |UNION ALL
+      |SELECT f.*, 'update_postimage'
+      |FROM final f JOIN target t USING (o_orderkey)
+      |WHERE t.o_totalprice <> f.o_totalprice""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lh_merge" -> lhMerge,
     "lh_compact_zorder" -> lhCompactZorder,
     "lh_delete_vectors" -> lhDeleteVectors,
+    "lh_changes" -> lhChanges,
   )
 
   val oracles: Map[String, String] = Map(
     "lh_merge" -> lhMergeSql,
     "lh_compact_zorder" -> lhCompactZorderSql,
     "lh_delete_vectors" -> lhDeleteVectorsSql,
+    "lh_changes" -> lhChangesSql,
   )
 }

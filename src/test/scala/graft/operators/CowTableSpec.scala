@@ -377,6 +377,37 @@ class CowTableSpec extends AnyFunSuite {
     assert(got.contains((200L, "x0", 0.0)) && got.contains((202L, "x2", 2.0)))
   }
 
+  test("tableChanges: layout maintenance is change-free; DV deletes emit pre-images") {
+    val t = freshTable()
+    initRanged(t)
+    (0 until 3).foreach { i =>
+      CowTable.mergeInto(spark, t,
+        Seq((300L + i, s"c$i", i * 1.0)).toDF("id", "name", "v"), Seq("id"))
+    }
+    val vIngest = CowTable.latestManifest(t).get.version
+    // compaction commits a version whose row-level diff is EMPTY
+    val sizes = CowTable.latestManifest(t).get.files
+      .map(f => Files.size(Paths.get(f)))
+    val mC = CowTable.compactTable(spark, t, targetBytes = sizes.max * 10,
+      smallThreshold = Some(sizes.max))
+    assert(mC.version > vIngest)
+    assert(CowTable.tableChanges(spark, t, vIngest, mC.version,
+      Seq("id")).isEmpty, "compaction produced spurious changes")
+    // a DV delete shows up as delete rows carrying the pre-image
+    CowTable.deleteWhere(spark, t, $"id" === 301L || $"id" === 7L)
+    val vDel = CowTable.latestManifest(t).get.version
+    val ch = CowTable.tableChanges(spark, t, mC.version, vDel, Seq("id"))
+      .select("id", "name", "v", "_change_type")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(ch == Set((301L, "c1", 1.0, "delete"), (7L, "n7", 7.0, "delete")))
+    // the full span composes: a row inserted then deleted inside the
+    // span (301) nets out entirely; only net inserts and deletes remain
+    val span = CowTable.tableChanges(spark, t, 0, vDel, Seq("id"))
+      .select("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(span == Set((300L, "insert"), (302L, "insert"),
+      (7L, "delete")), s"unexpected span diff: $span")
+  }
+
   test("commit race: the second claimant of a version fails loudly") {
     val t = freshTable()
     initRanged(t)
