@@ -69,7 +69,13 @@ object Bench {
     // round 10 sixth wave: TPC-H-derived snowflake joins (q5: 6-table /
     // q8: 8-table broadcast pipeline), left-outer histogram (q13),
     // having-pushdown large-volume join (q18)
-    "tpch_q5", "tpch_q8", "tpch_q13", "tpch_q18")
+    "tpch_q5", "tpch_q8", "tpch_q13", "tpch_q18",
+    // round 10 seventh wave: correlated-average join (tpch_q17),
+    // disjunctive-predicate join (tpch_q19), z-order compaction of a
+    // merge-built table, merge-on-read delete + DV-applied read-back,
+    // and the version-to-version change data feed
+    "tpch_q17", "tpch_q19", "lh_compact_zorder", "lh_delete_vectors",
+    "lh_changes")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
