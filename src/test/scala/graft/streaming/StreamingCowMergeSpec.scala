@@ -57,4 +57,60 @@ class StreamingCowMergeSpec extends AnyFunSuite {
     // one version per batch: bootstrap + four merges
     assert(CowTable.latestManifest(table).get.version == 4)
   }
+
+  test("upsert-merge + DV-delete loop: tombstones never rewrite data files") {
+    import spark.implicits._
+    val history = (1L to 300L).map(i =>
+      (i % 20, i, if (i % 13 == 0) "d" else "u", i * 1.5))
+    val table = java.nio.file.Files
+      .createTempDirectory("cow_stream_dv").resolve("t").toString
+    var dvDeletes = 0
+    val input = MemoryStream[(Long, Long, String, Double)](spark)
+    val q = input.toDF().toDF("k", "v", "op", "payload").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val latest = batch
+          .withColumn("__r", row_number().over(
+            Window.partitionBy("k").orderBy(col("v").desc)))
+          .filter(col("__r") === 1).drop("__r")
+        val ups = latest.filter(col("op") =!= "d").drop("op")
+        if (CowTable.latestManifest(table).isEmpty) {
+          CowTable.init(ups, table)
+        } else if (!ups.isEmpty) {
+          CowTable.mergeInto(spark, table, ups, Seq("k"), insert = true)
+        }
+        // tombstoned keys leave as a deletion vector, not a rewrite —
+        // the steady-state file churn of the loop is upserts only
+        val delKeys = latest.filter(col("op") === "d")
+          .select("k").as[Long].collect().toSeq
+        if (delKeys.nonEmpty && CowTable.latestManifest(table).isDefined) {
+          val before = CowTable.latestManifest(table).get
+          val m = CowTable.deleteWhere(spark, table,
+            col("k").isInCollection(delKeys))
+          if (m.version != before.version) {
+            assert(m.files == before.files,
+              "a DV delete changed the data file set")
+            dvDeletes += 1
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      history.grouped(60).foreach { slice =>
+        input.addData(slice); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def content = CowTable.read(spark, table)
+      .select($"k", $"v", $"payload").as[(Long, Long, Double)].collect().toSet
+    val ref = Changelog.compact(history.toDF("k", "v", "op", "payload"),
+      Seq("k"), Seq(col("v")), col("op") === "d", Seq("v", "payload"))
+      .select($"k", $"v", $"payload").as[(Long, Long, Double)].collect().toSet
+    assert(content == ref && ref.nonEmpty)
+    assert(dvDeletes > 0, "history never exercised a cross-batch DV delete")
+    // end-of-stream maintenance: materialize, content unchanged, DVs gone
+    val m = CowTable.rewriteDeletes(spark, table)
+    assert(m.dvs.isEmpty)
+    assert(content == ref)
+  }
 }
