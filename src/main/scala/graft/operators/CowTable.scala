@@ -437,6 +437,15 @@ object CowTable {
     val oldSide = readSnapshot(spark, fm, Some((remF ++ dvAffected).distinct))
     val newSide = readSnapshot(spark, tm, Some((addF ++ dvAffected).distinct))
     require(keys.forall(oldSide.columns.contains), s"keys $keys missing")
+    // a duplicated key would silently misclassify under the key join;
+    // both sides are changed-file-sized, so the check is delta-priced
+    Seq("from" -> oldSide, "to" -> newSide).foreach { case (side, df) =>
+      val u = df.agg(count(lit(1)).as("n"),
+        count_distinct(col(keys.head), keys.tail.map(col): _*).as("d")).head()
+      require(u.getLong(0) == u.getLong(1),
+        s"tableChanges: $side version has ${u.getLong(0) - u.getLong(1)} " +
+          s"duplicate keys on $keys")
+    }
     val dataCols = oldSide.columns.filterNot(keys.contains).toSeq
 
     val o = oldSide.select(keys.map(col) ++

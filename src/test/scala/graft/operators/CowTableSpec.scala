@@ -408,6 +408,40 @@ class CowTableSpec extends AnyFunSuite {
       (7L, "delete")), s"unexpected span diff: $span")
   }
 
+  test("DV read keeps filter pushdown and broadcast anti-join on the data scan") {
+    val t = freshTable()
+    initRanged(t)
+    CowTable.deleteWhere(spark, t, $"id" === 91L)
+    val q = CowTable.read(spark, t).filter($"id" >= 90L).select("id", "v")
+    val plan = q.queryExecution.executedPlan.toString
+    // the user predicate reaches the parquet scan THROUGH the DV
+    // anti-join (an anti-join preserves its left rows, so Catalyst may
+    // push the filter below it) — without this, every DV'd read becomes
+    // a full scan
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,90)"), plan)
+    // the delete set rides a broadcast, never a shuffle
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // name is not read: pruning intact despite the _metadata projection
+    val readSchemas = plan.split("ReadSchema: ").drop(1).map(_.split("\n").head)
+    assert(readSchemas.exists(s => s.contains("id") && !s.contains("name")),
+      plan)
+    assert(q.count() == 9) // 90..99 minus the deleted 91
+  }
+
+  test("tableChanges refuses a side with duplicate keys") {
+    val t = freshTable()
+    CowTable.init(Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0))
+      .toDF("id", "name", "v").repartition(1), t)
+    CowTable.deleteWhere(spark, t, $"id" === 2L)
+    val e = intercept[IllegalArgumentException] {
+      CowTable.tableChanges(spark, t, 0, 1, Seq("id")).collect()
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
   test("commit race: the second claimant of a version fails loudly") {
     val t = freshTable()
     initRanged(t)
