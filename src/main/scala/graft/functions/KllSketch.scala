@@ -99,6 +99,38 @@ final class KllState(val k: Int) {
     }
     sorted.last._1
   }
+
+  /** All of `qs` in ONE sort + ONE cumulative walk — [[quantile]] per
+    * query re-sorts the survivor pairs, which turns the 2^bits−1
+    * boundary extraction a range-bucket/Z-order layout needs into
+    * O(n·2^bits) work on one sketch. Result is element-wise IDENTICAL
+    * to calling [[quantile]] per q (spec-pinned); qs may arrive in any
+    * order. */
+  def quantiles(qs: Array[Double]): Array[Double] = {
+    if (count == 0L) return Array.fill(qs.length)(Double.NaN)
+    val pairs = ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < levels.size) {
+      val w = 1L << h
+      levels(h).foreach(v => pairs += ((v, w)))
+      h += 1
+    }
+    val sorted = pairs.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    val order = qs.indices.sortBy(qs(_))
+    val out = new Array[Double](qs.length)
+    var cum = 0L
+    var i = 0
+    order.foreach { oi =>
+      val target = math.max(1L, math.ceil(qs(oi) * total).toLong)
+      while (cum < target && i < sorted.size) {
+        cum += sorted(i)._2
+        i += 1
+      }
+      out(oi) = if (i > 0) sorted(i - 1)._1 else sorted.head._1
+    }
+    out
+  }
 }
 
 object KllKernel {
@@ -143,6 +175,9 @@ object KllKernel {
 
   def quantile(bytes: Array[Byte], q: Double): Double =
     deserialize(bytes).quantile(q)
+
+  def quantiles(bytes: Array[Byte], qs: Array[Double]): Array[Double] =
+    deserialize(bytes).quantiles(qs)
 }
 
 /** Approximate quantile as a native mergeable TypedImperativeAggregate —
@@ -252,6 +287,13 @@ object KllFunctions {
   def kll_merge(a: Column, b: Column): Column = mergeUdf(a, b)
   def kll_sketch_quantile(sketch: Column, q: Column): Column =
     quantileUdf(sketch, q)
+
+  // one deserialization + one survivor sort for the whole batch — the
+  // boundary-extraction path of range buckets / Z-order layout
+  private val quantilesUdf =
+    udf((b: Array[Byte], qs: Seq[Double]) => KllKernel.quantiles(b, qs.toArray))
+  def kll_sketch_quantiles(sketch: Column, qs: Seq[Double]): Column =
+    quantilesUdf(sketch, org.apache.spark.sql.functions.lit(qs.toArray))
 
   /** Size k from a requested rank tolerance instead of the other way
     * around. The deterministic-compaction variant's rank error tracks

@@ -529,9 +529,10 @@ object CowTable {
       |SELECT s.* FROM source s
       |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)""".stripMargin
 
-  /** Gate: streaming-shaped ingest (init + three insert-only merges,
-    * each a quarter of orders by orderkey residue) leaves a tail of
-    * arrival-ordered files; [[compactTableZorder]] rewrites the whole
+  /** Gate: streaming-shaped ingest (init + an insert-only merge, each
+    * half of orders by orderkey parity — the merge's full-outer output
+    * partitioning leaves a genuine multi-file arrival-ordered tail);
+    * [[compactTableZorder]] rewrites the whole
     * tail clustered on (o_custkey, o_orderkey). The emitted per-z-cell
     * aggregate recomputes the gate-exact Morton code from the COLUMNS at
     * read time, so it pins exact content preservation through
@@ -545,11 +546,9 @@ object CowTable {
     val ord = Tables.orders(s, dir)
     val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
       java.util.UUID.randomUUID().toString.take(8)
-    init(ord.filter(pmod($"o_orderkey", lit(4)) === 1), table)
-    Seq(2, 3, 0).foreach { r =>
-      mergeInto(s, table, ord.filter(pmod($"o_orderkey", lit(4)) === r),
-        Seq("o_orderkey"))
-    }
+    init(ord.filter(pmod($"o_orderkey", lit(2)) === 1), table)
+    mergeInto(s, table, ord.filter(pmod($"o_orderkey", lit(2)) === 0),
+      Seq("o_orderkey"))
     val sizes = latestManifest(table).get.files.map(f =>
       Files.size(Paths.get(f)))
     compactTableZorder(s, table, targetBytes = math.max(1L, sizes.sum / 2),

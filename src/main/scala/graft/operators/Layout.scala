@@ -59,12 +59,18 @@ object Layout {
   }
 
   /** Scan-side KLL rank quantization: value → rank bucket in
-    * [0, 2^bits) as a codegen'd boundary chain (the
-    * [[Sampling.withRangeBucket]] mechanism, returned as a Column so
-    * callers can quantize several columns side by side). */
-  def rankQuantize(value: Column, boundaries: Seq[Double]): Column =
-    boundaries.map(b => when(value >= b, 1).otherwise(0))
-      .reduceOption(_ + _).getOrElse(lit(0)).cast("long")
+    * [0, 2^bits) via the native [[graft.functions.RankBucket]] binary
+    * search (one constant boundary array, O(log n) per row, constant
+    * codegen size — see its doc for why the n-term when-chain this
+    * replaces was a compile-time cliff). `coalesce(…, 0)` preserves the
+    * chain's NULL-input → bucket 0 behavior. */
+  def rankQuantize(value: Column, boundaries: Seq[Double]): Column = {
+    if (boundaries.isEmpty) return lit(0L)
+    coalesce(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.RankBucket(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(value),
+        boundaries.toArray)), lit(0L))
+  }
 
   /** Production layout: assign every row a target file id in
     * [0, numFiles) such that files tile the k-dimensional space.

@@ -298,21 +298,30 @@ object Sampling {
     val sketch = df.agg(
       graft.functions.KllFunctions.kll_sketch(value, k).as("sk"))
     val qs = (1 until numBuckets).map(_.toDouble / numBuckets)
-    val row = sketch.select(qs.map(q =>
-      graft.functions.KllFunctions.kll_sketch_quantile(col("sk"), lit(q))): _*)
+    // one multi-quantile extraction: the per-q UDF re-deserialized and
+    // re-sorted the sketch per boundary, which at 2^bits−1 boundaries
+    // per Z-order dimension dominated the whole layout pass
+    val row = sketch.select(
+      graft.functions.KllFunctions.kll_sketch_quantiles(col("sk"), qs))
       .head()
     require(!row.isNullAt(0),
+      "rangeBucketBoundaries: no sketch — empty aggregation")
+    val bounds = row.getSeq[Double](0)
+    require(bounds.forall(b => !b.isNaN),
       "rangeBucketBoundaries: empty or all-null input — no quantiles to cut")
-    qs.indices.map(row.getDouble)
+    bounds
   }
 
-  /** Scan-side bucket assignment: bucket = #{boundaries ≤ value}, as a
-    * literal comparison chain (codegen'd, no shuffle, no lookup join). */
+  /** Scan-side bucket assignment: bucket = #{boundaries ≤ value}, via
+    * the native [[graft.functions.RankBucket]] binary search (no
+    * shuffle, no lookup join, constant codegen size at any boundary
+    * count — the comparison-chain formulation it replaces compiled a
+    * fresh n-term class per boundary set). Emits int to keep the gate
+    * oracle schema unchanged. */
   def withRangeBucket(df: DataFrame, value: Column,
       boundaries: Seq[Double]): DataFrame =
     df.withColumn("bucket",
-      boundaries.map(b => when(value >= b, 1).otherwise(0))
-        .reduceOption(_ + _).getOrElse(lit(0)))
+      Layout.rankQuantize(value, boundaries).cast("int"))
 
   // --------------------------------------------------------- gate queries
 
