@@ -14,8 +14,8 @@ import graft.Tables
   *
   * Layout:
   * {{{
-  *   <table>/data/v<N>/part-*.parquet   -- files written by version N
-  *   <table>/dv/v<N>/part-*.parquet     -- deletion vectors of version N
+  *   <table>/data/v<N>-<uniq>/part-*.parquet -- files written by version N
+  *   <table>/dv/v<N>-<uniq>/part-*.parquet   -- deletion vectors of version N
   *   <table>/manifest/v<N>.manifest     -- header, then one file path/line
   *                                         (deletion vectors as dv:<path>)
   * }}}
@@ -135,9 +135,20 @@ object CowTable {
         n.startsWith("part-") && n.endsWith(".parquet")
       }.sorted
 
+  /** Version dirs carry a unique suffix because data is written BEFORE
+    * the version is claimed: two committers racing the same version
+    * number must not land in the same directory, or the loser's
+    * `mode(overwrite)` write could delete the winner's files in the
+    * window before the winner's manifest rename. Manifests reference
+    * absolute file paths, so the directory name is free to vary; vacuum
+    * walks every version dir regardless of name. */
+  private def versionDir(table: String, kind: String, v: Int): Path =
+    Paths.get(table, kind,
+      s"v$v-${java.util.UUID.randomUUID().toString.take(8)}")
+
   /** Write `df` as version `v`'s data files and return their paths. */
   private def writeData(df: DataFrame, table: String, v: Int): Seq[String] = {
-    val out = Paths.get(table, "data", s"v$v")
+    val out = versionDir(table, "data", v)
     df.write.mode("overwrite").parquet(out.toString)
     listPartFiles(out)
   }
@@ -210,7 +221,7 @@ object CowTable {
         Seq("file_path", "row_index"), "left_anti")
     if (fresh.isEmpty) return m
     val v = m.version + 1
-    val out = Paths.get(table, "dv", s"v$v")
+    val out = versionDir(table, "dv", v)
     fresh.write.mode("overwrite").parquet(out.toString)
     commit(table, v, m.files, m.dvs ++ listPartFiles(out))
   }
@@ -324,7 +335,7 @@ object CowTable {
     val smallBytes = smalls.map(_._2).sum
     val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val v = m.version + 1
-    val out = Paths.get(table, "data", s"v$v")
+    val out = versionDir(table, "data", v)
     // DV-applied rows: compaction materializes the tail's deletes for
     // free; kept files' DV entries stay live and are carried
     Layout.compactRows(readSnapshot(spark, m, Some(smalls.map(_._1))),
@@ -351,7 +362,7 @@ object CowTable {
     val smallBytes = smalls.map(_._2).sum
     val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val v = m.version + 1
-    val out = Paths.get(table, "data", s"v$v")
+    val out = versionDir(table, "data", v)
     Layout.compactRowsZorder(readSnapshot(spark, m, Some(smalls.map(_._1))),
       n, out.toString, zCols, bits)
     commit(table, v, keep.map(_._1) ++ listPartFiles(out), m.dvs)

@@ -198,7 +198,7 @@ class CowTableSpec extends AnyFunSuite {
 
     // z-compacted files are bounded boxes: a slice query in EITHER
     // dimension skips some of them
-    val rewritten = m.files.filter(_.contains(s"/v${m.version}/"))
+    val rewritten = m.files.filterNot(before.files.toSet)
     assert(rewritten.size >= 3, s"expected a multi-file rewrite: $rewritten")
     val (zx, zy) = perFileHits(rewritten)
     assert(zx < rewritten.size, s"x-slice hit all $zx z-files")
@@ -209,7 +209,8 @@ class CowTableSpec extends AnyFunSuite {
     val t2 = build()
     val m2 = CowTable.compactTable(spark, t2,
       targetBytes = math.max(1L, smallBytes / 4), smallThreshold = Some(big))
-    val rewritten2 = m2.files.filter(_.contains(s"/v${m2.version}/"))
+    val rewritten2 = m2.files.filterNot(
+      CowTable.readManifest(t2, m2.version - 1).files.toSet)
     val (px, py) = perFileHits(rewritten2)
     assert(px == rewritten2.size && py == rewritten2.size,
       s"plain compaction unexpectedly clustered: $px/$py of ${rewritten2.size}")
