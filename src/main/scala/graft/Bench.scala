@@ -75,7 +75,10 @@ object Bench {
     // merge-built table, merge-on-read delete + DV-applied read-back,
     // and the version-to-version change data feed
     "tpch_q17", "tpch_q19", "lh_compact_zorder", "lh_delete_vectors",
-    "lh_changes")
+    "lh_changes",
+    // round 10 close-out: the pure pushdown aggregate (q6) and the
+    // late-vs-ontime priority counting join (q12, adapted)
+    "tpch_q6", "tpch_q12")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

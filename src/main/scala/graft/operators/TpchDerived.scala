@@ -287,6 +287,60 @@ object TpchDerived {
        |        HAVING SUM(l_quantity) > $Q18Threshold) big
        |    ON big.l_orderkey = o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- Q6
+  /** Forecasting revenue change: the pure scan-aggregate — every
+    * predicate (date range, discount band, quantity cap) must reach the
+    * parquet scan as a pushed filter; the aggregate is one map-combined
+    * decimal sum with no shuffle beyond the 1-row final. */
+  def tpchQ6(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+  }
+
+  val tpchQ6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.04
+      |  AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------------------------------- Q12
+  /** Shipping-mode priority counting (adapted: no shipmode/commitdate —
+    * the mode split becomes late vs ontime by shipdate lag, the
+    * priority CASE keeps TPC-H's urgent/high vs other split). Bigint
+    * conditional counts over the fact join — exact by construction. */
+  def tpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 90 DAYS"), "late")
+        .otherwise("ontime").as("ship_class"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  val tpchQ12Sql: String =
+    """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |    THEN 'late' ELSE 'ontime' END AS ship_class,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin
+
   // --------------------------------------------------------------- Q15
   /** Top supplier: revenue per supplier over one quarter, keep the
     * supplier(s) at the maximum. The tie-safe "= (SELECT MAX(...))"
@@ -464,9 +518,11 @@ object TpchDerived {
     "tpch_q3" -> tpchQ3,
     "tpch_q4" -> tpchQ4,
     "tpch_q5" -> tpchQ5,
+    "tpch_q6" -> tpchQ6,
     "tpch_q7" -> tpchQ7,
     "tpch_q8" -> tpchQ8,
     "tpch_q10" -> tpchQ10,
+    "tpch_q12" -> tpchQ12,
     "tpch_q13" -> tpchQ13,
     "tpch_q14" -> tpchQ14,
     "tpch_q15" -> tpchQ15,
@@ -481,9 +537,11 @@ object TpchDerived {
     "tpch_q3" -> tpchQ3Sql,
     "tpch_q4" -> tpchQ4Sql,
     "tpch_q5" -> tpchQ5Sql,
+    "tpch_q6" -> tpchQ6Sql,
     "tpch_q7" -> tpchQ7Sql,
     "tpch_q8" -> tpchQ8Sql,
     "tpch_q10" -> tpchQ10Sql,
+    "tpch_q12" -> tpchQ12Sql,
     "tpch_q13" -> tpchQ13Sql,
     "tpch_q14" -> tpchQ14Sql,
     "tpch_q15" -> tpchQ15Sql,
