@@ -31,20 +31,45 @@ object MatView {
     s"${System.getProperty("java.io.tmpdir")}/graft_mv/$tag/lineitem_by_flag_status"
   }
 
-  /** Build (once per JVM tmpdir + sfDir), register, and enable the
-    * rewrite on this session. Returns the MV path. */
+  /** Fingerprint of the base table's physical files (name, size,
+    * mtime): the staleness test that catches a REGENERATED dataset at
+    * the same dir path. The cached MV lives under java.io.tmpdir keyed
+    * by the dir string and survives across JVMs — without the data
+    * fingerprint, regenerating the parquet would leave the
+    * session-global rewrite serving a silently stale summary to every
+    * in-shape lineitem aggregate. */
+  private def baseFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val h = fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+      .foldLeft(17L) { (acc, st) =>
+        ((acc * 31 + st.getPath.getName.hashCode) * 31 + st.getLen) * 31 +
+          st.getModificationTime
+      }
+    java.lang.Long.toHexString(h)
+  }
+
+  /** Build (once per JVM tmpdir + sfDir + base-data fingerprint),
+    * register, and enable the rewrite on this session. Returns the MV
+    * path. */
   def ensureLineitemMv(s: SparkSession, dir: String): String = {
     val path = mvPath(dir)
     val success = new java.io.File(path, "_SUCCESS")
-    // rebuild when absent OR from an older schema vintage (a stored MV
+    val fpFile = new java.io.File(path, "_graft_base_fingerprint")
+    val fp = baseFingerprint(s, dir)
+    // rebuild when absent, from an older schema vintage (a stored MV
     // without the per-measure non-null counts would silently refuse
-    // avg/count(col) rewrites)
+    // avg/count(col) rewrites), or built from DIFFERENT base data
     val stale = success.isFile && {
       val cols = s.read.parquet(path).columns.map(_.toLowerCase).toSet
-      !measures.forall(m => cols.contains(s"cnt_$m"))
+      !measures.forall(m => cols.contains(s"cnt_$m")) ||
+        !fpFile.isFile ||
+        new String(java.nio.file.Files.readAllBytes(fpFile.toPath),
+          "UTF-8") != fp
     }
     if (!success.isFile || stale) {
       MvCatalog.buildMv(Tables.lineitem(s, dir), keys, measures, path)
+      java.nio.file.Files.write(fpFile.toPath, fp.getBytes("UTF-8"))
     }
     MvCatalog.register(s, "lineitem_by_flag_status",
       s"$dir/lineitem.parquet", keys, measures, path)

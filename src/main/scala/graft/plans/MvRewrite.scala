@@ -93,6 +93,16 @@ object MvCatalog {
   def clear(): Unit = defs.clear()
   def lookup(tag: String): Option[MvDef] = Option(defs.get(tag))
 
+  /** [[buildMv]] runs its own keys-level aggregate over the base — a
+    * shape [[MvRewriteRule]] serves. If a registration for the same base
+    * is still live (an MV REBUILD after the base changed), the rule
+    * would rewrite the build plan to scan mvPath while the build
+    * overwrites mvPath: a crash at best, a silently-reproduced STALE
+    * summary at worst. Builds therefore suspend the rule for their
+    * duration (counter, so concurrent builds nest). */
+  private val buildsInFlight = new java.util.concurrent.atomic.AtomicInteger(0)
+  def rewriteSuspended: Boolean = buildsInFlight.get() > 0
+
   /** Register `mvPath` as the summary of a manifest-pinned snapshot
     * scanned as the exact file set `files` (see [[fileSetTag]]). */
   def registerFiles(spark: SparkSession, name: String, files: Seq[String],
@@ -139,15 +149,18 @@ object MvCatalog {
         // need; additive, so retract-add maintenance can carry it too
         count(col(m)).as(s"cnt_$m")) ++ (if (withMinMax)
         Seq(min(col(m)).as(s"min_$m"), max(col(m)).as(s"max_$m")) else Nil))
-    base.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-      .write.mode("overwrite").parquet(mvPath)
+    buildsInFlight.incrementAndGet()
+    try {
+      base.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        .write.mode("overwrite").parquet(mvPath)
+    } finally buildsInFlight.decrementAndGet()
   }
 }
 
 object MvRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MvCatalog.isEmpty) plan
+    if (MvCatalog.isEmpty || MvCatalog.rewriteSuspended) plan
     else plan.transform {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }

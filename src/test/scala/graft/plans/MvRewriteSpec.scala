@@ -142,6 +142,56 @@ class MvRewriteSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("regenerated base data triggers an MV rebuild (fingerprint staleness)") {
+    import spark.implicits._
+    // a private "dataset dir" we can regenerate, same path both times
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_regen").toString
+    def writeBase(rows: Seq[(String, String, Double, Double)]): Unit =
+      rows.toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+    writeBase(Seq(("A", "F", 1.0, 10.0), ("A", "F", 2.0, 20.0)))
+    MvCatalog.clear()
+    MatView.ensureLineitemMv(spark, root)
+    def servedSum(): Double = {
+      val df = spark.read.parquet(s"$root/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("s"))
+      assert(scanPaths(df).forall(_.contains("graft_mv")),
+        "rewrite not serving from the MV")
+      df.collect().map(_.getDouble(2)).sum
+    }
+    assert(servedSum() == 3.0)
+    // regenerate the dataset at the SAME dir path — without the data
+    // fingerprint the tmpdir-cached MV would silently serve 3.0 forever
+    writeBase(Seq(("A", "F", 5.0, 10.0), ("A", "F", 7.0, 20.0)))
+    MvCatalog.clear()
+    MatView.ensureLineitemMv(spark, root)
+    assert(servedSum() == 12.0, "stale MV served after base regeneration")
+  }
+
+  test("buildMv under a live same-base registration reads the BASE, not itself") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mv_rebuild").toString
+    val basePath = s"$root/base"; val mvP = s"$root/mv"
+    def writeBase(rows: Seq[(String, Double)]): Unit =
+      rows.toDF("k", "x").write.mode("overwrite").parquet(basePath)
+    writeBase(Seq(("a", 1.0), ("a", 2.0)))
+    MvCatalog.clear()
+    MvCatalog.buildMv(spark.read.parquet(basePath), Seq("k"), Seq("x"), mvP)
+    MvCatalog.register(spark, "rebuild", basePath, Seq("k"), Seq("x"), mvP)
+    MvRewriteApi.enable(spark)
+    // base changes; REBUILD while the registration is still live. If the
+    // rule rewrote the build's own aggregate it would scan mvPath while
+    // overwriting it — crash, or a silently-reproduced stale summary.
+    writeBase(Seq(("a", 10.0), ("a", 20.0)))
+    MvCatalog.buildMv(spark.read.parquet(basePath), Seq("k"), Seq("x"), mvP)
+    val sums = spark.read.parquet(mvP).collect()
+      .map(r => r.getString(r.fieldIndex("k")) ->
+        r.getDouble(r.fieldIndex("sum_x"))).toMap
+    assert(sums == Map("a" -> 30.0), s"rebuild produced stale MV: $sums")
+    MvCatalog.clear()
+  }
+
   test("registration refuses an MV with missing columns") {
     val bad = s"${System.getProperty("java.io.tmpdir")}/graft_mv_badshape"
     Tables.lineitem(spark, dir).groupBy("l_returnflag")
