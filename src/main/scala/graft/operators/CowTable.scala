@@ -2,28 +2,54 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or => COr}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
 
 import graft.Tables
 
 /** Copy-on-write table with manifest-pinned snapshot versions and a
   * MERGE INTO that rewrites ONLY the files containing touched keys —
   * the lakehouse primitive (Delta/Iceberg's core idea, built here from
-  * plain parquet + a text manifest, no table-format dependency).
+  * plain parquet + a manifest, no table-format dependency).
   *
   * Layout:
   * {{{
   *   <table>/data/v<N>-<uniq>/part-*.parquet -- files written by version N
   *   <table>/dv/v<N>-<uniq>/part-*.parquet   -- deletion vectors of version N
-  *   <table>/manifest/v<N>.manifest     -- header, then one file path/line
-  *                                         (deletion vectors as dv:<path>)
+  *   <table>/manifest/v<N>.manifest          -- commit marker + file list
+  *   <table>/manifest/files/v<N>-<uniq>/     -- entries parquet (stats)
   * }}}
   * A version's manifest lists the files that make up that snapshot —
   * typically a mix of files written by older versions (untouched by
   * later merges) and the current version's rewrites. Readers resolve
   * the highest complete manifest; old manifests stay readable (time
   * travel), and replaced data files are never deleted by a merge.
+  *
+  * Two manifest generations coexist version-by-version:
+  *  - v1 (`graft-cow-manifest-v1`): header + one path per line,
+  *    deletion vectors as `dv:<path>`. Still written by the
+  *    string-list [[commit]] and still read.
+  *  - v2 (`graft-cow-manifest-v2`): adds the table schema (JSON), a
+  *    pointer to a PARQUET entries sidecar, and a trailing `end`
+  *    marker so an EMPTY snapshot ("delete everything") is a valid,
+  *    distinguishable-from-half-written commit. The entries parquet
+  *    carries one row per file — kind, path, bytes, row count, and a
+  *    per-column min/max/null-count stats JSON — and is what
+  *    [[readWhere]]'s data skipping, [[tableChanges]]'s file-set
+  *    algebra, and [[vacuum]]'s liveness anti-join run on AS
+  *    DATAFRAMES: at 10⁶ files the planning state is a columnar scan,
+  *    not driver text parsing.
+  *
+  * Per-file statistics are collected at [[writeData]] time with one
+  * column-pruned aggregate over the just-written (delta-sized, page-
+  * cached) files, grouped by `_metadata.file_path` — the moral
+  * equivalent of Delta's writer-side stats collection. Carried files
+  * keep their stats entries verbatim across merges/compactions, so a
+  * long-lived table never re-scans old data to keep skipping working.
   *
   * Commit protocol (optimistic concurrency): the committer atomically
   * CREATES `v<N>.manifest` (create-exclusive — the loser of a race gets
@@ -37,7 +63,9 @@ import graft.Tables
   * matched target rows' non-key columns; a matched source row with
   * `deleteCond` true deletes the target row; unmatched source rows are
   * inserted when `insert = true`. Source keys must be unique — multiple
-  * matches for one target row are refused (the SQL MERGE error).
+  * matches for one target row are refused (the SQL MERGE error) — and
+  * source column types must match the target's (a silently-coerced
+  * merge would commit mixed-schema files).
   *
   * 100 TB shape: touched-file discovery is ONE scan of the target with
   * the (broadcast, delta-sized) source key set semi-joined against
@@ -49,15 +77,32 @@ import graft.Tables
   */
 object CowTable {
 
-  private val Header = "graft-cow-manifest-v1"
+  private val HeaderV1 = "graft-cow-manifest-v1"
+  private val HeaderV2 = "graft-cow-manifest-v2"
   private val DvPrefix = "dv:"
+  private val SchemaPrefix = "schema:"
+  private val EntriesPrefix = "entries:"
+  private val EndMarker = "end"
+
+  /** One file of a snapshot. `stats` is a JSON object
+    * `{"col":{"min":…,"max":…,"nulls":n},…}` for the stats-eligible
+    * columns, absent for deletion vectors and for files committed
+    * through the legacy string-list API. `bytes` is -1 when unknown
+    * (legacy manifests). */
+  case class FileEntry(kind: String, path: String, bytes: Long,
+      numRows: Option[Long], stats: Option[String])
 
   /** `files` are the data files of the snapshot; `dvs` are its deletion
     * vector files — parquet of (file_path, row_index) row identities a
-    * reader must anti-join away. A v1 manifest with no `dv:` lines
-    * parses with `dvs = Nil`, so pre-DV manifests stay readable. */
+    * reader must anti-join away. v2 manifests add the data schema
+    * (empty snapshots stay readable) and the entries-parquet pointer
+    * (stats live there). */
   case class Manifest(version: Int, files: Seq[String],
-      dvs: Seq[String] = Nil)
+      dvs: Seq[String] = Nil, schemaJson: Option[String] = None,
+      entriesRel: Option[String] = None) {
+    def schemaOpt: Option[StructType] =
+      schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+  }
 
   private def manifestDir(table: String): Path = Paths.get(table, "manifest")
   private def manifestPath(table: String, v: Int): Path =
@@ -75,9 +120,20 @@ object CowTable {
     try {
       val all = lines.getLines().toList
       all match {
-        case Header :: rest if rest.nonEmpty =>
+        case HeaderV1 :: rest if rest.nonEmpty =>
           val (dvLines, dataLines) = rest.partition(_.startsWith(DvPrefix))
           Some(Manifest(v, dataLines, dvLines.map(_.stripPrefix(DvPrefix))))
+        case HeaderV2 :: rest if rest.lastOption.contains(EndMarker) =>
+          val body = rest.dropRight(1)
+          val schema = body.find(_.startsWith(SchemaPrefix))
+            .map(_.stripPrefix(SchemaPrefix))
+          val entries = body.find(_.startsWith(EntriesPrefix))
+            .map(_.stripPrefix(EntriesPrefix))
+          val paths = body.filterNot(l =>
+            l.startsWith(SchemaPrefix) || l.startsWith(EntriesPrefix))
+          val (dvLines, dataLines) = paths.partition(_.startsWith(DvPrefix))
+          Some(Manifest(v, dataLines, dvLines.map(_.stripPrefix(DvPrefix)),
+            schema, entries))
         case _ => None // empty or half-written: fall back to older version
       }
     } finally lines.close()
@@ -93,40 +149,299 @@ object CowTable {
     } finally s.close()
   }
 
-  def latestManifest(table: String): Option[Manifest] = {
+  private def completeVersions(table: String): Seq[Int] = {
     val dir = manifestDir(table)
-    if (!Files.isDirectory(dir)) return None
+    if (!Files.isDirectory(dir)) return Nil
     listDir(dir).map(_.getFileName.toString)
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .sorted(Ordering[Int].reverse).iterator
+      .sorted(Ordering[Int].reverse)
+  }
+
+  def latestManifest(table: String): Option[Manifest] =
+    completeVersions(table).iterator
       .flatMap(v => parseManifest(manifestPath(table, v), v))
       .nextOption()
-  }
 
   def readManifest(table: String, version: Int): Manifest =
     parseManifest(manifestPath(table, version), version).getOrElse(
       throw new IllegalArgumentException(
         s"cow table $table has no complete manifest v$version"))
 
+  // ------------------------------------------------------------ commit
+
   /** Create-exclusive claim on the version, then tmp-write + atomic
     * rename. Throws FileAlreadyExistsException when racing a committer
     * that claimed the same version first. */
-  def commit(table: String, version: Int, files: Seq[String],
-      dvs: Seq[String] = Nil): Manifest = {
-    require(files.nonEmpty, s"cow commit v$version with no files")
+  private def writeManifestText(table: String, version: Int,
+      content: String): Unit = {
     val dir = manifestDir(table)
     Files.createDirectories(dir)
     val target = manifestPath(table, version)
     Files.createFile(target) // atomic claim; loser throws here
     val tmp = dir.resolve(s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp,
-      (Header +: (files ++ dvs.map(DvPrefix + _))).mkString("\n")
-        .getBytes("UTF-8"))
+    Files.write(tmp, content.getBytes("UTF-8"))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Legacy string-list commit (v1 manifest, no stats). Kept for
+    * callers that manage file lists themselves; internal operations go
+    * through [[commitEntries]] so stats survive. */
+  def commit(table: String, version: Int, files: Seq[String],
+      dvs: Seq[String] = Nil): Manifest = {
+    require(files.nonEmpty,
+      s"cow commit v$version with no files — empty snapshots need the " +
+        "entries-based commit (a v2 manifest)")
+    writeManifestText(table, version,
+      (HeaderV1 +: (files ++ dvs.map(DvPrefix + _))).mkString("\n"))
     Manifest(version, files, dvs)
   }
+
+  /** v2 commit: entries parquet sidecar + pointer manifest. An empty
+    * `entries` is a valid snapshot (the `end` marker distinguishes
+    * "complete but empty" from "half-written"); `schema` keeps such a
+    * snapshot readable. */
+  def commitEntries(spark: SparkSession, table: String, version: Int,
+      entries: Seq[FileEntry], schema: StructType): Manifest = {
+    val rel = s"files/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+    val out = manifestDir(table).resolve(rel)
+    Files.createDirectories(out.getParent)
+    spark.createDataFrame(entries).coalesce(1)
+      .write.mode("overwrite").parquet(out.toString)
+    val files = entries.collect { case e if e.kind == "data" => e.path }
+    val dvs = entries.collect { case e if e.kind == "dv" => e.path }
+    writeManifestText(table, version,
+      (Seq(HeaderV2, SchemaPrefix + schema.json, EntriesPrefix + rel) ++
+        files ++ dvs.map(DvPrefix + _) :+ EndMarker).mkString("\n"))
+    Manifest(version, files, dvs, Some(schema.json), Some(rel))
+  }
+
+  /** The manifest's entries as a DataFrame (kind, path, bytes, numRows,
+    * stats) — the substrate for data skipping and file-set algebra. A
+    * v1 manifest synthesizes stat-less entries. */
+  def entriesDF(spark: SparkSession, table: String, m: Manifest): DataFrame =
+    m.entriesRel match {
+      case Some(rel) =>
+        spark.read.parquet(manifestDir(table).resolve(rel).toString)
+      case None => spark.createDataFrame(
+        m.files.map(f => FileEntry("data", f, -1L, None, None)) ++
+          m.dvs.map(f => FileEntry("dv", f, -1L, None, None)))
+    }
+
+  /** Driver-side view of [[entriesDF]] for delta-sized manifests. */
+  private def loadEntries(spark: SparkSession, table: String,
+      m: Manifest): Seq[FileEntry] = m.entriesRel match {
+    case None =>
+      m.files.map(f => FileEntry("data", f, -1L, None, None)) ++
+        m.dvs.map(f => FileEntry("dv", f, -1L, None, None))
+    case Some(_) =>
+      entriesDF(spark, table, m).collect().toSeq.map { r =>
+        FileEntry(r.getString(r.fieldIndex("kind")),
+          r.getString(r.fieldIndex("path")),
+          r.getLong(r.fieldIndex("bytes")),
+          if (r.isNullAt(r.fieldIndex("numRows"))) None
+          else Some(r.getLong(r.fieldIndex("numRows"))),
+          if (r.isNullAt(r.fieldIndex("stats"))) None
+          else Some(r.getString(r.fieldIndex("stats"))))
+      }
+  }
+
+  // ------------------------------------------------------- file stats
+
+  /** Columns worth min/max stats: orderable atomics. Capped so a
+    * 1000-column table doesn't bloat every manifest (Delta's
+    * first-32-columns rule). */
+  private val MaxStatsCols = 24
+  private def statsEligible(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case StringType | DateType | TimestampType | TimestampNTZType |
+         BooleanType => true
+    case _ => false
+  }
+
+  /** Per-column struct<min,max,nulls> schema over the eligible columns
+    * — the from_json target when pruning. */
+  private def statsSchemaFor(dataSchema: StructType): StructType =
+    StructType(dataSchema.fields.filter(f => statsEligible(f.dataType))
+      .take(MaxStatsCols).map(f => StructField(f.name, StructType(Seq(
+        StructField("min", f.dataType), StructField("max", f.dataType),
+        StructField("nulls", LongType))))).toSeq)
+
+  /** One aggregate over the just-written files: per file, row count and
+    * the stats JSON. Reads only the (delta-sized, just-written,
+    * page-cached) files — carried files keep their old entries. */
+  private def collectStats(spark: SparkSession,
+      files: Seq[String]): Seq[FileEntry] = {
+    if (files.isEmpty) return Nil
+    val df = spark.read.parquet(files: _*)
+    val sc = df.schema.fields.filter(f => statsEligible(f.dataType))
+      .take(MaxStatsCols)
+    val aggs =
+      if (sc.isEmpty) Seq(count(lit(1)).as("__n"),
+        lit(null).cast("string").as("__stats"))
+      else Seq(count(lit(1)).as("__n"),
+        to_json(struct(sc.map(f => struct(
+          min(col(f.name)).as("min"), max(col(f.name)).as("max"),
+          sum(isnull(col(f.name)).cast("long")).as("nulls"))
+          .as(f.name)).toSeq: _*)).as("__stats"))
+    val byPath = df.groupBy(col("_metadata.file_path").as("__p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => normalize(r.getString(0)) ->
+        ((r.getLong(1), Option(r.getString(2))))).toMap
+    files.map { f =>
+      val bytes = Files.size(Paths.get(f))
+      byPath.get(normalize(f)) match {
+        case Some((n, js)) => FileEntry("data", f, bytes, Some(n), js)
+        case None => FileEntry("data", f, bytes, Some(0L), None)
+      }
+    }
+  }
+
+  // ------------------------------------------------------ data skipping
+
+  /** Rewrite a row predicate into a file-level KEEP predicate over the
+    * parsed stats struct `__st` — true when the file MIGHT contain a
+    * matching row (the only sound direction). Supported shapes prune;
+    * anything else (expressions over columns, UDFs, unsupported ops)
+    * conservatively keeps the file. NULL stats discipline: a column
+    * with no stats entry keeps; a comparison whose min/max are NULL
+    * with a present nulls count means every value is NULL — no
+    * comparison can match, so the file prunes. */
+  private def keepPredicate(e: Expression, stSchema: StructType): Column = {
+    val stCols = stSchema.fieldNames.toSet
+    def st(c: String): Column = col("__st").getField(c)
+    def leaf(cn: String, p: => Column): Column =
+      if (!stCols.contains(cn)) lit(true)
+      else when(st(cn).getField("nulls").isNull, lit(true))
+        .otherwise(coalesce(p, lit(false)))
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litC(x: Expression): Option[Column] = x match {
+      case l: Literal if l.value != null => Some(ColumnBridge.column(l))
+      case _ => None
+    }
+    /** Dispatch attr-vs-literal in either order; `flip` receives the
+      * mirrored build (literal on the left). */
+    def cmp(a: Expression, b: Expression)(build: (String, Column) => Column)(
+        flip: (String, Column) => Column): Column =
+      (attr(a), litC(b), attr(b), litC(a)) match {
+        case (Some(n), Some(v), _, _) => build(n, v)
+        case (_, _, Some(n), Some(v)) => flip(n, v)
+        case _ => lit(true)
+      }
+    def eqLeaf(n: String, v: Column): Column =
+      leaf(n, st(n).getField("min") <= v && st(n).getField("max") >= v)
+    def neLeaf(n: String, v: Column): Column =
+      if (!stCols.contains(n)) lit(true)
+      else when(st(n).getField("nulls").isNull, lit(true))
+        .otherwise(coalesce(
+          !(st(n).getField("min") === v && st(n).getField("max") === v),
+          lit(false)))
+    /** Normalize the two surfaces predicates arrive on — the Column
+      * DSL's UnresolvedFunction('and, '`>=`, 'in, …) nodes and typed
+      * Catalyst nodes (resolved expressions, expr("…") parses) — into
+      * one (op, args) shape. */
+    object F {
+      def unapply(x: Expression): Option[(String, Seq[Expression])] = x match {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+          Some((f.nameParts.last.toLowerCase, f.arguments))
+        case CAnd(l, r) => Some(("and", Seq(l, r)))
+        case COr(l, r) => Some(("or", Seq(l, r)))
+        case Not(c) => Some(("!", Seq(c)))
+        case EqualTo(a, b) => Some(("=", Seq(a, b)))
+        case LessThan(a, b) => Some(("<", Seq(a, b)))
+        case LessThanOrEqual(a, b) => Some(("<=", Seq(a, b)))
+        case GreaterThan(a, b) => Some((">", Seq(a, b)))
+        case GreaterThanOrEqual(a, b) => Some((">=", Seq(a, b)))
+        case In(a, vs) => Some(("in", a +: vs))
+        case IsNull(a) => Some(("isnull", Seq(a)))
+        case IsNotNull(a) => Some(("isnotnull", Seq(a)))
+        case _ => None
+      }
+    }
+    def go(x: Expression): Column = x match {
+      case F("and", Seq(l, r)) => go(l) && go(r)
+      case F("or", Seq(l, r)) => go(l) || go(r)
+      case F("=" | "==" | "equalto", Seq(a, b)) => cmp(a, b)(eqLeaf)(eqLeaf)
+      case F("<", Seq(a, b)) => cmp(a, b)(
+        (n, v) => leaf(n, st(n).getField("min") < v))(
+        (n, v) => leaf(n, st(n).getField("max") > v))
+      case F("<=", Seq(a, b)) => cmp(a, b)(
+        (n, v) => leaf(n, st(n).getField("min") <= v))(
+        (n, v) => leaf(n, st(n).getField("max") >= v))
+      case F(">", Seq(a, b)) => cmp(a, b)(
+        (n, v) => leaf(n, st(n).getField("max") > v))(
+        (n, v) => leaf(n, st(n).getField("min") < v))
+      case F(">=", Seq(a, b)) => cmp(a, b)(
+        (n, v) => leaf(n, st(n).getField("max") >= v))(
+        (n, v) => leaf(n, st(n).getField("min") <= v))
+      case F("in", a +: vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        attr(a) match {
+          case Some(n) =>
+            vs.flatMap(v => litC(v)).map(v => eqLeaf(n, v))
+              .reduceOption(_ || _).getOrElse(lit(true))
+          case None => lit(true)
+        }
+      case F("isnull", Seq(a)) => attr(a) match {
+        case Some(n) if stCols.contains(n) =>
+          when(st(n).getField("nulls").isNull, lit(true))
+            .otherwise(st(n).getField("nulls") > 0)
+        case _ => lit(true)
+      }
+      case F("isnotnull", Seq(a)) => attr(a) match {
+        case Some(n) if stCols.contains(n) =>
+          when(st(n).getField("nulls").isNull || col("numRows").isNull,
+            lit(true))
+            .otherwise(col("numRows") > st(n).getField("nulls"))
+        case _ => lit(true)
+      }
+      case F("!" | "not", Seq(F("=" | "==" | "equalto", Seq(a, b)))) =>
+        cmp(a, b)(neLeaf)(neLeaf)
+      case _ => lit(true)
+    }
+    go(e)
+  }
+
+  /** The data files of `m` that might contain a row matching `cond`,
+    * decided from the manifest's per-file stats — the entries parquet
+    * scanned as a DataFrame, never the data files themselves. Files
+    * without stats (legacy commits) always survive; the result
+    * preserves manifest order. */
+  def pruneDataFiles(spark: SparkSession, table: String, m: Manifest,
+      cond: Column): Seq[String] = {
+    if (m.files.isEmpty || m.entriesRel.isEmpty) return m.files
+    val dataSchema = m.schemaOpt.getOrElse(return m.files)
+    val stSchema = statsSchemaFor(dataSchema)
+    if (stSchema.isEmpty) return m.files
+    val keep = keepPredicate(ColumnBridge.expression(cond), stSchema)
+    val kept = entriesDF(spark, table, m)
+      .filter(col("kind") === "data")
+      .withColumn("__st", from_json(col("stats"), stSchema))
+      .filter(col("stats").isNull || keep)
+      .select("path").collect().map(r => normalize(r.getString(0))).toSet
+    m.files.filter(f => kept.contains(normalize(f)))
+  }
+
+  /** Skipping effectiveness of `cond` on the current snapshot:
+    * (files the scan must read, live data files). */
+  def pruneReport(spark: SparkSession, table: String,
+      cond: Column): (Int, Int) = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    (pruneDataFiles(spark, table, m, cond).size, m.files.size)
+  }
+
+  private def versionOfDir(name: String): Option[Int] =
+    if (name.startsWith("v")) name.drop(1).takeWhile(_.isDigit) match {
+      case "" => None
+      case d => Some(d.toInt)
+    } else None
 
   private def listPartFiles(out: Path): Seq[String] =
     listDir(out).map(_.toAbsolutePath.toString)
@@ -134,6 +449,15 @@ object CowTable {
         val n = Paths.get(p).getFileName.toString
         n.startsWith("part-") && n.endsWith(".parquet")
       }.sorted
+
+  /** Leaf part files under a possibly partitioned (subdir-per-value)
+    * write. */
+  private def listPartFilesRec(out: Path): Seq[String] = {
+    val here = listPartFiles(out)
+    val sub = listDir(out).filter(Files.isDirectory(_))
+      .flatMap(listPartFilesRec)
+    (here ++ sub).sorted
+  }
 
   /** Version dirs carry a unique suffix because data is written BEFORE
     * the version is claimed: two committers racing the same version
@@ -146,16 +470,44 @@ object CowTable {
     Paths.get(table, kind,
       s"v$v-${java.util.UUID.randomUUID().toString.take(8)}")
 
-  /** Write `df` as version `v`'s data files and return their paths. */
-  private def writeData(df: DataFrame, table: String, v: Int): Seq[String] = {
+  /** Write `df` as version `v`'s data files and return their entries,
+    * stats included. */
+  private def writeData(df: DataFrame, table: String, v: Int): Seq[FileEntry] = {
     val out = versionDir(table, "data", v)
     df.write.mode("overwrite").parquet(out.toString)
-    listPartFiles(out)
+    collectStats(df.sparkSession, listPartFiles(out))
   }
 
   /** Initialize the table at version 0 with `df`'s rows. */
   def init(df: DataFrame, table: String): Manifest =
-    commit(table, 0, writeData(df, table, 0))
+    commitEntries(df.sparkSession, table, 0, writeData(df, table, 0),
+      df.schema)
+
+  /** Initialize with an EXPLICIT file layout: one physical file per
+    * distinct value of `fileCol` (an int column in [1, nFiles]) — rows
+    * sharing a value land together, so per-file stats are exactly the
+    * per-group min/max. The deterministic layout the stats-pruning gate
+    * needs; production tables get the same effect from
+    * [[compactTableZorder]]'s range partitioning. */
+  def initFiled(df: DataFrame, table: String, fileCol: String,
+      nFiles: Int): Manifest = {
+    val out = versionDir(table, "data", 0)
+    df.repartition(nFiles, col(fileCol))
+      .write.partitionBy(fileCol).mode("overwrite").parquet(out.toString)
+    val entries = collectStats(df.sparkSession, listPartFilesRec(out))
+    commitEntries(df.sparkSession, table, 0, entries,
+      StructType(df.schema.filterNot(_.name == fileCol)))
+  }
+
+  /** Empty DataFrame with the snapshot's schema — the "every row
+    * deleted" read path. */
+  private def emptyOf(spark: SparkSession, m: Manifest): DataFrame =
+    m.schemaOpt match {
+      case Some(sch) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sch)
+      case None => throw new IllegalArgumentException(
+        s"empty snapshot v${m.version} has no schema (legacy manifest)")
+    }
 
   /** DV-aware snapshot read: scan the data files, anti-join away the
     * deleted row identities. `_metadata.row_index` is the row's stable
@@ -166,12 +518,23 @@ object CowTable {
     * broadcast is what [[rewriteDeletes]] is for). Restricting the scan
     * to `onlyFiles` keeps the same semantics on a file subset: DV
     * entries for files outside the subset simply never match. */
+  /** Raw file scan under the manifest's schema contract: a v2 manifest
+    * pins the SNAPSHOT schema, so files written before a schema
+    * evolution are NULL-extended for the columns they predate (and the
+    * reader skips schema inference entirely). Legacy manifests infer. */
+  private def rawScan(spark: SparkSession, m: Manifest,
+      files: Seq[String]): DataFrame = m.schemaOpt match {
+    case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+    case None => spark.read.parquet(files: _*)
+  }
+
   private def readSnapshot(spark: SparkSession, m: Manifest,
       onlyFiles: Option[Seq[String]] = None): DataFrame = {
     val files = onlyFiles.getOrElse(m.files)
     if (files.isEmpty)
-      return spark.read.parquet(m.files: _*).limit(0)
-    val data = spark.read.parquet(files: _*)
+      return if (m.files.nonEmpty) rawScan(spark, m, m.files).limit(0)
+      else emptyOf(spark, m)
+    val data = rawScan(spark, m, files)
     if (m.dvs.isEmpty) data
     else {
       val dv = spark.read.parquet(m.dvs: _*)
@@ -196,6 +559,28 @@ object CowTable {
   def readVersion(spark: SparkSession, table: String, v: Int): DataFrame =
     readSnapshot(spark, readManifest(table, v))
 
+  /** Stats-pruned snapshot read: files whose min/max prove no row can
+    * match `cond` never reach the scan — the manifest-level data
+    * skipping that makes a selective query on a clustered 100 TB table
+    * read a handful of files. Semantically identical to
+    * `read(...).filter(cond)` (the predicate is still applied row-level
+    * to the surviving files, and DV entries for pruned files simply
+    * never match). */
+  def readWhere(spark: SparkSession, table: String, cond: Column): DataFrame = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    readSnapshot(spark, m, Some(pruneDataFiles(spark, table, m, cond)))
+      .filter(cond)
+  }
+
+  /** [[readWhere]] against a pinned (time-travel) version. */
+  def readVersionWhere(spark: SparkSession, table: String, v: Int,
+      cond: Column): DataFrame = {
+    val m = readManifest(table, v)
+    readSnapshot(spark, m, Some(pruneDataFiles(spark, table, m, cond)))
+      .filter(cond)
+  }
+
   /** Merge-on-read DELETE: one snapshot scan finds the matching rows'
     * (file, row_index) identities and writes them as this version's
     * deletion vector — NO data file is read back or rewritten. On a
@@ -206,12 +591,17 @@ object CowTable {
     * broadcast anti-join until [[rewriteDeletes]] or a compaction
     * materializes. The scan excludes already-deleted rows, so repeating
     * a delete is a no-op (returns the current manifest unchanged) and
-    * DV files never accumulate duplicate identities. */
+    * DV files never accumulate duplicate identities. The candidate scan
+    * itself is stats-pruned: a delete whose predicate misses most files
+    * reads only the files it can touch. */
   def deleteWhere(spark: SparkSession, table: String,
       cond: Column): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    val raw = spark.read.parquet(m.files: _*)
+    if (m.files.isEmpty) return m
+    val scanFiles = pruneDataFiles(spark, table, m, cond)
+    if (scanFiles.isEmpty) return m
+    val raw = rawScan(spark, m, scanFiles)
     val cand = raw.filter(cond)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
@@ -223,14 +613,18 @@ object CowTable {
     val v = m.version + 1
     val out = versionDir(table, "dv", v)
     fresh.write.mode("overwrite").parquet(out.toString)
-    commit(table, v, m.files, m.dvs ++ listPartFiles(out))
+    val dvEntries = listPartFiles(out).map(p =>
+      FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
+    val old = loadEntries(spark, table, m)
+    commitEntries(spark, table, v, old ++ dvEntries,
+      m.schemaOpt.getOrElse(raw.schema))
   }
 
   /** Materialize deletion vectors: rewrite ONLY the files that carry a
     * live DV entry (discovered from the DVs themselves — a delta-sized
     * read, not a table scan), drop every DV, carry the rest by
-    * reference. The periodic cleanup that bounds the reader's anti-join
-    * cost; a no-op on a DV-free table. */
+    * reference (stats entries included). The periodic cleanup that
+    * bounds the reader's anti-join cost; a no-op on a DV-free table. */
   def rewriteDeletes(spark: SparkSession, table: String): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
@@ -238,23 +632,25 @@ object CowTable {
     val dvFiles = spark.read.parquet(m.dvs: _*)
       .select("file_path").distinct()
       .collect().map(r => normalize(r.getString(0))).toSet
-    val (touched, untouched) =
-      m.files.partition(f => dvFiles.contains(normalize(f)))
+    val old = loadEntries(spark, table, m).filter(_.kind == "data")
+    val (touchedE, untouchedE) =
+      old.partition(e => dvFiles.contains(normalize(e.path)))
     val v = m.version + 1
-    val newFiles =
-      if (touched.isEmpty) Nil
+    val newEntries =
+      if (touchedE.isEmpty) Nil
       else {
-        val clean = readSnapshot(spark, m, Some(touched))
+        val clean = readSnapshot(spark, m, Some(touchedE.map(_.path)))
         if (clean.isEmpty) Nil else writeData(clean, table, v)
       }
-    commit(table, v, untouched ++ newFiles)
+    commitEntries(spark, table, v, untouchedE ++ newEntries,
+      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema))
   }
 
   /** MERGE `source` into the table's latest snapshot on `keys`. Returns
     * the committed manifest. See the object doc for semantics. */
   def mergeInto(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], deleteCond: Option[Column] = None,
-      insert: Boolean = true): Manifest = {
+      insert: Boolean = true, evolveSchema: Boolean = false): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     // unique-source-keys contract (multiple matches = SQL MERGE error);
@@ -264,31 +660,65 @@ object CowTable {
     require(uniq.getLong(0) == uniq.getLong(1),
       s"mergeInto: source has ${uniq.getLong(0) - uniq.getLong(1)} duplicate keys")
 
-    val target = spark.read.parquet(m.files: _*)
-    require(keys.forall(target.columns.contains) &&
+    val target0 =
+      if (m.files.isEmpty) emptyOf(spark, m)
+      else rawScan(spark, m, m.files)
+    require(keys.forall(target0.columns.contains) &&
       keys.forall(source.columns.contains), s"merge keys $keys missing")
-    val dataCols = target.columns.filterNot(keys.contains).toSeq
-    require(dataCols.forall(source.columns.contains),
+    val targetDataCols = target0.columns.filterNot(keys.contains).toSeq
+    require(targetDataCols.forall(source.columns.contains),
       "mergeInto: source must carry every target column (update-all form)")
+    // type discipline: a coerced merge would commit files whose schema
+    // differs from the carried files', and a later read of the mixed
+    // set resolves to an arbitrary file's schema
+    val tTypes = target0.schema.map(f => f.name -> f.dataType).toMap
+    val sTypes = source.schema.map(f => f.name -> f.dataType).toMap
+    (keys ++ targetDataCols).foreach { c =>
+      require(sTypes(c).catalogString == tTypes(c).catalogString,
+        s"mergeInto: column $c type mismatch — source ${sTypes(c).catalogString}" +
+          s" vs target ${tTypes(c).catalogString}")
+    }
+    // schema evolution: with `evolveSchema`, source columns the target
+    // lacks become new (nullable) table columns; rows from untouched
+    // files NULL-extend at read time through the manifest schema — no
+    // old file is touched. Without the flag, extra source columns are
+    // IGNORED (the long-standing contract: deleteCond helper columns
+    // like a `kill` marker ride the source without entering the table).
+    val newCols =
+      if (!evolveSchema) Seq.empty[String]
+      else source.columns
+        .filterNot(c => keys.contains(c) || targetDataCols.contains(c)).toSeq
+    val target = newCols.foldLeft(target0)((d, c) =>
+      d.withColumn(c, lit(null).cast(sTypes(c))))
+    val dataCols = targetDataCols ++ newCols
+    val newSchema = StructType(target0.schema.fields.toSeq ++
+      newCols.map(c => StructField(c, sTypes(c), nullable = true)))
 
     // 1. touched-file discovery: one target scan, broadcast key set.
     // The RAW scan is deliberate with DVs present: a file whose only
     // matching rows are deleted gets rewritten (its DV entries
     // materialize a version early) — conservative, never wrong.
     val srcKeys = source.select(keys.map(col): _*).distinct()
-    val touched = target.withColumn("__file", input_file_name())
-      .join(broadcast(srcKeys), keys, "left_semi")
-      .select("__file").distinct()
-      .collect().map(r => normalize(r.getString(0))).toSet
-    val (touchedFiles, untouchedFiles) =
-      m.files.partition(f => touched.contains(normalize(f)))
+    val touched =
+      if (m.files.isEmpty) Set.empty[String]
+      else target.withColumn("__file", input_file_name())
+        .join(broadcast(srcKeys), keys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(r => normalize(r.getString(0))).toSet
+    val oldData = loadEntries(spark, table, m).filter(_.kind == "data")
+    val (touchedE, untouchedE) =
+      oldData.partition(e => touched.contains(normalize(e.path)))
 
     // 2. merge only touched rows (deletion-vector-applied: a deleted
     // row is absent, so a source row with its key INSERTS) with the
     // source
-    val touchedRows =
-      if (touchedFiles.isEmpty) target.limit(0)
-      else readSnapshot(spark, m, Some(touchedFiles))
+    val touchedRows0 =
+      if (touchedE.isEmpty) target.limit(0)
+      else readSnapshot(spark, m, Some(touchedE.map(_.path)))
+    // pre-evolution rows NULL-extend for the columns they predate
+    val touchedRows = newCols.foldLeft(touchedRows0)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(sTypes(c))))
     val srcTagged = source
       .withColumn("__del", deleteCond.getOrElse(lit(false)))
       .withColumn("__src", lit(1))
@@ -308,16 +738,21 @@ object CowTable {
         when(col("__src").isNotNull, col(s"s.$c"))
           .otherwise(col(s"t.$c")).as(c)): _*)
 
-    // 3. new snapshot = carried untouched files + this version's
-    // rewrites. DVs are carried as-is: entries for untouched files are
-    // still live; entries for rewritten files reference paths no longer
-    // in the manifest and can never match again (version dirs are never
-    // reused) — compaction or rewriteDeletes trims them.
+    // 3. new snapshot = carried untouched entries (stats intact) + this
+    // version's rewrites. DVs are carried as-is: entries for untouched
+    // files are still live; entries for rewritten files reference paths
+    // no longer in the manifest and can never match again (version dirs
+    // are never reused) — compaction or rewriteDeletes trims them.
     val v = m.version + 1
-    val newFiles =
+    val newEntries =
       if (merged.isEmpty) Nil else writeData(merged, table, v)
-    commit(table, v, untouchedFiles ++ newFiles, m.dvs)
+    val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
+    commitEntries(spark, table, v, untouchedE ++ newEntries ++ dvEntries,
+      newSchema)
   }
+
+  private def entryBytes(e: FileEntry): Long =
+    if (e.bytes >= 0) e.bytes else Files.size(Paths.get(e.path))
 
   /** Compact the latest snapshot's small files into ~targetBytes files
     * as a NEW table version: right-sized files are carried by reference
@@ -329,7 +764,8 @@ object CowTable {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     val small = smallThreshold.getOrElse(targetBytes / 2)
-    val sized = m.files.map(f => (f, Files.size(Paths.get(f))))
+    val sized = loadEntries(spark, table, m).filter(_.kind == "data")
+      .map(e => (e, entryBytes(e)))
     val (keep, smalls) = sized.partition(_._2 >= small)
     if (smalls.size <= 1) return m
     val smallBytes = smalls.map(_._2).sum
@@ -338,70 +774,106 @@ object CowTable {
     val out = versionDir(table, "data", v)
     // DV-applied rows: compaction materializes the tail's deletes for
     // free; kept files' DV entries stay live and are carried
-    Layout.compactRows(readSnapshot(spark, m, Some(smalls.map(_._1))),
+    Layout.compactRows(readSnapshot(spark, m, Some(smalls.map(_._1.path))),
       n, out.toString)
-    commit(table, v, keep.map(_._1) ++ listPartFiles(out), m.dvs)
+    val newEntries = collectStats(spark, listPartFiles(out))
+    val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
+    commitEntries(spark, table, v, keep.map(_._1) ++ newEntries ++ dvEntries,
+      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema))
   }
 
   /** [[compactTable]] with Z-order re-clustering of the rewritten tail
     * ([[Layout.compactSmallFilesZorder]]): right-sized files are still
     * carried by reference, but the small files — which a streaming CDC
     * merge loop produces in arrival order, i.e. clustered by NOTHING —
-    * come out tiling the `zCols` space, so file-level min/max pruning on
-    * any clustered dimension recovers as the table is maintained. The
-    * compaction IS the layout job; there is no separate rewrite. */
+    * come out tiling the `zCols` space, so the manifest's per-file
+    * min/max stats prune box queries on any clustered dimension as the
+    * table is maintained. The compaction IS the layout job; there is no
+    * separate rewrite. */
   def compactTableZorder(spark: SparkSession, table: String,
       targetBytes: Long, zCols: Seq[String], bits: Int = Layout.ZBits,
       smallThreshold: Option[Long] = None): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     val small = smallThreshold.getOrElse(targetBytes / 2)
-    val sized = m.files.map(f => (f, Files.size(Paths.get(f))))
+    val sized = loadEntries(spark, table, m).filter(_.kind == "data")
+      .map(e => (e, entryBytes(e)))
     val (keep, smalls) = sized.partition(_._2 >= small)
     if (smalls.size <= 1) return m
     val smallBytes = smalls.map(_._2).sum
     val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val v = m.version + 1
     val out = versionDir(table, "data", v)
-    Layout.compactRowsZorder(readSnapshot(spark, m, Some(smalls.map(_._1))),
+    Layout.compactRowsZorder(readSnapshot(spark, m, Some(smalls.map(_._1.path))),
       n, out.toString, zCols, bits)
-    commit(table, v, keep.map(_._1) ++ listPartFiles(out), m.dvs)
+    val newEntries = collectStats(spark, listPartFiles(out))
+    val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
+    commitEntries(spark, table, v, keep.map(_._1) ++ newEntries ++ dvEntries,
+      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema))
   }
 
   /** Delete data files and manifests unreachable from the newest
     * `keepVersions` complete snapshots; returns the deleted data files.
-    * Time travel to vacuumed versions is gone by design. Claimed-but-
-    * unwritten manifests NEWER than the latest complete one are left
-    * alone (an in-flight commit owns them). */
-  def vacuum(table: String, keepVersions: Int = 1): Seq[String] = {
+    * Time travel to vacuumed versions is gone by design.
+    *
+    * Concurrency discipline: committers write data files BEFORE
+    * claiming their version, so an unreferenced file is not necessarily
+    * garbage — it may belong to an in-flight commit. Files in version
+    * dirs NEWER than the latest complete snapshot are therefore left
+    * alone unless older than `orphanAgeMs` (a live commit finishes in
+    * far less; a crashed commit's litter is reclaimed on a later
+    * vacuum). Unreferenced files at or below the latest complete
+    * version are provably replaced and deleted immediately. The
+    * liveness test is a DataFrame anti-join of the physical listing
+    * against the kept manifests' entries — at 10⁶ files this is a
+    * columnar set op, not driver Set algebra. */
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,
+      orphanAgeMs: Long = 20 * 60 * 1000L): Seq[String] = {
     require(keepVersions >= 1, s"vacuum must keep >= 1 version")
-    val dir = manifestDir(table)
-    if (!Files.isDirectory(dir)) return Nil
-    val versions = listDir(dir).map(_.getFileName.toString)
-      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toInt }
-      .sorted(Ordering[Int].reverse)
+    val versions = completeVersions(table)
+    if (versions.isEmpty) return Nil
     val complete = versions.flatMap(v => parseManifest(manifestPath(table, v), v))
     val kept = complete.take(keepVersions)
     if (kept.isEmpty) return Nil
-    val live = kept.flatMap(m => m.files ++ m.dvs).map(normalize).toSet
+    val latestComplete = complete.map(_.version).max
     val oldestKept = kept.map(_.version).min
-    val deleted = scala.collection.mutable.ArrayBuffer[String]()
-    Seq(Paths.get(table, "data"), Paths.get(table, "dv"))
-      .filter(Files.isDirectory(_)).foreach { root =>
-        listDir(root).filter(Files.isDirectory(_)).foreach { vdir =>
-          listPartFiles(vdir).foreach { f =>
-            if (!live.contains(normalize(f))) {
-              Files.deleteIfExists(Paths.get(f))
-              deleted += f
-            }
+    val live = kept.map(m => entriesDF(spark, table, m)
+        .select(col("path")))
+      .reduce(_ unionByName _).distinct()
+    val listed = Seq(Paths.get(table, "data"), Paths.get(table, "dv"))
+      .filter(Files.isDirectory(_)).flatMap { root =>
+        listDir(root).filter(Files.isDirectory(_)).flatMap { vdir =>
+          val ver = versionOfDir(vdir.getFileName.toString).getOrElse(-1)
+          listPartFiles(vdir).map { f =>
+            (f, ver, Files.getLastModifiedTime(Paths.get(f)).toMillis)
           }
         }
       }
+    if (listed.isEmpty) return Nil
+    val now = System.currentTimeMillis()
+    // manifest entries and the physical listing both originate from
+    // listPartFiles (absolute, already-normal paths), so raw string
+    // equality is the join key — no per-row normalization needed
+    val deleted = spark.createDataFrame(listed)
+      .toDF("path", "ver", "mtime")
+      .join(live, Seq("path"), "left_anti")
+      .filter(col("ver") <= lit(latestComplete) ||
+        col("mtime") < lit(now - orphanAgeMs))
+      .select("path").collect().map(_.getString(0)).toSeq
+    deleted.foreach(f => Files.deleteIfExists(Paths.get(f)))
     versions.filter(_ < oldestKept).foreach { v =>
+      // a dropped manifest's entries sidecar goes with it
+      parseManifest(manifestPath(table, v), v).flatMap(_.entriesRel)
+        .foreach { rel =>
+          val dir = manifestDir(table).resolve(rel)
+          if (Files.isDirectory(dir)) {
+            listDir(dir).foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(dir)
+          }
+        }
       Files.deleteIfExists(manifestPath(table, v))
     }
-    deleted.toSeq
+    deleted
   }
 
   /** Change data feed: the row-level delta between two committed
@@ -410,16 +882,16 @@ object CowTable {
     * (Delta CDF's vocabulary). `keys` must be a unique key in both
     * versions — the same contract MERGE already enforces.
     *
-    * The diff never scans the table: both sides are restricted to the
-    * CHANGED file set — files present in exactly one manifest (rewrites,
-    * compactions, new data) plus common files that gained deletion
-    * vector entries — so the cost is proportional to what the merges
-    * actually rewrote, not to table size. Rows a rewrite carried
-    * unchanged (and everything a compaction or Z-order pass moved
-    * between files) compare identical under the full-outer key join and
-    * vanish from the feed: layout maintenance is change-free by
-    * construction. One shuffle (the key join); the pre/post branches
-    * reuse its exchange.
+    * The diff never scans the table: the changed file set — files
+    * present in exactly one manifest (rewrites, compactions, new data)
+    * plus common files that gained deletion vector entries — is
+    * computed by DataFrame anti-joins over the two manifests' entries,
+    * so the cost is proportional to what the merges actually rewrote,
+    * not to table size. Rows a rewrite carried unchanged (and
+    * everything a compaction or Z-order pass moved between files)
+    * compare identical under the full-outer key join and vanish from
+    * the feed: layout maintenance is change-free by construction. One
+    * shuffle (the key join); the pre/post branches reuse its exchange.
     *
     * This is what closes the incremental-MV loop for CoW tables: feed
     * the postimages/inserts as upserts and the deletes as tombstones
@@ -431,11 +903,18 @@ object CowTable {
     require(fromV < toV, s"tableChanges: need fromV < toV, got $fromV..$toV")
     val fm = readManifest(table, fromV)
     val tm = readManifest(table, toV)
+    // manifest paths on both sides originate from listPartFiles, so
+    // raw string equality is the anti-join key; only DV-recorded
+    // identities (URIs from _metadata.file_path) need normalization
+    def side(m: Manifest, kind: String): DataFrame =
+      entriesDF(spark, table, m).filter(col("kind") === kind).select("path")
+    val remF = side(fm, "data").join(side(tm, "data"), Seq("path"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
+    val addF = side(tm, "data").join(side(fm, "data"), Seq("path"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
+    val dvNew = side(tm, "dv").join(side(fm, "dv"), Seq("path"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
     val fmSet = fm.files.map(normalize).toSet
-    val tmSet = tm.files.map(normalize).toSet
-    val remF = fm.files.filterNot(f => tmSet.contains(normalize(f)))
-    val addF = tm.files.filterNot(f => fmSet.contains(normalize(f)))
-    val dvNew = tm.dvs.filterNot(fm.dvs.toSet)
     val dvAffected: Seq[String] =
       if (dvNew.isEmpty) Nil
       else {
@@ -445,8 +924,23 @@ object CowTable {
         tm.files.filter(f => touched.contains(normalize(f)) &&
           fmSet.contains(normalize(f)))
       }
-    val oldSide = readSnapshot(spark, fm, Some((remF ++ dvAffected).distinct))
-    val newSide = readSnapshot(spark, tm, Some((addF ++ dvAffected).distinct))
+    val oldSide0 = readSnapshot(spark, fm, Some((remF ++ dvAffected).distinct))
+    val newSide0 = readSnapshot(spark, tm, Some((addF ++ dvAffected).distinct))
+    // schema evolution between the versions: align both sides on the
+    // UNION of columns (missing ones NULL-extend), so a row whose only
+    // change is a post-evolution value still emits its pre/post pair
+    val allCols = (oldSide0.columns ++ newSide0.columns).distinct.toSeq
+    def typeOf(c: String): DataType =
+      newSide0.schema.find(_.name == c).orElse(
+        oldSide0.schema.find(_.name == c)).get.dataType
+    def align(df: DataFrame): DataFrame = {
+      val extended = allCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(typeOf(c))))
+      extended.select(allCols.map(col): _*)
+    }
+    val oldSide = align(oldSide0)
+    val newSide = align(newSide0)
     require(keys.forall(oldSide.columns.contains), s"keys $keys missing")
     // a duplicated key would silently misclassify under the key join;
     // both sides are changed-file-sized, so the check is delta-priced
@@ -514,17 +1008,29 @@ object CowTable {
   // oracle is the same MERGE expressed as anti-join/join/anti-join
   // UNION ALL in DuckDB. Fresh table per invocation (UUID dir) so
   // repeated verifies never double-merge.
-  def lhMerge(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(s, dir)
-    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+  private def freshGateTable(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
       java.util.UUID.randomUUID().toString.take(8)
-    init(orders.filter(pmod(col("o_orderkey"), lit(4)) =!= 0), table)
-    val source = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+
+  private def lhMergeBuild(s: SparkSession, dir: String): String = {
+    val table = freshGateTable()
+    init(Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(4)) =!= 0), table)
+    table
+  }
+
+  private def lhMergeOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val source = Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
       .withColumn("o_totalprice", col("o_totalprice") * 2)
     mergeInto(s, table, source, Seq("o_orderkey"),
       deleteCond = Some(col("o_orderstatus") === "F"), insert = true)
     read(s, table)
   }
+
+  def lhMerge(s: SparkSession, dir: String): DataFrame =
+    lhMergeOp(s, dir, lhMergeBuild(s, dir))
 
   val lhMergeSql: String =
     """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
@@ -552,14 +1058,19 @@ object CowTable {
     * itself (contiguous z-ranges per rewritten file, pruning recovery,
     * right-sized files carried by reference) is spec-measured on the
     * real written files in CowTableSpec. */
-  def lhCompactZorder(s: SparkSession, dir: String): DataFrame = {
+  private def lhCompactZorderBuild(s: SparkSession, dir: String): String = {
     import s.implicits._
     val ord = Tables.orders(s, dir)
-    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
-      java.util.UUID.randomUUID().toString.take(8)
+    val table = freshGateTable()
     init(ord.filter(pmod($"o_orderkey", lit(2)) === 1), table)
     mergeInto(s, table, ord.filter(pmod($"o_orderkey", lit(2)) === 0),
       Seq("o_orderkey"))
+    table
+  }
+
+  private def lhCompactZorderOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
     val sizes = latestManifest(table).get.files.map(f =>
       Files.size(Paths.get(f)))
     compactTableZorder(s, table, targetBytes = math.max(1L, sizes.sum / 2),
@@ -578,6 +1089,9 @@ object CowTable {
         sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
           .as("sum_price"))
   }
+
+  def lhCompactZorder(s: SparkSession, dir: String): DataFrame =
+    lhCompactZorderOp(s, dir, lhCompactZorderBuild(s, dir))
 
   val lhCompactZorderSql: String = {
     val z = Layout.zValueSql(Seq("xq", "yq"), Layout.ZBits)
@@ -603,11 +1117,14 @@ object CowTable {
     * predicates negated. That no data file was touched, the DV-file
     * mechanics, and rewriteDeletes equivalence are spec-pinned on real
     * files in CowTableSpec. */
-  def lhDeleteVectors(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(s, dir)
-    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
-      java.util.UUID.randomUUID().toString.take(8)
-    init(orders, table)
+  private def lhDeleteVectorsBuild(s: SparkSession, dir: String): String = {
+    val table = freshGateTable()
+    init(Tables.orders(s, dir), table)
+    table
+  }
+
+  private def lhDeleteVectorsOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
     deleteWhere(s, table, col("o_orderstatus") === "F" &&
       pmod(col("o_orderkey"), lit(10)) === 3)
     deleteWhere(s, table, pmod(col("o_custkey"), lit(97)) === 5)
@@ -617,6 +1134,9 @@ object CowTable {
         sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
           .as("sum_price"))
   }
+
+  def lhDeleteVectors(s: SparkSession, dir: String): DataFrame =
+    lhDeleteVectorsOp(s, dir, lhDeleteVectorsBuild(s, dir))
 
   val lhDeleteVectorsSql: String =
     """SELECT o_orderstatus, COUNT(*) AS n,
@@ -637,18 +1157,15 @@ object CowTable {
     * o_totalprice can differ for a matched key (the update rewrites it;
     * every other column rides along from the same orders row), so the
     * oracle's difference test is that single column in both engines. */
-  def lhChanges(s: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.orders(s, dir)
-    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
-      java.util.UUID.randomUUID().toString.take(8)
-    init(orders.filter(pmod(col("o_orderkey"), lit(4)) =!= 0), table)
-    val source = orders.filter(pmod(col("o_orderkey"), lit(2)) === 0)
-      .withColumn("o_totalprice", col("o_totalprice") * 2)
-    mergeInto(s, table, source, Seq("o_orderkey"),
-      deleteCond = Some(col("o_orderstatus") === "F"), insert = true)
+  private def lhChangesBuild(s: SparkSession, dir: String): String = {
+    val table = lhMergeBuild(s, dir)
+    lhMergeOp(s, dir, table)
     deleteWhere(s, table, pmod(col("o_custkey"), lit(5)) === 2)
-    tableChanges(s, table, 0, 2, Seq("o_orderkey"))
+    table
   }
+
+  def lhChanges(s: SparkSession, dir: String): DataFrame =
+    tableChanges(s, lhChangesBuild(s, dir), 0, 2, Seq("o_orderkey"))
 
   val lhChangesSql: String =
     """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
@@ -679,11 +1196,154 @@ object CowTable {
       |FROM final f JOIN target t USING (o_orderkey)
       |WHERE t.o_totalprice <> f.o_totalprice""".stripMargin
 
+  /** Files for the stats-pruning gate: a 32-file layout keyed by exact
+    * NTILE over (o_custkey, o_orderkey) — each file IS one ntile
+    * bucket, so the per-file custkey min/max (and therefore the set of
+    * files an interval predicate must read) is reproducible in DuckDB
+    * with the same window function. Production tables get equivalent
+    * locality from [[compactTableZorder]]; NTILE is gate-only
+    * oracle-ability, as in [[Layout.scZorderPrune]]. */
+  val StatsPruneFiles = 32
+
+  /** Gate: REAL manifest-stats data skipping end-to-end. Build a CoW
+    * table of orders clustered by custkey (32 one-bucket files), stack
+    * a merge-on-read DELETE on top, then answer an interval query
+    * through [[readWhere]] — files that cannot contain the interval
+    * never reach the scan, DV entries still apply to the files that do.
+    * The emitted row carries the aggregate AND the planned/total file
+    * counts; the oracle recomputes the aggregate from orders and the
+    * planned count from the same NTILE bucket min/max intersection —
+    * bigint-exact, so the gate fails if the pruner reads one file too
+    * many or too few. */
+  private def lhStatsPruneBuild(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val table = freshGateTable()
+    val filed = Tables.orders(s, dir).withColumn("__f",
+      ntile(StatsPruneFiles).over(Window.orderBy($"o_custkey", $"o_orderkey")))
+    initFiled(filed, table, "__f", StatsPruneFiles)
+    deleteWhere(s, table, pmod($"o_orderkey", lit(7)) === 1)
+    table
+  }
+
+  private def lhStatsPruneOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 4 + mx / 10) // ~10% custkey interval
+    val cond = $"o_custkey" >= lo && $"o_custkey" <= hi
+    val (planned, total) = pruneReport(s, table, cond)
+    readWhere(s, table, cond)
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"o_custkey").as("n_cust"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .withColumn("planned_files", lit(planned.toLong))
+      .withColumn("total_files", lit(total.toLong))
+  }
+
+  def lhStatsPrune(s: SparkSession, dir: String): DataFrame =
+    lhStatsPruneOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  /** Gate: in-place SCHEMA EVOLUTION through MERGE. The lh_merge
+    * construction (update / delete / insert / carry), but the source
+    * carries a NEW column (`o_flag` = orderkey mod 3): the merge
+    * commits a schema-versioned manifest, rewritten rows carry the
+    * value, untouched files are NOT rewritten — their rows NULL-extend
+    * at read time through the manifest schema — and a stacked
+    * merge-on-read DELETE proves DVs survive the evolution. The oracle
+    * rebuilds the same final state relationally with CAST(NULL AS
+    * BIGINT) for pre-evolution rows. */
+  def lhEvolve(s: SparkSession, dir: String): DataFrame = {
+    val table = lhMergeBuild(s, dir) // odd-ish orders (keys % 4 != 0)
+    val source = Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_flag", pmod(col("o_orderkey"), lit(3)))
+    mergeInto(s, table, source, Seq("o_orderkey"),
+      deleteCond = Some(col("o_orderstatus") === "F"), insert = true,
+      evolveSchema = true)
+    deleteWhere(s, table, pmod(col("o_custkey"), lit(11)) === 2)
+    read(s, table)
+  }
+
+  val lhEvolveSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
+      |source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority,
+      |    o_orderkey % 3 AS o_flag
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT t.*, CAST(NULL AS BIGINT) AS o_flag FROM target t
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      |  UNION ALL
+      |  SELECT s.* FROM source s JOIN target t USING (o_orderkey)
+      |  WHERE s.o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT s.* FROM source s
+      |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target))
+      |SELECT * FROM merged WHERE o_custkey % 11 <> 2""".stripMargin
+
+  /** Benchmark decomposition of the lakehouse gates: (fixture build,
+    * measured operator). The build half — table init, priming merges,
+    * the NTILE layout — is identical harness work every round; the op
+    * half is the operator whose drift the bench should surface
+    * (merge / z-compaction / DV delete+read / change feed / stats-pruned
+    * read). `graft.Bench` times the halves separately and reports both. */
+  val benchSplit: Map[String,
+      (SparkSession, String) => (() => String, String => DataFrame)] = Map(
+    "lh_merge" -> ((s, d) =>
+      (() => lhMergeBuild(s, d), t => lhMergeOp(s, d, t))),
+    "lh_compact_zorder" -> ((s, d) =>
+      (() => lhCompactZorderBuild(s, d), t => lhCompactZorderOp(s, d, t))),
+    "lh_delete_vectors" -> ((s, d) =>
+      (() => lhDeleteVectorsBuild(s, d), t => lhDeleteVectorsOp(s, d, t))),
+    "lh_changes" -> ((s, d) =>
+      (() => lhChangesBuild(s, d),
+        t => tableChanges(s, t, 0, 2, Seq("o_orderkey")))),
+    "lh_stats_prune" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhStatsPruneOp(s, d, t))),
+    "lh_evolve" -> ((s, d) =>
+      (() => lhMergeBuild(s, d), t => {
+        val source = Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .withColumn("o_flag", pmod(col("o_orderkey"), lit(3)))
+        mergeInto(s, t, source, Seq("o_orderkey"),
+          deleteCond = Some(col("o_orderstatus") === "F"), insert = true,
+          evolveSchema = true)
+        deleteWhere(s, t, pmod(col("o_custkey"), lit(11)) === 2)
+        read(s, t)
+      })),
+  )
+
+  val lhStatsPruneSql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 4 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi),
+       |f AS (SELECT o_custkey,
+       |    NTILE($StatsPruneFiles) OVER (ORDER BY o_custkey, o_orderkey)
+       |      AS fid
+       |  FROM orders),
+       |st AS (SELECT fid, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+       |  FROM f GROUP BY 1),
+       |planned AS (SELECT COUNT(*) AS c FROM st, b
+       |  WHERE mn <= b.hi AND mx >= b.lo)
+       |SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |    AS sum_price,
+       |  (SELECT c FROM planned) AS planned_files,
+       |  CAST($StatsPruneFiles AS BIGINT) AS total_files
+       |FROM orders, b
+       |WHERE o_custkey BETWEEN b.lo AND b.hi AND o_orderkey % 7 <> 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lh_merge" -> lhMerge,
     "lh_compact_zorder" -> lhCompactZorder,
     "lh_delete_vectors" -> lhDeleteVectors,
     "lh_changes" -> lhChanges,
+    "lh_stats_prune" -> lhStatsPrune,
+    "lh_evolve" -> lhEvolve,
   )
 
   val oracles: Map[String, String] = Map(
@@ -691,5 +1351,7 @@ object CowTable {
     "lh_compact_zorder" -> lhCompactZorderSql,
     "lh_delete_vectors" -> lhDeleteVectorsSql,
     "lh_changes" -> lhChangesSql,
+    "lh_stats_prune" -> lhStatsPruneSql,
+    "lh_evolve" -> lhEvolveSql,
   )
 }

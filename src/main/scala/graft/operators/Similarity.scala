@@ -362,6 +362,97 @@ object Similarity {
     knnIvfOn(emb, cachedCentroids(emb, dir), nprobe)
   }
 
+  // --------------------------------------- corpus-wide approximate k-NN JOIN.
+  // EVERY vector is a query (the "nearest neighbors for every document"
+  // pipeline step — cluster-and-dedup, link-prediction features,
+  // retrieval eval), so the brute broadcast of bounded-Q serving does
+  // not apply: all-pairs is O(n²) and dead at corpus scale. The IVF
+  // decomposition makes the join O(n · nprobe · cell): cell assignment
+  // and per-vector probe ranking are SCAN-SIDE codegen'd expressions
+  // (K centroid dots + one bounded array_sort per row — no shuffle, no
+  // iteration), then ONE hash join on the cell id restricts exact
+  // scoring to probed-cell members, and WindowGroupLimit keeps top-k
+  // per query. Two shuffles total (cell join, per-query window) — never
+  // a cartesian.
+
+  /** The `nprobe` nearest cells per vector by centroid cosine
+    * (descending, ties to the lower cell id — the [[knnIvfOn]] probe
+    * order), as a scan-side array expression. */
+  def probeCells(vec: Column, cents: Seq[Array[Double]],
+      nprobe: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-cosine(vec, typedLit(c))).as("d"), lit(i).as("c"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), x => x.getField("c"))
+  }
+
+  /** Candidate pairs of the k-NN join: each vector against the members
+    * of its `nprobe` probed cells (self excluded). Exposed so the cost
+    * contract — |candidates| = Σ_q |probed cells of q| − own-cell hits,
+    * NEVER n² — is spec-assertable. */
+  private[operators] def knnJoinCandidates(emb: DataFrame,
+      cents: IndexedSeq[Array[Double]], nprobe: Int): DataFrame = {
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      assignCell(col("embedding"), cents).as("cell"))
+    val queries = emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec"),
+        explode(probeCells(col("embedding"), cents, nprobe)).as("cell"))
+    queries.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+  }
+
+  /** Approximate k-NN JOIN over given centroids: top-k per vector from
+    * its probed cells. */
+  def knnJoinOn(emb: DataFrame, cents: IndexedSeq[Array[Double]],
+      nprobe: Int, k: Int = K): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    knnJoinCandidates(emb, cents, nprobe)
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
+  /** Production form: the join itself, cached centroids. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    knnJoinOn(emb, cachedCentroids(emb, dir), IvfProbe)
+  }
+
+  /** Gate: envelope over the full-corpus join — every vector got
+    * exactly k neighbors (coverage), and on the brute-force-checkable
+    * query sample the join recovers ≥90% of the exact top-k (the
+    * ss_knn_ivf recall discipline at the same nprobe; the join IS the
+    * IVF search with every vector as query, so the envelope transfers). */
+  def ssKnnJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = cachedCentroids(emb, dir)
+    val nn = knnJoinOn(emb, cents, IvfProbe, K)
+    nn.persist()
+    val n = emb.count()
+    val cov = nn.groupBy($"q_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("nq"), min($"c").as("mn"), max($"c").as("mx"))
+      .head()
+    val fullCoverage = cov.getLong(0) == n &&
+      cov.getLong(1) == K && cov.getLong(2) == K
+    val brute = knnBruteOn(emb).select($"q_id", $"neighbor_id")
+    val hits = nn.filter($"q_id" < NumQueries)
+      .join(brute, Seq("q_id", "neighbor_id"), "left_semi").count()
+    nn.unpersist()
+    Seq((n, fullCoverage, NumQueries.toLong, K.toLong,
+      hits.toDouble / (NumQueries * K) >= 0.9))
+      .toDF("n_vectors", "full_coverage", "n_queries", "k", "recall_ok")
+  }
+
+  val ssKnnJoinSql: String =
+    s"""SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       |  TRUE AS full_coverage, CAST($NumQueries AS BIGINT) AS n_queries,
+       |  CAST($K AS BIGINT) AS k, TRUE AS recall_ok""".stripMargin
+
   /** Probe auto-tuning: the smallest nprobe whose MEASURED recall on the
     * held-out query sample reaches `target`, found by binary search
     * (recall is monotone in nprobe). This is a tuning-time routine — a
@@ -1293,6 +1384,7 @@ object Similarity {
     "dd_embed_cosine" -> ddEmbedCosine,
     "ss_ann_lsh" -> ssAnnLsh,
     "ss_knn_ivf" -> ssKnnIvf,
+    "ss_knn_join" -> ssKnnJoin,
     "ss_knn_pq" -> ssKnnPq,
     "ss_knn_pq_opq" -> ssKnnPqOpq,
     "ss_knn_pq_opq_it" -> ssKnnPqOpqIt,
@@ -1314,6 +1406,7 @@ object Similarity {
     "dd_embed_cosine" -> ddEmbedCosineSql,
     "ss_ann_lsh" -> ssAnnLshSql,
     "ss_knn_ivf" -> ssKnnIvfSql,
+    "ss_knn_join" -> ssKnnJoinSql,
     "ss_knn_pq" -> ssKnnPqSql,
     "ss_knn_pq_opq" -> ssKnnPqOpqSql,
     "ss_knn_pq_opq_it" -> ssKnnPqOpqItSql,

@@ -514,6 +514,60 @@ object TpchDerived {
        |      AND o_orderdate >= TIMESTAMP '$Q22Since')
        |GROUP BY 1""".stripMargin
 
+  // --------------------------------------------------------------- Q21
+  /** Suppliers who kept orders waiting (adapted lateness: a line
+    * shipped more than 60 days after the order date replaces
+    * receiptdate > commitdate, the tpch_q4/q12 convention; the gate
+    * nation is NATION_9 — the driver schema's synthetic names).
+    *
+    * The double correlated subquery — EXISTS(another supplier on the
+    * same order) AND NOT EXISTS(another supplier ALSO late) — is
+    * decorrelated into one per-order aggregate: over the F-status
+    * lineitem⋈orders backbone, count distinct suppliers and distinct
+    * LATE suppliers per order; a late line waits iff the order has > 1
+    * suppliers and exactly 1 late one (the line's own). That turns two
+    * correlated rescans of lineitem into a single shuffle on orderkey
+    * whose exchange the late-line side reuses — the 100 TB shape. */
+  def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val perOrder = l.groupBy("l_orderkey")
+      .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+        count_distinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+    l.filter(col("late"))
+      .join(perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1),
+        Seq("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_9")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  val tpchQ21Sql: String =
+    """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, l l1, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM l l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
+      |GROUP BY s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3" -> tpchQ3,
     "tpch_q4" -> tpchQ4,
@@ -530,6 +584,7 @@ object TpchDerived {
     "tpch_q17" -> tpchQ17,
     "tpch_q18" -> tpchQ18,
     "tpch_q19" -> tpchQ19,
+    "tpch_q21" -> tpchQ21,
     "tpch_q22" -> tpchQ22,
   )
 
@@ -549,6 +604,7 @@ object TpchDerived {
     "tpch_q17" -> tpchQ17Sql,
     "tpch_q18" -> tpchQ18Sql,
     "tpch_q19" -> tpchQ19Sql,
+    "tpch_q21" -> tpchQ21Sql,
     "tpch_q22" -> tpchQ22Sql,
   )
 }

@@ -225,7 +225,7 @@ class CowTableSpec extends AnyFunSuite {
       Seq((1L, "u2", 1.2)).toDF("id", "name", "v"), Seq("id"))
     val keep2 = CowTable.readManifest(t, 1).files.toSet ++
       CowTable.readManifest(t, 2).files.toSet
-    val deleted = CowTable.vacuum(t, keepVersions = 2)
+    val deleted = CowTable.vacuum(spark, t, keepVersions = 2)
     // versions 1..2 stay fully readable; version 0 is gone
     assert(CowTable.readVersion(spark, t, 2).count() == 100)
     assert(CowTable.readVersion(spark, t, 1).count() == 100)
@@ -355,7 +355,7 @@ class CowTableSpec extends AnyFunSuite {
     // already materialized: a second call is a version no-op
     assert(CowTable.rewriteDeletes(spark, t).version == m.version)
     // vacuum reclaims the obsolete DV files and the replaced data file
-    val deleted = CowTable.vacuum(t, keepVersions = 1)
+    val deleted = CowTable.vacuum(spark, t, keepVersions = 1)
     assert(deleted.exists(_.contains("/dv/")), s"dv files not vacuumed: $deleted")
     assert(rows(t).size == 99)
   }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Corpus-wide approximate k-NN join ([[Similarity.knnJoinOn]]): exact
+  * recall on a planted clustered fixture, the O(n·nprobe·cell) cost
+  * contract, and the no-cartesian plan shape. */
+class KnnJoinSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Dim = 8
+
+  /** 3 tight clusters around orthogonal axes: 12 vectors each, axis
+    * component 1.0, a small deterministic per-vector wiggle on one
+    * other coordinate so vectors are distinct, all unit-normalized. */
+  private def fixture() = {
+    val rows = for {
+      cl <- 0 until 3
+      j <- 0 until 12
+    } yield {
+      val v = Array.fill(Dim)(0.0)
+      v(cl) = 1.0
+      v(3 + (j % 4)) = 0.05 + 0.01 * j
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (cl * 12L + j, cl.toLong, v.map(x => (x / n).toFloat).toSeq)
+    }
+    rows.toDF("vec_id", "cluster", "embedding")
+  }
+
+  test("probe-1 join on a planted clustered corpus is exact within clusters") {
+    val fix = fixture()
+    val cents = Similarity.trainCentroids(
+      fix.select($"vec_id", $"embedding"), k = 3, rounds = 5)
+    val nn = Similarity.knnJoinOn(
+      fix.select($"vec_id", $"embedding"), cents, nprobe = 1, k = 5)
+    // every vector has exactly 5 neighbors, all from its own cluster
+    val joined = nn.join(fix.select($"vec_id".as("q_id"),
+        $"cluster".as("q_cluster")), Seq("q_id"))
+      .join(fix.select($"vec_id".as("neighbor_id"),
+        $"cluster".as("n_cluster")), Seq("neighbor_id"))
+    assert(joined.count() == 36 * 5)
+    assert(joined.filter($"q_cluster" =!= $"n_cluster").count() == 0,
+      "a probe-1 neighbor crossed clusters on a cleanly separated corpus")
+    // and matches brute force exactly (probe-1 covers the true top-5
+    // because the true neighbors share the query's cell)
+    val brute = Similarity.knnBruteOn(
+      fix.select($"vec_id", $"embedding"), numQueries = 36, k = 5)
+      .select($"q_id", $"neighbor_id")
+    assert(nn.select($"q_id", $"neighbor_id")
+      .exceptAll(brute).count() == 0, "join disagrees with brute force")
+  }
+
+  test("candidate count is Σ|probed cells| − own-cell hits, never all-pairs") {
+    val fix = fixture().select($"vec_id", $"embedding")
+    val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
+    val nprobe = 2
+    val n = fix.count()
+    val got = Similarity.knnJoinCandidates(fix, cents, nprobe).count()
+    // expected: per query, the sizes of its nprobe probed cells, minus
+    // one when its own cell is probed (self excluded) — computed
+    // independently of the join under test
+    val assigned = fix.select($"vec_id",
+      Similarity.assignCell($"embedding", cents).as("cell"))
+    val cellSizes = assigned.groupBy($"cell").agg(count(lit(1)).as("sz"))
+    val probes = fix.select($"vec_id".as("q_id"),
+      Similarity.assignCell($"embedding", cents).as("own_cell"),
+      explode(Similarity.probeCells($"embedding", cents, nprobe)).as("cell"))
+    val expected = probes.join(cellSizes, Seq("cell"))
+      .select(($"sz" - when($"cell" === $"own_cell", 1L).otherwise(0L))
+        .as("c"))
+      .agg(sum($"c")).head().getLong(0)
+    assert(got == expected, s"candidate count $got != expected $expected")
+    assert(got < n * (n - 1), "candidate set degenerated to all-pairs")
+  }
+
+  test("plan: one cell join + one window, no cartesian product") {
+    val fix = fixture().select($"vec_id", $"embedding")
+    val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
+    val nn = Similarity.knnJoinOn(fix, cents, nprobe = 2, k = 5)
+    val plan = nn.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"k-NN join planned a product join:\n$plan")
+    // the top-k is the group-limit window, rank pushed into the sort
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"),
+      s"missing windowed top-k:\n$plan")
+  }
+}
