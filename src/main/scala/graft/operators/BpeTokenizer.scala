@@ -38,6 +38,13 @@ object BpeTokenizer {
     ("t", Bpe.EndMark), ("w", Bpe.EndMark), ("n", Bpe.EndMark),
     ("a", "ta"), ("o", "w"))
 
+  // replay-soundness constraints (see rankSql and taChunksBpe docs):
+  // unequal sides (self-overlapping runs would re-order), and no end
+  // marker inside a LEFT side (doc-level replay must not cross words)
+  require(PinnedMerges.forall { case (a, b) =>
+    a != b && !a.contains(Bpe.EndMark)
+  }, "pinned BPE merges must have a != b and marker-free left sides")
+
   val PinnedVocab: BpeVocab = BpeVocab(PinnedMerges)
 
   /** Trained-vocab sizing: bounded driver state (top words, merges). */
@@ -84,14 +91,26 @@ object BpeTokenizer {
           .cast("long").as("n_tokens"))
       .filter(col("n_words") > 0)
 
+  /** One merge rank as SQL: REPLACE applied TWICE. A single REPLACE
+    * scans left-to-right consuming the pattern's trailing space, so of
+    * a run of ADJACENT occurrences (" th e</w> th e</w> ") it merges
+    * only every other one — the second pass picks up the skipped ones,
+    * which by then are isolated (leftovers are never adjacent: a skip
+    * happens only right after a match). Exactly the kernel's one-pass
+    * merge-all, PROVIDED a ≠ b (equal sides self-overlap and the
+    * leftmost-disjoint choice can differ on runs ≥ 5) — [[PinnedMerges]]
+    * honors that, and BpeTokenizerSpec pins the constraint. */
+  private def rankSql(acc: String, a: String, b: String): String = {
+    val once = s"REPLACE($acc, ' $a $b ', ' ${a + b} ')"
+    s"REPLACE($once, ' $a $b ', ' ${a + b} ')"
+  }
+
   /** The REPLACE-chain replay of [[PinnedMerges]] over one word `w`,
     * generated from the same list the expression uses. */
   private def replaySql(wExpr: String): String = {
     val base =
       s"' ' || regexp_replace($wExpr, '(.)', '\\1 ', 'g') || '${Bpe.EndMark} '"
-    PinnedMerges.foldLeft(base) { case (acc, (a, b)) =>
-      s"REPLACE($acc, ' $a $b ', ' ${a + b} ')"
-    }
+    PinnedMerges.foldLeft(base) { case (acc, (a, b)) => rankSql(acc, a, b) }
   }
 
   val taBpePinnedSql: String =
@@ -189,15 +208,73 @@ object BpeTokenizer {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
        |  FROM d) t""".stripMargin
 
+  // -------------------------------------------------- ta_chunks_bpe gate
+
+  /** [[TextAnalysis.taChunks]] rebased from word windows onto REAL BPE
+    * token windows (pinned vocab): chunk boundaries land on token
+    * budget, chunk text decodes the symbols back (end markers →
+    * spaces). Oracle replays the merge chain over the WHOLE document at
+    * once — sound because no trained merge has a left component
+    * containing the end marker (nothing follows `</w>` within a word),
+    * so merges never fire across a word boundary and the doc-level
+    * replay equals the per-word one. */
+  def taChunksBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import TextAnalysis.{ChunkSize, ChunkStride}
+    val toks = BpeFunctions.bpe_tokens($"text", PinnedVocab)
+    val nTok = size(toks)
+    val nChunks = greatest(
+      ceil((nTok - lit(ChunkSize)).cast("double") / ChunkStride).cast("int")
+        + lit(1),
+      lit(1))
+    Tables.documents(s, dir)
+      .filter(size(graft.functions.ShingleFunctions.tokens($"text")) > 0)
+      .select($"doc_id", toks.as("toks"), nChunks.as("nc"))
+      .select($"doc_id", $"toks", posexplode(sequence(lit(0), $"nc" - 1)))
+      .select($"doc_id",
+        col("col").cast("long").as("chunk_id"),
+        size(slice($"toks", col("col") * ChunkStride + 1, lit(ChunkSize)))
+          .cast("long").as("chunk_tokens"),
+        replace(array_join(
+            slice($"toks", col("col") * ChunkStride + 1, lit(ChunkSize)), ""),
+          lit(Bpe.EndMark), lit(" ")).as("chunk_text"))
+  }
+
+  val taChunksBpeSql: String = {
+    import TextAnalysis.{ChunkSize, ChunkStride}
+    // whole-document symbolization: words separated/terminated by \x01,
+    // every char space-delimited, \x01 becomes the </w> symbol
+    val docSyms = "' ' || REPLACE(regexp_replace(" +
+      "regexp_replace(trim(lower(text)), '\\s+', chr(1), 'g') || chr(1), " +
+      "'(.)', '\\1 ', 'g'), chr(1) || ' ', '</w> ')"
+    val replayed = PinnedMerges.foldLeft(docSyms) { case (acc, (a, b)) =>
+      rankSql(acc, a, b)
+    }
+    val toks = s"list_filter(string_split(trim($replayed), ' '), x -> x <> '')"
+    val nTok = s"len(toks)"
+    val win = s"toks[(i*$ChunkStride + 1):(i*$ChunkStride + $ChunkSize)]"
+    s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents
+       |  WHERE len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |    x -> x <> '')) > 0)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |  CAST(len($win) AS BIGINT) AS chunk_tokens,
+       |  REPLACE(array_to_string($win, ''), '</w>', ' ') AS chunk_text
+       |FROM t, UNNEST(range(0, GREATEST(
+       |  CAST(CEIL(CAST($nTok - $ChunkSize AS DOUBLE) / $ChunkStride)
+       |    AS INT) + 1, 1))) AS u(i)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_pinned" -> taBpePinned,
     "ta_bpe" -> taBpe,
     "sa_pack_bins_bpe" -> saPackBinsBpe,
+    "ta_chunks_bpe" -> taChunksBpe,
   )
 
   val oracles: Map[String, String] = Map(
     "ta_bpe_pinned" -> taBpePinnedSql,
     "ta_bpe" -> taBpeSql,
     "sa_pack_bins_bpe" -> saPackBinsBpeSql,
+    "ta_chunks_bpe" -> taChunksBpeSql,
   )
 }

@@ -694,17 +694,29 @@ object CowTable {
     val newSchema = StructType(target0.schema.fields.toSeq ++
       newCols.map(c => StructField(c, sTypes(c), nullable = true)))
 
-    // 1. touched-file discovery: one target scan, broadcast key set.
-    // The RAW scan is deliberate with DVs present: a file whose only
-    // matching rows are deleted gets rewritten (its DV entries
-    // materialize a version early) — conservative, never wrong.
-    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // 1. touched-file discovery: one target scan, broadcast key set —
+    // and the scan itself is STATS-BOUNDED: the source's per-key-column
+    // [min,max] (one more column pair on the delta-sized uniqueness
+    // aggregate) prunes files whose key range cannot overlap the delta,
+    // so a narrow delta against a key-clustered 100 TB table discovers
+    // its touched files by reading only the overlapping slice. The RAW
+    // scan is deliberate with DVs present: a file whose only matching
+    // rows are deleted gets rewritten (its DV entries materialize a
+    // version early) — conservative, never wrong.
     val touched =
       if (m.files.isEmpty) Set.empty[String]
-      else target.withColumn("__file", input_file_name())
-        .join(broadcast(srcKeys), keys, "left_semi")
-        .select("__file").distinct()
-        .collect().map(r => normalize(r.getString(0))).toSet
+      else {
+        val candidates = mergeCandidateFiles(spark, table, m, source, keys)
+        if (candidates.isEmpty) Set.empty[String]
+        else {
+          val srcKeys = source.select(keys.map(col): _*).distinct()
+          rawScan(spark, m, candidates)
+            .withColumn("__file", input_file_name())
+            .join(broadcast(srcKeys), keys, "left_semi")
+            .select("__file").distinct()
+            .collect().map(r => normalize(r.getString(0))).toSet
+        }
+      }
     val oldData = loadEntries(spark, table, m).filter(_.kind == "data")
     val (touchedE, untouchedE) =
       oldData.partition(e => touched.contains(normalize(e.path)))
@@ -749,6 +761,28 @@ object CowTable {
     val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
     commitEntries(spark, table, v, untouchedE ++ newEntries ++ dvEntries,
       newSchema)
+  }
+
+  /** The files a merge's discovery scan must read: those whose
+    * per-key-column stats overlap the source's key bounds (one
+    * delta-sized aggregate). A file outside every key range cannot
+    * contain a matched row, so it is untouched by construction. */
+  private[operators] def mergeCandidateFiles(spark: SparkSession,
+      table: String, m: Manifest, source: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    val eligible = source.schema.fields
+      .filter(f => keys.contains(f.name) && statsEligible(f.dataType)).toSeq
+    if (eligible.isEmpty || m.entriesRel.isEmpty) return m.files
+    val aggs = eligible.flatMap(f =>
+      Seq(min(col(f.name)), max(col(f.name))))
+    val b = source.agg(aggs.head, aggs.tail: _*).head()
+    val conds = eligible.zipWithIndex.flatMap { case (f, i) =>
+      val (lo, hi) = (b.get(2 * i), b.get(2 * i + 1))
+      if (lo == null || hi == null) None
+      else Some(col(f.name) >= lit(lo) && col(f.name) <= lit(hi))
+    }
+    if (conds.isEmpty) m.files
+    else pruneDataFiles(spark, table, m, conds.reduce(_ && _))
   }
 
   private def entryBytes(e: FileEntry): Long =

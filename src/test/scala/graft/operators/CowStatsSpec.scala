@@ -188,6 +188,26 @@ class CowStatsSpec extends AnyFunSuite {
     assert(CowTable.read(spark, t).count() == 2)
   }
 
+  test("merge discovery is stats-bounded: a narrow delta scans one file") {
+    val t = clustered()
+    val m = CowTable.latestManifest(t).get
+    val delta = Seq((26L, 1L, 0.0, "x"), (28L, 2L, 0.0, "y"))
+      .toDF("id", "band", "v", "s")
+    val cand = CowTable.mergeCandidateFiles(spark, t, m, delta, Seq("id"))
+    assert(cand.size == 1, s"expected 1 candidate file, got ${cand.size}")
+    // an out-of-range (insert-only) delta scans NOTHING
+    val far = Seq((5000L, 1L, 0.0, "z")).toDF("id", "band", "v", "s")
+    assert(CowTable.mergeCandidateFiles(spark, t, m, far, Seq("id")).isEmpty)
+    // and the bounded merges are still semantically complete
+    CowTable.mergeInto(spark, t, delta, Seq("id"))
+    CowTable.mergeInto(spark, t, far, Seq("id"))
+    val got = CowTable.read(spark, t)
+    assert(got.count() == 101)
+    assert(got.filter($"id" === 26L).select("s").head().getString(0) == "x")
+    assert(got.filter($"id" === 5000L).count() == 1)
+    assert(got.filter($"id" === 75L).select("s").head().getString(0) == "s75")
+  }
+
   test("schema evolution: new column rides the merge, old files untouched") {
     val t = freshTable()
     val df = (0L until 40L).map(i => (i, (i / 10 + 1).toInt, s"n$i"))
