@@ -108,11 +108,20 @@ object CowTable {
   private def manifestPath(table: String, v: Int): Path =
     manifestDir(table).resolve(s"v$v.manifest")
 
-  /** `input_file_name()` yields a URI; manifests store filesystem paths. */
+  /** `input_file_name()`/`_metadata.file_path` yield URIs; manifests
+    * store filesystem paths. Percent-decodes WITHOUT the form-encoding
+    * plus-is-space rule (a literal '+' in a path must survive), so the
+    * decoded URI of a file equals its raw path. */
   private def normalize(p: String): String = {
     val noScheme = if (p.startsWith("file:")) p.stripPrefix("file:") else p
-    java.net.URLDecoder.decode(noScheme, "UTF-8").replaceAll("/+", "/")
+    java.net.URLDecoder.decode(noScheme.replace("+", "%2B"), "UTF-8")
+      .replaceAll("/+", "/")
   }
+
+  /** SQL twin of [[normalize]] for URI-valued path columns. */
+  private def normalizeSql(c: Column): Column =
+    regexp_replace(url_decode(regexp_replace(
+      regexp_replace(c, "^file:", ""), "\\+", "%2B")), "/+", "/")
 
   private def parseManifest(path: Path, v: Int): Option[Manifest] = {
     if (!Files.isRegularFile(path)) return None
@@ -198,52 +207,93 @@ object CowTable {
     Manifest(version, files, dvs)
   }
 
+  /** An entries sidecar is IMMUTABLE once its manifest commits (the rel
+    * path carries a uniq suffix and is never rewritten), so a bounded
+    * per-JVM cache removes the read-back Spark jobs from the hot
+    * lifecycle: committers pre-populate it with what they just wrote,
+    * and the merge/delete/compact loop never re-reads its own
+    * manifests. Bounded (whole-map clear past the cap) so a long-lived
+    * session over many tables can't grow it unboundedly. */
+  private val entriesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[FileEntry]]()
+  private val EntriesCacheCap = 256
+
+  private def cacheEntries(table: String, rel: String,
+      entries: Seq[FileEntry]): Unit = {
+    if (entriesCache.size >= EntriesCacheCap) entriesCache.clear()
+    entriesCache.put((table, rel), entries)
+  }
+
   /** v2 commit: entries parquet sidecar + pointer manifest. An empty
     * `entries` is a valid snapshot (the `end` marker distinguishes
     * "complete but empty" from "half-written"); `schema` keeps such a
     * snapshot readable. */
   def commitEntries(spark: SparkSession, table: String, version: Int,
-      entries: Seq[FileEntry], schema: StructType): Manifest = {
+      entries: Seq[FileEntry], schema: StructType): Manifest =
+    commitWithStats(spark, table, version, entries, Nil, schema)
+
+  /** The internal commit: `carried` entries ride from the driver (they
+    * already have their stats strings); `newDataFiles` get their stats
+    * computed IN the sidecar write itself — [[statsEntriesDF]] unioned
+    * in, one Spark job total, nothing collected. */
+  private def commitWithStats(spark: SparkSession, table: String,
+      version: Int, carried: Seq[FileEntry], newDataFiles: Seq[String],
+      schema: StructType): Manifest = {
     val rel = s"files/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val out = manifestDir(table).resolve(rel)
     Files.createDirectories(out.getParent)
-    spark.createDataFrame(entries).coalesce(1)
-      .write.mode("overwrite").parquet(out.toString)
-    val files = entries.collect { case e if e.kind == "data" => e.path }
-    val dvs = entries.collect { case e if e.kind == "dv" => e.path }
+    val carriedDF = spark.createDataFrame(carried)
+    val entriesOut =
+      if (newDataFiles.isEmpty) carriedDF
+      else carriedDF.unionByName(statsEntriesDF(spark, newDataFiles))
+    entriesOut.coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val files = carried.collect { case e if e.kind == "data" => e.path } ++
+      newDataFiles
+    val dvs = carried.collect { case e if e.kind == "dv" => e.path }
     writeManifestText(table, version,
       (Seq(HeaderV2, SchemaPrefix + schema.json, EntriesPrefix + rel) ++
         files ++ dvs.map(DvPrefix + _) :+ EndMarker).mkString("\n"))
+    if (newDataFiles.isEmpty) cacheEntries(table, rel, carried)
     Manifest(version, files, dvs, Some(schema.json), Some(rel))
   }
 
   /** The manifest's entries as a DataFrame (kind, path, bytes, numRows,
-    * stats) — the substrate for data skipping and file-set algebra. A
-    * v1 manifest synthesizes stat-less entries. */
+    * stats) — the substrate for data skipping and file-set algebra,
+    * built over the (bounded, cached) driver view so every consumer
+    * sees ONE path representation: the manifest's raw path strings. The
+    * stored form is the parquet sidecar; the driver view is
+    * manifest-sized, the same shape as Delta's snapshot state. */
   def entriesDF(spark: SparkSession, table: String, m: Manifest): DataFrame =
-    m.entriesRel match {
-      case Some(rel) =>
-        spark.read.parquet(manifestDir(table).resolve(rel).toString)
-      case None => spark.createDataFrame(
-        m.files.map(f => FileEntry("data", f, -1L, None, None)) ++
-          m.dvs.map(f => FileEntry("dv", f, -1L, None, None)))
-    }
+    spark.createDataFrame(loadEntries(spark, table, m))
 
-  /** Driver-side view of [[entriesDF]] for delta-sized manifests. */
+  /** Driver-side entries, cached per immutable sidecar. Sidecar paths
+    * written from the stats scan are NORMALIZED URIs; they resolve back
+    * to the manifest's raw path strings here (identical except for
+    * encodable characters), so entry paths are always openable. */
   private def loadEntries(spark: SparkSession, table: String,
       m: Manifest): Seq[FileEntry] = m.entriesRel match {
     case None =>
       m.files.map(f => FileEntry("data", f, -1L, None, None)) ++
         m.dvs.map(f => FileEntry("dv", f, -1L, None, None))
-    case Some(_) =>
-      entriesDF(spark, table, m).collect().toSeq.map { r =>
-        FileEntry(r.getString(r.fieldIndex("kind")),
-          r.getString(r.fieldIndex("path")),
-          r.getLong(r.fieldIndex("bytes")),
-          if (r.isNullAt(r.fieldIndex("numRows"))) None
-          else Some(r.getLong(r.fieldIndex("numRows"))),
-          if (r.isNullAt(r.fieldIndex("stats"))) None
-          else Some(r.getString(r.fieldIndex("stats"))))
+    case Some(rel) =>
+      val cached = entriesCache.get((table, rel))
+      if (cached != null) cached
+      else {
+        val byNorm = (m.files ++ m.dvs).map(f => normalize(f) -> f).toMap
+        val loaded = spark.read
+          .parquet(manifestDir(table).resolve(rel).toString)
+          .collect().toSeq.map { r =>
+            val stored = r.getString(r.fieldIndex("path"))
+            FileEntry(r.getString(r.fieldIndex("kind")),
+              byNorm.getOrElse(normalize(stored), stored),
+              r.getLong(r.fieldIndex("bytes")),
+              if (r.isNullAt(r.fieldIndex("numRows"))) None
+              else Some(r.getLong(r.fieldIndex("numRows"))),
+              if (r.isNullAt(r.fieldIndex("stats"))) None
+              else Some(r.getString(r.fieldIndex("stats"))))
+          }
+        cacheEntries(table, rel, loaded)
+        loaded
       }
   }
 
@@ -268,34 +318,45 @@ object CowTable {
         StructField("min", f.dataType), StructField("max", f.dataType),
         StructField("nulls", LongType))))).toSeq)
 
-  /** One aggregate over the just-written files: per file, row count and
-    * the stats JSON. Reads only the (delta-sized, just-written,
-    * page-cached) files — carried files keep their old entries. */
-  private def collectStats(spark: SparkSession,
-      files: Seq[String]): Seq[FileEntry] = {
-    if (files.isEmpty) return Nil
+  /** Per-file row count + stats JSON for just-written data files as a
+    * LAZY DataFrame keyed by normalized path — joined into the commit's
+    * sidecar write, so the whole stats-collect + sidecar-write is ONE
+    * Spark job that never materializes per-file stats on the driver
+    * (the shape that still works at 10⁶ files). Reads only the
+    * delta-sized, just-written, page-cached files. */
+  private def statsEntriesDF(spark: SparkSession,
+      files: Seq[String]): DataFrame = {
     val df = spark.read.parquet(files: _*)
     val sc = df.schema.fields.filter(f => statsEligible(f.dataType))
       .take(MaxStatsCols)
-    val aggs =
-      if (sc.isEmpty) Seq(count(lit(1)).as("__n"),
-        lit(null).cast("string").as("__stats"))
-      else Seq(count(lit(1)).as("__n"),
-        to_json(struct(sc.map(f => struct(
-          min(col(f.name)).as("min"), max(col(f.name)).as("max"),
-          sum(isnull(col(f.name)).cast("long")).as("nulls"))
-          .as(f.name)).toSeq: _*)).as("__stats"))
-    val byPath = df.groupBy(col("_metadata.file_path").as("__p"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map(r => normalize(r.getString(0)) ->
-        ((r.getLong(1), Option(r.getString(2))))).toMap
-    files.map { f =>
-      val bytes = Files.size(Paths.get(f))
-      byPath.get(normalize(f)) match {
-        case Some((n, js)) => FileEntry("data", f, bytes, Some(n), js)
-        case None => FileEntry("data", f, bytes, Some(0L), None)
-      }
+    val statsCol =
+      if (sc.isEmpty) lit(null).cast("string")
+      else to_json(struct(sc.map(f => struct(
+        min(col(f.name)).as("min"), max(col(f.name)).as("max"),
+        sum(isnull(col(f.name)).cast("long")).as("nulls"))
+        .as(f.name)).toSeq: _*))
+    // normalized so sidecar paths string-equal listPartFiles' raw paths
+    df.groupBy(
+        normalizeSql(col("_metadata.file_path")).as("path"),
+        col("_metadata.file_size").as("bytes"))
+      .agg(count(lit(1)).as("numRows"), statsCol.as("stats"))
+      .select(lit("data").as("kind"), col("path"), col("bytes"),
+        col("numRows"), col("stats"))
+  }
+
+  /** Zero-row part files (empty shuffle partitions) carry no data and
+    * would need a sidecar fallback row — a manifest simply never lists
+    * them. One footer read per just-written (local, delta-sized) file. */
+  private def dropEmptyFiles(spark: SparkSession,
+      files: Seq[String]): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.filter { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      if (n == 0L) Files.deleteIfExists(Paths.get(f))
+      n > 0L
     }
   }
 
@@ -470,18 +531,18 @@ object CowTable {
     Paths.get(table, kind,
       s"v$v-${java.util.UUID.randomUUID().toString.take(8)}")
 
-  /** Write `df` as version `v`'s data files and return their entries,
-    * stats included. */
-  private def writeData(df: DataFrame, table: String, v: Int): Seq[FileEntry] = {
+  /** Write `df` as version `v`'s data files and return their paths
+    * (stats are collected inside the commit's sidecar write). */
+  private def writeData(df: DataFrame, table: String, v: Int): Seq[String] = {
     val out = versionDir(table, "data", v)
     df.write.mode("overwrite").parquet(out.toString)
-    collectStats(df.sparkSession, listPartFiles(out))
+    dropEmptyFiles(df.sparkSession, listPartFiles(out))
   }
 
   /** Initialize the table at version 0 with `df`'s rows. */
   def init(df: DataFrame, table: String): Manifest =
-    commitEntries(df.sparkSession, table, 0, writeData(df, table, 0),
-      df.schema)
+    commitWithStats(df.sparkSession, table, 0, Nil,
+      writeData(df, table, 0), df.schema)
 
   /** Initialize with an EXPLICIT file layout: one physical file per
     * distinct value of `fileCol` (an int column in [1, nFiles]) — rows
@@ -494,8 +555,8 @@ object CowTable {
     val out = versionDir(table, "data", 0)
     df.repartition(nFiles, col(fileCol))
       .write.partitionBy(fileCol).mode("overwrite").parquet(out.toString)
-    val entries = collectStats(df.sparkSession, listPartFilesRec(out))
-    commitEntries(df.sparkSession, table, 0, entries,
+    commitWithStats(df.sparkSession, table, 0, Nil,
+      dropEmptyFiles(df.sparkSession, listPartFilesRec(out)),
       StructType(df.schema.filterNot(_.name == fileCol)))
   }
 
@@ -616,7 +677,7 @@ object CowTable {
     val dvEntries = listPartFiles(out).map(p =>
       FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
     val old = loadEntries(spark, table, m)
-    commitEntries(spark, table, v, old ++ dvEntries,
+    commitWithStats(spark, table, v, old ++ dvEntries, Nil,
       m.schemaOpt.getOrElse(raw.schema))
   }
 
@@ -636,13 +697,13 @@ object CowTable {
     val (touchedE, untouchedE) =
       old.partition(e => dvFiles.contains(normalize(e.path)))
     val v = m.version + 1
-    val newEntries =
+    val newFiles =
       if (touchedE.isEmpty) Nil
       else {
         val clean = readSnapshot(spark, m, Some(touchedE.map(_.path)))
         if (clean.isEmpty) Nil else writeData(clean, table, v)
       }
-    commitEntries(spark, table, v, untouchedE ++ newEntries,
+    commitWithStats(spark, table, v, untouchedE, newFiles,
       m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema))
   }
 
@@ -756,10 +817,10 @@ object CowTable {
     // no longer in the manifest and can never match again (version dirs
     // are never reused) — compaction or rewriteDeletes trims them.
     val v = m.version + 1
-    val newEntries =
+    val newFiles =
       if (merged.isEmpty) Nil else writeData(merged, table, v)
     val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
-    commitEntries(spark, table, v, untouchedE ++ newEntries ++ dvEntries,
+    commitWithStats(spark, table, v, untouchedE ++ dvEntries, newFiles,
       newSchema)
   }
 
@@ -810,9 +871,9 @@ object CowTable {
     // free; kept files' DV entries stay live and are carried
     Layout.compactRows(readSnapshot(spark, m, Some(smalls.map(_._1.path))),
       n, out.toString)
-    val newEntries = collectStats(spark, listPartFiles(out))
     val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
-    commitEntries(spark, table, v, keep.map(_._1) ++ newEntries ++ dvEntries,
+    commitWithStats(spark, table, v, keep.map(_._1) ++ dvEntries,
+      dropEmptyFiles(spark, listPartFiles(out)),
       m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema))
   }
 
@@ -840,9 +901,9 @@ object CowTable {
     val out = versionDir(table, "data", v)
     Layout.compactRowsZorder(readSnapshot(spark, m, Some(smalls.map(_._1.path))),
       n, out.toString, zCols, bits)
-    val newEntries = collectStats(spark, listPartFiles(out))
     val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
-    commitEntries(spark, table, v, keep.map(_._1) ++ newEntries ++ dvEntries,
+    commitWithStats(spark, table, v, keep.map(_._1) ++ dvEntries,
+      dropEmptyFiles(spark, listPartFiles(out)),
       m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema))
   }
 
@@ -885,15 +946,18 @@ object CowTable {
       }
     if (listed.isEmpty) return Nil
     val now = System.currentTimeMillis()
-    // manifest entries and the physical listing both originate from
-    // listPartFiles (absolute, already-normal paths), so raw string
-    // equality is the join key — no per-row normalization needed
-    val deleted = spark.createDataFrame(listed)
-      .toDF("path", "ver", "mtime")
-      .join(live, Seq("path"), "left_anti")
+    // one normalize convention on both sides: entries written from the
+    // stats scan carry decoded-URI paths while the physical listing is
+    // raw — for a path containing encodable characters they'd otherwise
+    // diverge and the anti-join would free live files
+    val normLive = live.select(normalizeSql(col("path")).as("path"))
+    val deleted = spark.createDataFrame(listed.map { case (f, v, t) =>
+        (normalize(f), f, v, t) })
+      .toDF("path", "raw", "ver", "mtime")
+      .join(normLive, Seq("path"), "left_anti")
       .filter(col("ver") <= lit(latestComplete) ||
         col("mtime") < lit(now - orphanAgeMs))
-      .select("path").collect().map(_.getString(0)).toSeq
+      .select("raw").collect().map(_.getString(0)).toSeq
     deleted.foreach(f => Files.deleteIfExists(Paths.get(f)))
     versions.filter(_ < oldestKept).foreach { v =>
       // a dropped manifest's entries sidecar goes with it
@@ -958,8 +1022,16 @@ object CowTable {
         tm.files.filter(f => touched.contains(normalize(f)) &&
           fmSet.contains(normalize(f)))
       }
-    val oldSide0 = readSnapshot(spark, fm, Some((remF ++ dvAffected).distinct))
-    val newSide0 = readSnapshot(spark, tm, Some((addF ++ dvAffected).distinct))
+    // sidecar paths are normalized; the scan needs the manifest's RAW
+    // path strings (they differ only for encodable characters)
+    def resolve(m: Manifest, ps: Seq[String]): Seq[String] = {
+      val byNorm = m.files.map(f => normalize(f) -> f).toMap
+      ps.map(p => byNorm.getOrElse(normalize(p), p))
+    }
+    val oldSide0 = readSnapshot(spark, fm,
+      Some((resolve(fm, remF) ++ dvAffected).distinct))
+    val newSide0 = readSnapshot(spark, tm,
+      Some((resolve(tm, addF) ++ dvAffected).distinct))
     // schema evolution between the versions: align both sides on the
     // UNION of columns (missing ones NULL-extend), so a row whose only
     // change is a post-evolution value still emits its pre/post pair

@@ -19,11 +19,12 @@ class CowTableSpec extends AnyFunSuite {
       .as[(Long, String, Double)].collect().toSet
 
   // target laid out by key range so file pruning is observable: four
-  // files with disjoint id ranges [0..24], [25..49], [50..74], [75..99]
+  // files with disjoint ~25-key id ranges (range partitioning — the
+  // hash-of-bucket layout this replaces collided buckets into 2 real
+  // files + 2 empty ones, and manifests no longer list empty files)
   private def initRanged(table: String): Unit = {
     val df = (0L until 100L).map(i => (i, s"n$i", i * 1.0)).toDF("id", "name", "v")
-      .withColumn("bucket", (col("id") / 25).cast("int"))
-      .repartition(4, col("bucket")).drop("bucket")
+      .repartitionByRange(4, col("id"))
     CowTable.init(df, table)
   }
 
@@ -118,11 +119,13 @@ class CowTableSpec extends AnyFunSuite {
   test("compactTable rewrites only the small tail into a new version") {
     val t = freshTable()
     initRanged(t)
-    // three merges leave three one-file versions of small deltas plus
-    // the carried originals — a small-file tail
+    // three merges into three DIFFERENT key ranges leave three small
+    // rewritten files plus the carried originals — a small-file tail
+    // (manifests never list empty part files, so the tail is only what
+    // the merges really wrote)
     (0 until 3).foreach { i =>
       CowTable.mergeInto(spark, t,
-        Seq((i.toLong, s"m$i", i * 0.1)).toDF("id", "name", "v"), Seq("id"))
+        Seq((i * 30L, s"m$i", i * 0.1)).toDF("id", "name", "v"), Seq("id"))
     }
     val before = CowTable.latestManifest(t).get
     val sizes = before.files.map(f => Files.size(Paths.get(f)))
