@@ -86,7 +86,10 @@ object Bench {
     "lh_stats_prune", "ss_knn_join", "lh_evolve", "tpch_q21",
     // round 11: BPE segmentation engine (pinned merges, full oracle)
     // and token-budget packing on real BPE counts
-    "ta_bpe_pinned", "sa_pack_bins_bpe")
+    "ta_bpe_pinned", "sa_pack_bins_bpe",
+    // round 11: metadata-only COUNT (interior files answered from
+    // manifest row counts minus DV entries, boundary files scanned)
+    "lh_count_meta")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

@@ -64,20 +64,111 @@ object BpeTokenizer {
   }
 
   /** One corpus aggregate (word → count, top-V deterministic), then the
-    * driver-side merge loop; cached per corpus fingerprint so repeated
+    * driver-side merge loop. */
+  def trainFromCorpus(s: SparkSession, dir: String): BpeVocab = {
+    val wc = Tables.documents(s, dir)
+      .select(explode(graft.functions.ShingleFunctions.tokens(col("text")))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("w")).limit(TrainTopWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    BpeVocab(Bpe.train(wc, TrainMerges))
+  }
+
+  /** [[trainFromCorpus]] cached per corpus fingerprint so repeated
     * queries in one JVM reuse the vocab (and a regenerated dataset
     * retrains instead of serving stale merges). */
   def cachedVocab(s: SparkSession, dir: String): BpeVocab = {
     val key = (dir, docsFingerprint(s, dir))
-    vocabCache.computeIfAbsent(key, { _ =>
-      val wc = Tables.documents(s, dir)
-        .select(explode(graft.functions.ShingleFunctions.tokens(col("text")))
-          .as("w"))
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .orderBy(desc("c"), asc("w")).limit(TrainTopWords)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      BpeVocab(Bpe.train(wc, TrainMerges))
-    })
+    vocabCache.computeIfAbsent(key, _ => trainFromCorpus(s, dir))
+  }
+
+  // --------------------------------------------------- stored vocabulary
+  //
+  // A production tokenizer must be FROZEN: every pipeline stage of a
+  // training run (counting, chunking, packing, the model itself) must
+  // segment identically, across JVMs and weeks. The store is the
+  // PqIndex discipline applied to the merge table: built into a staging
+  // dir and ATOMIC_MOVE-renamed into place (a concurrent builder loses
+  // cleanly), tagged with a format version (foreign tags are refused,
+  // never probed), carrying the training corpus fingerprint and a
+  // CONTENT hash of the merges so downstream artifacts can pin the
+  // exact vocabulary they were produced with. ensure() LOADS when
+  // present — corpus drift does NOT silently retrain (that is the
+  // point); rebuilding is an explicit act.
+
+  object BpeStore {
+    val FormatTag = "graft-bpe-v1"
+
+    /** Content hash of the merge table — the pin for "produced with
+      * exactly this vocabulary". */
+    def vocabHash(v: BpeVocab): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      v.merges.foreach { case (a, b) =>
+        md.update(a.getBytes("UTF-8")); md.update(0.toByte)
+        md.update(b.getBytes("UTF-8")); md.update(1.toByte)
+      }
+      md.digest().take(16).map("%02x".format(_)).mkString
+    }
+
+    case class Meta(format: String, fingerprint: Long, topWords: Int,
+        numMerges: Int, hash: String)
+
+    private def writeStore(store: java.nio.file.Path, v: BpeVocab,
+        meta: Meta): Unit = {
+      val staging = store.resolveSibling(
+        store.getFileName.toString + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      java.nio.file.Files.createDirectories(staging)
+      java.nio.file.Files.write(staging.resolve("merges.tsv"),
+        v.merges.map { case (a, b) => s"$a\t$b" }.mkString("\n")
+          .getBytes("UTF-8"))
+      java.nio.file.Files.write(staging.resolve("meta"),
+        Seq(meta.format, meta.fingerprint.toString, meta.topWords.toString,
+          meta.numMerges.toString, meta.hash).mkString("\n")
+          .getBytes("UTF-8"))
+      try java.nio.file.Files.move(staging, store,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException |
+             _: java.nio.file.AccessDeniedException =>
+          // a concurrent builder won the rename; its store is complete
+          // and (deterministic training) identical — discard staging
+          staging.toFile.listFiles.foreach(_.delete())
+          java.nio.file.Files.deleteIfExists(staging)
+      }
+    }
+
+    def readMeta(storePath: String): Meta = {
+      val lines = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(storePath, "meta")), "UTF-8").split("\n")
+      require(lines.length >= 5 && lines(0) == FormatTag,
+        s"bpe store $storePath has format '${lines.headOption.getOrElse("")}'" +
+          s" — this reader understands only $FormatTag")
+      Meta(lines(0), lines(1).toLong, lines(2).toInt, lines(3).toInt,
+        lines(4))
+    }
+
+    def load(storePath: String): BpeVocab = {
+      readMeta(storePath) // format check
+      val merges = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(storePath, "merges.tsv")), "UTF-8")
+        .split("\n").toIndexedSeq.filter(_.nonEmpty).map { l =>
+          val t = l.split("\t", 2); (t(0), t(1))
+        }
+      BpeVocab(merges)
+    }
+
+    /** Load the frozen vocabulary, or train-and-store it if absent. */
+    def ensure(s: SparkSession, dir: String, storePath: String): BpeVocab = {
+      val store = java.nio.file.Paths.get(storePath)
+      if (java.nio.file.Files.isDirectory(store)) return load(storePath)
+      val v = trainFromCorpus(s, dir)
+      writeStore(store, v, Meta(FormatTag, docsFingerprint(s, dir),
+        TrainTopWords, TrainMerges, vocabHash(v)))
+      load(storePath)
+    }
   }
 
   // -------------------------------------------------- ta_bpe_pinned gate
@@ -169,6 +260,35 @@ object BpeTokenizer {
        |      t -> t <> '')) > 0) AS n_docs,
        |  TRUE AS round_trip_ok, TRUE AS vocab_ok, TRUE AS compressed_ok,
        |  CAST($TrainMerges AS BIGINT) AS n_merges""".stripMargin
+
+  // ---------------------------------------------------- ta_bpe_stored gate
+
+  /** Envelope: the stored-vocabulary lifecycle — build trains and
+    * persists, a second ensure() is a pure LOAD that reproduces the
+    * merges bit-for-bit (and therefore the content hash), and the
+    * loaded vocab equals the in-memory trained one. The store path
+    * carries the corpus fingerprint, so a regenerated dataset builds a
+    * NEW store instead of silently serving the old tokenizer (within
+    * one dataset the store stays frozen — BpeStoreSpec pins that corpus
+    * drift does NOT retrain a pinned path). */
+  def taBpeStored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = java.lang.Long.toHexString(docsFingerprint(s, dir))
+    val store = s"${System.getProperty("java.io.tmpdir")}/graft_bpe/" +
+      s"${dir.replaceAll("[^A-Za-z0-9]", "_")}-$tag"
+    val v1 = BpeStore.ensure(s, dir, store)
+    val v2 = BpeStore.ensure(s, dir, store)
+    val trained = cachedVocab(s, dir)
+    Seq((v1.merges.size.toLong, v1.merges == v2.merges,
+      v1.merges == trained.merges,
+      BpeStore.readMeta(store).hash == BpeStore.vocabHash(v1)))
+      .toDF("n_merges", "load_stable", "matches_trained", "hash_pinned")
+  }
+
+  val taBpeStoredSql: String =
+    s"""SELECT CAST($TrainMerges AS BIGINT) AS n_merges,
+       |  TRUE AS load_stable, TRUE AS matches_trained,
+       |  TRUE AS hash_pinned""".stripMargin
 
   // ------------------------------------------------ sa_pack_bins_bpe gate
 
@@ -269,6 +389,7 @@ object BpeTokenizer {
     "ta_bpe" -> taBpe,
     "sa_pack_bins_bpe" -> saPackBinsBpe,
     "ta_chunks_bpe" -> taChunksBpe,
+    "ta_bpe_stored" -> taBpeStored,
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +397,6 @@ object BpeTokenizer {
     "ta_bpe" -> taBpeSql,
     "sa_pack_bins_bpe" -> saPackBinsBpeSql,
     "ta_chunks_bpe" -> taChunksBpeSql,
+    "ta_bpe_stored" -> taBpeStoredSql,
   )
 }

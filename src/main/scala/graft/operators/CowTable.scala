@@ -362,6 +362,29 @@ object CowTable {
 
   // ------------------------------------------------------ data skipping
 
+  /** Normalize the two surfaces predicates arrive on — the Column
+    * DSL's UnresolvedFunction('and, '`>=`, 'in, …) nodes and typed
+    * Catalyst nodes (resolved expressions, expr("…") parses) — into
+    * one (op, args) shape, shared by the keep/full stats rewriters. */
+  private object PredShape {
+    def unapply(x: Expression): Option[(String, Seq[Expression])] = x match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        Some((f.nameParts.last.toLowerCase, f.arguments))
+      case CAnd(l, r) => Some(("and", Seq(l, r)))
+      case COr(l, r) => Some(("or", Seq(l, r)))
+      case Not(c) => Some(("!", Seq(c)))
+      case EqualTo(a, b) => Some(("=", Seq(a, b)))
+      case LessThan(a, b) => Some(("<", Seq(a, b)))
+      case LessThanOrEqual(a, b) => Some(("<=", Seq(a, b)))
+      case GreaterThan(a, b) => Some((">", Seq(a, b)))
+      case GreaterThanOrEqual(a, b) => Some((">=", Seq(a, b)))
+      case In(a, vs) => Some(("in", a +: vs))
+      case IsNull(a) => Some(("isnull", Seq(a)))
+      case IsNotNull(a) => Some(("isnotnull", Seq(a)))
+      case _ => None
+    }
+  }
+
   /** Rewrite a row predicate into a file-level KEEP predicate over the
     * parsed stats struct `__st` — true when the file MIGHT contain a
     * matching row (the only sound direction). Supported shapes prune;
@@ -403,45 +426,23 @@ object CowTable {
         .otherwise(coalesce(
           !(st(n).getField("min") === v && st(n).getField("max") === v),
           lit(false)))
-    /** Normalize the two surfaces predicates arrive on — the Column
-      * DSL's UnresolvedFunction('and, '`>=`, 'in, …) nodes and typed
-      * Catalyst nodes (resolved expressions, expr("…") parses) — into
-      * one (op, args) shape. */
-    object F {
-      def unapply(x: Expression): Option[(String, Seq[Expression])] = x match {
-        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
-          Some((f.nameParts.last.toLowerCase, f.arguments))
-        case CAnd(l, r) => Some(("and", Seq(l, r)))
-        case COr(l, r) => Some(("or", Seq(l, r)))
-        case Not(c) => Some(("!", Seq(c)))
-        case EqualTo(a, b) => Some(("=", Seq(a, b)))
-        case LessThan(a, b) => Some(("<", Seq(a, b)))
-        case LessThanOrEqual(a, b) => Some(("<=", Seq(a, b)))
-        case GreaterThan(a, b) => Some((">", Seq(a, b)))
-        case GreaterThanOrEqual(a, b) => Some((">=", Seq(a, b)))
-        case In(a, vs) => Some(("in", a +: vs))
-        case IsNull(a) => Some(("isnull", Seq(a)))
-        case IsNotNull(a) => Some(("isnotnull", Seq(a)))
-        case _ => None
-      }
-    }
     def go(x: Expression): Column = x match {
-      case F("and", Seq(l, r)) => go(l) && go(r)
-      case F("or", Seq(l, r)) => go(l) || go(r)
-      case F("=" | "==" | "equalto", Seq(a, b)) => cmp(a, b)(eqLeaf)(eqLeaf)
-      case F("<", Seq(a, b)) => cmp(a, b)(
+      case PredShape("and", Seq(l, r)) => go(l) && go(r)
+      case PredShape("or", Seq(l, r)) => go(l) || go(r)
+      case PredShape("=" | "==" | "equalto", Seq(a, b)) => cmp(a, b)(eqLeaf)(eqLeaf)
+      case PredShape("<", Seq(a, b)) => cmp(a, b)(
         (n, v) => leaf(n, st(n).getField("min") < v))(
         (n, v) => leaf(n, st(n).getField("max") > v))
-      case F("<=", Seq(a, b)) => cmp(a, b)(
+      case PredShape("<=", Seq(a, b)) => cmp(a, b)(
         (n, v) => leaf(n, st(n).getField("min") <= v))(
         (n, v) => leaf(n, st(n).getField("max") >= v))
-      case F(">", Seq(a, b)) => cmp(a, b)(
+      case PredShape(">", Seq(a, b)) => cmp(a, b)(
         (n, v) => leaf(n, st(n).getField("max") > v))(
         (n, v) => leaf(n, st(n).getField("min") < v))
-      case F(">=", Seq(a, b)) => cmp(a, b)(
+      case PredShape(">=", Seq(a, b)) => cmp(a, b)(
         (n, v) => leaf(n, st(n).getField("max") >= v))(
         (n, v) => leaf(n, st(n).getField("min") <= v))
-      case F("in", a +: vs)
+      case PredShape("in", a +: vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         attr(a) match {
           case Some(n) =>
@@ -449,20 +450,20 @@ object CowTable {
               .reduceOption(_ || _).getOrElse(lit(true))
           case None => lit(true)
         }
-      case F("isnull", Seq(a)) => attr(a) match {
+      case PredShape("isnull", Seq(a)) => attr(a) match {
         case Some(n) if stCols.contains(n) =>
           when(st(n).getField("nulls").isNull, lit(true))
             .otherwise(st(n).getField("nulls") > 0)
         case _ => lit(true)
       }
-      case F("isnotnull", Seq(a)) => attr(a) match {
+      case PredShape("isnotnull", Seq(a)) => attr(a) match {
         case Some(n) if stCols.contains(n) =>
           when(st(n).getField("nulls").isNull || col("numRows").isNull,
             lit(true))
             .otherwise(col("numRows") > st(n).getField("nulls"))
         case _ => lit(true)
       }
-      case F("!" | "not", Seq(F("=" | "==" | "equalto", Seq(a, b)))) =>
+      case PredShape("!" | "not", Seq(PredShape("=" | "==" | "equalto", Seq(a, b)))) =>
         cmp(a, b)(neLeaf)(neLeaf)
       case _ => lit(true)
     }
@@ -488,6 +489,147 @@ object CowTable {
       .select("path").collect().map(r => normalize(r.getString(0))).toSet
     m.files.filter(f => kept.contains(normalize(f)))
   }
+
+  /** Rewrite a row predicate into a file-level "EVERY live row matches"
+    * predicate over the stats struct — the other direction of
+    * [[keepPredicate]], so it must default to FALSE on anything it
+    * cannot prove. NULL discipline inverts too: a comparison is only
+    * total when the file has NO nulls in that column (null rows never
+    * match a comparison). */
+  private def fullPredicate(e: Expression, stSchema: StructType): Column = {
+    val stCols = stSchema.fieldNames.toSet
+    def st(c: String): Column = col("__st").getField(c)
+    def leaf(cn: String, p: => Column): Column =
+      if (!stCols.contains(cn)) lit(false)
+      else coalesce(p && st(cn).getField("nulls") === 0L, lit(false))
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def litC(x: Expression): Option[Column] = x match {
+      case l: Literal if l.value != null => Some(ColumnBridge.column(l))
+      case _ => None
+    }
+    def cmp(a: Expression, b: Expression)(build: (String, Column) => Column)(
+        flip: (String, Column) => Column): Column =
+      (attr(a), litC(b), attr(b), litC(a)) match {
+        case (Some(n), Some(v), _, _) => build(n, v)
+        case (_, _, Some(n), Some(v)) => flip(n, v)
+        case _ => lit(false)
+      }
+    def go(x: Expression): Column = x match {
+      case PredShape("and", Seq(l, r)) => go(l) && go(r)
+      case PredShape("or", Seq(l, r)) => go(l) || go(r)
+      case PredShape("=" | "==" | "equalto", Seq(a, b)) => cmp(a, b)(
+        (n, v) => leaf(n,
+          st(n).getField("min") === v && st(n).getField("max") === v))(
+        (n, v) => leaf(n,
+          st(n).getField("min") === v && st(n).getField("max") === v))
+      case PredShape("<", Seq(a, b)) => cmp(a, b)(
+        (n, v) => leaf(n, st(n).getField("max") < v))(
+        (n, v) => leaf(n, st(n).getField("min") > v))
+      case PredShape("<=", Seq(a, b)) => cmp(a, b)(
+        (n, v) => leaf(n, st(n).getField("max") <= v))(
+        (n, v) => leaf(n, st(n).getField("min") >= v))
+      case PredShape(">", Seq(a, b)) => cmp(a, b)(
+        (n, v) => leaf(n, st(n).getField("min") > v))(
+        (n, v) => leaf(n, st(n).getField("max") < v))
+      case PredShape(">=", Seq(a, b)) => cmp(a, b)(
+        (n, v) => leaf(n, st(n).getField("min") >= v))(
+        (n, v) => leaf(n, st(n).getField("max") <= v))
+      case PredShape("in", a +: vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        // total only when the file is single-valued on a member
+        attr(a) match {
+          case Some(n) =>
+            vs.flatMap(v => litC(v)).map(v => leaf(n,
+              st(n).getField("min") === v && st(n).getField("max") === v))
+              .reduceOption(_ || _).getOrElse(lit(false))
+          case None => lit(false)
+        }
+      case PredShape("isnull", Seq(a)) => attr(a) match {
+        case Some(n) if stCols.contains(n) =>
+          coalesce(st(n).getField("nulls") === col("numRows"), lit(false))
+        case _ => lit(false)
+      }
+      case PredShape("isnotnull", Seq(a)) => attr(a) match {
+        case Some(n) if stCols.contains(n) =>
+          coalesce(st(n).getField("nulls") === 0L, lit(false))
+        case _ => lit(false)
+      }
+      case PredShape("!" | "not", Seq(PredShape("=" | "==" | "equalto", Seq(a, b)))) =>
+        cmp(a, b)(
+          (n, v) => leaf(n,
+            st(n).getField("max") < v || st(n).getField("min") > v))(
+          (n, v) => leaf(n,
+            st(n).getField("max") < v || st(n).getField("min") > v))
+      case _ => lit(false)
+    }
+    go(e)
+  }
+
+  /** File classes + counts behind [[countWhere]], exposed so specs and
+    * the gate can pin how much was METADATA-answered. `scannedRows` is
+    * rows read from partial files (post-filter matches). */
+  case class CountBreakdown(total: Long, fullFiles: Int, partialFiles: Int,
+      prunedFiles: Int, metadataRows: Long, scannedRows: Long)
+
+  /** COUNT(*) WHERE cond without scanning the covered interior: files
+    * whose stats PROVE every live row matches contribute their manifest
+    * row count (minus their deletion-vector entries) as pure metadata;
+    * only boundary files — where the predicate is partially satisfied —
+    * are scanned. On a clustered 100 TB table an interval count reads
+    * two edge files; the classic lakehouse metadata-only query,
+    * generalized to any supported predicate shape. */
+  def countWhereDetailed(spark: SparkSession, table: String,
+      cond: Column): CountBreakdown = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    if (m.files.isEmpty) return CountBreakdown(0L, 0, 0, 0, 0L, 0L)
+    val stSchemaOpt = m.schemaOpt.map(statsSchemaFor).filter(_.nonEmpty)
+    val (fullE, partialE, pruned) = stSchemaOpt match {
+      case None => (Nil, loadEntries(spark, table, m).filter(_.kind == "data"),
+        0)
+      case Some(stSchema) =>
+        val ce = ColumnBridge.expression(cond)
+        val keep = keepPredicate(ce, stSchema)
+        val full = fullPredicate(ce, stSchema)
+        val rows = entriesDF(spark, table, m)
+          .filter(col("kind") === "data")
+          .withColumn("__st", from_json(col("stats"), stSchema))
+          .select(col("path"), col("numRows"),
+            (col("stats").isNull || keep).as("__keep"),
+            (col("stats").isNotNull && col("numRows").isNotNull &&
+              coalesce(full, lit(false))).as("__full"))
+          .collect()
+        val kept = rows.filter(_.getBoolean(2))
+        val (f, p) = kept.partition(_.getBoolean(3))
+        (f.map(r => (r.getString(0), r.getLong(1))).toSeq,
+          p.map(r => FileEntry("data", r.getString(0), -1L, None, None)).toSeq,
+          rows.length - kept.length)
+    }
+    // full files: manifest row counts minus their DV entries (deleted
+    // rows are absent from results but present in the written count)
+    val fullPaths = fullE.map(_._1)
+    val dvByFile: Map[String, Long] =
+      if (m.dvs.isEmpty || fullPaths.isEmpty) Map.empty
+      else spark.read.parquet(m.dvs: _*)
+        .groupBy(col("file_path")).agg(count(lit(1)).as("n"))
+        .collect().map(r => normalize(r.getString(0)) -> r.getLong(1)).toMap
+    val metaRows = fullE.map { case (p, n) =>
+      n - dvByFile.getOrElse(normalize(p), 0L)
+    }.sum
+    val scanned =
+      if (partialE.isEmpty) 0L
+      else readSnapshot(spark, m, Some(partialE.map(_.path)))
+        .filter(cond).count()
+    CountBreakdown(metaRows + scanned, fullE.size, partialE.size, pruned,
+      metaRows, scanned)
+  }
+
+  def countWhere(spark: SparkSession, table: String, cond: Column): Long =
+    countWhereDetailed(spark, table, cond).total
 
   /** Skipping effectiveness of `cond` on the current snapshot:
     * (files the scan must read, live data files). */
@@ -1390,6 +1532,63 @@ object CowTable {
       |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target))
       |SELECT * FROM merged WHERE o_custkey % 11 <> 2""".stripMargin
 
+  /** Gate: METADATA-ONLY COUNT over the stats-pruning fixture (32
+    * exact-NTILE custkey files + a merge-on-read delete). An interval
+    * count answers interior files from manifest row counts minus their
+    * DV entries and scans only the two boundary files; a full-range
+    * count (custkey >= 0) is pure metadata — zero files scanned. The
+    * oracle re-derives every column from the same NTILE bucket algebra:
+    * the counts, the full/partial file split, AND the metadata-answered
+    * row total (bucket sizes minus their deleted rows) — so the gate
+    * fails if the classifier misjudges one file or the DV subtraction
+    * is off by one row. */
+  def lhCountMeta(s: SparkSession, dir: String): DataFrame =
+    lhCountMetaOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  private def lhCountMetaOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 4 + mx / 10)
+    val bMid = countWhereDetailed(s, table,
+      $"o_custkey" >= lo && $"o_custkey" <= hi)
+    val bAll = countWhereDetailed(s, table, $"o_custkey" >= 0L)
+    Seq((bMid.total, bAll.total, bMid.fullFiles.toLong,
+      bMid.partialFiles.toLong, bMid.metadataRows, bAll.fullFiles.toLong))
+      .toDF("cnt_mid", "cnt_all", "mid_full_files", "mid_partial_files",
+        "mid_meta_rows", "all_full_files")
+  }
+
+  val lhCountMetaSql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 4 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi),
+       |f AS (SELECT o_custkey, o_orderkey,
+       |    NTILE($StatsPruneFiles) OVER (ORDER BY o_custkey, o_orderkey)
+       |      AS fid
+       |  FROM orders),
+       |st AS (SELECT fid, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx,
+       |    COUNT(*) AS n,
+       |    SUM(CASE WHEN o_orderkey % 7 = 1 THEN 1 ELSE 0 END) AS ndel
+       |  FROM f GROUP BY 1),
+       |cls AS (SELECT st.*, (mn >= b.lo AND mx <= b.hi) AS isfull,
+       |    (mn <= b.hi AND mx >= b.lo) AS iskeep
+       |  FROM st, b)
+       |SELECT
+       |  (SELECT COUNT(*) FROM orders, b
+       |    WHERE o_custkey BETWEEN b.lo AND b.hi AND o_orderkey % 7 <> 1)
+       |    AS cnt_mid,
+       |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 1)
+       |    AS cnt_all,
+       |  CAST((SELECT COUNT(*) FROM cls WHERE isfull) AS BIGINT)
+       |    AS mid_full_files,
+       |  CAST((SELECT COUNT(*) FROM cls WHERE iskeep AND NOT isfull)
+       |    AS BIGINT) AS mid_partial_files,
+       |  CAST((SELECT COALESCE(SUM(n - ndel), 0) FROM cls WHERE isfull)
+       |    AS BIGINT) AS mid_meta_rows,
+       |  CAST((SELECT COUNT(*) FROM cls WHERE mn >= 0) AS BIGINT)
+       |    AS all_full_files""".stripMargin
+
   /** Benchmark decomposition of the lakehouse gates: (fixture build,
     * measured operator). The build half — table init, priming merges,
     * the NTILE layout — is identical harness work every round; the op
@@ -1409,6 +1608,8 @@ object CowTable {
         t => tableChanges(s, t, 0, 2, Seq("o_orderkey")))),
     "lh_stats_prune" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhStatsPruneOp(s, d, t))),
+    "lh_count_meta" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhCountMetaOp(s, d, t))),
     "lh_evolve" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => {
         val source = Tables.orders(s, d)
@@ -1450,6 +1651,7 @@ object CowTable {
     "lh_changes" -> lhChanges,
     "lh_stats_prune" -> lhStatsPrune,
     "lh_evolve" -> lhEvolve,
+    "lh_count_meta" -> lhCountMeta,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1459,5 +1661,6 @@ object CowTable {
     "lh_changes" -> lhChangesSql,
     "lh_stats_prune" -> lhStatsPruneSql,
     "lh_evolve" -> lhEvolveSql,
+    "lh_count_meta" -> lhCountMetaSql,
   )
 }

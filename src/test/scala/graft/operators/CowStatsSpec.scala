@@ -188,6 +188,36 @@ class CowStatsSpec extends AnyFunSuite {
     assert(CowTable.read(spark, t).count() == 2)
   }
 
+  test("countWhere equals scan-count and answers the interior from metadata") {
+    val t = clustered()
+    def checkCount(cond: org.apache.spark.sql.Column): Unit =
+      assert(CowTable.countWhere(spark, t, cond) ==
+        CowTable.read(spark, t).filter(cond).count(), s"count != scan for $cond")
+    Seq($"id".between(10L, 60L), $"id" === 30L, $"id" >= 0L,
+      $"s".isNull, $"s".isNotNull, $"id" < 5L || $"id" > 95L,
+      $"s" =!= "s80", pmod($"id", lit(9)) === 4, $"id" === 1000L)
+      .foreach(checkCount)
+    // whole-range: pure metadata — every file full, nothing scanned
+    val all = CowTable.countWhereDetailed(spark, t, $"id" >= 0L)
+    assert(all == CowTable.CountBreakdown(100L, 4, 0, 0, 100L, 0L), s"$all")
+    // interval covering file 2 fully, cutting files 1 and 3
+    val mid = CowTable.countWhereDetailed(spark, t, $"id".between(10L, 60L))
+    assert(mid.total == 51L && mid.fullFiles == 1 && mid.partialFiles == 2 &&
+      mid.prunedFiles == 1 && mid.metadataRows == 25L && mid.scannedRows == 26L,
+      s"$mid")
+    // DVs subtract from the metadata-answered interior
+    CowTable.deleteWhere(spark, t, $"id" === 30L || $"id" === 99L)
+    val mid2 = CowTable.countWhereDetailed(spark, t, $"id".between(10L, 60L))
+    assert(mid2.total == 50L && mid2.metadataRows == 24L, s"$mid2")
+    checkCount($"id".between(10L, 60L))
+    // all-null column: IS NULL over file 1 is metadata (nulls == rows)
+    val nulls = CowTable.countWhereDetailed(spark, t, $"s".isNull)
+    assert(nulls.fullFiles >= 1, s"all-null file not metadata-answered: $nulls")
+    // opaque predicate: nothing provable, everything scanned, still right
+    val opaque = CowTable.countWhereDetailed(spark, t, pmod($"id", lit(9)) === 4)
+    assert(opaque.fullFiles == 0 && opaque.metadataRows == 0L)
+  }
+
   test("merge discovery is stats-bounded: a narrow delta scans one file") {
     val t = clustered()
     val m = CowTable.latestManifest(t).get
