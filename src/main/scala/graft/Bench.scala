@@ -88,8 +88,9 @@ object Bench {
     // and token-budget packing on real BPE counts
     "ta_bpe_pinned", "sa_pack_bins_bpe",
     // round 11: metadata-only COUNT (interior files answered from
-    // manifest row counts minus DV entries, boundary files scanned)
-    "lh_count_meta")
+    // manifest row counts minus DV entries, boundary files scanned) and
+    // skipping as a transparent optimizer rule (plain read + filter)
+    "lh_count_meta", "lh_skip_rule")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

@@ -476,12 +476,19 @@ object CowTable {
     * without stats (legacy commits) always survive; the result
     * preserves manifest order. */
   def pruneDataFiles(spark: SparkSession, table: String, m: Manifest,
-      cond: Column): Seq[String] = {
+      cond: Column): Seq[String] =
+    pruneDataFilesExpr(spark, table, m, ColumnBridge.expression(cond))
+
+  /** [[pruneDataFiles]] on a raw (possibly resolved) Catalyst
+    * expression — the entry point the [[graft.plans.CowSkipRule]]
+    * optimizer rule uses on pushed-down predicates. */
+  def pruneDataFilesExpr(spark: SparkSession, table: String, m: Manifest,
+      condExpr: Expression): Seq[String] = {
     if (m.files.isEmpty || m.entriesRel.isEmpty) return m.files
     val dataSchema = m.schemaOpt.getOrElse(return m.files)
     val stSchema = statsSchemaFor(dataSchema)
     if (stSchema.isEmpty) return m.files
-    val keep = keepPredicate(ColumnBridge.expression(cond), stSchema)
+    val keep = keepPredicate(condExpr, stSchema)
     val kept = entriesDF(spark, table, m)
       .filter(col("kind") === "data")
       .withColumn("__st", from_json(col("stats"), stSchema))
@@ -756,11 +763,17 @@ object CowTable {
   def read(spark: SparkSession, table: String): DataFrame = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
+    // make this snapshot's scan recognizable to the data-skipping
+    // optimizer rule (inert until CowSkipApi.enable)
+    graft.plans.CowSkipCatalog.register(table, m)
     readSnapshot(spark, m)
   }
 
-  def readVersion(spark: SparkSession, table: String, v: Int): DataFrame =
-    readSnapshot(spark, readManifest(table, v))
+  def readVersion(spark: SparkSession, table: String, v: Int): DataFrame = {
+    val m = readManifest(table, v)
+    graft.plans.CowSkipCatalog.register(table, m)
+    readSnapshot(spark, m)
+  }
 
   /** Stats-pruned snapshot read: files whose min/max prove no row can
     * match `cond` never reach the scan — the manifest-level data
@@ -1532,6 +1545,40 @@ object CowTable {
       |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target))
       |SELECT * FROM merged WHERE o_custkey % 11 <> 2""".stripMargin
 
+  /** Gate: the OPTIMIZER-RULE form of data skipping
+    * ([[graft.plans.CowSkipRule]]) end-to-end — the query is a PLAIN
+    * `read().filter(interval)`, no readWhere call anywhere; Catalyst
+    * re-plans the scan over the surviving files and the gate reads the
+    * planned file count off the OPTIMIZED PLAN itself. Same fixture
+    * and same bigint-exact NTILE oracle as lh_stats_prune, so the two
+    * gates pin that the manual API and the transparent rule make
+    * identical skipping decisions. */
+  def lhSkipRule(s: SparkSession, dir: String): DataFrame =
+    lhSkipRuleOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  private def lhSkipRuleOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    graft.plans.CowSkipApi.enable(s)
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 4 + mx / 10)
+    val q = read(s, table)
+      .filter($"o_custkey" >= lo && $"o_custkey" <= hi)
+    val planned = q.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.count(_.contains("/data/"))
+    q.agg(count(lit(1)).as("n"),
+        count_distinct($"o_custkey").as("n_cust"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .withColumn("planned_files", lit(planned.toLong))
+      .withColumn("total_files", lit(StatsPruneFiles.toLong))
+  }
+
   /** Gate: METADATA-ONLY COUNT over the stats-pruning fixture (32
     * exact-NTILE custkey files + a merge-on-read delete). An interval
     * count answers interior files from manifest row counts minus their
@@ -1608,6 +1655,8 @@ object CowTable {
         t => tableChanges(s, t, 0, 2, Seq("o_orderkey")))),
     "lh_stats_prune" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhStatsPruneOp(s, d, t))),
+    "lh_skip_rule" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhCountMetaOp(s, d, t))),
     "lh_evolve" -> ((s, d) =>
@@ -1652,6 +1701,7 @@ object CowTable {
     "lh_stats_prune" -> lhStatsPrune,
     "lh_evolve" -> lhEvolve,
     "lh_count_meta" -> lhCountMeta,
+    "lh_skip_rule" -> lhSkipRule,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1662,5 +1712,6 @@ object CowTable {
     "lh_stats_prune" -> lhStatsPruneSql,
     "lh_evolve" -> lhEvolveSql,
     "lh_count_meta" -> lhCountMetaSql,
+    "lh_skip_rule" -> lhStatsPruneSql,
   )
 }

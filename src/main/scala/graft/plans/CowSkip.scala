@@ -1,0 +1,94 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+import graft.operators.CowTable
+
+/** Manifest-stats data skipping as an OPTIMIZER RULE — the Spark-first
+  * form of [[CowTable.readWhere]]: the user writes a plain
+  * `CowTable.read(...).filter(cond)` (or any query whose pushed-down
+  * predicate lands on the snapshot scan) and Catalyst re-plans the scan
+  * over only the files the per-file min/max statistics cannot rule out.
+  *
+  * Mechanics mirror [[MvRewriteRule]]'s extension-point discipline:
+  * `CowTable.read`/`readVersion` register the snapshot's exact file set
+  * (the [[MvCatalog.fileSetTag]] identity — a later commit changes the
+  * set, the tag no longer matches, and the rule stands down rather than
+  * prune against a stale manifest); the rule matches
+  * `Filter(cond, scan)` AFTER the main optimizer batches (so predicate
+  * pushdown has already moved the condition adjacent to the scan, also
+  * through the deletion-vector anti-join, whose DV side has its own
+  * unregistered relation and is untouched); the surviving-file relation
+  * keeps the ORIGINAL relation's output attributes — only the file
+  * index is replaced — so no expression above needs remapping, and the
+  * Filter stays in place for exact row-level semantics. A pruned scan's
+  * file set is no longer registered, so the rule cannot re-fire on its
+  * own output. */
+object CowSkipCatalog {
+  case class SnapDef(table: String, manifest: CowTable.Manifest)
+
+  private val defs = new ConcurrentHashMap[String, SnapDef]()
+  private val Cap = 256
+
+  /** Scan identity, matching [[MvRewriteRule]]'s `scanTag`: single-path
+    * scans by normalized path, multi-file scans by file-set hash. */
+  def tagOf(files: Seq[String]): String = files match {
+    case Seq(one) => MvCatalog.pathTag(one)
+    case many => MvCatalog.fileSetTag(many)
+  }
+
+  def register(table: String, m: CowTable.Manifest): Unit =
+    if (m.files.nonEmpty && m.entriesRel.isDefined) {
+      if (defs.size >= Cap) defs.clear()
+      defs.put(tagOf(m.files), SnapDef(table, m))
+    }
+
+  def lookup(tag: String): Option[SnapDef] = Option(defs.get(tag))
+  def isEmpty: Boolean = defs.isEmpty
+  def clear(): Unit = defs.clear()
+}
+
+object CowSkipRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (CowSkipCatalog.isEmpty) plan
+    else plan.transform {
+      case f @ Filter(cond, rel: LogicalRelation) =>
+        trySkip(cond, rel).map(Filter(cond, _)).getOrElse(f)
+    }
+
+  private def scanFiles(rel: LogicalRelation): Option[(HadoopFsRelation, Seq[String])] =
+    rel.relation match {
+      case fs: HadoopFsRelation =>
+        Some((fs, fs.location.rootPaths.map(_.toString)))
+      case _ => None
+    }
+
+  private def trySkip(cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      rel: LogicalRelation): Option[LogicalRelation] = for {
+    (fs, roots) <- scanFiles(rel)
+    snap <- CowSkipCatalog.lookup(CowSkipCatalog.tagOf(roots))
+    spark = fs.sparkSession
+    pruned = CowTable.pruneDataFilesExpr(spark, snap.table, snap.manifest,
+      cond)
+    if pruned.size < snap.manifest.files.size
+  } yield {
+    val index = new InMemoryFileIndex(spark,
+      pruned.map(p => new org.apache.hadoop.fs.Path(p)),
+      Map.empty, Some(fs.dataSchema))
+    // same output attributes — only the file index changes
+    rel.copy(relation = fs.copy(location = index)(spark))
+  }
+}
+
+object CowSkipApi {
+  def enable(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(CowSkipRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CowSkipRule
+}
