@@ -112,6 +112,10 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       graft.plans.AsofSqlFunction.name, graft.plans.AsofSqlFunction.build,
       "built-in")
+    // FROM cow_read('/path'[, version]) — lakehouse snapshots in SQL
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      graft.plans.CowSqlFunction.name, graft.plans.CowSqlFunction.build,
+      "built-in")
     graft.plans.AsofJoinApi.enable(spark)
   }
 
@@ -123,6 +127,7 @@ object GraftFunctions {
         builder))
     }
     extensions.injectTableFunction(graft.plans.AsofSqlFunction.description)
+    extensions.injectTableFunction(graft.plans.CowSqlFunction.description)
   }
 }
 

@@ -1579,6 +1579,37 @@ object CowTable {
       .withColumn("total_files", lit(StatsPruneFiles.toLong))
   }
 
+  /** Gate: the SQL surface end-to-end — `FROM cow_read('$table')` with
+    * a plain WHERE, over the stats-pruning fixture (DV delete
+    * included). Registered TVF resolves to the DV-applied snapshot; the
+    * aggregate must match the relational oracle exactly. */
+  def lhSqlRead(s: SparkSession, dir: String): DataFrame =
+    lhSqlReadOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  private def lhSqlReadOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 4 + mx / 10)
+    s.sql(
+      s"""SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price
+         |FROM cow_read('$table')
+         |WHERE o_custkey BETWEEN $lo AND $hi""".stripMargin)
+  }
+
+  val lhSqlReadSql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 4 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi)
+       |SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |    AS sum_price
+       |FROM orders, b
+       |WHERE o_custkey BETWEEN b.lo AND b.hi AND o_orderkey % 7 <> 1""".stripMargin
+
   /** Gate: METADATA-ONLY COUNT over the stats-pruning fixture (32
     * exact-NTILE custkey files + a merge-on-read delete). An interval
     * count answers interior files from manifest row counts minus their
@@ -1655,6 +1686,8 @@ object CowTable {
         t => tableChanges(s, t, 0, 2, Seq("o_orderkey")))),
     "lh_stats_prune" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhStatsPruneOp(s, d, t))),
+    "lh_sql_read" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhSqlReadOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
@@ -1702,6 +1735,7 @@ object CowTable {
     "lh_evolve" -> lhEvolve,
     "lh_count_meta" -> lhCountMeta,
     "lh_skip_rule" -> lhSkipRule,
+    "lh_sql_read" -> lhSqlRead,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1713,5 +1747,6 @@ object CowTable {
     "lh_evolve" -> lhEvolveSql,
     "lh_count_meta" -> lhCountMetaSql,
     "lh_skip_rule" -> lhStatsPruneSql,
+    "lh_sql_read" -> lhSqlReadSql,
   )
 }

@@ -1,0 +1,75 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.CowTable
+
+/** `FROM cow_read('/path'[, version])` — the lakehouse snapshot as a
+  * SQL table function. */
+class CowSqlSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  graft.functions.GraftFunctions.register(spark)
+
+  private def freshTable(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cow_sql/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  test("cow_read serves the DV-applied latest snapshot and time travel") {
+    val t = freshTable()
+    CowTable.init((0L until 30L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(3, $"id"), t)
+    CowTable.mergeInto(spark, t, Seq((5L, "upd")).toDF("id", "name"),
+      Seq("id"))
+    CowTable.deleteWhere(spark, t, $"id" === 7L)
+    val got = spark.sql(s"SELECT id, name FROM cow_read('$t') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 29 && !got.exists(_._1 == 7L))
+    assert(got.find(_._1 == 5L).get._2 == "upd")
+    // time travel to v0
+    val v0 = spark.sql(s"SELECT COUNT(*) AS n, " +
+      s"SUM(CASE WHEN name = 'n5' THEN 1 ELSE 0 END) AS orig " +
+      s"FROM cow_read('$t', 0)").head()
+    assert(v0.getLong(0) == 30L && v0.getLong(1) == 1L)
+    // joins/aggregates over the TVF resolve normally
+    val agg = spark.sql(
+      s"SELECT COUNT(*) AS n FROM cow_read('$t') a JOIN cow_read('$t', 0) b" +
+        s" ON a.id = b.id WHERE a.id < 10").head()
+    assert(agg.getLong(0) == 9L) // id 7 deleted from the latest side
+  }
+
+  test("a WHERE over the TVF prunes files through the skip rule") {
+    val t = freshTable()
+    val df = (0L until 100L).map(i => (i, s"n$i", (i / 25 + 1).toInt))
+      .toDF("id", "name", "__f")
+    CowTable.initFiled(df, t, "__f", 4)
+    CowSkipApi.enable(spark)
+    val q = spark.sql(s"SELECT id FROM cow_read('$t') WHERE id BETWEEN 30 AND 40")
+    val planned = q.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.count(_.contains("/data/"))
+    assert(planned == 1, s"TVF scan not pruned: $planned files")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == (30L to 40L))
+  }
+
+  test("bad arguments are refused with usage") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM cow_read(42)").collect()
+    }
+    assert(e.getMessage.contains("table_path") ||
+      e.getMessage.contains("cow_read"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM cow_read('/nonexistent_cow_table')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("does not exist") ||
+      e2.getMessage.contains("cow"))
+  }
+}
