@@ -227,7 +227,9 @@ object Bench {
       case (k, Some(v), _, _) => "\"" + k + f"\":$v%.3f"
       case (k, None, _, _)    => "\"" + k + "\":\"err\""
     }.mkString("{", ",", "}")
-    val lhSplits = results.collect { case (k, _, Some((b, o)), _) =>
+    // A query that errored on a later run may still carry splits from the
+    // successful run — suppress them so the artifact stays consistent.
+    val lhSplits = results.collect { case (k, _, Some((b, o)), None) =>
       "\"" + k + f"""\":{"build":$b%.3f,"op":$o%.3f}""" }
     val lhJson =
       if (lhSplits.isEmpty) ""

@@ -82,24 +82,34 @@ object CowTable {
   private val DvPrefix = "dv:"
   private val SchemaPrefix = "schema:"
   private val EntriesPrefix = "entries:"
+  private val EntryCountPrefix = "nentries:"
+  private val PartColsPrefix = "partcols:"
   private val EndMarker = "end"
 
   /** One file of a snapshot. `stats` is a JSON object
     * `{"col":{"min":…,"max":…,"nulls":n},…}` for the stats-eligible
     * columns, absent for deletion vectors and for files committed
     * through the legacy string-list API. `bytes` is -1 when unknown
-    * (legacy manifests). */
+    * (legacy manifests). `part` is a JSON object of partition-column →
+    * value for files of a partitioned table that are single-valued on
+    * the partition columns (NULL otherwise — a compaction that merged
+    * across partitions simply loses exact-partition pruning for the
+    * merged file, never soundness). */
   case class FileEntry(kind: String, path: String, bytes: Long,
-      numRows: Option[Long], stats: Option[String])
+      numRows: Option[Long], stats: Option[String],
+      part: Option[String] = None)
 
   /** `files` are the data files of the snapshot; `dvs` are its deletion
     * vector files — parquet of (file_path, row_index) row identities a
     * reader must anti-join away. v2 manifests add the data schema
-    * (empty snapshots stay readable) and the entries-parquet pointer
-    * (stats live there). */
+    * (empty snapshots stay readable), the entries-parquet pointer
+    * (stats live there), the entry count (gates the small-sidecar
+    * driver cache without reading the sidecar), and the table's
+    * partition columns. */
   case class Manifest(version: Int, files: Seq[String],
       dvs: Seq[String] = Nil, schemaJson: Option[String] = None,
-      entriesRel: Option[String] = None) {
+      entriesRel: Option[String] = None, entryCount: Option[Long] = None,
+      partitionCols: Seq[String] = Nil) {
     def schemaOpt: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
   }
@@ -138,11 +148,17 @@ object CowTable {
             .map(_.stripPrefix(SchemaPrefix))
           val entries = body.find(_.startsWith(EntriesPrefix))
             .map(_.stripPrefix(EntriesPrefix))
+          val nEntries = body.find(_.startsWith(EntryCountPrefix))
+            .map(_.stripPrefix(EntryCountPrefix).toLong)
+          val partCols = body.find(_.startsWith(PartColsPrefix))
+            .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
+              .filter(_.nonEmpty)).getOrElse(Nil)
           val paths = body.filterNot(l =>
-            l.startsWith(SchemaPrefix) || l.startsWith(EntriesPrefix))
+            l.startsWith(SchemaPrefix) || l.startsWith(EntriesPrefix) ||
+              l.startsWith(EntryCountPrefix) || l.startsWith(PartColsPrefix))
           val (dvLines, dataLines) = paths.partition(_.startsWith(DvPrefix))
           Some(Manifest(v, dataLines, dvLines.map(_.stripPrefix(DvPrefix)),
-            schema, entries))
+            schema, entries, nEntries, partCols))
         case _ => None // empty or half-written: fall back to older version
       }
     } finally lines.close()
@@ -212,17 +228,45 @@ object CowTable {
     * per-JVM cache removes the read-back Spark jobs from the hot
     * lifecycle: committers pre-populate it with what they just wrote,
     * and the merge/delete/compact loop never re-reads its own
-    * manifests. Bounded (whole-map clear past the cap) so a long-lived
-    * session over many tables can't grow it unboundedly. */
+    * manifests. SIZE-GATED: only sidecars at or below
+    * [[SmallSidecarEntries]] entries are ever driver-materialized —
+    * planning over a large table stays a columnar scan of the sidecar
+    * parquet, never a driver seq (the 10⁶-file rung). Bounded
+    * (whole-map clear past the cap) so a long-lived session over many
+    * tables can't grow it unboundedly. */
   private val entriesCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[FileEntry]]()
   private val EntriesCacheCap = 256
 
+  /** Sidecars above this entry count are never collected to the driver:
+    * every planning consumer ([[pruneDataFilesExpr]],
+    * [[countWhereDetailed]], [[tableChanges]], [[vacuum]], merge
+    * discovery, compaction sizing) runs its predicate/set algebra on
+    * the parquet-backed entries DataFrame and collects only surviving
+    * paths or aggregated counts. */
+  private[graft] val SmallSidecarEntries = 10000L
+
+  /** Test hook: total sidecar entry rows materialized on the driver by
+    * [[loadEntries]]. The de-collected-planning spec pins that planning
+    * over a large (100k-entry) sidecar leaves this unchanged. */
+  private[graft] val driverEntryRowsLoaded =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[graft] def clearEntriesCache(): Unit = entriesCache.clear()
+
   private def cacheEntries(table: String, rel: String,
-      entries: Seq[FileEntry]): Unit = {
-    if (entriesCache.size >= EntriesCacheCap) entriesCache.clear()
-    entriesCache.put((table, rel), entries)
-  }
+      entries: Seq[FileEntry]): Unit =
+    if (entries.size <= SmallSidecarEntries) {
+      if (entriesCache.size >= EntriesCacheCap) entriesCache.clear()
+      entriesCache.put((table, rel), entries)
+    }
+
+  /** The sidecar's stored schema. `part` was added in a later format
+    * round; older sidecars lack the column and NULL-extend on read. */
+  private val entriesSchema = StructType(Seq(
+    StructField("kind", StringType), StructField("path", StringType),
+    StructField("bytes", LongType), StructField("numRows", LongType),
+    StructField("stats", StringType), StructField("part", StringType)))
 
   /** v2 commit: entries parquet sidecar + pointer manifest. An empty
     * `entries` is a valid snapshot (the `end` marker distinguishes
@@ -232,56 +276,104 @@ object CowTable {
       entries: Seq[FileEntry], schema: StructType): Manifest =
     commitWithStats(spark, table, version, entries, Nil, schema)
 
-  /** The internal commit: `carried` entries ride from the driver (they
-    * already have their stats strings); `newDataFiles` get their stats
-    * computed IN the sidecar write itself — [[statsEntriesDF]] unioned
-    * in, one Spark job total, nothing collected. */
+  /** Driver-seq commit: `carried` entries ride from the driver (they
+    * already have their stats strings). Used where the carried set IS
+    * driver-resident by construction (init, explicit [[commitEntries]],
+    * delta-sized carries); the table-sized carry paths go through
+    * [[commitWithStatsDF]]. */
   private def commitWithStats(spark: SparkSession, table: String,
       version: Int, carried: Seq[FileEntry], newDataFiles: Seq[String],
-      schema: StructType): Manifest = {
+      schema: StructType, partitionCols: Seq[String] = Nil): Manifest = {
+    val files = carried.collect { case e if e.kind == "data" => e.path }
+    val dvs = carried.collect { case e if e.kind == "dv" => e.path }
+    val m = commitWithStatsDF(spark, table, version,
+      spark.createDataFrame(carried), newDataFiles, schema, files, dvs,
+      partitionCols)
+    if (newDataFiles.isEmpty) cacheEntries(table, m.entriesRel.get, carried)
+    m
+  }
+
+  /** The internal commit: `carriedDF` rides sidecar-to-sidecar as a
+    * DataFrame (at 10⁶ files the carry is a columnar copy, never a
+    * driver seq); `newDataFiles` get their stats computed IN the
+    * sidecar write itself — [[statsEntriesDF]] unioned in, one Spark
+    * job total, nothing collected. `carriedFiles`/`carriedDvs` are the
+    * carried paths for the manifest text (driver-resident by
+    * construction: the manifest format lists paths). */
+  private def commitWithStatsDF(spark: SparkSession, table: String,
+      version: Int, carriedDF: DataFrame, newDataFiles: Seq[String],
+      schema: StructType, carriedFiles: Seq[String],
+      carriedDvs: Seq[String], partitionCols: Seq[String] = Nil,
+      newFileParts: Map[String, String] = Map.empty): Manifest = {
     val rel = s"files/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val out = manifestDir(table).resolve(rel)
     Files.createDirectories(out.getParent)
-    val carriedDF = spark.createDataFrame(carried)
     val entriesOut =
       if (newDataFiles.isEmpty) carriedDF
-      else carriedDF.unionByName(statsEntriesDF(spark, newDataFiles))
-    entriesOut.coalesce(1).write.mode("overwrite").parquet(out.toString)
-    val files = carried.collect { case e if e.kind == "data" => e.path } ++
-      newDataFiles
-    val dvs = carried.collect { case e if e.kind == "dv" => e.path }
+      else carriedDF.unionByName(
+        statsEntriesDF(spark, newDataFiles, newFileParts),
+        allowMissingColumns = true)
+    entriesOut.select(entriesSchema.fieldNames.map(c =>
+        if (entriesOut.columns.contains(c)) col(c)
+        else lit(null).cast("string").as(c)): _*)
+      .coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val files = carriedFiles ++ newDataFiles
+    val dvs = carriedDvs
+    val nEntries = files.size.toLong + dvs.size.toLong
+    val partLine =
+      if (partitionCols.isEmpty) Nil
+      else Seq(PartColsPrefix + partitionCols.mkString(","))
     writeManifestText(table, version,
-      (Seq(HeaderV2, SchemaPrefix + schema.json, EntriesPrefix + rel) ++
+      (Seq(HeaderV2, SchemaPrefix + schema.json, EntriesPrefix + rel,
+        EntryCountPrefix + nEntries) ++ partLine ++
         files ++ dvs.map(DvPrefix + _) :+ EndMarker).mkString("\n"))
-    if (newDataFiles.isEmpty) cacheEntries(table, rel, carried)
-    Manifest(version, files, dvs, Some(schema.json), Some(rel))
+    Manifest(version, files, dvs, Some(schema.json), Some(rel),
+      Some(nEntries), partitionCols)
   }
 
   /** The manifest's entries as a DataFrame (kind, path, bytes, numRows,
-    * stats) — the substrate for data skipping and file-set algebra,
-    * built over the (bounded, cached) driver view so every consumer
-    * sees ONE path representation: the manifest's raw path strings. The
-    * stored form is the parquet sidecar; the driver view is
-    * manifest-sized, the same shape as Delta's snapshot state. */
+    * stats, part) — the substrate for data skipping and file-set
+    * algebra. Small sidecars serve from the driver cache (a
+    * LocalRelation — no Spark job); large sidecars are a PARQUET SCAN,
+    * so planning predicates evaluate executor-side and only surviving
+    * paths are ever collected. Paths here are the sidecar's STORED
+    * strings (normalized URIs for stats-scanned files) — consumers
+    * compare through [[normalizeSql]]/[[normalize]] and resolve back to
+    * manifest-raw strings before opening files. */
   def entriesDF(spark: SparkSession, table: String, m: Manifest): DataFrame =
-    spark.createDataFrame(loadEntries(spark, table, m))
+    m.entriesRel match {
+      case None => spark.createDataFrame(legacyEntries(m))
+      case Some(rel) =>
+        val cached = entriesCache.get((table, rel))
+        if (cached != null) spark.createDataFrame(cached)
+        else if (m.entryCount.exists(_ <= SmallSidecarEntries))
+          spark.createDataFrame(loadEntries(spark, table, m))
+        else sidecarScan(spark, table, rel)
+    }
 
-  /** Driver-side entries, cached per immutable sidecar. Sidecar paths
+  private def sidecarScan(spark: SparkSession, table: String,
+      rel: String): DataFrame =
+    spark.read.schema(entriesSchema)
+      .parquet(manifestDir(table).resolve(rel).toString)
+
+  private def legacyEntries(m: Manifest): Seq[FileEntry] =
+    m.files.map(f => FileEntry("data", f, -1L, None, None)) ++
+      m.dvs.map(f => FileEntry("dv", f, -1L, None, None))
+
+  /** Driver-side entries, cached per immutable sidecar — SMALL sidecars
+    * only; callers must size-gate through [[entriesDF]]. Sidecar paths
     * written from the stats scan are NORMALIZED URIs; they resolve back
     * to the manifest's raw path strings here (identical except for
     * encodable characters), so entry paths are always openable. */
   private def loadEntries(spark: SparkSession, table: String,
       m: Manifest): Seq[FileEntry] = m.entriesRel match {
-    case None =>
-      m.files.map(f => FileEntry("data", f, -1L, None, None)) ++
-        m.dvs.map(f => FileEntry("dv", f, -1L, None, None))
+    case None => legacyEntries(m)
     case Some(rel) =>
       val cached = entriesCache.get((table, rel))
       if (cached != null) cached
       else {
         val byNorm = (m.files ++ m.dvs).map(f => normalize(f) -> f).toMap
-        val loaded = spark.read
-          .parquet(manifestDir(table).resolve(rel).toString)
+        val loaded = sidecarScan(spark, table, rel)
           .collect().toSeq.map { r =>
             val stored = r.getString(r.fieldIndex("path"))
             FileEntry(r.getString(r.fieldIndex("kind")),
@@ -290,8 +382,11 @@ object CowTable {
               if (r.isNullAt(r.fieldIndex("numRows"))) None
               else Some(r.getLong(r.fieldIndex("numRows"))),
               if (r.isNullAt(r.fieldIndex("stats"))) None
-              else Some(r.getString(r.fieldIndex("stats"))))
+              else Some(r.getString(r.fieldIndex("stats"))),
+              if (r.isNullAt(r.fieldIndex("part"))) None
+              else Some(r.getString(r.fieldIndex("part"))))
           }
+        driverEntryRowsLoaded.addAndGet(loaded.size.toLong)
         cacheEntries(table, rel, loaded)
         loaded
       }
@@ -324,8 +419,8 @@ object CowTable {
     * Spark job that never materializes per-file stats on the driver
     * (the shape that still works at 10⁶ files). Reads only the
     * delta-sized, just-written, page-cached files. */
-  private def statsEntriesDF(spark: SparkSession,
-      files: Seq[String]): DataFrame = {
+  private def statsEntriesDF(spark: SparkSession, files: Seq[String],
+      parts: Map[String, String] = Map.empty): DataFrame = {
     val df = spark.read.parquet(files: _*)
     val sc = df.schema.fields.filter(f => statsEligible(f.dataType))
       .take(MaxStatsCols)
@@ -335,13 +430,22 @@ object CowTable {
         min(col(f.name)).as("min"), max(col(f.name)).as("max"),
         sum(isnull(col(f.name)).cast("long")).as("nulls"))
         .as(f.name)).toSeq: _*))
+    // partition values ride as a normalized-path → JSON lookup (files
+    // are delta-sized, so the map literal is bounded by the write)
+    val partCol =
+      if (parts.isEmpty) lit(null).cast("string")
+      else {
+        val m = map(parts.toSeq.flatMap { case (k, v) =>
+          Seq(lit(normalize(k)), lit(v)) }: _*)
+        element_at(m, col("path"))
+      }
     // normalized so sidecar paths string-equal listPartFiles' raw paths
     df.groupBy(
         normalizeSql(col("_metadata.file_path")).as("path"),
         col("_metadata.file_size").as("bytes"))
       .agg(count(lit(1)).as("numRows"), statsCol.as("stats"))
       .select(lit("data").as("kind"), col("path"), col("bytes"),
-        col("numRows"), col("stats"))
+        col("numRows"), col("stats"), partCol.as("part"))
   }
 
   /** Zero-row part files (empty shuffle partitions) carry no data and
@@ -594,44 +698,48 @@ object CowTable {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     if (m.files.isEmpty) return CountBreakdown(0L, 0, 0, 0, 0L, 0L)
+    val byNorm = m.files.map(f => normalize(f) -> f).toMap
     val stSchemaOpt = m.schemaOpt.map(statsSchemaFor).filter(_.nonEmpty)
-    val (fullE, partialE, pruned) = stSchemaOpt match {
-      case None => (Nil, loadEntries(spark, table, m).filter(_.kind == "data"),
-        0)
+    val (fullFiles, metaRows, pruned, partialPaths) = stSchemaOpt match {
+      case None => (0, 0L, 0, m.files)
       case Some(stSchema) =>
         val ce = ColumnBridge.expression(cond)
         val keep = keepPredicate(ce, stSchema)
         val full = fullPredicate(ce, stSchema)
-        val rows = entriesDF(spark, table, m)
+        // classification stays executor-side: one aggregate row (counts
+        // + the DV-adjusted metadata total) plus a collect of ONLY the
+        // boundary (partial) files' paths — never one row per file
+        val classified = entriesDF(spark, table, m)
           .filter(col("kind") === "data")
           .withColumn("__st", from_json(col("stats"), stSchema))
           .select(col("path"), col("numRows"),
             (col("stats").isNull || keep).as("__keep"),
             (col("stats").isNotNull && col("numRows").isNotNull &&
               coalesce(full, lit(false))).as("__full"))
-          .collect()
-        val kept = rows.filter(_.getBoolean(2))
-        val (f, p) = kept.partition(_.getBoolean(3))
-        (f.map(r => (r.getString(0), r.getLong(1))).toSeq,
-          p.map(r => FileEntry("data", r.getString(0), -1L, None, None)).toSeq,
-          rows.length - kept.length)
+        val dvAdj =
+          if (m.dvs.isEmpty) classified.withColumn("__dv", lit(0L))
+          else classified.join(
+            spark.read.parquet(m.dvs: _*)
+              .groupBy(normalizeSql(col("file_path")).as("__dvp"))
+              .agg(count(lit(1)).as("__dv")),
+            normalizeSql(col("path")) === col("__dvp"), "left")
+            .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
+        val agg = dvAdj.agg(
+          sum(when(col("__full"), lit(1)).otherwise(lit(0))).as("nfull"),
+          sum(when(col("__full"), col("numRows") - col("__dv"))
+            .otherwise(lit(0L))).as("meta"),
+          sum(when(!col("__keep"), lit(1)).otherwise(lit(0))).as("npruned"))
+          .head()
+        val partial = classified.filter(col("__keep") && !col("__full"))
+          .select("path").collect()
+          .map(r => byNorm.getOrElse(normalize(r.getString(0)),
+            r.getString(0))).toSeq
+        (agg.getLong(0).toInt, agg.getLong(1), agg.getLong(2).toInt, partial)
     }
-    // full files: manifest row counts minus their DV entries (deleted
-    // rows are absent from results but present in the written count)
-    val fullPaths = fullE.map(_._1)
-    val dvByFile: Map[String, Long] =
-      if (m.dvs.isEmpty || fullPaths.isEmpty) Map.empty
-      else spark.read.parquet(m.dvs: _*)
-        .groupBy(col("file_path")).agg(count(lit(1)).as("n"))
-        .collect().map(r => normalize(r.getString(0)) -> r.getLong(1)).toMap
-    val metaRows = fullE.map { case (p, n) =>
-      n - dvByFile.getOrElse(normalize(p), 0L)
-    }.sum
     val scanned =
-      if (partialE.isEmpty) 0L
-      else readSnapshot(spark, m, Some(partialE.map(_.path)))
-        .filter(cond).count()
-    CountBreakdown(metaRows + scanned, fullE.size, partialE.size, pruned,
+      if (partialPaths.isEmpty) 0L
+      else readSnapshot(spark, m, Some(partialPaths)).filter(cond).count()
+    CountBreakdown(metaRows + scanned, fullFiles, partialPaths.size, pruned,
       metaRows, scanned)
   }
 
@@ -688,10 +796,75 @@ object CowTable {
     dropEmptyFiles(df.sparkSession, listPartFiles(out))
   }
 
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Decoded value of one `__p_col=value` path segment; Hive's default
+    * (null) partition marker maps back to None. */
+  private def partSegValue(seg: String): Option[String] = {
+    val v = seg.substring(seg.indexOf('=') + 1)
+    val dec = java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8")
+    if (dec == "__HIVE_DEFAULT_PARTITION__") None else Some(dec)
+  }
+
+  /** Write `df` under a Hive-style directory layout on `partCols`
+    * WITHOUT dropping the columns from the data files: each partition
+    * column is duplicated into a write-only `__p_<c>` twin that drives
+    * `partitionBy`, so every emitted file is single-valued on the
+    * partition columns AND still self-contained (a direct file scan
+    * sees the full schema — the MANIFEST, not the directory layout, is
+    * the source of truth, Iceberg-style). Returns (paths, per-path
+    * partition-values JSON) for the entries sidecar. */
+  private def writeDataPartitioned(df: DataFrame, table: String, v: Int,
+      partCols: Seq[String]): (Seq[String], Map[String, String]) = {
+    val out = versionDir(table, "data", v)
+    val dup = partCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__p_$c", col(c)))
+    dup.write.partitionBy(partCols.map(c => s"__p_$c"): _*)
+      .mode("overwrite").parquet(out.toString)
+    val files = dropEmptyFiles(df.sparkSession, listPartFilesRec(out))
+    val parts = files.map { f =>
+      val kv = f.split("/").filter(_.startsWith("__p_")).map { s =>
+        s.substring(4, s.indexOf('=')) -> partSegValue(s)
+      }
+      val json = partCols.map { c =>
+        val vo = kv.collectFirst { case (k, x) if k == c => x }.flatten
+        jsonStr(c) + ":" + vo.map(jsonStr).getOrElse("null")
+      }.mkString("{", ",", "}")
+      f -> json
+    }.toMap
+    (files, parts)
+  }
+
+  private def writeDataMaybePartitioned(df: DataFrame, table: String,
+      v: Int, partCols: Seq[String]): (Seq[String], Map[String, String]) =
+    if (partCols.isEmpty) (writeData(df, table, v), Map.empty)
+    else writeDataPartitioned(df, table, v, partCols)
+
   /** Initialize the table at version 0 with `df`'s rows. */
   def init(df: DataFrame, table: String): Manifest =
     commitWithStats(df.sparkSession, table, 0, Nil,
       writeData(df, table, 0), df.schema)
+
+  /** Initialize a PARTITIONED table at version 0: data files are laid
+    * out one-partition-per-file-set on `partCols` (Hive-style dirs, but
+    * the columns stay IN the files — the manifest records each file's
+    * exact partition tuple, Iceberg-style), so a partition predicate
+    * prunes files from metadata alone, composed with min/max stats
+    * skipping on every other column. Merges into the table preserve the
+    * discipline; compactions may merge across partitions, in which case
+    * the merged files simply lose exact-partition pruning (part=NULL is
+    * always kept), never soundness. */
+  def initPartitioned(df: DataFrame, table: String,
+      partCols: Seq[String]): Manifest = {
+    require(partCols.nonEmpty && partCols.forall(df.columns.contains),
+      s"initPartitioned: partition columns $partCols must exist")
+    val spark = df.sparkSession
+    val (files, parts) = writeDataPartitioned(df, table, 0, partCols)
+    commitWithStatsDF(spark, table, 0,
+      spark.createDataFrame(Seq.empty[FileEntry]), files, df.schema,
+      Nil, Nil, partCols, parts)
+  }
 
   /** Initialize with an EXPLICIT file layout: one physical file per
     * distinct value of `fileCol` (an int column in [1, nFiles]) — rows
@@ -831,9 +1004,13 @@ object CowTable {
     fresh.write.mode("overwrite").parquet(out.toString)
     val dvEntries = listPartFiles(out).map(p =>
       FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
-    val old = loadEntries(spark, table, m)
-    commitWithStats(spark, table, v, old ++ dvEntries, Nil,
-      m.schemaOpt.getOrElse(raw.schema))
+    // carry ALL old entries sidecar-to-sidecar (columnar, never a
+    // driver seq) and append only the delta-sized DV entries
+    val carriedDF = entriesDF(spark, table, m)
+      .unionByName(spark.createDataFrame(dvEntries), allowMissingColumns = true)
+    commitWithStatsDF(spark, table, v, carriedDF, Nil,
+      m.schemaOpt.getOrElse(raw.schema), m.files,
+      m.dvs ++ dvEntries.map(_.path), m.partitionCols)
   }
 
   /** Materialize deletion vectors: rewrite ONLY the files that carry a
@@ -848,18 +1025,25 @@ object CowTable {
     val dvFiles = spark.read.parquet(m.dvs: _*)
       .select("file_path").distinct()
       .collect().map(r => normalize(r.getString(0))).toSet
-    val old = loadEntries(spark, table, m).filter(_.kind == "data")
-    val (touchedE, untouchedE) =
-      old.partition(e => dvFiles.contains(normalize(e.path)))
+    // the touched set is DV-derived (delta-sized); the untouched carry
+    // is a sidecar-to-sidecar DataFrame filter, never a driver seq
+    val (touchedF, untouchedF) =
+      m.files.partition(f => dvFiles.contains(normalize(f)))
     val v = m.version + 1
     val newFiles =
-      if (touchedE.isEmpty) Nil
+      if (touchedF.isEmpty) Nil
       else {
-        val clean = readSnapshot(spark, m, Some(touchedE.map(_.path)))
+        val clean = readSnapshot(spark, m, Some(touchedF))
         if (clean.isEmpty) Nil else writeData(clean, table, v)
       }
-    commitWithStats(spark, table, v, untouchedE, newFiles,
-      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema))
+    val carriedDF = entriesDF(spark, table, m).filter(
+      col("kind") === "data" &&
+        (if (touchedF.isEmpty) lit(true)
+         else !normalizeSql(col("path"))
+           .isInCollection(touchedF.map(normalize))))
+    commitWithStatsDF(spark, table, v, carriedDF, newFiles,
+      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
+      untouchedF, Nil, m.partitionCols)
   }
 
   /** MERGE `source` into the table's latest snapshot on `keys`. Returns
@@ -933,16 +1117,15 @@ object CowTable {
             .collect().map(r => normalize(r.getString(0))).toSet
         }
       }
-    val oldData = loadEntries(spark, table, m).filter(_.kind == "data")
-    val (touchedE, untouchedE) =
-      oldData.partition(e => touched.contains(normalize(e.path)))
+    val (touchedF, untouchedF) =
+      m.files.partition(f => touched.contains(normalize(f)))
 
     // 2. merge only touched rows (deletion-vector-applied: a deleted
     // row is absent, so a source row with its key INSERTS) with the
     // source
     val touchedRows0 =
-      if (touchedE.isEmpty) target.limit(0)
-      else readSnapshot(spark, m, Some(touchedE.map(_.path)))
+      if (touchedF.isEmpty) target.limit(0)
+      else readSnapshot(spark, m, Some(touchedF))
     // pre-evolution rows NULL-extend for the columns they predate
     val touchedRows = newCols.foldLeft(touchedRows0)((d, c) =>
       if (d.columns.contains(c)) d
@@ -973,10 +1156,16 @@ object CowTable {
     // are never reused) — compaction or rewriteDeletes trims them.
     val v = m.version + 1
     val newFiles =
-      if (merged.isEmpty) Nil else writeData(merged, table, v)
-    val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
-    commitWithStats(spark, table, v, untouchedE ++ dvEntries, newFiles,
-      newSchema)
+      if (merged.isEmpty) (Seq.empty[String], Map.empty[String, String])
+      else writeDataMaybePartitioned(merged, table, v, m.partitionCols)
+    // untouched data entries + all DV entries carry sidecar-to-sidecar
+    val carriedDF = entriesDF(spark, table, m).filter(
+      col("kind") === "dv" ||
+        (if (touched.isEmpty) lit(true)
+         else !normalizeSql(col("path"))
+           .isInCollection(touched.toSeq)))
+    commitWithStatsDF(spark, table, v, carriedDF, newFiles._1, newSchema,
+      untouchedF, m.dvs, m.partitionCols, newFiles._2)
   }
 
   /** The files a merge's discovery scan must read: those whose
@@ -1001,8 +1190,33 @@ object CowTable {
     else pruneDataFiles(spark, table, m, conds.reduce(_ && _))
   }
 
-  private def entryBytes(e: FileEntry): Long =
-    if (e.bytes >= 0) e.bytes else Files.size(Paths.get(e.path))
+  /** The compactable small tail of `m`, decided EXECUTOR-SIDE on the
+    * entries sidecar — only the small files' (path, bytes) rows are
+    * collected (they are what gets read and rewritten anyway); the
+    * right-sized majority is never driver-materialized. Legacy v1
+    * manifests (no sidecar, bytes unknown) fall back to a filesystem
+    * probe per file. */
+  private def smallTail(spark: SparkSession, table: String, m: Manifest,
+      small: Long): Seq[(String, Long)] =
+    if (m.entriesRel.isEmpty)
+      m.files.map(f => (f, Files.size(Paths.get(f)))).filter(_._2 < small)
+    else {
+      val byNorm = m.files.map(f => normalize(f) -> f).toMap
+      entriesDF(spark, table, m)
+        .filter(col("kind") === "data" && col("bytes") >= 0L &&
+          col("bytes") < small)
+        .select("path", "bytes").collect()
+        .map(r => (byNorm.getOrElse(normalize(r.getString(0)),
+          r.getString(0)), r.getLong(1))).toSeq
+    }
+
+  /** Carried entries for a compaction: everything except the rewritten
+    * small tail, as a sidecar-to-sidecar DataFrame filter. */
+  private def carryAllBut(spark: SparkSession, table: String, m: Manifest,
+      dropNorm: Seq[String]): DataFrame =
+    entriesDF(spark, table, m).filter(col("kind") === "dv" ||
+      (if (dropNorm.isEmpty) lit(true)
+       else !normalizeSql(col("path")).isInCollection(dropNorm)))
 
   /** Compact the latest snapshot's small files into ~targetBytes files
     * as a NEW table version: right-sized files are carried by reference
@@ -1014,9 +1228,7 @@ object CowTable {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     val small = smallThreshold.getOrElse(targetBytes / 2)
-    val sized = loadEntries(spark, table, m).filter(_.kind == "data")
-      .map(e => (e, entryBytes(e)))
-    val (keep, smalls) = sized.partition(_._2 >= small)
+    val smalls = smallTail(spark, table, m, small)
     if (smalls.size <= 1) return m
     val smallBytes = smalls.map(_._2).sum
     val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
@@ -1024,12 +1236,16 @@ object CowTable {
     val out = versionDir(table, "data", v)
     // DV-applied rows: compaction materializes the tail's deletes for
     // free; kept files' DV entries stay live and are carried
-    Layout.compactRows(readSnapshot(spark, m, Some(smalls.map(_._1.path))),
+    Layout.compactRows(readSnapshot(spark, m, Some(smalls.map(_._1))),
       n, out.toString)
-    val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
-    commitWithStats(spark, table, v, keep.map(_._1) ++ dvEntries,
+    val smallNorm = smalls.map(x => normalize(x._1))
+    val smallSet = smallNorm.toSet
+    commitWithStatsDF(spark, table, v,
+      carryAllBut(spark, table, m, smallNorm),
       dropEmptyFiles(spark, listPartFiles(out)),
-      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema))
+      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
+      m.files.filterNot(f => smallSet.contains(normalize(f))), m.dvs,
+      m.partitionCols)
   }
 
   /** [[compactTable]] with Z-order re-clustering of the rewritten tail
@@ -1046,20 +1262,22 @@ object CowTable {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     val small = smallThreshold.getOrElse(targetBytes / 2)
-    val sized = loadEntries(spark, table, m).filter(_.kind == "data")
-      .map(e => (e, entryBytes(e)))
-    val (keep, smalls) = sized.partition(_._2 >= small)
+    val smalls = smallTail(spark, table, m, small)
     if (smalls.size <= 1) return m
     val smallBytes = smalls.map(_._2).sum
     val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val v = m.version + 1
     val out = versionDir(table, "data", v)
-    Layout.compactRowsZorder(readSnapshot(spark, m, Some(smalls.map(_._1.path))),
+    Layout.compactRowsZorder(readSnapshot(spark, m, Some(smalls.map(_._1))),
       n, out.toString, zCols, bits)
-    val dvEntries = loadEntries(spark, table, m).filter(_.kind == "dv")
-    commitWithStats(spark, table, v, keep.map(_._1) ++ dvEntries,
+    val smallNorm = smalls.map(x => normalize(x._1))
+    val smallSet = smallNorm.toSet
+    commitWithStatsDF(spark, table, v,
+      carryAllBut(spark, table, m, smallNorm),
       dropEmptyFiles(spark, listPartFiles(out)),
-      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema))
+      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
+      m.files.filterNot(f => smallSet.contains(normalize(f))), m.dvs,
+      m.partitionCols)
   }
 
   /** Delete data files and manifests unreachable from the newest

@@ -50,7 +50,27 @@ object CowSkipCatalog {
 
   def lookup(tag: String): Option[SnapDef] = Option(defs.get(tag))
   def isEmpty: Boolean = defs.isEmpty
-  def clear(): Unit = defs.clear()
+  def clear(): Unit = { defs.clear(); pruneCache.clear() }
+
+  /** Memoized prune results keyed by (file-set tag, canonicalized
+    * predicate). [[CowSkipRule]] fires on every optimizer pass of every
+    * registered Filter-over-scan; without this, re-optimizing the same
+    * query (or running it twice) re-runs the entries-sidecar prune job
+    * each time — including when the last prune was a no-op. `None`
+    * records "this predicate prunes nothing for this snapshot", so the
+    * rule stands down without a Spark job. The tag is a content hash of
+    * the exact file set, so a later commit naturally misses the cache. */
+  private val pruneCache =
+    new ConcurrentHashMap[(String, String), Option[Seq[String]]]()
+
+  def cachedPrune(tag: String, cond: String): Option[Option[Seq[String]]] =
+    Option(pruneCache.get((tag, cond)))
+
+  def recordPrune(tag: String, cond: String,
+      result: Option[Seq[String]]): Unit = {
+    if (pruneCache.size >= Cap) pruneCache.clear()
+    pruneCache.put((tag, cond), result)
+  }
 }
 
 object CowSkipRule extends Rule[LogicalPlan] {
@@ -72,11 +92,19 @@ object CowSkipRule extends Rule[LogicalPlan] {
   private def trySkip(cond: org.apache.spark.sql.catalyst.expressions.Expression,
       rel: LogicalRelation): Option[LogicalRelation] = for {
     (fs, roots) <- scanFiles(rel)
-    snap <- CowSkipCatalog.lookup(CowSkipCatalog.tagOf(roots))
+    tag = CowSkipCatalog.tagOf(roots)
+    snap <- CowSkipCatalog.lookup(tag)
     spark = fs.sparkSession
-    pruned = CowTable.pruneDataFilesExpr(spark, snap.table, snap.manifest,
-      cond)
-    if pruned.size < snap.manifest.files.size
+    // name-based key (stable across query re-builds, where exprIds
+    // differ); falls back to toString for expressions .sql can't print
+    condKey = try cond.sql catch { case _: Throwable => cond.toString }
+    pruned <- CowSkipCatalog.cachedPrune(tag, condKey).getOrElse {
+      val p = CowTable.pruneDataFilesExpr(spark, snap.table, snap.manifest,
+        cond)
+      val r = if (p.size < snap.manifest.files.size) Some(p) else None
+      CowSkipCatalog.recordPrune(tag, condKey, r)
+      r
+    }
   } yield {
     val index = new InMemoryFileIndex(spark,
       pruned.map(p => new org.apache.hadoop.fs.Path(p)),

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** De-collected manifest planning: prune / metadata-count planning over
+  * a LARGE (100k-entry) sidecar must run its predicate algebra on the
+  * parquet-backed entries DataFrame and collect only surviving paths or
+  * aggregated counts — never the full entries seq. Pinned through the
+  * [[CowTable.driverEntryRowsLoaded]] hook, which counts every sidecar
+  * entry row materialized on the driver by the (small-sidecar-only)
+  * cache loader. */
+class CowPlanningScaleSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val NFiles = 100000
+
+  private def freshTable(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cow_scale/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** A synthetic 100k-entry table: file i (path is fake — planning must
+    * never open data files) holds v in [i, i] exactly, 10+i%5 rows. */
+  private def syntheticBig(): (String, CowTable.Manifest) = {
+    val t = freshTable()
+    val entries = (0 until NFiles).map { i =>
+      CowTable.FileEntry("data", s"$t/data/v0-fake/part-$i.parquet",
+        1000L + i, Some(10L + i % 5),
+        Some(s"""{"v":{"min":$i,"max":$i,"nulls":0}}"""))
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("v", "long")
+    val m = CowTable.commitEntries(spark, t, 0, entries, schema)
+    CowTable.clearEntriesCache() // drop the committer's pre-population
+    (t, m)
+  }
+
+  test("planning a 100k-entry prune never materializes entries on the driver") {
+    val (t, m) = syntheticBig()
+    assert(m.entryCount.contains(NFiles.toLong))
+    val before = CowTable.driverEntryRowsLoaded.get()
+
+    // prune: only file 77 can contain v = 77
+    val kept = CowTable.pruneDataFiles(spark, t, m, $"v" === 77L)
+    assert(kept == Seq(s"$t/data/v0-fake/part-77.parquet"))
+
+    // interval prune: files 100..199 survive
+    val range = CowTable.pruneDataFiles(spark, t, m,
+      $"v" >= 100L && $"v" <= 199L)
+    assert(range.size == 100 && range.forall(_.contains("part-1")))
+
+    // metadata COUNT: every kept file is FULL (min==max inside the
+    // interval), so the count is pure metadata — zero files scanned,
+    // zero fake paths opened
+    val b = CowTable.countWhereDetailed(spark, t,
+      $"v" >= 100L && $"v" <= 199L)
+    assert(b.partialFiles == 0 && b.fullFiles == 100)
+    assert(b.prunedFiles == NFiles - 100)
+    val expect = (100 until 200).map(i => 10L + i % 5).sum
+    assert(b.total == expect && b.metadataRows == expect && b.scannedRows == 0L)
+
+    val after = CowTable.driverEntryRowsLoaded.get()
+    assert(after == before,
+      s"driver materialized ${after - before} sidecar entry rows during " +
+        "large-table planning — the parquet-backed path was bypassed")
+  }
+
+  test("a small sidecar still serves planning from the driver cache") {
+    val t = freshTable()
+    val df = (0L until 50L).map(i => (i, i / 10 + 1))
+      .toDF("v", "__f").withColumn("__f", $"__f".cast("int"))
+    CowTable.initFiled(df, t, "__f", 5)
+    val m = CowTable.latestManifest(t).get
+    assert(m.entryCount.exists(_ <= 5L))
+    CowTable.clearEntriesCache()
+    val before = CowTable.driverEntryRowsLoaded.get()
+    val kept = CowTable.pruneDataFiles(spark, t, m, $"v" === 42L)
+    assert(kept.size == 1)
+    // small sidecar: one driver load (≤ the entry count), then cached
+    val loaded = CowTable.driverEntryRowsLoaded.get() - before
+    assert(loaded == 5L, s"expected one 5-entry cache load, got $loaded")
+    val again = CowTable.pruneDataFiles(spark, t, m, $"v" === 7L)
+    assert(again.size == 1)
+    assert(CowTable.driverEntryRowsLoaded.get() - before == 5L,
+      "second prune must hit the cache")
+  }
+}
