@@ -746,6 +746,119 @@ object CowTable {
   def countWhere(spark: SparkSession, table: String, cond: Column): Long =
     countWhereDetailed(spark, table, cond).total
 
+  /** File classes behind [[minWhere]]/[[maxWhere]]. `metaFiles`
+    * answered from stats alone; `scannedFiles` were read;
+    * `boundSkippedFiles` were kept by the predicate but provably cannot
+    * move the extremum past the metadata candidate, so they were never
+    * read either. */
+  case class MinMaxBreakdown(value: Option[Any], metaFiles: Int,
+      scannedFiles: Int, boundSkippedFiles: Int, prunedFiles: Int)
+
+  def minWhereDetailed(spark: SparkSession, table: String,
+      valueCol: String, cond: Column): MinMaxBreakdown =
+    minMaxDetailed(spark, table, valueCol, cond, isMin = true)
+
+  def maxWhereDetailed(spark: SparkSession, table: String,
+      valueCol: String, cond: Column): MinMaxBreakdown =
+    minMaxDetailed(spark, table, valueCol, cond, isMin = false)
+
+  def minWhere(spark: SparkSession, table: String, valueCol: String,
+      cond: Column): Option[Any] =
+    minWhereDetailed(spark, table, valueCol, cond).value
+
+  def maxWhere(spark: SparkSession, table: String, valueCol: String,
+      cond: Column): Option[Any] =
+    maxWhereDetailed(spark, table, valueCol, cond).value
+
+  /** MIN/MAX(valueCol) WHERE cond without scanning the covered
+    * interior — [[countWhereDetailed]]'s two-direction machinery
+    * extended to extrema, with the soundness rule that a file's stats
+    * min/max stands in for its rows ONLY when the stats prove every
+    * live row matches (fullPredicate) AND the file carries no deletion
+    * vector entry (a deleted row may be the extremal one). Files that
+    * pass both contribute their stat as pure metadata; remaining kept
+    * files are scanned — UNLESS their stat bound proves they cannot
+    * move the extremum past the metadata candidate (for MIN: a file
+    * whose min ≥ candidate holds only rows ≥ candidate; deletions only
+    * remove rows, so the bound survives DVs). On a clustered table an
+    * interval MIN reads ONE boundary file: the interior answers from
+    * metadata and the far boundary bound-skips. All classification runs
+    * on the parquet-backed entries sidecar; only boundary paths and
+    * single-row aggregates are collected. */
+  private def minMaxDetailed(spark: SparkSession, table: String,
+      valueCol: String, cond: Column, isMin: Boolean): MinMaxBreakdown = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    if (m.files.isEmpty) return MinMaxBreakdown(None, 0, 0, 0, 0)
+    val byNorm = m.files.map(f => normalize(f) -> f).toMap
+    def agg1(c: Column): Column = if (isMin) min(c) else max(c)
+    def scanValue(files: Seq[String]): Option[Any] =
+      if (files.isEmpty) None
+      else {
+        val r = readSnapshot(spark, m, Some(files)).filter(cond)
+          .agg(agg1(col(valueCol))).head()
+        if (r.isNullAt(0)) None else Some(r.get(0))
+      }
+    val stSchemaOpt = m.schemaOpt.map(statsSchemaFor)
+      .filter(_.fieldNames.contains(valueCol))
+    val stSchema = stSchemaOpt.getOrElse {
+      // no stats for valueCol: scan every predicate-kept file
+      val files =
+        if (m.schemaOpt.isEmpty) m.files
+        else pruneDataFiles(spark, table, m, cond)
+      return MinMaxBreakdown(scanValue(files), 0, files.size, 0,
+        m.files.size - files.size)
+    }
+    val ce = ColumnBridge.expression(cond)
+    val keep = keepPredicate(ce, stSchema)
+    val full = fullPredicate(ce, stSchema)
+    val base = entriesDF(spark, table, m)
+      .filter(col("kind") === "data")
+      .withColumn("__st", from_json(col("stats"), stSchema))
+      .withColumn("__keep", col("stats").isNull || keep)
+      .withColumn("__full", col("stats").isNotNull &&
+        col("numRows").isNotNull && coalesce(full, lit(false)))
+    val withDv =
+      if (m.dvs.isEmpty) base.withColumn("__hasdv", lit(false))
+      else base.join(
+        spark.read.parquet(m.dvs: _*)
+          .select(normalizeSql(col("file_path")).as("__dvp")).distinct(),
+        normalizeSql(col("path")) === col("__dvp"), "left")
+        .withColumn("__hasdv", col("__dvp").isNotNull)
+    val stat = col("__st").getField(valueCol)
+      .getField(if (isMin) "min" else "max")
+    val e = withDv.withColumn("__stat", stat)
+      .withColumn("__meta", col("__keep") && col("__full") &&
+        !col("__hasdv") && stat.isNotNull)
+    val a = e.agg(
+      agg1(when(col("__meta"), col("__stat"))).as("cand"),
+      sum(when(col("__meta"), 1L).otherwise(0L)).as("nmeta"),
+      sum(when(!col("__keep"), 1L).otherwise(0L)).as("npruned"),
+      sum(when(col("__keep") && !col("__meta"), 1L).otherwise(0L))
+        .as("nrest")).head()
+    val cand = if (a.isNullAt(0)) None else Some(a.get(0))
+    val unimprovable = cand match {
+      case None => lit(false)
+      case Some(v) => col("__stat").isNotNull &&
+        (if (isMin) col("__stat") >= lit(v) else col("__stat") <= lit(v))
+    }
+    val scanPaths = e.filter(col("__keep") && !col("__meta") && !unimprovable)
+      .select("path").collect()
+      .map(r => byNorm.getOrElse(normalize(r.getString(0)), r.getString(0)))
+      .toSeq
+    val scanned = scanValue(scanPaths)
+    def better(x: Any, y: Any): Any = {
+      val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
+      if ((isMin && c <= 0) || (!isMin && c >= 0)) x else y
+    }
+    val value = (cand, scanned) match {
+      case (Some(x), Some(y)) => Some(better(x, y))
+      case (x, y) => x.orElse(y)
+    }
+    MinMaxBreakdown(value, a.getLong(1).toInt, scanPaths.size,
+      (a.getLong(3) - scanPaths.size).toInt, a.getLong(2).toInt)
+  }
+
   /** Skipping effectiveness of `cond` on the current snapshot:
     * (files the scan must read, live data files). */
   def pruneReport(spark: SparkSession, table: String,
@@ -1885,6 +1998,106 @@ object CowTable {
        |  CAST((SELECT COUNT(*) FROM cls WHERE mn >= 0) AS BIGINT)
        |    AS all_full_files""".stripMargin
 
+  /** Gate: METADATA MIN/MAX over a 32-exact-NTILE custkey layout with a
+    * DV delete RESTRICTED to the low custkey range (only low-range
+    * files carry deletion vectors). An interval MIN/MAX answers the
+    * covered interior from per-file stats (DV-free there), SCANS one
+    * boundary file, and BOUND-SKIPS the other boundary (its stat cannot
+    * move the extremum past the metadata candidate); a query over the
+    * DV'd range has no metadata-eligible file and scans everything it
+    * keeps. The oracle re-derives the answers AND every file-class
+    * count from the same NTILE bucket algebra — bigint-exact, so a
+    * misclassified file or an unsound metadata answer fails the gate. */
+  private def lhMinMaxBuild(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val table = freshGateTable()
+    val filed = Tables.orders(s, dir).withColumn("__f",
+      ntile(StatsPruneFiles).over(Window.orderBy($"o_custkey", $"o_orderkey")))
+    initFiled(filed, table, "__f", StatsPruneFiles)
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    deleteWhere(s, table,
+      $"o_custkey" <= mx / 8 && pmod($"o_orderkey", lit(3)) === 0)
+    table
+  }
+
+  private def lhMinMaxOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 4 + mx / 10)
+    val cond = $"o_custkey" >= lo && $"o_custkey" <= hi
+    val bmn = minWhereDetailed(s, table, "o_custkey", cond)
+    val bmx = maxWhereDetailed(s, table, "o_custkey", cond)
+    val cond2 = $"o_custkey" <= mx / 8
+    val bmn2 = minWhereDetailed(s, table, "o_custkey", cond2)
+    Seq((bmn.value.get.asInstanceOf[Long], bmx.value.get.asInstanceOf[Long],
+      bmn.metaFiles.toLong, bmn.scannedFiles.toLong,
+      bmn.boundSkippedFiles.toLong, bmn.prunedFiles.toLong,
+      bmx.scannedFiles.toLong, bmx.boundSkippedFiles.toLong,
+      bmn2.value.get.asInstanceOf[Long], bmn2.metaFiles.toLong,
+      bmn2.scannedFiles.toLong))
+      .toDF("mn", "mxv", "mn_meta", "mn_scan", "mn_skip", "mn_pruned",
+        "mx_scan", "mx_skip", "mn2", "mn2_meta", "mn2_scan")
+  }
+
+  def lhMinMaxMeta(s: SparkSession, dir: String): DataFrame =
+    lhMinMaxOp(s, dir, lhMinMaxBuild(s, dir))
+
+  val lhMinMaxMetaSql: String =
+    s"""WITH bb AS (SELECT mx, mx // 4 AS lo, mx // 4 + mx // 10 AS hi,
+       |    mx // 8 AS d
+       |  FROM (SELECT MAX(o_custkey) AS mx FROM orders)),
+       |f AS (SELECT o_custkey, o_orderkey,
+       |    NTILE($StatsPruneFiles) OVER (ORDER BY o_custkey, o_orderkey)
+       |      AS fid
+       |  FROM orders),
+       |st AS (SELECT fid, MIN(o_custkey) AS mn, MAX(o_custkey) AS mxk,
+       |    SUM(CASE WHEN o_custkey <= (SELECT d FROM bb)
+       |      AND o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS ndv
+       |  FROM f GROUP BY 1),
+       |cls AS (SELECT st.*, (mn <= bb.hi AND mxk >= bb.lo) AS iskeep,
+       |    (mn >= bb.lo AND mxk <= bb.hi AND ndv = 0) AS ismeta,
+       |    (mn <= bb.d) AS iskeep2,
+       |    (mxk <= bb.d AND ndv = 0) AS ismeta2
+       |  FROM st, bb),
+       |cand AS (SELECT MIN(CASE WHEN ismeta THEN mn END) AS cmin,
+       |    MAX(CASE WHEN ismeta THEN mxk END) AS cmax,
+       |    COUNT(*) FILTER (ismeta) AS nmeta,
+       |    COUNT(*) FILTER (NOT iskeep) AS npruned,
+       |    COUNT(*) FILTER (iskeep AND NOT ismeta AND mn < cmin_)
+       |      AS mnscan,
+       |    COUNT(*) FILTER (iskeep AND NOT ismeta AND mn >= cmin_)
+       |      AS mnskip,
+       |    COUNT(*) FILTER (iskeep AND NOT ismeta AND mxk > cmax_)
+       |      AS mxscan,
+       |    COUNT(*) FILTER (iskeep AND NOT ismeta AND mxk <= cmax_)
+       |      AS mxskip,
+       |    COUNT(*) FILTER (iskeep2 AND ismeta2) AS nmeta2,
+       |    COUNT(*) FILTER (iskeep2 AND NOT ismeta2) AS mn2scan
+       |  FROM cls,
+       |    (SELECT MIN(CASE WHEN ismeta THEN mn END) AS cmin_,
+       |       MAX(CASE WHEN ismeta THEN mxk END) AS cmax_ FROM cls))
+       |SELECT
+       |  (SELECT MIN(o_custkey) FROM orders, bb
+       |    WHERE o_custkey BETWEEN bb.lo AND bb.hi
+       |      AND NOT (o_custkey <= bb.d AND o_orderkey % 3 = 0)) AS mn,
+       |  (SELECT MAX(o_custkey) FROM orders, bb
+       |    WHERE o_custkey BETWEEN bb.lo AND bb.hi
+       |      AND NOT (o_custkey <= bb.d AND o_orderkey % 3 = 0)) AS mxv,
+       |  CAST(nmeta AS BIGINT) AS mn_meta,
+       |  CAST(mnscan AS BIGINT) AS mn_scan,
+       |  CAST(mnskip AS BIGINT) AS mn_skip,
+       |  CAST(npruned AS BIGINT) AS mn_pruned,
+       |  CAST(mxscan AS BIGINT) AS mx_scan,
+       |  CAST(mxskip AS BIGINT) AS mx_skip,
+       |  (SELECT MIN(o_custkey) FROM orders, bb
+       |    WHERE o_custkey <= bb.d
+       |      AND NOT (o_custkey <= bb.d AND o_orderkey % 3 = 0)) AS mn2,
+       |  CAST(nmeta2 AS BIGINT) AS mn2_meta,
+       |  CAST(mn2scan AS BIGINT) AS mn2_scan
+       |FROM cand""".stripMargin
+
   /** Benchmark decomposition of the lakehouse gates: (fixture build,
     * measured operator). The build half — table init, priming merges,
     * the NTILE layout — is identical harness work every round; the op
@@ -1910,6 +2123,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhCountMetaOp(s, d, t))),
+    "lh_minmax_meta" -> ((s, d) =>
+      (() => lhMinMaxBuild(s, d), t => lhMinMaxOp(s, d, t))),
     "lh_evolve" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => {
         val source = Tables.orders(s, d)
@@ -1952,6 +2167,7 @@ object CowTable {
     "lh_stats_prune" -> lhStatsPrune,
     "lh_evolve" -> lhEvolve,
     "lh_count_meta" -> lhCountMeta,
+    "lh_minmax_meta" -> lhMinMaxMeta,
     "lh_skip_rule" -> lhSkipRule,
     "lh_sql_read" -> lhSqlRead,
   )
@@ -1964,6 +2180,7 @@ object CowTable {
     "lh_stats_prune" -> lhStatsPruneSql,
     "lh_evolve" -> lhEvolveSql,
     "lh_count_meta" -> lhCountMetaSql,
+    "lh_minmax_meta" -> lhMinMaxMetaSql,
     "lh_skip_rule" -> lhStatsPruneSql,
     "lh_sql_read" -> lhSqlReadSql,
   )

@@ -128,6 +128,40 @@ class CowStatsSpec extends AnyFunSuite {
     assert(CowTable.readWhere(spark, t, $"id" === 26L).count() == 0)
   }
 
+  test("metadata MIN/MAX: sound under DVs, bound-skips the far boundary") {
+    val t = clustered() // file f holds ids [f*25-25, f*25)
+    def mm(c: Column) = (
+      CowTable.minWhereDetailed(spark, t, "id", c),
+      CowTable.maxWhereDetailed(spark, t, "id", c))
+    // interval fully covering files 2 and 3, straddling 1 and 4:
+    // MIN answers from file 2's stat, scans file 1, bound-skips file 4
+    val (mn, mx) = mm($"id" >= 20L && $"id" <= 80L)
+    assert(mn.value.contains(20L) && mx.value.contains(80L))
+    assert(mn.metaFiles == 2 && mn.scannedFiles == 1 &&
+      mn.boundSkippedFiles == 1 && mn.prunedFiles == 0)
+    assert(mx.metaFiles == 2 && mx.scannedFiles == 1 &&
+      mx.boundSkippedFiles == 1)
+    // delete the extremal row: its file gains a DV, is no longer
+    // metadata-eligible, and the answer MUST move to the next live row
+    CowTable.deleteWhere(spark, t, $"id" === 25L)
+    val (mn2, _) = mm($"id" >= 25L && $"id" <= 80L)
+    assert(mn2.value.contains(26L),
+      s"metadata answer served a deleted extremal row: ${mn2.value}")
+    assert(mn2.metaFiles == 1, "DV'd file must lose metadata eligibility")
+    // no matching rows: None, nothing scanned beyond the kept boundary
+    val (mn3, _) = mm($"id" > 1000L)
+    assert(mn3.value.isEmpty && mn3.metaFiles == 0 && mn3.scannedFiles == 0)
+    // equality against read.filter across shapes
+    Seq($"id".between(30L, 60L), $"id" <= 10L, $"band" === 3L).foreach { c =>
+      val want = CowTable.read(spark, t).filter(c).agg(
+        min($"id"), max($"id")).head()
+      assert(CowTable.minWhere(spark, t, "id", c) ==
+        (if (want.isNullAt(0)) None else Some(want.getLong(0))))
+      assert(CowTable.maxWhere(spark, t, "id", c) ==
+        (if (want.isNullAt(1)) None else Some(want.getLong(1))))
+    }
+  }
+
   test("delete-everything commits an EMPTY snapshot; inserts revive it") {
     val t = freshTable()
     CowTable.init(Seq((1L, "a"), (2L, "b")).toDF("id", "name"), t)
