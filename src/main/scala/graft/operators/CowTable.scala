@@ -574,11 +574,85 @@ object CowTable {
     go(e)
   }
 
+  // ------------------------------------------------ partition pruning
+
+  /** Conjuncts of a predicate — the unit of keep/full composition. */
+  private def conjunctsOf(e: Expression): Seq[Expression] = e match {
+    case PredShape("and", Seq(l, r)) => conjunctsOf(l) ++ conjunctsOf(r)
+    case x => Seq(x)
+  }
+
+  private def attrNamesOf(e: Expression): Seq[String] = e.collect {
+    case a: UnresolvedAttribute => a.name
+    case a: AttributeReference => a.name
+  }
+
+  /** Typed partition value of `c`, parsed from the entry's part JSON. */
+  private def partValueCol(dataSchema: StructType, c: String): Column = {
+    val t = dataSchema.find(_.name == c).map(_.dataType).getOrElse(StringType)
+    get_json_object(col("part"), s"$$.$c").cast(t)
+  }
+
+  /** True when the conjunct references ONLY partition columns: files of
+    * a partitioned table are single-valued on those, so the ROW
+    * predicate IS the file predicate — evaluated VERBATIM (any
+    * deterministic expression, not just the stats-supported shapes) and
+    * exact in BOTH directions. */
+  private def isPartConjunct(e: Expression, partCols: Seq[String]): Boolean = {
+    val attrs = attrNamesOf(e)
+    attrs.nonEmpty && attrs.forall(partCols.contains) &&
+      !e.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+  }
+
+  private def partExact(e: Expression, dataSchema: StructType,
+      partCols: Seq[String]): Column = {
+    val pc = partCols.toSet
+    // the name guard stops the rewrite from descending into its own
+    // replacement (which references the `part` column itself)
+    ColumnBridge.column(e.transform {
+      case a: UnresolvedAttribute if pc.contains(a.name) =>
+        ColumnBridge.expression(partValueCol(dataSchema, a.name))
+      case a: AttributeReference if pc.contains(a.name) =>
+        ColumnBridge.expression(partValueCol(dataSchema, a.name))
+    })
+  }
+
+  /** File-level KEEP: per conjunct, exact partition evaluation when the
+    * conjunct lives entirely on partition columns (falling back to
+    * stats for files without partition values — a cross-partition
+    * compaction keeps them conservatively), stats rewrite otherwise. */
+  private def fileKeepPredicate(e: Expression, stSchema: StructType,
+      partCols: Seq[String], dataSchema: StructType): Column =
+    conjunctsOf(e).map { c =>
+      def statsKeep =
+        if (stSchema.isEmpty) lit(true) else keepPredicate(c, stSchema)
+      if (partCols.nonEmpty && isPartConjunct(c, partCols))
+        when(col("part").isNull, statsKeep)
+          .otherwise(coalesce(partExact(c, dataSchema, partCols), lit(false)))
+      else statsKeep
+    }.reduce(_ && _)
+
+  /** File-level "every live row matches" — [[fileKeepPredicate]]'s
+    * other direction; partition conjuncts are exact here too (a NULL
+    * exact evaluation means no row matches — FULL is false). */
+  private def fileFullPredicate(e: Expression, stSchema: StructType,
+      partCols: Seq[String], dataSchema: StructType): Column =
+    conjunctsOf(e).map { c =>
+      def statsFull =
+        if (stSchema.isEmpty) lit(false) else fullPredicate(c, stSchema)
+      if (partCols.nonEmpty && isPartConjunct(c, partCols))
+        when(col("part").isNull, statsFull)
+          .otherwise(coalesce(partExact(c, dataSchema, partCols), lit(false)))
+      else statsFull
+    }.reduce(_ && _)
+
   /** The data files of `m` that might contain a row matching `cond`,
-    * decided from the manifest's per-file stats — the entries parquet
-    * scanned as a DataFrame, never the data files themselves. Files
-    * without stats (legacy commits) always survive; the result
-    * preserves manifest order. */
+    * decided from the manifest's per-file stats AND (for partitioned
+    * tables) exact partition values — the entries parquet scanned as a
+    * DataFrame, never the data files themselves. Files without stats
+    * (legacy commits) always survive; the result preserves manifest
+    * order. */
   def pruneDataFiles(spark: SparkSession, table: String, m: Manifest,
       cond: Column): Seq[String] =
     pruneDataFilesExpr(spark, table, m, ColumnBridge.expression(cond))
@@ -591,15 +665,21 @@ object CowTable {
     if (m.files.isEmpty || m.entriesRel.isEmpty) return m.files
     val dataSchema = m.schemaOpt.getOrElse(return m.files)
     val stSchema = statsSchemaFor(dataSchema)
-    if (stSchema.isEmpty) return m.files
-    val keep = keepPredicate(condExpr, stSchema)
-    val kept = entriesDF(spark, table, m)
-      .filter(col("kind") === "data")
-      .withColumn("__st", from_json(col("stats"), stSchema))
-      .filter(col("stats").isNull || keep)
+    if (stSchema.isEmpty && m.partitionCols.isEmpty) return m.files
+    val keep = fileKeepPredicate(condExpr, stSchema, m.partitionCols,
+      dataSchema)
+    val kept = withStatsStruct(
+        entriesDF(spark, table, m).filter(col("kind") === "data"), stSchema)
+      .filter(keep)
       .select("path").collect().map(r => normalize(r.getString(0))).toSet
     m.files.filter(f => kept.contains(normalize(f)))
   }
+
+  /** Parse the stats JSON into `__st` (NULL literal when the table has
+    * no stats-eligible columns — partition-only pruning still runs). */
+  private def withStatsStruct(df: DataFrame, stSchema: StructType): DataFrame =
+    if (stSchema.isEmpty) df.withColumn("__st", lit(null))
+    else df.withColumn("__st", from_json(col("stats"), stSchema))
 
   /** Rewrite a row predicate into a file-level "EVERY live row matches"
     * predicate over the stats struct — the other direction of
@@ -699,22 +779,28 @@ object CowTable {
       s"cow table $table does not exist"))
     if (m.files.isEmpty) return CountBreakdown(0L, 0, 0, 0, 0L, 0L)
     val byNorm = m.files.map(f => normalize(f) -> f).toMap
-    val stSchemaOpt = m.schemaOpt.map(statsSchemaFor).filter(_.nonEmpty)
-    val (fullFiles, metaRows, pruned, partialPaths) = stSchemaOpt match {
-      case None => (0, 0L, 0, m.files)
-      case Some(stSchema) =>
+    val classifiable = m.schemaOpt.exists(s =>
+      statsSchemaFor(s).nonEmpty || m.partitionCols.nonEmpty) &&
+      m.entriesRel.isDefined
+    val (fullFiles, metaRows, pruned, partialPaths) =
+      if (!classifiable) (0, 0L, 0, m.files)
+      else {
+        val dataSchema = m.schemaOpt.get
+        val stSchema = statsSchemaFor(dataSchema)
         val ce = ColumnBridge.expression(cond)
-        val keep = keepPredicate(ce, stSchema)
-        val full = fullPredicate(ce, stSchema)
+        val keep = fileKeepPredicate(ce, stSchema, m.partitionCols,
+          dataSchema)
+        val full = fileFullPredicate(ce, stSchema, m.partitionCols,
+          dataSchema)
         // classification stays executor-side: one aggregate row (counts
         // + the DV-adjusted metadata total) plus a collect of ONLY the
         // boundary (partial) files' paths — never one row per file
-        val classified = entriesDF(spark, table, m)
-          .filter(col("kind") === "data")
-          .withColumn("__st", from_json(col("stats"), stSchema))
+        val classified = withStatsStruct(
+            entriesDF(spark, table, m).filter(col("kind") === "data"),
+            stSchema)
           .select(col("path"), col("numRows"),
-            (col("stats").isNull || keep).as("__keep"),
-            (col("stats").isNotNull && col("numRows").isNotNull &&
+            keep.as("__keep"),
+            (col("numRows").isNotNull &&
               coalesce(full, lit(false))).as("__full"))
         val dvAdj =
           if (m.dvs.isEmpty) classified.withColumn("__dv", lit(0L))
@@ -809,14 +895,14 @@ object CowTable {
       return MinMaxBreakdown(scanValue(files), 0, files.size, 0,
         m.files.size - files.size)
     }
+    val dataSchema = m.schemaOpt.get
     val ce = ColumnBridge.expression(cond)
-    val keep = keepPredicate(ce, stSchema)
-    val full = fullPredicate(ce, stSchema)
-    val base = entriesDF(spark, table, m)
-      .filter(col("kind") === "data")
-      .withColumn("__st", from_json(col("stats"), stSchema))
-      .withColumn("__keep", col("stats").isNull || keep)
-      .withColumn("__full", col("stats").isNotNull &&
+    val keep = fileKeepPredicate(ce, stSchema, m.partitionCols, dataSchema)
+    val full = fileFullPredicate(ce, stSchema, m.partitionCols, dataSchema)
+    val base = withStatsStruct(
+        entriesDF(spark, table, m).filter(col("kind") === "data"), stSchema)
+      .withColumn("__keep", keep)
+      .withColumn("__full",
         col("numRows").isNotNull && coalesce(full, lit(false)))
     val withDv =
       if (m.dvs.isEmpty) base.withColumn("__hasdv", lit(false))
@@ -936,7 +1022,14 @@ object CowTable {
     dup.write.partitionBy(partCols.map(c => s"__p_$c"): _*)
       .mode("overwrite").parquet(out.toString)
     val files = dropEmptyFiles(df.sparkSession, listPartFilesRec(out))
-    val parts = files.map { f =>
+    (files, partJsonOf(files, partCols))
+  }
+
+  /** Per-file partition-values JSON, recovered from the `__p_<c>=<v>`
+    * directory segments of a partitioned write. */
+  private def partJsonOf(files: Seq[String],
+      partCols: Seq[String]): Map[String, String] =
+    files.map { f =>
       val kv = f.split("/").filter(_.startsWith("__p_")).map { s =>
         s.substring(4, s.indexOf('=')) -> partSegValue(s)
       }
@@ -946,8 +1039,6 @@ object CowTable {
       }.mkString("{", ",", "}")
       f -> json
     }.toMap
-    (files, parts)
-  }
 
   private def writeDataMaybePartitioned(df: DataFrame, table: String,
       v: Int, partCols: Seq[String]): (Seq[String], Map[String, String]) =
@@ -977,6 +1068,48 @@ object CowTable {
     commitWithStatsDF(spark, table, 0,
       spark.createDataFrame(Seq.empty[FileEntry]), files, df.schema,
       Nil, Nil, partCols, parts)
+  }
+
+  /** [[initPartitioned]] with an EXPLICIT within-partition file layout
+    * (the partitioned twin of [[initFiled]]): `fileCol` (an int column,
+    * dropped from the table) sub-splits each partition into
+    * deterministic one-bucket files, so per-file stats are exactly the
+    * per-(partition, bucket) min/max — what the partition-pruning gate
+    * needs to re-derive planned-file counts in the oracle. */
+  def initPartitionedFiled(df: DataFrame, table: String,
+      partCols: Seq[String], fileCol: String, nFiles: Int): Manifest = {
+    require(partCols.nonEmpty && partCols.forall(df.columns.contains),
+      s"initPartitionedFiled: partition columns $partCols must exist")
+    val spark = df.sparkSession
+    val out = versionDir(table, "data", 0)
+    val dup = partCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__p_$c", col(c)))
+    // one shuffle task per bucket value, so each (partition, bucket)
+    // directory receives exactly one file
+    dup.repartition(nFiles, col(fileCol))
+      .write.partitionBy(partCols.map(c => s"__p_$c") :+ fileCol: _*)
+      .mode("overwrite").parquet(out.toString)
+    val files = dropEmptyFiles(spark, listPartFilesRec(out))
+    commitWithStatsDF(spark, table, 0,
+      spark.createDataFrame(Seq.empty[FileEntry]), files,
+      StructType(df.schema.filterNot(_.name == fileCol)), Nil, Nil,
+      partCols, partJsonOf(files, partCols))
+  }
+
+  /** Metadata-only partition listing: distinct partition values with
+    * file and (written, pre-DV) row counts, straight off the entries
+    * sidecar — no data file is opened. */
+  def partitions(spark: SparkSession, table: String): DataFrame = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    require(m.partitionCols.nonEmpty, s"$table is not partitioned")
+    val dataSchema = m.schemaOpt.getOrElse(StructType(Nil))
+    val pvs = m.partitionCols.map(c =>
+      partValueCol(dataSchema, c).as(c))
+    entriesDF(spark, table, m).filter(col("kind") === "data")
+      .select(pvs :+ col("numRows"): _*)
+      .groupBy(m.partitionCols.map(col): _*)
+      .agg(count(lit(1)).as("n_files"), sum(col("numRows")).as("n_rows"))
   }
 
   /** Initialize with an EXPLICIT file layout: one physical file per
@@ -1143,11 +1276,12 @@ object CowTable {
     val (touchedF, untouchedF) =
       m.files.partition(f => dvFiles.contains(normalize(f)))
     val v = m.version + 1
-    val newFiles =
-      if (touchedF.isEmpty) Nil
+    val (newFiles, newParts) =
+      if (touchedF.isEmpty) (Seq.empty[String], Map.empty[String, String])
       else {
         val clean = readSnapshot(spark, m, Some(touchedF))
-        if (clean.isEmpty) Nil else writeData(clean, table, v)
+        if (clean.isEmpty) (Seq.empty[String], Map.empty[String, String])
+        else writeDataMaybePartitioned(clean, table, v, m.partitionCols)
       }
     val carriedDF = entriesDF(spark, table, m).filter(
       col("kind") === "data" &&
@@ -1156,7 +1290,7 @@ object CowTable {
            .isInCollection(touchedF.map(normalize))))
     commitWithStatsDF(spark, table, v, carriedDF, newFiles,
       m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
-      untouchedF, Nil, m.partitionCols)
+      untouchedF, Nil, m.partitionCols, newParts)
   }
 
   /** MERGE `source` into the table's latest snapshot on `keys`. Returns
@@ -1998,6 +2132,85 @@ object CowTable {
        |  CAST((SELECT COUNT(*) FROM cls WHERE mn >= 0) AS BIGINT)
        |    AS all_full_files""".stripMargin
 
+  /** Files per partition for the partition-pruning gate (NTILE within
+    * each o_orderstatus partition, reproducible in DuckDB). */
+  val PartPruneFiles = 8
+
+  /** Gate: PARTITION PRUNING composed with stats skipping, end-to-end.
+    * Orders partitioned by o_orderstatus (Hive-style dirs, columns kept
+    * in the files, per-file partition tuple in the manifest —
+    * Iceberg-style), 8 exact-NTILE custkey files per partition, a DV
+    * delete stacked on top. Query 1 (status equality AND a custkey
+    * interval) must plan exactly partition O's range-overlapping files;
+    * query 2 uses an EXPRESSION on the partition column
+    * (lower(status) = 'f') that per-file min/max stats cannot decide —
+    * only exact partition-value evaluation prunes it to partition F's
+    * 8 files. The oracle re-derives the aggregates AND both planned
+    * file counts from the same per-(status, bucket) algebra —
+    * bigint-exact. */
+  private def lhPartitionPruneBuild(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val table = freshGateTable()
+    val filed = Tables.orders(s, dir).withColumn("__f",
+      ntile(PartPruneFiles).over(Window.partitionBy($"o_orderstatus")
+        .orderBy($"o_custkey", $"o_orderkey")))
+    initPartitionedFiled(filed, table, Seq("o_orderstatus"), "__f",
+      PartPruneFiles)
+    deleteWhere(s, table, pmod($"o_orderkey", lit(7)) === 1)
+    table
+  }
+
+  private def lhPartitionPruneOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 4 + mx / 10)
+    val cond1 = $"o_orderstatus" === "O" &&
+      $"o_custkey" >= lo && $"o_custkey" <= hi
+    val (planned1, total) = pruneReport(s, table, cond1)
+    val cond2 = lower($"o_orderstatus") === "f"
+    val (planned2, _) = pruneReport(s, table, cond2)
+    val n2 = readWhere(s, table, cond2).count()
+    readWhere(s, table, cond1)
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"o_custkey").as("n_cust"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .withColumn("planned_files", lit(planned1.toLong))
+      .withColumn("total_files", lit(total.toLong))
+      .withColumn("planned_part", lit(planned2.toLong))
+      .withColumn("n_part", lit(n2))
+  }
+
+  def lhPartitionPrune(s: SparkSession, dir: String): DataFrame =
+    lhPartitionPruneOp(s, dir, lhPartitionPruneBuild(s, dir))
+
+  val lhPartitionPruneSql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 4 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi),
+       |f AS (SELECT o_orderstatus, o_custkey, o_orderkey,
+       |    NTILE($PartPruneFiles) OVER (PARTITION BY o_orderstatus
+       |      ORDER BY o_custkey, o_orderkey) AS fid
+       |  FROM orders),
+       |st AS (SELECT o_orderstatus AS ps, fid, MIN(o_custkey) AS mn,
+       |    MAX(o_custkey) AS mxk
+       |  FROM f GROUP BY 1, 2)
+       |SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |    AS sum_price,
+       |  (SELECT COUNT(*) FROM st, b
+       |    WHERE ps = 'O' AND mn <= b.hi AND mxk >= b.lo) AS planned_files,
+       |  (SELECT COUNT(*) FROM st) AS total_files,
+       |  (SELECT COUNT(*) FROM st WHERE LOWER(ps) = 'f') AS planned_part,
+       |  (SELECT COUNT(*) FROM orders
+       |    WHERE LOWER(o_orderstatus) = 'f' AND o_orderkey % 7 <> 1)
+       |    AS n_part
+       |FROM orders, b
+       |WHERE o_orderstatus = 'O' AND o_custkey BETWEEN b.lo AND b.hi
+       |  AND o_orderkey % 7 <> 1""".stripMargin
+
   /** Gate: METADATA MIN/MAX over a 32-exact-NTILE custkey layout with a
     * DV delete RESTRICTED to the low custkey range (only low-range
     * files carry deletion vectors). An interval MIN/MAX answers the
@@ -2125,6 +2338,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhCountMetaOp(s, d, t))),
     "lh_minmax_meta" -> ((s, d) =>
       (() => lhMinMaxBuild(s, d), t => lhMinMaxOp(s, d, t))),
+    "lh_partition_prune" -> ((s, d) =>
+      (() => lhPartitionPruneBuild(s, d), t => lhPartitionPruneOp(s, d, t))),
     "lh_evolve" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => {
         val source = Tables.orders(s, d)
@@ -2168,6 +2383,7 @@ object CowTable {
     "lh_evolve" -> lhEvolve,
     "lh_count_meta" -> lhCountMeta,
     "lh_minmax_meta" -> lhMinMaxMeta,
+    "lh_partition_prune" -> lhPartitionPrune,
     "lh_skip_rule" -> lhSkipRule,
     "lh_sql_read" -> lhSqlRead,
   )
@@ -2181,6 +2397,7 @@ object CowTable {
     "lh_evolve" -> lhEvolveSql,
     "lh_count_meta" -> lhCountMetaSql,
     "lh_minmax_meta" -> lhMinMaxMetaSql,
+    "lh_partition_prune" -> lhPartitionPruneSql,
     "lh_skip_rule" -> lhStatsPruneSql,
     "lh_sql_read" -> lhSqlReadSql,
   )

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Partitioned CoW tables: Iceberg-style entry-level partition tuples
+  * (Hive-style dirs, columns kept in the files), exact partition
+  * pruning composed with stats skipping, merge preserving the
+  * discipline, DVs and the change feed surviving, and the metadata-only
+  * partition listing. */
+class CowPartitionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cow_part/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** 100 rows over 4 regions, ids clustered within region. */
+  private def fixture(): String = {
+    val t = freshTable()
+    val df = (0L until 100L).map { i =>
+      (i, s"r${(i / 25).toInt}", i * 2, s"p$i")
+    }.toDF("id", "region", "v", "name")
+    CowTable.initPartitioned(df, t, Seq("region"))
+    t
+  }
+
+  test("partition predicate prunes to the partition's files, both APIs agree") {
+    val t = fixture()
+    val m = CowTable.latestManifest(t).get
+    assert(m.partitionCols == Seq("region"))
+    // every file is single-valued on region and records its tuple
+    val parts = CowTable.entriesDF(spark, t, m)
+      .filter($"kind" === "data").select("part").collect()
+    assert(parts.nonEmpty && parts.forall(!_.isNullAt(0)))
+    val planned = CowTable.pruneDataFiles(spark, t, m, $"region" === "r2")
+    assert(planned.nonEmpty && planned.size < m.files.size)
+    assert(planned.forall(_.contains("__p_region=r2")))
+    // an EXPRESSION on the partition column stats cannot decide
+    val exprPlanned = CowTable.pruneDataFiles(spark, t, m,
+      upper($"region") === "R2" && length($"region") === 2)
+    assert(exprPlanned.toSet == planned.toSet,
+      "expression-on-partition-column must prune exactly like equality")
+    // composed with stats: region r2 holds ids [50,75)
+    val both = CowTable.pruneDataFiles(spark, t, m,
+      $"region" === "r2" && $"id" === 55L)
+    assert(both.size <= planned.size)
+    // results identical to the unpruned read
+    val want = CowTable.read(spark, t)
+      .filter(upper($"region") === "R2").count()
+    assert(CowTable.readWhere(spark, t, upper($"region") === "R2")
+      .count() == want)
+  }
+
+  test("merge preserves partition discipline; DVs and CDF survive") {
+    val t = fixture()
+    // update ids 10..14 (region r0), insert 225..229 (region r9)
+    val src = ((10L to 14L) ++ (225L to 229L)).map { i =>
+      (i, s"r${(i / 25).toInt}", i * 100, s"new$i")
+    }.toDF("id", "region", "v", "name")
+    CowTable.mergeInto(spark, t, src, Seq("id"))
+    val m1 = CowTable.latestManifest(t).get
+    assert(m1.partitionCols == Seq("region"))
+    // rewritten + inserted files carry partition tuples too
+    val nullParts = CowTable.entriesDF(spark, t, m1)
+      .filter($"kind" === "data" && $"part".isNull).count()
+    assert(nullParts == 0, "merge output lost partition tuples")
+    // new partition appears in pruning and listing
+    val p9 = CowTable.pruneDataFiles(spark, t, m1, $"region" === "r9")
+    assert(p9.nonEmpty && p9.forall(_.contains("__p_region=r9")))
+    val listing = CowTable.partitions(spark, t)
+      .orderBy("region").collect()
+    assert(listing.map(_.getString(0)).toSeq ==
+      Seq("r0", "r1", "r2", "r3", "r9"))
+    assert(listing.map(_.getLong(2)).sum == 105L) // written rows, pre-DV
+    // DV delete on one partition; reads stay partition-pruned + exact
+    CowTable.deleteWhere(spark, t, $"region" === "r1" && $"id" % 2L === 0L)
+    val r1 = CowTable.readWhere(spark, t, $"region" === "r1")
+    assert(r1.count() == 13 && r1.select("region").distinct().count() == 1)
+    // change feed v0 -> v2: 5 updates (pre+post), 5 inserts, 13 deletes
+    val ch = CowTable.tableChanges(spark, t, 0, 2, Seq("id"))
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("update_preimage" -> 5L, "update_postimage" -> 5L,
+      "insert" -> 5L, "delete" -> 12L), s"unexpected feed: $ch")
+  }
+
+  test("metadata count/min/max use exact partition values") {
+    val t = fixture()
+    val b = CowTable.countWhereDetailed(spark, t, $"region" === "r3")
+    assert(b.total == 25L && b.partialFiles == 0 && b.scannedRows == 0L,
+      s"partition count must be metadata-only: $b")
+    val mn = CowTable.minWhereDetailed(spark, t, "id", $"region" === "r3")
+    assert(mn.value.contains(75L) && mn.scannedFiles == 0)
+    val mx = CowTable.maxWhereDetailed(spark, t, "id",
+      length($"region") === 2L && $"region" > "r2")
+    assert(mx.value.contains(99L))
+  }
+}
