@@ -2065,6 +2065,29 @@ object CowTable {
          |WHERE o_custkey BETWEEN $lo AND $hi""".stripMargin)
   }
 
+  /** Gate: the SQL WRITE surface end-to-end — the lh_merge construction
+    * driven entirely from SQL: `CALL graft.cow_merge(...)` (the DSv2
+    * stored-procedure catalog, [[graft.plans.GraftCatalog]]) performs
+    * the merge, `FROM cow_read(...)` reads the result — no Scala API in
+    * the op path. Same relational MERGE oracle as lh_merge, so the SQL
+    * and Scala surfaces are pinned to identical semantics. */
+  def lhSqlMerge(s: SparkSession, dir: String): DataFrame =
+    lhSqlMergeOp(s, dir, lhMergeBuild(s, dir))
+
+  private def lhSqlMergeOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    graft.functions.GraftFunctions.register(s)
+    Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .createOrReplaceTempView("lh_sql_merge_src")
+    s.sql(s"CALL graft.cow_merge(table => '$table', " +
+      "source => 'lh_sql_merge_src', keys => 'o_orderkey', " +
+      "delete_cond => 'o_orderstatus = ''F''')").collect()
+    s.sql(s"SELECT * FROM cow_read('$table')")
+  }
+
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
        |    (SELECT MAX(o_custkey) FROM orders) // 4 +
@@ -2332,6 +2355,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhStatsPruneOp(s, d, t))),
     "lh_sql_read" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhSqlReadOp(s, d, t))),
+    "lh_sql_merge" -> ((s, d) =>
+      (() => lhMergeBuild(s, d), t => lhSqlMergeOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
@@ -2386,6 +2411,7 @@ object CowTable {
     "lh_partition_prune" -> lhPartitionPrune,
     "lh_skip_rule" -> lhSkipRule,
     "lh_sql_read" -> lhSqlRead,
+    "lh_sql_merge" -> lhSqlMerge,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2400,5 +2426,6 @@ object CowTable {
     "lh_partition_prune" -> lhPartitionPruneSql,
     "lh_skip_rule" -> lhStatsPruneSql,
     "lh_sql_read" -> lhSqlReadSql,
+    "lh_sql_merge" -> lhMergeSql,
   )
 }

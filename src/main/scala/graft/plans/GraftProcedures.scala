@@ -1,0 +1,149 @@
+package graft.plans
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.CowTable
+
+/** SQL WRITE surface for the CoW lakehouse: Spark 4's DSv2 stored
+  * procedures (the `CALL` statement) — the surface Iceberg exposes for
+  * writes and maintenance, built here on the public `ProcedureCatalog`
+  * extension point. Register once per session:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+  *   CALL graft.cow_merge(table => '/path', source => 'src_view',
+  *     keys => 'o_orderkey', delete_cond => 'o_orderstatus = ''F''')
+  *   CALL graft.cow_delete(table => '/path', cond => 'o_custkey % 5 = 2')
+  *   CALL graft.cow_compact(table => '/path', target_bytes => 134217728)
+  *   CALL graft.cow_vacuum(table => '/path', keep_versions => 2)
+  * }}}
+  * Each CALL returns a one-row summary (committed version + live file /
+  * DV counts) through a `LocalScan`; reads stay on the `cow_read` TVF
+  * ([[CowSqlFunction]]), so the whole lakehouse loop — ingest, merge,
+  * delete, compact, vacuum, query — is drivable from SQL end-to-end.
+  */
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+  private var catalogName = "graft"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catalogName = name
+
+  override def name(): String = catalogName
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.byName.getOrElse(ident.name.toLowerCase,
+      throw new IllegalArgumentException(s"unknown procedure " +
+        s"${ident.name}; known: ${GraftProcedures.byName.keys.toSeq.sorted.mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.byName.keys.toArray.sorted
+      .map(n => Identifier.of(Array.empty[String], n))
+}
+
+object GraftProcedures {
+
+  private def in(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+
+  private def inD(n: String, dt: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(default).build()
+
+  private val summarySchema = StructType(Seq(
+    StructField("version", IntegerType), StructField("n_files", LongType),
+    StructField("n_dvs", LongType)))
+
+  /** One-row CALL result: committed version + manifest-level counts
+    * (metadata only — a CALL never re-scans the table it just wrote). */
+  private def summary(m: CowTable.Manifest): JIterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(new GenericInternalRow(
+        Array[Any](m.version, m.files.size.toLong, m.dvs.size.toLong)))
+      override def readSchema(): StructType = summarySchema
+      override def description(): String = "graft_cow_call_summary"
+    }
+    Collections.singletonList(scan).iterator()
+  }
+
+  private def str(r: InternalRow, i: Int): String =
+    r.getUTF8String(i).toString
+
+  /** An UnboundProcedure whose bind is shape-independent (named/typed
+    * parameters + Spark's own coercion do the work). */
+  private def proc(procName: String, desc: String,
+      params: Seq[ProcedureParameter])(
+      run: (SparkSession, InternalRow) => CowTable.Manifest): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def description(): String = desc
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false // writes
+          override def call(input: InternalRow): JIterator[Scan] =
+            summary(run(SparkSession.active, input))
+        }
+    }
+
+  /** MERGE INTO: source rows replace matched keys' non-key columns,
+    * optional delete condition and insert-on-unmatched, optional schema
+    * evolution — [[CowTable.mergeInto]] semantics exactly. */
+  val cowMerge: UnboundProcedure = proc("cow_merge",
+    "MERGE a source view/table into a graft CoW table on a key list",
+    Seq(in("table", StringType), in("source", StringType),
+      in("keys", StringType), inD("delete_cond", StringType, "NULL"),
+      inD("insert", BooleanType, "true"),
+      inD("evolve", BooleanType, "false"))) { (spark, r) =>
+    CowTable.mergeInto(spark, str(r, 0), spark.table(str(r, 1)),
+      str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      if (r.isNullAt(3)) None else Some(expr(str(r, 3))),
+      insert = r.getBoolean(4), evolveSchema = r.getBoolean(5))
+  }
+
+  /** Merge-on-read DELETE (writes a deletion vector, rewrites nothing). */
+  val cowDelete: UnboundProcedure = proc("cow_delete",
+    "Merge-on-read DELETE FROM a graft CoW table (deletion vectors)",
+    Seq(in("table", StringType), in("cond", StringType))) { (spark, r) =>
+    CowTable.deleteWhere(spark, str(r, 0), expr(str(r, 1)))
+  }
+
+  /** Small-file compaction; pass z_cols for Z-order re-clustering. */
+  val cowCompact: UnboundProcedure = proc("cow_compact",
+    "Compact a graft CoW table's small files (optional Z-order columns)",
+    Seq(in("table", StringType), in("target_bytes", LongType),
+      inD("z_cols", StringType, "NULL"),
+      inD("small_threshold", LongType, "NULL"))) { (spark, r) =>
+    val small = if (r.isNullAt(3)) None else Some(r.getLong(3))
+    if (r.isNullAt(2))
+      CowTable.compactTable(spark, str(r, 0), r.getLong(1), small)
+    else
+      CowTable.compactTableZorder(spark, str(r, 0), r.getLong(1),
+        str(r, 2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        smallThreshold = small)
+  }
+
+  /** Drop files/manifests unreachable from the newest kept versions. */
+  val cowVacuum: UnboundProcedure = proc("cow_vacuum",
+    "Delete files unreachable from the newest keep_versions snapshots",
+    Seq(in("table", StringType),
+      inD("keep_versions", IntegerType, "1"))) { (spark, r) =>
+    CowTable.vacuum(spark, str(r, 0), r.getInt(1))
+    CowTable.latestManifest(str(r, 0)).getOrElse(
+      throw new IllegalArgumentException(s"no manifest after vacuum"))
+  }
+
+  val byName: Map[String, UnboundProcedure] = Map(
+    "cow_merge" -> cowMerge, "cow_delete" -> cowDelete,
+    "cow_compact" -> cowCompact, "cow_vacuum" -> cowVacuum)
+}

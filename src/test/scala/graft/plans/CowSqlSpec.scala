@@ -59,6 +59,49 @@ class CowSqlSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).sorted.toSeq == (30L to 40L))
   }
 
+  test("CALL procedures drive the write lifecycle from SQL") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val t = freshTable()
+    CowTable.init((0L until 100L).map(i => (i, s"n$i", i * 2))
+      .toDF("id", "name", "v").repartitionByRange(4, $"id"), t)
+    (50L until 120L).map(i => (i, s"u$i", i * 10)).toDF("id", "name", "v")
+      .createOrReplaceTempView("cow_proc_src")
+    // merge: update 50..99 (delete those with id%10=7), insert 100..119
+    val m = spark.sql(s"CALL graft.cow_merge(table => '$t', " +
+      "source => 'cow_proc_src', keys => 'id', " +
+      "delete_cond => 'id % 10 = 7')").head()
+    assert(m.getInt(0) == 1, s"unexpected CALL summary: $m")
+    // delete via DV, then compact, then vacuum — all SQL
+    spark.sql(s"CALL graft.cow_delete(table => '$t', cond => 'id < 5')")
+      .collect()
+    val afterDelete = CowTable.latestManifest(t).get
+    assert(afterDelete.version == 2 && afterDelete.dvs.nonEmpty)
+    spark.sql(s"CALL graft.cow_compact(table => '$t', " +
+      "target_bytes => 10000000)").collect()
+    spark.sql(s"CALL graft.cow_vacuum(table => '$t', keep_versions => 1)")
+      .collect()
+    // final state equals the same lifecycle's relational form
+    val got = spark.sql(s"SELECT id, name, v FROM cow_read('$t')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val want = ((0L until 50L).map(i => (i, s"n$i", i * 2)) ++
+      (50L until 120L).map(i => (i, s"u$i", i * 10)))
+      .filterNot { case (i, _, _) =>
+        // delete_cond applies to MATCHED rows only (unmatched insert)
+        (i >= 50 && i < 100 && i % 10 == 7) || i < 5 }
+    assert(got.toSeq == want.sortBy(_._1),
+      s"SQL lifecycle diverged: got ${got.length}, want ${want.length}")
+    // SHOW PROCEDURES lists the surface
+    val procs = spark.sql("SHOW PROCEDURES IN graft").collect()
+      .map(_.getString(3)).toSet
+    assert(procs == Set("cow_merge", "cow_delete", "cow_compact",
+      "cow_vacuum"))
+    // unknown procedure fails with the known list
+    val err = intercept[Exception](
+      spark.sql(s"CALL graft.cow_nope(table => '$t')"))
+    assert(err.getMessage.contains("cow_nope")) // FAILED_TO_LOAD_ROUTINE
+  }
+
   test("bad arguments are refused with usage") {
     val e = intercept[Exception] {
       spark.sql("SELECT * FROM cow_read(42)").collect()
