@@ -31,6 +31,60 @@ class CowFollowSpec extends AnyFunSuite {
       }
     }
 
+  test("transactional sink: restart mid-feed never re-applies a slice") {
+    val t = freshTable()
+    val sink = freshTable() + "_sink"
+    CowTable.init((0L until 40L).map(i => (i, s"n$i", i * 1.0))
+      .toDF("id", "name", "v").repartitionByRange(2, $"id"), t)
+    CowTable.mergeInto(spark, t,
+      Seq((1L, "u1", 1.5), (50L, "new", 50.0)).toDF("id", "name", "v"),
+      Seq("id"))                                   // v1
+    CowTable.deleteWhere(spark, t, $"id" === 5L)   // v2
+    assert(CowFollowSink.catchUp(spark, t, Seq("id"), sink) == 2)
+    assert(CowFollowSink.committedVersion(sink) == 2)
+    val feed2 = CowFollowSink.readFeed(spark, sink)
+    assert(feed2.filter($"_commit_version" === 1L).count() == 3) // pre+post+ins
+    assert(feed2.filter($"_commit_version" === 2L)
+      .filter($"_change_type" === "delete").count() == 1)
+    // capture slice-v1's bytes: a restart must not touch it
+    val v1dir = java.nio.file.Paths.get(sink, "slice-v1")
+    val v1stamp = java.nio.file.Files.list(v1dir).toArray.map(_.toString)
+      .sorted.map(f => java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)).toMillis).toSeq
+    // CRASH SIMULATION: v3 commits on the source; a consumer wrote
+    // slice bytes for v3 but died BEFORE the marker — garbage in place
+    CowTable.mergeInto(spark, t,
+      Seq((2L, "u2", 2.5)).toDF("id", "name", "v"), Seq("id")) // v3
+    Seq((999L, "garbage", 0.0, "insert", 3L))
+      .toDF("id", "name", "v", "_change_type", "_commit_version")
+      .write.mode("overwrite").parquet(s"$sink/slice-v3")
+    // the orphan bytes are INVISIBLE (no marker)
+    assert(CowFollowSink.readFeed(spark, sink)
+      .filter($"id" === 999L).count() == 0)
+    // restart: recomputes v3 over the garbage, commits once
+    assert(CowFollowSink.catchUp(spark, t, Seq("id"), sink) == 3)
+    val feed3 = CowFollowSink.readFeed(spark, sink)
+    assert(feed3.filter($"id" === 999L).count() == 0, "orphan bytes survived")
+    assert(feed3.filter($"_commit_version" === 3L).count() == 2) // pre+post
+    // no duplicate application: committed slices untouched on restart
+    val v1stamp2 = java.nio.file.Files.list(v1dir).toArray.map(_.toString)
+      .sorted.map(f => java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(f)).toMillis).toSeq
+    assert(v1stamp2 == v1stamp, "restart rewrote an already-committed slice")
+    // idle restart is a no-op
+    assert(CowFollowSink.catchUp(spark, t, Seq("id"), sink) == 3)
+    // the feed reconstructs the table: apply slices over the v0 snapshot
+    val replica = scala.collection.mutable.Map[Long, (String, Double)]()
+    CowTable.readVersion(spark, t, 0).collect().foreach(r =>
+      replica(r.getLong(0)) = (r.getString(1), r.getDouble(2)))
+    (1 to 3).foreach(v => applySlice(replica,
+      CowFollowSink.readFeed(spark, sink)
+        .filter($"_commit_version" === v.toLong)))
+    val want = CowTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(replica.toMap == want)
+  }
+
   test("catchUp replays every version; replica equals the snapshot") {
     val t = freshTable()
     CowTable.init((0L until 50L).map(i => (i, s"n$i", i * 1.0))
