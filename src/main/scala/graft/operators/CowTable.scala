@@ -1179,6 +1179,139 @@ object CowTable {
     }
   }
 
+  // ------------------------------------ row-group-level DV skipping
+
+  /** What row-group planning decided: how many groups the DV'd files
+    * hold, how many are fully deleted (never scanned), and how many
+    * files have at least one. `liveRows` is the exact number of rows
+    * the ranged scan will surface from affected files. */
+  case class RowGroupReport(totalGroups: Int, deadGroups: Int,
+      affectedFiles: Int, liveRows: Long)
+
+  private case class GroupInfo(path: String, idx: Int, startRow: Long,
+      nRows: Long, startByte: Long, nBytes: Long)
+
+  /** Row-group boundaries of one file — one footer read (driver-side,
+    * and only ever for DV-carrying files, a delta-sized set). */
+  private def rowGroupsOf(spark: SparkSession, file: String): Seq[GroupInfo] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(file), conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      var start = 0L
+      val blocks = r.getFooter.getBlocks
+      (0 until blocks.size()).map { i =>
+        val b = blocks.get(i)
+        val g = GroupInfo(file, i, start, b.getRowCount, b.getStartingPos,
+          b.getCompressedSize)
+        start += b.getRowCount
+        g
+      }
+    } finally r.close()
+  }
+
+  /** Row-group-level deletion-vector skipping plan: join DV density
+    * against footer row-group boundaries; a group whose every row is
+    * deleted never scans. Returns (files to scan whole, live byte
+    * ranges of affected files, report). parquet-mr admits a row group
+    * iff its byte midpoint falls in the range, so each consecutive run
+    * of live groups becomes one [first.start, last.end) range — dead
+    * neighbors' midpoints fall outside. A file whose EVERY group is
+    * dead contributes nothing at all. */
+  def rowGroupPrunePlan(spark: SparkSession, table: String):
+      (Seq[String], Seq[org.apache.spark.sql.graftbridge.ScanBridge.FileRange],
+        RowGroupReport) = {
+    import org.apache.spark.sql.graftbridge.ScanBridge.FileRange
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    if (m.dvs.isEmpty || m.files.isEmpty)
+      return (m.files, Nil, RowGroupReport(0, 0, 0, 0L))
+    val dv = spark.read.parquet(m.dvs: _*)
+    val dvFiles = dv.select("file_path").distinct()
+      .collect().map(r => normalize(r.getString(0))).toSet
+    val (dvd, clean) = m.files.partition(f => dvFiles.contains(normalize(f)))
+    val groups = dvd.flatMap(f => rowGroupsOf(spark, f))
+    // per-group deletion counts: one broadcast range join, DV-sized
+    val gdf = spark.createDataFrame(groups.map(g =>
+      (normalize(g.path), g.idx, g.startRow, g.nRows)))
+      .toDF("gp", "gidx", "gstart", "gn")
+    val dead = dv
+      .select(normalizeSql(col("file_path")).as("gp"),
+        col("row_index").as("ri"))
+      .join(broadcast(gdf), Seq("gp"))
+      .filter(col("ri") >= col("gstart") && col("ri") < col("gstart") + col("gn"))
+      .groupBy(col("gp"), col("gidx"), col("gn"))
+      .agg(count(lit(1)).as("ndel"))
+      .filter(col("ndel") === col("gn"))
+      .select("gp", "gidx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    if (dead.isEmpty)
+      return (m.files, Nil, RowGroupReport(groups.size, 0, 0, 0L))
+    val byFile = groups.groupBy(g => normalize(g.path))
+    val (affected, wholeDvd) =
+      dvd.partition(f => byFile(normalize(f)).exists(g =>
+        dead.contains((normalize(f), g.idx))))
+    var liveRows = 0L
+    val ranges = affected.flatMap { f =>
+      val gs = byFile(normalize(f)).sortBy(_.idx)
+      val size = Files.size(Paths.get(f))
+      // consecutive live runs -> one byte range each
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Seq[GroupInfo]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[GroupInfo]
+      gs.foreach { g =>
+        if (dead.contains((normalize(f), g.idx))) {
+          if (cur.nonEmpty) { runs += cur.toSeq; cur = cur.take(0) }
+        } else cur += g
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs.map { run =>
+        liveRows += run.map(_.nRows).sum
+        FileRange(f, run.head.startByte,
+          run.last.startByte + run.last.nBytes - run.head.startByte, size)
+      }
+    }
+    val report = RowGroupReport(groups.size, dead.size, affected.size,
+      liveRows)
+    (clean ++ wholeDvd, ranges, report)
+  }
+
+  /** DV-applied snapshot read where fully-deleted row groups NEVER
+    * scan: affected files are read through explicit live byte ranges
+    * ([[org.apache.spark.sql.graftbridge.ScanBridge]] — the same
+    * parquet reader `FileSourceScanExec` uses, with file-global row
+    * indexes intact), everything else through the normal scan; one
+    * DV anti-join applies the remaining row-level deletes. Identical
+    * results to [[read]]; strictly fewer row groups decompressed when
+    * a delete wiped out whole groups (a retention delete on a
+    * time-clustered 100 TB table kills most groups of most files —
+    * this read never touches them). */
+  def readRowGroupPruned(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ScanBridge
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    if (m.dvs.isEmpty) return readSnapshot(spark, m)
+    val (whole, ranges, _) = rowGroupPrunePlan(spark, table)
+    if (ranges.isEmpty) return readSnapshot(spark, m)
+    val schema = m.schemaOpt.getOrElse(
+      spark.read.parquet(m.files: _*).schema)
+    val rangedDF = ScanBridge.rangedParquetScan(spark, schema, ranges)
+    val data =
+      if (whole.isEmpty) rangedDF
+      else rawScan(spark, m, whole)
+        .withColumn(ScanBridge.RowIndexColumn, col("_metadata.row_index"))
+        .withColumn(ScanBridge.FilePathColumn, col("_metadata.file_path"))
+        .unionByName(rangedDF)
+    val dvn = spark.read.parquet(m.dvs: _*)
+      .select(normalizeSql(col("file_path")).as("__dv_fp"),
+        col("row_index").as("__dv_ri"))
+    data
+      .join(broadcast(dvn),
+        normalizeSql(col(ScanBridge.FilePathColumn)) === col("__dv_fp") &&
+          col(ScanBridge.RowIndexColumn) === col("__dv_ri"), "left_anti")
+      .drop(ScanBridge.RowIndexColumn, ScanBridge.FilePathColumn)
+  }
+
   def read(spark: SparkSession, table: String): DataFrame = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
@@ -2334,6 +2467,55 @@ object CowTable {
        |  CAST(mn2scan AS BIGINT) AS mn2_scan
        |FROM cand""".stripMargin
 
+  /** Gate: ROW-GROUP-LEVEL DV skipping end-to-end. Orders sorted by
+    * orderkey in one multi-row-group file (16 KiB groups); a DV delete
+    * kills the interior orderkey band, so whole row groups die and the
+    * pruned read scans only the surviving head/tail ranges. The
+    * aggregate is oracle-exact (the delete negated relationally); the
+    * planning facts ride as booleans the report derives — dead groups
+    * found, and the ranged scan bounded by exactly the live-group rows. */
+  private def lhRowGroupBuild(s: SparkSession, dir: String): String = {
+    val hc = s.sparkContext.hadoopConfiguration
+    val table = freshGateTable()
+    hc.setInt("parquet.block.size", 16 * 1024)
+    hc.setInt("parquet.page.size", 8 * 1024)
+    try init(Tables.orders(s, dir).repartition(1)
+      .sortWithinPartitions("o_orderkey"), table)
+    finally { hc.unset("parquet.block.size"); hc.unset("parquet.page.size") }
+    val mx = Tables.orders(s, dir).agg(max(col("o_orderkey"))).head().getLong(0)
+    deleteWhere(s, table,
+      col("o_orderkey") >= mx / 4 && col("o_orderkey") <= mx * 3 / 4)
+    table
+  }
+
+  private def lhRowGroupOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    val (_, _, rep) = rowGroupPrunePlan(s, table)
+    val total = Tables.orders(s, dir).count()
+    readRowGroupPruned(s, table)
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"o_custkey").as("n_cust"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .withColumn("groups_skipped", lit(rep.deadGroups >= 1))
+      .withColumn("scan_reduced",
+        lit(rep.liveRows > 0L && rep.liveRows < total))
+  }
+
+  def lhRowGroupDv(s: SparkSession, dir: String): DataFrame =
+    lhRowGroupOp(s, dir, lhRowGroupBuild(s, dir))
+
+  val lhRowGroupDvSql: String =
+    """WITH b AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+      |SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  TRUE AS groups_skipped, TRUE AS scan_reduced
+      |FROM orders, b
+      |WHERE NOT (o_orderkey >= b.mx // 4 AND o_orderkey <= (b.mx * 3) // 4)
+      |""".stripMargin
+
   /** Benchmark decomposition of the lakehouse gates: (fixture build,
     * measured operator). The build half — table init, priming merges,
     * the NTILE layout — is identical harness work every round; the op
@@ -2365,6 +2547,8 @@ object CowTable {
       (() => lhMinMaxBuild(s, d), t => lhMinMaxOp(s, d, t))),
     "lh_partition_prune" -> ((s, d) =>
       (() => lhPartitionPruneBuild(s, d), t => lhPartitionPruneOp(s, d, t))),
+    "lh_rowgroup_dv" -> ((s, d) =>
+      (() => lhRowGroupBuild(s, d), t => lhRowGroupOp(s, d, t))),
     "lh_evolve" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => {
         val source = Tables.orders(s, d)
@@ -2409,6 +2593,7 @@ object CowTable {
     "lh_count_meta" -> lhCountMeta,
     "lh_minmax_meta" -> lhMinMaxMeta,
     "lh_partition_prune" -> lhPartitionPrune,
+    "lh_rowgroup_dv" -> lhRowGroupDv,
     "lh_skip_rule" -> lhSkipRule,
     "lh_sql_read" -> lhSqlRead,
     "lh_sql_merge" -> lhSqlMerge,
@@ -2424,6 +2609,7 @@ object CowTable {
     "lh_count_meta" -> lhCountMetaSql,
     "lh_minmax_meta" -> lhMinMaxMetaSql,
     "lh_partition_prune" -> lhPartitionPruneSql,
+    "lh_rowgroup_dv" -> lhRowGroupDvSql,
     "lh_skip_rule" -> lhStatsPruneSql,
     "lh_sql_read" -> lhSqlReadSql,
     "lh_sql_merge" -> lhMergeSql,
