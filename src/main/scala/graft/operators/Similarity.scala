@@ -389,16 +389,45 @@ object Similarity {
   /** Candidate pairs of the k-NN join: each vector against the members
     * of its `nprobe` probed cells (self excluded). Exposed so the cost
     * contract — |candidates| = Σ_q |probed cells of q| − own-cell hits,
-    * NEVER n² — is spec-assertable. */
+    * NEVER n² — is spec-assertable.
+    *
+    * `salts > 1` defuses HOT CELLS: IVF cells on a clustered corpus are
+    * not constant-sized, and a plain cell-keyed join concentrates a hot
+    * cell's candidates in one task. Salting splits each cell's scan
+    * side into `salts` deterministic shards (xxhash64 of vec_id — the
+    * stable-key discipline of [[Scale.saltOf]]) and replicates the
+    * probe side across them: the CANDIDATE SET is exactly the
+    * unsalted one (each (q, x) pair meets at precisely one salt), but
+    * no task holds more than ~1/salts of a hot cell. The logical plan
+    * stays a plain equi-join, so AQE's skew-join splitting composes on
+    * top at runtime. */
   private[operators] def knnJoinCandidates(emb: DataFrame,
-      cents: IndexedSeq[Array[Double]], nprobe: Int): DataFrame = {
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      assignCell(col("embedding"), cents).as("cell"))
-    val queries = emb.select(col("vec_id").as("q_id"),
+      cents: IndexedSeq[Array[Double]], nprobe: Int,
+      salts: Int = 1): DataFrame =
+    saltedCellJoin(
+      emb.select(col("vec_id"), col("embedding"),
+        assignCell(col("embedding"), cents).as("cell")),
+      emb.select(col("vec_id").as("q_id"),
         col("embedding").as("q_vec"),
-        explode(probeCells(col("embedding"), cents, nprobe)).as("cell"))
-    queries.join(assigned, Seq("cell"))
+        explode(probeCells(col("embedding"), cents, nprobe)).as("cell")),
+      salts)
+
+  /** The salted probe-side × scan-side cell join shared by the exact
+    * and PQ joins: scan rows shard by stable vec_id hash, probe rows
+    * replicate across the shards; each (q, x) pair meets at exactly one
+    * salt. */
+  private def saltedCellJoin(assigned0: DataFrame, queries0: DataFrame,
+      salts: Int): DataFrame = {
+    val assigned =
+      if (salts <= 1) assigned0.withColumn("__salt", lit(0))
+      else assigned0.withColumn("__salt",
+        Scale.saltOf(Seq(col("vec_id")), salts).cast("int"))
+    val queries = queries0.withColumn("__salt",
+      if (salts <= 1) lit(0)
+      else explode(array((0 until salts).map(lit): _*)))
+    queries.join(assigned, Seq("cell", "__salt"))
       .filter(col("vec_id") =!= col("q_id"))
+      .drop("__salt")
   }
 
   /** Approximate k-NN JOIN over given centroids: top-k per vector from
@@ -421,6 +450,160 @@ object Similarity {
     val emb = Tables.embeddings(s, dir)
     knnJoinOn(emb, cachedCentroids(emb, dir), IvfProbe)
   }
+
+  // ------------------------------------------- IVF+PQ hybrid k-NN JOIN.
+  // The 10⁹-vector rung of the corpus-wide join: the exact join scores
+  // full-precision cosines against every probed-cell member, so its
+  // shuffle carries the raw vectors (256 B each at dim 64 — 256 GB per
+  // 10⁹ rows, per probe). Here the scan side carries PQ CODES (M=8
+  // small ints ≈ 5-8 B) instead: candidates are ranked CELL-LOCALLY by
+  // asymmetric distance (ADC — the query's exact sub-vectors against
+  // the codebook entry each code names, all plan-literal arithmetic,
+  // no lookup-table join), a per-query shortlist survives, and ONLY the
+  // shortlist joins back to full vectors for the exact rerank. Shuffle
+  // bytes drop ~30× on the candidate path; the exact scorer runs on
+  // n·shortlist rows instead of n·nprobe·cell.
+
+  /** ADC score of a coded vector against a full-precision query:
+    * Σ_m dot(query's m-th slice, books(m)(code_m)) — the codebook
+    * entries ride as plan literals, the code picks one with a single
+    * element_at. Codegen-friendly: M literal-array dots, no HOFs. */
+  def adcScore(qVec: Column, codes: Column,
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
+    val sub = PqDim / PqM
+    (0 until PqM).map { m =>
+      dot(slice(qVec, m * sub + 1, sub),
+        element_at(typedLit(books(m).map(_.toSeq)), codes.getItem(m) + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Shortlist size of the PQ join's ADC stage (per query, per corpus
+    * vector side — the rows that reach the exact rerank). */
+  val PqJoinShortlist = 30
+
+  /** IVF+PQ k-NN join: cell-local ADC over (possibly stored) codes,
+    * exact rerank on the per-query shortlist. Accepts a pre-encoded
+    * `(vec_id, cell, codes)` frame — the stored-index path, where the
+    * scan never touches raw vectors — or derives codes scan-side. */
+  def knnJoinPqOn(emb: DataFrame, cents: IndexedSeq[Array[Double]],
+      books: IndexedSeq[IndexedSeq[Array[Double]]], nprobe: Int,
+      k: Int = K, shortlist: Int = PqJoinShortlist, salts: Int = 1,
+      coded: Option[DataFrame] = None,
+      sampleQ: Option[Int] = None): DataFrame = {
+    val assigned = coded.getOrElse(emb.select(col("vec_id"),
+      assignCell(col("embedding"), cents).as("cell"),
+      pqEncode(col("embedding"), books).as("codes")))
+    val qSide = sampleQ.map(n => emb.filter(col("vec_id") < n)).getOrElse(emb)
+    val queries = qSide.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"),
+      explode(probeCells(col("embedding"), cents, nprobe)).as("cell"))
+    val cands = saltedCellJoin(assigned, queries, salts)
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = cands
+      .withColumn("adc", adcScore(col("q_vec"), col("codes"), books))
+      .withColumn("__r", row_number().over(ws))
+      .filter(col("__r") <= shortlist)
+      .select(col("q_id"), col("q_vec"), col("vec_id"))
+    // exact rerank: shortlist-sized join back to full vectors
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    short.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
+  /** Tuning-time shortlist search for the PQ JOIN: the smallest
+    * shortlist whose measured sample recall vs the EXACT join (same
+    * probed cells — isolates the ADC loss from the probe loss, which
+    * ss_knn_join already gates) reaches `target`. Recall is monotone in
+    * the shortlist, so binary search; a handful of driver-coordinated
+    * jobs, run once per corpus. On a clustered corpus this lands near
+    * k; the near-uniform synthetic sphere (PQ's adversarial case, same
+    * property the serving-side tune documents) needs a deep list. */
+  def chooseJoinShortlist(emb: DataFrame, cents: IndexedSeq[Array[Double]],
+      books: IndexedSeq[IndexedSeq[Array[Double]]], target: Double = 0.9,
+      numQueries: Int = NumQueries, cap: Int = 512): Int = {
+    // truth = the exact JOIN (self-excluded, same probed cells)
+    // restricted to the sample queries
+    val truth = knnJoinOn(emb, cents, IvfProbe)
+      .filter(col("q_id") < numQueries)
+      .select(col("q_id"), col("neighbor_id")).cache()
+    val total = truth.count()
+    def recallAt(sl: Int): Double = {
+      val hits = knnJoinPqOn(emb, cents, books, IvfProbe, shortlist = sl,
+        sampleQ = Some(numQueries))
+        .select(col("q_id"), col("neighbor_id"))
+        .join(truth, Seq("q_id", "neighbor_id"), "left_semi").count()
+      hits.toDouble / total
+    }
+    var (lo, hi) = (K, cap)
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (recallAt(mid) >= target) hi = mid else lo = mid + 1
+    }
+    truth.unpersist()
+    lo
+  }
+
+  private val joinShortlistCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Integer]()
+
+  /** Cached [[chooseJoinShortlist]] for a stored corpus, fingerprint-
+    * keyed like the codebooks. */
+  def tunedJoinShortlist(emb: DataFrame, dir: String): Int = {
+    val fp = dataFingerprint(emb.sparkSession, dir)
+    joinShortlistCache.keySet().removeIf(key => key._1 == dir && key._2 != fp)
+    joinShortlistCache.computeIfAbsent((dir, fp), _ =>
+      chooseJoinShortlist(emb, cachedCentroids(emb, dir),
+        cachedCodebooks(emb, dir)))
+  }
+
+  /** Production form: cached centroids + codebooks, scan-side codes,
+    * tuning-time measured shortlist. */
+  def knnJoinPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    knnJoinPqOn(emb, cachedCentroids(emb, dir), cachedCodebooks(emb, dir),
+      IvfProbe, shortlist = tunedJoinShortlist(emb, dir))
+  }
+
+  /** Gate: the IVF+PQ join's envelope — full coverage (every vector
+    * exactly k neighbors) and, on the bounded query sample, ≥0.8 of the
+    * EXACT join's results recovered at the tuned-at-0.9 shortlist (the
+    * ss_knn_pq recall discipline applied to the join; the probe-side
+    * loss is ss_knn_join's envelope, not repeated here). */
+  def ssKnnJoinPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = cachedCentroids(emb, dir)
+    val sl = tunedJoinShortlist(emb, dir)
+    val nn = knnJoinPqOn(emb, cents, cachedCodebooks(emb, dir), IvfProbe,
+      shortlist = sl)
+    nn.persist()
+    val n = emb.count()
+    val cov = nn.groupBy($"q_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("nq"), min($"c").as("mn"), max($"c").as("mx"))
+      .head()
+    val fullCoverage = cov.getLong(0) == n &&
+      cov.getLong(1) == K && cov.getLong(2) == K
+    val exact = knnJoinOn(emb, cents, IvfProbe)
+      .filter($"q_id" < NumQueries).select($"q_id", $"neighbor_id")
+    val hits = nn.filter($"q_id" < NumQueries)
+      .join(exact, Seq("q_id", "neighbor_id"), "left_semi").count()
+    nn.unpersist()
+    Seq((n, fullCoverage, NumQueries.toLong, K.toLong,
+      hits.toDouble / (NumQueries * K) >= PqRecallFloor))
+      .toDF("n_vectors", "full_coverage", "n_queries", "k", "recall_ok")
+  }
+
+  val ssKnnJoinPqSql: String =
+    s"""SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       |  TRUE AS full_coverage, CAST($NumQueries AS BIGINT) AS n_queries,
+       |  CAST($K AS BIGINT) AS k, TRUE AS recall_ok""".stripMargin
 
   /** Gate: envelope over the full-corpus join — every vector got
     * exactly k neighbors (coverage), and on the brute-force-checkable
@@ -1385,6 +1568,7 @@ object Similarity {
     "ss_ann_lsh" -> ssAnnLsh,
     "ss_knn_ivf" -> ssKnnIvf,
     "ss_knn_join" -> ssKnnJoin,
+    "ss_knn_join_pq" -> ssKnnJoinPq,
     "ss_knn_pq" -> ssKnnPq,
     "ss_knn_pq_opq" -> ssKnnPqOpq,
     "ss_knn_pq_opq_it" -> ssKnnPqOpqIt,
@@ -1407,6 +1591,7 @@ object Similarity {
     "ss_ann_lsh" -> ssAnnLshSql,
     "ss_knn_ivf" -> ssKnnIvfSql,
     "ss_knn_join" -> ssKnnJoinSql,
+    "ss_knn_join_pq" -> ssKnnJoinPqSql,
     "ss_knn_pq" -> ssKnnPqSql,
     "ss_knn_pq_opq" -> ssKnnPqOpqSql,
     "ss_knn_pq_opq_it" -> ssKnnPqOpqItSql,

@@ -77,6 +77,57 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(got < n * (n - 1), "candidate set degenerated to all-pairs")
   }
 
+  test("salting splits a planted hot cell; candidate set unchanged") {
+    // skewed corpus: 30 of 36 vectors share cluster 0's cell
+    val rows = (0 until 36).map { j =>
+      val v = Array.fill(Dim)(0.0)
+      if (j < 30) { v(0) = 1.0; v(3 + (j % 4)) = 0.05 + 0.01 * j }
+      else { v(1 + (j % 2)) = 1.0; v(5) = 0.05 + 0.01 * j }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      (j.toLong, v.map(x => (x / n).toFloat).toSeq)
+    }
+    val fix = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
+    val plain = Similarity.knnJoinCandidates(fix, cents, nprobe = 1)
+    val salted = Similarity.knnJoinCandidates(fix, cents, nprobe = 1,
+      salts = 4)
+    // identical candidate pairs — each (q, x) meets at exactly one salt
+    assert(salted.select($"q_id", $"vec_id")
+      .exceptAll(plain.select($"q_id", $"vec_id")).count() == 0)
+    assert(plain.select($"q_id", $"vec_id")
+      .exceptAll(salted.select($"q_id", $"vec_id")).count() == 0)
+    // no single-task concentration: the hot cell's candidates spread
+    // over `salts` join-key groups, each well under the unsalted mass
+    val hot = plain.groupBy($"cell").count()
+      .orderBy($"count".desc).head()
+    val hotCell = hot.getInt(0)
+    val hotMass = hot.getLong(1)
+    val saltedAssign = fix.select($"vec_id",
+      Similarity.assignCell($"embedding", cents).as("cell"),
+      graft.operators.Scale.saltOf(Seq($"vec_id"), 4).cast("int")
+        .as("salt"))
+    val groups = saltedAssign.filter($"cell" === hotCell)
+      .groupBy($"salt").count().collect().map(r => r.getLong(1))
+    assert(groups.length == 4, s"hot cell not split: ${groups.toSeq}")
+    assert(groups.max < hotMass,
+      "one salt shard still holds the whole hot cell")
+    // the PQ join accepts salting through the same path and stays exact
+    // on the clustered fixture (probe-1, clusters cleanly separated)
+    val books = Similarity.trainCodebooks(
+      fixture().select($"vec_id", $"embedding"))
+    val nnSalted = Similarity.knnJoinPqOn(
+      fixture().select($"vec_id", $"embedding"), cents = Similarity
+        .trainCentroids(fixture().select($"vec_id", $"embedding"), 3, 5),
+      books = books, nprobe = 1, k = 5, shortlist = 12, salts = 4)
+    val brute = Similarity.knnBruteOn(
+      fixture().select($"vec_id", $"embedding"), numQueries = 36, k = 5)
+      .select($"q_id", $"neighbor_id")
+    val hits = nnSalted.select($"q_id", $"neighbor_id")
+      .join(brute, Seq("q_id", "neighbor_id"), "left_semi").count()
+    assert(hits >= (36 * 5 * 0.9).toInt,
+      s"salted PQ join recall collapsed: $hits/180")
+  }
+
   test("plan: one cell join + one window, no cartesian product") {
     val fix = fixture().select($"vec_id", $"embedding")
     val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
