@@ -90,7 +90,12 @@ object Bench {
     // round 11: metadata-only COUNT (interior files answered from
     // manifest row counts minus DV entries, boundary files scanned) and
     // skipping as a transparent optimizer rule (plain read + filter)
-    "lh_count_meta", "lh_skip_rule")
+    "lh_count_meta", "lh_skip_rule",
+    // round 12: partitioned-table pruning, metadata MIN/MAX, row-group
+    // DV skipping, the SQL (CALL) merge surface, and the IVF+PQ join
+    // (codes-side candidates + exact rerank)
+    "lh_partition_prune", "lh_minmax_meta", "lh_rowgroup_dv",
+    "lh_sql_merge", "ss_knn_join_pq")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -116,6 +121,7 @@ object Bench {
     // production join only (the gate form re-runs brute force for the
     // recall envelope — oracle overhead, not the operator)
     "ss_knn_join" -> ((s, d) => graft.operators.Similarity.knnJoin(s, d)),
+    "ss_knn_join_pq" -> ((s, d) => graft.operators.Similarity.knnJoinPq(s, d)),
     "dd_bloom_incremental" -> ((s, d) => graft.operators.Dedup.ddBloomAdmit(s, d)),
     "dd_dup_spans" -> ((s, d) => graft.operators.Dedup.ddDupSpansHashed(s, d)),
     "dd_decontaminate" -> ((s, d) => graft.operators.Dedup.ddDecontaminateHashed(s, d)),
