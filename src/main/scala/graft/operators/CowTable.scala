@@ -254,6 +254,10 @@ object CowTable {
 
   private[graft] def clearEntriesCache(): Unit = entriesCache.clear()
 
+  private def cachedEntriesOf(table: String,
+      m: Manifest): Option[Seq[FileEntry]] =
+    m.entriesRel.flatMap(rel => Option(entriesCache.get((table, rel))))
+
   private def cacheEntries(table: String, rel: String,
       entries: Seq[FileEntry]): Unit =
     if (entries.size <= SmallSidecarEntries) {
@@ -810,16 +814,18 @@ object CowTable {
               .agg(count(lit(1)).as("__dv")),
             normalizeSql(col("path")) === col("__dvp"), "left")
             .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
+        // ONE job: counts + DV-adjusted metadata total + the boundary
+        // files' paths (bounded — they get scanned anyway)
         val agg = dvAdj.agg(
           sum(when(col("__full"), lit(1)).otherwise(lit(0))).as("nfull"),
           sum(when(col("__full"), col("numRows") - col("__dv"))
             .otherwise(lit(0L))).as("meta"),
-          sum(when(!col("__keep"), lit(1)).otherwise(lit(0))).as("npruned"))
+          sum(when(!col("__keep"), lit(1)).otherwise(lit(0))).as("npruned"),
+          collect_list(when(col("__keep") && !col("__full"), col("path")))
+            .as("partials"))
           .head()
-        val partial = classified.filter(col("__keep") && !col("__full"))
-          .select("path").collect()
-          .map(r => byNorm.getOrElse(normalize(r.getString(0)),
-            r.getString(0))).toSeq
+        val partial = agg.getSeq[String](3)
+          .map(p => byNorm.getOrElse(normalize(p), p)).toSeq
         (agg.getLong(0).toInt, agg.getLong(1), agg.getLong(2).toInt, partial)
     }
     val scanned =
@@ -916,33 +922,36 @@ object CowTable {
     val e = withDv.withColumn("__stat", stat)
       .withColumn("__meta", col("__keep") && col("__full") &&
         !col("__hasdv") && stat.isNotNull)
+    // ONE job: the metadata candidate + counts + the kept-non-meta
+    // files' (path, stat) pairs — bounded (boundary + DV'd files; they
+    // are scan candidates by definition). The stat bound is then
+    // applied driver-side against the candidate.
     val a = e.agg(
       agg1(when(col("__meta"), col("__stat"))).as("cand"),
       sum(when(col("__meta"), 1L).otherwise(0L)).as("nmeta"),
       sum(when(!col("__keep"), 1L).otherwise(0L)).as("npruned"),
-      sum(when(col("__keep") && !col("__meta"), 1L).otherwise(0L))
-        .as("nrest")).head()
+      collect_list(when(col("__keep") && !col("__meta"),
+        struct(col("path"), col("__stat")))).as("rest")).head()
     val cand = if (a.isNullAt(0)) None else Some(a.get(0))
-    val unimprovable = cand match {
-      case None => lit(false)
-      case Some(v) => col("__stat").isNotNull &&
-        (if (isMin) col("__stat") >= lit(v) else col("__stat") <= lit(v))
-    }
-    val scanPaths = e.filter(col("__keep") && !col("__meta") && !unimprovable)
-      .select("path").collect()
-      .map(r => byNorm.getOrElse(normalize(r.getString(0)), r.getString(0)))
+    def cmp(x: Any, y: Any): Int =
+      x.asInstanceOf[Comparable[Any]].compareTo(y)
+    val rest = a.getSeq[Row](3)
+    val scanPaths = rest.filter { r =>
+      val unimprovable = cand.isDefined && !r.isNullAt(1) &&
+        (if (isMin) cmp(r.get(1), cand.get) >= 0
+         else cmp(r.get(1), cand.get) <= 0)
+      !unimprovable
+    }.map(r => byNorm.getOrElse(normalize(r.getString(0)), r.getString(0)))
       .toSeq
     val scanned = scanValue(scanPaths)
-    def better(x: Any, y: Any): Any = {
-      val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
-      if ((isMin && c <= 0) || (!isMin && c >= 0)) x else y
-    }
+    def better(x: Any, y: Any): Any =
+      if ((isMin && cmp(x, y) <= 0) || (!isMin && cmp(x, y) >= 0)) x else y
     val value = (cand, scanned) match {
       case (Some(x), Some(y)) => Some(better(x, y))
       case (x, y) => x.orElse(y)
     }
     MinMaxBreakdown(value, a.getLong(1).toInt, scanPaths.size,
-      (a.getLong(3) - scanPaths.size).toInt, a.getLong(2).toInt)
+      rest.size - scanPaths.size, a.getLong(2).toInt)
   }
 
   /** Skipping effectiveness of `cond` on the current snapshot:
@@ -1387,9 +1396,14 @@ object CowTable {
     // driver seq) and append only the delta-sized DV entries
     val carriedDF = entriesDF(spark, table, m)
       .unionByName(spark.createDataFrame(dvEntries), allowMissingColumns = true)
-    commitWithStatsDF(spark, table, v, carriedDF, Nil,
+    val m2 = commitWithStatsDF(spark, table, v, carriedDF, Nil,
       m.schemaOpt.getOrElse(raw.schema), m.files,
       m.dvs ++ dvEntries.map(_.path), m.partitionCols)
+    // cache hand-off: a DV commit's entries are derivable from the old
+    // snapshot's (when cached) — the next read skips the sidecar job
+    for (old <- cachedEntriesOf(table, m); rel <- m2.entriesRel)
+      cacheEntries(table, rel, old ++ dvEntries)
+    m2
   }
 
   /** Materialize deletion vectors: rewrite ONLY the files that carry a
@@ -1544,8 +1558,15 @@ object CowTable {
         (if (touched.isEmpty) lit(true)
          else !normalizeSql(col("path"))
            .isInCollection(touched.toSeq)))
-    commitWithStatsDF(spark, table, v, carriedDF, newFiles._1, newSchema,
-      untouchedF, m.dvs, m.partitionCols, newFiles._2)
+    val m2 = commitWithStatsDF(spark, table, v, carriedDF, newFiles._1,
+      newSchema, untouchedF, m.dvs, m.partitionCols, newFiles._2)
+    // cache hand-off possible only when nothing new was written (a
+    // pure-delete merge): new files' stats live in the sidecar alone
+    if (newFiles._1.isEmpty)
+      for (old <- cachedEntriesOf(table, m); rel <- m2.entriesRel)
+        cacheEntries(table, rel, old.filter(e =>
+          e.kind == "dv" || !touched.contains(normalize(e.path))))
+    m2
   }
 
   /** The files a merge's discovery scan must read: those whose
