@@ -1634,19 +1634,29 @@ object CowTable {
     val smallBytes = smalls.map(_._2).sum
     val n = math.max(1, math.ceil(smallBytes.toDouble / targetBytes).toInt)
     val v = m.version + 1
-    val out = versionDir(table, "data", v)
     // DV-applied rows: compaction materializes the tail's deletes for
     // free; kept files' DV entries stay live and are carried
-    Layout.compactRows(readSnapshot(spark, m, Some(smalls.map(_._1))),
-      n, out.toString)
+    val tail = readSnapshot(spark, m, Some(smalls.map(_._1)))
+    val (newFiles, newParts) =
+      if (m.partitionCols.isEmpty) {
+        val out = versionDir(table, "data", v)
+        Layout.compactRows(tail, n, out.toString)
+        (dropEmptyFiles(spark, listPartFiles(out)), Map.empty[String, String])
+      } else
+        // PARTITION-PRESERVING: re-split the rewritten tail by its
+        // partition dirs (one shuffle task per partition tuple → one
+        // compacted file per partition), so the new files keep exact
+        // partition tuples and pruning never degrades
+        writeDataPartitioned(
+          tail.repartition(math.max(n, 1), m.partitionCols.map(col): _*),
+          table, v, m.partitionCols)
     val smallNorm = smalls.map(x => normalize(x._1))
     val smallSet = smallNorm.toSet
     commitWithStatsDF(spark, table, v,
-      carryAllBut(spark, table, m, smallNorm),
-      dropEmptyFiles(spark, listPartFiles(out)),
+      carryAllBut(spark, table, m, smallNorm), newFiles,
       m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
       m.files.filterNot(f => smallSet.contains(normalize(f))), m.dvs,
-      m.partitionCols)
+      m.partitionCols, newParts)
   }
 
   /** [[compactTable]] with Z-order re-clustering of the rewritten tail

@@ -88,6 +88,31 @@ class CowPartitionSpec extends AnyFunSuite {
       "insert" -> 5L, "delete" -> 12L), s"unexpected feed: $ch")
   }
 
+  test("compaction preserves partition tuples and pruning") {
+    val t = fixture()
+    // second wave of small per-partition files via an insert-only merge
+    val more = (100L until 140L).map(i =>
+      (i, s"r${(i / 25).toInt}", i * 2, s"p$i")).toDF("id", "region", "v", "name")
+    CowTable.mergeInto(spark, t, more, Seq("id"))
+    val before = CowTable.latestManifest(t).get
+    CowTable.compactTable(spark, t, targetBytes = 1L << 30)
+    val m = CowTable.latestManifest(t).get
+    assert(m.version == before.version + 1 &&
+      m.files.size < before.files.size, "compaction did not shrink files")
+    // every compacted file still carries its exact partition tuple
+    assert(CowTable.entriesDF(spark, t, m)
+      .filter($"kind" === "data" && $"part".isNull).count() == 0,
+      "compaction lost partition tuples")
+    val planned = CowTable.pruneDataFiles(spark, t, m, $"region" === "r5")
+    assert(planned.nonEmpty && planned.size < m.files.size &&
+      planned.forall(_.contains("__p_region=r5")))
+    // content identical through the compaction
+    val got = CowTable.read(spark, t).collect().map(_.toString).sorted
+    val want = CowTable.readVersion(spark, t, before.version)
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("metadata count/min/max use exact partition values") {
     val t = fixture()
     val b = CowTable.countWhereDetailed(spark, t, $"region" === "r3")

@@ -128,6 +128,27 @@ class KnnJoinSpec extends AnyFunSuite {
       s"salted PQ join recall collapsed: $hits/180")
   }
 
+  test("PQ join from STORED codes equals scan-side encoding") {
+    val fix = fixture().select($"vec_id", $"embedding")
+    val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
+    val books = Similarity.trainCodebooks(fix)
+    // persist (vec_id, cell, codes) — the stored-index shape where the
+    // candidate path never touches raw vectors — and round-trip it
+    val codedPath = java.nio.file.Files
+      .createTempDirectory("graft_join_codes").toString
+    fix.select($"vec_id",
+        Similarity.assignCell($"embedding", cents).as("cell"),
+        Similarity.pqEncode($"embedding", books).as("codes"))
+      .write.mode("overwrite").parquet(codedPath)
+    val stored = spark.read.parquet(codedPath)
+    val viaStored = Similarity.knnJoinPqOn(fix, cents, books, nprobe = 1,
+      k = 5, shortlist = 12, coded = Some(stored))
+    val viaScan = Similarity.knnJoinPqOn(fix, cents, books, nprobe = 1,
+      k = 5, shortlist = 12)
+    assert(viaStored.collect().map(_.toString).sorted.toSeq ==
+      viaScan.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("plan: one cell join + one window, no cartesian product") {
     val fix = fixture().select($"vec_id", $"embedding")
     val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
