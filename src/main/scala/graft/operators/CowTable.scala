@@ -2057,6 +2057,28 @@ object CowTable {
   def lhChanges(s: SparkSession, dir: String): DataFrame =
     tableChanges(s, lhChangesBuild(s, dir), 0, 2, Seq("o_orderkey"))
 
+  /** Gate: the SAME v0→v2 diff delivered through the DSv2 STREAMING
+    * source ([[graft.streaming.CowFeedProvider]]) — a real micro-batch
+    * replay into the memory sink, offsets = table versions, the batch
+    * staged and read back through the source's own machinery. Shares
+    * lh_changes' relational oracle, pinning that the streaming feed and
+    * the batch API deliver identical change sets. */
+  def lhChangesStream(s: SparkSession, dir: String): DataFrame =
+    lhChangesStreamOp(s, dir, lhChangesBuild(s, dir))
+
+  private def lhChangesStreamOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val ckpt = Files.createTempDirectory("graft_feed_gate").toString
+    val name = "lh_changes_stream_" +
+      java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = s.readStream.format("graft.streaming.CowFeedProvider")
+      .option("table", table).option("keys", "o_orderkey").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).drop("_commit_version")
+  }
+
   val lhChangesSql: String =
     """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
       |source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2619,6 +2641,7 @@ object CowTable {
     "lh_compact_zorder" -> lhCompactZorder,
     "lh_delete_vectors" -> lhDeleteVectors,
     "lh_changes" -> lhChanges,
+    "lh_changes_stream" -> lhChangesStream,
     "lh_stats_prune" -> lhStatsPrune,
     "lh_evolve" -> lhEvolve,
     "lh_count_meta" -> lhCountMeta,
@@ -2635,6 +2658,7 @@ object CowTable {
     "lh_compact_zorder" -> lhCompactZorderSql,
     "lh_delete_vectors" -> lhDeleteVectorsSql,
     "lh_changes" -> lhChangesSql,
+    "lh_changes_stream" -> lhChangesSql,
     "lh_stats_prune" -> lhStatsPruneSql,
     "lh_evolve" -> lhEvolveSql,
     "lh_count_meta" -> lhCountMetaSql,

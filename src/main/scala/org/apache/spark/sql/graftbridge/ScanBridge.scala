@@ -65,4 +65,24 @@ object ScanBridge {
     classic.internalCreateDataFrame(rdd, fullSchema)
       .withColumnRenamed(riTmp, RowIndexColumn)
   }
+
+  /** A SERIALIZABLE whole-file parquet reader under a fixed schema —
+    * built on the driver (the same `buildReaderWithPartitionValues`
+    * closure `FileScanRDD` ships to executors), invoked executor-side
+    * with (path, fileSize). The building block for DSv2 partition
+    * readers over staged parquet (e.g. the change-feed streaming
+    * source), without reimplementing type conversion. */
+  def wholeFileReader(spark: SparkSession, schema: StructType):
+      (String, Long) => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val fmt = new ParquetFileFormat
+    val readFunc = fmt.buildReaderWithPartitionValues(
+      classic, schema, StructType(Nil), schema, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      classic.sessionState.newHadoopConfWithOptions(Map.empty))
+    (path: String, size: Long) =>
+      readFunc(PartitionedFile(org.apache.spark.sql.catalyst.InternalRow.empty,
+        SparkPath.fromPathString(path), 0L, size, Array.empty[String], 0L,
+        size))
+  }
 }
