@@ -1406,6 +1406,87 @@ object CowTable {
     m2
   }
 
+  // ------------------------------------------------- DSv2 commit hooks
+
+  /** [[normalize]] / [[normalizeSql]] for the DSv2 surface
+    * ([[graft.plans.CowDsv2Table]]) — path identity there must match the
+    * manifest's. */
+  private[graft] def normalizePath(p: String): String = normalize(p)
+  private[graft] def normalizePathSql(c: Column): Column = normalizeSql(c)
+
+  /** A fresh data directory for version `v` — where a DSv2 batch write
+    * stages its part files before [[replaceFilesCommit]] publishes them. */
+  private[graft] def newDataDir(table: String, v: Int): String =
+    versionDir(table, "data", v).toString
+
+  /** (bytes, numRows) per NORMALIZED path for the given planned data
+    * files — the scan-planning/statistics lookup of the DSv2 table.
+    * Driver materialization is O(#planned), never O(#entries): the
+    * sidecar is filtered executor-side first. */
+  private[graft] def dataFileMeta(spark: SparkSession, table: String,
+      m: Manifest, files: Seq[String]): Map[String, (Long, Long)] = {
+    if (files.isEmpty) return Map.empty
+    val norm = files.map(normalize)
+    entriesDF(spark, table, m)
+      .filter(col("kind") === "data" &&
+        normalizeSql(col("path")).isInCollection(norm))
+      .select(normalizeSql(col("path")), col("bytes"), col("numRows"))
+      .collect()
+      .map(r => r.getString(0) -> (
+        (if (r.isNullAt(1)) -1L else r.getLong(1)),
+        (if (r.isNullAt(2)) -1L else r.getLong(2))))
+      .toMap
+  }
+
+  /** Deleted row positions per NORMALIZED data-file path, restricted to
+    * `files` — the DV side a DSv2 partition reader applies executor-side.
+    * Driver-resident by the same contract as [[readSnapshot]]'s
+    * broadcast: delete sets are delta-sized by design
+    * ([[rewriteDeletes]] bounds them). */
+  private[graft] def dvPositions(spark: SparkSession, m: Manifest,
+      files: Seq[String]): Map[String, Array[Long]] = {
+    if (m.dvs.isEmpty || files.isEmpty) return Map.empty
+    val norm = files.map(normalize)
+    spark.read.parquet(m.dvs: _*)
+      .select(normalizeSql(col("file_path")).as("fp"), col("row_index"))
+      .filter(col("fp").isInCollection(norm))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (fp, rows) =>
+        fp -> rows.map(_.getLong(1)).distinct.sorted }
+  }
+
+  /** DSv2 commit: replace `removed` data files with `added` (already
+    * written under this table's data dir) as ONE new version — the
+    * commit behind SQL `MERGE INTO` / `UPDATE` / `DELETE` executed
+    * through [[graft.plans.CowDsv2Table]]'s group-based row-level
+    * operations; with `removed` empty it is the `INSERT INTO` append.
+    * Carried entries ride sidecar-to-sidecar (columnar, never a driver
+    * seq); new files get stats fused into the sidecar write. DV entries
+    * whose data file was removed stay in place — they reference paths no
+    * longer in the manifest, so readers never match them, and
+    * [[rewriteDeletes]]/[[vacuum]] reclaim them. Refuses to commit over
+    * a concurrent writer (the base version must still be latest — the
+    * same first-claim-wins manifest discipline as every other commit). */
+  private[graft] def replaceFilesCommit(spark: SparkSession, table: String,
+      base: Manifest, removed: Seq[String], added: Seq[String]): Manifest = {
+    val latestV = latestManifest(table).map(_.version)
+    require(latestV.contains(base.version),
+      s"replaceFilesCommit: concurrent modification — operation read " +
+        s"v${base.version} but the table is at v${latestV.getOrElse(-1)}")
+    val schema = base.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"cow table $table has a legacy schemaless manifest — DSv2 writes " +
+        "need a v2 manifest"))
+    val removedN = removed.map(normalize).toSet
+    val carriedFiles = base.files.filterNot(f => removedN(normalize(f)))
+    val carriedDF = entriesDF(spark, table, base).filter(
+      if (removedN.isEmpty) lit(true)
+      else col("kind") === "dv" ||
+        !normalizeSql(col("path")).isInCollection(removedN.toSeq))
+    commitWithStatsDF(spark, table, base.version + 1, carriedDF, added,
+      schema, carriedFiles, base.dvs, base.partitionCols)
+  }
+
   /** Materialize deletion vectors: rewrite ONLY the files that carry a
     * live DV entry (discovered from the DVs themselves — a delta-sized
     * read, not a table scan), drop every DV, carry the rest by
@@ -2274,6 +2355,33 @@ object CowTable {
     s.sql(s"SELECT * FROM cow_read('$table')")
   }
 
+  /** Gate: the `MERGE INTO` *statement* through the DSv2 row-level
+    * operation stack ([[graft.plans.CowDsv2Table]] — group-based
+    * copy-on-write, runtime group filtering, executor-side parquet
+    * writes, one replacing manifest commit), reading back through the
+    * same catalog. Pinned to the SAME relational MERGE oracle as
+    * lh_merge and lh_sql_merge, so all three merge surfaces — Scala
+    * API, CALL procedure, SQL statement — share one semantics. */
+  def lhMergeStmt(s: SparkSession, dir: String): DataFrame =
+    lhMergeStmtOp(s, dir, lhMergeBuild(s, dir))
+
+  private def lhMergeStmtOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .createOrReplaceTempView("lh_merge_stmt_src")
+    s.sql(
+      s"""MERGE INTO graft.`$table` t
+         |USING lh_merge_stmt_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    s.sql(s"SELECT * FROM graft.`$table`")
+  }
+
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
        |    (SELECT MAX(o_custkey) FROM orders) // 4 +
@@ -2592,6 +2700,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhSqlReadOp(s, d, t))),
     "lh_sql_merge" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => lhSqlMergeOp(s, d, t))),
+    "lh_merge_stmt" -> ((s, d) =>
+      (() => lhMergeBuild(s, d), t => lhMergeStmtOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
@@ -2651,6 +2761,7 @@ object CowTable {
     "lh_skip_rule" -> lhSkipRule,
     "lh_sql_read" -> lhSqlRead,
     "lh_sql_merge" -> lhSqlMerge,
+    "lh_merge_stmt" -> lhMergeStmt,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2668,5 +2779,6 @@ object CowTable {
     "lh_skip_rule" -> lhStatsPruneSql,
     "lh_sql_read" -> lhSqlReadSql,
     "lh_sql_merge" -> lhMergeSql,
+    "lh_merge_stmt" -> lhMergeSql,
   )
 }

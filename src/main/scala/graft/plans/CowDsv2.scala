@@ -1,0 +1,515 @@
+package graft.plans
+
+import java.util.OptionalLong
+
+import org.apache.spark.sql.{Column => SqlColumn, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftbridge.{ScanBridge, WriteBridge}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.CowTable
+
+/** The CoW lakehouse as a REAL DSv2 table — the surface that makes
+  * `MERGE INTO` / `UPDATE` / `DELETE FROM` / `INSERT INTO` SQL
+  * *statements* (not just `CALL` procedures) work against a graft CoW
+  * table through Spark's own row-level-operation machinery:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+  *   MERGE INTO graft.`/path/to/table` t USING updates s
+  *     ON t.id = s.id
+  *     WHEN MATCHED AND s.kill THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *   DELETE FROM graft.`/path/to/table` WHERE id % 5 = 2
+  *   SELECT * FROM graft.`/path/to/table` VERSION AS OF 3
+  * }}}
+  *
+  * Execution model (all public Spark extension points):
+  *  - **Reads** are a DSv2 `Batch` whose input partitions are the
+  *    manifest's data files after per-file stats + partition-tuple
+  *    pruning of the pushed-down filters ([[CowTable.pruneDataFiles]] —
+  *    filters prune FILES only and are all returned as residual, so row
+  *    semantics never depend on prune soundness). Executors read through
+  *    the same `ParquetFileFormat` closure `FileScanRDD` ships
+  *    ([[ScanBridge.fileReaderWithRowIndex]]) with the file-global row
+  *    index requested, and apply the snapshot's deletion vectors
+  *    positionally — a sorted-array membership test per row, no join.
+  *  - **Group-based copy-on-write** row-level operations: the rewrite
+  *    scan reports `_file` as its runtime-filterable attribute, so
+  *    Spark's `RowLevelOperationRuntimeGroupFiltering` narrows the
+  *    rewrite to the files that actually contain matches (a dynamic IN
+  *    subquery — the Iceberg COW discipline); the write replaces exactly
+  *    the scanned files with freshly written ones in a single manifest
+  *    commit ([[CowTable.replaceFilesCommit]]).
+  *  - **Merge-on-read fast path**: the table also implements
+  *    `SupportsDelete`, so Spark's `OptimizeMetadataOnlyDeleteFromTable`
+  *    turns a fully-convertible `DELETE FROM` into
+  *    [[CowTable.deleteWhere]] — a deletion-vector write that rewrites
+  *    no data file at all.
+  *  - **Writes** land as parquet from `InternalRow`s via
+  *    [[WriteBridge]] (the `FileFormatWriter` machinery), and commit by
+  *    manifest — concurrent writers race on the manifest claim exactly
+  *    like every other CoW committer.
+  *
+  * Scale notes: planning state is O(#planned files) on the driver (the
+  * same contract as Spark's own `FileSourceScanExec` file listing);
+  * sidecar algebra stays executor-side. DV positions ride input
+  * partitions and are delta-sized by the [[CowTable.rewriteDeletes]]
+  * contract. Files written by a row-level rewrite carry NULL partition
+  * tuples on partitioned tables (exact-partition pruning degrades, never
+  * soundness — [[CowTable.compactTable]] restores the layout).
+  *
+  * Reference behavior: the reference engine has no SQL surface at all
+  * (`/root/reference/lib/map_reduce.rb` exposes a Ruby API); this is
+  * part of the demanded lakehouse superset. */
+object CowDsv2 {
+
+  /** Metadata column: which data file a row lives in (manifest-raw
+    * path) — the GROUP identity of the copy-on-write rewrite. */
+  val FileCol = "_file"
+
+  /** Metadata column: the row's file-global position (parquet row
+    * index) — with [[FileCol]], the row's stable physical identity. */
+  val PosCol = "_pos"
+
+  private[plans] def metaColumns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = FileCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String = "data file path of the row"
+    },
+    new MetadataColumn {
+      override def name: String = PosCol
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String = "file-global row index of the row"
+    })
+
+  private def c(a: String): SqlColumn =
+    col("`" + a.replace("`", "``") + "`")
+
+  /** `sources.Filter` → `Column`, for the filters whose semantics map
+    * 1:1 (the rest simply don't participate in file pruning / metadata
+    * deletes). */
+  def filterToColumn(f: Filter): Option[SqlColumn] = f match {
+    case EqualTo(a, v) => Some(c(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(c(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+    case LessThan(a, v) => Some(c(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+    case In(a, vs) => Some(c(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(c(a).isNull)
+    case IsNotNull(a) => Some(c(a).isNotNull)
+    case And(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+    case Or(l, r) =>
+      for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+    case Not(x) => filterToColumn(x).map(!_)
+    case StringStartsWith(a, v) => Some(c(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(c(a).endsWith(v))
+    case StringContains(a, v) => Some(c(a).contains(v))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  def filtersToCondition(fs: Seq[Filter]): Option[SqlColumn] =
+    fs.flatMap(filterToColumn(_)).reduceOption(_ && _)
+
+  /** The `_file IN (…)` / `_file = …` values of a runtime group-filter
+    * predicate batch; empty when no such predicate arrived. */
+  private[plans] def fileInValues(preds: Array[V2Predicate]): Seq[String] = {
+    def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression):
+        Boolean = e match {
+      case n: NamedReference => n.fieldNames.toSeq == Seq(FileCol)
+      case _ => false
+    }
+    def strOf(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[String] = e match {
+      case l: Literal[_] => l.value match {
+        case u: UTF8String => Some(u.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+      case _ => None
+    }
+    preds.toSeq.flatMap { p =>
+      val ch = p.children()
+      p.name() match {
+        case "IN" if ch.nonEmpty && isFileRef(ch.head) =>
+          ch.tail.toSeq.flatMap(strOf)
+        case "=" if ch.length == 2 && isFileRef(ch(0)) =>
+          strOf(ch(1)).toSeq
+        case _ => Nil
+      }
+    }
+  }
+}
+
+/** One CoW table (optionally pinned to a version for time travel). */
+class CowDsv2Table(val tablePath: String, versionOpt: Option[Int] = None)
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with SupportsDelete {
+
+  private[plans] val manifest: CowTable.Manifest = versionOpt match {
+    case Some(v) => CowTable.readManifest(tablePath, v)
+    case None => CowTable.latestManifest(tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"cow table $tablePath does not exist"))
+  }
+
+  private[plans] val dataSchema: StructType =
+    manifest.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"cow table $tablePath has a legacy schemaless manifest — the SQL " +
+        "surface needs a v2 manifest"))
+
+  override def name(): String =
+    s"cow(`$tablePath`${versionOpt.map(v => s"@v$v").getOrElse("")})"
+
+  override def schema(): StructType = dataSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE)
+
+  override def metadataColumns(): Array[MetadataColumn] = CowDsv2.metaColumns
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CowScanBuilder(this, None)
+
+  /** Plain `INSERT INTO` append. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new CowV2Write(CowDsv2Table.this,
+        info.schema(), None)
+    }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new CowRowLevelOperation(CowDsv2Table.this, info.command())
+    }
+
+  // SupportsDelete (V1 filters; the V2-predicate form bridges via the
+  // interface defaults): Spark's OptimizeMetadataOnlyDeleteFromTable
+  // routes a fully-convertible DELETE here — a deletion-vector write
+  // (merge-on-read), no group rewrite.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    versionOpt.isEmpty &&
+      filters.forall(f => CowDsv2.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = CowDsv2.filtersToCondition(filters.toSeq).getOrElse(lit(true))
+    CowTable.deleteWhere(SparkSession.active, tablePath, cond)
+    ()
+  }
+}
+
+/** Filters prune FILES only (all are returned as residual — row
+  * semantics never depend on stats soundness); column pruning reaches
+  * the parquet reader. */
+private[plans] class CowScanBuilder(table: CowDsv2Table,
+    owner: Option[CowRowLevelOperation]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = table.dataSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => CowDsv2.filterToColumn(f).isDefined)
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(s: StructType): Unit = required = s
+
+  override def build(): Scan = {
+    val scan = new CowBatchScan(table, required, pushed)
+    owner.foreach(_.adopt(scan))
+    scan
+  }
+}
+
+private[plans] case class CowInputPartition(path: String, bytes: Long,
+    dvPos: Array[Long]) extends InputPartition
+
+/** Executor-side: parquet rows + row index → DV-filtered rows projected
+  * to the required schema (`plan(i)`: data column index, -1 = the file
+  * path constant, -2 = the row index). */
+private[plans] case class CowReaderFactory(
+    readFn: (String, Long) => Iterator[InternalRow],
+    plan: Array[Int], types: Array[DataType], nData: Int)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CowInputPartition]
+    val it = readFn(cp.path, cp.bytes)
+    val dv = cp.dvPos
+    val fileUtf8 = UTF8String.fromString(cp.path)
+    val out = new GenericInternalRow(plan.length)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val r = it.next()
+          val ri = r.getLong(nData)
+          if (dv.length == 0 || java.util.Arrays.binarySearch(dv, ri) < 0) {
+            var i = 0
+            while (i < plan.length) {
+              val v: Any = plan(i) match {
+                case -1 => fileUtf8
+                case -2 => ri
+                case j => if (r.isNullAt(j)) null else r.get(j, types(i))
+              }
+              out.update(i, v)
+              i += 1
+            }
+            cur = out
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[plans] class CowBatchScan(table: CowDsv2Table,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+
+  private def spark = SparkSession.active
+  private val m = table.manifest
+
+  /** Runtime group filter (normalized paths), when Spark narrowed the
+    * rewrite to matching files. */
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+
+  /** What the LAST partition planning covered — the copy-on-write
+    * "scanned groups" the replacing commit removes. */
+  @volatile private[plans] var plannedFiles: Seq[String] = Seq.empty
+
+  private def currentFiles: Seq[String] = {
+    val statPruned = CowDsv2.filtersToCondition(pushed.toSeq) match {
+      case Some(cond) if m.files.nonEmpty =>
+        CowTable.pruneDataFiles(spark, table.tablePath, m, cond)
+      case _ => m.files
+    }
+    runtimeKeep match {
+      case Some(keep) =>
+        statPruned.filter(f => keep(CowTable.normalizePath(f)))
+      case None => statPruned
+    }
+  }
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"cow(${table.tablePath}) v${m.version} " +
+      s"pushed=[${pushed.mkString(", ")}]"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(CowDsv2.FileCol))
+
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    val vals = CowDsv2.fileInValues(predicates)
+    if (vals.nonEmpty)
+      runtimeKeep = Some(vals.map(CowTable.normalizePath).toSet)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = currentFiles
+    plannedFiles = files
+    val meta = CowTable.dataFileMeta(spark, table.tablePath, m, files)
+    val dvs = CowTable.dvPositions(spark, m, files)
+    files.map { f =>
+      val n = CowTable.normalizePath(f)
+      val bytes = meta.get(n).map(_._1).filter(_ >= 0L).getOrElse(
+        java.nio.file.Files.size(java.nio.file.Paths.get(n)))
+      CowInputPartition(f, bytes, dvs.getOrElse(n, Array.empty[Long]))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val dataCols = required.fields.filter(f =>
+      f.name != CowDsv2.FileCol && f.name != CowDsv2.PosCol)
+    val readFn = ScanBridge.fileReaderWithRowIndex(spark, table.dataSchema,
+      StructType(dataCols.toIndexedSeq))
+    val plan = required.fields.map { f =>
+      if (f.name == CowDsv2.FileCol) -1
+      else if (f.name == CowDsv2.PosCol) -2
+      else dataCols.indexWhere(_.name == f.name)
+    }
+    CowReaderFactory(readFn, plan, required.fields.map(_.dataType),
+      dataCols.length)
+  }
+
+  /** Manifest-stats estimate over the (pruned) planned files — gives the
+    * planner real sizes, so e.g. a MERGE source join can broadcast the
+    * small side. Row counts are pre-DV (an upper bound). */
+  override def estimateStatistics(): Statistics = {
+    val files = currentFiles
+    val meta = CowTable.dataFileMeta(spark, table.tablePath, m, files)
+    val known = meta.values.filter(_._1 >= 0L)
+    val bytes = known.map(_._1).sum
+    val rows = meta.values.map(_._2)
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        if (files.isEmpty) OptionalLong.of(0L)
+        else if (known.isEmpty) OptionalLong.empty()
+        else OptionalLong.of(bytes)
+      override def numRows(): OptionalLong =
+        if (files.isEmpty) OptionalLong.of(0L)
+        else if (rows.isEmpty || rows.exists(_ < 0L)) OptionalLong.empty()
+        else OptionalLong.of(rows.sum)
+    }
+  }
+}
+
+/** Group-based copy-on-write MERGE / UPDATE / DELETE: the rewrite scan
+  * is adopted at build time, and the replacing write commits against
+  * exactly the files that scan planned. */
+private[plans] class CowRowLevelOperation(val table: CowDsv2Table,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** The FIRST scan built through this operation is the ReplaceData
+    * group scan (Spark builds it during scan planning, before any
+    * runtime-filter subquery scans). */
+  @volatile private var scan: CowBatchScan = _
+
+  private[plans] def adopt(s: CowBatchScan): Unit =
+    if (scan == null) scan = s
+
+  private[plans] def scannedFiles: Seq[String] = {
+    require(scan != null,
+      "row-level operation write committed without a group scan")
+    scan.plannedFiles
+  }
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CowScanBuilder(table, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new CowV2Write(table, info.schema(),
+        Some(CowRowLevelOperation.this))
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(CowDsv2.FileCol))
+
+  override def description(): String =
+    s"cow copy-on-write $cmd on ${table.tablePath}"
+}
+
+private[plans] case class CowWriteMessage(path: Option[String], rows: Long)
+    extends WriterCommitMessage
+
+/** V2 batch write: executors write parquet via [[WriteBridge]]; the
+  * driver commits ONE manifest version that adds the written files and
+  * (for row-level operations) removes the scanned groups. */
+private[plans] class CowV2Write(table: CowDsv2Table,
+    writeSchema: StructType, op: Option[CowRowLevelOperation]) extends Write {
+
+  override def description(): String =
+    s"cow ${if (op.isDefined) "replace" else "append"} ${table.tablePath}"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private def spark = SparkSession.active
+    private val destDir =
+      CowTable.newDataDir(table.tablePath, table.manifest.version + 1)
+
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory = {
+      // project the incoming rows (which may carry preserved metadata
+      // columns) onto the table schema by NAME, in table-column order
+      val srcIdx = table.dataSchema.fields.map(f =>
+        writeSchema.fieldIndex(f.name))
+      CowDataWriterFactory(destDir,
+        WriteBridge.parquetWriter(spark, table.dataSchema), srcIdx,
+        table.dataSchema.fields.map(_.dataType))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val added = messages.collect {
+        case CowWriteMessage(Some(p), _) => p }.toSeq
+      val removed = op.map(_.scannedFiles).getOrElse(Nil)
+      if (added.isEmpty && removed.isEmpty) return
+      CowTable.replaceFilesCommit(spark, table.tablePath, table.manifest,
+        removed, added)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      messages.foreach {
+        case CowWriteMessage(Some(p), _) =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+        case _ =>
+      }
+  }
+}
+
+/** Opens the parquet writer lazily (zero-row tasks emit no file). */
+private[plans] case class CowDataWriterFactory(destDir: String,
+    handle: WriteBridge.ParquetWriterHandle, srcIdx: Array[Int],
+    types: Array[DataType]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private var w: WriteBridge.ParquetRowWriter = _
+    private var path: String = _
+    private var n = 0L
+    private val out = new GenericInternalRow(srcIdx.length)
+
+    override def write(r: InternalRow): Unit = {
+      if (w == null) {
+        path = s"$destDir/part-$partitionId-$taskId.parquet"
+        w = handle.open(path, partitionId, 0)
+      }
+      var i = 0
+      while (i < srcIdx.length) {
+        out.update(i,
+          if (r.isNullAt(srcIdx(i))) null else r.get(srcIdx(i), types(i)))
+        i += 1
+      }
+      w.write(out)
+      n += 1
+    }
+
+    override def commit(): WriterCommitMessage = {
+      if (w != null) w.close()
+      CowWriteMessage(Option(path), n)
+    }
+
+    override def abort(): Unit = {
+      if (w != null) {
+        w.close()
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+      }
+    }
+
+    override def close(): Unit = ()
+  }
+}

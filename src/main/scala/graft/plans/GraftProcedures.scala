@@ -4,9 +4,11 @@ import java.util.{Collections, Iterator => JIterator}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
@@ -31,7 +33,8 @@ import graft.operators.CowTable
   * ([[CowSqlFunction]]), so the whole lakehouse loop — ingest, merge,
   * delete, compact, vacuum, query — is drivable from SQL end-to-end.
   */
-class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
+class GraftCatalog extends CatalogPlugin with ProcedureCatalog
+    with TableCatalog {
   private var catalogName = "graft"
 
   override def initialize(name: String,
@@ -47,6 +50,62 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog {
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.byName.keys.toArray.sorted
       .map(n => Identifier.of(Array.empty[String], n))
+
+  // ------------------------------------------------- TableCatalog
+  // `graft.`/path/to/table``: the backquoted identifier IS the table's
+  // filesystem path, Delta-style; [[CowDsv2Table]] gives it the full
+  // DSv2 read/write/row-level-operation surface (SELECT, INSERT INTO,
+  // MERGE INTO, UPDATE, DELETE FROM, VERSION AS OF).
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def loadTable(ident: Identifier): Table = {
+    val p = pathOf(ident)
+    if (CowTable.latestManifest(p).isEmpty)
+      throw new NoSuchTableException(Seq(catalogName, p))
+    new CowDsv2Table(p)
+  }
+
+  /** `VERSION AS OF n` time travel — versions are manifest versions. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val p = pathOf(ident)
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"cow table versions are integers, got '$version'")
+    }
+    new CowDsv2Table(p, Some(v))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    CowTable.latestManifest(pathOf(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  /** CTAS / CREATE TABLE: an empty v0 snapshot with the given schema —
+    * the subsequent append write lands the query's rows as v1. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty, "CREATE TABLE with partition transforms " +
+      "is not supported here — use CowTable.initPartitioned")
+    val p = pathOf(ident)
+    require(CowTable.latestManifest(p).isEmpty, s"cow table $p already exists")
+    CowTable.commitEntries(SparkSession.active, p, 0, Nil, schema)
+    new CowDsv2Table(p)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE on cow tables goes through CowTable.mergeInto's " +
+        "schema evolution")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "cow tables are path-identified; rename is a filesystem move")
 }
 
 object GraftProcedures {

@@ -66,6 +66,30 @@ object ScanBridge {
       .withColumnRenamed(riTmp, RowIndexColumn)
   }
 
+  /** Like [[wholeFileReader]], but emitting `required`'s columns PLUS
+    * the file-global row index as a trailing long column — the reader a
+    * DSv2 partition scan needs to apply positional deletion vectors on
+    * executors. `dataSchema` is the table schema (files written before a
+    * schema evolution NULL-extend by name); `required` is the pruned
+    * column set actually read. */
+  def fileReaderWithRowIndex(spark: SparkSession, dataSchema: StructType,
+      required: StructType):
+      (String, Long) => Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val riTmp = ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+    val requiredSchema =
+      StructType(required.fields :+ StructField(riTmp, LongType))
+    val fmt = new ParquetFileFormat
+    val readFunc = fmt.buildReaderWithPartitionValues(
+      classic, dataSchema, StructType(Nil), requiredSchema, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      classic.sessionState.newHadoopConfWithOptions(Map.empty))
+    (path: String, size: Long) =>
+      readFunc(PartitionedFile(org.apache.spark.sql.catalyst.InternalRow.empty,
+        SparkPath.fromPathString(path), 0L, size, Array.empty[String], 0L,
+        size))
+  }
+
   /** A SERIALIZABLE whole-file parquet reader under a fixed schema —
     * built on the driver (the same `buildReaderWithPartitionValues`
     * closure `FileScanRDD` ships to executors), invoked executor-side

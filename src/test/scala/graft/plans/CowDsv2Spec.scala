@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.CowTable
+
+/** The CoW lakehouse as a DSv2 table: SELECT / INSERT INTO / DELETE
+  * FROM / UPDATE / MERGE INTO *statements* through [[GraftCatalog]],
+  * group-based copy-on-write with runtime group filtering, the
+  * deletion-vector fast path for convertible DELETEs, time travel, and
+  * CTAS. */
+class CowDsv2Spec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+
+  private def freshTable(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cow_dsv2/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** 80 rows in 4 deterministic files (id-clustered: file k holds
+    * ids [20k, 20k+20)). */
+  private def fixture(): String = {
+    val t = freshTable()
+    val df = (0L until 80L).map(i => (i, (i / 20 + 1).toInt, i * 10, s"n$i"))
+      .toDF("id", "fid", "v", "name")
+    CowTable.initFiled(df, t, "fid", 4)
+    t
+  }
+
+  private def sqlTable(t: String): String = s"graft.`$t`"
+
+  test("SELECT sees the DV-aware snapshot; metadata columns work") {
+    val t = fixture()
+    CowTable.deleteWhere(spark, t, $"id" % 10 === 3)
+    val got = spark.sql(s"SELECT id, v FROM ${sqlTable(t)}")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val want = (0L until 80L).filter(_ % 10 != 3).map(i => (i, i * 10))
+    assert(got.toSeq == want)
+    // _file / _pos: 4 distinct files; positions are per-file row indexes
+    val meta = spark.sql(
+      s"SELECT _file, _pos, id FROM ${sqlTable(t)} WHERE id < 40")
+      .collect()
+    assert(meta.map(_.getString(0)).distinct.length == 2)
+    assert(meta.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 20))
+  }
+
+  test("filter pushdown prunes files at scan planning") {
+    val t = fixture()
+    val table = new CowDsv2Table(t)
+    val b = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+      .asInstanceOf[CowScanBuilder]
+    val residual = b.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 60L)))
+    assert(residual.length == 1, "filters stay residual (file-prune only)")
+    val scan = b.build().asInstanceOf[CowBatchScan]
+    assert(scan.planInputPartitions().length == 1,
+      "stats pruning reaches DSv2 scan planning")
+    // and the full read still returns exactly the matching rows
+    val n = spark.sql(s"SELECT count(*) AS n FROM ${sqlTable(t)} " +
+      "WHERE id >= 60").head().getLong(0)
+    assert(n == 20)
+  }
+
+  test("INSERT INTO appends as a new version without touching old files") {
+    val t = fixture()
+    val before = CowTable.latestManifest(t).get
+    spark.sql(s"INSERT INTO ${sqlTable(t)} VALUES " +
+      "(100, 1000, 'x100'), (101, 1010, 'x101')")
+    val after = CowTable.latestManifest(t).get
+    assert(after.version == before.version + 1)
+    assert(before.files.toSet.subsetOf(after.files.toSet))
+    val got = CowTable.read(spark, t).count()
+    assert(got == 82)
+    assert(CowTable.read(spark, t).filter($"id" === 100L)
+      .select("name").head().getString(0) == "x100")
+  }
+
+  test("convertible DELETE takes the deletion-vector fast path") {
+    val t = fixture()
+    val before = CowTable.latestManifest(t).get
+    spark.sql(s"DELETE FROM ${sqlTable(t)} WHERE id >= 70")
+    val after = CowTable.latestManifest(t).get
+    assert(after.version == before.version + 1)
+    assert(after.files.toSet == before.files.toSet,
+      "metadata-only delete must not rewrite data files")
+    assert(after.dvs.size > before.dvs.size, "a DV was written")
+    assert(CowTable.read(spark, t).count() == 70)
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlTable(t)}")
+      .head().getLong(0) == 70)
+  }
+
+  test("non-convertible DELETE rewrites only the matching group") {
+    val t = fixture()
+    val before = CowTable.latestManifest(t).get
+    // the subquery defeats filter conversion -> group-based COW path;
+    // all matches live in file 4 (ids 60..79)
+    spark.sql(s"DELETE FROM ${sqlTable(t)} WHERE id IN " +
+      "(SELECT id * 2 FROM range(30, 40))")
+    val after = CowTable.latestManifest(t).get
+    assert(after.version == before.version + 1)
+    val kept = before.files.toSet.intersect(after.files.toSet)
+    assert(kept.size == 3,
+      s"runtime group filtering must keep the 3 untouched files, kept=$kept")
+    val got = CowTable.read(spark, t).select("id").as[Long]
+      .collect().sorted
+    val want = (0L until 80L).filterNot(i => i >= 60 && i < 80 && i % 2 == 0)
+    assert(got.toSeq == want)
+  }
+
+  test("UPDATE rewrites matching groups, preserves the rest") {
+    val t = fixture()
+    CowTable.deleteWhere(spark, t, $"id" === 5L) // a DV must survive
+    spark.sql(s"UPDATE ${sqlTable(t)} SET v = v + 1, name = 'upd' " +
+      "WHERE id >= 60 AND id < 65")
+    val got = CowTable.read(spark, t)
+      .select("id", "v", "name").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.length == 79)
+    assert(!got.exists(_._1 == 5L), "the DV survives the update")
+    got.foreach { case (id, v, name) =>
+      if (id >= 60 && id < 65) assert(v == id * 10 + 1 && name == "upd")
+      else assert(v == id * 10 && name == s"n$id")
+    }
+  }
+
+  test("MERGE INTO: delete/update/insert actions match the relational oracle") {
+    val t = fixture()
+    val before = CowTable.latestManifest(t).get
+    // source: even ids in [40, 100) with doubled v; kill ids in [40, 50)
+    (40L until 100L by 2).map(i => (i, i * 20, s"m$i", i < 50))
+      .toDF("id", "v", "name", "kill")
+      .createOrReplaceTempView("dsv2_merge_src")
+    spark.sql(
+      s"""MERGE INTO ${sqlTable(t)} t
+         |USING (SELECT id, v, name, kill FROM dsv2_merge_src) s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.kill THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.name = s.name
+         |WHEN NOT MATCHED THEN INSERT (id, v, name)
+         |  VALUES (s.id, s.v, s.name)""".stripMargin)
+    val after = CowTable.latestManifest(t).get
+    assert(after.version == before.version + 1)
+    // matches live in files 3 and 4 (ids >= 40) — files 1,2 carried
+    assert(before.files.toSet.intersect(after.files.toSet).size == 2,
+      "merge rewrote only the matched groups")
+    val got = CowTable.read(spark, t)
+      .select("id", "v", "name").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val base = (0L until 80L).map(i => (i, i * 10, s"n$i"))
+    val want = (base.filterNot { case (i, _, _) =>
+        i >= 40 && i < 50 && i % 2 == 0 } // killed
+      .map { case (i, v, n) =>
+        if (i >= 50 && i % 2 == 0) (i, i * 20, s"m$i") else (i, v, n) } ++
+      (80L until 100L by 2).map(i => (i, i * 20, s"m$i"))) // inserted
+      .sortBy(_._1)
+    assert(got == want)
+  }
+
+  test("VERSION AS OF time travel reads older snapshots") {
+    val t = fixture()
+    spark.sql(s"DELETE FROM ${sqlTable(t)} WHERE id < 40")
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlTable(t)}")
+      .head().getLong(0) == 40)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM ${sqlTable(t)} VERSION AS OF 0")
+      .head().getLong(0) == 80)
+  }
+
+  test("CTAS creates a table readable and mergeable by both APIs") {
+    val t = freshTable()
+    spark.sql(s"CREATE TABLE ${sqlTable(t)} AS " +
+      "SELECT id, id * 3 AS w FROM range(0, 50)")
+    assert(CowTable.read(spark, t).count() == 50)
+    assert(CowTable.read(spark, t).filter($"id" === 7L)
+      .select("w").head().getLong(0) == 21)
+    // the scala-API merge composes with a SQL-created table
+    CowTable.mergeInto(spark, t,
+      Seq((7L, 700L), (50L, 150L)).toDF("id", "w"), Seq("id"))
+    val got = spark.sql(s"SELECT w FROM ${sqlTable(t)} WHERE id IN (7, 50)")
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(150L, 700L))
+  }
+
+  test("concurrent-writer conflict is refused at commit") {
+    val t = fixture()
+    val table = new CowDsv2Table(t) // pins the base version
+    CowTable.deleteWhere(spark, t, $"id" === 0L) // someone else commits
+    val ex = intercept[Exception] {
+      CowTable.replaceFilesCommit(spark, t, table.manifest, Nil, Nil)
+    }
+    assert(ex.getMessage.contains("concurrent modification"))
+  }
+}
