@@ -605,6 +605,96 @@ object Similarity {
        |  TRUE AS full_coverage, CAST($NumQueries AS BIGINT) AS n_queries,
        |  CAST($K AS BIGINT) AS k, TRUE AS recall_ok""".stripMargin
 
+  // ------------------ lakehouse-resident PQ codes (CoW integration).
+  // The stored-index rung joined with the lakehouse: codes live IN a
+  // CoW table instead of a bare parquet dir, so the ANN scan side
+  // inherits the whole table lifecycle — incremental batches arrive
+  // through MERGE (O(batch) encode under the frozen codebooks),
+  // retractions through deletion vectors, compaction/vacuum/time travel
+  // all apply — and the k-NN JOIN picks every bit of it up for free,
+  // because its candidate side is just the DV-aware snapshot read.
+
+  /** The corpus' IVF+PQ codes as rows of a CoW table: `(vec_id, cell,
+    * codes, book_fp)`. The codebook version rides IN the table as a
+    * constant column (run-length-compressed to nothing at rest); the
+    * read side verifies it, so a codebook rebuild turns into a loud
+    * error instead of silently mixed code spaces — the
+    * [[PqIndex.appendToPqIndex]] pin, carried into the lakehouse. */
+  def pqCodesFrame(emb: DataFrame, cents: IndexedSeq[Array[Double]],
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame =
+    emb.select(col("vec_id"),
+      assignCell(col("embedding"), cents).as("cell"),
+      pqEncode(col("embedding"), books).as("codes"),
+      lit(PqIndex.codebookHash(books)).as("book_fp"))
+
+  /** DV-aware read of a stored code table with the codebook pin
+    * verified. The distinct is over a constant column — one tiny
+    * aggregate, no vector is touched. */
+  def readCowPqCodes(s: SparkSession, table: String,
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val fp = PqIndex.codebookHash(books)
+    val codes = CowTable.read(s, table)
+    val stored = codes.select(col("book_fp")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    require(stored.forall(_ == fp),
+      s"stored PQ codes pin codebook version(s) ${stored.mkString(", ")} " +
+        s"but the current codebooks hash to $fp — the table was encoded " +
+        "under different codebooks; re-encode or reload the books")
+    codes.select(col("vec_id"), col("cell"), col("codes"))
+  }
+
+  /** Gate: the IVF+PQ k-NN JOIN driven from LAKEHOUSE-RESIDENT codes —
+    * the code table is built incrementally (init with the even half,
+    * MERGE the odd half), a retraction lands as a deletion vector, and
+    * the join runs against the DV-aware snapshot: full coverage over
+    * the live corpus, retracted vectors provably absent from BOTH join
+    * sides, and sample recall vs the exact join on the live corpus at
+    * the tuned shortlist. */
+  def ssKnnJoinPqCow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = cachedCentroids(emb, dir)
+    val books = cachedCodebooks(emb, dir)
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow_codes/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    CowTable.init(pqCodesFrame(emb.filter($"vec_id" % 2 === 0), cents,
+      books), table)
+    CowTable.mergeInto(s, table,
+      pqCodesFrame(emb.filter($"vec_id" % 2 === 1), cents, books),
+      Seq("vec_id"))
+    CowTable.deleteWhere(s, table, $"vec_id" % 17 === 3)
+    val live = emb.filter($"vec_id" % 17 =!= 3)
+    val coded = readCowPqCodes(s, table, books)
+    val nn = knnJoinPqOn(live, cents, books, IvfProbe,
+      shortlist = tunedJoinShortlist(emb, dir), coded = Some(coded))
+    nn.persist()
+    val n = live.count()
+    val cov = nn.groupBy($"q_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("nq"), min($"c").as("mn"), max($"c").as("mx"))
+      .head()
+    val fullCoverage = cov.getLong(0) == n &&
+      cov.getLong(1) == K && cov.getLong(2) == K
+    val deletedAbsent = nn.filter(
+      $"neighbor_id" % 17 === 3 || $"q_id" % 17 === 3).count() == 0L
+    val exact = knnJoinOn(live, cents, IvfProbe)
+      .filter($"q_id" < NumQueries).select($"q_id", $"neighbor_id")
+      .persist()
+    val total = exact.count()
+    val hits = nn.filter($"q_id" < NumQueries)
+      .join(exact, Seq("q_id", "neighbor_id"), "left_semi").count()
+    exact.unpersist()
+    nn.unpersist()
+    Seq((n, fullCoverage, deletedAbsent,
+      total > 0 && hits.toDouble / total >= PqRecallFloor))
+      .toDF("n_live", "full_coverage", "deleted_absent", "recall_ok")
+  }
+
+  val ssKnnJoinPqCowSql: String =
+    s"""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 17 <> 3)
+       |    AS n_live,
+       |  TRUE AS full_coverage, TRUE AS deleted_absent,
+       |  TRUE AS recall_ok""".stripMargin
+
   /** Gate: envelope over the full-corpus join — every vector got
     * exactly k neighbors (coverage), and on the brute-force-checkable
     * query sample the join recovers ≥90% of the exact top-k (the
@@ -1569,6 +1659,7 @@ object Similarity {
     "ss_knn_ivf" -> ssKnnIvf,
     "ss_knn_join" -> ssKnnJoin,
     "ss_knn_join_pq" -> ssKnnJoinPq,
+    "ss_knn_join_pq_cow" -> ssKnnJoinPqCow,
     "ss_knn_pq" -> ssKnnPq,
     "ss_knn_pq_opq" -> ssKnnPqOpq,
     "ss_knn_pq_opq_it" -> ssKnnPqOpqIt,
@@ -1592,6 +1683,7 @@ object Similarity {
     "ss_knn_ivf" -> ssKnnIvfSql,
     "ss_knn_join" -> ssKnnJoinSql,
     "ss_knn_join_pq" -> ssKnnJoinPqSql,
+    "ss_knn_join_pq_cow" -> ssKnnJoinPqCowSql,
     "ss_knn_pq" -> ssKnnPqSql,
     "ss_knn_pq_opq" -> ssKnnPqOpqSql,
     "ss_knn_pq_opq_it" -> ssKnnPqOpqItSql,

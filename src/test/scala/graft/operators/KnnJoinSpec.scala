@@ -149,6 +149,44 @@ class KnnJoinSpec extends AnyFunSuite {
       viaScan.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("PQ join from a CoW code table: DV retraction flows through; " +
+      "codebook pin refused on mismatch") {
+    val fix = fixture().select($"vec_id", $"embedding")
+    val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
+    val books = Similarity.trainCodebooks(fix)
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_join_codes_cow").toString + "/t"
+    // incremental build: even half init, odd half MERGE
+    CowTable.init(Similarity.pqCodesFrame(
+      fix.filter($"vec_id" % 2 === 0), cents, books), table)
+    CowTable.mergeInto(spark, table, Similarity.pqCodesFrame(
+      fix.filter($"vec_id" % 2 === 1), cents, books), Seq("vec_id"))
+    // the snapshot equals scan-side encoding of the whole corpus
+    val coded = Similarity.readCowPqCodes(spark, table, books)
+    val viaCow = Similarity.knnJoinPqOn(fix, cents, books, nprobe = 1,
+      k = 5, shortlist = 12, coded = Some(coded))
+    val viaScan = Similarity.knnJoinPqOn(fix, cents, books, nprobe = 1,
+      k = 5, shortlist = 12)
+    assert(viaCow.collect().map(_.toString).sorted.toSeq ==
+      viaScan.collect().map(_.toString).sorted.toSeq)
+    // retraction: a DV delete removes vectors from the candidate side
+    CowTable.deleteWhere(spark, table, $"vec_id" < 6L)
+    val afterDel = Similarity.knnJoinPqOn(fix, cents, books, nprobe = 1,
+      k = 5, shortlist = 12,
+      coded = Some(Similarity.readCowPqCodes(spark, table, books)))
+    assert(afterDel.filter($"neighbor_id" < 6L).count() == 0,
+      "a retracted vector resurfaced as a neighbor")
+    assert(afterDel.groupBy($"q_id").count()
+      .filter($"count" =!= 5L).count() == 0, "coverage lost after DV")
+    // a codebook rebuild must be refused loudly
+    val otherBooks = Similarity.trainCodebooks(
+      fix.withColumn("embedding", reverse($"embedding")))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readCowPqCodes(spark, table, otherBooks)
+    }
+    assert(ex.getMessage.contains("codebook"))
+  }
+
   test("plan: one cell join + one window, no cartesian product") {
     val fix = fixture().select($"vec_id", $"embedding")
     val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
