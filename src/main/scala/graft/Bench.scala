@@ -95,7 +95,13 @@ object Bench {
     // DV skipping, the SQL (CALL) merge surface, and the IVF+PQ join
     // (codes-side candidates + exact rerank)
     "lh_partition_prune", "lh_minmax_meta", "lh_rowgroup_dv",
-    "lh_sql_merge", "ss_knn_join_pq")
+    "lh_sql_merge", "ss_knn_join_pq",
+    // round 12 (late): the MERGE INTO statement through DSv2 row-level
+    // operations, the change feed as a real MicroBatchStream, and the
+    // PQ join served from lakehouse-resident codes
+    "lh_merge_stmt", "lh_changes_stream", "ss_knn_join_pq_cow",
+    // merge-on-read MERGE INTO: DVs + appends, no group rewrite
+    "lh_merge_mor")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -122,6 +128,11 @@ object Bench {
     // recall envelope — oracle overhead, not the operator)
     "ss_knn_join" -> ((s, d) => graft.operators.Similarity.knnJoin(s, d)),
     "ss_knn_join_pq" -> ((s, d) => graft.operators.Similarity.knnJoinPq(s, d)),
+    // production = encode-once into the CoW code table + serve the join
+    // from stored codes (the gate adds the exact join for its recall
+    // envelope — oracle overhead)
+    "ss_knn_join_pq_cow" -> ((s, d) =>
+      graft.operators.Similarity.knnJoinPqCow(s, d)),
     "dd_bloom_incremental" -> ((s, d) => graft.operators.Dedup.ddBloomAdmit(s, d)),
     "dd_dup_spans" -> ((s, d) => graft.operators.Dedup.ddDupSpansHashed(s, d)),
     "dd_decontaminate" -> ((s, d) => graft.operators.Dedup.ddDecontaminateHashed(s, d)),

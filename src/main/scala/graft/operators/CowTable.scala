@@ -1175,11 +1175,13 @@ object CowTable {
     val data = rawScan(spark, m, files)
     if (m.dvs.isEmpty) data
     else {
+      // DV identities store `_metadata.file_path` URIs (deleteWhere) or
+      // manifest-raw paths (the DSv2 delta writer) — compare normalized
       val dv = spark.read.parquet(m.dvs: _*)
-        .select(col("file_path").as("__dv_fp"),
+        .select(normalizeSql(col("file_path")).as("__dv_fp"),
           col("row_index").as("__dv_ri"))
       data
-        .withColumn("__fp", col("_metadata.file_path"))
+        .withColumn("__fp", normalizeSql(col("_metadata.file_path")))
         .withColumn("__ri", col("_metadata.row_index"))
         .join(broadcast(dv),
           col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
@@ -1384,8 +1386,12 @@ object CowTable {
         col("_metadata.row_index").as("row_index"))
     val fresh =
       if (m.dvs.isEmpty) cand
-      else cand.join(spark.read.parquet(m.dvs: _*),
-        Seq("file_path", "row_index"), "left_anti")
+      else cand.join(
+        spark.read.parquet(m.dvs: _*)
+          .select(normalizeSql(col("file_path")).as("__x_fp"),
+            col("row_index").as("__x_ri")),
+        normalizeSql(col("file_path")) === col("__x_fp") &&
+          col("row_index") === col("__x_ri"), "left_anti")
     if (fresh.isEmpty) return m
     val v = m.version + 1
     val out = versionDir(table, "dv", v)
@@ -1418,6 +1424,20 @@ object CowTable {
     * stages its part files before [[replaceFilesCommit]] publishes them. */
   private[graft] def newDataDir(table: String, v: Int): String =
     versionDir(table, "data", v).toString
+
+  /** A fresh deletion-vector directory for version `v` — where a DSv2
+    * merge-on-read (delta) write stages its DV part files before
+    * [[deltaCommit]] publishes them. */
+  private[graft] def newDvDir(table: String, v: Int): String =
+    versionDir(table, "dv", v).toString
+
+  /** The deletion-vector sidecar schema — (data file path, file-global
+    * row index) row identities. `file_path` may hold the
+    * `_metadata.file_path` URI ([[deleteWhere]]) or the manifest-raw
+    * path (the DSv2 delta writer); every consumer compares under
+    * [[normalize]]. */
+  private[graft] val dvSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType), StructField("row_index", LongType)))
 
   /** (bytes, numRows) per NORMALIZED path for the given planned data
     * files — the scan-planning/statistics lookup of the DSv2 table.
@@ -1483,8 +1503,50 @@ object CowTable {
       if (removedN.isEmpty) lit(true)
       else col("kind") === "dv" ||
         !normalizeSql(col("path")).isInCollection(removedN.toSeq))
+    // added files written under __p_ partition dirs (the DSv2 writer's
+    // partition routing) recover their exact tuples; others commit with
+    // part=NULL — conservatively kept by pruning, never unsound
+    val newParts =
+      if (base.partitionCols.isEmpty) Map.empty[String, String]
+      else partJsonOf(added.filter(
+        _.split("/").exists(_.startsWith("__p_"))), base.partitionCols)
     commitWithStatsDF(spark, table, base.version + 1, carriedDF, added,
-      schema, carriedFiles, base.dvs, base.partitionCols)
+      schema, carriedFiles, base.dvs, base.partitionCols, newParts)
+  }
+
+  /** DSv2 merge-on-read (delta) commit: EVERY base data file is kept;
+    * `addedData` (inserted/updated rows, already written under this
+    * table's data dir) and `addedDvs` (freshly written deletion-vector
+    * parquet — the deleted/updated rows' identities) publish as ONE new
+    * version. This is the commit behind `MERGE INTO` / `UPDATE` /
+    * `DELETE` executed through [[graft.plans.CowDsv2Table]] in
+    * merge-on-read mode: write cost is O(delta) regardless of how many
+    * files the matched rows touch — the 100 TB trade where rewriting a
+    * group is the expensive half and readers amortize the DV anti-join
+    * until [[rewriteDeletes]]/compaction materializes. Same
+    * first-claim-wins concurrency discipline as every other commit. */
+  private[graft] def deltaCommit(spark: SparkSession, table: String,
+      base: Manifest, addedData: Seq[String],
+      addedDvs: Seq[String]): Manifest = {
+    val latestV = latestManifest(table).map(_.version)
+    require(latestV.contains(base.version),
+      s"deltaCommit: concurrent modification — operation read " +
+        s"v${base.version} but the table is at v${latestV.getOrElse(-1)}")
+    val schema = base.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"cow table $table has a legacy schemaless manifest — DSv2 writes " +
+        "need a v2 manifest"))
+    val dvEntries = addedDvs.map(p =>
+      FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
+    val carriedDF =
+      if (dvEntries.isEmpty) entriesDF(spark, table, base)
+      else entriesDF(spark, table, base).unionByName(
+        spark.createDataFrame(dvEntries), allowMissingColumns = true)
+    val newParts =
+      if (base.partitionCols.isEmpty) Map.empty[String, String]
+      else partJsonOf(addedData.filter(
+        _.split("/").exists(_.startsWith("__p_"))), base.partitionCols)
+    commitWithStatsDF(spark, table, base.version + 1, carriedDF, addedData,
+      schema, base.files, base.dvs ++ addedDvs, base.partitionCols, newParts)
   }
 
   /** Materialize deletion vectors: rewrite ONLY the files that carry a
@@ -2382,6 +2444,44 @@ object CowTable {
     s.sql(s"SELECT * FROM graft.`$table`")
   }
 
+  /** Gate: the same `MERGE INTO` statement in MERGE-ON-READ mode
+    * ([[graft.plans.CowDsv2]]'s `SupportsDelta` path): deletes and
+    * update-retractions land as deletion vectors, new row images append
+    * — NO base data file is rewritten, write cost O(delta). The gate
+    * asserts the MOR discipline structurally (every base file carried,
+    * DVs written) and pins the result to the SAME relational oracle as
+    * lh_merge / lh_sql_merge / lh_merge_stmt, so all four merge
+    * surfaces share one semantics. */
+  def lhMergeMor(s: SparkSession, dir: String): DataFrame =
+    lhMergeMorOp(s, dir, lhMergeBuild(s, dir))
+
+  private def lhMergeMorOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    s.conf.set(graft.plans.CowDsv2.MorModeConf, "mor")
+    try {
+      val before = latestManifest(table).get
+      Tables.orders(s, dir)
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .createOrReplaceTempView("lh_merge_mor_src")
+      s.sql(
+        s"""MERGE INTO graft.`$table` t
+           |USING lh_merge_mor_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val after = latestManifest(table).get
+      require(before.files.map(normalize).toSet.subsetOf(
+        after.files.map(normalize).toSet),
+        "merge-on-read MERGE must carry every base data file")
+      require(after.dvs.size > before.dvs.size,
+        "merge-on-read MERGE must write deletion vectors")
+      s.sql(s"SELECT * FROM graft.`$table`")
+    } finally s.conf.set(graft.plans.CowDsv2.MorModeConf, "cow")
+  }
+
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
        |    (SELECT MAX(o_custkey) FROM orders) // 4 +
@@ -2702,6 +2802,8 @@ object CowTable {
       (() => lhMergeBuild(s, d), t => lhSqlMergeOp(s, d, t))),
     "lh_merge_stmt" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => lhMergeStmtOp(s, d, t))),
+    "lh_merge_mor" -> ((s, d) =>
+      (() => lhMergeBuild(s, d), t => lhMergeMorOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
@@ -2762,6 +2864,7 @@ object CowTable {
     "lh_sql_read" -> lhSqlRead,
     "lh_sql_merge" -> lhSqlMerge,
     "lh_merge_stmt" -> lhMergeStmt,
+    "lh_merge_mor" -> lhMergeMor,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2780,5 +2883,6 @@ object CowTable {
     "lh_sql_read" -> lhSqlReadSql,
     "lh_sql_merge" -> lhMergeSql,
     "lh_merge_stmt" -> lhMergeSql,
+    "lh_merge_mor" -> lhMergeSql,
   )
 }

@@ -689,6 +689,21 @@ object Similarity {
       .toDF("n_live", "full_coverage", "deleted_absent", "recall_ok")
   }
 
+  /** Production form: encode the corpus into a CoW code table (once —
+    * real deployments reuse it across batches via MERGE) and serve the
+    * join from the stored codes. */
+  def knnJoinPqCow(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = cachedCentroids(emb, dir)
+    val books = cachedCodebooks(emb, dir)
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow_codes/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    CowTable.init(pqCodesFrame(emb, cents, books), table)
+    knnJoinPqOn(emb, cents, books, IvfProbe,
+      shortlist = tunedJoinShortlist(emb, dir),
+      coded = Some(readCowPqCodes(s, table, books)))
+  }
+
   val ssKnnJoinPqCowSql: String =
     s"""SELECT (SELECT COUNT(*) FROM embeddings WHERE vec_id % 17 <> 3)
        |    AS n_live,

@@ -9,11 +9,11 @@ import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsDelete, S
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftbridge.{ScanBridge, WriteBridge}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -66,14 +66,21 @@ import graft.operators.CowTable
   * same contract as Spark's own `FileSourceScanExec` file listing);
   * sidecar algebra stays executor-side. DV positions ride input
   * partitions and are delta-sized by the [[CowTable.rewriteDeletes]]
-  * contract. Files written by a row-level rewrite carry NULL partition
-  * tuples on partitioned tables (exact-partition pruning degrades, never
-  * soundness — [[CowTable.compactTable]] restores the layout).
+  * contract. On partitioned tables the replacing write routes rows to
+  * `__p_<c>=<v>` dirs, so rewritten files keep exact partition tuples
+  * and pruning never degrades through a SQL rewrite (types without a
+  * path encoding fall back to tuple-less files — sound, prunes worse).
   *
   * Reference behavior: the reference engine has no SQL surface at all
   * (`/root/reference/lib/map_reduce.rb` exposes a Ruby API); this is
   * part of the demanded lakehouse superset. */
 object CowDsv2 {
+
+  /** Session conf selecting the row-level-operation mode: "cow"
+    * (default — group-based copy-on-write rewrites) or "mor"
+    * (merge-on-read: [[SupportsDelta]] deltas — deletion vectors +
+    * appends, no group rewrite). */
+  val MorModeConf = "spark.graft.cow.rowLevelMode"
 
   /** Metadata column: which data file a row lives in (manifest-raw
     * path) — the GROUP identity of the copy-on-write rewrite. */
@@ -99,6 +106,47 @@ object CowDsv2 {
 
   private def c(a: String): SqlColumn =
     col("`" + a.replace("`", "``") + "`")
+
+  /** Partition-column types the row-level writer can route to
+    * `__p_<c>=<v>` path segments (Hive-compatible rendering, so
+    * `CowTable`'s segment decoder recovers the exact tuple). Anything
+    * else falls back to tuple-less files — sound, prunes worse. */
+  private[plans] def partPathEncodable(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         BooleanType | DateType => true
+    case _ => false
+  }
+
+  /** Hive-style %-escaping of a partition value for a path segment
+    * (the set Hive's `escapePathName` escapes; `partSegValue` decodes
+    * with a percent-decoder, so round-trips are exact). */
+  private def escapePartVal(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { ch =>
+      if (ch < 0x20 || ch == 0x7F ||
+          "\"#%'*/:=?\\{[]^".indexOf(ch.toInt) >= 0)
+        sb.append('%').append(f"${ch.toInt}%02X")
+      else sb.append(ch)
+    }
+    sb.toString
+  }
+
+  private[plans] def partPathValue(r: InternalRow, i: Int,
+      dt: DataType): String =
+    if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__"
+    else dt match {
+      case StringType =>
+        val s = r.getUTF8String(i).toString
+        if (s.isEmpty) "__HIVE_DEFAULT_PARTITION__" else escapePartVal(s)
+      case IntegerType => r.getInt(i).toString
+      case LongType => r.getLong(i).toString
+      case ShortType => r.getShort(i).toString
+      case ByteType => r.getByte(i).toString
+      case BooleanType => r.getBoolean(i).toString
+      case DateType => java.time.LocalDate.ofEpochDay(r.getInt(i)).toString
+      case other => throw new IllegalStateException(
+        s"unroutable partition type $other")
+    }
 
   /** `sources.Filter` → `Column`, for the filters whose semantics map
     * 1:1 (the rest simply don't participate in file pruning / metadata
@@ -128,6 +176,19 @@ object CowDsv2 {
 
   def filtersToCondition(fs: Seq[Filter]): Option[SqlColumn] =
     fs.flatMap(filterToColumn(_)).reduceOption(_ && _)
+
+  /** The (column, table-field index, type) partition spec of the write
+    * path, when EVERY partition column's type has a path encoding —
+    * empty (tuple-less files, sound) otherwise. */
+  private[plans] def routablePartSpec(
+      table: CowDsv2Table): Array[(String, Int, DataType)] = {
+    val spec = table.manifest.partitionCols.map { c =>
+      val i = table.dataSchema.fieldIndex(c)
+      (c, i, table.dataSchema.fields(i).dataType)
+    }.toArray
+    if (spec.nonEmpty && spec.forall(p => partPathEncodable(p._3))) spec
+    else Array.empty
+  }
 
   /** The `_file IN (…)` / `_file = …` values of a runtime group-filter
     * predicate batch; empty when no such predicate arrived. */
@@ -198,11 +259,17 @@ class CowDsv2Table(val tablePath: String, versionOpt: Option[Int] = None)
         info.schema(), None)
     }
 
+  /** Row-level-operation mode: group-based copy-on-write (default), or
+    * merge-on-read ([[CowDsv2.MorModeConf]] = "mor") — deletes land as
+    * deletion vectors and updates as DV + re-insert, no group rewrite. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new CowRowLevelOperation(CowDsv2Table.this, info.command())
+        if (SparkSession.active.conf
+            .get(CowDsv2.MorModeConf, "cow") == "mor")
+          new CowDeltaRowLevelOperation(CowDsv2Table.this, info.command())
+        else new CowRowLevelOperation(CowDsv2Table.this, info.command())
     }
 
   // SupportsDelete (V1 filters; the V2-predicate form bridges via the
@@ -424,7 +491,7 @@ private[plans] class CowRowLevelOperation(val table: CowDsv2Table,
     s"cow copy-on-write $cmd on ${table.tablePath}"
 }
 
-private[plans] case class CowWriteMessage(path: Option[String], rows: Long)
+private[plans] case class CowWriteMessage(paths: Seq[String], rows: Long)
     extends WriterCommitMessage
 
 /** V2 batch write: executors write parquet via [[WriteBridge]]; the
@@ -447,14 +514,22 @@ private[plans] class CowV2Write(table: CowDsv2Table,
       // columns) onto the table schema by NAME, in table-column order
       val srcIdx = table.dataSchema.fields.map(f =>
         writeSchema.fieldIndex(f.name))
+      // partition routing: on a partitioned table, rows land under
+      // __p_<c>=<v> dirs (the initPartitioned layout), so the commit
+      // recovers exact tuples and pruning never degrades through a SQL
+      // MERGE/UPDATE. Falls back to tuple-less files (part=NULL, sound)
+      // when a partition column's type has no path encoding here.
       CowDataWriterFactory(destDir,
         WriteBridge.parquetWriter(spark, table.dataSchema), srcIdx,
-        table.dataSchema.fields.map(_.dataType))
+        table.dataSchema.fields.map(_.dataType),
+        CowDsv2.routablePartSpec(table))
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      val added = messages.collect {
-        case CowWriteMessage(Some(p), _) => p }.toSeq
+      val added = messages.flatMap {
+        case CowWriteMessage(ps, _) => ps
+        case _ => Nil
+      }.toSeq
       val removed = op.map(_.scannedFiles).getOrElse(Nil)
       if (added.isEmpty && removed.isEmpty) return
       CowTable.replaceFilesCommit(spark, table.tablePath, table.manifest,
@@ -464,30 +539,47 @@ private[plans] class CowV2Write(table: CowDsv2Table,
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       messages.foreach {
-        case CowWriteMessage(Some(p), _) =>
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+        case CowWriteMessage(ps, _) => ps.foreach(p =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
         case _ =>
       }
   }
 }
 
-/** Opens the parquet writer lazily (zero-row tasks emit no file). */
+/** Opens parquet writers lazily (zero-row tasks emit no file). With a
+  * non-empty `partSpec`, rows route to `__p_<c>=<v>` subdirectories —
+  * one open writer per partition tuple the task sees (fine for the
+  * delta-sized rewrites row-level operations produce; a full-table
+  * re-layout goes through `CowTable.compactTable`, which shuffles by
+  * partition first). */
 private[plans] case class CowDataWriterFactory(destDir: String,
     handle: WriteBridge.ParquetWriterHandle, srcIdx: Array[Int],
-    types: Array[DataType]) extends DataWriterFactory {
+    types: Array[DataType], partSpec: Array[(String, Int, DataType)])
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
-    private var w: WriteBridge.ParquetRowWriter = _
-    private var path: String = _
+    private val writers = scala.collection.mutable.LinkedHashMap
+      .empty[String, WriteBridge.ParquetRowWriter]
+    private val paths = scala.collection.mutable.ArrayBuffer.empty[String]
     private var n = 0L
     private val out = new GenericInternalRow(srcIdx.length)
 
+    private def dirOf(r: InternalRow): String =
+      if (partSpec.isEmpty) ""
+      else partSpec.map { case (c, ti, dt) =>
+        "__p_" + c + "=" + CowDsv2.partPathValue(r, srcIdx(ti), dt)
+      }.mkString("/", "/", "")
+
+    private def writerFor(dir: String): WriteBridge.ParquetRowWriter =
+      writers.getOrElseUpdate(dir, {
+        val p = s"$destDir$dir/part-$partitionId-$taskId.parquet"
+        paths += p
+        handle.open(p, partitionId, 0)
+      })
+
     override def write(r: InternalRow): Unit = {
-      if (w == null) {
-        path = s"$destDir/part-$partitionId-$taskId.parquet"
-        w = handle.open(path, partitionId, 0)
-      }
+      val w = writerFor(dirOf(r))
       var i = 0
       while (i < srcIdx.length) {
         out.update(i,
@@ -499,17 +591,200 @@ private[plans] case class CowDataWriterFactory(destDir: String,
     }
 
     override def commit(): WriterCommitMessage = {
-      if (w != null) w.close()
-      CowWriteMessage(Option(path), n)
+      writers.values.foreach(_.close())
+      writers.clear()
+      CowWriteMessage(paths.toSeq, n)
     }
 
     override def abort(): Unit = {
-      if (w != null) {
-        w.close()
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
-      }
+      writers.values.foreach(_.close())
+      writers.clear()
+      paths.foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
     }
 
     override def close(): Unit = ()
   }
+}
+
+/** Merge-on-read row-level operation ([[SupportsDelta]]): Spark plans
+  * `WriteDelta` instead of a group rewrite — the row identity is
+  * ([[CowDsv2.FileCol]], [[CowDsv2.PosCol]]), deleted rows become
+  * deletion-vector entries, updates split into delete + insert
+  * (`representUpdateAsDeleteAndInsert`), and inserted rows append as new
+  * files. Write cost is O(matched + inserted rows) regardless of how
+  * many files the matches touch — the Iceberg position-delta discipline.
+  * No runtime group filtering is needed: nothing is rewritten, so the
+  * scan only feeds the MERGE join. */
+private[plans] class CowDeltaRowLevelOperation(val table: CowDsv2Table,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation
+    with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CowScanBuilder(table, None)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new CowDeltaWrite(table, info)
+    }
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(CowDsv2.FileCol), Expressions.column(CowDsv2.PosCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+
+  override def description(): String =
+    s"cow merge-on-read $cmd on ${table.tablePath}"
+}
+
+private[plans] case class CowDeltaWriteMessage(dataPaths: Seq[String],
+    dvPaths: Seq[String], ins: Long, del: Long) extends WriterCommitMessage
+
+/** The delta write: executors stream inserted rows into parquet data
+  * files (partition-routed like the replacing write) and deleted row
+  * identities into deletion-vector parquet; the driver publishes both
+  * with [[CowTable.deltaCommit]] — every base data file is carried. */
+private[plans] class CowDeltaWrite(table: CowDsv2Table,
+    info: LogicalWriteInfo) extends DeltaWrite {
+
+  override def description(): String =
+    s"cow merge-on-read delta ${table.tablePath}"
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private def spark = SparkSession.active
+    private val v = table.manifest.version + 1
+    private val dataDir = CowTable.newDataDir(table.tablePath, v)
+    private val dvDir = CowTable.newDvDir(table.tablePath, v)
+
+    override def createBatchWriterFactory(
+        pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
+      val rowSchema = info.schema()
+      // delete-only plans carry no data rows — srcIdx stays empty and
+      // insert() is never called
+      val srcIdx: Array[Int] =
+        if (table.dataSchema.fields.forall(f =>
+            rowSchema.fieldNames.contains(f.name)))
+          table.dataSchema.fields.map(f => rowSchema.fieldIndex(f.name))
+        else Array.empty
+      val idSchema = info.rowIdSchema().orElseThrow(() =>
+        new IllegalStateException("delta write without a row-id schema"))
+      CowDeltaWriterFactory(dataDir, dvDir,
+        WriteBridge.parquetWriter(spark, table.dataSchema),
+        WriteBridge.parquetWriter(spark, CowTable.dvSchema),
+        srcIdx, table.dataSchema.fields.map(_.dataType),
+        CowDsv2.routablePartSpec(table),
+        idSchema.fieldIndex(CowDsv2.FileCol),
+        idSchema.fieldIndex(CowDsv2.PosCol))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val ms = messages.collect { case m: CowDeltaWriteMessage => m }
+      val data = ms.flatMap(_.dataPaths).toSeq
+      val dvs = ms.flatMap(_.dvPaths).toSeq
+      if (data.isEmpty && dvs.isEmpty) return
+      CowTable.deltaCommit(spark, table.tablePath, table.manifest, data, dvs)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      messages.foreach {
+        case CowDeltaWriteMessage(dp, vp, _, _) => (dp ++ vp).foreach(p =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+        case _ =>
+      }
+  }
+}
+
+/** Per-task delta writer: lazily opened parquet writers for inserted
+  * rows (one per partition tuple seen, like the replacing write) plus
+  * one lazily opened deletion-vector writer for deleted identities.
+  * `update` never fires (updates arrive pre-split as delete + insert)
+  * but is implemented as exactly that pair for API completeness. */
+private[plans] case class CowDeltaWriterFactory(dataDir: String,
+    dvDir: String, dataHandle: WriteBridge.ParquetWriterHandle,
+    dvHandle: WriteBridge.ParquetWriterHandle, srcIdx: Array[Int],
+    types: Array[DataType], partSpec: Array[(String, Int, DataType)],
+    fileIdx: Int, posIdx: Int) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val writers = scala.collection.mutable.LinkedHashMap
+        .empty[String, WriteBridge.ParquetRowWriter]
+      private val dataPaths =
+        scala.collection.mutable.ArrayBuffer.empty[String]
+      private var dvWriter: WriteBridge.ParquetRowWriter = _
+      private var dvPath: String = _
+      private var nIns = 0L
+      private var nDel = 0L
+      private val out = new GenericInternalRow(srcIdx.length)
+      private val dvOut = new GenericInternalRow(2)
+
+      private def dirOf(r: InternalRow): String =
+        if (partSpec.isEmpty) ""
+        else partSpec.map { case (c, ti, dt) =>
+          "__p_" + c + "=" + CowDsv2.partPathValue(r, srcIdx(ti), dt)
+        }.mkString("/", "/", "")
+
+      private def writerFor(dir: String): WriteBridge.ParquetRowWriter =
+        writers.getOrElseUpdate(dir, {
+          val p = s"$dataDir$dir/part-$partitionId-$taskId.parquet"
+          dataPaths += p
+          dataHandle.open(p, partitionId, 0)
+        })
+
+      override def insert(r: InternalRow): Unit = {
+        require(srcIdx.nonEmpty,
+          "delta insert arrived on a write planned without data columns")
+        val w = writerFor(dirOf(r))
+        var i = 0
+        while (i < srcIdx.length) {
+          out.update(i,
+            if (r.isNullAt(srcIdx(i))) null else r.get(srcIdx(i), types(i)))
+          i += 1
+        }
+        w.write(out)
+        nIns += 1
+      }
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        if (dvWriter == null) {
+          dvPath = s"$dvDir/part-$partitionId-$taskId.parquet"
+          dvWriter = dvHandle.open(dvPath, partitionId, 0)
+        }
+        dvOut.update(0, id.getUTF8String(fileIdx))
+        dvOut.update(1, id.getLong(posIdx))
+        dvWriter.write(dvOut)
+        nDel += 1
+      }
+
+      override def update(meta: InternalRow, id: InternalRow,
+          r: InternalRow): Unit = {
+        delete(meta, id)
+        insert(r)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_.close())
+        writers.clear()
+        if (dvWriter != null) dvWriter.close()
+        CowDeltaWriteMessage(dataPaths.toSeq, Option(dvPath).toSeq,
+          nIns, nDel)
+      }
+
+      override def abort(): Unit = {
+        writers.values.foreach(_.close())
+        writers.clear()
+        if (dvWriter != null) dvWriter.close()
+        (dataPaths.toSeq ++ Option(dvPath)).foreach(p =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)))
+      }
+
+      override def close(): Unit = ()
+    }
 }

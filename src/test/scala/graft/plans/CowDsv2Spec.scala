@@ -187,6 +187,139 @@ class CowDsv2Spec extends AnyFunSuite {
     assert(got.toSeq == Seq(150L, 700L))
   }
 
+  test("row-level SQL writes on a partitioned table keep exact tuples") {
+    val t = freshTable()
+    val df = (0L until 100L).map(i => (i, s"r${i / 25}", i * 2))
+      .toDF("id", "region", "v")
+    CowTable.initPartitioned(df, t, Seq("region"))
+    spark.sql(s"UPDATE ${sqlTable(t)} SET v = v + 1 WHERE id % 5 = 0")
+    val m = CowTable.latestManifest(t).get
+    // every data file of the rewritten snapshot still records its tuple
+    val parts = CowTable.entriesDF(spark, t, m)
+      .filter(col("kind") === "data").select("part").collect()
+    assert(parts.nonEmpty && parts.forall(!_.isNullAt(0)),
+      "a rewritten file lost its partition tuple")
+    // partition pruning stays exact after the SQL rewrite
+    val planned = CowTable.pruneDataFiles(spark, t, m, $"region" === "r2")
+    assert(planned.nonEmpty && planned.size < m.files.size)
+    assert(planned.forall(_.contains("__p_region=r2")))
+    // and the rows are right
+    val got = CowTable.read(spark, t).select("id", "v")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 100)
+    got.foreach { case (id, v) =>
+      assert(v == id * 2 + (if (id % 5 == 0) 1 else 0)) }
+  }
+
+  private def inMorMode[T](f: => T): T = {
+    spark.conf.set(CowDsv2.MorModeConf, "mor")
+    try f finally spark.conf.set(CowDsv2.MorModeConf, "cow")
+  }
+
+  test("merge-on-read MERGE: DVs + appends, every base file carried") {
+    val t = fixture()
+    val before = CowTable.latestManifest(t).get
+    (40L until 100L by 2).map(i => (i, i * 20, s"m$i", i < 50))
+      .toDF("id", "v", "name", "kill")
+      .createOrReplaceTempView("dsv2_mor_merge_src")
+    inMorMode {
+      spark.sql(
+        s"""MERGE INTO ${sqlTable(t)} t
+           |USING (SELECT id, v, name, kill FROM dsv2_mor_merge_src) s
+           |ON t.id = s.id
+           |WHEN MATCHED AND s.kill THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.name = s.name
+           |WHEN NOT MATCHED THEN INSERT (id, v, name)
+           |  VALUES (s.id, s.v, s.name)""".stripMargin)
+    }
+    val after = CowTable.latestManifest(t).get
+    assert(after.version == before.version + 1)
+    assert(before.files.toSet.subsetOf(after.files.toSet),
+      "merge-on-read must not remove/rewrite base data files")
+    assert(after.dvs.size > before.dvs.size,
+      "deleted + updated rows must land as deletion vectors")
+    assert(after.files.size > before.files.size,
+      "updated images + inserts must land as appended files")
+    // identical relational outcome to the copy-on-write merge test
+    val got = CowTable.read(spark, t)
+      .select("id", "v", "name").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val base = (0L until 80L).map(i => (i, i * 10, s"n$i"))
+    val want = (base.filterNot { case (i, _, _) =>
+        i >= 40 && i < 50 && i % 2 == 0 }
+      .map { case (i, v, n) =>
+        if (i >= 50 && i % 2 == 0) (i, i * 20, s"m$i") else (i, v, n) } ++
+      (80L until 100L by 2).map(i => (i, i * 20, s"m$i")))
+      .sortBy(_._1)
+    assert(got == want)
+    // and the DSv2 read agrees with the Scala-API read
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlTable(t)}")
+      .head().getLong(0) == want.length.toLong)
+  }
+
+  test("merge-on-read UPDATE splits into DV + re-insert; DVs compose") {
+    val t = fixture()
+    CowTable.deleteWhere(spark, t, $"id" === 5L) // a prior DV must survive
+    val before = CowTable.latestManifest(t).get
+    inMorMode {
+      spark.sql(s"UPDATE ${sqlTable(t)} SET v = v + 1, name = 'upd' " +
+        "WHERE id >= 60 AND id < 65")
+    }
+    val after = CowTable.latestManifest(t).get
+    assert(before.files.toSet.subsetOf(after.files.toSet))
+    assert(after.dvs.size > before.dvs.size)
+    val got = CowTable.read(spark, t)
+      .select("id", "v", "name").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(got.length == 79 && !got.exists(_._1 == 5L))
+    got.foreach { case (id, v, name) =>
+      if (id >= 60 && id < 65) assert(v == id * 10 + 1 && name == "upd")
+      else assert(v == id * 10 && name == s"n$id")
+    }
+    // rewriteDeletes materializes the MOR state losslessly
+    CowTable.rewriteDeletes(spark, t)
+    assert(CowTable.latestManifest(t).get.dvs.isEmpty)
+    assert(CowTable.read(spark, t).count() == 79)
+  }
+
+  test("merge-on-read non-convertible DELETE writes only DVs") {
+    val t = fixture()
+    val before = CowTable.latestManifest(t).get
+    inMorMode {
+      spark.sql(s"DELETE FROM ${sqlTable(t)} WHERE id IN " +
+        "(SELECT id * 2 FROM range(30, 40))")
+    }
+    val after = CowTable.latestManifest(t).get
+    assert(after.files.toSet == before.files.toSet,
+      "a MOR delete adds no data files and removes none")
+    assert(after.dvs.size > before.dvs.size)
+    val got = CowTable.read(spark, t).select("id").as[Long].collect().sorted
+    val want = (0L until 80L).filterNot(i => i >= 60 && i % 2 == 0)
+    assert(got.toSeq == want)
+  }
+
+  test("merge-on-read rewrites on a partitioned table keep exact tuples") {
+    val t = freshTable()
+    val df = (0L until 100L).map(i => (i, s"r${i / 25}", i * 2))
+      .toDF("id", "region", "v")
+    CowTable.initPartitioned(df, t, Seq("region"))
+    inMorMode {
+      spark.sql(s"UPDATE ${sqlTable(t)} SET v = v + 1 WHERE id % 5 = 0")
+    }
+    val m = CowTable.latestManifest(t).get
+    val parts = CowTable.entriesDF(spark, t, m)
+      .filter(col("kind") === "data").select("part").collect()
+    assert(parts.nonEmpty && parts.forall(!_.isNullAt(0)),
+      "a MOR-appended file lost its partition tuple")
+    val planned = CowTable.pruneDataFiles(spark, t, m, $"region" === "r2")
+    assert(planned.forall(_.contains("__p_region=r2")))
+    val got = CowTable.read(spark, t).select("id", "v")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 100)
+    got.foreach { case (id, v) =>
+      assert(v == id * 2 + (if (id % 5 == 0) 1 else 0)) }
+  }
+
   test("concurrent-writer conflict is refused at commit") {
     val t = fixture()
     val table = new CowDsv2Table(t) // pins the base version
