@@ -100,8 +100,9 @@ object Bench {
     // operations, the change feed as a real MicroBatchStream, and the
     // PQ join served from lakehouse-resident codes
     "lh_merge_stmt", "lh_changes_stream", "ss_knn_join_pq_cow",
-    // merge-on-read MERGE INTO: DVs + appends, no group rewrite
-    "lh_merge_mor")
+    // merge-on-read MERGE INTO: DVs + appends, no group rewrite; the
+    // SQL-only _file-metadata maintenance report over the unified scan
+    "lh_merge_mor", "lh_file_audit")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

@@ -2482,6 +2482,72 @@ object CowTable {
     } finally s.conf.set(graft.plans.CowDsv2.MorModeConf, "cow")
   }
 
+  /** Gate: a MAINTENANCE query driven entirely from SQL metadata
+    * columns — the `_file` column of the unified `cow_read` scan
+    * ([[graft.plans.CowSqlFunction]] → [[graft.plans.CowDsv2Table]]).
+    * Fixture: the 32-file NTILE stats-prune table, a uniform
+    * merge-on-read delete (orderkey % 7 = 1), then a SKEWED one (a ~10%
+    * custkey interval, even orderkeys) stacked in the op — so dead-row
+    * density varies per file. The query derives per-file live counts
+    * from the latest snapshot, per-file total counts from `cow_read(t,
+    * 0)` time travel (DV commits carry data files, so `_file` values
+    * align across versions), and classifies files with >30% dead rows
+    * as rewrite candidates — the report a table maintainer feeds into
+    * [[rewriteDeletes]]/[[compactTable]] scheduling, no Scala API and
+    * no manifest introspection anywhere. The oracle re-derives every
+    * column from the same NTILE bucket algebra, bigint-exact: one file
+    * misclassified or one dead row miscounted fails the gate. */
+  def lhFileAudit(s: SparkSession, dir: String): DataFrame =
+    lhFileAuditOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  private def lhFileAuditOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 2, mx / 2 + mx / 10)
+    deleteWhere(s, table, $"o_custkey" >= lo && $"o_custkey" <= hi &&
+      pmod($"o_orderkey", lit(2)) === 0)
+    s.sql(
+      s"""WITH live AS (SELECT _file, COUNT(*) AS live_rows
+         |    FROM cow_read('$table') GROUP BY _file),
+         |  total AS (SELECT _file, COUNT(*) AS total_rows
+         |    FROM cow_read('$table', 0) GROUP BY _file),
+         |  audit AS (SELECT t.total_rows,
+         |      COALESCE(l.live_rows, 0) AS live_rows
+         |    FROM total t LEFT JOIN live l ON t._file = l._file)
+         |SELECT COUNT(*) AS n_files,
+         |  CAST(SUM(total_rows) AS BIGINT) AS total_rows,
+         |  CAST(SUM(live_rows) AS BIGINT) AS live_rows,
+         |  CAST(SUM(CASE WHEN live_rows * 10 < total_rows * 7
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS rewrite_candidates,
+         |  CAST(MAX(total_rows - live_rows) AS BIGINT) AS max_dead
+         |FROM audit""".stripMargin)
+  }
+
+  val lhFileAuditSql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 2 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 2 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi),
+       |filed AS (SELECT o_orderkey, o_custkey,
+       |    NTILE($StatsPruneFiles)
+       |      OVER (ORDER BY o_custkey, o_orderkey) AS f
+       |  FROM orders),
+       |audit AS (
+       |  SELECT f, COUNT(*) AS total_rows,
+       |    SUM(CASE WHEN o_orderkey % 7 = 1 OR (
+       |        o_custkey >= (SELECT lo FROM b)
+       |        AND o_custkey <= (SELECT hi FROM b)
+       |        AND o_orderkey % 2 = 0) THEN 0 ELSE 1 END) AS live_rows
+       |  FROM filed GROUP BY f)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+       |  CAST(SUM(total_rows) AS BIGINT) AS total_rows,
+       |  CAST(SUM(live_rows) AS BIGINT) AS live_rows,
+       |  CAST(SUM(CASE WHEN live_rows * 10 < total_rows * 7
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS rewrite_candidates,
+       |  CAST(MAX(total_rows - live_rows) AS BIGINT) AS max_dead
+       |FROM audit""".stripMargin
+
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
        |    (SELECT MAX(o_custkey) FROM orders) // 4 +
@@ -2804,6 +2870,8 @@ object CowTable {
       (() => lhMergeBuild(s, d), t => lhMergeStmtOp(s, d, t))),
     "lh_merge_mor" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => lhMergeMorOp(s, d, t))),
+    "lh_file_audit" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhFileAuditOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
@@ -2865,6 +2933,7 @@ object CowTable {
     "lh_sql_merge" -> lhSqlMerge,
     "lh_merge_stmt" -> lhMergeStmt,
     "lh_merge_mor" -> lhMergeMor,
+    "lh_file_audit" -> lhFileAudit,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2884,5 +2953,6 @@ object CowTable {
     "lh_sql_merge" -> lhMergeSql,
     "lh_merge_stmt" -> lhMergeSql,
     "lh_merge_mor" -> lhMergeSql,
+    "lh_file_audit" -> lhFileAuditSql,
   )
 }

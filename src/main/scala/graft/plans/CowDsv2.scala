@@ -395,8 +395,15 @@ private[plans] class CowBatchScan(table: CowDsv2Table,
     s"cow(${table.tablePath}) v${m.version} " +
       s"pushed=[${pushed.mkString(", ")}]"
 
+  /** `_file` is runtime-filterable only when the scan actually emits it
+    * (the row-level group-filter scan always does). A plain read under a
+    * join must NOT advertise it: dynamic-pruning planning resolves these
+    * refs against the scan output and fails on a column nobody asked
+    * for. */
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(CowDsv2.FileCol))
+    if (required.fieldNames.contains(CowDsv2.FileCol))
+      Array(Expressions.column(CowDsv2.FileCol))
+    else Array.empty
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val vals = CowDsv2.fileInValues(predicates)

@@ -1,10 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** `spark.sql` surface for the copy-on-write lakehouse table — a
@@ -17,12 +16,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   * SELECT * FROM cow_read('/t') WHERE o_custkey BETWEEN 5 AND 9
   * }}}
   *
-  * The returned plan is the same snapshot read the Scala API builds —
-  * which also means the scan is REGISTERED with [[CowSkipCatalog]], so
-  * with [[CowSkipApi.enable]] a WHERE over the TVF prunes files through
-  * the manifest statistics like any other read. Registered imperatively
-  * via `GraftFunctions.register` or declaratively through
-  * `GraftExtensions` (`injectTableFunction`). */
+  * Resolves to a [[DataSourceV2Relation]] over [[CowDsv2Table]] — the
+  * SAME scan implementation `graft.`path`` catalog reads use, so the
+  * two SQL read paths can't drift: filter pushdown prunes files through
+  * the manifest statistics at scan planning, per-partition deletion
+  * vectors apply executor-side, and the `_file` / `_pos` metadata
+  * columns resolve for maintenance queries. Registered imperatively via
+  * `GraftFunctions.register` or declaratively through `GraftExtensions`
+  * (`injectTableFunction`). */
 object CowSqlFunction {
 
   val name = "cow_read"
@@ -44,13 +45,9 @@ object CowSqlFunction {
       case other => throw new IllegalArgumentException(
         s"$name: version must be an integral literal, got $other")
     }
-    // TVFs resolve during analysis, inside the active session
-    val spark = SparkSession.active
-    val df = version match {
-      case Some(v) => graft.operators.CowTable.readVersion(spark, path, v)
-      case None => graft.operators.CowTable.read(spark, path)
-    }
-    SubqueryAlias(name, ColumnBridge.plan(df))
+    // TVFs resolve during analysis; the table pins its manifest here
+    SubqueryAlias(name,
+      DataSourceV2Relation.create(new CowDsv2Table(path, version), None, None))
   }
 
   /** injectTableFunction-shaped description. */

@@ -1,6 +1,5 @@
 package graft.plans
 
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -42,21 +41,24 @@ class CowSqlSpec extends AnyFunSuite {
     assert(agg.getLong(0) == 9L) // id 7 deleted from the latest side
   }
 
-  test("a WHERE over the TVF prunes files through the skip rule") {
+  test("a WHERE over the TVF prunes files at DSv2 scan planning") {
     val t = freshTable()
     val df = (0L until 100L).map(i => (i, s"n$i", (i / 25 + 1).toInt))
       .toDF("id", "name", "__f")
     CowTable.initFiled(df, t, "__f", 4)
-    CowSkipApi.enable(spark)
     val q = spark.sql(s"SELECT id FROM cow_read('$t') WHERE id BETWEEN 30 AND 40")
-    val planned = q.queryExecution.optimizedPlan.collect {
-      case r: LogicalRelation => r.relation match {
-        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
-        case _ => Nil
-      }
-    }.flatten.count(_.contains("/data/"))
-    assert(planned == 1, s"TVF scan not pruned: $planned files")
     assert(q.collect().map(_.getLong(0)).sorted.toSeq == (30L to 40L))
+    // the TVF resolves to the SAME DSv2 scan the catalog read uses, so
+    // pushed filters prune files through the manifest stats at planning
+    val planned = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r.scan
+    }.collect { case s: CowBatchScan => s.plannedFiles.size }.sum
+    assert(planned == 1, s"TVF scan not pruned: $planned files")
+    // metadata columns resolve through the TVF (maintenance queries)
+    val files = spark.sql(
+      s"SELECT COUNT(DISTINCT _file) AS nf FROM cow_read('$t')").head()
+    assert(files.getLong(0) == 4L)
   }
 
   test("CALL procedures drive the write lifecycle from SQL") {
