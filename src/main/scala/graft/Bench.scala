@@ -102,7 +102,9 @@ object Bench {
     "lh_merge_stmt", "lh_changes_stream", "ss_knn_join_pq_cow",
     // merge-on-read MERGE INTO: DVs + appends, no group rewrite; the
     // SQL-only _file-metadata maintenance report over the unified scan
-    "lh_merge_mor", "lh_file_audit")
+    "lh_merge_mor", "lh_file_audit",
+    // selective DV materialization: rewrite only dead-heavy files
+    "lh_dv_maint")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

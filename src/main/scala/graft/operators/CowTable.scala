@@ -1549,23 +1549,57 @@ object CowTable {
       schema, base.files, base.dvs ++ addedDvs, base.partitionCols, newParts)
   }
 
-  /** Materialize deletion vectors: rewrite ONLY the files that carry a
-    * live DV entry (discovered from the DVs themselves — a delta-sized
-    * read, not a table scan), drop every DV, carry the rest by
-    * reference (stats entries included). The periodic cleanup that
-    * bounds the reader's anti-join cost; a no-op on a DV-free table. */
-  def rewriteDeletes(spark: SparkSession, table: String): Manifest = {
+  /** Materialize deletion vectors: rewrite the files that carry a live
+    * DV entry (discovered from the DVs themselves — a delta-sized read,
+    * not a table scan), drop their DV entries, carry the rest by
+    * reference (stats entries included). With `minDeadFraction` > 0 the
+    * materialization is SELECTIVE — the knob a 100 TB maintenance job
+    * needs: only files whose deleted fraction (dead rows ÷ manifest row
+    * count) reaches the threshold rewrite; lightly-touched files keep
+    * their bytes and their deletes move into ONE consolidated sidecar,
+    * so reader anti-join state stays bounded without paying a full
+    * rewrite for a 0.1%-dead file. Files without a usable manifest row
+    * count rewrite conservatively. The default threshold 0.0
+    * materializes everything (drops all DVs); a no-op on a DV-free
+    * table. The `lh_file_audit` report is the SQL-side view of the same
+    * classification. */
+  def rewriteDeletes(spark: SparkSession, table: String,
+      minDeadFraction: Double = 0.0): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     if (m.dvs.isEmpty) return m
-    val dvFiles = spark.read.parquet(m.dvs: _*)
-      .select("file_path").distinct()
-      .collect().map(r => normalize(r.getString(0))).toSet
+    // per-file dead counts: one DV aggregate, delta-sized by contract
+    val dead = spark.read.parquet(m.dvs: _*)
+      .groupBy(normalizeSql(col("file_path")).as("fp"))
+      .agg(count(lit(1)).as("ndead"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dvd = m.files.filter(f => dead.contains(normalize(f)))
+    val meta =
+      if (minDeadFraction <= 0.0) Map.empty[String, (Long, Long)]
+      else dataFileMeta(spark, table, m, dvd)
     // the touched set is DV-derived (delta-sized); the untouched carry
     // is a sidecar-to-sidecar DataFrame filter, never a driver seq
-    val (touchedF, untouchedF) =
-      m.files.partition(f => dvFiles.contains(normalize(f)))
+    val (touchedF, keepDvF) =
+      if (minDeadFraction <= 0.0) (dvd, Seq.empty[String])
+      else dvd.partition { f =>
+        val rows = meta.get(normalize(f)).map(_._2).getOrElse(-1L)
+        rows <= 0L || dead(normalize(f)).toDouble >= minDeadFraction * rows
+      }
+    val touchedN = touchedF.map(normalize).toSet
+    val untouchedF = m.files.filterNot(f => touchedN.contains(normalize(f)))
     val v = m.version + 1
+    // below-threshold files' deletes consolidate into one fresh sidecar
+    // (old DV files drop regardless — their rewritten-file entries die)
+    val keptDvs: Seq[String] =
+      if (keepDvF.isEmpty) Nil
+      else {
+        val out = versionDir(table, "dv", v)
+        spark.read.parquet(m.dvs: _*)
+          .filter(normalizeSql(col("file_path"))
+            .isInCollection(keepDvF.map(normalize)))
+          .write.mode("overwrite").parquet(out.toString)
+        listPartFiles(out)
+      }
     val (newFiles, newParts) =
       if (touchedF.isEmpty) (Seq.empty[String], Map.empty[String, String])
       else {
@@ -1573,14 +1607,19 @@ object CowTable {
         if (clean.isEmpty) (Seq.empty[String], Map.empty[String, String])
         else writeDataMaybePartitioned(clean, table, v, m.partitionCols)
       }
-    val carriedDF = entriesDF(spark, table, m).filter(
+    val dvEntries = keptDvs.map(p =>
+      FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
+    val carriedData = entriesDF(spark, table, m).filter(
       col("kind") === "data" &&
         (if (touchedF.isEmpty) lit(true)
-         else !normalizeSql(col("path"))
-           .isInCollection(touchedF.map(normalize))))
+         else !normalizeSql(col("path")).isInCollection(touchedN.toSeq)))
+    val carriedDF =
+      if (dvEntries.isEmpty) carriedData
+      else carriedData.unionByName(
+        spark.createDataFrame(dvEntries), allowMissingColumns = true)
     commitWithStatsDF(spark, table, v, carriedDF, newFiles,
       m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
-      untouchedF, Nil, m.partitionCols, newParts)
+      untouchedF, keptDvs, m.partitionCols, newParts)
   }
 
   /** MERGE `source` into the table's latest snapshot on `keys`. Returns
@@ -2548,6 +2587,64 @@ object CowTable {
        |  CAST(MAX(total_rows - live_rows) AS BIGINT) AS max_dead
        |FROM audit""".stripMargin
 
+  /** Gate: SELECTIVE DV materialization — the maintenance pass the
+    * lh_file_audit report feeds. Same fixture (32 NTILE files, uniform
+    * orderkey%7 delete) plus the skewed interval delete, then
+    * `rewriteDeletes(minDeadFraction = 0.3)`: only the dead-heavy
+    * interval files rewrite; every other file keeps its bytes and its
+    * deletes consolidate into one fresh sidecar. Emits the live row
+    * count, the rewritten/kept file tallies, and the surviving DV entry
+    * count — each re-derived by the oracle from the same NTILE bucket
+    * algebra, bigint-exact, so rewriting one file too many or carrying
+    * one stale DV identity fails the gate. */
+  def lhDvMaint(s: SparkSession, dir: String): DataFrame =
+    lhDvMaintOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  private def lhDvMaintOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 2, mx / 2 + mx / 10)
+    deleteWhere(s, table, $"o_custkey" >= lo && $"o_custkey" <= hi &&
+      pmod($"o_orderkey", lit(2)) === 0)
+    val before = latestManifest(table).get
+    val after = rewriteDeletes(s, table, minDeadFraction = 0.3)
+    val afterN = after.files.map(normalize).toSet
+    val rewritten = before.files.count(f => !afterN.contains(normalize(f)))
+    require(after.dvs.nonEmpty, "below-threshold files must keep DV entries")
+    val keptDvFiles = s.read.parquet(after.dvs: _*)
+      .select(normalizeSql(col("file_path")).as("fp")).distinct().count()
+    val remainingDead = s.read.parquet(after.dvs: _*).count()
+    read(s, table).agg(count(lit(1)).as("n"))
+      .withColumn("n_rewritten", lit(rewritten.toLong))
+      .withColumn("n_kept_dv", lit(keptDvFiles))
+      .withColumn("remaining_dead", lit(remainingDead))
+  }
+
+  val lhDvMaintSql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 2 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 2 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi),
+       |filed AS (SELECT o_orderkey, o_custkey,
+       |    NTILE($StatsPruneFiles)
+       |      OVER (ORDER BY o_custkey, o_orderkey) AS f
+       |  FROM orders),
+       |audit AS (
+       |  SELECT f, COUNT(*) AS total_rows,
+       |    SUM(CASE WHEN o_orderkey % 7 = 1 OR (
+       |        o_custkey >= (SELECT lo FROM b)
+       |        AND o_custkey <= (SELECT hi FROM b)
+       |        AND o_orderkey % 2 = 0) THEN 1 ELSE 0 END) AS dead_rows
+       |  FROM filed GROUP BY f)
+       |SELECT CAST(SUM(total_rows - dead_rows) AS BIGINT) AS n,
+       |  CAST(SUM(CASE WHEN dead_rows * 10 >= total_rows * 3
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_rewritten,
+       |  CAST(SUM(CASE WHEN dead_rows > 0 AND dead_rows * 10 < total_rows * 3
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_dv,
+       |  CAST(SUM(CASE WHEN dead_rows * 10 < total_rows * 3
+       |    THEN dead_rows ELSE 0 END) AS BIGINT) AS remaining_dead
+       |FROM audit""".stripMargin
+
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
        |    (SELECT MAX(o_custkey) FROM orders) // 4 +
@@ -2872,6 +2969,8 @@ object CowTable {
       (() => lhMergeBuild(s, d), t => lhMergeMorOp(s, d, t))),
     "lh_file_audit" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhFileAuditOp(s, d, t))),
+    "lh_dv_maint" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhDvMaintOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
@@ -2934,6 +3033,7 @@ object CowTable {
     "lh_merge_stmt" -> lhMergeStmt,
     "lh_merge_mor" -> lhMergeMor,
     "lh_file_audit" -> lhFileAudit,
+    "lh_dv_maint" -> lhDvMaint,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2954,5 +3054,6 @@ object CowTable {
     "lh_merge_stmt" -> lhMergeSql,
     "lh_merge_mor" -> lhMergeSql,
     "lh_file_audit" -> lhFileAuditSql,
+    "lh_dv_maint" -> lhDvMaintSql,
   )
 }

@@ -363,6 +363,36 @@ class CowTableSpec extends AnyFunSuite {
     assert(rows(t).size == 99)
   }
 
+  test("selective rewriteDeletes keeps light files' bytes, consolidates DVs") {
+    val t = freshTable()
+    initRanged(t)
+    // the first range file goes ~60% dead; another file gets ONE delete
+    CowTable.deleteWhere(spark, t, $"id" < 15L)
+    CowTable.deleteWhere(spark, t, $"id" === 30L)
+    val before = CowTable.latestManifest(t).get
+    val mtimes0 = before.files.map(f =>
+      f -> Files.getLastModifiedTime(Paths.get(f))).toMap
+    Thread.sleep(20)
+    val m = CowTable.rewriteDeletes(spark, t, minDeadFraction = 0.3)
+    assert(m.version == before.version + 1)
+    // only the dead-heavy file rewrote; the rest carried byte-identical
+    val carried = m.files.toSet intersect before.files.toSet
+    assert((before.files.toSet -- carried).size == 1,
+      "exactly the >30%-dead file must rewrite")
+    carried.foreach { f =>
+      assert(Files.getLastModifiedTime(Paths.get(f)) == mtimes0(f)) }
+    // the surviving delete consolidated into this version's sidecar
+    assert(m.dvs.nonEmpty)
+    val dv = spark.read.parquet(m.dvs: _*).collect()
+    assert(dv.length == 1, s"expected 1 surviving DV identity, got ${dv.length}")
+    // relational content is maintenance-invariant
+    val got = rows(t)
+    assert(got.size == 84 && !got.exists(r => r._1 < 15L || r._1 == 30L))
+    // a later full materialization drops the remaining DVs
+    val m2 = CowTable.rewriteDeletes(spark, t)
+    assert(m2.dvs.isEmpty && rows(t).size == 84)
+  }
+
   test("compaction applies the tail's deletion vectors while rewriting it") {
     val t = freshTable()
     initRanged(t)
