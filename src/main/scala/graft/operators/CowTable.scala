@@ -128,10 +128,13 @@ object CowTable {
       .replaceAll("/+", "/")
   }
 
-  /** SQL twin of [[normalize]] for URI-valued path columns. */
+  /** SQL twin of [[normalize]] for URI-valued path columns — the
+    * codegen'd memoizing [[graft.functions.PathNorm]] (the regex-chain
+    * form cost ~40% of a DV-applied read at sf0.1; see that scaladoc). */
   private def normalizeSql(c: Column): Column =
-    regexp_replace(url_decode(regexp_replace(
-      regexp_replace(c, "^file:", ""), "\\+", "%2B")), "/+", "/")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PathNorm(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   private def parseManifest(path: Path, v: Int): Option[Manifest] = {
     if (!Files.isRegularFile(path)) return None
