@@ -103,8 +103,9 @@ object Bench {
     // merge-on-read MERGE INTO: DVs + appends, no group rewrite; the
     // SQL-only _file-metadata maintenance report over the unified scan
     "lh_merge_mor", "lh_file_audit",
-    // selective DV materialization: rewrite only dead-heavy files
-    "lh_dv_maint")
+    // selective DV materialization: rewrite only dead-heavy files;
+    // the one-CALL maintenance policy (selective rewrite+compact+vacuum)
+    "lh_dv_maint", "lh_maintain")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

@@ -1797,12 +1797,34 @@ object CowTable {
     }
 
   /** Carried entries for a compaction: everything except the rewritten
-    * small tail, as a sidecar-to-sidecar DataFrame filter. */
+    * small tail, as a sidecar-to-sidecar DataFrame filter; `dropDvs`
+    * additionally drops every dv-kind entry (the rewrite materialized
+    * all remaining deletes). */
   private def carryAllBut(spark: SparkSession, table: String, m: Manifest,
-      dropNorm: Seq[String]): DataFrame =
-    entriesDF(spark, table, m).filter(col("kind") === "dv" ||
-      (if (dropNorm.isEmpty) lit(true)
-       else !normalizeSql(col("path")).isInCollection(dropNorm)))
+      dropNorm: Seq[String], dropDvs: Boolean = false): DataFrame = {
+    val keepData =
+      if (dropNorm.isEmpty) lit(true)
+      else !normalizeSql(col("path")).isInCollection(dropNorm)
+    entriesDF(spark, table, m).filter(
+      if (dropDvs) col("kind") =!= "dv" && keepData
+      else col("kind") === "dv" || keepData)
+  }
+
+  /** The DV files still worth carrying once only `kept` data files
+    * remain: when NO deletion-vector identity references a kept file,
+    * the whole DV set is dead — the rewrite materialized those rows —
+    * and the new version commits DV-free instead of making every later
+    * reader pay a no-op anti-join until rewriteDeletes. Delta-sized
+    * driver peek; only runs when DVs exist. */
+  private def dvsReferencing(spark: SparkSession, m: Manifest,
+      kept: Seq[String]): Seq[String] = {
+    if (m.dvs.isEmpty) return Nil
+    val keptN = kept.map(normalize).toSet
+    val refs = spark.read.parquet(m.dvs: _*)
+      .select(normalizeSql(col("file_path")).as("fp")).distinct()
+      .collect().map(_.getString(0))
+    if (refs.exists(keptN.contains)) m.dvs else Nil
+  }
 
   /** Compact the latest snapshot's small files into ~targetBytes files
     * as a NEW table version: right-sized files are carried by reference
@@ -1837,11 +1859,13 @@ object CowTable {
           table, v, m.partitionCols)
     val smallNorm = smalls.map(x => normalize(x._1))
     val smallSet = smallNorm.toSet
+    val keptFiles = m.files.filterNot(f => smallSet.contains(normalize(f)))
+    val liveDvs = dvsReferencing(spark, m, keptFiles)
     commitWithStatsDF(spark, table, v,
-      carryAllBut(spark, table, m, smallNorm), newFiles,
+      carryAllBut(spark, table, m, smallNorm,
+        dropDvs = liveDvs.isEmpty && m.dvs.nonEmpty), newFiles,
       m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
-      m.files.filterNot(f => smallSet.contains(normalize(f))), m.dvs,
-      m.partitionCols, newParts)
+      keptFiles, liveDvs, m.partitionCols, newParts)
   }
 
   /** [[compactTable]] with Z-order re-clustering of the rewritten tail
@@ -1868,12 +1892,14 @@ object CowTable {
       n, out.toString, zCols, bits)
     val smallNorm = smalls.map(x => normalize(x._1))
     val smallSet = smallNorm.toSet
+    val keptFiles = m.files.filterNot(f => smallSet.contains(normalize(f)))
+    val liveDvs = dvsReferencing(spark, m, keptFiles)
     commitWithStatsDF(spark, table, v,
-      carryAllBut(spark, table, m, smallNorm),
+      carryAllBut(spark, table, m, smallNorm,
+        dropDvs = liveDvs.isEmpty && m.dvs.nonEmpty),
       dropEmptyFiles(spark, listPartFiles(out)),
       m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
-      m.files.filterNot(f => smallSet.contains(normalize(f))), m.dvs,
-      m.partitionCols)
+      keptFiles, liveDvs, m.partitionCols)
   }
 
   /** Delete data files and manifests unreachable from the newest
@@ -2648,6 +2674,60 @@ object CowTable {
        |    THEN dead_rows ELSE 0 END) AS BIGINT) AS remaining_dead
        |FROM audit""".stripMargin
 
+  /** Gate: the ONE-CALL maintenance policy `CALL graft.cow_maintain` —
+    * selective DV materialization (0.3 threshold), then full small-file
+    * compaction (16 MiB target swallows every gate file and
+    * materializes the consolidated DVs the selective pass kept), then
+    * vacuum to one version. Version arithmetic is deterministic (init,
+    * two DV deletes, selective rewrite, compaction = v4) and the final
+    * state must be DV-free, so the oracle re-derives the read-back
+    * aggregate from the two delete predicates plus both constants —
+    * any extra/missing commit or a DV surviving compaction fails the
+    * hash. */
+  def lhMaintain(s: SparkSession, dir: String): DataFrame =
+    lhMaintainOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  private def lhMaintainOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    graft.functions.GraftFunctions.register(s)
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 2, mx / 2 + mx / 10)
+    deleteWhere(s, table, $"o_custkey" >= lo && $"o_custkey" <= hi &&
+      pmod($"o_orderkey", lit(2)) === 0)
+    val summary = s.sql(s"CALL graft.cow_maintain(table => '$table', " +
+      "dead_threshold => 0.3D, target_bytes => 16777216, " +
+      "keep_versions => 1)").head()
+    val after = latestManifest(table).get
+    require(after.dvs.isEmpty,
+      "maintenance must end DV-free (compaction materializes kept DVs)")
+    require(summary.getInt(0) == after.version,
+      "CALL summary must report the final committed version")
+    s.sql(
+      s"""SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  CAST(${after.version} AS BIGINT) AS final_version,
+         |  CAST(${after.dvs.size} AS BIGINT) AS n_dvs
+         |FROM cow_read('$table')""".stripMargin)
+  }
+
+  val lhMaintainSql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 2 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 2 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi),
+       |live AS (SELECT o.* FROM orders o, b
+       |  WHERE o.o_orderkey % 7 <> 1
+       |    AND NOT (o.o_custkey >= b.lo AND o.o_custkey <= b.hi
+       |      AND o.o_orderkey % 2 = 0))
+       |SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |    AS sum_price,
+       |  CAST(4 AS BIGINT) AS final_version,
+       |  CAST(0 AS BIGINT) AS n_dvs
+       |FROM live""".stripMargin
+
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
        |    (SELECT MAX(o_custkey) FROM orders) // 4 +
@@ -2974,6 +3054,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhFileAuditOp(s, d, t))),
     "lh_dv_maint" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhDvMaintOp(s, d, t))),
+    "lh_maintain" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhMaintainOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
@@ -3037,6 +3119,7 @@ object CowTable {
     "lh_merge_mor" -> lhMergeMor,
     "lh_file_audit" -> lhFileAudit,
     "lh_dv_maint" -> lhDvMaint,
+    "lh_maintain" -> lhMaintain,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3058,5 +3141,6 @@ object CowTable {
     "lh_merge_mor" -> lhMergeSql,
     "lh_file_audit" -> lhFileAuditSql,
     "lh_dv_maint" -> lhDvMaintSql,
+    "lh_maintain" -> lhMaintainSql,
   )
 }

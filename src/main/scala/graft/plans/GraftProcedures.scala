@@ -202,7 +202,37 @@ object GraftProcedures {
       throw new IllegalArgumentException(s"no manifest after vacuum"))
   }
 
+  /** One-call maintenance policy — what a table babysitter cron runs:
+    * (1) SELECTIVE deletion-vector materialization
+    * ([[CowTable.rewriteDeletes]] with `dead_threshold` — only
+    * dead-heavy files rewrite, light files keep bytes and consolidate
+    * their DVs), then (2) small-file compaction when `target_bytes` is
+    * given (Z-order re-clustering when `z_cols` is too), then
+    * (3) vacuum when `keep_versions` is given. Each step is the same
+    * commit the standalone procedure makes; the summary reports the
+    * final manifest. */
+  val cowMaintain: UnboundProcedure = proc("cow_maintain",
+    "Maintain a graft CoW table: selective DV materialization, " +
+      "optional compaction (optionally Z-ordered), optional vacuum",
+    Seq(in("table", StringType),
+      inD("dead_threshold", DoubleType, "0.3"),
+      inD("target_bytes", LongType, "NULL"),
+      inD("z_cols", StringType, "NULL"),
+      inD("keep_versions", IntegerType, "NULL"))) { (spark, r) =>
+    val t = str(r, 0)
+    CowTable.rewriteDeletes(spark, t, r.getDouble(1))
+    if (!r.isNullAt(2)) {
+      if (r.isNullAt(3)) CowTable.compactTable(spark, t, r.getLong(2))
+      else CowTable.compactTableZorder(spark, t, r.getLong(2),
+        str(r, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+    if (!r.isNullAt(4)) CowTable.vacuum(spark, t, r.getInt(4))
+    CowTable.latestManifest(t).getOrElse(
+      throw new IllegalArgumentException(s"cow table $t does not exist"))
+  }
+
   val byName: Map[String, UnboundProcedure] = Map(
     "cow_merge" -> cowMerge, "cow_delete" -> cowDelete,
-    "cow_compact" -> cowCompact, "cow_vacuum" -> cowVacuum)
+    "cow_compact" -> cowCompact, "cow_vacuum" -> cowVacuum,
+    "cow_maintain" -> cowMaintain)
 }

@@ -97,11 +97,36 @@ class CowSqlSpec extends AnyFunSuite {
     val procs = spark.sql("SHOW PROCEDURES IN graft").collect()
       .map(_.getString(3)).toSet
     assert(procs == Set("cow_merge", "cow_delete", "cow_compact",
-      "cow_vacuum"))
+      "cow_vacuum", "cow_maintain"))
     // unknown procedure fails with the known list
     val err = intercept[Exception](
       spark.sql(s"CALL graft.cow_nope(table => '$t')"))
     assert(err.getMessage.contains("cow_nope")) // FAILED_TO_LOAD_ROUTINE
+  }
+
+  test("CALL cow_maintain runs the selective-rewrite/compact/vacuum policy") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val t = freshTable()
+    CowTable.init((0L until 100L).map(i => (i, s"n$i", i * 2))
+      .toDF("id", "name", "v").repartitionByRange(4, $"id"), t)
+    // one dead-heavy file, one lightly-touched file
+    CowTable.deleteWhere(spark, t, $"id" < 15L)
+    CowTable.deleteWhere(spark, t, $"id" === 30L)
+    // threshold-only pass (no compaction): heavy file rewrites, light
+    // file keeps its DV in the consolidated sidecar
+    spark.sql(s"CALL graft.cow_maintain(table => '$t', " +
+      "dead_threshold => 0.3D)").collect()
+    val mid = CowTable.latestManifest(t).get
+    assert(mid.dvs.nonEmpty, "light file's delete must survive as a DV")
+    // full policy: compaction materializes the kept DV, vacuum prunes
+    val sum = spark.sql(s"CALL graft.cow_maintain(table => '$t', " +
+      "dead_threshold => 0.3D, target_bytes => 16777216, " +
+      "keep_versions => 1)").head()
+    val fin = CowTable.latestManifest(t).get
+    assert(fin.dvs.isEmpty && sum.getInt(0) == fin.version)
+    val got = spark.sql(s"SELECT id FROM cow_read('$t')")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (15L until 100L).filterNot(_ == 30L))
   }
 
   test("bad arguments are refused with usage") {
