@@ -105,7 +105,9 @@ object Bench {
     "lh_merge_mor", "lh_file_audit",
     // selective DV materialization: rewrite only dead-heavy files;
     // the one-CALL maintenance policy (selective rewrite+compact+vacuum)
-    "lh_dv_maint", "lh_maintain")
+    "lh_dv_maint", "lh_maintain",
+    // the CoW table as a Structured Streaming sink (epoch-idempotent)
+    "lh_stream_sink")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

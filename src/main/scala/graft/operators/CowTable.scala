@@ -2728,6 +2728,49 @@ object CowTable {
        |  CAST(0 AS BIGINT) AS n_dvs
        |FROM live""".stripMargin
 
+  /** Gate: the CoW table as a REAL Structured Streaming SINK —
+    * `writeStream.toTable("graft.`...`")` over a 3-file file-source
+    * replay of orders (staged mtimes + maxFilesPerTrigger=1 pin the
+    * micro-batch order); each epoch commits exactly ONE table version
+    * through the epoch-idempotent streaming write
+    * ([[graft.plans.CowDsv2]]'s `CowStreamingWrite`: deterministic
+    * staged paths + epoch high-water record + manifest path-membership
+    * replay guard). Strict version arithmetic (create = v0, three
+    * epochs = v3) plus the relational oracle: a duplicated, dropped, or
+    * re-committed epoch breaks the count/hash. */
+  def lhStreamSink(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val base = java.nio.file.Files.createTempDirectory("lh_stream_sink")
+    val t = base.resolve("t").toString
+    val src = base.resolve("in")
+    java.nio.file.Files.createDirectories(src)
+    val orders = Tables.orders(s, dir)
+    // three deterministic slices, staged as mtime-ordered single files
+    (0 until 3).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"lh_ss_$i")
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.head
+      val dest = src.resolve(f"0${i}_slice.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+      dest.toFile.setLastModified(1000000L + i * 10000L)
+      ()
+    }
+    val q = s.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .toTable(s"graft.`$t`")
+    try q.processAllAvailable() finally q.stop()
+    val m = latestManifest(t).get
+    require(m.version == 3,
+      s"expected create + 3 epoch commits = v3, got v${m.version}")
+    s.sql(s"SELECT * FROM graft.`$t`")
+  }
+
+  val lhStreamSinkSql: String = "SELECT * FROM orders"
+
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
        |    (SELECT MAX(o_custkey) FROM orders) // 4 +
@@ -3120,6 +3163,7 @@ object CowTable {
     "lh_file_audit" -> lhFileAudit,
     "lh_dv_maint" -> lhDvMaint,
     "lh_maintain" -> lhMaintain,
+    "lh_stream_sink" -> lhStreamSink,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3142,5 +3186,6 @@ object CowTable {
     "lh_file_audit" -> lhFileAuditSql,
     "lh_dv_maint" -> lhDvMaintSql,
     "lh_maintain" -> lhMaintainSql,
+    "lh_stream_sink" -> lhStreamSinkSql,
   )
 }

@@ -10,6 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedRe
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDelta, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftbridge.{ScanBridge, WriteBridge}
 import org.apache.spark.sql.sources._
@@ -245,18 +246,19 @@ class CowDsv2Table(val tablePath: String, versionOpt: Option[Int] = None)
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
 
   override def metadataColumns(): Array[MetadataColumn] = CowDsv2.metaColumns
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CowScanBuilder(this, None)
 
-  /** Plain `INSERT INTO` append. */
+  /** Plain `INSERT INTO` append (batch) or `writeStream.toTable`
+    * append (streaming — epoch-idempotent, see [[CowStreamingWrite]]). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new CowV2Write(CowDsv2Table.this,
-        info.schema(), None)
+        info.schema(), None, Some(info.queryId()))
     }
 
   /** Row-level-operation mode: group-based copy-on-write (default), or
@@ -505,10 +507,17 @@ private[plans] case class CowWriteMessage(paths: Seq[String], rows: Long)
   * driver commits ONE manifest version that adds the written files and
   * (for row-level operations) removes the scanned groups. */
 private[plans] class CowV2Write(table: CowDsv2Table,
-    writeSchema: StructType, op: Option[CowRowLevelOperation]) extends Write {
+    writeSchema: StructType, op: Option[CowRowLevelOperation],
+    queryId: Option[String] = None) extends Write {
 
   override def description(): String =
     s"cow ${if (op.isDefined) "replace" else "append"} ${table.tablePath}"
+
+  override def toStreaming: StreamingWrite = {
+    require(op.isEmpty, "streaming writes are append-only")
+    new CowStreamingWrite(table, writeSchema, queryId.getOrElse(
+      throw new IllegalStateException("streaming write without a query id")))
+  }
 
   override def toBatch: BatchWrite = new BatchWrite {
     private def spark = SparkSession.active
@@ -794,4 +803,162 @@ private[plans] case class CowDeltaWriterFactory(dataDir: String,
 
       override def close(): Unit = ()
     }
+}
+
+/** Streaming append sink: `df.writeStream.toTable("graft.`/path`")` —
+  * each micro-batch epoch commits ONE table version, exactly once.
+  *
+  * Exactly-once discipline: executors stage parquet at DETERMINISTIC
+  * per-(query, epoch, partition) paths (task attempts write to a
+  * taskId-suffixed tmp and publish by ATOMIC_MOVE, so retries and
+  * whole-epoch replays re-produce byte-equivalent files at the SAME
+  * paths), and the driver commit is guarded twice: an `_epoch`
+  * high-water file (atomic-rename, updated after the manifest commit)
+  * short-circuits replays of recorded epochs, and — for the crash
+  * window between manifest commit and epoch record — paths already in
+  * the latest manifest are never re-added. Zero-row epochs advance the
+  * record without committing a version. Staged-but-uncommitted files of
+  * a crashed epoch are ordinary young orphans to [[CowTable]]'s vacuum
+  * (age-protected, reclaimed later; the replay rewrites them).
+  *
+  * Residual caveat (shared with marker-file sinks generally): a
+  * compaction that rewrites this epoch's files in the microseconds
+  * between manifest commit and epoch record, followed by a crash and a
+  * replay, would defeat the membership check. The epoch record closes
+  * every other ordering. */
+private[plans] class CowStreamingWrite(table: CowDsv2Table,
+    writeSchema: StructType, queryId: String) extends StreamingWrite {
+
+  private def spark = SparkSession.active
+  private val streamDir =
+    s"${table.tablePath}/stream-${queryId.replaceAll("[^A-Za-z0-9_-]", "_")}"
+  private val epochFile = java.nio.file.Paths.get(s"$streamDir/_epoch")
+
+  def description(): String =
+    s"cow streaming append ${table.tablePath} (query $queryId)"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val srcIdx = table.dataSchema.fields.map(f =>
+      writeSchema.fieldIndex(f.name))
+    CowStreamWriterFactory(streamDir,
+      WriteBridge.parquetWriter(spark, table.dataSchema), srcIdx,
+      table.dataSchema.fields.map(_.dataType),
+      CowDsv2.routablePartSpec(table))
+  }
+
+  private def lastEpoch(): Long =
+    if (java.nio.file.Files.isRegularFile(epochFile))
+      new String(java.nio.file.Files.readAllBytes(epochFile),
+        "UTF-8").trim.toLong
+    else Long.MinValue
+
+  private def recordEpoch(e: Long): Unit = {
+    val tmp = java.nio.file.Paths.get(s"$streamDir/_epoch.tmp")
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.write(tmp, e.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, epochFile,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (epochId <= lastEpoch()) return // recorded epoch replayed whole
+    val added = messages.flatMap {
+      case CowWriteMessage(ps, _) => ps
+      case _ => Nil
+    }.toSeq
+    val m = CowTable.latestManifest(table.tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"cow table ${table.tablePath} does not exist"))
+    val live = m.files.map(CowTable.normalizePath).toSet
+    val fresh = added.filterNot(p => live.contains(CowTable.normalizePath(p)))
+    if (fresh.nonEmpty)
+      CowTable.replaceFilesCommit(spark, table.tablePath, m, Nil, fresh)
+    recordEpoch(epochId)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    // a replayed-then-aborted epoch must never delete committed bytes:
+    // only manifest-unknown paths are reclaimed (the replay rewrites)
+    val live = CowTable.latestManifest(table.tablePath)
+      .map(_.files.map(CowTable.normalizePath).toSet).getOrElse(Set.empty)
+    messages.foreach {
+      case CowWriteMessage(ps, _) => ps.foreach { p =>
+        if (!live.contains(CowTable.normalizePath(p)))
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      }
+      case _ =>
+    }
+  }
+}
+
+/** Streaming task writer: deterministic final path per (epoch,
+  * partition, partition-tuple dir); the attempt writes a
+  * taskId-suffixed tmp and publishes by ATOMIC_MOVE at task commit, so
+  * speculative/retried attempts and replayed epochs land equivalent
+  * bytes at the same final paths. */
+private[plans] case class CowStreamWriterFactory(streamDir: String,
+    handle: WriteBridge.ParquetWriterHandle, srcIdx: Array[Int],
+    types: Array[DataType], partSpec: Array[(String, Int, DataType)])
+    extends StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    // dir suffix -> (writer, tmp path, final path)
+    private val writers = scala.collection.mutable.LinkedHashMap
+      .empty[String, (WriteBridge.ParquetRowWriter, String, String)]
+    private var n = 0L
+    private val out = new GenericInternalRow(srcIdx.length)
+
+    private def dirOf(r: InternalRow): String =
+      if (partSpec.isEmpty) ""
+      else partSpec.map { case (c, ti, dt) =>
+        "__p_" + c + "=" + CowDsv2.partPathValue(r, srcIdx(ti), dt)
+      }.mkString("/", "/", "")
+
+    private def writerFor(dir: String): WriteBridge.ParquetRowWriter =
+      writers.getOrElseUpdate(dir, {
+        val fin = s"$streamDir/e$epochId$dir/part-$partitionId.parquet"
+        val tmp = s"$fin.tmp-$taskId"
+        (handle.open(tmp, partitionId, 0), tmp, fin)
+      })._1
+
+    override def write(r: InternalRow): Unit = {
+      val w = writerFor(dirOf(r))
+      var i = 0
+      while (i < srcIdx.length) {
+        out.update(i,
+          if (r.isNullAt(srcIdx(i))) null else r.get(srcIdx(i), types(i)))
+        i += 1
+      }
+      w.write(out)
+      n += 1
+    }
+
+    override def commit(): WriterCommitMessage = {
+      val finals = writers.values.map { case (w, tmp, fin) =>
+        w.close()
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+          java.nio.file.Paths.get(fin),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        fin
+      }.toSeq
+      writers.clear()
+      CowWriteMessage(finals, n)
+    }
+
+    override def abort(): Unit = {
+      writers.values.foreach { case (w, tmp, _) =>
+        w.close()
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+      }
+      writers.clear()
+    }
+
+    override def close(): Unit = ()
+  }
 }

@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.CowTable
+
+/** `writeStream.toTable("graft.`/path`")` — the CoW table as a real
+  * Structured Streaming sink: one table version per non-empty epoch,
+  * exactly once across restarts and epoch replays. */
+class CowStreamSinkSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+
+  private def freshDir(): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("cow_stream_sink")
+
+  test("toTable appends one version per batch, no duplicates on restart") {
+    val base = freshDir()
+    val t = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)](spark)
+    def start() = input.toDF().toDF("id", "name").writeStream
+      .option("checkpointLocation", ckpt).toTable(s"graft.`$t`")
+
+    val q = start()
+    try {
+      input.addData((0L until 50L).map(i => (i, s"n$i")))
+      q.processAllAvailable()
+      input.addData((50L until 80L).map(i => (i, s"n$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val mid = CowTable.latestManifest(t).get
+    assert(CowTable.read(spark, t).count() == 80)
+
+    // restart from the same checkpoint: only NEW data lands
+    val q2 = start()
+    try {
+      input.addData((80L until 100L).map(i => (i, s"n$i")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = CowTable.read(spark, t).select("id", "name")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == (0L until 100L).map(i => (i, s"n$i")))
+    val fin = CowTable.latestManifest(t).get
+    assert(fin.version > mid.version)
+    assert(mid.files.toSet.subsetOf(fin.files.toSet),
+      "streaming appends must carry earlier epochs' files untouched")
+    // and the DSv2/SQL read agrees
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0)
+      == 100L)
+  }
+
+  test("a replayed epoch commit is exactly-once at every crash point") {
+    val base = freshDir()
+    val t = base.resolve("t").toString
+    CowTable.init(Seq((0L, "seed")).toDF("id", "name"), t)
+    val table = new CowDsv2Table(t)
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "q-replay-test"
+      override def schema() = table.schema()
+      override def options() = CaseInsensitiveStringMap.empty()
+    }
+    val sw = table.newWriteBuilder(info).build().toStreaming
+    val fac = sw.createStreamingWriterFactory(null)
+
+    def stage(epoch: Long): Array[WriterCommitMessage] = {
+      val w = fac.createWriter(0, 7L, epoch)
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](epoch + 100L,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"e$epoch")))
+      w.write(row)
+      Array(w.commit())
+    }
+
+    // normal epoch
+    sw.commit(0L, stage(0L))
+    val v1 = CowTable.latestManifest(t).get.version
+    assert(CowTable.read(spark, t).count() == 2)
+
+    // whole-epoch replay (commit called again, epoch already recorded)
+    sw.commit(0L, stage(0L))
+    assert(CowTable.latestManifest(t).get.version == v1,
+      "a recorded epoch must not commit again")
+    assert(CowTable.read(spark, t).count() == 2)
+
+    // crash-window replay: manifest committed but epoch record LOST —
+    // path membership in the manifest must stop the re-add
+    val epochFile = java.nio.file.Paths.get(
+      s"$t/stream-q-replay-test/_epoch")
+    java.nio.file.Files.delete(epochFile)
+    sw.commit(0L, stage(0L))
+    assert(CowTable.latestManifest(t).get.version == v1,
+      "replay after a lost epoch record must detect committed paths")
+    assert(CowTable.read(spark, t).count() == 2)
+    assert(java.nio.file.Files.isRegularFile(epochFile),
+      "the replay must re-record the epoch")
+
+    // a later epoch still commits normally
+    sw.commit(1L, stage(1L))
+    assert(CowTable.latestManifest(t).get.version == v1 + 1)
+    assert(CowTable.read(spark, t).count() == 3)
+
+    // zero-row epoch advances the record without a version
+    sw.commit(2L, Array.empty)
+    assert(CowTable.latestManifest(t).get.version == v1 + 1)
+  }
+}
