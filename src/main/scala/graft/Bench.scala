@@ -107,7 +107,10 @@ object Bench {
     // the one-CALL maintenance policy (selective rewrite+compact+vacuum)
     "lh_dv_maint", "lh_maintain",
     // the CoW table as a Structured Streaming sink (epoch-idempotent)
-    "lh_stream_sink")
+    "lh_stream_sink",
+    // TPC-H wave 3: correlated-MIN catalog (q2), profit rollup (q9),
+    // scalar-in-HAVING (q11), nested-IN half-sum (q20)
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q20")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

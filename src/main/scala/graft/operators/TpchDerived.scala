@@ -568,7 +568,174 @@ object TpchDerived {
       |  AND s_nationkey = n_nationkey AND n_name = 'NATION_9'
       |GROUP BY s_name""".stripMargin
 
+  // ---------------------------------------------------------------- Q2
+  /** Minimum-cost supplier (adapted: the driver schema has no partsupp
+    * table, so the supplier↔part catalog derives from lineitem — a
+    * (part, supplier) pair's cost is its MINIMUM extended price, exact
+    * decimal, no division). The q2 SHAPE survives intact: a correlated
+    * MIN subquery over the region-restricted catalog selects, per
+    * qualifying part, the supplier(s) achieving the regional minimum.
+    * No LIMIT — every tie emits, so the result set is deterministic. */
+  def tpchQ2(s: SparkSession, dir: String): DataFrame = {
+    val supply = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("sp_pk"), col("l_suppkey").as("sp_sk"))
+      .agg(min(dec(col("l_extendedprice"))).as("sp_cost"))
+    val eur = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("n_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("r_regionkey") === col("n_regionkey"))
+    val eurSupply = supply.join(eur, col("sp_sk") === col("s_suppkey"))
+    val minCost = eurSupply.groupBy(col("sp_pk").as("min_pk"))
+      .agg(min(col("sp_cost")).as("min_cost"))
+    Tables.part(s, dir)
+      .filter(col("p_size") <= 10 && col("p_type") === "SMALL")
+      .join(eurSupply, col("sp_pk") === col("p_partkey"))
+      .join(minCost, col("min_pk") === col("p_partkey") &&
+        col("sp_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("sp_cost").cast("double").as("cost"))
+  }
+
+  val tpchQ2Sql: String =
+    """WITH supply AS (
+      |  SELECT l_partkey AS sp_pk, l_suppkey AS sp_sk,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp_cost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_acctbal, s_name, n_name, p_partkey,
+      |  CAST(sp_cost AS DOUBLE) AS cost
+      |FROM part, supply, supplier, nation, region
+      |WHERE p_partkey = sp_pk AND s_suppkey = sp_sk
+      |  AND p_size <= 10 AND p_type = 'SMALL'
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND sp_cost = (SELECT MIN(s2.sp_cost)
+      |    FROM supply s2, supplier sup2, nation n2, region r2
+      |    WHERE s2.sp_pk = p_partkey AND s2.sp_sk = sup2.s_suppkey
+      |      AND sup2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')""".stripMargin
+
+  // ---------------------------------------------------------------- Q9
+  /** Product-type profit by nation and year (adapted: no partsupp, so
+    * supply cost is the deterministic proxy 0.6 · p_retailprice per
+    * unit — exact decimal arithmetic end to end, cast to double only
+    * after the SUM). The q9 shape — 5-table join, expression aggregate,
+    * LIKE part filter, (nation, year) rollup — survives intact. */
+  def tpchQ9(s: SparkSession, dir: String): DataFrame = {
+    val costTerm = dec(col("p_retailprice")) *
+      lit(0.6).cast("decimal(12,2)") * col("l_quantity").cast("decimal(12,2)")
+    Tables.part(s, dir).filter(col("p_name").contains("red"))
+      .join(Tables.lineitem(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.nation(s, dir), col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revTerm - costTerm).cast("double").as("sum_profit"))
+  }
+
+  val tpchQ9Sql: String =
+    s"""SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       |  CAST(SUM($RevSql
+       |    - CAST(p_retailprice AS DECIMAL(12,2))
+       |      * CAST(0.6 AS DECIMAL(12,2))
+       |      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+       |FROM part JOIN lineitem ON l_partkey = p_partkey
+       |  JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN orders ON o_orderkey = l_orderkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- Q11
+  /** Important-part identification (adapted: a part's "value" is the
+    * revenue its NATION_1-supplied lineitems carry, not partsupp stock
+    * value). The q11 shape survives: per-part aggregate HAVING-compared
+    * against a global-scalar fraction of the same aggregate. The global
+    * total rides a broadcast one-row cross join — no driver collect —
+    * and both engines compare in DOUBLE after exact decimal sums. Like
+    * the real q11's SF-scaled fraction, the cut is SCALE-ADAPTIVE: a
+    * part qualifies above 2× the average per-part share, so the gate
+    * returns a meaningful slice at every SF. */
+  def tpchQ11(s: SparkSession, dir: String): DataFrame = {
+    val natLi = Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_1")),
+        col("n_nationkey") === col("s_nationkey"))
+    val total = natLi.agg(sum(revTerm).cast("double").as("total"),
+      count_distinct(col("l_partkey")).as("nd"))
+    natLi.groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(sum(revTerm).as("value_d"))
+      .crossJoin(broadcast(total))
+      .filter(col("value_d").cast("double") > col("total") * 2.0 / col("nd"))
+      .select(col("ps_partkey"), col("value_d").cast("double").as("value"))
+  }
+
+  val tpchQ11Sql: String =
+    s"""SELECT l_partkey AS ps_partkey,
+       |  CAST(SUM($RevSql) AS DOUBLE) AS value
+       |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |WHERE n_name = 'NATION_1'
+       |GROUP BY 1
+       |HAVING CAST(SUM($RevSql) AS DOUBLE) > (
+       |  SELECT CAST(SUM($RevSql) AS DOUBLE) * 2.0
+       |      / COUNT(DISTINCT l_partkey)
+       |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |    JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE n_name = 'NATION_1')""".stripMargin
+
+  // --------------------------------------------------------------- Q20
+  /** Excess-share suppliers (adapted: no ps_availqty, so the q20
+    * half-sum test becomes "this supplier shipped MORE THAN HALF of the
+    * part's total 1997 quantity" — integer-exact, same nested
+    * IN-with-correlated-half-sum shape). */
+  def tpchQ20(s: SparkSession, dir: String): DataFrame = {
+    val li97 = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+    val perSupp = li97
+      .groupBy(col("l_partkey").as("q_pk"), col("l_suppkey").as("q_sk"))
+      .agg(sum(col("qty")).as("supp_qty"))
+    val perPart = li97.groupBy(col("l_partkey").as("t_pk"))
+      .agg(sum(col("qty")).as("tot_qty"))
+    val dominant = perSupp.join(perPart, col("t_pk") === col("q_pk"))
+      .filter(col("supp_qty") * 2 > col("tot_qty"))
+      .select(col("q_sk")).distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_2")),
+        col("n_nationkey") === col("s_nationkey"))
+      .join(dominant, col("q_sk") === col("s_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+  }
+
+  val tpchQ20Sql: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      |WHERE n_name = 'NATION_2' AND s_suppkey IN (
+      |  SELECT l_suppkey
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY l_partkey, l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS BIGINT)) * 2 > (
+      |    SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+      |    FROM lineitem l2 JOIN orders o2 ON o2.o_orderkey = l2.l_orderkey
+      |    WHERE l2.l_partkey = lineitem.l_partkey
+      |      AND o2.o_orderdate >= TIMESTAMP '1997-01-01'
+      |      AND o2.o_orderdate < TIMESTAMP '1998-01-01'))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q2" -> tpchQ2,
+    "tpch_q9" -> tpchQ9,
+    "tpch_q11" -> tpchQ11,
+    "tpch_q20" -> tpchQ20,
     "tpch_q3" -> tpchQ3,
     "tpch_q4" -> tpchQ4,
     "tpch_q5" -> tpchQ5,
@@ -589,6 +756,10 @@ object TpchDerived {
   )
 
   val oracles: Map[String, String] = Map(
+    "tpch_q2" -> tpchQ2Sql,
+    "tpch_q9" -> tpchQ9Sql,
+    "tpch_q11" -> tpchQ11Sql,
+    "tpch_q20" -> tpchQ20Sql,
     "tpch_q3" -> tpchQ3Sql,
     "tpch_q4" -> tpchQ4Sql,
     "tpch_q5" -> tpchQ5Sql,
