@@ -110,7 +110,9 @@ object Bench {
     "lh_stream_sink",
     // TPC-H wave 3: correlated-MIN catalog (q2), profit rollup (q9),
     // scalar-in-HAVING (q11), nested-IN half-sum (q20)
-    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q20")
+    "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q20",
+    // watermark-drained stream-stream LEFT OUTER join (null emission)
+    "ev_attribution_outer", "ev_attribution_outer_stream")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

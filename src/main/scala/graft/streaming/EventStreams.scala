@@ -306,6 +306,26 @@ object EventStreams {
   def attribution(events: DataFrame): DataFrame =
     attributionJoin(attributionViews(events), attributionPurchases(events))
 
+  private def attributionOuterJoin(views: DataFrame,
+      purchases: DataFrame): DataFrame =
+    views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(AttributionWindowSql),
+      "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("view_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+
+  /** LEFT-OUTER attribution: EVERY view emits — with its in-window
+    * purchases, or NULL-extended once provably unmatched. The batch
+    * form is a plain left join; the streaming twin below exercises the
+    * semantics inner joins can't: the state store may only emit the
+    * null row after the WATERMARK proves no matching purchase can still
+    * arrive. */
+  def attributionOuter(events: DataFrame): DataFrame =
+    attributionOuterJoin(attributionViews(events),
+      attributionPurchases(events))
+
   /** Streaming form: both sides carry a watermark (applied AFTER the
     * rename — aliasing a watermarked attribute can drop its event-time
     * tag) and the join carries the time-range condition, so the state
@@ -662,6 +682,68 @@ object EventStreams {
     replayToMemorySink(s, dir, "ev_attribution_stream",
       streamingAttribution, OutputMode.Append())
 
+  def evAttributionOuter(s: SparkSession, dir: String): DataFrame =
+    attributionOuter(Tables.events(s, dir))
+
+  /** STREAMING-mode LEFT-OUTER stream-stream join gate: the semantics
+    * the inner gate cannot reach — a view's NULL-extended row may only
+    * emit once the watermark passes view_ts + 6h (no purchase can still
+    * arrive), so the final result depends on watermark-driven state
+    * eviction, not just match emission. Replay: the events file is
+    * micro-batch 1; a single punctuation row (user −1, +8h past max
+    * event time) rides BOTH branch filters via the user-id escape hatch
+    * and advances BOTH watermarks past every view's match window —
+    * Spark's multi-watermark policy takes the MIN, so one side alone
+    * would hold the global watermark back — draining every pending
+    * null row. The sink (punctuation filtered) must equal the batch
+    * LEFT JOIN exactly. */
+  def evAttributionOuterStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.eventsRaw(s, dir)
+    val maxUs = Tables.maxTsMicros(raw)
+    val tsType = raw.schema("ts").dataType
+    val src = java.nio.file.Files.createTempDirectory("graft_ev_attr_outer")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      src.resolve("00_events.parquet"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_attr_punct")
+    Tables.punctDF(s, tsType,
+        Seq((-1L, maxUs + 8L * 3600L * 1000000L, -1L)))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.head
+    java.nio.file.Files.move(java.nio.file.Paths.get(part),
+      src.resolve("01_punct.parquet"))
+    Seq("00_events.parquet", "01_punct.parquet").zipWithIndex.foreach {
+      case (f, i) => src.resolve(f).toFile.setLastModified(
+        1000000L + i * 10000L)
+    }
+    val stream = Tables.normalizeEventTs(
+      s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString))
+    val views = stream
+      .filter(col("event_type") === "view" || col("user_id") === -1L)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    val purchases = stream
+      .filter(col("event_type") === "purchase" || col("user_id") === -1L)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val name = s"ev_attr_outer_stream_${streamRuns.incrementAndGet()}"
+    val q = attributionOuterJoin(views, purchases)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      val walk = java.nio.file.Files.walk(src)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+    s.table(name).filter(col("user_id") =!= -1L)
+  }
+
   val evTumblingSql: String =
     """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
       |  COUNT(*) AS n,
@@ -710,6 +792,8 @@ object EventStreams {
     "ev_sessions_stream" -> evSessionsStream,
     "ev_attribution" -> evAttribution,
     "ev_attribution_stream" -> evAttributionStream,
+    "ev_attribution_outer" -> evAttributionOuter,
+    "ev_attribution_outer_stream" -> evAttributionOuterStream,
     "ev_funnel" -> evFunnel,
     "ev_funnel_stream" -> ((s, d) => StreamingFunnel.evFunnelStream(s, d)),
     "ev_funnel4" -> evFunnel4,
@@ -731,6 +815,15 @@ object EventStreams {
       |  AND v.event_type = 'view' AND p.event_type = 'purchase'
       |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '6 hours'""".stripMargin
 
+  val evAttributionOuterSql: String =
+    """SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+      |  p.event_id AS purchase_id, p.ts AS purchase_ts,
+      |  p.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON v.user_id = p.user_id AND p.ts > v.ts
+      |  AND p.ts <= v.ts + INTERVAL '6 hours'""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ev_tumbling" -> evTumblingSql,
     "ev_tumbling_stream" -> evTumblingSql, // same oracle: batch ≡ stream
@@ -740,6 +833,8 @@ object EventStreams {
     "ev_sessions_stream" -> evSessionsSql, // same oracle: batch ≡ stream
     "ev_attribution" -> evAttributionSql,
     "ev_attribution_stream" -> evAttributionSql, // same oracle: batch ≡ stream
+    "ev_attribution_outer" -> evAttributionOuterSql,
+    "ev_attribution_outer_stream" -> evAttributionOuterSql, // batch ≡ stream
     "ev_funnel" -> evFunnelSql,
     "ev_funnel_stream" -> StreamingFunnel.evFunnelStreamSql,
     "ev_funnel4" -> evFunnel4Sql,
