@@ -112,7 +112,9 @@ object Bench {
     // scalar-in-HAVING (q11), nested-IN half-sum (q20)
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q20",
     // watermark-drained stream-stream LEFT OUTER join (null emission)
-    "ev_attribution_outer", "ev_attribution_outer_stream")
+    "ev_attribution_outer", "ev_attribution_outer_stream",
+    // native session_window twin of the gaps-and-islands sessionization
+    "ev_sessions_native")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

@@ -765,6 +765,22 @@ object EventStreams {
   def evSessions(s: SparkSession, dir: String): DataFrame =
     sessionCounts(Tables.events(s, dir))
 
+  /** The BUILT-IN twin: `session_window(ts, '30 minutes')` — Spark's
+    * native gap-session operator (one shuffle on the user, sessions
+    * merged inside the aggregate) against the SAME gaps-and-islands
+    * oracle as ev_sessions, pinning that the windowed-aggregate form
+    * and the native operator implement identical session semantics.
+    * `session_window.start` is the session's first event time, so the
+    * projection matches the oracle's MIN(ts) exactly. */
+  def evSessionsNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double")
+          .as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n"), col("sum_value"))
+
   /** Gaps-and-islands twin of session_window (30-minute gap). */
   val evSessionsSql: String =
     """WITH flagged AS (
@@ -789,6 +805,7 @@ object EventStreams {
     "ev_sliding" -> evSliding,
     "ev_sliding_stream" -> evSlidingStream,
     "ev_sessions" -> evSessions,
+    "ev_sessions_native" -> evSessionsNative,
     "ev_sessions_stream" -> evSessionsStream,
     "ev_attribution" -> evAttribution,
     "ev_attribution_stream" -> evAttributionStream,
@@ -830,6 +847,7 @@ object EventStreams {
     "ev_sliding" -> evSlidingSql,
     "ev_sliding_stream" -> evSlidingSql, // same oracle: batch ≡ stream
     "ev_sessions" -> evSessionsSql,
+    "ev_sessions_native" -> evSessionsSql, // same oracle: native ≡ windowed
     "ev_sessions_stream" -> evSessionsSql, // same oracle: batch ≡ stream
     "ev_attribution" -> evAttributionSql,
     "ev_attribution_stream" -> evAttributionSql, // same oracle: batch ≡ stream
