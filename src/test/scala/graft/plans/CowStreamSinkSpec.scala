@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriterCommitMessage}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.scalatest.funsuite.AnyFunSuite
@@ -56,6 +57,37 @@ class CowStreamSinkSpec extends AnyFunSuite {
     // and the DSv2/SQL read agrees
     assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$t`").head().getLong(0)
       == 100L)
+  }
+
+  test("streaming appends to a partitioned table keep exact tuples") {
+    val base = freshDir()
+    val t = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    CowTable.initPartitioned((0L until 40L)
+      .map(i => (i, s"r${i % 4}", i * 2)).toDF("id", "region", "v"),
+      t, Seq("region"))
+    val input = MemoryStream[(Long, String, Long)](spark)
+    val q = input.toDF().toDF("id", "region", "v").writeStream
+      .option("checkpointLocation", ckpt).toTable(s"graft.`$t`")
+    try {
+      input.addData((40L until 70L).map(i => (i, s"r${i % 4}", i * 2)))
+      q.processAllAvailable()
+      input.addData((70L until 100L).map(i => (i, s"r${i % 4}", i * 2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = CowTable.latestManifest(t).get
+    // every streamed file recorded its exact partition tuple
+    val parts = CowTable.entriesDF(spark, t, m)
+      .filter(col("kind") === "data").select("part").collect()
+    assert(parts.nonEmpty && parts.forall(!_.isNullAt(0)),
+      "a streamed file lost its partition tuple")
+    // exact partition pruning composes with the streamed epochs
+    val planned = CowTable.pruneDataFiles(spark, t, m, $"region" === "r2")
+    assert(planned.nonEmpty && planned.size < m.files.size)
+    assert(planned.forall(_.contains("__p_region=r2")))
+    val got = CowTable.read(spark, t).select("id", "v")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.length == 100 && got.forall { case (id, v) => v == id * 2 })
   }
 
   test("a replayed epoch commit is exactly-once at every crash point") {
