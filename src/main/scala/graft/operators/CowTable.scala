@@ -255,6 +255,13 @@ object CowTable {
   private[graft] val driverEntryRowsLoaded =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Test hook: physical file paths materialized on the DRIVER by
+    * [[vacuum]] — the reclaimed set plus the O(#version-dirs) dir
+    * list, never the full O(#files) physical listing (that walk runs
+    * as an executor job). The de-collected-planning spec pins this. */
+  private[graft] val driverVacuumPathsListed =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def clearEntriesCache(): Unit = entriesCache.clear()
 
   private def cachedEntriesOf(table: String,
@@ -604,12 +611,36 @@ object CowTable {
     * a partitioned table are single-valued on those, so the ROW
     * predicate IS the file predicate — evaluated VERBATIM (any
     * deterministic expression, not just the stats-supported shapes) and
-    * exact in BOTH directions. */
+    * exact in BOTH directions. Non-deterministic conjuncts are excluded:
+    * they must be evaluated per ROW, never once per file (a
+    * `region = CAST(rand()*4 AS INT)` would otherwise prune whole files
+    * off one sample). */
   private def isPartConjunct(e: Expression, partCols: Seq[String]): Boolean = {
     val attrs = attrNamesOf(e)
     attrs.nonEmpty && attrs.forall(partCols.contains) &&
       !e.exists(_.isInstanceOf[
-        org.apache.spark.sql.catalyst.expressions.SubqueryExpression])
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) &&
+      !e.exists(!_.deterministic)
+  }
+
+  /** True when any STRING partition column referenced by the conjunct
+    * has an UNKNOWN manifest value for this file. Spark's `partitionBy`
+    * (and the DSv2 writer's path encoding) collapse both NULL and the
+    * empty string to `__HIVE_DEFAULT_PARTITION__`, so a JSON-null part
+    * value on a string column means "null or ''" — NOT an exact null;
+    * a dir can even mix the two. Exact partition evaluation would
+    * mis-prune (`region = ''` evaluates NULL), so such conjuncts fall
+    * back to the stats path (sound in both directions: stats min/max
+    * cover '' and the nulls counter covers NULL). Non-string types
+    * have no such collision — only NULL maps to the marker — so their
+    * JSON-null stays exact. */
+  private def partUnknown(c: Expression, dataSchema: StructType,
+      partCols: Seq[String]): Column = {
+    val strCols = attrNamesOf(c).distinct.filter(partCols.contains)
+      .filter(n => dataSchema.find(_.name == n).exists(
+        _.dataType == StringType))
+    strCols.map(n => get_json_object(col("part"), s"$$.$n").isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
   }
 
   private def partExact(e: Expression, dataSchema: StructType,
@@ -635,7 +666,8 @@ object CowTable {
       def statsKeep =
         if (stSchema.isEmpty) lit(true) else keepPredicate(c, stSchema)
       if (partCols.nonEmpty && isPartConjunct(c, partCols))
-        when(col("part").isNull, statsKeep)
+        when(col("part").isNull ||
+            partUnknown(c, dataSchema, partCols), statsKeep)
           .otherwise(coalesce(partExact(c, dataSchema, partCols), lit(false)))
       else statsKeep
     }.reduce(_ && _)
@@ -649,7 +681,8 @@ object CowTable {
       def statsFull =
         if (stSchema.isEmpty) lit(false) else fullPredicate(c, stSchema)
       if (partCols.nonEmpty && isPartConjunct(c, partCols))
-        when(col("part").isNull, statsFull)
+        when(col("part").isNull ||
+            partUnknown(c, dataSchema, partCols), statsFull)
           .otherwise(coalesce(partExact(c, dataSchema, partCols), lit(false)))
       else statsFull
     }.reduce(_ && _)
@@ -664,6 +697,24 @@ object CowTable {
       cond: Column): Seq[String] =
     pruneDataFilesExpr(spark, table, m, ColumnBridge.expression(cond))
 
+  /** Resolve `e` against `schema` so the determinism and shape checks
+    * see the real expression tree: a Column-API `rand()` arrives as an
+    * `UnresolvedFunction` whose `deterministic` is vacuously true, and
+    * only resolution exposes the `Nondeterministic` node underneath.
+    * Falls back to the raw tree when resolution fails (e.g. a column
+    * outside the table schema) — every downstream consumer is already
+    * conservative on shapes it cannot read. */
+  private def resolvedCond(spark: SparkSession, schema: StructType,
+      e: Expression): Expression =
+    if (e.resolved) e
+    else scala.util.Try {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      empty.select(ColumnBridge.column(e).as("__c")).queryExecution
+        .analyzed.expressions.head
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+    }.getOrElse(e)
+
   /** [[pruneDataFiles]] on a raw (possibly resolved) Catalyst
     * expression — the entry point the [[graft.plans.CowSkipRule]]
     * optimizer rule uses on pushed-down predicates. */
@@ -673,7 +724,8 @@ object CowTable {
     val dataSchema = m.schemaOpt.getOrElse(return m.files)
     val stSchema = statsSchemaFor(dataSchema)
     if (stSchema.isEmpty && m.partitionCols.isEmpty) return m.files
-    val keep = fileKeepPredicate(condExpr, stSchema, m.partitionCols,
+    val keep = fileKeepPredicate(
+      resolvedCond(spark, dataSchema, condExpr), stSchema, m.partitionCols,
       dataSchema)
     val kept = withStatsStruct(
         entriesDF(spark, table, m).filter(col("kind") === "data"), stSchema)
@@ -794,7 +846,8 @@ object CowTable {
       else {
         val dataSchema = m.schemaOpt.get
         val stSchema = statsSchemaFor(dataSchema)
-        val ce = ColumnBridge.expression(cond)
+        val ce = resolvedCond(spark, dataSchema,
+          ColumnBridge.expression(cond))
         val keep = fileKeepPredicate(ce, stSchema, m.partitionCols,
           dataSchema)
         val full = fileFullPredicate(ce, stSchema, m.partitionCols,
@@ -905,7 +958,7 @@ object CowTable {
         m.files.size - files.size)
     }
     val dataSchema = m.schemaOpt.get
-    val ce = ColumnBridge.expression(cond)
+    val ce = resolvedCond(spark, dataSchema, ColumnBridge.expression(cond))
     val keep = fileKeepPredicate(ce, stSchema, m.partitionCols, dataSchema)
     val full = fileFullPredicate(ce, stSchema, m.partitionCols, dataSchema)
     val base = withStatsStruct(
@@ -988,6 +1041,12 @@ object CowTable {
     (here ++ sub).sorted
   }
 
+  /** [[listPartFilesRec]] with mtimes — a pure function on the object,
+    * so [[vacuum]]'s listing job ships no driver state to executors. */
+  private[graft] def walkPartFilesWithMtime(dir: String): Seq[(String, Long)] =
+    listPartFilesRec(Paths.get(dir)).map(f =>
+      (f, Files.getLastModifiedTime(Paths.get(f)).toMillis))
+
   /** Version dirs carry a unique suffix because data is written BEFORE
     * the version is claimed: two committers racing the same version
     * number must not land in the same directory, or the loser's
@@ -1011,7 +1070,12 @@ object CowTable {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   /** Decoded value of one `__p_col=value` path segment; Hive's default
-    * (null) partition marker maps back to None. */
+    * partition marker maps back to None. NOTE the marker is lossy for
+    * STRING columns — Spark writes both NULL and '' as
+    * `__HIVE_DEFAULT_PARTITION__` — so None means "null or ''" there
+    * and every exact-evaluation consumer must treat it as UNKNOWN
+    * (see [[partUnknown]]); for non-string types only NULL maps to
+    * the marker, so None stays exact. */
   private def partSegValue(seg: String): Option[String] = {
     val v = seg.substring(seg.indexOf('=') + 1)
     val dec = java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8")
@@ -1110,7 +1174,9 @@ object CowTable {
 
   /** Metadata-only partition listing: distinct partition values with
     * file and (written, pre-DV) row counts, straight off the entries
-    * sidecar — no data file is opened. */
+    * sidecar — no data file is opened. A null in a STRING partition
+    * column groups "null or ''" together (the Hive default-partition
+    * marker is lossy on strings — see [[partUnknown]]). */
   def partitions(spark: SparkSession, table: String): DataFrame = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
@@ -1915,8 +1981,16 @@ object CowTable {
     * vacuum). Unreferenced files at or below the latest complete
     * version are provably replaced and deleted immediately. The
     * liveness test is a DataFrame anti-join of the physical listing
-    * against the kept manifests' entries — at 10⁶ files this is a
-    * columnar set op, not driver Set algebra. */
+    * against the kept manifests' entries — and the listing itself is
+    * an EXECUTOR job (one task per version/stream dir walking its
+    * subtree recursively, so partitioned `__p_<c>=<v>/` layouts are
+    * covered), so at 10⁶ files neither the listing nor the set algebra
+    * materializes O(#files) on the driver; only the reclaimed set is
+    * collected. Streaming-sink staging dirs (`<table>/stream-…`) are
+    * swept too: their files are manifest-committed in place, so the
+    * anti-join keeps the live ones and crashed-epoch litter ages out
+    * like any young orphan (files there carry no version, so the
+    * immediate-delete rule never applies to them). */
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,
       orphanAgeMs: Long = 20 * 60 * 1000L): Seq[String] = {
     require(keepVersions >= 1, s"vacuum must keep >= 1 version")
@@ -1930,29 +2004,42 @@ object CowTable {
     val live = kept.map(m => entriesDF(spark, table, m)
         .select(col("path")))
       .reduce(_ unionByName _).distinct()
-    val listed = Seq(Paths.get(table, "data"), Paths.get(table, "dv"))
-      .filter(Files.isDirectory(_)).flatMap { root =>
-        listDir(root).filter(Files.isDirectory(_)).flatMap { vdir =>
-          val ver = versionOfDir(vdir.getFileName.toString).getOrElse(-1)
-          listPartFiles(vdir).map { f =>
-            (f, ver, Files.getLastModifiedTime(Paths.get(f)).toMillis)
+    // (dir, version) units of the listing job: O(#versions + #streams),
+    // driver-small; stream staging dirs are version-less (MaxValue =>
+    // age-protected only)
+    val listUnits: Seq[(String, Int)] =
+      Seq(Paths.get(table, "data"), Paths.get(table, "dv"))
+        .filter(Files.isDirectory(_)).flatMap { root =>
+          listDir(root).filter(Files.isDirectory(_)).map { vdir =>
+            (vdir.toString,
+              versionOfDir(vdir.getFileName.toString).getOrElse(-1))
           }
-        }
-      }
-    if (listed.isEmpty) return Nil
+        } ++
+      listDir(Paths.get(table)).filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("stream-"))
+        .map(d => (d.toString, Int.MaxValue))
+    if (listUnits.isEmpty) return Nil
+    driverVacuumPathsListed.addAndGet(listUnits.size.toLong)
     val now = System.currentTimeMillis()
+    import spark.implicits._
+    // the physical walk runs on executors, one task per dir
+    val listed = spark.createDataset(listUnits)
+      .repartition(math.max(1, math.min(listUnits.size, 32)))
+      .flatMap { case (d, ver) =>
+        walkPartFilesWithMtime(d).map { case (f, t) => (f, ver, t) }
+      }.toDF("raw", "ver", "mtime")
     // one normalize convention on both sides: entries written from the
     // stats scan carry decoded-URI paths while the physical listing is
     // raw — for a path containing encodable characters they'd otherwise
     // diverge and the anti-join would free live files
     val normLive = live.select(normalizeSql(col("path")).as("path"))
-    val deleted = spark.createDataFrame(listed.map { case (f, v, t) =>
-        (normalize(f), f, v, t) })
-      .toDF("path", "raw", "ver", "mtime")
+    val deleted = listed
+      .withColumn("path", normalizeSql(col("raw")))
       .join(normLive, Seq("path"), "left_anti")
       .filter(col("ver") <= lit(latestComplete) ||
         col("mtime") < lit(now - orphanAgeMs))
       .select("raw").collect().map(_.getString(0)).toSeq
+    driverVacuumPathsListed.addAndGet(deleted.size.toLong)
     deleted.foreach(f => Files.deleteIfExists(Paths.get(f)))
     versions.filter(_ < oldestKept).foreach { v =>
       // a dropped manifest's entries sidecar goes with it

@@ -118,9 +118,14 @@ object CowFollowSink {
     java.nio.file.Files.createDirectories(commitsDir(sink))
     CowFollow.catchUp(spark, table, keys,
       committedVersion(sink, initialV)) { (slice, v) =>
-      slice.withColumn("_commit_version",
-          org.apache.spark.sql.functions.lit(v.toLong))
-        .write.mode("overwrite").parquet(sliceDir(sink, v))
+      val stamped = slice.withColumn("_commit_version",
+        org.apache.spark.sql.functions.lit(v.toLong))
+      // schema sidecar: lets readFeed return a typed EMPTY feed when
+      // every committed slice is empty (maintenance-only versions)
+      val sf = java.nio.file.Paths.get(sink, "schema.json")
+      if (!java.nio.file.Files.exists(sf))
+        java.nio.file.Files.write(sf, stamped.schema.json.getBytes("UTF-8"))
+      stamped.write.mode("overwrite").parquet(sliceDir(sink, v))
       // atomic offset+commit: the marker's existence is the transaction
       try java.nio.file.Files.createFile(commitsDir(sink).resolve(s"v$v"))
       catch { case _: java.nio.file.FileAlreadyExistsException => }
@@ -130,7 +135,11 @@ object CowFollowSink {
   /** Every marker-committed slice, in version order, as one DataFrame
     * (`_commit_version` carries provenance). Uncommitted slice bytes
     * are invisible by construction. Empty slices (layout-maintenance
-    * versions) may have no part files and contribute nothing. */
+    * versions) may have no part files and contribute nothing — a sink
+    * whose EVERY committed slice is empty (it caught up over
+    * maintenance-only commits) yields a typed EMPTY feed via the
+    * schema sidecar; only a genuinely fresh sink (no commits at all)
+    * throws. */
   def readFeed(spark: SparkSession, sink: String,
       initialV: Int = 0): DataFrame = {
     val hi = committedVersion(sink, initialV)
@@ -147,8 +156,15 @@ object CowFollowSink {
         } finally s.close()
       }
     }
-    if (dirs.isEmpty)
-      throw new IllegalArgumentException(s"no committed slices in $sink")
-    spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) return spark.read.parquet(dirs: _*)
+    val sf = java.nio.file.Paths.get(sink, "schema.json")
+    if (hi > initialV && java.nio.file.Files.exists(sf)) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(
+        new String(java.nio.file.Files.readAllBytes(sf), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else throw new IllegalArgumentException(
+      s"no committed slices in $sink")
   }
 }

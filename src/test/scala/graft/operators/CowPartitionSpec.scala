@@ -80,7 +80,7 @@ class CowPartitionSpec extends AnyFunSuite {
     CowTable.deleteWhere(spark, t, $"region" === "r1" && $"id" % 2L === 0L)
     val r1 = CowTable.readWhere(spark, t, $"region" === "r1")
     assert(r1.count() == 13 && r1.select("region").distinct().count() == 1)
-    // change feed v0 -> v2: 5 updates (pre+post), 5 inserts, 13 deletes
+    // change feed v0 -> v2: 5 updates (pre+post), 5 inserts, 12 deletes
     val ch = CowTable.tableChanges(spark, t, 0, 2, Seq("id"))
       .groupBy("_change_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -111,6 +111,74 @@ class CowPartitionSpec extends AnyFunSuite {
     val want = CowTable.readVersion(spark, t, before.version)
       .collect().map(_.toString).sorted
     assert(got.toSeq == want.toSeq)
+  }
+
+  test("empty-string and null partition values never mis-prune") {
+    // Spark's partitionBy writes BOTH '' and null as
+    // __HIVE_DEFAULT_PARTITION__ (one shared dir, possibly mixing the
+    // two), so the manifest's part value is UNKNOWN there — exact
+    // evaluation must stand down for string partition columns and the
+    // stats path must carry reads, metadata counts, and row-level COW.
+    val t = freshTable()
+    val df = Seq(
+      (1L, Option("a"), 10L), (2L, Option("a"), 20L),
+      (3L, Option(""), 30L), (4L, Option(""), 40L),
+      (5L, Option.empty[String], 50L), (6L, Option.empty[String], 60L),
+      (7L, Option("b"), 70L))
+      .toDF("id", "cat", "v")
+      .select($"id", $"cat".as("cat"), $"v")
+    CowTable.initPartitioned(df, t, Seq("cat"))
+    // reads distinguish '' from null exactly
+    assert(CowTable.readWhere(spark, t, $"cat" === "").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L),
+      "rows with cat='' must survive partition pruning")
+    assert(CowTable.readWhere(spark, t, $"cat".isNull).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(5L, 6L))
+    assert(CowTable.readWhere(spark, t, $"cat" === "a").count() == 2L)
+    // metadata counts scan the mixed default-partition file, exactly
+    assert(CowTable.countWhere(spark, t, $"cat".isNull) == 2L)
+    assert(CowTable.countWhere(spark, t, $"cat" === "") == 2L)
+    // group-COW DELETE must rewrite (not skip) the default-partition
+    // file when targeting '' rows
+    CowTable.deleteWhere(spark, t, $"cat" === "")
+    val after = CowTable.read(spark, t)
+    assert(after.count() == 5L)
+    assert(after.filter($"cat".isNull).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(5L, 6L),
+      "delete of cat='' must keep the null rows")
+    assert(after.filter($"cat" === "").count() == 0L)
+  }
+
+  test("non-deterministic partition conjuncts never prune per file") {
+    val t = fixture()
+    val m = CowTable.latestManifest(t).get
+    // one random draw per FILE would prune whole partitions off one
+    // sample; the conjunct must fall back to the (keep-all) stats path
+    val planned = CowTable.pruneDataFiles(spark, t, m,
+      $"region" === concat(lit("r"),
+        floor(rand() * 4).cast("int").cast("string")))
+    assert(planned.size == m.files.size,
+      "non-deterministic predicate must not be file-pruned")
+  }
+
+  test("vacuum reclaims replaced files under partitioned layouts") {
+    val t = fixture()
+    val m0 = CowTable.latestManifest(t).get
+    // DV-delete most of r1, then materialize: r1's files are replaced
+    // by rewritten ones under the partitioned subdir layout
+    CowTable.deleteWhere(spark, t, $"region" === "r1" && $"id" < 49L)
+    CowTable.rewriteDeletes(spark, t)
+    val deleted = CowTable.vacuum(spark, t, keepVersions = 1)
+    val replaced = m0.files.filter(_.contains("__p_region=r1"))
+    assert(replaced.nonEmpty)
+    replaced.foreach { f =>
+      assert(deleted.contains(f),
+        s"replaced partitioned file not reclaimed: $f")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(f)))
+    }
+    // live partitioned files survive, and the table still reads right
+    assert(CowTable.read(spark, t).count() == 76L)
+    assert(CowTable.readWhere(spark, t, $"region" === "r1").count() == 1L)
   }
 
   test("metadata count/min/max use exact partition values") {

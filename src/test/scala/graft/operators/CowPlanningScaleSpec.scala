@@ -87,4 +87,30 @@ class CowPlanningScaleSpec extends AnyFunSuite {
     assert(CowTable.driverEntryRowsLoaded.get() - before == 5L,
       "second prune must hit the cache")
   }
+
+  test("vacuum's physical listing runs as an executor job") {
+    val t = freshTable()
+    // a physically real table with 40 one-bucket files; replace them
+    // all so vacuum has a large reclaim set relative to dir count
+    // contiguous id ranges per bucket, so EVERY file holds both
+    // parities and the parity delete rewrites every file
+    val df = (0L until 400L).map(i => (i, (i / 10 + 1).toInt))
+      .toDF("v", "__f")
+    CowTable.initFiled(df, t, "__f", 40)
+    val m0 = CowTable.latestManifest(t).get
+    assert(m0.files.size >= 20, s"unexpected layout: ${m0.files.size}")
+    CowTable.deleteWhere(spark, t, $"v" % 2L === 0L)
+    CowTable.rewriteDeletes(spark, t) // every file rewritten
+    val before = CowTable.driverVacuumPathsListed.get()
+    val deleted = CowTable.vacuum(spark, t, keepVersions = 1)
+    val onDriver = CowTable.driverVacuumPathsListed.get() - before
+    assert(deleted.size >= m0.files.size,
+      s"replaced files not reclaimed: ${deleted.size} < ${m0.files.size}")
+    // the driver materializes only the reclaimed set plus the
+    // O(#version-dirs) unit list — never the full physical file walk
+    assert(onDriver <= deleted.size + 8,
+      s"vacuum materialized $onDriver paths on the driver for " +
+        s"${deleted.size} reclaimed files")
+    assert(CowTable.read(spark, t).count() == 200L)
+  }
 }

@@ -85,6 +85,32 @@ class CowFollowSpec extends AnyFunSuite {
     assert(replica.toMap == want)
   }
 
+  test("caught-up-over-maintenance sink yields an empty typed feed") {
+    val t = freshTable()
+    val sink = freshTable() + "_sink"
+    CowTable.init((0L until 30L).map(i => (i, s"n$i", i * 1.0))
+      .toDF("id", "name", "v").repartitionByRange(3, $"id"), t)
+    // a genuinely fresh sink (no commits at all) still throws
+    intercept[IllegalArgumentException] {
+      CowFollowSink.readFeed(spark, s"$sink-fresh")
+    }
+    // layout maintenance only: compaction advances the version with a
+    // change-free slice
+    CowTable.compactTable(spark, t, targetBytes = Long.MaxValue)
+    assert(CowFollowSink.catchUp(spark, t, Seq("id"), sink) == 1)
+    val feed = CowFollowSink.readFeed(spark, sink)
+    assert(feed.count() == 0L, "maintenance-only feed must be empty")
+    assert(feed.columns.contains("_commit_version") &&
+      feed.columns.contains("_change_type") &&
+      feed.columns.contains("id"), s"feed schema lost: ${feed.columns.toSeq}")
+    // the sink is usable afterwards: a real change flows through
+    CowTable.mergeInto(spark, t,
+      Seq((100L, "new", 1.0)).toDF("id", "name", "v"), Seq("id"))
+    assert(CowFollowSink.catchUp(spark, t, Seq("id"), sink) == 2)
+    assert(CowFollowSink.readFeed(spark, sink)
+      .filter($"_change_type" === "insert").count() == 1L)
+  }
+
   test("catchUp replays every version; replica equals the snapshot") {
     val t = freshTable()
     CowTable.init((0L until 50L).map(i => (i, s"n$i", i * 1.0))
