@@ -106,6 +106,8 @@ object Bench {
     // selective DV materialization: rewrite only dead-heavy files;
     // the one-CALL maintenance policy (selective rewrite+compact+vacuum)
     "lh_dv_maint", "lh_maintain",
+    // range-encoded deletion vectors: dense delete → O(#files) runs
+    "lh_dv_compress",
     // the CoW table as a Structured Streaming sink (epoch-idempotent)
     "lh_stream_sink",
     // TPC-H wave 3: correlated-MIN catalog (q2), profit rollup (q9),

@@ -100,8 +100,9 @@ object CowTable {
       part: Option[String] = None)
 
   /** `files` are the data files of the snapshot; `dvs` are its deletion
-    * vector files — parquet of (file_path, row_index) row identities a
-    * reader must anti-join away. v2 manifests add the data schema
+    * vector files — parquet of range-encoded (file_path, start, len)
+    * deleted-row runs ([[dvSchema]]) a reader must filter away. v2
+    * manifests add the data schema
     * (empty snapshots stay readable), the entries-parquet pointer
     * (stats live there), the entry count (gates the small-sidecar
     * driver cache without reading the sidecar), and the table's
@@ -865,9 +866,9 @@ object CowTable {
         val dvAdj =
           if (m.dvs.isEmpty) classified.withColumn("__dv", lit(0L))
           else classified.join(
-            spark.read.parquet(m.dvs: _*)
-              .groupBy(normalizeSql(col("file_path")).as("__dvp"))
-              .agg(count(lit(1)).as("__dv")),
+            dvRuns(spark, m.dvs)
+              .groupBy(col("fp").as("__dvp"))
+              .agg(sum(col("len")).as("__dv")),
             normalizeSql(col("path")) === col("__dvp"), "left")
             .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
         // ONE job: counts + DV-adjusted metadata total + the boundary
@@ -969,8 +970,8 @@ object CowTable {
     val withDv =
       if (m.dvs.isEmpty) base.withColumn("__hasdv", lit(false))
       else base.join(
-        spark.read.parquet(m.dvs: _*)
-          .select(normalizeSql(col("file_path")).as("__dvp")).distinct(),
+        dvRuns(spark, m.dvs)
+          .select(col("fp").as("__dvp")).distinct(),
         normalizeSql(col("path")) === col("__dvp"), "left")
         .withColumn("__hasdv", col("__dvp").isNotNull)
     val stat = col("__st").getField(valueCol)
@@ -1206,6 +1207,22 @@ object CowTable {
       StructType(df.schema.filterNot(_.name == fileCol)))
   }
 
+  /** [[initFiled]] with a deterministic WITHIN-FILE row order: rows of
+    * each one-bucket file ascend by `sortCols` — the clustered layout
+    * (time/key-ordered ingest, Z-order maintenance) under which a
+    * range-shaped delete occupies CONTIGUOUS row positions per file and
+    * the range-encoded deletion vector collapses to one run per file. */
+  def initFiledSorted(df: DataFrame, table: String, fileCol: String,
+      nFiles: Int, sortCols: Seq[String]): Manifest = {
+    val out = versionDir(table, "data", 0)
+    df.repartition(nFiles, col(fileCol))
+      .sortWithinPartitions((fileCol +: sortCols).map(col): _*)
+      .write.partitionBy(fileCol).mode("overwrite").parquet(out.toString)
+    commitWithStats(df.sparkSession, table, 0, Nil,
+      dropEmptyFiles(df.sparkSession, listPartFilesRec(out)),
+      StructType(df.schema.filterNot(_.name == fileCol)))
+  }
+
   /** Empty DataFrame with the snapshot's schema — the "every row
     * deleted" read path. */
   private def emptyOf(spark: SparkSession, m: Manifest): DataFrame =
@@ -1216,15 +1233,6 @@ object CowTable {
         s"empty snapshot v${m.version} has no schema (legacy manifest)")
     }
 
-  /** DV-aware snapshot read: scan the data files, anti-join away the
-    * deleted row identities. `_metadata.row_index` is the row's stable
-    * position within its parquet file — a PUBLIC Spark metadata column,
-    * so the anti-join is an exact positional delete with no key or
-    * schema requirement on the table. The DV side rides a broadcast
-    * (delete sets are delta-sized by design; a delete too big to
-    * broadcast is what [[rewriteDeletes]] is for). Restricting the scan
-    * to `onlyFiles` keeps the same semantics on a file subset: DV
-    * entries for files outside the subset simply never match. */
   /** Raw file scan under the manifest's schema contract: a v2 manifest
     * pins the SNAPSHOT schema, so files written before a schema
     * evolution are NULL-extended for the columns they predate (and the
@@ -1235,6 +1243,19 @@ object CowTable {
     case None => spark.read.parquet(files: _*)
   }
 
+  /** DV-aware snapshot read: scan the data files and drop deleted row
+    * positions PER FILE — a left join against the packed per-file run
+    * arrays (one row per DV'd file, broadcast at O(total runs)) probed
+    * by the codegen'd binary-search [[graft.functions.DvRunsContain]]
+    * on `_metadata.row_index` (a PUBLIC Spark metadata column: the
+    * row's stable position within its parquet file), so the positional
+    * delete needs no key or schema requirement on the table and
+    * never builds state proportional to the number of deleted ROWS —
+    * only to the number of runs, and past [[DvBroadcastRunsConf]] runs
+    * it becomes a shuffled range anti-join (spillable, executor-side).
+    * Restricting the scan to `onlyFiles` keeps the same semantics on a
+    * file subset: packed rows for files outside the subset simply
+    * never match. */
   private def readSnapshot(spark: SparkSession, m: Manifest,
       onlyFiles: Option[Seq[String]] = None): DataFrame = {
     val files = onlyFiles.getOrElse(m.files)
@@ -1243,20 +1264,12 @@ object CowTable {
       else emptyOf(spark, m)
     val data = rawScan(spark, m, files)
     if (m.dvs.isEmpty) data
-    else {
+    else
       // DV identities store `_metadata.file_path` URIs (deleteWhere) or
       // manifest-raw paths (the DSv2 delta writer) — compare normalized
-      val dv = spark.read.parquet(m.dvs: _*)
-        .select(normalizeSql(col("file_path")).as("__dv_fp"),
-          col("row_index").as("__dv_ri"))
-      data
-        .withColumn("__fp", normalizeSql(col("_metadata.file_path")))
-        .withColumn("__ri", col("_metadata.row_index"))
-        .join(broadcast(dv),
-          col("__fp") === col("__dv_fp") && col("__ri") === col("__dv_ri"),
-          "left_anti")
-        .drop("__fp", "__ri")
-    }
+      applyDvFilter(spark, data, m.dvs,
+        normalizeSql(col("_metadata.file_path")),
+        col("_metadata.row_index"))
   }
 
   // ------------------------------------ row-group-level DV skipping
@@ -1307,22 +1320,25 @@ object CowTable {
       s"cow table $table does not exist"))
     if (m.dvs.isEmpty || m.files.isEmpty)
       return (m.files, Nil, RowGroupReport(0, 0, 0, 0L))
-    val dv = spark.read.parquet(m.dvs: _*)
-    val dvFiles = dv.select("file_path").distinct()
-      .collect().map(r => normalize(r.getString(0))).toSet
+    val dv = dvRuns(spark, m.dvs)
+    val dvFiles = dv.select("fp").distinct()
+      .collect().map(_.getString(0)).toSet
     val (dvd, clean) = m.files.partition(f => dvFiles.contains(normalize(f)))
     val groups = dvd.flatMap(f => rowGroupsOf(spark, f))
-    // per-group deletion counts: one broadcast range join, DV-sized
+    // per-group deletion counts from run overlaps (runs are disjoint,
+    // so summed overlap lengths are exact): one broadcast join,
+    // O(#runs) not O(#deleted rows)
     val gdf = spark.createDataFrame(groups.map(g =>
       (normalize(g.path), g.idx, g.startRow, g.nRows)))
       .toDF("gp", "gidx", "gstart", "gn")
-    val dead = dv
-      .select(normalizeSql(col("file_path")).as("gp"),
-        col("row_index").as("ri"))
+    val dead = dv.withColumnRenamed("fp", "gp")
       .join(broadcast(gdf), Seq("gp"))
-      .filter(col("ri") >= col("gstart") && col("ri") < col("gstart") + col("gn"))
+      .withColumn("__ov",
+        least(col("start") + col("len"), col("gstart") + col("gn")) -
+          greatest(col("start"), col("gstart")))
+      .filter(col("__ov") > 0)
       .groupBy(col("gp"), col("gidx"), col("gn"))
-      .agg(count(lit(1)).as("ndel"))
+      .agg(sum(col("__ov")).as("ndel"))
       .filter(col("ndel") === col("gn"))
       .select("gp", "gidx").collect()
       .map(r => (r.getString(0), r.getInt(1))).toSet
@@ -1382,13 +1398,9 @@ object CowTable {
         .withColumn(ScanBridge.RowIndexColumn, col("_metadata.row_index"))
         .withColumn(ScanBridge.FilePathColumn, col("_metadata.file_path"))
         .unionByName(rangedDF)
-    val dvn = spark.read.parquet(m.dvs: _*)
-      .select(normalizeSql(col("file_path")).as("__dv_fp"),
-        col("row_index").as("__dv_ri"))
-    data
-      .join(broadcast(dvn),
-        normalizeSql(col(ScanBridge.FilePathColumn)) === col("__dv_fp") &&
-          col(ScanBridge.RowIndexColumn) === col("__dv_ri"), "left_anti")
+    applyDvFilter(spark, data, m.dvs,
+      normalizeSql(col(ScanBridge.FilePathColumn)),
+      col(ScanBridge.RowIndexColumn))
       .drop(ScanBridge.RowIndexColumn, ScanBridge.FilePathColumn)
   }
 
@@ -1435,13 +1447,16 @@ object CowTable {
     * 100 TB table a delete touching a few thousand rows costs one scan
     * (file-pruned by the predicate like any other scan) plus a KB-sized
     * sidecar write; the copy-on-write alternative rewrites every file
-    * containing a matching row. Scans through [[readSnapshot]] pay one
-    * broadcast anti-join until [[rewriteDeletes]] or a compaction
-    * materializes. The scan excludes already-deleted rows, so repeating
-    * a delete is a no-op (returns the current manifest unchanged) and
-    * DV files never accumulate duplicate identities. The candidate scan
-    * itself is stats-pruned: a delete whose predicate misses most files
-    * reads only the files it can touch. */
+    * containing a matching row. The identities are RUN-LENGTH encoded
+    * before the write ([[toDvRuns]]): a dense retention delete lands as
+    * a handful of `(file, start, len)` rows no matter how many rows it
+    * kills. Scans through [[readSnapshot]] probe the packed runs until
+    * [[rewriteDeletes]] or a compaction materializes. The scan excludes
+    * already-deleted rows, so repeating a delete is a no-op (returns
+    * the current manifest unchanged) and DV files never accumulate
+    * duplicate identities. The candidate scan itself is stats-pruned: a
+    * delete whose predicate misses most files reads only the files it
+    * can touch. */
   def deleteWhere(spark: SparkSession, table: String,
       cond: Column): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
@@ -1455,16 +1470,16 @@ object CowTable {
         col("_metadata.row_index").as("row_index"))
     val fresh =
       if (m.dvs.isEmpty) cand
-      else cand.join(
-        spark.read.parquet(m.dvs: _*)
-          .select(normalizeSql(col("file_path")).as("__x_fp"),
-            col("row_index").as("__x_ri")),
-        normalizeSql(col("file_path")) === col("__x_fp") &&
-          col("row_index") === col("__x_ri"), "left_anti")
+      else cand.join(dvRuns(spark, m.dvs),
+        normalizeSql(col("file_path")) === col("fp") &&
+          col("row_index") >= col("start") &&
+          col("row_index") < col("start") + col("len"), "left_anti")
     if (fresh.isEmpty) return m
     val v = m.version + 1
     val out = versionDir(table, "dv", v)
-    fresh.write.mode("overwrite").parquet(out.toString)
+    // runs are tiny relative to the delete: one sidecar file suffices
+    toDvRuns(fresh).coalesce(1).write.mode("overwrite")
+      .parquet(out.toString)
     val dvEntries = listPartFiles(out).map(p =>
       FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
     // carry ALL old entries sidecar-to-sidecar (columnar, never a
@@ -1500,13 +1515,116 @@ object CowTable {
   private[graft] def newDvDir(table: String, v: Int): String =
     versionDir(table, "dv", v).toString
 
-  /** The deletion-vector sidecar schema — (data file path, file-global
-    * row index) row identities. `file_path` may hold the
+  /** The deletion-vector sidecar schema — RANGE-ENCODED: one row per
+    * run of consecutive deleted row indexes, `[start, start + len)`,
+    * within a data file. Runs from one writer are disjoint, and runs
+    * across versions are disjoint too (every delete path excludes
+    * already-deleted rows), but they need not be maximal or sorted in
+    * the file — consumers sort on read. A dense retention delete (the
+    * common shape on time-clustered tables) collapses millions of row
+    * identities into a handful of rows, which shrinks sidecar bytes,
+    * the packed per-file arrays a snapshot read broadcasts, and the
+    * row-group planning join all at once (roaring-bitmap economics,
+    * parquet-native encoding). `file_path` may hold the
     * `_metadata.file_path` URI ([[deleteWhere]]) or the manifest-raw
     * path (the DSv2 delta writer); every consumer compares under
     * [[normalize]]. */
   private[graft] val dvSchema: StructType = StructType(Seq(
-    StructField("file_path", StringType), StructField("row_index", LongType)))
+    StructField("file_path", StringType), StructField("start", LongType),
+    StructField("len", LongType)))
+
+  /** DV runs of `dvPaths` with normalized file identity:
+    * `(fp, start, len)`. */
+  private[graft] def dvRuns(spark: SparkSession,
+      dvPaths: Seq[String]): DataFrame =
+    spark.read.schema(dvSchema).parquet(dvPaths: _*)
+      .select(normalizeSql(col("file_path")).as("fp"), col("start"),
+        col("len"))
+
+  /** Run-length encode distinct `(file_path, row_index)` identities
+    * into the sidecar's `(file_path, start, len)` runs — the classic
+    * gaps-and-islands fold (index minus rank is constant within a
+    * run), one delta-sized shuffle. */
+  private[graft] def toDvRuns(ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("file_path").orderBy("row_index")
+    ids.withColumn("__g", col("row_index") - row_number().over(w))
+      .groupBy(col("file_path"), col("__g"))
+      .agg(min("row_index").as("start"), count(lit(1)).as("len"))
+      .select("file_path", "start", "len")
+  }
+
+  /** Per-file packed DV runs: ONE row per DV'd data file with sorted
+    * `starts`/`lens` arrays — what a snapshot read broadcasts
+    * (O(total runs) longs, never O(deleted rows)) and probes with the
+    * codegen'd binary-search [[graft.functions.DvRunsContain]]. */
+  private[graft] def dvPacked(spark: SparkSession,
+      dvPaths: Seq[String]): DataFrame =
+    dvRuns(spark, dvPaths)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("start"), col("len"))))
+        .as("__rs"))
+      .select(col("fp").as("__dv_fp"), col("__rs.start").as("__dv_starts"),
+        col("__rs.len").as("__dv_lens"))
+
+  /** Session conf: max total DV runs a snapshot read will broadcast as
+    * packed per-file arrays; beyond it the read falls back to a
+    * shuffled range anti-join (executor-side, spillable — no driver or
+    * broadcast limit involved). */
+  private[graft] val DvBroadcastRunsConf = "spark.graft.cow.dv.broadcastRuns"
+  private[graft] val DvBroadcastRunsDefault = 4000000L
+
+  /** Total DV runs across `dvPaths`, from parquet footers alone
+    * (driver-side, one footer per sidecar file — a delta-sized set). */
+  private[graft] def dvRunCount(spark: SparkSession,
+      dvPaths: Seq[String]): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dvPaths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val bs = r.getFooter.getBlocks
+        var s = 0L
+        var i = 0
+        while (i < bs.size()) { s += bs.get(i).getRowCount; i += 1 }
+        s
+      } finally r.close()
+    }.sum
+  }
+
+  /** Apply deletion vectors to `df` executor-side: left-join the packed
+    * per-file run arrays (broadcast when the total run count is under
+    * [[DvBroadcastRunsConf]]) and drop rows whose `riCol` falls in a
+    * run — binary search per row, inside whole-stage codegen. The
+    * fallback beyond the threshold is a shuffled range anti-join: still
+    * executor-side, no broadcast proportional to the delete set.
+    * `fpCol` must already be normalized. */
+  private[graft] def applyDvFilter(spark: SparkSession, df: DataFrame,
+      dvPaths: Seq[String], fpCol: Column, riCol: Column): DataFrame = {
+    val limit = spark.conf.getOption(DvBroadcastRunsConf)
+      .map(_.toLong).getOrElse(DvBroadcastRunsDefault)
+    if (dvRunCount(spark, dvPaths) <= limit)
+      df.withColumn("__dv_probe_fp", fpCol)
+        .join(broadcast(dvPacked(spark, dvPaths)),
+          col("__dv_probe_fp") === col("__dv_fp"), "left")
+        .filter(!graft.functions.DvRunsContain(
+          col("__dv_starts"), col("__dv_lens"), riCol))
+        .drop("__dv_probe_fp", "__dv_fp", "__dv_starts", "__dv_lens")
+    else {
+      // probe columns materialize on the left FIRST: the runs side is
+      // itself a parquet scan, so a raw `_metadata` reference in the
+      // join condition would be ambiguous between the two scans
+      val runs = dvRuns(spark, dvPaths)
+      df.withColumn("__dv_probe_fp", fpCol)
+        .withColumn("__dv_probe_ri", riCol)
+        .join(runs,
+          col("__dv_probe_fp") === col("fp") &&
+            col("__dv_probe_ri") >= col("start") &&
+            col("__dv_probe_ri") < col("start") + col("len"), "left_anti")
+        .drop("__dv_probe_fp", "__dv_probe_ri")
+    }
+  }
 
   /** (bytes, numRows) per NORMALIZED path for the given planned data
     * files — the scan-planning/statistics lookup of the DSv2 table.
@@ -1527,22 +1645,22 @@ object CowTable {
       .toMap
   }
 
-  /** Deleted row positions per NORMALIZED data-file path, restricted to
-    * `files` — the DV side a DSv2 partition reader applies executor-side.
-    * Driver-resident by the same contract as [[readSnapshot]]'s
-    * broadcast: delete sets are delta-sized by design
-    * ([[rewriteDeletes]] bounds them). */
-  private[graft] def dvPositions(spark: SparkSession, m: Manifest,
-      files: Seq[String]): Map[String, Array[Long]] = {
+  /** Deleted-row RUNS per NORMALIZED data-file path — sorted parallel
+    * `(starts, lens)` arrays, restricted to `files` — the DV side a
+    * DSv2 partition reader probes executor-side with a binary search.
+    * Driver-resident at O(#runs), never O(#deleted rows): a dense
+    * retention delete is a handful of longs per file. */
+  private[graft] def dvRunArrays(spark: SparkSession, m: Manifest,
+      files: Seq[String]): Map[String, (Array[Long], Array[Long])] = {
     if (m.dvs.isEmpty || files.isEmpty) return Map.empty
     val norm = files.map(normalize)
-    spark.read.parquet(m.dvs: _*)
-      .select(normalizeSql(col("file_path")).as("fp"), col("row_index"))
+    dvRuns(spark, m.dvs)
       .filter(col("fp").isInCollection(norm))
       .collect()
       .groupBy(_.getString(0))
       .map { case (fp, rows) =>
-        fp -> rows.map(_.getLong(1)).distinct.sorted }
+        val runs = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        fp -> (runs.map(_._1), runs.map(_._2)) }
   }
 
   /** DSv2 commit: replace `removed` data files with `added` (already
@@ -1637,10 +1755,11 @@ object CowTable {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     if (m.dvs.isEmpty) return m
-    // per-file dead counts: one DV aggregate, delta-sized by contract
-    val dead = spark.read.parquet(m.dvs: _*)
-      .groupBy(normalizeSql(col("file_path")).as("fp"))
-      .agg(count(lit(1)).as("ndead"))
+    // per-file dead counts: one DV-run aggregate, delta-sized by
+    // contract (runs are disjoint, so summed lengths are exact)
+    val dead = dvRuns(spark, m.dvs)
+      .groupBy(col("fp"))
+      .agg(sum(col("len")).as("ndead"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val dvd = m.files.filter(f => dead.contains(normalize(f)))
     val meta =
@@ -1663,10 +1782,10 @@ object CowTable {
       if (keepDvF.isEmpty) Nil
       else {
         val out = versionDir(table, "dv", v)
-        spark.read.parquet(m.dvs: _*)
+        spark.read.schema(dvSchema).parquet(m.dvs: _*)
           .filter(normalizeSql(col("file_path"))
             .isInCollection(keepDvF.map(normalize)))
-          .write.mode("overwrite").parquet(out.toString)
+          .coalesce(1).write.mode("overwrite").parquet(out.toString)
         listPartFiles(out)
       }
     val (newFiles, newParts) =
@@ -1886,8 +2005,8 @@ object CowTable {
       kept: Seq[String]): Seq[String] = {
     if (m.dvs.isEmpty) return Nil
     val keptN = kept.map(normalize).toSet
-    val refs = spark.read.parquet(m.dvs: _*)
-      .select(normalizeSql(col("file_path")).as("fp")).distinct()
+    val refs = dvRuns(spark, m.dvs)
+      .select("fp").distinct()
       .collect().map(_.getString(0))
     if (refs.exists(keptN.contains)) m.dvs else Nil
   }
@@ -2098,7 +2217,7 @@ object CowTable {
     val dvAffected: Seq[String] =
       if (dvNew.isEmpty) Nil
       else {
-        val touched = spark.read.parquet(dvNew: _*)
+        val touched = spark.read.schema(dvSchema).parquet(dvNew: _*)
           .select("file_path").distinct()
           .collect().map(r => normalize(r.getString(0))).toSet
         tm.files.filter(f => touched.contains(normalize(f)) &&
@@ -2728,9 +2847,10 @@ object CowTable {
     val afterN = after.files.map(normalize).toSet
     val rewritten = before.files.count(f => !afterN.contains(normalize(f)))
     require(after.dvs.nonEmpty, "below-threshold files must keep DV entries")
-    val keptDvFiles = s.read.parquet(after.dvs: _*)
-      .select(normalizeSql(col("file_path")).as("fp")).distinct().count()
-    val remainingDead = s.read.parquet(after.dvs: _*).count()
+    val keptDvFiles = dvRuns(s, after.dvs)
+      .select("fp").distinct().count()
+    val remainingDead = dvRuns(s, after.dvs)
+      .agg(sum(col("len"))).head().getLong(0)
     read(s, table).agg(count(lit(1)).as("n"))
       .withColumn("n_rewritten", lit(rewritten.toLong))
       .withColumn("n_kept_dv", lit(keptDvFiles))
@@ -2760,6 +2880,77 @@ object CowTable {
        |  CAST(SUM(CASE WHEN dead_rows * 10 < total_rows * 3
        |    THEN dead_rows ELSE 0 END) AS BIGINT) AS remaining_dead
        |FROM audit""".stripMargin
+
+  /** Gate: COMPRESSED (range-encoded) deletion vectors under a dense
+    * retention-style delete. Fixture: orders split into
+    * [[DvCompressFiles]] files with WITHIN-FILE ascending
+    * (o_custkey, o_orderkey) order ([[initFiledSorted]] — the layout
+    * key/time-ordered ingest produces), then `DELETE WHERE o_custkey <=
+    * max/2`: in every file the dead rows occupy one contiguous position
+    * prefix, so the sidecar must hold at most ONE run per touched file
+    * regardless of how many thousand rows died. The op emits the
+    * read-back aggregate (exercising the packed executor-side DV
+    * application on the Scala path), the bigint-exact deleted-row count
+    * re-derived from the runs' lengths, and three booleans the driver
+    * pins TRUE: runs bounded by the file count, runs ≪ deleted rows,
+    * and MEASURED sidecar bytes ≤ the equivalent row-per-delete parquet
+    * (written to a scratch dir from the very same identities and
+    * cleaned up). One extra run, one miscounted dead row, or a sidecar
+    * that stopped compressing fails the gate. */
+  def lhDvCompress(s: SparkSession, dir: String): DataFrame =
+    lhDvCompressOp(s, dir, lhDvCompressBuild(s, dir))
+
+  private[graft] val DvCompressFiles = 8
+
+  private def lhDvCompressBuild(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val table = freshGateTable()
+    val filed = Tables.orders(s, dir).withColumn("__f",
+      ntile(DvCompressFiles).over(Window.orderBy($"o_custkey", $"o_orderkey")))
+    initFiledSorted(filed, table, "__f", DvCompressFiles,
+      Seq("o_custkey", "o_orderkey"))
+    table
+  }
+
+  private def lhDvCompressOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    val cut = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0) / 2
+    val m = deleteWhere(s, table, $"o_custkey" <= cut)
+    val runs = dvRuns(s, m.dvs)
+    val nRuns = runs.count()
+    val deletedRows = runs.agg(sum($"len")).head().getLong(0)
+    val rangeBytes = m.dvs.map(p => Files.size(Paths.get(p))).sum
+    // the honest comparison: the SAME identities, row-per-delete
+    val rowDir = Paths.get(table, "scratch-rowdv")
+    runs.select(col("fp").as("file_path"),
+        explode(sequence(col("start"), col("start") + col("len") - 1))
+          .as("row_index"))
+      .coalesce(1).write.mode("overwrite").parquet(rowDir.toString)
+    val rowBytes = listPartFiles(rowDir).map(p => Files.size(Paths.get(p))).sum
+    listDir(rowDir).foreach(Files.deleteIfExists(_))
+    Files.deleteIfExists(rowDir)
+    read(s, table)
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .withColumn("deleted_rows", lit(deletedRows))
+      .withColumn("runs_bounded", lit(nRuns <= DvCompressFiles.toLong))
+      .withColumn("runs_compress", lit(nRuns * 16L <= deletedRows))
+      .withColumn("sidecar_le_rowform", lit(rangeBytes <= rowBytes))
+  }
+
+  val lhDvCompressSql: String =
+    """WITH cut AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 2 AS c)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, cut
+      |    WHERE o_custkey <= c) AS deleted_rows,
+      |  TRUE AS runs_bounded, TRUE AS runs_compress,
+      |  TRUE AS sidecar_le_rowform
+      |FROM orders, cut WHERE o_custkey > c""".stripMargin
 
   /** Gate: the ONE-CALL maintenance policy `CALL graft.cow_maintain` —
     * selective DV materialization (0.3 threshold), then full small-file
@@ -3184,6 +3375,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhFileAuditOp(s, d, t))),
     "lh_dv_maint" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhDvMaintOp(s, d, t))),
+    "lh_dv_compress" -> ((s, d) =>
+      (() => lhDvCompressBuild(s, d), t => lhDvCompressOp(s, d, t))),
     "lh_maintain" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhMaintainOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
@@ -3249,6 +3442,7 @@ object CowTable {
     "lh_merge_mor" -> lhMergeMor,
     "lh_file_audit" -> lhFileAudit,
     "lh_dv_maint" -> lhDvMaint,
+    "lh_dv_compress" -> lhDvCompress,
     "lh_maintain" -> lhMaintain,
     "lh_stream_sink" -> lhStreamSink,
   )
@@ -3272,6 +3466,7 @@ object CowTable {
     "lh_merge_mor" -> lhMergeSql,
     "lh_file_audit" -> lhFileAuditSql,
     "lh_dv_maint" -> lhDvMaintSql,
+    "lh_dv_compress" -> lhDvCompressSql,
     "lh_maintain" -> lhMaintainSql,
     "lh_stream_sink" -> lhStreamSinkSql,
   )

@@ -316,7 +316,7 @@ private[plans] class CowScanBuilder(table: CowDsv2Table,
 }
 
 private[plans] case class CowInputPartition(path: String, bytes: Long,
-    dvPos: Array[Long]) extends InputPartition
+    dvStarts: Array[Long], dvLens: Array[Long]) extends InputPartition
 
 /** Executor-side: parquet rows + row index → DV-filtered rows projected
   * to the required schema (`plan(i)`: data column index, -1 = the file
@@ -329,7 +329,14 @@ private[plans] case class CowReaderFactory(
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[CowInputPartition]
     val it = readFn(cp.path, cp.bytes)
-    val dv = cp.dvPos
+    val starts = cp.dvStarts
+    val lens = cp.dvLens
+    // deleted iff ri falls in the run with the greatest start <= ri
+    def deleted(ri: Long): Boolean = {
+      var i = java.util.Arrays.binarySearch(starts, ri)
+      if (i < 0) i = -i - 2
+      i >= 0 && ri < starts(i) + lens(i)
+    }
     val fileUtf8 = UTF8String.fromString(cp.path)
     val out = new GenericInternalRow(plan.length)
     new PartitionReader[InternalRow] {
@@ -338,7 +345,7 @@ private[plans] case class CowReaderFactory(
         while (it.hasNext) {
           val r = it.next()
           val ri = r.getLong(nData)
-          if (dv.length == 0 || java.util.Arrays.binarySearch(dv, ri) < 0) {
+          if (starts.length == 0 || !deleted(ri)) {
             var i = 0
             while (i < plan.length) {
               val v: Any = plan(i) match {
@@ -417,12 +424,14 @@ private[plans] class CowBatchScan(table: CowDsv2Table,
     val files = currentFiles
     plannedFiles = files
     val meta = CowTable.dataFileMeta(spark, table.tablePath, m, files)
-    val dvs = CowTable.dvPositions(spark, m, files)
+    val dvs = CowTable.dvRunArrays(spark, m, files)
     files.map { f =>
       val n = CowTable.normalizePath(f)
       val bytes = meta.get(n).map(_._1).filter(_ >= 0L).getOrElse(
         java.nio.file.Files.size(java.nio.file.Paths.get(n)))
-      CowInputPartition(f, bytes, dvs.getOrElse(n, Array.empty[Long]))
+      val (st, ln) = dvs.getOrElse(n,
+        (Array.empty[Long], Array.empty[Long]))
+      CowInputPartition(f, bytes, st, ln)
     }.toArray
   }
 
@@ -739,7 +748,15 @@ private[plans] case class CowDeltaWriterFactory(dataDir: String,
       private var nIns = 0L
       private var nDel = 0L
       private val out = new GenericInternalRow(srcIdx.length)
-      private val dvOut = new GenericInternalRow(2)
+      private val dvOut = new GenericInternalRow(3)
+      // run-length buffer for the range-encoded DV sidecar: deletes of
+      // one file typically arrive in ascending row order, so chaining
+      // positions fold into one (file, start, len) row; a break (or a
+      // file switch) flushes. Out-of-order arrivals just produce more
+      // (still disjoint) runs — consumers sort on read.
+      private var runFile: UTF8String = _
+      private var runStart = 0L
+      private var runLen = 0L
 
       private def dirOf(r: InternalRow): String =
         if (partSpec.isEmpty) ""
@@ -768,14 +785,31 @@ private[plans] case class CowDeltaWriterFactory(dataDir: String,
         nIns += 1
       }
 
+      private def flushRun(): Unit = {
+        if (runFile != null) {
+          dvOut.update(0, runFile)
+          dvOut.update(1, runStart)
+          dvOut.update(2, runLen)
+          dvWriter.write(dvOut)
+          runFile = null
+        }
+      }
+
       override def delete(meta: InternalRow, id: InternalRow): Unit = {
         if (dvWriter == null) {
           dvPath = s"$dvDir/part-$partitionId-$taskId.parquet"
           dvWriter = dvHandle.open(dvPath, partitionId, 0)
         }
-        dvOut.update(0, id.getUTF8String(fileIdx))
-        dvOut.update(1, id.getLong(posIdx))
-        dvWriter.write(dvOut)
+        val f = id.getUTF8String(fileIdx)
+        val ri = id.getLong(posIdx)
+        if (runFile != null && runFile.equals(f) && ri == runStart + runLen)
+          runLen += 1
+        else {
+          flushRun()
+          runFile = f.clone() // id's buffer is reused between rows
+          runStart = ri
+          runLen = 1L
+        }
         nDel += 1
       }
 
@@ -788,7 +822,7 @@ private[plans] case class CowDeltaWriterFactory(dataDir: String,
       override def commit(): WriterCommitMessage = {
         writers.values.foreach(_.close())
         writers.clear()
-        if (dvWriter != null) dvWriter.close()
+        if (dvWriter != null) { flushRun(); dvWriter.close() }
         CowDeltaWriteMessage(dataPaths.toSeq, Option(dvPath).toSeq,
           nIns, nDel)
       }

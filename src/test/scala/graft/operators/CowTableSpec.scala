@@ -442,21 +442,22 @@ class CowTableSpec extends AnyFunSuite {
       (7L, "delete")), s"unexpected span diff: $span")
   }
 
-  test("DV read keeps filter pushdown and broadcast anti-join on the data scan") {
+  test("DV read keeps filter pushdown and broadcast DV probe on the data scan") {
     val t = freshTable()
     initRanged(t)
     CowTable.deleteWhere(spark, t, $"id" === 91L)
     val q = CowTable.read(spark, t).filter($"id" >= 90L).select("id", "v")
     val plan = q.queryExecution.executedPlan.toString
     // the user predicate reaches the parquet scan THROUGH the DV
-    // anti-join (an anti-join preserves its left rows, so Catalyst may
+    // left-join (an outer join preserves its left rows, so Catalyst may
     // push the filter below it) — without this, every DV'd read becomes
     // a full scan
     assert(plan.contains("PushedFilters") &&
       plan.contains("GreaterThanOrEqual(id,90)"), plan)
-    // the delete set rides a broadcast, never a shuffle
+    // the packed per-file runs ride a broadcast, never a shuffle, and
+    // the probe is the codegen'd binary-search dv_runs_contain filter
     assert(plan.contains("BroadcastHashJoin") &&
-      plan.contains("LeftAnti"), plan)
+      plan.contains("LeftOuter") && plan.contains("dvrunscontain"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     // name is not read: pruning intact despite the _metadata projection
     val readSchemas = plan.split("ReadSchema: ").drop(1).map(_.split("\n").head)

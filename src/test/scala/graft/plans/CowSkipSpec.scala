@@ -63,7 +63,7 @@ class CowSkipSpec extends AnyFunSuite {
     assert(q.collect().map(_.getLong(0)).sorted.toSeq ==
       ((30L to 40L).filterNot(_ == 35L)))
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("LeftAnti"), s"DV anti-join lost:\n$plan")
+    assert(plan.contains("dvrunscontain"), s"DV probe lost:\n$plan")
   }
 
   test("unsupported predicates and foreign scans are left untouched") {
