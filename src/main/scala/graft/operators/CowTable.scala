@@ -214,6 +214,70 @@ object CowTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Bounded optimistic-concurrency retry loop around a version commit.
+    * `attempt(head)` recomputes the carried entries AGAINST `head` and
+    * commits `head.version + 1`; on a claim loss the loop waits for the
+    * winner's manifest to COMPLETE (a claimed-but-unwritten file is
+    * invisible to readers), runs `validate(newHead)` — which must throw
+    * on a GENUINE conflict (file overlap, overlapping deletes, schema
+    * divergence, key collisions) — and re-attempts against the new
+    * head, at most [[CommitRetries]] times. This is the
+    * Delta/Iceberg-style reconciliation that lets writers touching
+    * DISJOINT files race and ALL land with serialized versions, while
+    * overlapping writers still fail loudly (from `validate`). A
+    * crashed winner (claim forever incomplete) also fails loudly after
+    * the wait budget. Data/DV files a losing attempt already wrote are
+    * reused verbatim on retry — version dirs carry a uniq suffix and
+    * manifests reference absolute paths, so the directory's version
+    * number is free to lag the committed version; a failed attempt's
+    * entries-sidecar dir is KB-sized litter no manifest references. */
+  private[graft] val CommitRetries = 5
+
+  /** Schema equality for rebase validation — by field names and types,
+    * not raw JSON: a parquet scan round-trip flips nullability flags,
+    * which is not a conflicting schema change. */
+  private[graft] def schemaCompatible(a: Option[String],
+      b: Option[String]): Boolean = (a, b) match {
+    case (Some(x), Some(y)) =>
+      x == y || scala.util.Try {
+        def norm(j: String) = DataType.fromJson(j).asInstanceOf[StructType]
+          .fields.map(f => (f.name, f.dataType.catalogString)).toSeq
+        norm(x) == norm(y)
+      }.getOrElse(false)
+    case (x, y) => x == y
+  }
+
+  private[graft] def commitWithRetry(table: String, base: Manifest,
+      validate: Manifest => Unit,
+      attempt: Manifest => Manifest): Manifest = {
+    var head = base
+    var tries = 0
+    while (true) {
+      try return attempt(head)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tries += 1
+          if (tries > CommitRetries) throw new IllegalStateException(
+            s"cow commit on $table lost $CommitRetries consecutive " +
+              "version races — giving up")
+          var h = latestManifest(table).getOrElse(head)
+          var waits = 0
+          while (h.version <= head.version && waits < 100) {
+            Thread.sleep(50L)
+            h = latestManifest(table).getOrElse(head)
+            waits += 1
+          }
+          if (h.version <= head.version) throw new IllegalStateException(
+            s"cow commit on $table: version ${head.version + 1} was " +
+              "claimed but its manifest never completed (crashed " +
+              "writer?) — run vacuum, then retry")
+          validate(h)
+          head = h
+      }
+    }
+    head // unreachable
+  }
+
   /** Legacy string-list commit (v1 manifest, no stats). Kept for
     * callers that manage file lists themselves; internal operations go
     * through [[commitEntries]] so stats survive. */
@@ -315,11 +379,18 @@ object CowTable {
     * job total, nothing collected. `carriedFiles`/`carriedDvs` are the
     * carried paths for the manifest text (driver-resident by
     * construction: the manifest format lists paths). */
+  /** Test hook: runs at the top of every stats commit — the injection
+    * point the concurrency spec uses to land a competing commit in the
+    * window between an operation reading its base manifest and
+    * claiming its version (deterministic race replay). */
+  private[graft] var preCommitHook: () => Unit = () => ()
+
   private def commitWithStatsDF(spark: SparkSession, table: String,
       version: Int, carriedDF: DataFrame, newDataFiles: Seq[String],
       schema: StructType, carriedFiles: Seq[String],
       carriedDvs: Seq[String], partitionCols: Seq[String] = Nil,
       newFileParts: Map[String, String] = Map.empty): Manifest = {
+    preCommitHook()
     val rel = s"files/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val out = manifestDir(table).resolve(rel)
     Files.createDirectories(out.getParent)
@@ -1475,25 +1546,55 @@ object CowTable {
           col("row_index") >= col("start") &&
           col("row_index") < col("start") + col("len"), "left_anti")
     if (fresh.isEmpty) return m
-    val v = m.version + 1
-    val out = versionDir(table, "dv", v)
+    val out = versionDir(table, "dv", m.version + 1)
     // runs are tiny relative to the delete: one sidecar file suffices
     toDvRuns(fresh).coalesce(1).write.mode("overwrite")
       .parquet(out.toString)
-    val dvEntries = listPartFiles(out).map(p =>
+    val dvFiles = listPartFiles(out)
+    val dvEntries = dvFiles.map(p =>
       FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
-    // carry ALL old entries sidecar-to-sidecar (columnar, never a
-    // driver seq) and append only the delta-sized DV entries
-    val carriedDF = entriesDF(spark, table, m)
-      .unionByName(spark.createDataFrame(dvEntries), allowMissingColumns = true)
-    val m2 = commitWithStatsDF(spark, table, v, carriedDF, Nil,
-      m.schemaOpt.getOrElse(raw.schema), m.files,
-      m.dvs ++ dvEntries.map(_.path), m.partitionCols)
-    // cache hand-off: a DV commit's entries are derivable from the old
-    // snapshot's (when cached) — the next read skips the sidecar job
-    for (old <- cachedEntriesOf(table, m); rel <- m2.entriesRel)
-      cacheEntries(table, rel, old ++ dvEntries)
-    m2
+    val dvTouched = dvRuns(spark, dvFiles).select("fp").distinct()
+      .collect().map(_.getString(0)).toSet
+
+    // Concurrency: rebase-and-retry on a lost version race. Snapshot
+    // isolation (the Delta "WriteSerializable" stance): the delete
+    // applies to the rows that existed in ITS snapshot, so concurrent
+    // appends and disjoint-file writers are compatible; anything that
+    // moved or re-deleted the rows this DV references throws.
+    def validateRebase(h: Manifest): Unit = {
+      def conflict(msg: String) = throw new java.util.ConcurrentModificationException(
+        s"deleteWhere $table: concurrent $msg — rerun the delete " +
+          "against the new snapshot")
+      if (!schemaCompatible(h.schemaJson, m.schemaJson)) conflict("schema change")
+      if (h.partitionCols != m.partitionCols) conflict("re-partitioning")
+      val hN = h.files.map(normalize).toSet
+      if (!dvTouched.forall(hN.contains))
+        conflict("rewrite of a file this delete targets")
+      val freshDvs = h.dvs.filterNot(m.dvs.toSet)
+      if (freshDvs.nonEmpty) {
+        val refs = dvRuns(spark, freshDvs).select("fp").distinct()
+          .collect().map(_.getString(0)).toSet
+        if (refs.exists(dvTouched.contains))
+          conflict("delete inside a file this delete also targets")
+      }
+    }
+    def commitAttempt(h: Manifest): Manifest = {
+      // carry ALL head entries sidecar-to-sidecar (columnar, never a
+      // driver seq) and append only the delta-sized DV entries
+      val carriedDF = entriesDF(spark, table, h)
+        .unionByName(spark.createDataFrame(dvEntries),
+          allowMissingColumns = true)
+      val m2 = commitWithStatsDF(spark, table, h.version + 1, carriedDF,
+        Nil, h.schemaOpt.getOrElse(raw.schema), h.files,
+        h.dvs ++ dvEntries.map(_.path), h.partitionCols)
+      // cache hand-off: a DV commit's entries are derivable from the
+      // old snapshot's (when cached) — the next read skips the sidecar
+      // job
+      for (old <- cachedEntriesOf(table, h); rel <- m2.entriesRel)
+        cacheEntries(table, rel, old ++ dvEntries)
+      m2
+    }
+    commitWithRetry(table, m, validateRebase, commitAttempt)
   }
 
   // ------------------------------------------------- DSv2 commit hooks
@@ -1867,19 +1968,17 @@ object CowTable {
     // scan is deliberate with DVs present: a file whose only matching
     // rows are deleted gets rewritten (its DV entries materialize a
     // version early) — conservative, never wrong.
+    val srcKeys = source.select(keys.map(col): _*).distinct()
     val touched =
       if (m.files.isEmpty) Set.empty[String]
       else {
         val candidates = mergeCandidateFiles(spark, table, m, source, keys)
         if (candidates.isEmpty) Set.empty[String]
-        else {
-          val srcKeys = source.select(keys.map(col): _*).distinct()
-          rawScan(spark, m, candidates)
-            .withColumn("__file", input_file_name())
-            .join(broadcast(srcKeys), keys, "left_semi")
-            .select("__file").distinct()
-            .collect().map(r => normalize(r.getString(0))).toSet
-        }
+        else rawScan(spark, m, candidates)
+          .withColumn("__file", input_file_name())
+          .join(broadcast(srcKeys), keys, "left_semi")
+          .select("__file").distinct()
+          .collect().map(r => normalize(r.getString(0))).toSet
       }
     val (touchedF, untouchedF) =
       m.files.partition(f => touched.contains(normalize(f)))
@@ -1918,25 +2017,62 @@ object CowTable {
     // files are still live; entries for rewritten files reference paths
     // no longer in the manifest and can never match again (version dirs
     // are never reused) — compaction or rewriteDeletes trims them.
-    val v = m.version + 1
     val newFiles =
       if (merged.isEmpty) (Seq.empty[String], Map.empty[String, String])
-      else writeDataMaybePartitioned(merged, table, v, m.partitionCols)
-    // untouched data entries + all DV entries carry sidecar-to-sidecar
-    val carriedDF = entriesDF(spark, table, m).filter(
-      col("kind") === "dv" ||
-        (if (touched.isEmpty) lit(true)
-         else !normalizeSql(col("path"))
-           .isInCollection(touched.toSeq)))
-    val m2 = commitWithStatsDF(spark, table, v, carriedDF, newFiles._1,
-      newSchema, untouchedF, m.dvs, m.partitionCols, newFiles._2)
-    // cache hand-off possible only when nothing new was written (a
-    // pure-delete merge): new files' stats live in the sidecar alone
-    if (newFiles._1.isEmpty)
-      for (old <- cachedEntriesOf(table, m); rel <- m2.entriesRel)
-        cacheEntries(table, rel, old.filter(e =>
-          e.kind == "dv" || !touched.contains(normalize(e.path))))
-    m2
+      else writeDataMaybePartitioned(merged, table, m.version + 1,
+        m.partitionCols)
+
+    // Concurrency: on a lost version race, rebase against the new head
+    // and retry — DISJOINT writers all land (see [[commitWithRetry]]).
+    // A rebase is sound only when the interleaved commits could not
+    // have changed this merge's inputs; anything else throws.
+    def validateRebase(h: Manifest): Unit = {
+      def conflict(msg: String) = throw new java.util.ConcurrentModificationException(
+        s"mergeInto $table: concurrent $msg — rerun the merge against " +
+          "the new snapshot")
+      if (!schemaCompatible(h.schemaJson, m.schemaJson)) conflict("schema change")
+      if (h.partitionCols != m.partitionCols) conflict("re-partitioning")
+      val hN = h.files.map(normalize).toSet
+      if (!touched.forall(hN.contains))
+        conflict("rewrite of a file this merge also rewrites")
+      val freshDvs = h.dvs.filterNot(m.dvs.toSet)
+      if (freshDvs.nonEmpty && touched.nonEmpty) {
+        val refs = dvRuns(spark, freshDvs).select("fp").distinct()
+          .collect().map(_.getString(0)).toSet
+        if (refs.exists(touched.contains))
+          conflict("delete inside a file this merge rewrites")
+      }
+      // rows added since our snapshot must not carry our source keys,
+      // or the rebased result would diverge from sequential application
+      // (a lost update or a duplicate insert)
+      val baseN = m.files.map(normalize).toSet
+      val added = h.files.filterNot(f => baseN.contains(normalize(f)))
+      if (added.nonEmpty &&
+          rawScan(spark, m, added).join(broadcast(srcKeys), keys,
+            "left_semi").limit(1).count() > 0L)
+        conflict("write of rows matching this merge's source keys")
+    }
+    def commitAttempt(h: Manifest): Manifest = {
+      // untouched entries + all DV entries carry sidecar-to-sidecar,
+      // FROM THE HEAD — a rebase keeps what the interleaved commits did
+      val carriedDF = entriesDF(spark, table, h).filter(
+        col("kind") === "dv" ||
+          (if (touched.isEmpty) lit(true)
+           else !normalizeSql(col("path"))
+             .isInCollection(touched.toSeq)))
+      val untouchedH = h.files.filterNot(f => touched.contains(normalize(f)))
+      val m2 = commitWithStatsDF(spark, table, h.version + 1, carriedDF,
+        newFiles._1, newSchema, untouchedH, h.dvs, h.partitionCols,
+        newFiles._2)
+      // cache hand-off possible only when nothing new was written (a
+      // pure-delete merge): new files' stats live in the sidecar alone
+      if (newFiles._1.isEmpty)
+        for (old <- cachedEntriesOf(table, h); rel <- m2.entriesRel)
+          cacheEntries(table, rel, old.filter(e =>
+            e.kind == "dv" || !touched.contains(normalize(e.path))))
+      m2
+    }
+    commitWithRetry(table, m, validateRebase, commitAttempt)
   }
 
   /** The files a merge's discovery scan must read: those whose
