@@ -108,8 +108,9 @@ object Bench {
     "lh_dv_maint", "lh_maintain",
     // range-encoded deletion vectors: dense delete → O(#files) runs
     "lh_dv_compress",
-    // the CoW table as a Structured Streaming sink (epoch-idempotent)
-    "lh_stream_sink",
+    // the CoW table as a Structured Streaming sink (epoch-idempotent),
+    // and the update-mode twin (per-epoch MOR upserts across a restart)
+    "lh_stream_sink", "lh_stream_upsert",
     // TPC-H wave 3: correlated-MIN catalog (q2), profit rollup (q9),
     // scalar-in-HAVING (q11), nested-IN half-sum (q20)
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q20",

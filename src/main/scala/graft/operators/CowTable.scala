@@ -1837,6 +1837,63 @@ object CowTable {
       schema, base.files, base.dvs ++ addedDvs, base.partitionCols, newParts)
   }
 
+  /** MERGE-ON-READ upsert: matched target rows die by deletion vector
+    * (range-encoded, no data file rewritten) and EVERY source row
+    * appends as new data files — one delta-priced commit, the Scala
+    * twin of SQL `MERGE` under merge-on-read mode and the epoch apply
+    * of the update-mode streaming sink. The match scan is stats-bounded
+    * ([[mergeCandidateFiles]]) and DV-applied (an already-deleted row
+    * cannot re-match), so repeating the same upsert is content-stable:
+    * the old copy is dead either way and the latest source values win.
+    * Source keys must be unique (the SQL MERGE cardinality contract).
+    * Refuses to commit over a concurrent writer like every delta
+    * commit. */
+  def upsertMor(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    val schema = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"upsertMor needs a v2 manifest with a schema"))
+    require(keys.nonEmpty && keys.forall(source.columns.contains),
+      s"upsertMor: keys $keys must exist in the source")
+    require(schema.fieldNames.forall(source.columns.contains),
+      "upsertMor: source must carry every table column")
+    val uniq = source.agg(count(lit(1)).as("n"),
+      count_distinct(col(keys.head), keys.tail.map(col): _*).as("d")).head()
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"upsertMor: source has ${uniq.getLong(0) - uniq.getLong(1)} duplicate keys")
+    if (uniq.getLong(0) == 0L) return m
+    val v = m.version + 1
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    // 1. matched LIVE rows -> this version's deletion vector
+    val cands =
+      if (m.files.isEmpty) Nil
+      else mergeCandidateFiles(spark, table, m, source, keys)
+    val dvFiles: Seq[String] =
+      if (cands.isEmpty) Nil
+      else {
+        val ids = rawScan(spark, m, cands).select(
+          (keys.map(col) :+ col("_metadata.file_path").as("file_path")) :+
+            col("_metadata.row_index").as("row_index"): _*)
+        val live = applyDvFilter(spark, ids, m.dvs,
+          normalizeSql(col("file_path")), col("row_index"))
+        val matched = live.join(broadcast(srcKeys), keys, "left_semi")
+          .select("file_path", "row_index")
+        if (matched.isEmpty) Nil
+        else {
+          val out = versionDir(table, "dv", v)
+          toDvRuns(matched).coalesce(1).write.mode("overwrite")
+            .parquet(out.toString)
+          listPartFiles(out)
+        }
+      }
+    // 2. every source row appends (update postimages + fresh inserts)
+    val ordered = source.select(schema.fieldNames.map(col): _*)
+    val (dataFiles, _) =
+      writeDataMaybePartitioned(ordered, table, v, m.partitionCols)
+    deltaCommit(spark, table, m, dataFiles, dvFiles)
+  }
+
   /** Materialize deletion vectors: rewrite the files that carry a live
     * DV entry (discovered from the DVs themselves — a delta-sized read,
     * not a table scan), drop their DV entries, carry the rest by
@@ -3185,6 +3242,70 @@ object CowTable {
 
   val lhStreamSinkSql: String = "SELECT * FROM orders"
 
+  /** Gate: UPDATE-MODE streaming aggregation into a CoW table — the
+    * sink surface behind `writeStream.outputMode("update")
+    * .option("upsertKeys", ...)`: each epoch's changed groups land as
+    * ONE merge-on-read upsert ([[upsertMor]] — matched rows die by
+    * range-encoded DV, postimages append, nothing rewrites). The run
+    * replays orders as three file-slices (one per micro-batch), STOPS
+    * the query after two epochs and RESTARTS it from the checkpoint
+    * for the third — so state recovery and the epoch high-water guard
+    * are both on the hook. Strict version arithmetic (create + 3
+    * upsert epochs = v3, the restart resuming not replaying) plus DVs
+    * present, and the final per-custkey aggregate must hash-match the
+    * batch recomputation over ALL orders — a dropped epoch, a replayed
+    * epoch, or one lost update breaks the count or the sum. */
+  def lhStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val base = java.nio.file.Files.createTempDirectory("lh_stream_upsert")
+    val t = base.resolve("t").toString
+    val src = base.resolve("in")
+    java.nio.file.Files.createDirectories(src)
+    val orders = Tables.orders(s, dir)
+    def addSlice(i: Int): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"lh_su_$i")
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.head
+      val dest = src.resolve(f"0${i}_slice.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+      dest.toFile.setLastModified(1000000L + i * 10000L)
+      ()
+    }
+    def run(): Unit = {
+      val q = s.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("total"))
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .option("upsertKeys", "o_custkey")
+        .toTable(s"graft.`$t`")
+      try q.processAllAvailable() finally q.stop()
+    }
+    addSlice(0); addSlice(1)
+    run() // epochs 0, 1
+    val mid = latestManifest(t).get
+    require(mid.version == 2,
+      s"expected create + 2 epoch upserts = v2, got v${mid.version}")
+    addSlice(2)
+    run() // RESTART from the checkpoint -> epoch 2 only
+    val m = latestManifest(t).get
+    require(m.version == 3,
+      s"expected exactly one more upsert after restart, got v${m.version}")
+    require(m.dvs.nonEmpty,
+      "update epochs must land as merge-on-read deltas (DVs)")
+    s.sql(s"SELECT o_custkey, n, total FROM graft.`$t`")
+  }
+
+  val lhStreamUpsertSql: String =
+    """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
        |    (SELECT MAX(o_custkey) FROM orders) // 4 +
@@ -3581,6 +3702,7 @@ object CowTable {
     "lh_dv_compress" -> lhDvCompress,
     "lh_maintain" -> lhMaintain,
     "lh_stream_sink" -> lhStreamSink,
+    "lh_stream_upsert" -> lhStreamUpsert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3605,5 +3727,6 @@ object CowTable {
     "lh_dv_compress" -> lhDvCompressSql,
     "lh_maintain" -> lhMaintainSql,
     "lh_stream_sink" -> lhStreamSinkSql,
+    "lh_stream_upsert" -> lhStreamUpsertSql,
   )
 }

@@ -254,12 +254,31 @@ class CowDsv2Table(val tablePath: String, versionOpt: Option[Int] = None)
     new CowScanBuilder(this, None)
 
   /** Plain `INSERT INTO` append (batch) or `writeStream.toTable`
-    * append (streaming — epoch-idempotent, see [[CowStreamingWrite]]). */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new CowV2Write(CowDsv2Table.this,
-        info.schema(), None, Some(info.queryId()))
+    * (streaming): append mode commits epoch-idempotent appends
+    * ([[CowStreamingWrite]]); UPDATE mode requires the writer option
+    * `upsertKeys` (comma-separated key columns) and lands each epoch's
+    * changed rows as ONE merge-on-read upsert
+    * ([[CowStreamingUpsertWrite]]). The update capability is only
+    * advertised (`SupportsStreamingUpdateAsAppend`) when keys are
+    * given, so an update-mode write without them fails Spark's own
+    * sink-capability check instead of silently appending. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val upsertKeys = Option(info.options.get("upsertKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    upsertKeys match {
+      case Some(ks) =>
+        new WriteBuilder
+            with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
+          override def build(): Write = new CowV2Write(CowDsv2Table.this,
+            info.schema(), None, Some(info.queryId()), Some(ks))
+        }
+      case None => new WriteBuilder {
+        override def build(): Write = new CowV2Write(CowDsv2Table.this,
+          info.schema(), None, Some(info.queryId()))
+      }
     }
+  }
 
   /** Row-level-operation mode: group-based copy-on-write (default), or
     * merge-on-read ([[CowDsv2.MorModeConf]] = "mor") — deletes land as
@@ -517,15 +536,20 @@ private[plans] case class CowWriteMessage(paths: Seq[String], rows: Long)
   * (for row-level operations) removes the scanned groups. */
 private[plans] class CowV2Write(table: CowDsv2Table,
     writeSchema: StructType, op: Option[CowRowLevelOperation],
-    queryId: Option[String] = None) extends Write {
+    queryId: Option[String] = None,
+    upsertKeys: Option[Seq[String]] = None) extends Write {
 
   override def description(): String =
     s"cow ${if (op.isDefined) "replace" else "append"} ${table.tablePath}"
 
   override def toStreaming: StreamingWrite = {
     require(op.isEmpty, "streaming writes are append-only")
-    new CowStreamingWrite(table, writeSchema, queryId.getOrElse(
-      throw new IllegalStateException("streaming write without a query id")))
+    val qid = queryId.getOrElse(
+      throw new IllegalStateException("streaming write without a query id"))
+    upsertKeys match {
+      case Some(ks) => new CowStreamingUpsertWrite(table, writeSchema, qid, ks)
+      case None => new CowStreamingWrite(table, writeSchema, qid)
+    }
   }
 
   override def toBatch: BatchWrite = new BatchWrite {
@@ -860,10 +884,12 @@ private[plans] case class CowDeltaWriterFactory(dataDir: String,
   * between manifest commit and epoch record, followed by a crash and a
   * replay, would defeat the membership check. The epoch record closes
   * every other ordering. */
-private[plans] class CowStreamingWrite(table: CowDsv2Table,
-    writeSchema: StructType, queryId: String) extends StreamingWrite {
+private[plans] class CowStreamingWrite(
+    protected val table: CowDsv2Table,
+    protected val writeSchema: StructType, queryId: String)
+    extends StreamingWrite {
 
-  private def spark = SparkSession.active
+  protected def spark: SparkSession = SparkSession.active
   private val streamDir =
     s"${table.tablePath}/stream-${queryId.replaceAll("[^A-Za-z0-9_-]", "_")}"
   private val epochFile = java.nio.file.Paths.get(s"$streamDir/_epoch")
@@ -896,13 +922,9 @@ private[plans] class CowStreamingWrite(table: CowDsv2Table,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = {
-    if (epochId <= lastEpoch()) return // recorded epoch replayed whole
-    val added = messages.flatMap {
-      case CowWriteMessage(ps, _) => ps
-      case _ => Nil
-    }.toSeq
+  /** What an un-replayed epoch's staged files DO to the table — append
+    * for this class; the update-mode subclass upserts instead. */
+  protected def applyEpoch(added: Seq[String]): Unit = {
     val m = CowTable.latestManifest(table.tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"cow table ${table.tablePath} does not exist"))
@@ -910,6 +932,17 @@ private[plans] class CowStreamingWrite(table: CowDsv2Table,
     val fresh = added.filterNot(p => live.contains(CowTable.normalizePath(p)))
     if (fresh.nonEmpty)
       CowTable.replaceFilesCommit(spark, table.tablePath, m, Nil, fresh)
+    ()
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    if (epochId <= lastEpoch()) return // recorded epoch replayed whole
+    val added = messages.flatMap {
+      case CowWriteMessage(ps, _) => ps
+      case _ => Nil
+    }.toSeq
+    applyEpoch(added)
     recordEpoch(epochId)
   }
 
@@ -927,6 +960,32 @@ private[plans] class CowStreamingWrite(table: CowDsv2Table,
       case _ =>
     }
   }
+}
+
+/** UPDATE-mode streaming sink: each epoch's changed rows land as ONE
+  * merge-on-read upsert ([[CowTable.upsertMor]]) keyed on `keys` —
+  * matched rows die by range-encoded deletion vector, postimages and
+  * fresh keys append; no data file is rewritten, so a long-running
+  * update-mode aggregation stays delta-priced per epoch. Exactly-once
+  * rides the append sink's discipline (deterministic staged paths +
+  * epoch high-water record); the crash window between the upsert
+  * commit and the epoch record closes by CONTENT idempotency — a
+  * replayed epoch re-upserts identical rows onto targets whose old
+  * copies are already dead, so every key's live value is unchanged
+  * (one redundant version may commit, never a duplicate row). */
+private[plans] class CowStreamingUpsertWrite(table: CowDsv2Table,
+    writeSchema: StructType, queryId: String, keys: Seq[String])
+    extends CowStreamingWrite(table, writeSchema, queryId) {
+
+  override def description(): String =
+    s"cow streaming upsert ${table.tablePath} on $keys"
+
+  override protected def applyEpoch(added: Seq[String]): Unit =
+    if (added.nonEmpty) {
+      val staged = spark.read.schema(table.dataSchema).parquet(added: _*)
+      CowTable.upsertMor(spark, table.tablePath, staged, keys)
+      ()
+    }
 }
 
 /** Streaming task writer: deterministic final path per (epoch,
