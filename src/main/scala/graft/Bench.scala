@@ -106,8 +106,9 @@ object Bench {
     // selective DV materialization: rewrite only dead-heavy files;
     // the one-CALL maintenance policy (selective rewrite+compact+vacuum)
     "lh_dv_maint", "lh_maintain",
-    // range-encoded deletion vectors: dense delete → O(#files) runs
-    "lh_dv_compress",
+    // range-encoded deletion vectors: dense delete → O(#files) runs;
+    // the per-file cost-based COW/MOR hybrid merge
+    "lh_dv_compress", "lh_merge_hybrid",
     // the CoW table as a Structured Streaming sink (epoch-idempotent),
     // and the update-mode twin (per-epoch MOR upserts across a restart)
     "lh_stream_sink", "lh_stream_upsert",

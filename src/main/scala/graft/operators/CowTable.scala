@@ -2132,6 +2132,145 @@ object CowTable {
     commitWithRetry(table, m, validateRebase, commitAttempt)
   }
 
+  /** COST-BASED COW/MOR HYBRID upsert: the write mode is chosen PER
+    * FILE from match density, inside one commit. The discovery scan
+    * (stats-bounded, DV-applied) counts each candidate file's matched
+    * LIVE rows; files whose matches reach `denseFraction` of their
+    * manifest row count GROUP-REWRITE (copy-on-write — they were going
+    * to be mostly rewritten anyway, and rewriting drops their DV debt),
+    * while sparsely-matched files keep their bytes and their matched
+    * rows die by range-encoded deletion vector (merge-on-read). Source
+    * postimages for MOR-matched keys and fresh inserts append as new
+    * files. One version commits the whole choice, so on a 100 TB table
+    * a delta that is clustered HERE and scattered THERE pays group
+    * rewrite only where it is cheaper than carrying deletes — the knob
+    * `spark.graft.cow.rowLevelMode` picks per STATEMENT; this picks
+    * per FILE. Upsert form (update-all + insert); target keys must be
+    * unique among matched rows (the SQL MERGE cardinality contract).
+    * Files without a usable manifest row count rewrite conservatively. */
+  def mergeIntoHybrid(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], denseFraction: Double = 0.3): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    val schema = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"mergeIntoHybrid needs a v2 manifest with a schema"))
+    require(keys.nonEmpty && keys.forall(source.columns.contains),
+      s"mergeIntoHybrid: keys $keys must exist in the source")
+    require(schema.fieldNames.forall(source.columns.contains),
+      "mergeIntoHybrid: source must carry every table column")
+    val uniq = source.agg(count(lit(1)).as("n"),
+      count_distinct(col(keys.head), keys.tail.map(col): _*).as("d")).head()
+    require(uniq.getLong(0) == uniq.getLong(1),
+      s"mergeIntoHybrid: source has duplicate keys")
+    if (uniq.getLong(0) == 0L) return m
+    val v = m.version + 1
+    val srcKeys = source.select(keys.map(col): _*).distinct()
+    val ordered = source.select(schema.fieldNames.toIndexedSeq.map(col): _*)
+
+    // 1. matched LIVE target rows with file identity (delta-sized)
+    val cands =
+      if (m.files.isEmpty) Nil
+      else mergeCandidateFiles(spark, table, m, source, keys)
+    val matched =
+      if (cands.isEmpty) None
+      else {
+        val ids = rawScan(spark, m, cands).select(
+          keys.map(col) ++ Seq(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("row_index")): _*)
+        val live = applyDvFilter(spark, ids, m.dvs,
+          normalizeSql(col("file_path")), col("row_index"))
+        Some(live.join(broadcast(srcKeys), keys, "left_semi")
+          .withColumn("__fp", normalizeSql(col("file_path")))
+          .persist())
+      }
+    try {
+      val perFile: Map[String, Long] = matched match {
+        case None => Map.empty
+        case Some(mt) => mt.groupBy(col("__fp")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      matched.foreach { mt =>
+        val dup = mt.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1L).limit(1).count()
+        require(dup == 0L, "mergeIntoHybrid: a source key matches " +
+          "multiple live target rows — resolve duplicates first")
+      }
+      val touchedFiles = m.files.filter(f => perFile.contains(normalize(f)))
+      val meta = dataFileMeta(spark, table, m, touchedFiles)
+      // 2. the per-file choice
+      val (cowF, morF) = touchedFiles.partition { f =>
+        val rows = meta.get(normalize(f)).map(_._2).getOrElse(-1L)
+        rows <= 0L ||
+          perFile(normalize(f)).toDouble >= denseFraction * rows
+      }
+      val cowN = cowF.map(normalize).toSet
+      val morKeys = matched.filter(_ => morF.nonEmpty).map(mt =>
+        mt.filter(col("__fp").isInCollection(morF.map(normalize)))
+          .select(keys.map(col): _*).distinct())
+      val cowKeys = matched.filter(_ => cowF.nonEmpty).map(mt =>
+        mt.filter(col("__fp").isInCollection(cowF.map(normalize)))
+          .select(keys.map(col): _*).distinct())
+      // 3a. COW half: dense files rewrite — their unmatched live rows
+      // carry, matched rows take the source values
+      val cowNew =
+        if (cowF.isEmpty) None
+        else {
+          val liveRows = readSnapshot(spark, m, Some(cowF))
+          Some(liveRows.join(broadcast(srcKeys), keys, "left_anti")
+            .unionByName(ordered.join(broadcast(cowKeys.get), keys,
+              "left_semi")))
+        }
+      // 3b. MOR half: sparse files' matched rows die by DV; postimages
+      // + fresh inserts append
+      val dvFiles: Seq[String] = matched match {
+        case Some(mt) if morF.nonEmpty =>
+          val dvIds = mt.filter(col("__fp")
+            .isInCollection(morF.map(normalize)))
+            .select("file_path", "row_index")
+          val out = versionDir(table, "dv", v)
+          toDvRuns(dvIds).coalesce(1).write.mode("overwrite")
+            .parquet(out.toString)
+          listPartFiles(out)
+        case _ => Nil
+      }
+      val appended = {
+        val inserts = matched match {
+          case None => ordered
+          case Some(mt) => ordered.join(
+            mt.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        }
+        morKeys match {
+          case Some(mk) =>
+            inserts.unionByName(ordered.join(broadcast(mk), keys,
+              "left_semi"))
+          case None => inserts
+        }
+      }
+      val toWrite = cowNew match {
+        case Some(c) => c.unionByName(appended)
+        case None => appended
+      }
+      val (newFiles, newParts) =
+        if (toWrite.isEmpty) (Seq.empty[String], Map.empty[String, String])
+        else writeDataMaybePartitioned(toWrite, table, v, m.partitionCols)
+      // 4. one commit: untouched + MOR files carry, COW files leave,
+      // DV entries and fresh data entries append
+      val dvEntries = dvFiles.map(p =>
+        FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
+      val carriedData = entriesDF(spark, table, m).filter(
+        col("kind") === "dv" ||
+          (if (cowF.isEmpty) lit(true)
+           else !normalizeSql(col("path")).isInCollection(cowN.toSeq)))
+      val carriedDF =
+        if (dvEntries.isEmpty) carriedData
+        else carriedData.unionByName(spark.createDataFrame(dvEntries),
+          allowMissingColumns = true)
+      val keptFiles = m.files.filterNot(f => cowN.contains(normalize(f)))
+      commitWithStatsDF(spark, table, v, carriedDF, newFiles,
+        schema, keptFiles, m.dvs ++ dvFiles, m.partitionCols, newParts)
+    } finally matched.foreach(_.unpersist())
+  }
+
   /** The files a merge's discovery scan must read: those whose
     * per-key-column stats overlap the source's key bounds (one
     * delta-sized aggregate). A file outside every key range cannot
@@ -2545,6 +2684,83 @@ object CowTable {
       |UNION ALL
       |SELECT s.* FROM source s
       |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)""".stripMargin
+
+  /** Gate: the COST-BASED COW/MOR HYBRID merge ([[mergeIntoHybrid]]).
+    * Fixture: the 32-file NTILE stats-prune table (o_orderkey%7=1
+    * pre-deleted by DV); source: a dense ~10% o_custkey interval
+    * (clustered — covers a few files nearly whole) UNION the scattered
+    * o_orderkey%83 stragglers, prices doubled. With threshold 0.25
+    * (exactly representable, so the density comparison is
+    * `matched*4 >= total` in BOTH engines) the interval's files must
+    * group-rewrite and the stragglers' files must stay behind DVs —
+    * the oracle re-derives the rewritten/MOR file tallies from the
+    * NTILE bucket algebra and the full relational result from the
+    * merge semantics, bigint-exact: one file on the wrong side of the
+    * density cut, one lost update, or one dropped re-insert fails the
+    * hash. */
+  def lhMergeHybrid(s: SparkSession, dir: String): DataFrame =
+    lhMergeHybridOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  private def lhMergeHybridOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 4 + mx / 10)
+    val source = Tables.orders(s, dir)
+      .filter(($"o_custkey" >= lo && $"o_custkey" <= hi) ||
+        pmod($"o_orderkey", lit(83)) === 0)
+      .withColumn("o_totalprice", $"o_totalprice" * 2)
+    val m0 = latestManifest(table).get
+    val m1 = mergeIntoHybrid(s, table, source, Seq("o_orderkey"),
+      denseFraction = 0.25)
+    val keptN = m1.files.map(normalize).toSet
+    val rewritten = m0.files.count(f => !keptN.contains(normalize(f)))
+    val newDvs = m1.dvs.filterNot(m0.dvs.toSet)
+    val morFiles =
+      if (newDvs.isEmpty) 0L
+      else dvRuns(s, newDvs).select("fp").distinct().count()
+    read(s, table)
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"o_orderkey").as("n_keys"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .withColumn("n_rewritten", lit(rewritten.toLong))
+      .withColumn("n_mor", lit(morFiles))
+  }
+
+  // lazy: StatsPruneFiles is declared later in the object body
+  lazy val lhMergeHybridSql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 4 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi),
+       |src AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+       |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+       |  FROM orders, b
+       |  WHERE (o_custkey BETWEEN b.lo AND b.hi) OR o_orderkey % 83 = 0),
+       |live AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 1),
+       |res AS (
+       |  SELECT * FROM live
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+       |  UNION ALL SELECT * FROM src),
+       |filed AS (SELECT o_orderkey, o_custkey,
+       |    NTILE($StatsPruneFiles)
+       |      OVER (ORDER BY o_custkey, o_orderkey) AS f
+       |  FROM orders),
+       |audit AS (SELECT f, COUNT(*) AS total,
+       |    SUM(CASE WHEN o_orderkey % 7 <> 1 AND (
+       |        o_custkey BETWEEN (SELECT lo FROM b)
+       |          AND (SELECT hi FROM b)
+       |        OR o_orderkey % 83 = 0) THEN 1 ELSE 0 END) AS matched
+       |  FROM filed GROUP BY f)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM res) AS n,
+       |  (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM res)
+       |    AS n_keys,
+       |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |    FROM res) AS sum_price,
+       |  (SELECT CAST(SUM(CASE WHEN matched * 4 >= total THEN 1 ELSE 0
+       |    END) AS BIGINT) FROM audit) AS n_rewritten,
+       |  (SELECT CAST(SUM(CASE WHEN matched > 0 AND matched * 4 < total
+       |    THEN 1 ELSE 0 END) AS BIGINT) FROM audit) AS n_mor""".stripMargin
 
   /** Gate: streaming-shaped ingest (init + an insert-only merge, each
     * half of orders by orderkey parity — the merge's full-outer output
@@ -3634,6 +3850,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhDvMaintOp(s, d, t))),
     "lh_dv_compress" -> ((s, d) =>
       (() => lhDvCompressBuild(s, d), t => lhDvCompressOp(s, d, t))),
+    "lh_merge_hybrid" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhMergeHybridOp(s, d, t))),
     "lh_maintain" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhMaintainOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
@@ -3700,6 +3918,7 @@ object CowTable {
     "lh_file_audit" -> lhFileAudit,
     "lh_dv_maint" -> lhDvMaint,
     "lh_dv_compress" -> lhDvCompress,
+    "lh_merge_hybrid" -> lhMergeHybrid,
     "lh_maintain" -> lhMaintain,
     "lh_stream_sink" -> lhStreamSink,
     "lh_stream_upsert" -> lhStreamUpsert,
@@ -3725,6 +3944,7 @@ object CowTable {
     "lh_file_audit" -> lhFileAuditSql,
     "lh_dv_maint" -> lhDvMaintSql,
     "lh_dv_compress" -> lhDvCompressSql,
+    "lh_merge_hybrid" -> lhMergeHybridSql,
     "lh_maintain" -> lhMaintainSql,
     "lh_stream_sink" -> lhStreamSinkSql,
     "lh_stream_upsert" -> lhStreamUpsertSql,
