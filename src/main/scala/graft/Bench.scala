@@ -111,7 +111,7 @@ object Bench {
     "lh_dv_compress", "lh_merge_hybrid",
     // the CoW table as a Structured Streaming sink (epoch-idempotent),
     // and the update-mode twin (per-epoch MOR upserts across a restart)
-    "lh_stream_sink", "lh_stream_upsert",
+    "lh_stream_sink", "lh_stream_upsert", "lh_stream_part",
     // TPC-H wave 3: correlated-MIN catalog (q2), profit rollup (q9),
     // scalar-in-HAVING (q11), nested-IN half-sum (q20)
     "tpch_q2", "tpch_q9", "tpch_q11", "tpch_q20",

@@ -3458,6 +3458,72 @@ object CowTable {
 
   val lhStreamSinkSql: String = "SELECT * FROM orders"
 
+  /** Gate: STREAMING EPOCHS COMPOSED WITH PARTITION PRUNING — a
+    * partitioned CoW table (on o_orderstatus) ingests two epoch slices
+    * through the streaming sink after a batch-initialized first slice;
+    * every streamed file must record its exact partition tuple, so the
+    * planned-file count of a partition-pruned read is DERIVABLE: one
+    * file per (slice, status) pair present in the data (each
+    * single-partition epoch writes exactly one file per routed status
+    * dir). The oracle recomputes planned/total as COUNT(DISTINCT
+    * (o_orderkey%3, o_orderstatus)) algebra, bigint-exact, alongside
+    * the pruned read's aggregate — a streamed file missing its tuple
+    * (part=NULL keeps it in every plan) or a split/merged epoch file
+    * breaks the count. */
+  def lhStreamPart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val base = java.nio.file.Files.createTempDirectory("lh_stream_part")
+    val t = base.resolve("t").toString
+    val src = base.resolve("in")
+    java.nio.file.Files.createDirectories(src)
+    val orders = Tables.orders(s, dir)
+    initPartitioned(orders.filter(pmod($"o_orderkey", lit(3)) === 0)
+      .coalesce(1), t, Seq("o_orderstatus"))
+    (1 until 3).foreach { i =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"lh_sp_$i")
+      orders.filter(pmod($"o_orderkey", lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.head
+      val dest = src.resolve(f"0${i}_slice.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+      dest.toFile.setLastModified(1000000L + i * 10000L)
+      ()
+    }
+    val q = s.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .toTable(s"graft.`$t`")
+    try q.processAllAvailable() finally q.stop()
+    val m = latestManifest(t).get
+    require(m.version == 2,
+      s"expected init + 2 epoch commits = v2, got v${m.version}")
+    val noTuple = entriesDF(s, t, m)
+      .filter(col("kind") === "data" && col("part").isNull).count()
+    require(noTuple == 0L, s"$noTuple streamed files lost their tuple")
+    val (planned, total) = pruneReport(s, t, $"o_orderstatus" === "F")
+    readWhere(s, t, $"o_orderstatus" === "F")
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"o_custkey").as("n_cust"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+      .withColumn("planned_files", lit(planned.toLong))
+      .withColumn("total_files", lit(total.toLong))
+  }
+
+  val lhStreamPartSql: String =
+    """WITH pairs AS (SELECT DISTINCT o_orderkey % 3 AS sl, o_orderstatus
+      |  FROM orders)
+      |SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs
+      |    WHERE o_orderstatus = 'F') AS planned_files,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS total_files
+      |FROM orders WHERE o_orderstatus = 'F'""".stripMargin
+
   /** Gate: UPDATE-MODE streaming aggregation into a CoW table — the
     * sink surface behind `writeStream.outputMode("update")
     * .option("upsertKeys", ...)`: each epoch's changed groups land as
@@ -3922,6 +3988,7 @@ object CowTable {
     "lh_maintain" -> lhMaintain,
     "lh_stream_sink" -> lhStreamSink,
     "lh_stream_upsert" -> lhStreamUpsert,
+    "lh_stream_part" -> lhStreamPart,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3948,5 +4015,6 @@ object CowTable {
     "lh_maintain" -> lhMaintainSql,
     "lh_stream_sink" -> lhStreamSinkSql,
     "lh_stream_upsert" -> lhStreamUpsertSql,
+    "lh_stream_part" -> lhStreamPartSql,
   )
 }
