@@ -483,8 +483,10 @@ object Similarity {
 
   /** IVF+PQ k-NN join: cell-local ADC over (possibly stored) codes,
     * exact rerank on the per-query shortlist. Accepts a pre-encoded
-    * `(vec_id, cell, codes)` frame — the stored-index path, where the
-    * scan never touches raw vectors — or derives codes scan-side. */
+    * `(vec_id, cell, codes)` frame with PACKED codes
+    * ([[pqEncodePacked]] — one BIGINT) — the stored-index path, where
+    * the scan never touches raw vectors — or derives packed codes
+    * scan-side. */
   def knnJoinPqOn(emb: DataFrame, cents: IndexedSeq[Array[Double]],
       books: IndexedSeq[IndexedSeq[Array[Double]]], nprobe: Int,
       k: Int = K, shortlist: Int = PqJoinShortlist, salts: Int = 1,
@@ -492,7 +494,7 @@ object Similarity {
       sampleQ: Option[Int] = None): DataFrame = {
     val assigned = coded.getOrElse(emb.select(col("vec_id"),
       assignCell(col("embedding"), cents).as("cell"),
-      pqEncode(col("embedding"), books).as("codes")))
+      pqEncodePacked(col("embedding"), books).as("codes")))
     val qSide = sampleQ.map(n => emb.filter(col("vec_id") < n)).getOrElse(emb)
     val queries = qSide.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"),
@@ -505,7 +507,7 @@ object Similarity {
     // (q_id, vec_id, adc) — 24 B, vector-free. The query vector
     // rejoins at the SHORTLIST-sized rerank, not per candidate.
     val short = cands
-      .withColumn("adc", adcScore(col("q_vec"), col("codes"), books))
+      .withColumn("adc", adcScorePacked(col("q_vec"), col("codes"), books))
       .select(col("q_id"), col("vec_id"), col("adc"))
       .withColumn("__r", row_number().over(ws))
       .filter(col("__r") <= shortlist)
@@ -686,11 +688,12 @@ object Similarity {
     * three runtime booleans: (a) the 0.9-recall shortlist TUNES NEAR K
     * on clustered data (the sphere's deep lists are a data property,
     * not an architecture cost); (b) the corpus side of the cell join
-    * MOVES ≥3× fewer bytes under codes than under raw vectors — read
+    * MOVES ≥6× fewer bytes under codes than under raw vectors — read
     * from the executed plans' exchange `dataSize` metrics, so the
     * number is what the shuffle actually carried (unsafe-row bytes:
-    * 8×int codes ≈ 80 B/row vs 64×float vectors ≈ 300 B/row; the raw
-    * payload gap is ~30×, the row-overhead-inclusive gap gates at 3×);
+    * one packed BIGINT ≈ 32 B/row incl. vec_id+cell vs 64×float
+    * vectors ≈ 300 B/row; the raw payload gap is ~30×, the
+    * row-overhead-inclusive gap gates at 6×);
     * (c) sample recall vs the exact join holds the 0.8 floor at that
     * near-k shortlist. Coverage stays exact-k for every vector. */
   def ssKnnJoinPqEcon(s: SparkSession, dir: String): DataFrame = {
@@ -725,7 +728,7 @@ object Similarity {
       val hits = knnJoinPqOn(emb, cents, books, IvfProbe, shortlist = sl)
         .filter($"q_id" < NumQueries)
         .join(truth, Seq("q_id", "neighbor_id"), "left_semi").count()
-      Seq((n, sl <= 8 * K, codeBytes * 3 <= vecBytes,
+      Seq((n, sl <= 8 * K, codeBytes * 6 <= vecBytes,
         hits.toDouble / (NumQueries * K) >= PqRecallFloor,
         nPq == n * K && nEx == n * K))
         .toDF("n_vectors", "shortlist_near_k", "codes_bytes_small",
@@ -758,7 +761,7 @@ object Similarity {
       books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame =
     emb.select(col("vec_id"),
       assignCell(col("embedding"), cents).as("cell"),
-      pqEncode(col("embedding"), books).as("codes"),
+      pqEncodePacked(col("embedding"), books).as("codes"),
       lit(PqIndex.codebookHash(books)).as("book_fp"))
 
   /** DV-aware read of a stored code table with the codebook pin
@@ -953,6 +956,36 @@ object Similarity {
     val sub = PqDim / PqM
     array((0 until PqM).map(m =>
       assignCell(slice(vec, m * sub + 1, sub), books(m))): _*)
+  }
+
+  /** [[pqEncode]] PACKED into one BIGINT — M codebook ids × 8 bits
+    * each (PqK ≤ 256 by construction). This is the JOIN-path encoding:
+    * an UnsafeRow long is 8 bytes flat where the array form costs ~48
+    * (header + null bits + 8×int), so the corpus side of the cell join
+    * shuffles a third of the bytes again on top of the
+    * codes-vs-vectors win. Scan-side literal dots + shifts, fully
+    * codegen'd. */
+  def pqEncodePacked(vec: Column,
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
+    require(books.forall(_.size <= 256),
+      "packed PQ codes need codebooks of at most 256 entries")
+    val sub = PqDim / PqM
+    (0 until PqM).map(m =>
+      shiftleft(assignCell(slice(vec, m * sub + 1, sub), books(m))
+        .cast("long"), 8 * m))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** [[adcScore]] over PACKED codes: the m-th id is 8 bits of the
+    * BIGINT — shift/mask instead of an array element_at. */
+  def adcScorePacked(qVec: Column, packed: Column,
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
+    val sub = PqDim / PqM
+    (0 until PqM).map { m =>
+      dot(slice(qVec, m * sub + 1, sub),
+        element_at(typedLit(books(m).map(_.toSeq)),
+          shiftright(packed, 8 * m).bitwiseAND(lit(255L)).cast("int") + 1))
+    }.reduce(_ + _)
   }
 
   /** PQ + exact-rerank k-NN over given codebooks: ADC shortlist (codes

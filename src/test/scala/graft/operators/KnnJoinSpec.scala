@@ -128,6 +128,24 @@ class KnnJoinSpec extends AnyFunSuite {
       s"salted PQ join recall collapsed: $hits/180")
   }
 
+  test("packed PQ codes agree with the array form bit-for-bit") {
+    val fix = fixture().select($"vec_id", $"embedding")
+    val books = Similarity.trainCodebooks(fix)
+    val both = fix.select(
+      Similarity.pqEncode($"embedding", books).as("arr"),
+      Similarity.pqEncodePacked($"embedding", books).as("packed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val arr = r.getSeq[Int](0)
+      val packed = r.getLong(1)
+      arr.zipWithIndex.foreach { case (c, m) =>
+        assert(((packed >> (8 * m)) & 0xFFL).toInt == c,
+          s"code $m diverged: arr=$arr packed=$packed")
+      }
+    }
+  }
+
   test("PQ join from STORED codes equals scan-side encoding") {
     val fix = fixture().select($"vec_id", $"embedding")
     val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
@@ -138,7 +156,7 @@ class KnnJoinSpec extends AnyFunSuite {
       .createTempDirectory("graft_join_codes").toString
     fix.select($"vec_id",
         Similarity.assignCell($"embedding", cents).as("cell"),
-        Similarity.pqEncode($"embedding", books).as("codes"))
+        Similarity.pqEncodePacked($"embedding", books).as("codes"))
       .write.mode("overwrite").parquet(codedPath)
     val stored = spark.read.parquet(codedPath)
     val viaStored = Similarity.knnJoinPqOn(fix, cents, books, nprobe = 1,
