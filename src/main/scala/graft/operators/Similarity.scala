@@ -491,10 +491,12 @@ object Similarity {
       books: IndexedSeq[IndexedSeq[Array[Double]]], nprobe: Int,
       k: Int = K, shortlist: Int = PqJoinShortlist, salts: Int = 1,
       coded: Option[DataFrame] = None,
-      sampleQ: Option[Int] = None): DataFrame = {
+      sampleQ: Option[Int] = None, residual: Boolean = false): DataFrame = {
     val assigned = coded.getOrElse(emb.select(col("vec_id"),
       assignCell(col("embedding"), cents).as("cell"),
-      pqEncodePacked(col("embedding"), books).as("codes")))
+      pqEncodePacked(
+        if (residual) residualCol(col("embedding"), cents)
+        else col("embedding"), books).as("codes")))
     val qSide = sampleQ.map(n => emb.filter(col("vec_id") < n)).getOrElse(emb)
     val queries = qSide.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"),
@@ -506,8 +508,16 @@ object Similarity {
     // re-shuffle into the per-query window carry only
     // (q_id, vec_id, adc) — 24 B, vector-free. The query vector
     // rejoins at the SHORTLIST-sized rerank, not per candidate.
+    // Under RESIDUAL (IVFADC) codes, dot(q, v) ≈ dot(q, centroid) +
+    // dot(q, residual-reconstruction): the centroid term restores
+    // cross-cell comparability — still all scan-side literals.
+    val adcRaw = adcScorePacked(col("q_vec"), col("codes"), books)
+    val adcFull =
+      if (residual) adcRaw + dot(col("q_vec"),
+        element_at(typedLit(cents.map(_.toSeq)), col("cell") + 1))
+      else adcRaw
     val short = cands
-      .withColumn("adc", adcScorePacked(col("q_vec"), col("codes"), books))
+      .withColumn("adc", adcFull)
       .select(col("q_id"), col("vec_id"), col("adc"))
       .withColumn("__r", row_number().over(ws))
       .filter(col("__r") <= shortlist)
@@ -537,7 +547,8 @@ object Similarity {
     * property the serving-side tune documents) needs a deep list. */
   def chooseJoinShortlist(emb: DataFrame, cents: IndexedSeq[Array[Double]],
       books: IndexedSeq[IndexedSeq[Array[Double]]], target: Double = 0.9,
-      numQueries: Int = NumQueries, cap: Int = 512): Int = {
+      numQueries: Int = NumQueries, cap: Int = 512,
+      residual: Boolean = false): Int = {
     // truth = the exact JOIN (self-excluded, same probed cells)
     // restricted to the sample queries
     val truth = knnJoinOn(emb, cents, IvfProbe)
@@ -546,7 +557,7 @@ object Similarity {
     val total = truth.count()
     def recallAt(sl: Int): Double = {
       val hits = knnJoinPqOn(emb, cents, books, IvfProbe, shortlist = sl,
-        sampleQ = Some(numQueries))
+        sampleQ = Some(numQueries), residual = residual)
         .select(col("q_id"), col("neighbor_id"))
         .join(truth, Seq("q_id", "neighbor_id"), "left_semi").count()
       hits.toDouble / total
@@ -686,8 +697,10 @@ object Similarity {
   /** Gate: the PQ join's ECONOMICS, measured on a clustered corpus.
     * The scaladoc claim ("candidates shuffle codes, not vectors") gets
     * three runtime booleans: (a) the 0.9-recall shortlist TUNES NEAR K
-    * on clustered data (the sphere's deep lists are a data property,
-    * not an architecture cost); (b) the corpus side of the cell join
+    * on clustered data — RESIDUAL (IVFADC) codebooks + population-
+    * bounded cells, measured 17–20 across SFs vs ~350 on the sphere
+    * (the sphere's deep lists are a data property, not an
+    * architecture cost); (b) the corpus side of the cell join
     * MOVES ≥6× fewer bytes under codes than under raw vectors — read
     * from the executed plans' exchange `dataSize` metrics, so the
     * number is what the shuffle actually carried (unsafe-row bytes:
@@ -699,13 +712,21 @@ object Similarity {
   def ssKnnJoinPqEcon(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val emb0 = Tables.embeddings(s, dir)
-    val cents = cachedCentroids(emb0, dir)
+    // cells scale with the corpus (IVF practice: bounded population
+    // per cell): on clustered data the hard part of the ranking is
+    // WITHIN the own cell, so shortlist depth tracks cell population
+    val kCells = math.max(IvfCells, (emb0.count() / 32L).toInt)
+    val cents = trainCentroids(emb0, k = kCells)
     val emb = clusteredCorpus(emb0, cents).persist()
     try {
       val sample = trainSample(emb).persist()
+      // IVFADC discipline: on clustered data the codebooks encode the
+      // RESIDUAL against the cell centroid, so their entries resolve
+      // the within-cluster structure the ranking needs
       val books =
-        try trainCodebooks(sample) finally { sample.unpersist(); () }
-      val sl = chooseJoinShortlist(emb, cents, books)
+        try trainCodebooksResidual(sample, cents)
+        finally { sample.unpersist(); () }
+      val sl = chooseJoinShortlist(emb, cents, books, residual = true)
       // measurement runs force the cluster-scale join shape (both cell
       // join sides SHUFFLE — at gate scale Spark would broadcast the
       // probe side and the corpus side would never move at all)
@@ -717,7 +738,8 @@ object Similarity {
           val exact = knnJoinOn(emb, cents, IvfProbe)
           val ne = executeForMetrics(exact)
           val vb = cellJoinScanBytes(exact, "embedding")
-          val pq = knnJoinPqOn(emb, cents, books, IvfProbe, shortlist = sl)
+          val pq = knnJoinPqOn(emb, cents, books, IvfProbe, shortlist = sl,
+            residual = true)
           val np = executeForMetrics(pq)
           val cb = cellJoinScanBytes(pq, "codes")
           (ne, vb, np, cb)
@@ -725,7 +747,8 @@ object Similarity {
       val n = emb.count()
       val truth = knnJoinOn(emb, cents, IvfProbe)
         .filter($"q_id" < NumQueries).select($"q_id", $"neighbor_id")
-      val hits = knnJoinPqOn(emb, cents, books, IvfProbe, shortlist = sl)
+      val hits = knnJoinPqOn(emb, cents, books, IvfProbe, shortlist = sl,
+        residual = true)
         .filter($"q_id" < NumQueries)
         .join(truth, Seq("q_id", "neighbor_id"), "left_semi").count()
       Seq((n, sl <= 8 * K, codeBytes * 6 <= vecBytes,
@@ -987,6 +1010,25 @@ object Similarity {
           shiftright(packed, 8 * m).bitwiseAND(lit(255L)).cast("int") + 1))
     }.reduce(_ + _)
   }
+
+  /** A vector's RESIDUAL against its IVF centroid — the quantity
+    * IVFADC (Jégou et al. 2011) encodes: on a clustered corpus the
+    * centroid carries the shared component, so codebooks trained on
+    * residuals spend their entries on the WITHIN-cluster structure the
+    * neighbor ranking actually needs. Scan-side, cast back to float
+    * so the sample-collecting trainer reads it like any embedding. */
+  private[graft] def residualCol(vec: Column,
+      cents: IndexedSeq[Array[Double]]): Column =
+    zip_with(vec,
+      element_at(typedLit(cents.map(_.toSeq)), assignCell(vec, cents) + 1),
+      (a, b) => a - b).cast("array<float>")
+
+  /** Per-subspace codebooks trained on RESIDUALS. */
+  def trainCodebooksResidual(sample: DataFrame,
+      cents: IndexedSeq[Array[Double]])
+      : IndexedSeq[IndexedSeq[Array[Double]]] =
+    trainCodebooks(sample.select(col("vec_id"),
+      residualCol(col("embedding"), cents).as("embedding")))
 
   /** PQ + exact-rerank k-NN over given codebooks: ADC shortlist (codes
     * only — the compressed representation is all the scan reads), then

@@ -22,11 +22,12 @@ object MeasurePqJoin {
     sfs.foreach { sf =>
       val dir = s"/root/testdata/$sf"
       val emb0 = Tables.embeddings(spark, dir)
-      val cents = Similarity.cachedCentroids(emb0, dir)
+      val kCells = math.max(Similarity.IvfCells, (emb0.count() / 32L).toInt)
+      val cents = Similarity.trainCentroids(emb0, k = kCells)
       val emb = Similarity.clusteredCorpus(emb0, cents).persist()
       val n = emb.count()
       val sample = Similarity.trainSample(emb).persist()
-      val books = Similarity.trainCodebooks(sample)
+      val books = Similarity.trainCodebooksResidual(sample, cents)
       sample.unpersist()
       val truth = Similarity.knnJoinOn(emb, cents, Similarity.IvfProbe)
         .filter(col("q_id") < Similarity.NumQueries)
@@ -35,19 +36,20 @@ object MeasurePqJoin {
       Seq(5, 10, 20, 40).foreach { sl =>
         val hits = Similarity.knnJoinPqOn(emb, cents, books,
           Similarity.IvfProbe, shortlist = sl,
-          sampleQ = Some(Similarity.NumQueries))
+          sampleQ = Some(Similarity.NumQueries), residual = true)
           .select(col("q_id"), col("neighbor_id"))
           .join(truth, Seq("q_id", "neighbor_id"), "left_semi").count()
         println(s"$sf n=$n RECALL sl=$sl -> ${hits.toDouble / tot}")
       }
-      val tuned = Similarity.chooseJoinShortlist(emb, cents, books)
+      val tuned = Similarity.chooseJoinShortlist(emb, cents, books,
+        residual = true)
       println(s"$sf TUNED shortlist=$tuned (k=${Similarity.K})")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val exact = Similarity.knnJoinOn(emb, cents, Similarity.IvfProbe)
       Similarity.executeForMetrics(exact)
       val vecB = Similarity.cellJoinScanBytes(exact, "embedding")
       val pq = Similarity.knnJoinPqOn(emb, cents, books,
-        Similarity.IvfProbe, shortlist = tuned)
+        Similarity.IvfProbe, shortlist = tuned, residual = true)
       Similarity.executeForMetrics(pq)
       val codeB = Similarity.cellJoinScanBytes(pq, "codes")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
