@@ -1539,12 +1539,15 @@ object CowTable {
     val cand = raw.filter(cond)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("row_index"))
+    // reserved __dv_ names on the runs side: a user column named fp/
+    // start/len must never make this join ambiguous
     val fresh =
       if (m.dvs.isEmpty) cand
-      else cand.join(dvRuns(spark, m.dvs),
-        normalizeSql(col("file_path")) === col("fp") &&
-          col("row_index") >= col("start") &&
-          col("row_index") < col("start") + col("len"), "left_anti")
+      else cand.join(dvRunsReserved(spark, m.dvs),
+        normalizeSql(col("file_path")) === col("__dv_fp") &&
+          col("row_index") >= col("__dv_start") &&
+          col("row_index") < col("__dv_start") + col("__dv_len"),
+        "left_anti")
     if (fresh.isEmpty) return m
     val out = versionDir(table, "dv", m.version + 1)
     // runs are tiny relative to the delete: one sidecar file suffices
@@ -1642,6 +1645,15 @@ object CowTable {
       .select(normalizeSql(col("file_path")).as("fp"), col("start"),
         col("len"))
 
+  /** [[dvRuns]] under RESERVED `__dv_`-prefixed names — the side a
+    * join against user-schema rows must use (a table column named
+    * `fp`, `start`, or `len` would otherwise make the condition
+    * ambiguous and throw on every delete/read). */
+  private[graft] def dvRunsReserved(spark: SparkSession,
+      dvPaths: Seq[String]): DataFrame =
+    dvRuns(spark, dvPaths).select(col("fp").as("__dv_fp"),
+      col("start").as("__dv_start"), col("len").as("__dv_len"))
+
   /** Run-length encode distinct `(file_path, row_index)` identities
     * into the sidecar's `(file_path, start, len)` runs — the classic
     * gaps-and-islands fold (index minus rank is constant within a
@@ -1715,14 +1727,17 @@ object CowTable {
     else {
       // probe columns materialize on the left FIRST: the runs side is
       // itself a parquet scan, so a raw `_metadata` reference in the
-      // join condition would be ambiguous between the two scans
-      val runs = dvRuns(spark, dvPaths)
+      // join condition would be ambiguous between the two scans. The
+      // runs side rides under reserved __dv_ names so user columns
+      // named fp/start/len can't collide either.
+      val runs = dvRunsReserved(spark, dvPaths)
       df.withColumn("__dv_probe_fp", fpCol)
         .withColumn("__dv_probe_ri", riCol)
         .join(runs,
-          col("__dv_probe_fp") === col("fp") &&
-            col("__dv_probe_ri") >= col("start") &&
-            col("__dv_probe_ri") < col("start") + col("len"), "left_anti")
+          col("__dv_probe_fp") === col("__dv_fp") &&
+            col("__dv_probe_ri") >= col("__dv_start") &&
+            col("__dv_probe_ri") < col("__dv_start") + col("__dv_len"),
+          "left_anti")
         .drop("__dv_probe_fp", "__dv_probe_ri")
     }
   }
@@ -1858,8 +1873,19 @@ object CowTable {
       s"upsertMor: keys $keys must exist in the source")
     require(schema.fieldNames.forall(source.columns.contains),
       "upsertMor: source must carry every table column")
+    // NULL keys are rejected OUTRIGHT (not just flagged as duplicates):
+    // a NULL never equi-matches, so its postimage would append as a new
+    // row on EVERY epoch — in the streaming update sink that's a
+    // poison-pill that re-duplicates on each replay. Callers with a
+    // nullable group key must coalesce it to a sentinel first.
+    val nullKeyed = source.filter(
+      keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+    require(nullKeyed == 0L,
+      s"upsertMor: source has NULL values in upsert key(s) " +
+        s"${keys.mkString(", ")} — NULL keys never match and would " +
+        "duplicate on every epoch; coalesce them to a sentinel value")
     val uniq = source.agg(count(lit(1)).as("n"),
-      count_distinct(col(keys.head), keys.tail.map(col): _*).as("d")).head()
+      count_distinct(struct(keys.map(col): _*)).as("d")).head()
     require(uniq.getLong(0) == uniq.getLong(1),
       s"upsertMor: source has ${uniq.getLong(0) - uniq.getLong(1)} duplicate keys")
     if (uniq.getLong(0) == 0L) return m
@@ -1978,7 +2004,7 @@ object CowTable {
     // unique-source-keys contract (multiple matches = SQL MERGE error);
     // source is delta-sized so the check is one small aggregate
     val uniq = source.agg(count(lit(1)).as("n"),
-      count_distinct(col(keys.head), keys.tail.map(col): _*).as("d")).head()
+      count_distinct(struct(keys.map(col): _*)).as("d")).head()
     require(uniq.getLong(0) == uniq.getLong(1),
       s"mergeInto: source has ${uniq.getLong(0) - uniq.getLong(1)} duplicate keys")
 
@@ -2159,7 +2185,7 @@ object CowTable {
     require(schema.fieldNames.forall(source.columns.contains),
       "mergeIntoHybrid: source must carry every table column")
     val uniq = source.agg(count(lit(1)).as("n"),
-      count_distinct(col(keys.head), keys.tail.map(col): _*).as("d")).head()
+      count_distinct(struct(keys.map(col): _*)).as("d")).head()
     require(uniq.getLong(0) == uniq.getLong(1),
       s"mergeIntoHybrid: source has duplicate keys")
     if (uniq.getLong(0) == 0L) return m
@@ -2585,7 +2611,7 @@ object CowTable {
     // both sides are changed-file-sized, so the check is delta-priced
     Seq("from" -> oldSide, "to" -> newSide).foreach { case (side, df) =>
       val u = df.agg(count(lit(1)).as("n"),
-        count_distinct(col(keys.head), keys.tail.map(col): _*).as("d")).head()
+        count_distinct(struct(keys.map(col): _*)).as("d")).head()
       require(u.getLong(0) == u.getLong(1),
         s"tableChanges: $side version has ${u.getLong(0) - u.getLong(1)} " +
           s"duplicate keys on $keys")

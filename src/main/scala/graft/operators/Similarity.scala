@@ -794,6 +794,16 @@ object Similarity {
       books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
     val fp = PqIndex.codebookHash(books)
     val codes = CowTable.read(s, table)
+    // the book_fp pin covers the codebook HASH, not the encoding: a
+    // table persisted under the pre-packed array<int> layout would
+    // otherwise reach the shiftright decode and die with an opaque
+    // AnalysisException — detect the format here and say what to do
+    val codesDt = codes.schema("codes").dataType
+    require(codesDt == org.apache.spark.sql.types.LongType,
+      s"stored PQ code table $table holds codes as " +
+        s"${codesDt.catalogString}, but the join path expects packed " +
+        "BIGINT codes — stale code table from an older encoding; " +
+        "rebuild it with pqCodesFrame")
     val stored = codes.select(col("book_fp")).distinct()
       .collect().map(_.getLong(0)).toSeq
     require(stored.forall(_ == fp),
@@ -992,6 +1002,10 @@ object Similarity {
       books: IndexedSeq[IndexedSeq[Array[Double]]]): Column = {
     require(books.forall(_.size <= 256),
       "packed PQ codes need codebooks of at most 256 entries")
+    require(books.size <= 8,
+      s"packed PQ codes hold at most 8 subspaces in one BIGINT " +
+        s"(8 bits each); got ${books.size} — split into multiple longs " +
+        "or use the array encoding")
     val sub = PqDim / PqM
     (0 until PqM).map(m =>
       shiftleft(assignCell(slice(vec, m * sub + 1, sub), books(m))

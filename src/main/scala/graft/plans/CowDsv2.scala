@@ -972,7 +972,11 @@ private[plans] class CowStreamingWrite(
   * commit and the epoch record closes by CONTENT idempotency — a
   * replayed epoch re-upserts identical rows onto targets whose old
   * copies are already dead, so every key's live value is unchanged
-  * (one redundant version may commit, never a duplicate row). */
+  * (one redundant version may commit, never a duplicate row).
+  * NULL upsert keys are REJECTED per epoch by [[CowTable.upsertMor]]
+  * with an explicit message: a NULL key never equi-matches, so its
+  * postimage would re-append on every replay — coalesce nullable
+  * group keys to a sentinel before the sink. */
 private[plans] class CowStreamingUpsertWrite(table: CowDsv2Table,
     writeSchema: StructType, queryId: String, keys: Seq[String])
     extends CowStreamingWrite(table, writeSchema, queryId) {

@@ -205,6 +205,33 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("codebook"))
   }
 
+  test("packed encoding refuses >8 subspaces (BIGINT capacity guard)") {
+    val nine = IndexedSeq.fill(9)(IndexedSeq(Array(0.0, 1.0)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqEncodePacked($"embedding", nine)
+    }
+    assert(e.getMessage.contains("8 subspaces"), e.getMessage)
+  }
+
+  test("a stale array<int> code table is refused with an explicit message") {
+    val fix = fixture().select($"vec_id", $"embedding")
+    val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)
+    val books = Similarity.trainCodebooks(fix)
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_join_codes_stale").toString + "/t"
+    // persist codes under the PRE-packed array<int> layout with the
+    // CURRENT codebook fingerprint — the pin alone would let it through
+    CowTable.init(fix.select($"vec_id",
+      Similarity.assignCell($"embedding", cents).as("cell"),
+      Similarity.pqEncode($"embedding", books).as("codes"),
+      lit(PqIndex.codebookHash(books)).as("book_fp")), table)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.readCowPqCodes(spark, table, books)
+    }
+    assert(e.getMessage.contains("stale code table"), e.getMessage)
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+  }
+
   test("plan: one cell join + one window, no cartesian product") {
     val fix = fixture().select($"vec_id", $"embedding")
     val cents = Similarity.trainCentroids(fix, k = 3, rounds = 5)

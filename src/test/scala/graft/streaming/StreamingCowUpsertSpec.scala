@@ -82,6 +82,33 @@ class StreamingCowUpsertSpec extends AnyFunSuite {
       .filter($"count" > 1L).count() == 0L, "replay duplicated a key")
   }
 
+  test("NULL upsert keys are rejected with an explicit message, not a misleading duplicate error") {
+    val t = s"${freshDir()}/t"
+    CowTable.init(Seq((Some(1L), "a", 1.0), (Some(2L), "b", 2.0))
+      .toDF("k", "name", "v").repartition(1), t)
+    val src = Seq((Some(2L), "B", 20.0), (None, "null-key", 0.0))
+      .toDF("k", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      CowTable.upsertMor(spark, t, src, Seq("k"))
+    }
+    assert(e.getMessage.contains("NULL"), s"message: ${e.getMessage}")
+    assert(!e.getMessage.contains("duplicate keys"),
+      s"message: ${e.getMessage}")
+    // the table is untouched — a poison epoch commits nothing
+    assert(CowTable.latestManifest(t).get.version == 0)
+  }
+
+  test("duplicate NULL-free keys still trip the cardinality check (null-safe count)") {
+    val t = s"${freshDir()}/t"
+    CowTable.init(Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .repartition(1), t)
+    val dup = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      CowTable.upsertMor(spark, t, dup, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate"), s"message: ${e.getMessage}")
+  }
+
   test("update mode without upsertKeys is rejected by the sink check") {
     spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
     val base = freshDir()
