@@ -278,6 +278,56 @@ object CowTable {
     head // unreachable
   }
 
+  /** The standard rebase validity rule, shared by every committer's
+    * retry loop: an interleaved commit is compatible iff it (a) kept
+    * the schema and partitioning, (b) did not rewrite or remove any
+    * data file this operation rewrites (`rewrittenN`) or targets with
+    * fresh deletion vectors (`dvTargetN`), (c) did not itself add a
+    * deletion vector inside any of those files (overlapping deletes
+    * are refused at FILE granularity — conservative, never wrong),
+    * and (d) — when `srcKeys` is given — did not add rows carrying
+    * this operation's source keys (a rebase would silently lose an
+    * update or duplicate an insert). All sets are NORMALIZED paths.
+    * Everything else (appends, disjoint-file rewrites, deletes in
+    * other files, maintenance that only moved untouched files)
+    * rebases and lands. */
+  private[graft] def standardRebaseValidate(spark: SparkSession,
+      op: String, table: String, base: Manifest,
+      rewrittenN: Set[String], dvTargetN: Set[String],
+      srcKeys: Option[(DataFrame, Seq[String])] = None)(
+      h: Manifest): Unit = {
+    def conflict(msg: String) = throw new java.util.ConcurrentModificationException(
+      s"$op $table: concurrent $msg — rerun against the new snapshot")
+    if (!schemaCompatible(h.schemaJson, base.schemaJson))
+      conflict("schema change")
+    if (h.partitionCols != base.partitionCols) conflict("re-partitioning")
+    val mine = rewrittenN ++ dvTargetN
+    if (mine.nonEmpty) {
+      val hN = h.files.map(normalize).toSet
+      if (!mine.forall(hN.contains))
+        conflict("rewrite of a file this operation touches")
+      val freshDvs = h.dvs.filterNot(base.dvs.toSet)
+      if (freshDvs.nonEmpty) {
+        val refs = dvRuns(spark, freshDvs).select("fp").distinct()
+          .collect().map(_.getString(0)).toSet
+        if (refs.exists(mine.contains))
+          conflict("delete inside a file this operation touches")
+      }
+    }
+    srcKeys.foreach { case (sk, keys) =>
+      val baseN = base.files.map(normalize).toSet
+      val added = h.files.filterNot(f => baseN.contains(normalize(f)))
+      if (added.nonEmpty) {
+        val reader = base.schemaOpt.map(spark.read.schema)
+          .getOrElse(spark.read)
+        if (reader.parquet(added: _*)
+            .join(broadcast(sk), keys, "left_semi")
+            .limit(1).count() > 0L)
+          conflict("write of rows matching this operation's source keys")
+      }
+    }
+  }
+
   /** Legacy string-list commit (v1 manifest, no stats). Kept for
     * callers that manage file lists themselves; internal operations go
     * through [[commitEntries]] so stats survive. */
@@ -1788,24 +1838,22 @@ object CowTable {
     * seq); new files get stats fused into the sidecar write. DV entries
     * whose data file was removed stay in place — they reference paths no
     * longer in the manifest, so readers never match them, and
-    * [[rewriteDeletes]]/[[vacuum]] reclaim them. Refuses to commit over
-    * a concurrent writer (the base version must still be latest — the
-    * same first-claim-wins manifest discipline as every other commit). */
+    * [[rewriteDeletes]]/[[vacuum]] reclaim them. On a lost version race
+    * the commit REBASES and retries ([[commitWithRetry]]): an
+    * interleaved commit that did not touch the removed files (or add a
+    * delete inside them) is compatible and both writers land; anything
+    * else throws ConcurrentModificationException. With `removed` empty
+    * (a pure append — the streaming sink's epoch apply and `INSERT
+    * INTO`) every race rebases. */
   private[graft] def replaceFilesCommit(spark: SparkSession, table: String,
       base: Manifest, removed: Seq[String], added: Seq[String]): Manifest = {
-    val latestV = latestManifest(table).map(_.version)
-    require(latestV.contains(base.version),
-      s"replaceFilesCommit: concurrent modification — operation read " +
-        s"v${base.version} but the table is at v${latestV.getOrElse(-1)}")
     val schema = base.schemaOpt.getOrElse(throw new IllegalArgumentException(
       s"cow table $table has a legacy schemaless manifest — DSv2 writes " +
         "need a v2 manifest"))
+    // a stale base behaves exactly like a lost race: validate the real
+    // head and rebase onto it
+    val head0 = latestManifest(table).getOrElse(base)
     val removedN = removed.map(normalize).toSet
-    val carriedFiles = base.files.filterNot(f => removedN(normalize(f)))
-    val carriedDF = entriesDF(spark, table, base).filter(
-      if (removedN.isEmpty) lit(true)
-      else col("kind") === "dv" ||
-        !normalizeSql(col("path")).isInCollection(removedN.toSeq))
     // added files written under __p_ partition dirs (the DSv2 writer's
     // partition routing) recover their exact tuples; others commit with
     // part=NULL — conservatively kept by pruning, never unsound
@@ -1813,8 +1861,19 @@ object CowTable {
       if (base.partitionCols.isEmpty) Map.empty[String, String]
       else partJsonOf(added.filter(
         _.split("/").exists(_.startsWith("__p_"))), base.partitionCols)
-    commitWithStatsDF(spark, table, base.version + 1, carriedDF, added,
-      schema, carriedFiles, base.dvs, base.partitionCols, newParts)
+    val validate = standardRebaseValidate(spark, "replaceFilesCommit",
+      table, base, removedN, Set.empty) _
+    if (head0.version != base.version) validate(head0)
+    def attempt(h: Manifest): Manifest = {
+      val carriedFiles = h.files.filterNot(f => removedN(normalize(f)))
+      val carriedDF = entriesDF(spark, table, h).filter(
+        if (removedN.isEmpty) lit(true)
+        else col("kind") === "dv" ||
+          !normalizeSql(col("path")).isInCollection(removedN.toSeq))
+      commitWithStatsDF(spark, table, h.version + 1, carriedDF, added,
+        schema, carriedFiles, h.dvs, h.partitionCols, newParts)
+    }
+    commitWithRetry(table, head0, validate, attempt)
   }
 
   /** DSv2 merge-on-read (delta) commit: EVERY base data file is kept;
@@ -1826,30 +1885,45 @@ object CowTable {
     * merge-on-read mode: write cost is O(delta) regardless of how many
     * files the matched rows touch — the 100 TB trade where rewriting a
     * group is the expensive half and readers amortize the DV anti-join
-    * until [[rewriteDeletes]]/compaction materializes. Same
-    * first-claim-wins concurrency discipline as every other commit. */
+    * until [[rewriteDeletes]]/compaction materializes. On a lost
+    * version race the commit REBASES and retries: the added DVs' row
+    * identities stay valid as long as no interleaved commit rewrote or
+    * re-deleted inside the files they reference (the standard rule);
+    * `extraValidate` lets callers layer operation-specific conflicts
+    * on top ([[upsertMor]] adds the source-key write check). */
   private[graft] def deltaCommit(spark: SparkSession, table: String,
-      base: Manifest, addedData: Seq[String],
-      addedDvs: Seq[String]): Manifest = {
-    val latestV = latestManifest(table).map(_.version)
-    require(latestV.contains(base.version),
-      s"deltaCommit: concurrent modification — operation read " +
-        s"v${base.version} but the table is at v${latestV.getOrElse(-1)}")
+      base: Manifest, addedData: Seq[String], addedDvs: Seq[String],
+      extraValidate: Manifest => Unit = _ => ()): Manifest = {
     val schema = base.schemaOpt.getOrElse(throw new IllegalArgumentException(
       s"cow table $table has a legacy schemaless manifest — DSv2 writes " +
         "need a v2 manifest"))
+    val head0 = latestManifest(table).getOrElse(base)
     val dvEntries = addedDvs.map(p =>
       FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
-    val carriedDF =
-      if (dvEntries.isEmpty) entriesDF(spark, table, base)
-      else entriesDF(spark, table, base).unionByName(
-        spark.createDataFrame(dvEntries), allowMissingColumns = true)
+    // the files our fresh DVs reference — a delta-sized read, done once
+    val dvTargetN: Set[String] =
+      if (addedDvs.isEmpty) Set.empty
+      else dvRuns(spark, addedDvs).select("fp").distinct()
+        .collect().map(_.getString(0)).toSet
     val newParts =
       if (base.partitionCols.isEmpty) Map.empty[String, String]
       else partJsonOf(addedData.filter(
         _.split("/").exists(_.startsWith("__p_"))), base.partitionCols)
-    commitWithStatsDF(spark, table, base.version + 1, carriedDF, addedData,
-      schema, base.files, base.dvs ++ addedDvs, base.partitionCols, newParts)
+    val validate = { h: Manifest =>
+      standardRebaseValidate(spark, "deltaCommit", table, base,
+        Set.empty, dvTargetN)(h)
+      extraValidate(h)
+    }
+    if (head0.version != base.version) validate(head0)
+    def attempt(h: Manifest): Manifest = {
+      val carriedDF =
+        if (dvEntries.isEmpty) entriesDF(spark, table, h)
+        else entriesDF(spark, table, h).unionByName(
+          spark.createDataFrame(dvEntries), allowMissingColumns = true)
+      commitWithStatsDF(spark, table, h.version + 1, carriedDF, addedData,
+        schema, h.files, h.dvs ++ addedDvs, h.partitionCols, newParts)
+    }
+    commitWithRetry(table, head0, validate, attempt)
   }
 
   /** MERGE-ON-READ upsert: matched target rows die by deletion vector
@@ -1917,7 +1991,13 @@ object CowTable {
     val ordered = source.select(schema.fieldNames.map(col): _*)
     val (dataFiles, _) =
       writeDataMaybePartitioned(ordered, table, v, m.partitionCols)
-    deltaCommit(spark, table, m, dataFiles, dvFiles)
+    // rebase rule on a lost race: the standard file checks ride in
+    // deltaCommit; on top, rows added since OUR snapshot must not carry
+    // our keys (our DV can't have killed them — a rebase would
+    // duplicate)
+    deltaCommit(spark, table, m, dataFiles, dvFiles,
+      extraValidate = standardRebaseValidate(spark, "upsertMor", table,
+        m, Set.empty, Set.empty, Some((srcKeys, keys))))
   }
 
   /** Materialize deletion vectors: rewrite the files that carry a live
@@ -1981,17 +2061,39 @@ object CowTable {
       }
     val dvEntries = keptDvs.map(p =>
       FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
-    val carriedData = entriesDF(spark, table, m).filter(
-      col("kind") === "data" &&
-        (if (touchedF.isEmpty) lit(true)
-         else !normalizeSql(col("path")).isInCollection(touchedN.toSeq)))
-    val carriedDF =
-      if (dvEntries.isEmpty) carriedData
-      else carriedData.unionByName(
-        spark.createDataFrame(dvEntries), allowMissingColumns = true)
-    commitWithStatsDF(spark, table, v, carriedDF, newFiles,
-      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
-      untouchedF, keptDvs, m.partitionCols, newParts)
+    val schema =
+      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema)
+    // Concurrency: maintenance is the commit that races a live writer
+    // CONSTANTLY — rebase and retry. Compatible interleavings: appends,
+    // rewrites of files we did not rewrite, fresh deletes in files we
+    // did not rewrite (their sidecars carry). A rewrite of — or a fresh
+    // delete inside — one of OUR rewritten files conflicts (the rewrite
+    // already materialized that file's deletes from OUR snapshot).
+    val validate = standardRebaseValidate(spark, "rewriteDeletes", table,
+      m, touchedN, Set.empty) _
+    def attempt(h: Manifest): Manifest = {
+      // data entries from the HEAD minus our rewrites; DV entries =
+      // our consolidated sidecar + whatever DVs landed after our
+      // snapshot (they reference files we kept — validate proved it)
+      val freshHDvs = h.dvs.filterNot(m.dvs.toSet)
+      val freshHDvsN = freshHDvs.map(normalize)
+      val carriedData = entriesDF(spark, table, h).filter(
+        (col("kind") === "data" &&
+          (if (touchedF.isEmpty) lit(true)
+           else !normalizeSql(col("path")).isInCollection(touchedN.toSeq)))
+        || (col("kind") === "dv" &&
+          (if (freshHDvsN.isEmpty) lit(false)
+           else normalizeSql(col("path")).isInCollection(freshHDvsN))))
+      val carriedDF =
+        if (dvEntries.isEmpty) carriedData
+        else carriedData.unionByName(
+          spark.createDataFrame(dvEntries), allowMissingColumns = true)
+      val untouchedH = h.files.filterNot(f => touchedN.contains(normalize(f)))
+      commitWithStatsDF(spark, table, h.version + 1, carriedDF, newFiles,
+        schema, untouchedH, freshHDvs ++ keptDvs, h.partitionCols,
+        newParts)
+    }
+    commitWithRetry(table, m, validate, attempt)
   }
 
   /** MERGE `source` into the table's latest snapshot on `keys`. Returns
@@ -2280,20 +2382,29 @@ object CowTable {
         if (toWrite.isEmpty) (Seq.empty[String], Map.empty[String, String])
         else writeDataMaybePartitioned(toWrite, table, v, m.partitionCols)
       // 4. one commit: untouched + MOR files carry, COW files leave,
-      // DV entries and fresh data entries append
+      // DV entries and fresh data entries append. On a lost version
+      // race, rebase-and-retry: conflicts are a rewrite of (or fresh
+      // delete inside) a file we rewrite or DV, or an interleaved
+      // write of our source keys — everything disjoint lands.
       val dvEntries = dvFiles.map(p =>
         FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
-      val carriedData = entriesDF(spark, table, m).filter(
-        col("kind") === "dv" ||
-          (if (cowF.isEmpty) lit(true)
-           else !normalizeSql(col("path")).isInCollection(cowN.toSeq)))
-      val carriedDF =
-        if (dvEntries.isEmpty) carriedData
-        else carriedData.unionByName(spark.createDataFrame(dvEntries),
-          allowMissingColumns = true)
-      val keptFiles = m.files.filterNot(f => cowN.contains(normalize(f)))
-      commitWithStatsDF(spark, table, v, carriedDF, newFiles,
-        schema, keptFiles, m.dvs ++ dvFiles, m.partitionCols, newParts)
+      val morN = morF.map(normalize).toSet
+      val validate = standardRebaseValidate(spark, "mergeIntoHybrid",
+        table, m, cowN, morN, Some((srcKeys, keys))) _
+      def attempt(h: Manifest): Manifest = {
+        val carriedData = entriesDF(spark, table, h).filter(
+          col("kind") === "dv" ||
+            (if (cowF.isEmpty) lit(true)
+             else !normalizeSql(col("path")).isInCollection(cowN.toSeq)))
+        val carriedDF =
+          if (dvEntries.isEmpty) carriedData
+          else carriedData.unionByName(spark.createDataFrame(dvEntries),
+            allowMissingColumns = true)
+        val keptFiles = h.files.filterNot(f => cowN.contains(normalize(f)))
+        commitWithStatsDF(spark, table, h.version + 1, carriedDF, newFiles,
+          schema, keptFiles, h.dvs ++ dvFiles, h.partitionCols, newParts)
+      }
+      commitWithRetry(table, m, validate, attempt)
     } finally matched.foreach(_.unpersist())
   }
 
@@ -2402,13 +2513,24 @@ object CowTable {
           table, v, m.partitionCols)
     val smallNorm = smalls.map(x => normalize(x._1))
     val smallSet = smallNorm.toSet
-    val keptFiles = m.files.filterNot(f => smallSet.contains(normalize(f)))
-    val liveDvs = dvsReferencing(spark, m, keptFiles)
-    commitWithStatsDF(spark, table, v,
-      carryAllBut(spark, table, m, smallNorm,
-        dropDvs = liveDvs.isEmpty && m.dvs.nonEmpty), newFiles,
-      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
-      keptFiles, liveDvs, m.partitionCols, newParts)
+    val schema =
+      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema)
+    // Concurrency: compaction is the MOST rebasable commit there is —
+    // it is valid iff its rewritten tail is untouched. Appends, merges
+    // of other files, and deletes outside the tail all interleave and
+    // land; the per-attempt recompute keeps whatever they did (incl.
+    // carrying their fresh DVs when those reference kept files).
+    val validate = standardRebaseValidate(spark, "compactTable", table,
+      m, smallSet, Set.empty) _
+    def attempt(h: Manifest): Manifest = {
+      val keptFiles = h.files.filterNot(f => smallSet.contains(normalize(f)))
+      val liveDvs = dvsReferencing(spark, h, keptFiles)
+      commitWithStatsDF(spark, table, h.version + 1,
+        carryAllBut(spark, table, h, smallNorm,
+          dropDvs = liveDvs.isEmpty && h.dvs.nonEmpty), newFiles,
+        schema, keptFiles, liveDvs, h.partitionCols, newParts)
+    }
+    commitWithRetry(table, m, validate, attempt)
   }
 
   /** [[compactTable]] with Z-order re-clustering of the rewritten tail
@@ -2433,16 +2555,24 @@ object CowTable {
     val out = versionDir(table, "data", v)
     Layout.compactRowsZorder(readSnapshot(spark, m, Some(smalls.map(_._1))),
       n, out.toString, zCols, bits)
+    val newFiles = dropEmptyFiles(spark, listPartFiles(out))
     val smallNorm = smalls.map(x => normalize(x._1))
     val smallSet = smallNorm.toSet
-    val keptFiles = m.files.filterNot(f => smallSet.contains(normalize(f)))
-    val liveDvs = dvsReferencing(spark, m, keptFiles)
-    commitWithStatsDF(spark, table, v,
-      carryAllBut(spark, table, m, smallNorm,
-        dropDvs = liveDvs.isEmpty && m.dvs.nonEmpty),
-      dropEmptyFiles(spark, listPartFiles(out)),
-      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema),
-      keptFiles, liveDvs, m.partitionCols)
+    val schema =
+      m.schemaOpt.getOrElse(spark.read.parquet(m.files: _*).schema)
+    // same rebase rule as [[compactTable]]: valid iff the rewritten
+    // tail is untouched; everything else interleaves and lands
+    val validate = standardRebaseValidate(spark, "compactTableZorder",
+      table, m, smallSet, Set.empty) _
+    def attempt(h: Manifest): Manifest = {
+      val keptFiles = h.files.filterNot(f => smallSet.contains(normalize(f)))
+      val liveDvs = dvsReferencing(spark, h, keptFiles)
+      commitWithStatsDF(spark, table, h.version + 1,
+        carryAllBut(spark, table, h, smallNorm,
+          dropDvs = liveDvs.isEmpty && h.dvs.nonEmpty), newFiles,
+        schema, keptFiles, liveDvs, h.partitionCols)
+    }
+    commitWithRetry(table, m, validate, attempt)
   }
 
   /** Delete data files and manifests unreachable from the newest
