@@ -106,11 +106,19 @@ object CowTable {
     * (empty snapshots stay readable), the entries-parquet pointer
     * (stats live there), the entry count (gates the small-sidecar
     * driver cache without reading the sidecar), and the table's
-    * partition columns. */
+    * partition columns. `dvRunCounts` maps a DV path to its total run
+    * count, RECORDED AT COMMIT TIME in the `dv:<runs>:<path>` line
+    * form — the broadcast-vs-anti-join decision on the read path is
+    * then metadata-only, never a per-read footer walk over every
+    * sidecar a MOR-heavy table accumulated between maintenance passes
+    * (entries for legacy `dv:<path>` lines are simply absent and fall
+    * back to one footer read, then migrate forward on the next
+    * commit). */
   case class Manifest(version: Int, files: Seq[String],
       dvs: Seq[String] = Nil, schemaJson: Option[String] = None,
       entriesRel: Option[String] = None, entryCount: Option[Long] = None,
-      partitionCols: Seq[String] = Nil) {
+      partitionCols: Seq[String] = Nil,
+      dvRunCounts: Map[String, Long] = Map.empty) {
     def schemaOpt: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
   }
@@ -137,6 +145,23 @@ object CowTable {
       graft.functions.PathNorm(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
+  /** One `dv:`-stripped manifest line → (path, run count if recorded).
+    * The counted form is `<runs>:<path>`; paths are absolute (start
+    * with '/'), so a leading all-digit segment is unambiguous. */
+  private def parseDvLine(l: String): (String, Option[Long]) = {
+    val i = l.indexOf(':')
+    if (i > 0 && l.take(i).forall(_.isDigit))
+      (l.substring(i + 1), Some(l.take(i).toLong))
+    else (l, None)
+  }
+
+  /** The manifest line for one DV file: counted when known. */
+  private def dvLine(p: String, runs: Map[String, Long]): String =
+    runs.get(p) match {
+      case Some(n) => s"$DvPrefix$n:$p"
+      case None => DvPrefix + p
+    }
+
   private def parseManifest(path: Path, v: Int): Option[Manifest] = {
     if (!Files.isRegularFile(path)) return None
     val lines = scala.io.Source.fromFile(path.toFile, "UTF-8")
@@ -145,7 +170,9 @@ object CowTable {
       all match {
         case HeaderV1 :: rest if rest.nonEmpty =>
           val (dvLines, dataLines) = rest.partition(_.startsWith(DvPrefix))
-          Some(Manifest(v, dataLines, dvLines.map(_.stripPrefix(DvPrefix))))
+          val dvp = dvLines.map(l => parseDvLine(l.stripPrefix(DvPrefix)))
+          Some(Manifest(v, dataLines, dvp.map(_._1),
+            dvRunCounts = dvp.collect { case (p, Some(n)) => p -> n }.toMap))
         case HeaderV2 :: rest if rest.lastOption.contains(EndMarker) =>
           val body = rest.dropRight(1)
           val schema = body.find(_.startsWith(SchemaPrefix))
@@ -161,8 +188,10 @@ object CowTable {
             l.startsWith(SchemaPrefix) || l.startsWith(EntriesPrefix) ||
               l.startsWith(EntryCountPrefix) || l.startsWith(PartColsPrefix))
           val (dvLines, dataLines) = paths.partition(_.startsWith(DvPrefix))
-          Some(Manifest(v, dataLines, dvLines.map(_.stripPrefix(DvPrefix)),
-            schema, entries, nEntries, partCols))
+          val dvp = dvLines.map(l => parseDvLine(l.stripPrefix(DvPrefix)))
+          Some(Manifest(v, dataLines, dvp.map(_._1),
+            schema, entries, nEntries, partCols,
+            dvp.collect { case (p, Some(n)) => p -> n }.toMap))
         case _ => None // empty or half-written: fall back to older version
       }
     } finally lines.close()
@@ -439,8 +468,15 @@ object CowTable {
       version: Int, carriedDF: DataFrame, newDataFiles: Seq[String],
       schema: StructType, carriedFiles: Seq[String],
       carriedDvs: Seq[String], partitionCols: Seq[String] = Nil,
-      newFileParts: Map[String, String] = Map.empty): Manifest = {
+      newFileParts: Map[String, String] = Map.empty,
+      knownDvRuns: Map[String, Long] = Map.empty): Manifest = {
     preCommitHook()
+    // DV run counts resolve AT COMMIT TIME: carried counts ride from
+    // the head manifest (knownDvRuns); anything unrecorded — freshly
+    // written sidecars, legacy lines — gets ONE footer read here, so
+    // the read path's broadcast decision never opens a footer again
+    val dvRunsAll: Map[String, Long] = carriedDvs.map(p =>
+      p -> knownDvRuns.getOrElse(p, dvRunCount(spark, Seq(p)))).toMap
     val rel = s"files/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val out = manifestDir(table).resolve(rel)
     Files.createDirectories(out.getParent)
@@ -462,9 +498,9 @@ object CowTable {
     writeManifestText(table, version,
       (Seq(HeaderV2, SchemaPrefix + schema.json, EntriesPrefix + rel,
         EntryCountPrefix + nEntries) ++ partLine ++
-        files ++ dvs.map(DvPrefix + _) :+ EndMarker).mkString("\n"))
+        files ++ dvs.map(dvLine(_, dvRunsAll)) :+ EndMarker).mkString("\n"))
     Manifest(version, files, dvs, Some(schema.json), Some(rel),
-      Some(nEntries), partitionCols)
+      Some(nEntries), partitionCols, dvRunsAll)
   }
 
   /** The manifest's entries as a DataFrame (kind, path, bytes, numRows,
@@ -1388,7 +1424,7 @@ object CowTable {
     else
       // DV identities store `_metadata.file_path` URIs (deleteWhere) or
       // manifest-raw paths (the DSv2 delta writer) — compare normalized
-      applyDvFilter(spark, data, m.dvs,
+      applyDvFilter(spark, data, m,
         normalizeSql(col("_metadata.file_path")),
         col("_metadata.row_index"))
   }
@@ -1519,7 +1555,7 @@ object CowTable {
         .withColumn(ScanBridge.RowIndexColumn, col("_metadata.row_index"))
         .withColumn(ScanBridge.FilePathColumn, col("_metadata.file_path"))
         .unionByName(rangedDF)
-    applyDvFilter(spark, data, m.dvs,
+    applyDvFilter(spark, data, m,
       normalizeSql(col(ScanBridge.FilePathColumn)),
       col(ScanBridge.RowIndexColumn))
       .drop(ScanBridge.RowIndexColumn, ScanBridge.FilePathColumn)
@@ -1639,7 +1675,8 @@ object CowTable {
           allowMissingColumns = true)
       val m2 = commitWithStatsDF(spark, table, h.version + 1, carriedDF,
         Nil, h.schemaOpt.getOrElse(raw.schema), h.files,
-        h.dvs ++ dvEntries.map(_.path), h.partitionCols)
+        h.dvs ++ dvEntries.map(_.path), h.partitionCols,
+        knownDvRuns = h.dvRunCounts)
       // cache hand-off: a DV commit's entries are derivable from the
       // old snapshot's (when cached) — the next read skips the sidecar
       // job
@@ -1737,11 +1774,30 @@ object CowTable {
   private[graft] val DvBroadcastRunsConf = "spark.graft.cow.dv.broadcastRuns"
   private[graft] val DvBroadcastRunsDefault = 4000000L
 
+  /** Test hook: DV sidecar footers opened on the driver by
+    * [[dvRunCount]]. Run counts are recorded in the manifest's `dv:`
+    * lines at commit time, so a snapshot READ of a committed table
+    * must leave this unchanged — the metadata-only-decision spec pins
+    * it. Commit-time resolution of freshly written sidecars is the
+    * only expected increment. */
+  private[graft] val driverDvFootersRead =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Total DV runs of manifest `m`, metadata-only when every sidecar's
+    * count was recorded at commit time (all non-legacy manifests);
+    * falls back to [[dvRunCount]] footer reads otherwise. */
+  private[graft] def dvRunCountOf(spark: SparkSession, m: Manifest): Long =
+    if (m.dvs.forall(m.dvRunCounts.contains)) m.dvs.map(m.dvRunCounts).sum
+    else dvRunCount(spark, m.dvs)
+
   /** Total DV runs across `dvPaths`, from parquet footers alone
-    * (driver-side, one footer per sidecar file — a delta-sized set). */
+    * (driver-side, one footer per sidecar file — a delta-sized set).
+    * COMMIT-TIME machinery: the read path goes through
+    * [[dvRunCountOf]] and only lands here on legacy manifests. */
   private[graft] def dvRunCount(spark: SparkSession,
       dvPaths: Seq[String]): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
+    driverDvFootersRead.addAndGet(dvPaths.size.toLong)
     dvPaths.map { p =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new org.apache.hadoop.fs.Path(p), conf)
@@ -1762,12 +1818,15 @@ object CowTable {
     * run — binary search per row, inside whole-stage codegen. The
     * fallback beyond the threshold is a shuffled range anti-join: still
     * executor-side, no broadcast proportional to the delete set.
-    * `fpCol` must already be normalized. */
+    * `fpCol` must already be normalized. The broadcast decision reads
+    * the run counts RECORDED IN THE MANIFEST ([[dvRunCountOf]]) — no
+    * footer is opened on the read path. */
   private[graft] def applyDvFilter(spark: SparkSession, df: DataFrame,
-      dvPaths: Seq[String], fpCol: Column, riCol: Column): DataFrame = {
+      m: Manifest, fpCol: Column, riCol: Column): DataFrame = {
+    val dvPaths = m.dvs
     val limit = spark.conf.getOption(DvBroadcastRunsConf)
       .map(_.toLong).getOrElse(DvBroadcastRunsDefault)
-    if (dvRunCount(spark, dvPaths) <= limit)
+    if (dvRunCountOf(spark, m) <= limit)
       df.withColumn("__dv_probe_fp", fpCol)
         .join(broadcast(dvPacked(spark, dvPaths)),
           col("__dv_probe_fp") === col("__dv_fp"), "left")
@@ -1871,7 +1930,8 @@ object CowTable {
         else col("kind") === "dv" ||
           !normalizeSql(col("path")).isInCollection(removedN.toSeq))
       commitWithStatsDF(spark, table, h.version + 1, carriedDF, added,
-        schema, carriedFiles, h.dvs, h.partitionCols, newParts)
+        schema, carriedFiles, h.dvs, h.partitionCols, newParts,
+        knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, head0, validate, attempt)
   }
@@ -1921,7 +1981,8 @@ object CowTable {
         else entriesDF(spark, table, h).unionByName(
           spark.createDataFrame(dvEntries), allowMissingColumns = true)
       commitWithStatsDF(spark, table, h.version + 1, carriedDF, addedData,
-        schema, h.files, h.dvs ++ addedDvs, h.partitionCols, newParts)
+        schema, h.files, h.dvs ++ addedDvs, h.partitionCols, newParts,
+        knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, head0, validate, attempt)
   }
@@ -1975,7 +2036,7 @@ object CowTable {
         val ids = rawScan(spark, m, cands).select(
           (keys.map(col) :+ col("_metadata.file_path").as("file_path")) :+
             col("_metadata.row_index").as("row_index"): _*)
-        val live = applyDvFilter(spark, ids, m.dvs,
+        val live = applyDvFilter(spark, ids, m,
           normalizeSql(col("file_path")), col("row_index"))
         val matched = live.join(broadcast(srcKeys), keys, "left_semi")
           .select("file_path", "row_index")
@@ -2091,7 +2152,7 @@ object CowTable {
       val untouchedH = h.files.filterNot(f => touchedN.contains(normalize(f)))
       commitWithStatsDF(spark, table, h.version + 1, carriedDF, newFiles,
         schema, untouchedH, freshHDvs ++ keptDvs, h.partitionCols,
-        newParts)
+        newParts, knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, m, validate, attempt)
   }
@@ -2248,7 +2309,7 @@ object CowTable {
       val untouchedH = h.files.filterNot(f => touched.contains(normalize(f)))
       val m2 = commitWithStatsDF(spark, table, h.version + 1, carriedDF,
         newFiles._1, newSchema, untouchedH, h.dvs, h.partitionCols,
-        newFiles._2)
+        newFiles._2, knownDvRuns = h.dvRunCounts)
       // cache hand-off possible only when nothing new was written (a
       // pure-delete merge): new files' stats live in the sidecar alone
       if (newFiles._1.isEmpty)
@@ -2305,7 +2366,7 @@ object CowTable {
         val ids = rawScan(spark, m, cands).select(
           keys.map(col) ++ Seq(col("_metadata.file_path").as("file_path"),
             col("_metadata.row_index").as("row_index")): _*)
-        val live = applyDvFilter(spark, ids, m.dvs,
+        val live = applyDvFilter(spark, ids, m,
           normalizeSql(col("file_path")), col("row_index"))
         Some(live.join(broadcast(srcKeys), keys, "left_semi")
           .withColumn("__fp", normalizeSql(col("file_path")))
@@ -2402,7 +2463,8 @@ object CowTable {
             allowMissingColumns = true)
         val keptFiles = h.files.filterNot(f => cowN.contains(normalize(f)))
         commitWithStatsDF(spark, table, h.version + 1, carriedDF, newFiles,
-          schema, keptFiles, h.dvs ++ dvFiles, h.partitionCols, newParts)
+          schema, keptFiles, h.dvs ++ dvFiles, h.partitionCols, newParts,
+          knownDvRuns = h.dvRunCounts)
       }
       commitWithRetry(table, m, validate, attempt)
     } finally matched.foreach(_.unpersist())
@@ -2528,7 +2590,8 @@ object CowTable {
       commitWithStatsDF(spark, table, h.version + 1,
         carryAllBut(spark, table, h, smallNorm,
           dropDvs = liveDvs.isEmpty && h.dvs.nonEmpty), newFiles,
-        schema, keptFiles, liveDvs, h.partitionCols, newParts)
+        schema, keptFiles, liveDvs, h.partitionCols, newParts,
+        knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, m, validate, attempt)
   }
@@ -2570,7 +2633,8 @@ object CowTable {
       commitWithStatsDF(spark, table, h.version + 1,
         carryAllBut(spark, table, h, smallNorm,
           dropDvs = liveDvs.isEmpty && h.dvs.nonEmpty), newFiles,
-        schema, keptFiles, liveDvs, h.partitionCols)
+        schema, keptFiles, liveDvs, h.partitionCols,
+        knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, m, validate, attempt)
   }

@@ -28,6 +28,29 @@ class CowDvCompressSpec extends AnyFunSuite {
     t
   }
 
+  test("DV broadcast decision is metadata-only: zero footer reads on a snapshot read") {
+    val t = fixture()
+    val m = CowTable.deleteWhere(spark, t, $"id" % 3 === 0L)
+    // run counts were recorded in the manifest's dv: lines at commit
+    assert(m.dvs.nonEmpty && m.dvs.forall(m.dvRunCounts.contains),
+      s"commit must record run counts: $m")
+    // a reopened manifest carries them too (the text round-trips)
+    val reread = CowTable.latestManifest(t).get
+    assert(reread.dvRunCounts == m.dvRunCounts)
+    CowTable.driverDvFootersRead.set(0L)
+    val n = CowTable.read(spark, t).count()
+    assert(n == 400L - 134L)
+    assert(CowTable.driverDvFootersRead.get() == 0L,
+      "snapshot read opened DV sidecar footers on the driver — the " +
+        "broadcast decision must come from the manifest")
+    // a second delete stacks a second counted sidecar; still zero
+    val m2 = CowTable.deleteWhere(spark, t, $"id" === 1L)
+    assert(m2.dvs.size == 2 && m2.dvs.forall(m2.dvRunCounts.contains))
+    CowTable.driverDvFootersRead.set(0L)
+    assert(CowTable.read(spark, t).count() == n - 1)
+    assert(CowTable.driverDvFootersRead.get() == 0L)
+  }
+
   test("dense delete stores one run per touched file; reads stay exact") {
     val t = fixture()
     // kill ids 0..149: file 1 fully dead (one run of 100), file 2 a
