@@ -577,13 +577,139 @@ object CowTable {
     case _ => false
   }
 
+  // -------------------------------------------- schema evolution (v2)
+
+  /** Field-metadata keys for stable-column-id schema evolution. `fid`
+    * is a stable numeric identity assigned when a field first takes
+    * part in an evolution (and to merge-added columns); `prev` is the
+    * field's PRIOR physical names, newest last — the resolution chain
+    * a read uses to pick the value out of files written before a
+    * rename. Both ride inside the manifest schema JSON (StructField
+    * metadata round-trips), so evolution is metadata-only: no data
+    * file is rewritten by rename, drop, or widen. */
+  private[graft] val FieldIdKey = "graft.fid"
+  private[graft] val PrevNamesKey = "graft.prev"
+
+  private[graft] def prevNamesOf(f: StructField): Seq[String] =
+    if (f.metadata.contains(PrevNamesKey))
+      f.metadata.getStringArray(PrevNamesKey).toSeq
+    else Nil
+
+  private[graft] def fieldIdOf(f: StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  private def hasRenames(sch: StructType): Boolean =
+    sch.fields.exists(f => prevNamesOf(f).nonEmpty)
+
+  /** Every CURRENT or HISTORICAL name in use — new columns must avoid
+    * all of them, or an old file's physical column would resolve into
+    * two logical fields. */
+  private[graft] def allKnownNames(sch: StructType): Set[String] =
+    sch.fields.flatMap(f => f.name +: prevNamesOf(f)).toSet
+
+  /** The type widenings the parquet vectorized reader performs
+    * natively (Spark 4 widening promotions), so a widen is
+    * metadata-only: old files keep their narrow physical type and the
+    * scan upcasts. Anything else would need a rewrite — refused. */
+  private[graft] def widenOk(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (ByteType | ShortType | IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType | FloatType, DoubleType) =>
+        true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision >= f.precision
+      case _ => false
+    }
+
+  /** In-place schema evolution as ONE metadata-only commit: `renames`
+    * (old → new name), `drops`, and `widens` (column → wider type,
+    * [[widenOk]]) apply to the manifest schema; every data file, DV,
+    * and stats entry is carried by reference — nothing is read or
+    * rewritten. Reads resolve renamed fields through their recorded
+    * prior names (coalesce at scan — old files' values survive),
+    * widened fields through the parquet reader's native widening
+    * promotion, and dropped fields simply stop being requested.
+    * Stats-based pruning stays EXACT on old files: the pruners parse
+    * old sidecar stats under the historical names and fold them into
+    * the current ones ([[withStatsStruct]]). Partition columns and
+    * merge keys in flight are the caller's contract: partition
+    * columns refuse all three operations here. Racing writers rebase
+    * like every other commit; an interleaved schema change conflicts. */
+  def alterTable(spark: SparkSession, table: String,
+      renames: Map[String, String] = Map.empty,
+      drops: Seq[String] = Nil,
+      widens: Map[String, DataType] = Map.empty): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    val schema = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
+      s"alterTable needs a v2 manifest with a schema"))
+    val names = schema.fieldNames.toSet
+    (renames.keys ++ drops ++ widens.keys).foreach(c => require(
+      names.contains(c), s"alterTable: column $c does not exist"))
+    (renames.keys ++ drops ++ widens.keys).foreach(c => require(
+      !m.partitionCols.contains(c),
+      s"alterTable: $c is a partition column — refuse rename/drop/widen"))
+    require(renames.keys.toSet.intersect(drops.toSet).isEmpty &&
+      widens.keys.toSet.intersect(drops.toSet).isEmpty,
+      "alterTable: a column cannot be dropped and renamed/widened at once")
+    val known = allKnownNames(schema)
+    renames.foreach { case (from, to) =>
+      require(to != from && !known.contains(to),
+        s"alterTable: rename $from -> $to collides with a current or " +
+          "historical column name")
+    }
+    require(renames.values.toSeq.distinct.size == renames.size,
+      "alterTable: duplicate rename targets")
+    widens.foreach { case (c, to) =>
+      val from = schema(c).dataType
+      require(widenOk(from, to),
+        s"alterTable: cannot widen $c from ${from.catalogString} to " +
+          s"${to.catalogString} — supported: int-family->bigint, " +
+          "int-family/float->double, decimal precision growth at " +
+          "fixed scale")
+    }
+    // stable ids: first evolution assigns position-based ids to every
+    // field that lacks one; they are never reused afterwards
+    var nextId = schema.fields.flatMap(fieldIdOf).foldLeft(-1L)(math.max)
+    val newFields = schema.fields.flatMap { f =>
+      if (drops.contains(f.name)) None
+      else {
+        val mb = new MetadataBuilder().withMetadata(f.metadata)
+        if (fieldIdOf(f).isEmpty) { nextId += 1; mb.putLong(FieldIdKey, nextId) }
+        val newName = renames.getOrElse(f.name, f.name)
+        if (newName != f.name)
+          mb.putStringArray(PrevNamesKey,
+            (prevNamesOf(f) :+ f.name).toArray)
+        val newType = widens.getOrElse(f.name, f.dataType)
+        Some(StructField(newName, newType, f.nullable, mb.build()))
+      }
+    }
+    require(newFields.nonEmpty, "alterTable: cannot drop every column")
+    val newSchema = StructType(newFields.toSeq)
+    def validate(h: Manifest): Unit =
+      if (!schemaCompatible(h.schemaJson, m.schemaJson))
+        throw new java.util.ConcurrentModificationException(
+          s"alterTable $table: concurrent schema change — rerun against " +
+            "the new snapshot")
+    def attempt(h: Manifest): Manifest =
+      commitWithStatsDF(spark, table, h.version + 1,
+        entriesDF(spark, table, h), Nil, newSchema, h.files, h.dvs,
+        h.partitionCols, knownDvRuns = h.dvRunCounts)
+    commitWithRetry(table, m, validate, attempt)
+  }
+
   /** Per-column struct<min,max,nulls> schema over the eligible columns
-    * — the from_json target when pruning. */
+    * — the from_json target when pruning. Field METADATA (the
+    * evolution id + prior-name chain) rides along so the parser can
+    * fold historical stats keys into current names. */
   private def statsSchemaFor(dataSchema: StructType): StructType =
     StructType(dataSchema.fields.filter(f => statsEligible(f.dataType))
       .take(MaxStatsCols).map(f => StructField(f.name, StructType(Seq(
         StructField("min", f.dataType), StructField("max", f.dataType),
-        StructField("nulls", LongType))))).toSeq)
+        StructField("nulls", LongType))), nullable = true,
+        f.metadata)).toSeq)
 
   /** Per-file row count + stats JSON for just-written data files as a
     * LAZY DataFrame keyed by normalized path — joined into the commit's
@@ -893,10 +1019,31 @@ object CowTable {
   }
 
   /** Parse the stats JSON into `__st` (NULL literal when the table has
-    * no stats-eligible columns — partition-only pruning still runs). */
+    * no stats-eligible columns — partition-only pruning still runs).
+    * After a RENAME, entries committed before the evolution keep their
+    * stats under the historical name: the parse target includes every
+    * prior name (typed at the CURRENT — possibly widened — type; JSON
+    * numbers upcast on parse) and each column's struct folds to
+    * coalesce(current, newest-prev, …), so data skipping stays exact
+    * on old files with zero sidecar rewrites. */
   private def withStatsStruct(df: DataFrame, stSchema: StructType): DataFrame =
     if (stSchema.isEmpty) df.withColumn("__st", lit(null))
-    else df.withColumn("__st", from_json(col("stats"), stSchema))
+    else if (!hasRenames(stSchema))
+      df.withColumn("__st", from_json(col("stats"), stSchema))
+    else {
+      val parseSchema = StructType(stSchema.fields.flatMap { f =>
+        StructField(f.name, f.dataType) +:
+          prevNamesOf(f).map(p => StructField(p, f.dataType))
+      }.toSeq)
+      val parsed = from_json(col("stats"), parseSchema)
+      val st = struct(stSchema.fields.map { f =>
+        val ps = prevNamesOf(f)
+        (if (ps.isEmpty) parsed.getField(f.name)
+         else coalesce((f.name +: ps.reverse).map(parsed.getField): _*))
+          .as(f.name)
+      }.toSeq: _*)
+      df.withColumn("__st", st)
+    }
 
   /** Rewrite a row predicate into a file-level "EVERY live row matches"
     * predicate over the stats struct — the other direction of
@@ -1394,11 +1541,38 @@ object CowTable {
     * pins the SNAPSHOT schema, so files written before a schema
     * evolution are NULL-extended for the columns they predate (and the
     * reader skips schema inference entirely). Legacy manifests infer. */
+  /** Scan of the manifest's data files under its schema. Files that
+    * predate an ADD null-extend by name (the parquet reader's native
+    * behavior); files that predate a WIDEN upcast natively; files that
+    * predate a RENAME resolve through the field's recorded prior
+    * names — the scan requests current + historical names and each
+    * field folds to coalesce(current, newest-prev, …). On renamed
+    * tables the output carries `_metadata` as a REAL struct column
+    * (aliased out of the scan before the projection) so every DV /
+    * identity consumer keeps working; [[dropMeta]] removes it from
+    * user-facing reads. */
   private def rawScan(spark: SparkSession, m: Manifest,
       files: Seq[String]): DataFrame = m.schemaOpt match {
+    case Some(sch) if hasRenames(sch) =>
+      val readSchema = StructType(sch.fields.flatMap { f =>
+        StructField(f.name, f.dataType, nullable = true, f.metadata) +:
+          prevNamesOf(f).map(p => StructField(p, f.dataType))
+      }.toSeq)
+      spark.read.schema(readSchema).parquet(files: _*)
+        .select(sch.fields.map { f =>
+          val ps = prevNamesOf(f)
+          (if (ps.isEmpty) col(f.name)
+           else coalesce((f.name +: ps.reverse).map(col): _*))
+            .as(f.name, f.metadata)
+        }.toSeq :+ col("_metadata").as("_metadata"): _*)
     case Some(sch) => spark.read.schema(sch).parquet(files: _*)
     case None => spark.read.parquet(files: _*)
   }
+
+  /** Drop the materialized `_metadata` twin a renamed-table [[rawScan]]
+    * carries — the last step before rows become user-facing. */
+  private def dropMeta(df: DataFrame): DataFrame =
+    if (df.columns.contains("_metadata")) df.drop("_metadata") else df
 
   /** DV-aware snapshot read: scan the data files and drop deleted row
     * positions PER FILE — a left join against the packed per-file run
@@ -1417,16 +1591,16 @@ object CowTable {
       onlyFiles: Option[Seq[String]] = None): DataFrame = {
     val files = onlyFiles.getOrElse(m.files)
     if (files.isEmpty)
-      return if (m.files.nonEmpty) rawScan(spark, m, m.files).limit(0)
+      return if (m.files.nonEmpty) dropMeta(rawScan(spark, m, m.files).limit(0))
       else emptyOf(spark, m)
     val data = rawScan(spark, m, files)
-    if (m.dvs.isEmpty) data
+    if (m.dvs.isEmpty) dropMeta(data)
     else
       // DV identities store `_metadata.file_path` URIs (deleteWhere) or
       // manifest-raw paths (the DSv2 delta writer) — compare normalized
-      applyDvFilter(spark, data, m,
+      dropMeta(applyDvFilter(spark, data, m,
         normalizeSql(col("_metadata.file_path")),
-        col("_metadata.row_index"))
+        col("_metadata.row_index")))
   }
 
   // ------------------------------------ row-group-level DV skipping
@@ -1544,6 +1718,11 @@ object CowTable {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     if (m.dvs.isEmpty) return readSnapshot(spark, m)
+    // renamed tables take the (coalescing) snapshot read: the ranged
+    // byte-scan requests current names only and would null-fill old
+    // files' renamed columns — sound to skip the optimization, never
+    // to mis-read
+    if (m.schemaOpt.exists(hasRenames)) return readSnapshot(spark, m)
     val (whole, ranges, _) = rowGroupPrunePlan(spark, table)
     if (ranges.isEmpty) return readSnapshot(spark, m)
     val schema = m.schemaOpt.getOrElse(
@@ -2173,7 +2352,7 @@ object CowTable {
 
     val target0 =
       if (m.files.isEmpty) emptyOf(spark, m)
-      else rawScan(spark, m, m.files)
+      else dropMeta(rawScan(spark, m, m.files))
     require(keys.forall(target0.columns.contains) &&
       keys.forall(source.columns.contains), s"merge keys $keys missing")
     val targetDataCols = target0.columns.filterNot(keys.contains).toSeq
@@ -2199,11 +2378,28 @@ object CowTable {
       if (!evolveSchema) Seq.empty[String]
       else source.columns
         .filterNot(c => keys.contains(c) || targetDataCols.contains(c)).toSeq
+    // a new column must not resurrect a HISTORICAL name: old files'
+    // physical columns under that name would resolve into two fields
+    m.schemaOpt.map(allKnownNames).foreach { known =>
+      newCols.foreach(c => require(!known.contains(c),
+        s"mergeInto: evolved column $c reuses a historical column name " +
+          "(renamed away earlier) — pick a fresh name"))
+    }
     val target = newCols.foldLeft(target0)((d, c) =>
       d.withColumn(c, lit(null).cast(sTypes(c))))
     val dataCols = targetDataCols ++ newCols
+    // evolved columns get fresh stable ids when the table already
+    // carries them (first alterTable assigns the base set)
+    val baseIds = target0.schema.fields.flatMap(fieldIdOf)
+    var nextFid = baseIds.foldLeft(-1L)(math.max)
     val newSchema = StructType(target0.schema.fields.toSeq ++
-      newCols.map(c => StructField(c, sTypes(c), nullable = true)))
+      newCols.map { c =>
+        val md =
+          if (baseIds.isEmpty) Metadata.empty
+          else { nextFid += 1
+            new MetadataBuilder().putLong(FieldIdKey, nextFid).build() }
+        StructField(c, sTypes(c), nullable = true, md)
+      })
 
     // 1. touched-file discovery: one target scan, broadcast key set —
     // and the scan itself is STATS-BOUNDED: the source's per-key-column
@@ -3242,6 +3438,80 @@ object CowTable {
       |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target))
       |SELECT * FROM merged WHERE o_custkey % 11 <> 2""".stripMargin
 
+  /** Gate: STABLE-COLUMN-ID schema evolution v2 ([[alterTable]]) —
+    * rename + int→bigint widen + drop as ONE metadata-only commit over
+    * the 32-file NTILE fixture, composed with a PRE-evolution DV
+    * delete, a POST-evolution MERGE (update/insert, values exceeding
+    * int range to prove physical widening), and a POST-evolution DV
+    * delete predicated on the RENAMED column (must hit pre-evolution
+    * files through the prior-name resolution). `planned_files` is the
+    * stats-prune count on the renamed column taken right after the
+    * alter — old sidecar stats keyed by the historical name must still
+    * prune exactly (the oracle re-derives the count from the same
+    * NTILE bucket algebra) — and the full final rows hash against the
+    * relational oracle with pre/post-evolution rows mixed. */
+  def lhEvolve2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val table = freshGateTable()
+    val filed = Tables.orders(s, dir)
+      .withColumn("o_qty", pmod($"o_orderkey", lit(1000L)).cast("int"))
+      .withColumn("__f", ntile(StatsPruneFiles)
+        .over(Window.orderBy($"o_custkey", $"o_orderkey")))
+    initFiled(filed, table, "__f", StatsPruneFiles)
+    deleteWhere(s, table, pmod($"o_orderkey", lit(7)) === 1) // pre-evo DV
+    alterTable(s, table,
+      renames = Map("o_custkey" -> "o_cust"),
+      drops = Seq("o_orderpriority"),
+      widens = Map("o_qty" -> LongType))
+    // stats pruning on the RENAMED column, old sidecar keys folded —
+    // taken before the merge so the file layout is still the oracle-
+    // reproducible NTILE bucketing
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 4, mx / 4 + mx / 10)
+    val (planned, total) = pruneReport(s, table,
+      $"o_cust" >= lo && $"o_cust" <= hi)
+    val source = Tables.orders(s, dir)
+      .filter(pmod($"o_orderkey", lit(5)) === 0)
+      .select($"o_orderkey", $"o_custkey".as("o_cust"), $"o_orderstatus",
+        ($"o_totalprice" * 2).as("o_totalprice"), $"o_orderdate",
+        (pmod($"o_orderkey", lit(1000L)) + 3000000000L).as("o_qty"))
+    mergeInto(s, table, source, Seq("o_orderkey"))
+    deleteWhere(s, table, pmod($"o_cust", lit(11)) === 2) // post-evo DV
+    read(s, table)
+      .withColumn("planned_files", lit(planned.toLong))
+      .withColumn("total_files", lit(total.toLong))
+  }
+
+  val lhEvolve2Sql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 4 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi),
+       |f AS (SELECT o_custkey,
+       |    NTILE($StatsPruneFiles) OVER (ORDER BY o_custkey, o_orderkey)
+       |      AS fid
+       |  FROM orders),
+       |st AS (SELECT fid, MIN(o_custkey) AS mn, MAX(o_custkey) AS mx
+       |  FROM f GROUP BY 1),
+       |planned AS (SELECT COUNT(*) AS c FROM st, b
+       |  WHERE mn <= b.hi AND mx >= b.lo),
+       |tgt AS (SELECT o_orderkey, o_custkey AS o_cust, o_orderstatus,
+       |    o_totalprice, o_orderdate,
+       |    CAST(o_orderkey % 1000 AS BIGINT) AS o_qty
+       |  FROM orders WHERE o_orderkey % 7 <> 1),
+       |src AS (SELECT o_orderkey, o_custkey AS o_cust, o_orderstatus,
+       |    o_totalprice * 2 AS o_totalprice, o_orderdate,
+       |    o_orderkey % 1000 + 3000000000 AS o_qty
+       |  FROM orders WHERE o_orderkey % 5 = 0),
+       |merged AS (
+       |  SELECT * FROM tgt
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+       |  UNION ALL
+       |  SELECT * FROM src)
+       |SELECT m.*, (SELECT c FROM planned) AS planned_files,
+       |  CAST($StatsPruneFiles AS BIGINT) AS total_files
+       |FROM merged m WHERE o_cust % 11 <> 2""".stripMargin
+
   /** Gate: the OPTIMIZER-RULE form of data skipping
     * ([[graft.plans.CowSkipRule]]) end-to-end — the query is a PLAIN
     * `read().filter(interval)`, no readWhere call anywhere; Catalyst
@@ -3632,6 +3902,78 @@ object CowTable {
        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
        |    AS sum_price,
        |  CAST(4 AS BIGINT) AS final_version,
+       |  CAST(0 AS BIGINT) AS n_dvs
+       |FROM live""".stripMargin
+
+  /** Gate: one-CALL maintenance RACING a live writer — the advertised
+    * deployment shape (scheduled `cow_maintain` next to a streaming
+    * upsert) replayed deterministically: an insert-only MOR upsert
+    * lands INSIDE the maintenance's first commit window (the
+    * [[preCommitHook]] race replay the concurrency spec uses), so
+    * `rewriteDeletes` loses the version race, rebases, and must carry
+    * the upsert's rows through materialization + compaction. Strict
+    * version arithmetic (v0 init, v1+v2 deletes, v3 the interleaved
+    * upsert, v4 rewriteDeletes, v5 compaction) plus the full
+    * relational oracle: a lost insert, a resurrected deleted row, or a
+    * maintenance abort breaks count/hash. */
+  def lhMaintainConc(s: SparkSession, dir: String): DataFrame =
+    lhMaintainConcOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  private def lhMaintainConcOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    graft.functions.GraftFunctions.register(s)
+    val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
+    val (lo, hi) = (mx / 2, mx / 2 + mx / 10)
+    deleteWhere(s, table, $"o_custkey" >= lo && $"o_custkey" <= hi &&
+      pmod($"o_orderkey", lit(2)) === 0)
+    val src = s.range(5).select(
+      ($"id" + 9000000000L).as("o_orderkey"),
+      ($"id" + 1000L).as("o_custkey"),
+      lit("X").as("o_orderstatus"),
+      ($"id".cast("double") * 100.5).as("o_totalprice"),
+      lit(java.sql.Date.valueOf("1995-01-01")).as("o_orderdate"),
+      lit("9-CONC").as("o_orderpriority"))
+    preCommitHook = { () =>
+      preCommitHook = () => ()
+      upsertMor(s, table, src, Seq("o_orderkey"))
+      ()
+    }
+    val summary =
+      try s.sql(s"CALL graft.cow_maintain(table => '$table', " +
+        "dead_threshold => 0.3D, target_bytes => 16777216, " +
+        "keep_versions => 1)").head()
+      finally { preCommitHook = () => () }
+    val after = latestManifest(table).get
+    require(after.dvs.isEmpty,
+      "maintenance must end DV-free despite the interleaved writer")
+    require(summary.getInt(0) == after.version,
+      "CALL summary must report the final committed version")
+    s.sql(
+      s"""SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+         |    AS sum_price,
+         |  CAST(${after.version} AS BIGINT) AS final_version,
+         |  CAST(${after.dvs.size} AS BIGINT) AS n_dvs
+         |FROM cow_read('$table')""".stripMargin)
+  }
+
+  val lhMaintainConcSql: String =
+    s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 2 AS lo,
+       |    (SELECT MAX(o_custkey) FROM orders) // 2 +
+       |    (SELECT MAX(o_custkey) FROM orders) // 10 AS hi),
+       |live AS (SELECT o.o_custkey, o.o_totalprice FROM orders o, b
+       |  WHERE o.o_orderkey % 7 <> 1
+       |    AND NOT (o.o_custkey >= b.lo AND o.o_custkey <= b.hi
+       |      AND o.o_orderkey % 2 = 0)
+       |  UNION ALL
+       |  SELECT 1000 + i AS o_custkey, i * 100.5 AS o_totalprice
+       |  FROM generate_series(0, 4) AS g(i))
+       |SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |    AS sum_price,
+       |  CAST(5 AS BIGINT) AS final_version,
        |  CAST(0 AS BIGINT) AS n_dvs
        |FROM live""".stripMargin
 
@@ -4150,6 +4492,32 @@ object CowTable {
       (() => lhPartitionPruneBuild(s, d), t => lhPartitionPruneOp(s, d, t))),
     "lh_rowgroup_dv" -> ((s, d) =>
       (() => lhRowGroupBuild(s, d), t => lhRowGroupOp(s, d, t))),
+    "lh_evolve2" -> ((s, d) =>
+      (() => {
+        import org.apache.spark.sql.expressions.Window
+        val table = freshGateTable()
+        val filed = Tables.orders(s, d)
+          .withColumn("o_qty", pmod(col("o_orderkey"), lit(1000L)).cast("int"))
+          .withColumn("__f", ntile(StatsPruneFiles)
+            .over(Window.orderBy(col("o_custkey"), col("o_orderkey"))))
+        initFiled(filed, table, "__f", StatsPruneFiles)
+        deleteWhere(s, table, pmod(col("o_orderkey"), lit(7)) === 1)
+        table
+      }, t => {
+        alterTable(s, t, renames = Map("o_custkey" -> "o_cust"),
+          drops = Seq("o_orderpriority"), widens = Map("o_qty" -> LongType))
+        val source = Tables.orders(s, d)
+          .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+          .select(col("o_orderkey"), col("o_custkey").as("o_cust"),
+            col("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"), col("o_orderdate"),
+            (pmod(col("o_orderkey"), lit(1000L)) + 3000000000L).as("o_qty"))
+        mergeInto(s, t, source, Seq("o_orderkey"))
+        deleteWhere(s, t, pmod(col("o_cust"), lit(11)) === 2)
+        read(s, t)
+      })),
+    "lh_maintain_conc" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhMaintainConcOp(s, d, t))),
     "lh_evolve" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => {
         val source = Tables.orders(s, d)
@@ -4192,6 +4560,8 @@ object CowTable {
     "lh_changes_stream" -> lhChangesStream,
     "lh_stats_prune" -> lhStatsPrune,
     "lh_evolve" -> lhEvolve,
+    "lh_evolve2" -> lhEvolve2,
+    "lh_maintain_conc" -> lhMaintainConc,
     "lh_count_meta" -> lhCountMeta,
     "lh_minmax_meta" -> lhMinMaxMeta,
     "lh_partition_prune" -> lhPartitionPrune,
@@ -4219,6 +4589,8 @@ object CowTable {
     "lh_changes_stream" -> lhChangesSql,
     "lh_stats_prune" -> lhStatsPruneSql,
     "lh_evolve" -> lhEvolveSql,
+    "lh_evolve2" -> lhEvolve2Sql,
+    "lh_maintain_conc" -> lhMaintainConcSql,
     "lh_count_meta" -> lhCountMetaSql,
     "lh_minmax_meta" -> lhMinMaxMetaSql,
     "lh_partition_prune" -> lhPartitionPruneSql,

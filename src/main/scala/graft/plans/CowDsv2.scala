@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactor
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftbridge.{ScanBridge, WriteBridge}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -342,7 +342,7 @@ private[plans] case class CowInputPartition(path: String, bytes: Long,
   * path constant, -2 = the row index). */
 private[plans] case class CowReaderFactory(
     readFn: (String, Long) => Iterator[InternalRow],
-    plan: Array[Int], types: Array[DataType], nData: Int)
+    plan: Array[Array[Int]], types: Array[DataType], nData: Int)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -367,11 +367,23 @@ private[plans] case class CowReaderFactory(
           if (starts.length == 0 || !deleted(ri)) {
             var i = 0
             while (i < plan.length) {
-              val v: Any = plan(i) match {
-                case -1 => fileUtf8
-                case -2 => ri
-                case j => if (r.isNullAt(j)) null else r.get(j, types(i))
-              }
+              val cands = plan(i)
+              val v: Any =
+                if (cands(0) == -1) fileUtf8
+                else if (cands(0) == -2) ri
+                else {
+                  // first non-null across (current, newest-prev, …):
+                  // a file holds exactly one name generation, so this
+                  // is rename resolution, never value masking
+                  var k = 0
+                  var vv: Any = null
+                  while (k < cands.length && vv == null) {
+                    val j = cands(k)
+                    if (!r.isNullAt(j)) vv = r.get(j, types(i))
+                    k += 1
+                  }
+                  vv
+                }
               out.update(i, v)
               i += 1
             }
@@ -457,15 +469,34 @@ private[plans] class CowBatchScan(table: CowDsv2Table,
   override def createReaderFactory(): PartitionReaderFactory = {
     val dataCols = required.fields.filter(f =>
       f.name != CowDsv2.FileCol && f.name != CowDsv2.PosCol)
-    val readFn = ScanBridge.fileReaderWithRowIndex(spark, table.dataSchema,
-      StructType(dataCols.toIndexedSeq))
-    val plan = required.fields.map { f =>
-      if (f.name == CowDsv2.FileCol) -1
-      else if (f.name == CowDsv2.PosCol) -2
-      else dataCols.indexWhere(_.name == f.name)
+    // renamed fields read their historical physical names too (typed
+    // at the current — possibly widened — type; the parquet reader
+    // upcasts natively) and the row mapper folds first-non-null, so a
+    // file written before the rename serves its values through DSv2
+    // exactly like the Scala read path
+    // prev-name chains resolve against the TABLE schema (the pruned
+    // `required` copy may have stripped field metadata)
+    def prevOf(name: String): Seq[String] =
+      table.dataSchema.fields.find(_.name == name)
+        .map(f => CowTable.prevNamesOf(f).reverse).getOrElse(Nil)
+    val physCols: Array[StructField] = dataCols.flatMap { f =>
+      StructField(f.name, f.dataType, nullable = true) +:
+        prevOf(f.name).map(p => StructField(p, f.dataType))
+    }
+    val physDataSchema = StructType(table.dataSchema.fields.flatMap { f =>
+      StructField(f.name, f.dataType, nullable = true) +:
+        prevOf(f.name).map(p => StructField(p, f.dataType))
+    }.toIndexedSeq)
+    val readFn = ScanBridge.fileReaderWithRowIndex(spark, physDataSchema,
+      StructType(physCols.toIndexedSeq))
+    val plan: Array[Array[Int]] = required.fields.map { f =>
+      if (f.name == CowDsv2.FileCol) Array(-1)
+      else if (f.name == CowDsv2.PosCol) Array(-2)
+      else (f.name +: prevOf(f.name))
+        .map(n => physCols.indexWhere(_.name == n)).toArray
     }
     CowReaderFactory(readFn, plan, required.fields.map(_.dataType),
-      dataCols.length)
+      physCols.length)
   }
 
   /** Manifest-stats estimate over the (pruned) planned files — gives the

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Stable-column-id schema evolution ([[CowTable.alterTable]]):
+  * rename, drop, and type widening as METADATA-ONLY commits — no data
+  * file rewritten — with reads resolving renamed fields through their
+  * recorded prior names on every path (Scala snapshot read, DSv2/SQL,
+  * stats pruning, min/max planning), widened fields upcasting through
+  * the parquet reader's native promotion, and mutations (merge, DV
+  * delete) working on the evolved schema over pre-evolution files. */
+class CowEvolveSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cow_evolve/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** 100 rows over 4 ranged files: (id long, v int, name string,
+    * note string). */
+  private def fixture(): String = {
+    val t = freshTable()
+    val df = (0L until 100L).map(i =>
+        (i, i.toInt, s"n$i", s"note$i"))
+      .toDF("id", "v", "name", "note")
+      .withColumn("__f", (col("id") / 25L).cast("int") + 1)
+    CowTable.initFiled(df, t, "__f", 4)
+    t
+  }
+
+  test("rename + widen + drop is one metadata-only commit; old files' values survive") {
+    val t = fixture()
+    val m0 = CowTable.latestManifest(t).get
+    val m1 = CowTable.alterTable(spark, t,
+      renames = Map("v" -> "val"), drops = Seq("note"),
+      widens = Map("v" -> LongType))
+    assert(m1.version == m0.version + 1)
+    assert(m1.files == m0.files, "no data file may be rewritten")
+    val sch = m1.schemaOpt.get
+    assert(sch.fieldNames.toSeq == Seq("id", "val", "name"))
+    assert(sch("val").dataType == LongType)
+    assert(CowTable.prevNamesOf(sch("val")) == Seq("v"))
+    assert(sch.fields.forall(f => CowTable.fieldIdOf(f).isDefined),
+      "first evolution must assign stable ids")
+    // pre-evolution values readable under the new name at the new type
+    val got = CowTable.read(spark, t).select("id", "val", "name")
+      .as[(Long, Long, String)].collect().toMap2
+    assert(got.size == 100 && got((7L, 7L)) == "n7")
+    // dropped column is gone
+    assert(!CowTable.read(spark, t).columns.contains("note"))
+  }
+
+  private implicit class Tup3Ops(rows: Array[(Long, Long, String)]) {
+    def toMap2: Map[(Long, Long), String] =
+      rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
+  test("post-evolution writes store the widened type; mixed files read as one") {
+    val t = fixture()
+    CowTable.alterTable(spark, t, renames = Map("v" -> "val"),
+      drops = Seq("note"), widens = Map("v" -> LongType))
+    // merge rows whose widened value EXCEEDS int range — proves the
+    // new files physically store long
+    val src = Seq((200L, 3000000007L, "big"), (10L, 4000000009L, "upd"))
+      .toDF("id", "val", "name")
+    CowTable.mergeInto(spark, t, src, Seq("id"))
+    val got = CowTable.read(spark, t)
+      .select("id", "val").as[(Long, Long)].collect().toMap
+    assert(got(200L) == 3000000007L && got(10L) == 4000000009L)
+    assert(got(11L) == 11L, "pre-evolution row survived the merge")
+    assert(got.size == 101)
+  }
+
+  test("DV delete on the RENAMED column hits pre-evolution files; reads stay exact") {
+    val t = fixture()
+    CowTable.alterTable(spark, t, renames = Map("v" -> "val"),
+      widens = Map("v" -> LongType))
+    val m = CowTable.deleteWhere(spark, t, col("val") % 10L === 3L)
+    assert(m.dvs.nonEmpty, "delete must land as a DV")
+    val ids = CowTable.read(spark, t).select("id").as[Long].collect().toSet
+    assert(ids == (0L until 100L).filter(_ % 10 != 3).toSet)
+  }
+
+  test("stats pruning stays exact through rename+widen (old sidecar keys fold)") {
+    val t = fixture()
+    CowTable.alterTable(spark, t, renames = Map("v" -> "val"),
+      widens = Map("v" -> LongType))
+    // files hold id ranges [0,25) [25,50) [50,75) [75,100); val == id
+    val (planned, total) = CowTable.pruneReport(spark, t,
+      col("val") >= 30L && col("val") <= 40L)
+    assert(total == 4 && planned == 1,
+      s"pre-evolution stats must prune under the new name: $planned/$total")
+    val n = CowTable.readWhere(spark, t,
+      col("val") >= 30L && col("val") <= 40L).count()
+    assert(n == 11L)
+    // min/max planning resolves old stats under the new name too
+    assert(CowTable.minWhere(spark, t, "val", col("id") >= 50L)
+      .contains(50L))
+  }
+
+  test("SQL/DSv2 read path resolves renamed + widened columns on old files") {
+    val t = fixture()
+    CowTable.alterTable(spark, t, renames = Map("v" -> "val"),
+      drops = Seq("note"), widens = Map("v" -> LongType))
+    CowTable.deleteWhere(spark, t, col("val") === 5L)
+    spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val rows = spark.sql(
+      s"SELECT id, val, name FROM graft.`$t` WHERE val BETWEEN 3 AND 7")
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((3L, 3L, "n3"), (4L, 4L, "n4"),
+      (6L, 6L, "n6"), (7L, 7L, "n7")))
+  }
+
+  test("guards: partition columns, invalid widenings, historical-name reuse") {
+    val t = freshTable()
+    CowTable.initPartitioned((0L until 40L).map(i =>
+        (i, i.toInt, s"p${i % 4}")).toDF("id", "v", "p"), t, Seq("p"))
+    intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, t, renames = Map("p" -> "p2"))
+    }
+    intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, t, widens = Map("v" -> StringType))
+    }
+    val t2 = fixture()
+    CowTable.alterTable(spark, t2, renames = Map("v" -> "val"))
+    // resurrecting the historical name must be refused on both surfaces
+    intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, t2, renames = Map("name" -> "v"))
+    }
+    val bad = (0L until 3L).map(i => (i, i + 1L, s"x$i", 1L))
+      .toDF("id", "val", "name", "v")
+    intercept[IllegalArgumentException] {
+      CowTable.mergeInto(spark, t2, bad, Seq("id"), evolveSchema = true)
+    }
+  }
+
+  test("a rename chain (two renames) resolves files from every generation") {
+    val t = fixture()
+    CowTable.alterTable(spark, t, renames = Map("v" -> "val"))
+    CowTable.mergeInto(spark, t,
+      Seq((300L, 300, "gen2", "note300")).toDF("id", "val", "name", "note"),
+      Seq("id"))
+    CowTable.alterTable(spark, t, renames = Map("val" -> "value"),
+      widens = Map("val" -> LongType))
+    CowTable.mergeInto(spark, t,
+      Seq((400L, 5000000001L, "gen3", "note400"))
+        .toDF("id", "value", "name", "note"), Seq("id"))
+    val sch = CowTable.latestManifest(t).get.schemaOpt.get
+    assert(CowTable.prevNamesOf(sch("value")) == Seq("v", "val"))
+    val got = CowTable.read(spark, t).select("id", "value")
+      .as[(Long, Long)].collect().toMap
+    assert(got(7L) == 7L, "generation-1 file (physical name v)")
+    assert(got(300L) == 300L, "generation-2 file (physical name val)")
+    assert(got(400L) == 5000000001L, "generation-3 file (physical name value)")
+    assert(got.size == 102)
+  }
+}
