@@ -2923,6 +2923,79 @@ object CowTable {
     deleted
   }
 
+  // ------------------------------------- timestamp-based retention
+
+  private def consumersDir(table: String): Path =
+    Paths.get(table, "consumers")
+
+  /** Record a change-feed consumer's committed high-water version AT
+    * THE TABLE (atomic tmp+rename), so retention can refuse to expire
+    * the manifests the consumer still needs: `tableChanges(v, v+1)`
+    * requires manifests v and v+1, and a vacuumed version's feed can
+    * never be rebuilt. [[CowFollowSink.catchUp]] registers
+    * automatically when given a cursor id; standalone consumers call
+    * this with their own id after each committed slice. */
+  def registerFeedCursor(table: String, consumer: String,
+      version: Int): Unit = {
+    require(consumer.nonEmpty && !consumer.contains('/') &&
+      !consumer.startsWith("."),
+      s"registerFeedCursor: bad consumer id '$consumer'")
+    val dir = consumersDir(table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".tmp-$consumer")
+    Files.write(tmp, version.toString.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(consumer), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Registered change-feed cursors: consumer id → committed version. */
+  def feedCursors(table: String): Map[String, Int] = {
+    val dir = consumersDir(table)
+    if (!Files.isDirectory(dir)) return Map.empty
+    listDir(dir).filterNot(_.getFileName.toString.startsWith("."))
+      .flatMap { p =>
+        scala.util.Try(new String(Files.readAllBytes(p), "UTF-8")
+          .trim.toInt).toOption.map(p.getFileName.toString -> _)
+      }.toMap
+  }
+
+  /** Deregister a consumer (a decommissioned reader must not pin
+    * retention forever). */
+  def dropFeedCursor(table: String, consumer: String): Unit = {
+    Files.deleteIfExists(consumersDir(table).resolve(consumer))
+    ()
+  }
+
+  /** TIMESTAMP-based snapshot retention — the operator-facing twin of
+    * [[vacuum]]: expire every snapshot whose commit is older than
+    * `olderThanMs` (commit time = the manifest file's mtime, written
+    * once at the atomic claim-completing rename and never touched
+    * again), EXCEPT (a) the latest complete snapshot, always, and
+    * (b) every version at or above the lowest registered change-feed
+    * cursor ([[registerFeedCursor]]) — a lagging consumer BLOCKS
+    * expiry inside its window instead of silently losing its feed.
+    * The reclamation itself is [[vacuum]]'s liveness algebra
+    * (executor-side listing, anti-join against kept manifests' entries,
+    * young-orphan protection), so the two surfaces cannot diverge.
+    * Returns the deleted data files. */
+  def expireSnapshots(spark: SparkSession, table: String,
+      olderThanMs: Long, orphanAgeMs: Long = 20 * 60 * 1000L,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    require(olderThanMs >= 0L, "expireSnapshots: olderThanMs must be >= 0")
+    val versions = completeVersions(table) // newest first
+    if (versions.isEmpty) return Nil
+    val cutoff = nowMs - olderThanMs
+    def mtime(v: Int): Long =
+      Files.getLastModifiedTime(manifestPath(table, v)).toMillis
+    val freshOldest = versions.filter(mtime(_) >= cutoff)
+      .minOption.getOrElse(versions.max)
+    val cursorOldest = feedCursors(table).values
+      .minOption.getOrElse(Int.MaxValue)
+    val vKeep = math.min(math.min(freshOldest, cursorOldest), versions.max)
+    val keepCount = math.max(1, versions.count(_ >= vKeep))
+    vacuum(spark, table, keepCount, orphanAgeMs)
+  }
+
   /** Change data feed: the row-level delta between two committed
     * versions, classified per key as
     * `insert` / `delete` / `update_preimage` / `update_postimage`

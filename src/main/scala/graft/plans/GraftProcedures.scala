@@ -202,6 +202,19 @@ object GraftProcedures {
       throw new IllegalArgumentException(s"no manifest after vacuum"))
   }
 
+  /** Timestamp retention: expire snapshots older than a window, the
+    * latest and every registered feed cursor's window always kept
+    * ([[CowTable.expireSnapshots]]). */
+  val cowExpire: UnboundProcedure = proc("cow_expire",
+    "Expire snapshots whose commit is older than older_than_ms " +
+      "(latest + registered feed-cursor windows always survive)",
+    Seq(in("table", StringType), in("older_than_ms", LongType))) {
+    (spark, r) =>
+    CowTable.expireSnapshots(spark, str(r, 0), r.getLong(1))
+    CowTable.latestManifest(str(r, 0)).getOrElse(
+      throw new IllegalArgumentException(s"no manifest after expire"))
+  }
+
   /** One-call maintenance policy — what a table babysitter cron runs:
     * (1) SELECTIVE deletion-vector materialization
     * ([[CowTable.rewriteDeletes]] with `dead_threshold` — only
@@ -234,5 +247,5 @@ object GraftProcedures {
   val byName: Map[String, UnboundProcedure] = Map(
     "cow_merge" -> cowMerge, "cow_delete" -> cowDelete,
     "cow_compact" -> cowCompact, "cow_vacuum" -> cowVacuum,
-    "cow_maintain" -> cowMaintain)
+    "cow_maintain" -> cowMaintain, "cow_expire" -> cowExpire)
 }

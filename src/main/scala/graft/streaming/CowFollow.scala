@@ -112,11 +112,17 @@ object CowFollowSink {
   }
 
   /** Catch the sink up to the source's latest version; returns the new
-    * committed high-water mark. Restart-safe at any point. */
+    * committed high-water mark. Restart-safe at any point. With
+    * `cursorId` set, the committed high-water also registers at the
+    * SOURCE table ([[CowTable.registerFeedCursor]]) after every slice
+    * commit, so timestamp retention ([[CowTable.expireSnapshots]])
+    * cannot expire manifests this consumer still needs — the lag
+    * guard of the CDF contract. */
   def catchUp(spark: SparkSession, table: String, keys: Seq[String],
-      sink: String, initialV: Int = 0): Int = {
+      sink: String, initialV: Int = 0,
+      cursorId: Option[String] = None): Int = {
     java.nio.file.Files.createDirectories(commitsDir(sink))
-    CowFollow.catchUp(spark, table, keys,
+    val hi = CowFollow.catchUp(spark, table, keys,
       committedVersion(sink, initialV)) { (slice, v) =>
       val stamped = slice.withColumn("_commit_version",
         org.apache.spark.sql.functions.lit(v.toLong))
@@ -129,7 +135,12 @@ object CowFollowSink {
       // atomic offset+commit: the marker's existence is the transaction
       try java.nio.file.Files.createFile(commitsDir(sink).resolve(s"v$v"))
       catch { case _: java.nio.file.FileAlreadyExistsException => }
+      cursorId.foreach(CowTable.registerFeedCursor(table, _, v))
     }
+    // a caught-up consumer pins from its high-water even when no new
+    // slice landed this call
+    cursorId.foreach(CowTable.registerFeedCursor(table, _, hi))
+    hi
   }
 
   /** Every marker-committed slice, in version order, as one DataFrame

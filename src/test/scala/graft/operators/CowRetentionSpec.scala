@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Timestamp-based snapshot retention ([[CowTable.expireSnapshots]]):
+  * "keep 7 days" semantics over commit timestamps with the SAME
+  * liveness algebra as version-count vacuum, the latest snapshot
+  * always survives, and a lagging change-feed consumer's registered
+  * cursor BLOCKS expiry inside its window — the CDF contract is
+  * time-denominated and must not lose a consumer's feed. */
+class CowRetentionSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cow_ret/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  /** v0 init, v1..v3 merges — then BACKDATE each manifest's mtime so
+    * v0..v1 look a day old and v2..v3 fresh. */
+  private def fixture(): (String, Long) = {
+    val t = freshTable()
+    CowTable.init((0L until 40L).map(i => (i, s"n$i"))
+      .toDF("id", "name").repartition(2), t)
+    (1 to 3).foreach { k =>
+      CowTable.mergeInto(spark, t,
+        Seq((100L + k, s"v$k")).toDF("id", "name"), Seq("id"))
+    }
+    val now = System.currentTimeMillis()
+    val day = 24L * 3600 * 1000
+    Seq(0 -> (now - 2 * day), 1 -> (now - day),
+      2 -> (now - 1000L), 3 -> now).foreach { case (v, ts) =>
+      Files.setLastModifiedTime(
+        Paths.get(t, "manifest", s"v$v.manifest"), FileTime.fromMillis(ts))
+    }
+    (t, now)
+  }
+
+  test("expire by commit timestamp: old versions go, survivors read exactly") {
+    val (t, now) = fixture()
+    val deleted = CowTable.expireSnapshots(spark, t,
+      olderThanMs = 12L * 3600 * 1000, orphanAgeMs = Long.MaxValue,
+      nowMs = now)
+    // v0,v1 expired; v2,v3 kept
+    assert(!Files.exists(Paths.get(t, "manifest", "v0.manifest")))
+    assert(!Files.exists(Paths.get(t, "manifest", "v1.manifest")))
+    assert(Files.exists(Paths.get(t, "manifest", "v2.manifest")))
+    assert(Files.exists(Paths.get(t, "manifest", "v3.manifest")))
+    val got = CowTable.read(spark, t).count()
+    assert(got == 43L, s"survivor read must be exact, got $got")
+    assert(CowTable.readVersion(spark, t, 2).count() == 42L)
+    intercept[IllegalArgumentException] {
+      CowTable.readVersion(spark, t, 0)
+    }
+    // nothing the kept snapshots reference was deleted
+    assert(deleted.forall(f => !CowTable.latestManifest(t).get.files
+      .map(CowTable.normalizePath).contains(CowTable.normalizePath(f))))
+  }
+
+  test("the latest snapshot survives even when older than the window") {
+    val (t, now) = fixture()
+    CowTable.expireSnapshots(spark, t, olderThanMs = 0L,
+      orphanAgeMs = Long.MaxValue, nowMs = now + 3600 * 1000L)
+    assert(CowTable.latestManifest(t).get.version == 3)
+    assert(CowTable.read(spark, t).count() == 43L)
+  }
+
+  test("a lagging consumer's cursor blocks expiry inside its window") {
+    val (t, now) = fixture()
+    // consumer committed v1 — needs manifests v1.. to rebuild its feed
+    CowTable.registerFeedCursor(t, "replica-a", 1)
+    CowTable.expireSnapshots(spark, t, olderThanMs = 12L * 3600 * 1000,
+      orphanAgeMs = Long.MaxValue, nowMs = now)
+    assert(!Files.exists(Paths.get(t, "manifest", "v0.manifest")),
+      "below the cursor still expires")
+    assert(Files.exists(Paths.get(t, "manifest", "v1.manifest")),
+      "the cursor's version must survive the time window")
+    // the lagging consumer can still catch up, exactly
+    val seen = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val hi = graft.streaming.CowFollow.catchUp(spark, t, Seq("id"), 1) {
+      (slice, v) => seen += ((v, slice.count()))
+    }
+    assert(hi == 3 && seen.toSeq == Seq((2, 1L), (3, 1L)))
+    // once the consumer advances (or deregisters), expiry proceeds
+    CowTable.registerFeedCursor(t, "replica-a", 3)
+    CowTable.expireSnapshots(spark, t, olderThanMs = 12L * 3600 * 1000,
+      orphanAgeMs = Long.MaxValue, nowMs = now)
+    assert(!Files.exists(Paths.get(t, "manifest", "v1.manifest")))
+    assert(CowTable.read(spark, t).count() == 43L)
+  }
+
+  test("CowFollowSink.catchUp(cursorId) registers the high-water automatically") {
+    val (t, _) = fixture()
+    val sink = Files.createTempDirectory("graft_ret_sink").toString
+    val hi = graft.streaming.CowFollowSink.catchUp(spark, t, Seq("id"),
+      sink, cursorId = Some("sink-1"))
+    assert(hi == 3)
+    assert(CowTable.feedCursors(t) == Map("sink-1" -> 3))
+    CowTable.dropFeedCursor(t, "sink-1")
+    assert(CowTable.feedCursors(t).isEmpty)
+  }
+}
