@@ -96,10 +96,36 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     new CowDsv2Table(p)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE on cow tables goes through CowTable.mergeInto's " +
-        "schema evolution")
+  /** `ALTER TABLE graft.`/path` RENAME COLUMN a TO b` / `DROP COLUMN` /
+    * `ALTER COLUMN c TYPE bigint` — translated onto
+    * [[CowTable.alterTable]]'s stable-column-id evolution (ONE
+    * metadata-only commit per statement; widenings restricted to the
+    * parquet reader's native promotions). Nested fields and other
+    * change kinds are refused loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = pathOf(ident)
+    def top(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"ALTER TABLE $what on nested field " +
+          s"${fieldNames.mkString(".")} is not supported")
+      fieldNames(0)
+    }
+    var renames = Map.empty[String, String]
+    var drops = Seq.empty[String]
+    var widens = Map.empty[String, DataType]
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        renames += top(rc.fieldNames(), "RENAME COLUMN") -> rc.newName()
+      case dc: TableChange.DeleteColumn =>
+        drops :+= top(dc.fieldNames(), "DROP COLUMN")
+      case ut: TableChange.UpdateColumnType =>
+        widens += top(ut.fieldNames(), "ALTER COLUMN TYPE") -> ut.newDataType()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change on a cow table: $other")
+    }
+    CowTable.alterTable(SparkSession.active, p, renames, drops, widens)
+    new CowDsv2Table(p)
+  }
 
   override def dropTable(ident: Identifier): Boolean = false
 

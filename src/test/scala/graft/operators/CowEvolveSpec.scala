@@ -139,6 +139,27 @@ class CowEvolveSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE SQL statements drive the same evolution") {
+    val t = fixture()
+    spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN v TO val")
+    spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN val TYPE bigint")
+    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN note")
+    val sch = CowTable.latestManifest(t).get.schemaOpt.get
+    assert(sch.fieldNames.toSeq == Seq("id", "val", "name"))
+    assert(sch("val").dataType == LongType)
+    assert(CowTable.prevNamesOf(sch("val")) == Seq("v"))
+    val got = spark.sql(s"SELECT val FROM graft.`$t` WHERE id = 42")
+      .as[Long].head()
+    assert(got == 42L)
+    // an unsupported widening is refused loudly through SQL too
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN val TYPE string")
+    }
+    assert(e.getMessage.contains("widen") ||
+      e.getMessage.toLowerCase.contains("cannot"), e.getMessage)
+  }
+
   test("a rename chain (two renames) resolves files from every generation") {
     val t = fixture()
     CowTable.alterTable(spark, t, renames = Map("v" -> "val"))
