@@ -3113,16 +3113,24 @@ object CowTable {
       withMinMax: Boolean = false): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    // the rewrite matches the raw file-set scan, but a DV'd snapshot is
-    // scan + anti-join — the summary would silently include deleted
-    // rows. Materialize first.
-    require(m.dvs.isEmpty,
-      s"registerMv: $table v${m.version} has deletion vectors; " +
-        "run rewriteDeletes before registering an MV")
-    graft.plans.MvCatalog.buildMv(spark.read.parquet(m.files: _*),
-      groupKeys, measures, mvPath, withMinMax)
-    graft.plans.MvCatalog.registerFiles(spark, name, m.files,
-      groupKeys, measures, mvPath)
+    if (m.dvs.isEmpty) {
+      graft.plans.MvCatalog.buildMv(spark.read.parquet(m.files: _*),
+        groupKeys, measures, mvPath, withMinMax)
+      graft.plans.MvCatalog.registerFiles(spark, name, m.files,
+        groupKeys, measures, mvPath)
+    } else {
+      // DV'd snapshot: the summary builds from the DV-APPLIED read (the
+      // read path already does the work), and the registration pins the
+      // DV file set alongside the data files — a later delete commits a
+      // new DV file, the fingerprint changes, and the rewrite stands
+      // down instead of serving a stale (or deleted-row-including)
+      // summary. The rewrite serves snapshot reads (the recognized
+      // DV-application plan), never raw file scans.
+      graft.plans.MvCatalog.buildMv(readSnapshot(spark, m),
+        groupKeys, measures, mvPath, withMinMax)
+      graft.plans.MvCatalog.registerSnapshot(spark, name, m.files, m.dvs,
+        groupKeys, measures, mvPath)
+    }
     graft.plans.MvRewriteApi.enable(spark)
     m
   }

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.LeftOuter
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
@@ -89,6 +90,27 @@ object MvCatalog {
     "files:" + md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Identity of a DV-APPLIED snapshot scan: the data file set AND the
+    * deletion-vector file set, hashed together. Registering a
+    * DV-adjusted summary against this tag means a LATER delete (new DV
+    * file) or merge (new data file) changes the tag and the rewrite
+    * stands down instead of serving a stale summary. */
+  def dvSnapshotTag(files: Seq[String], dvs: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    files.map(pathTag).sorted.foreach(f => md.update((f + "\n").getBytes("UTF-8")))
+    md.update("|dv|\n".getBytes("UTF-8"))
+    dvs.map(pathTag).sorted.foreach(f => md.update((f + "\n").getBytes("UTF-8")))
+    "dvfiles:" + md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Register `mvPath` as the DV-ADJUSTED summary of a snapshot scanned
+    * as (data files, dv files) — see [[dvSnapshotTag]]. */
+  def registerSnapshot(spark: SparkSession, name: String,
+      files: Seq[String], dvs: Seq[String], groupKeys: Seq[String],
+      measures: Seq[String], mvPath: String): MvDef =
+    registerTag(spark, name, dvSnapshotTag(files, dvs), groupKeys,
+      measures, mvPath)
+
   def isEmpty: Boolean = defs.isEmpty
   def clear(): Unit = defs.clear()
   def lookup(tag: String): Option[MvDef] = Option(defs.get(tag))
@@ -166,27 +188,101 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   /** Identity of a v1 file scan: its root path, or for a multi-path
-    * scan (manifest-pinned file listing) the file-set hash. */
-  private def scanTag(rel: LogicalRelation): Option[String] = rel.relation match {
-    case fs: HadoopFsRelation => fs.location.rootPaths match {
-      case Seq(p) => Some(MvCatalog.pathTag(p.toString))
-      case Seq() => None
-      case many => Some(MvCatalog.fileSetTag(many.map(_.toString)))
+    * scan (manifest-pinned file listing) the file-set hash; a DV-applied
+    * snapshot hashes data + DV file sets together. */
+  private def scanTag(rel: LogicalRelation,
+      dvFiles: Option[Seq[String]]): Option[String] = rel.relation match {
+    case fs: HadoopFsRelation => dvFiles match {
+      case Some(dvs) => Some(MvCatalog.dvSnapshotTag(
+        fs.location.rootPaths.map(_.toString), dvs))
+      case None => fs.location.rootPaths match {
+        case Seq(p) => Some(MvCatalog.pathTag(p.toString))
+        case Seq() => None
+        case many => Some(MvCatalog.fileSetTag(many.map(_.toString)))
+      }
     }
     case _ => None
   }
 
+  /** The file paths of a bare parquet relation. */
+  private def rootPathsOf(rel: LogicalRelation): Option[Seq[String]] =
+    rel.relation match {
+      case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+
+  /** Match the DATA side of a DV-applied snapshot read: the projection
+    * [[graft.operators.CowTable]]'s read path plants over the data scan
+    * (data attrs + the `__dv_probe_fp` pathnorm alias + the row-index
+    * extract). The marker alias is the recognizer; data attributes pass
+    * through untouched, so the aggregate above still references the
+    * relation's own output. */
+  private def dvDataSide(plan: LogicalPlan):
+      Option[(LogicalRelation, Seq[Expression])] =
+    plan match {
+      case Project(pl, rel: LogicalRelation)
+          if pl.exists(_.name == "__dv_probe_fp") => Some((rel, Nil))
+      // a user predicate pushed below the DV join lands between the
+      // probe projection and the scan — capture it as a filter
+      case Project(pl, Filter(c, rel: LogicalRelation))
+          if pl.exists(_.name == "__dv_probe_fp") =>
+        Some((rel, splitConjunctivePredicates(c)))
+      case _ => None
+    }
+
+  /** Match the RUNS side: the packed per-file DV-run aggregate over the
+    * sidecar parquet scan; returns the DV file paths. */
+  private def dvRunsSide(plan: LogicalPlan): Option[Seq[String]] = {
+    def descend(p: LogicalPlan): Option[Seq[String]] = p match {
+      case Project(_, child) => descend(child)
+      case Aggregate(_, _, child, _) => descend(child)
+      case Filter(_, child) => descend(child)
+      case rel: LogicalRelation => rootPathsOf(rel)
+      case other =>
+        // analyzed-plan hints survive until the optimizer strips them
+        other.children match {
+          case Seq(one) => descend(one)
+          case _ => None
+        }
+    }
+    plan match {
+      case Project(pl, _) if pl.exists(_.name == "__dv_fp") => descend(plan)
+      case _ => None
+    }
+  }
+
   /** Strip pruning Projects and collect Filter conjuncts down to a bare
     * file scan. Only attribute-only Projects are transparent — anything
-    * computed in between makes the shape unrecognizable. */
-  private def stripToScan(plan: LogicalPlan,
-      filters: Seq[Expression] = Nil): Option[(Seq[Expression], LogicalRelation)] =
+    * computed in between makes the shape unrecognizable. ONE shape of
+    * computed subtree IS recognized: the DV-application pattern the CoW
+    * read path plants (NOT dvrunscontain(...) over a left-outer join of
+    * the data scan against the packed-runs aggregate) — it returns the
+    * data relation plus the DV file set, so a DV-adjusted MV can serve
+    * aggregates over a merge-on-read snapshot without a rewriteDeletes
+    * pass. */
+  private def stripToScan(plan: LogicalPlan, filters: Seq[Expression] = Nil):
+      Option[(Seq[Expression], LogicalRelation, Option[Seq[String]])] =
     plan match {
       case Filter(cond, child) =>
-        stripToScan(child, filters ++ splitConjunctivePredicates(cond))
+        // peel the DV-application conjunct (the optimizer may merge a
+        // user predicate into the same Filter node)
+        val conj = splitConjunctivePredicates(cond)
+        val (dvc, rest) = conj.partition {
+          case Not(_: graft.functions.DvRunsContain) => true
+          case _ => false
+        }
+        child match {
+          case Join(l, r, LeftOuter, _, _) if dvc.nonEmpty =>
+            for {
+              (dataRel, pushed) <- dvDataSide(l)
+              dvs <- dvRunsSide(r)
+            } yield (filters ++ rest ++ pushed, dataRel, Some(dvs))
+          case _ if dvc.isEmpty => stripToScan(child, filters ++ rest)
+          case _ => None
+        }
       case Project(projList, child) if projList.forall(_.isInstanceOf[AttributeReference]) =>
         stripToScan(child, filters)
-      case rel: LogicalRelation => Some((filters, rel))
+      case rel: LogicalRelation => Some((filters, rel, None))
       case _ => None
     }
 
@@ -197,8 +293,8 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = for {
-    (filters, rel) <- stripToScan(agg.child)
-    tag <- scanTag(rel)
+    (filters, rel, dvFiles) <- stripToScan(agg.child)
+    tag <- scanTag(rel, dvFiles)
     mv <- MvCatalog.lookup(tag)
     if agg.groupingExpressions.forall {
       case a: AttributeReference => mv.isKey(a.name)

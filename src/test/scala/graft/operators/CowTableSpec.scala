@@ -332,15 +332,57 @@ class CowTableSpec extends AnyFunSuite {
     assert(got.size == 99)
   }
 
-  test("rewriteDeletes materializes only DV-carrying files; registerMv refuses until then") {
+  test("MV over a DV'd snapshot: DV-adjusted summary serves; a second delete stands down") {
+    import graft.plans.MvCatalog
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: LogicalRelation => r.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Nil
+        }
+      }.flatten
+    val t = freshTable()
+    CowTable.init((0L until 100L).map(i => (i, s"b${i % 4}", i * 1.0))
+      .toDF("id", "band", "v"), t)
+    CowTable.deleteWhere(spark, t, $"id" % 10 === 1) // MOR delete stays
+    MvCatalog.clear()
+    def q() = CowTable.read(spark, t).groupBy("band")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+    val want = q().collect().map(_.toString).sorted.toSeq
+    CowTable.registerMv(spark, t, "cow_dv_bands", Seq("band"), Seq("v"),
+      s"$t-mv")
+    val served = q()
+    assert(scanPaths(served).forall(_.contains("-mv")),
+      s"DV'd snapshot aggregate must serve from the MV: ${scanPaths(served)}")
+    assert(served.collect().map(_.toString).sorted.toSeq == want,
+      "the served summary must be DV-adjusted (deleted rows excluded)")
+    // a key-only filter still rides the rewrite
+    val filtered = q().filter($"band" === "b2")
+    // (filter applies above the agg here; the point is values match)
+    assert(filtered.collect().map(_.toString).sorted.toSeq ==
+      want.filter(_.contains("b2")))
+    // a SECOND delete commits a new DV file -> fingerprint changes ->
+    // the rewrite stands down; values are fresh, never stale
+    CowTable.deleteWhere(spark, t, $"id" === 2L)
+    val after = q()
+    assert(!scanPaths(after).exists(_.contains("-mv")),
+      s"stale DV-pinned MV served after a new delete: ${scanPaths(after)}")
+    val want2 = after.collect().map(_.toString).sorted.toSeq
+    assert(want2 != want)
+    // re-registering for the new snapshot serves again
+    CowTable.registerMv(spark, t, "cow_dv_bands", Seq("band"), Seq("v"),
+      s"$t-mv2")
+    val served2 = q()
+    assert(scanPaths(served2).forall(_.contains("-mv2")))
+    assert(served2.collect().map(_.toString).sorted.toSeq == want2)
+    MvCatalog.clear()
+  }
+
+  test("rewriteDeletes materializes only DV-carrying files") {
     val t = freshTable()
     initRanged(t)
     CowTable.deleteWhere(spark, t, $"id" === 10L)
-    val e = intercept[IllegalArgumentException] {
-      CowTable.registerMv(spark, t, "cow_dv_mv", Seq("name"), Seq("v"),
-        s"$t-mv")
-    }
-    assert(e.getMessage.contains("deletion vectors"))
     val before = CowTable.latestManifest(t).get
     val mtimes0 = before.files.map(f =>
       f -> Files.getLastModifiedTime(Paths.get(f))).toMap
