@@ -537,6 +537,131 @@ object Similarity {
         col("cosine"))
   }
 
+  /** PREDICATE-PUSHED (filtered) k-NN join — "nearest neighbors WHERE
+    * lang='en' AND license='permissive'", the common training-data
+    * retrieval shape. Post-filtering a top-k breaks the recall
+    * contract when the filter is selective (most of the k die and the
+    * survivors are not the filtered corpus' true top-k); here the
+    * predicate filters the CANDIDATE (corpus) side BEFORE cell-local
+    * ADC ranking, so the shortlist is drawn from qualifying vectors
+    * only and every emitted neighbor both qualifies and ranks against
+    * the full qualifying population.
+    *
+    * Selectivity-aware probe widening keeps the envelope honest: a
+    * filter that passes fraction p of the corpus thins every IVF cell
+    * by ~p, so the probe set widens to nprobe/p (capped at all cells —
+    * at which point the join degrades gracefully into an ADC scan of
+    * the qualifying set, which is exactly the right plan when p is
+    * tiny). One delta-sized aggregate measures p; everything else is
+    * the standard codes-only candidate path + shortlist-sized exact
+    * rerank. 100 TB shape: the corpus side is `filter → encode → ONE
+    * cell hash join`, so the filter prunes at the scan (pushdown) and
+    * the shuffle carries only qualifying codes. */
+  def knnJoinPqFilteredOn(emb: DataFrame, pred: Column,
+      cents: IndexedSeq[Array[Double]],
+      books: IndexedSeq[IndexedSeq[Array[Double]]], nprobe: Int,
+      k: Int = K, shortlist: Int = PqJoinShortlist,
+      salts: Int = 1): DataFrame = {
+    val cnt = emb.agg(count(lit(1)).as("n"),
+      count(when(pred, 1)).as("pass")).head()
+    val (total, pass) = (cnt.getLong(0), cnt.getLong(1))
+    require(pass > 0L,
+      "knnJoinPqFilteredOn: no corpus vector passes the predicate")
+    val p = pass.toDouble / total
+    val widened = math.min(cents.size, math.ceil(nprobe / p).toInt)
+    val corpus = emb.filter(pred)
+    val assigned = corpus.select(col("vec_id"),
+      assignCell(col("embedding"), cents).as("cell"),
+      pqEncodePacked(col("embedding"), books).as("codes"))
+    val queries = emb.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_vec"),
+      explode(probeCells(col("embedding"), cents, widened)).as("cell"))
+    val cands = saltedCellJoin(assigned, queries, salts)
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    val short = cands
+      .withColumn("adc", adcScorePacked(col("q_vec"), col("codes"), books))
+      .select(col("q_id"), col("vec_id"), col("adc"))
+      .withColumn("__r", row_number().over(ws))
+      .filter(col("__r") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    short.join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_vec")), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("q_vec"), col("embedding")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
+  /** Gate: FILTERED ANN with an honest envelope. Predicate
+    * `label = 7 AND vec_id % 2 = 0` passes ~5% of the corpus; every
+    * query must receive EXACTLY min(k, #qualifying-excl-self)
+    * neighbors, every neighbor must qualify, and sample recall vs a
+    * brute-force top-k over the FILTERED corpus must reach 0.9 — the
+    * contract post-filtering cannot meet at this selectivity. */
+  def ssKnnJoinFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val pred = col("label") === 7 && pmod(col("vec_id"), lit(2)) === 0
+    val cents = cachedCentroids(emb, dir)
+    val books = cachedCodebooks(emb, dir)
+    val nn = knnJoinPqFilteredOn(emb, pred, cents, books, IvfProbe, K,
+      shortlist = math.max(tunedJoinShortlist(emb, dir), 4 * K))
+    nn.persist()
+    try {
+      val n = emb.count()
+      val nQual = emb.filter(pred).count()
+      // per-query expectation: min(k, qualifying excluding self)
+      val per = nn.groupBy($"q_id").agg(count(lit(1)).as("c"))
+      val got = emb.select($"vec_id".as("q_id"), pred.as("__q"))
+        .join(per, Seq("q_id"), "left")
+        .select($"q_id",
+          coalesce($"c", lit(0L)).as("c"),
+          least(lit(K.toLong),
+            lit(nQual) - when($"__q", 1L).otherwise(0L)).as("want"))
+      val fullCoverage =
+        got.filter($"c" =!= $"want").limit(1).count() == 0L
+      // every neighbor qualifies
+      val allQualify = nn
+        .join(emb.filter(pred).select($"vec_id".as("neighbor_id")),
+          Seq("neighbor_id"), "left_anti").limit(1).count() == 0L
+      // sample recall vs brute-force over the FILTERED corpus; truth
+      // re-ranks with the same per-query min(k, avail) contract
+      val corpus = emb.filter(pred)
+      val queries = emb.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val wb = Window.partitionBy($"q_id")
+        .orderBy($"cosine".desc, $"vec_id".asc)
+      val truth = corpus.join(broadcast(queries),
+          col("vec_id") =!= col("q_id"))
+        .select($"q_id", $"vec_id",
+          cosine($"q_vec", $"embedding").as("cosine"))
+        .withColumn("rank", row_number().over(wb))
+        .filter($"rank" <= K)
+        .select($"q_id", $"vec_id".as("neighbor_id"))
+      val totalTruth = truth.count()
+      val hits = nn.filter($"q_id" < NumQueries)
+        .join(truth, Seq("q_id", "neighbor_id"), "left_semi").count()
+      Seq((n, nQual, fullCoverage, allQualify,
+        hits.toDouble >= 0.9 * totalTruth))
+        .toDF("n_vectors", "n_qualifying", "full_coverage", "all_qualify",
+          "recall_ok")
+    } finally { nn.unpersist(); () }
+  }
+
+  val ssKnnJoinFilteredSql: String =
+    """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+      |    AS n_vectors,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+      |   WHERE label = 7 AND vec_id % 2 = 0) AS n_qualifying,
+      |  TRUE AS full_coverage, TRUE AS all_qualify,
+      |  TRUE AS recall_ok""".stripMargin
+
   /** Tuning-time shortlist search for the PQ JOIN: the smallest
     * shortlist whose measured sample recall vs the EXACT join (same
     * probed cells — isolates the ADC loss from the probe loss, which
@@ -1897,6 +2022,7 @@ object Similarity {
     "ss_knn_ivf" -> ssKnnIvf,
     "ss_knn_join" -> ssKnnJoin,
     "ss_knn_join_pq" -> ssKnnJoinPq,
+    "ss_knn_join_filtered" -> ssKnnJoinFiltered,
     "ss_knn_join_pq_econ" -> ssKnnJoinPqEcon,
     "ss_knn_join_pq_cow" -> ssKnnJoinPqCow,
     "ss_knn_pq" -> ssKnnPq,
@@ -1922,6 +2048,7 @@ object Similarity {
     "ss_knn_ivf" -> ssKnnIvfSql,
     "ss_knn_join" -> ssKnnJoinSql,
     "ss_knn_join_pq" -> ssKnnJoinPqSql,
+    "ss_knn_join_filtered" -> ssKnnJoinFilteredSql,
     "ss_knn_join_pq_econ" -> ssKnnJoinPqEconSql,
     "ss_knn_join_pq_cow" -> ssKnnJoinPqCowSql,
     "ss_knn_pq" -> ssKnnPqSql,

@@ -205,6 +205,53 @@ class KnnJoinSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("codebook"))
   }
 
+  test("filtered join: neighbors all qualify and equal brute-force-on-filtered") {
+    val fix = fixture()
+    val emb = fix.select($"vec_id", $"embedding",
+      ($"vec_id" % 3).as("label"))
+    val cents = Similarity.trainCentroids(
+      fix.select($"vec_id", $"embedding"), k = 3, rounds = 5)
+    val books = Similarity.trainCodebooks(
+      fix.select($"vec_id", $"embedding"))
+    val pred = col("label") === 1 // 12 of 36 qualify, across clusters
+    val nn = Similarity.knnJoinPqFilteredOn(emb, pred, cents, books,
+      nprobe = 1, k = 5, shortlist = 12)
+    // every emitted neighbor qualifies
+    assert(nn.join(emb.filter(pred).select($"vec_id".as("neighbor_id")),
+      Seq("neighbor_id"), "left_anti").count() == 0)
+    // every query gets exactly min(k, qualifying-excl-self)
+    val per = nn.groupBy($"q_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 36L).foreach { q =>
+      val avail = if (q % 3 == 1) 11 else 12
+      assert(per.getOrElse(q, 0L) == math.min(5, avail).toLong,
+        s"query $q coverage ${per.get(q)}")
+    }
+    // equals brute force restricted to the qualifying corpus: the
+    // probe widening (nprobe 1 / p=1/3 -> 3 = all cells) makes the
+    // filtered join EXACT here
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"cosine".desc, $"vec_id".asc)
+    val truth = emb.filter(pred).as("c")
+      .join(fix.select($"vec_id".as("q_id"), $"embedding".as("q_vec")),
+        col("vec_id") =!= col("q_id"))
+      .select($"q_id", $"vec_id",
+        Similarity.cosine($"q_vec", $"embedding").as("cosine"))
+      .withColumn("rank", row_number().over(wb))
+      .filter($"rank" <= 5)
+      .select($"q_id", $"vec_id".as("neighbor_id"))
+    assert(nn.select($"q_id", $"neighbor_id").exceptAll(truth).count() == 0,
+      "filtered join diverged from brute-force-on-filtered")
+    // post-filtering the UNfiltered top-k provably under-delivers here
+    // (a cluster's top-5 are same-cluster; only ~1/3 qualify)
+    val post = Similarity.knnJoinPqOn(fix.select($"vec_id", $"embedding"),
+        cents, books, nprobe = 1, k = 5, shortlist = 12)
+      .join(emb.filter(pred).select($"vec_id".as("neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
+    assert(post.count() < nn.count(),
+      "post-filter should lose neighbors the pushed filter keeps")
+  }
+
   test("packed encoding refuses >8 subspaces (BIGINT capacity guard)") {
     val nine = IndexedSeq.fill(9)(IndexedSeq(Array(0.0, 1.0)))
     val e = intercept[IllegalArgumentException] {
