@@ -3480,6 +3480,79 @@ object CowTable {
   def lhStatsPrune(s: SparkSession, dir: String): DataFrame =
     lhStatsPruneOp(s, dir, lhStatsPruneBuild(s, dir))
 
+  /** Gate: the change-feed STREAMING SOURCE composed with a
+    * PARTITIONED table — the lh_stream_part discipline on the source
+    * side. A status-partitioned table takes (v1) a DV delete scoped to
+    * partition F and (v2) a merge scoped to partition P; the feed
+    * replays through the real `MicroBatchStream` and the gate pins,
+    * bigint-exact: the delete's candidate scan planned exactly the F
+    * partition's file count (partition pruning on the write path),
+    * every file the merge rewrote carries partition tuple P (the slice
+    * staging is partition-bounded, not table-bounded), and the
+    * partition-pruned CONSUMER (`WHERE o_orderstatus='F'`) sees the
+    * delete epoch's rows and NOTHING from the P-scoped merge. */
+  def lhFeedPart(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = freshGateTable()
+    initPartitioned(Tables.orders(s, dir).coalesce(1), t,
+      Seq("o_orderstatus"))
+    val (plannedF, totalF) = pruneReport(s, t, $"o_orderstatus" === "F")
+    deleteWhere(s, t,
+      $"o_orderstatus" === "F" && pmod($"o_orderkey", lit(5)) === 0) // v1
+    val srcP = Tables.orders(s, dir).filter($"o_orderstatus" === "P")
+      .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+    mergeInto(s, t, srcP, Seq("o_orderkey")) // v2 — touches P files only
+    // every file the merge replaced must carry partition tuple P
+    val m1 = readManifest(t, 1)
+    val m2 = readManifest(t, 2)
+    val m2N = m2.files.map(normalize).toSet
+    val removedN = m1.files.map(normalize).filterNot(m2N.contains)
+    val nonP =
+      if (removedN.isEmpty) 0L
+      else entriesDF(s, t, m1).filter(col("kind") === "data" &&
+        normalizeSql(col("path")).isInCollection(removedN) &&
+        !coalesce(col("part"), lit(""))
+          .contains("\"o_orderstatus\":\"P\"")).count()
+    val ckpt = Files.createTempDirectory("graft_feed_part").toString
+    val name = "lh_feed_part_" +
+      java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = s.readStream.format("graft.streaming.CowFeedProvider")
+      .option("table", t).option("keys", "o_orderkey").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = s.table(name)
+    val fSide = feed.filter($"o_orderstatus" === "F") // pruned consumer
+    val pSide = feed.filter($"o_orderstatus" === "P")
+    fSide.agg(
+        sum(when($"_change_type" === "delete", 1L).otherwise(0L))
+          .as("n_f_delete"),
+        sum(when($"_change_type" =!= "delete", 1L).otherwise(0L))
+          .as("n_f_other"))
+      .crossJoin(pSide.agg(
+        sum(when($"_change_type" === "update_preimage", 1L).otherwise(0L))
+          .as("n_p_pre"),
+        sum(when($"_change_type" === "update_postimage", 1L).otherwise(0L))
+          .as("n_p_post")))
+      .withColumn("n_nonp_rewritten", lit(nonP))
+      .withColumn("planned_files_f", lit(plannedF.toLong))
+      .withColumn("total_files", lit(totalF.toLong))
+  }
+
+  val lhFeedPartSql: String =
+    """SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |   WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0) AS n_f_delete,
+      |  CAST(0 AS BIGINT) AS n_f_other,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |   WHERE o_orderstatus = 'P') AS n_p_pre,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+      |   WHERE o_orderstatus = 'P') AS n_p_post,
+      |  CAST(0 AS BIGINT) AS n_nonp_rewritten,
+      |  CAST(1 AS BIGINT) AS planned_files_f,
+      |  (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+      |   FROM orders) AS total_files""".stripMargin
+
   /** Gate: in-place SCHEMA EVOLUTION through MERGE. The lh_merge
     * construction (update / delete / insert / carry), but the source
     * carries a NEW column (`o_flag` = orderkey mod 3): the merge
@@ -4643,6 +4716,7 @@ object CowTable {
     "lh_evolve" -> lhEvolve,
     "lh_evolve2" -> lhEvolve2,
     "lh_maintain_conc" -> lhMaintainConc,
+    "lh_feed_part" -> lhFeedPart,
     "lh_count_meta" -> lhCountMeta,
     "lh_minmax_meta" -> lhMinMaxMeta,
     "lh_partition_prune" -> lhPartitionPrune,
@@ -4672,6 +4746,7 @@ object CowTable {
     "lh_evolve" -> lhEvolveSql,
     "lh_evolve2" -> lhEvolve2Sql,
     "lh_maintain_conc" -> lhMaintainConcSql,
+    "lh_feed_part" -> lhFeedPartSql,
     "lh_count_meta" -> lhCountMetaSql,
     "lh_minmax_meta" -> lhMinMaxMetaSql,
     "lh_partition_prune" -> lhPartitionPruneSql,
