@@ -320,13 +320,26 @@ class CowDsv2Spec extends AnyFunSuite {
       assert(v == id * 2 + (if (id % 5 == 0) 1 else 0)) }
   }
 
-  test("concurrent-writer conflict is refused at commit") {
+  test("a stale-base DSv2 commit rebases when disjoint, refuses on conflict") {
     val t = fixture()
     val table = new CowDsv2Table(t) // pins the base version
+    val before = table.manifest
     CowTable.deleteWhere(spark, t, $"id" === 0L) // someone else commits
-    val ex = intercept[Exception] {
-      CowTable.replaceFilesCommit(spark, t, table.manifest, Nil, Nil)
+    // disjoint (pure append, nothing removed): the stale base VALIDATES
+    // against the real head and rebases — both writers land, and the
+    // interleaved delete survives the rebased commit
+    val m2 = CowTable.replaceFilesCommit(spark, t, before, Nil, Nil)
+    assert(m2.version == before.version + 2, s"$m2")
+    assert(CowTable.read(spark, t).filter($"id" === 0L).count() == 0,
+      "the interleaved delete was lost by the rebase")
+    // conflicting: a stale-base commit REMOVING a file the interleaved
+    // delete targeted still fails loudly
+    val table2 = new CowDsv2Table(t)
+    val base2 = table2.manifest
+    CowTable.deleteWhere(spark, t, $"id" === 1L)
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      CowTable.replaceFilesCommit(spark, t, base2, base2.files, Nil)
     }
-    assert(ex.getMessage.contains("concurrent modification"))
+    assert(ex.getMessage.contains("concurrent"))
   }
 }
