@@ -118,7 +118,13 @@ object Bench {
     // watermark-drained stream-stream LEFT OUTER join (null emission)
     "ev_attribution_outer", "ev_attribution_outer_stream",
     // native session_window twin of the gaps-and-islands sessionization
-    "ev_sessions_native")
+    "ev_sessions_native",
+    // round 14: stable-column-id schema evolution (rename/widen/drop +
+    // merge + DV delete on the renamed column), one-CALL maintenance
+    // racing an interleaved upsert (rebase-and-retry), the partitioned
+    // change-feed source, and the predicate-pushed filtered ANN join
+    "lh_evolve2", "lh_maintain_conc", "lh_feed_part",
+    "ss_knn_join_filtered")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
