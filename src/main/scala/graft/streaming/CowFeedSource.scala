@@ -147,6 +147,10 @@ private[streaming] class CowFeedStream(table: String, keys: Seq[String],
       end: Offset): Array[InputPartition] = {
     val (sv, ev) = (start.asInstanceOf[CowFeedOffset].v,
       end.asInstanceOf[CowFeedOffset].v)
+    // pin the batch's START version at plan time (the slice needs
+    // manifests sv AND ev; Spark may not call commit() until the next
+    // batch cycle, so the in-flight batch protects itself)
+    CowTable.registerFeedCursor(table, cursorId, sv)
     if (sv >= ev) return Array.empty
     val dir = stageRoot.resolve(s"$sv-$ev")
     val done = dir.resolve("_graft_done")
@@ -180,9 +184,20 @@ private[streaming] class CowFeedStream(table: String, keys: Seq[String],
       org.apache.spark.sql.graftbridge.ScanBridge
         .wholeFileReader(spark, schema))
 
+  /** The source's retention pin: a stable consumer id derived from the
+    * checkpoint location, registered at the table on every committed
+    * batch so [[CowTable.expireSnapshots]] cannot expire manifests the
+    * stream still needs after a lag or restart. */
+  private val cursorId = "stream-" + {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(checkpointLocation.getBytes("UTF-8"))
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   /** A committed batch is never replanned — its staged bytes go. */
   override def commit(end: Offset): Unit = {
     val ev = end.asInstanceOf[CowFeedOffset].v
+    CowTable.registerFeedCursor(table, cursorId, ev)
     if (java.nio.file.Files.isDirectory(stageRoot)) {
       val s = java.nio.file.Files.list(stageRoot)
       try {

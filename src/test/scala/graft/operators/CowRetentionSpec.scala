@@ -95,6 +95,34 @@ class CowRetentionSpec extends AnyFunSuite {
     assert(CowTable.read(spark, t).count() == 43L)
   }
 
+  test("the streaming change-feed source registers its cursor on batch commit") {
+    val (t, _) = fixture()
+    val ckpt = Files.createTempDirectory("graft_ret_stream").toString
+    val name = "ret_stream_" +
+      java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = spark.readStream.format("graft.streaming.CowFeedProvider")
+      .option("table", t).option("keys", "id").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val cursors = CowTable.feedCursors(t)
+    assert(cursors.size == 1 && cursors.keys.head.startsWith("stream-"),
+      s"source must pin its progress at the table: $cursors")
+    // plan-time pin = the batch's start (0); Spark may defer the
+    // source commit() to the next cycle — either value protects the
+    // stream's window
+    val v = cursors.values.head
+    assert(v >= 0 && v <= 3, s"cursor $v")
+    // retention honors the pin: everything at or above it survives
+    CowTable.expireSnapshots(spark, t, olderThanMs = 0L,
+      orphanAgeMs = Long.MaxValue,
+      nowMs = System.currentTimeMillis() + 3600 * 1000L)
+    (v to 3).foreach { k =>
+      assert(Files.exists(Paths.get(t, "manifest", s"v$k.manifest")),
+        s"retention expired v$k inside the stream's window (cursor $v)")
+    }
+  }
+
   test("CowFollowSink.catchUp(cursorId) registers the high-water automatically") {
     val (t, _) = fixture()
     val sink = Files.createTempDirectory("graft_ret_sink").toString
