@@ -700,6 +700,36 @@ object CowTable {
     commitWithRetry(table, m, validate, attempt)
   }
 
+  /** Fold the optimizer's alias-substituted rename resolution back to
+    * the logical column: a renamed table's read plants
+    * `coalesce(cur, prevs…) AS cur`, and a predicate pushed below that
+    * projection arrives referencing the coalesce itself. When a
+    * Coalesce's attribute names are EXACTLY a field's recorded name
+    * chain, it IS that logical column — replace it with the current
+    * attribute so the stats pruner (whose per-column stats already
+    * fold historical keys) can evaluate the comparison. A user-written
+    * coalesce over unrelated columns never matches a chain and is left
+    * alone (conservatively unpruned). */
+  private def foldRenameCoalesce(e: Expression,
+      dataSchema: StructType): Expression = {
+    val chains: Map[Set[String], String] = dataSchema.fields
+      .filter(f => prevNamesOf(f).nonEmpty)
+      .map(f => (prevNamesOf(f).toSet + f.name) -> f.name).toMap
+    if (chains.isEmpty) e
+    else e.transform {
+      case c: org.apache.spark.sql.catalyst.expressions.Coalesce
+          if c.children.forall(_.isInstanceOf[AttributeReference]) =>
+        val names = c.children
+          .map(_.asInstanceOf[AttributeReference].name).toSet
+        chains.get(names) match {
+          case Some(cur) => c.children.collectFirst {
+            case a: AttributeReference if a.name == cur => a
+          }.getOrElse(c)
+          case None => c
+        }
+    }
+  }
+
   /** Per-column struct<min,max,nulls> schema over the eligible columns
     * — the from_json target when pruning. Field METADATA (the
     * evolution id + prior-name chain) rides along so the parser can
@@ -1009,7 +1039,8 @@ object CowTable {
     val stSchema = statsSchemaFor(dataSchema)
     if (stSchema.isEmpty && m.partitionCols.isEmpty) return m.files
     val keep = fileKeepPredicate(
-      resolvedCond(spark, dataSchema, condExpr), stSchema, m.partitionCols,
+      resolvedCond(spark, dataSchema, foldRenameCoalesce(condExpr,
+        dataSchema)), stSchema, m.partitionCols,
       dataSchema)
     val kept = withStatsStruct(
         entriesDF(spark, table, m).filter(col("kind") === "data"), stSchema)

@@ -79,6 +79,12 @@ object CowSkipRule extends Rule[LogicalPlan] {
     if (CowSkipCatalog.isEmpty) plan
     else plan.transform {
       case f @ Filter(cond, rel: LogicalRelation) =>
+        // a RENAMED table's read plants Project(coalesce(cur, prevs…)
+        // AS cur) over the scan; the optimizer SUBSTITUTES the alias
+        // when pushing a predicate down, so the condition arriving
+        // here references the coalesce itself — the pruner folds it
+        // back to the logical column (pruneDataFilesExpr), no special
+        // plan shape needed.
         trySkip(cond, rel).map(Filter(cond, _)).getOrElse(f)
     }
 
@@ -94,18 +100,30 @@ object CowSkipRule extends Rule[LogicalPlan] {
     (fs, roots) <- scanFiles(rel)
     tag = CowSkipCatalog.tagOf(roots)
     snap <- CowSkipCatalog.lookup(tag)
-    spark = fs.sparkSession
+    pruned <- pruneCached(cond, snap, fs.sparkSession, tag)
+  } yield rebuiltRel(fs, rel, pruned)
+
+  /** Memoized manifest prune: Some(files) when the predicate rules
+    * files out, None when it prunes nothing (recorded too). */
+  private def pruneCached(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      snap: CowSkipCatalog.SnapDef, spark: SparkSession,
+      tag: String): Option[Seq[String]] = {
     // name-based key (stable across query re-builds, where exprIds
     // differ); falls back to toString for expressions .sql can't print
-    condKey = try cond.sql catch { case _: Throwable => cond.toString }
-    pruned <- CowSkipCatalog.cachedPrune(tag, condKey).getOrElse {
+    val condKey = try cond.sql catch { case _: Throwable => cond.toString }
+    CowSkipCatalog.cachedPrune(tag, condKey).getOrElse {
       val p = CowTable.pruneDataFilesExpr(spark, snap.table, snap.manifest,
         cond)
       val r = if (p.size < snap.manifest.files.size) Some(p) else None
       CowSkipCatalog.recordPrune(tag, condKey, r)
       r
     }
-  } yield {
+  }
+
+  private def rebuiltRel(fs: HadoopFsRelation, rel: LogicalRelation,
+      pruned: Seq[String]): LogicalRelation = {
+    val spark = fs.sparkSession
     val index = new InMemoryFileIndex(spark,
       pruned.map(p => new org.apache.hadoop.fs.Path(p)),
       Map.empty, Some(fs.dataSchema))

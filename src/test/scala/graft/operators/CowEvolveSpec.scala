@@ -139,6 +139,42 @@ class CowEvolveSpec extends AnyFunSuite {
     }
   }
 
+  test("the transparent skip RULE prunes through the rename-resolution projection") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val t = fixture()
+    CowTable.alterTable(spark, t, renames = Map("v" -> "val"),
+      widens = Map("v" -> LongType))
+    graft.plans.CowSkipApi.enable(spark)
+    // plain read().filter — no readWhere anywhere; the predicate is on
+    // the RENAMED column, old sidecar stats keyed by the prior name
+    val q = CowTable.read(spark, t)
+      .filter(col("val") >= 30L && col("val") <= 40L)
+    val planned = q.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten
+    assert(planned.size == 1,
+      s"rule must prune 4 ranged files to 1 through the projection: " +
+        s"${planned.size}")
+    assert(q.count() == 11L)
+    // soundness guard: a USER projection that remaps names must NOT be
+    // treated as rename resolution — pruning `id AS val` with val's
+    // stats would drop every file here (val = id + 1000, so no file's
+    // val range overlaps [30,40]) and return 0 rows
+    val t2 = freshTable()
+    CowTable.init((0L until 100L).map(i => (i, i + 1000L, s"n$i"))
+      .toDF("id", "val", "name")
+      .repartitionByRange(4, col("id")), t2)
+    CowTable.alterTable(spark, t2, renames = Map("name" -> "label"))
+    val remapped = CowTable.read(spark, t2)
+      .select(col("id").as("val"), col("label"))
+      .filter(col("val") >= 30L && col("val") <= 40L)
+    assert(remapped.count() == 11L,
+      "a user x-AS-y remap must never prune with y's stats")
+  }
+
   test("ALTER TABLE SQL statements drive the same evolution") {
     val t = fixture()
     spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
