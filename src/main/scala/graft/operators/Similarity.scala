@@ -561,7 +561,7 @@ object Similarity {
       cents: IndexedSeq[Array[Double]],
       books: IndexedSeq[IndexedSeq[Array[Double]]], nprobe: Int,
       k: Int = K, shortlist: Int = PqJoinShortlist,
-      salts: Int = 1): DataFrame = {
+      salts: Int = 1, coded: Option[DataFrame] = None): DataFrame = {
     val cnt = emb.agg(count(lit(1)).as("n"),
       count(when(pred, 1)).as("pass")).head()
     val (total, pass) = (cnt.getLong(0), cnt.getLong(1))
@@ -570,9 +570,17 @@ object Similarity {
     val p = pass.toDouble / total
     val widened = math.min(cents.size, math.ceil(nprobe / p).toInt)
     val corpus = emb.filter(pred)
-    val assigned = corpus.select(col("vec_id"),
-      assignCell(col("embedding"), cents).as("cell"),
-      pqEncodePacked(col("embedding"), books).as("codes"))
+    // stored (lakehouse-resident) codes: the predicate lives on the
+    // embeddings side, so the code table's candidate rows semi-join
+    // the qualifying ids BEFORE the cell join — still vector-free, and
+    // the ADC shortlist is drawn from qualifying vectors only
+    val assigned = coded match {
+      case Some(c) => c.join(corpus.select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      case None => corpus.select(col("vec_id"),
+        assignCell(col("embedding"), cents).as("cell"),
+        pqEncodePacked(col("embedding"), books).as("codes"))
+    }
     val queries = emb.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"),
       explode(probeCells(col("embedding"), cents, widened)).as("cell"))
@@ -661,6 +669,80 @@ object Similarity {
       |   WHERE label = 7 AND vec_id % 2 = 0) AS n_qualifying,
       |  TRUE AS full_coverage, TRUE AS all_qualify,
       |  TRUE AS recall_ok""".stripMargin
+
+  /** Gate: FILTERED ANN over LAKEHOUSE-RESIDENT codes — the filtered
+    * join's candidate side is the CoW code table's DV-aware snapshot
+    * (built incrementally, one retraction landed as a deletion
+    * vector) semi-joined with the qualifying ids BEFORE cell-local
+    * ADC. Retracted vectors are provably absent, coverage is exactly
+    * min(k, qualifying-excl-self) per LIVE query, every neighbor
+    * qualifies, and sample recall holds vs brute-force over the
+    * live-and-qualifying corpus. */
+  def ssKnnJoinFilteredCow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cents = cachedCentroids(emb, dir)
+    val books = cachedCodebooks(emb, dir)
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_cow_codes/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    CowTable.init(pqCodesFrame(emb.filter($"vec_id" % 2 === 0), cents,
+      books), table)
+    CowTable.mergeInto(s, table,
+      pqCodesFrame(emb.filter($"vec_id" % 2 === 1), cents, books),
+      Seq("vec_id"))
+    CowTable.deleteWhere(s, table, $"vec_id" % 17 === 3)
+    val live = emb.filter($"vec_id" % 17 =!= 3)
+    val pred = col("label") === 7
+    val coded = readCowPqCodes(s, table, books)
+    val nn = knnJoinPqFilteredOn(live, pred, cents, books, IvfProbe, K,
+      shortlist = math.max(tunedJoinShortlist(emb, dir), 4 * K),
+      coded = Some(coded))
+    nn.persist()
+    try {
+      val n = live.count()
+      val nQual = live.filter(pred).count()
+      val per = nn.groupBy($"q_id").agg(count(lit(1)).as("c"))
+      val got = live.select($"vec_id".as("q_id"), pred.as("__q"))
+        .join(per, Seq("q_id"), "left")
+        .select($"q_id", coalesce($"c", lit(0L)).as("c"),
+          least(lit(K.toLong),
+            lit(nQual) - when($"__q", 1L).otherwise(0L)).as("want"))
+      val fullCoverage =
+        got.filter($"c" =!= $"want").limit(1).count() == 0L
+      val allQualify = nn
+        .join(live.filter(pred).select($"vec_id".as("neighbor_id")),
+          Seq("neighbor_id"), "left_anti").limit(1).count() == 0L
+      val noRetracted =
+        nn.filter($"neighbor_id" % 17 === 3).limit(1).count() == 0L
+      val corpus = live.filter(pred)
+      val queries = live.filter($"vec_id" < NumQueries)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      val wb = Window.partitionBy($"q_id")
+        .orderBy($"cosine".desc, $"vec_id".asc)
+      val truth = corpus.join(broadcast(queries),
+          col("vec_id") =!= col("q_id"))
+        .select($"q_id", $"vec_id",
+          cosine($"q_vec", $"embedding").as("cosine"))
+        .withColumn("rank", row_number().over(wb))
+        .filter($"rank" <= K)
+        .select($"q_id", $"vec_id".as("neighbor_id"))
+      val totalTruth = truth.count()
+      val hits = nn.filter($"q_id" < NumQueries)
+        .join(truth, Seq("q_id", "neighbor_id"), "left_semi").count()
+      Seq((n, nQual, fullCoverage, allQualify, noRetracted,
+        hits.toDouble >= 0.9 * totalTruth))
+        .toDF("n_vectors", "n_qualifying", "full_coverage",
+          "all_qualify", "no_retracted", "recall_ok")
+    } finally { nn.unpersist(); () }
+  }
+
+  val ssKnnJoinFilteredCowSql: String =
+    """SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+      |   WHERE vec_id % 17 <> 3) AS n_vectors,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+      |   WHERE vec_id % 17 <> 3 AND label = 7) AS n_qualifying,
+      |  TRUE AS full_coverage, TRUE AS all_qualify,
+      |  TRUE AS no_retracted, TRUE AS recall_ok""".stripMargin
 
   /** Tuning-time shortlist search for the PQ JOIN: the smallest
     * shortlist whose measured sample recall vs the EXACT join (same
@@ -2023,6 +2105,7 @@ object Similarity {
     "ss_knn_join" -> ssKnnJoin,
     "ss_knn_join_pq" -> ssKnnJoinPq,
     "ss_knn_join_filtered" -> ssKnnJoinFiltered,
+    "ss_knn_join_filtered_cow" -> ssKnnJoinFilteredCow,
     "ss_knn_join_pq_econ" -> ssKnnJoinPqEcon,
     "ss_knn_join_pq_cow" -> ssKnnJoinPqCow,
     "ss_knn_pq" -> ssKnnPq,
@@ -2049,6 +2132,7 @@ object Similarity {
     "ss_knn_join" -> ssKnnJoinSql,
     "ss_knn_join_pq" -> ssKnnJoinPqSql,
     "ss_knn_join_filtered" -> ssKnnJoinFilteredSql,
+    "ss_knn_join_filtered_cow" -> ssKnnJoinFilteredCowSql,
     "ss_knn_join_pq_econ" -> ssKnnJoinPqEconSql,
     "ss_knn_join_pq_cow" -> ssKnnJoinPqCowSql,
     "ss_knn_pq" -> ssKnnPqSql,
