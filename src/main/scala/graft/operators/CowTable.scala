@@ -3081,14 +3081,28 @@ object CowTable {
       val byNorm = m.files.map(f => normalize(f) -> f).toMap
       ps.map(p => byNorm.getOrElse(normalize(p), p))
     }
-    val oldSide0 = readSnapshot(spark, fm,
+    val oldSideRaw = readSnapshot(spark, fm,
       Some((resolve(fm, remF) ++ dvAffected).distinct))
     val newSide0 = readSnapshot(spark, tm,
       Some((resolve(tm, addF) ++ dvAffected).distinct))
-    // schema evolution between the versions: align both sides on the
-    // UNION of columns (missing ones NULL-extend), so a row whose only
-    // change is a post-evolution value still emits its pre/post pair
-    val allCols = (oldSide0.columns ++ newSide0.columns).distinct.toSeq
+    // schema evolution between the versions: the feed speaks the
+    // LATEST schema. The old side maps renamed columns forward through
+    // the new schema's recorded prior-name chains and casts widened
+    // columns up (both lossless), so a metadata-only rename/widen is
+    // CHANGE-FREE — like layout maintenance — instead of a full-table
+    // pre/post storm; dropped columns leave the vocabulary (rows
+    // identical elsewhere net out); added columns NULL-extend on the
+    // old side, so a later value-fill emits its pre/post pair.
+    val renameMap: Map[String, String] = tm.schemaOpt.map(_.fields
+      .flatMap(f => prevNamesOf(f).map(p => p -> f.name)).toMap)
+      .getOrElse(Map.empty)
+    val oldSide0 = renameMap.foldLeft(oldSideRaw) { case (d, (from, to)) =>
+      if (d.columns.contains(from) && !d.columns.contains(to))
+        d.withColumnRenamed(from, to)
+      else d
+    }
+    val allCols = tm.schemaOpt.map(_.fieldNames.toSeq).getOrElse(
+      (oldSide0.columns ++ newSide0.columns).distinct.toSeq)
     def typeOf(c: String): DataType =
       newSide0.schema.find(_.name == c).orElse(
         oldSide0.schema.find(_.name == c)).get.dataType
@@ -3096,7 +3110,8 @@ object CowTable {
       val extended = allCols.foldLeft(df)((d, c) =>
         if (d.columns.contains(c)) d
         else d.withColumn(c, lit(null).cast(typeOf(c))))
-      extended.select(allCols.map(col): _*)
+      extended.select(allCols.map(c =>
+        col(c).cast(typeOf(c)).as(c)): _*)
     }
     val oldSide = align(oldSide0)
     val newSide = align(newSide0)

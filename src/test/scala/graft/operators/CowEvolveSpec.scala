@@ -196,6 +196,40 @@ class CowEvolveSpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("cannot"), e.getMessage)
   }
 
+  test("the change feed speaks the latest schema: a rename/widen/drop is change-free") {
+    val t = fixture()
+    val v0 = CowTable.latestManifest(t).get.version
+    CowTable.alterTable(spark, t, renames = Map("v" -> "val"),
+      drops = Seq("note"), widens = Map("v" -> LongType))
+    val v1 = CowTable.latestManifest(t).get.version
+    // metadata-only evolution nets out — no false pre/post storm
+    val evoSlice = CowTable.tableChanges(spark, t, v0, v1, Seq("id"))
+    assert(evoSlice.count() == 0L,
+      "a metadata-only rename/widen/drop must be change-free in the feed")
+    assert(evoSlice.columns.contains("val") &&
+      !evoSlice.columns.contains("v") && !evoSlice.columns.contains("note"),
+      s"feed must speak the latest schema: ${evoSlice.columns.toSeq}")
+    // a post-evolution merge emits its changes under the NEW names,
+    // with pre-evolution rows' preimages mapped forward
+    CowTable.mergeInto(spark, t,
+      Seq((10L, 4000000009L, "upd"), (300L, 300L, "new"))
+        .toDF("id", "val", "name"), Seq("id"))
+    val v2 = CowTable.latestManifest(t).get.version
+    val slice = CowTable.tableChanges(spark, t, v1, v2, Seq("id"))
+      .select("id", "val", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(slice == Set(
+      (10L, 10L, "update_preimage"),        // old value under NEW name/type
+      (10L, 4000000009L, "update_postimage"),
+      (300L, 300L, "insert")), s"got $slice")
+    // a consumer following across the evolution reconstructs exactly
+    val seen = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val hi = graft.streaming.CowFollow.catchUp(spark, t, Seq("id"), v0) {
+      (s, v) => seen += ((v, s.count()))
+    }
+    assert(hi == v2 && seen.toSeq == Seq((v1, 0L), (v2, 3L)))
+  }
+
   test("a rename chain (two renames) resolves files from every generation") {
     val t = fixture()
     CowTable.alterTable(spark, t, renames = Map("v" -> "val"))
