@@ -124,7 +124,10 @@ object Bench {
     // racing an interleaved upsert (rebase-and-retry), the partitioned
     // change-feed source, and the predicate-pushed filtered ANN join
     "lh_evolve2", "lh_maintain_conc", "lh_feed_part",
-    "ss_knn_join_filtered")
+    "ss_knn_join_filtered",
+    // round 15: TIMESTAMP AS OF resolution (metadata-only) over a
+    // re-stamped 3-version history, incl. one SQL-path read
+    "lh_time_travel")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -280,7 +283,16 @@ object Bench {
       if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
     val total = results.flatMap(_._2).sum
     val nErr = errs.size
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nErr,"queries":$qs$lhJson$errsJson,"sf":"$sfDir"}""")
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nErr,"queries":$qs$lhJson$errsJson,"sf":"$sfDir"}"""
+    // The per-query map outgrew the driver's stdout tail capture at ~113
+    // queries (BENCH_r14.json came back "parsed": null), so the full
+    // artifact goes to a FILE and stdout carries a compact, always-
+    // parseable last line pointing at it.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_local_full.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes("UTF-8"))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nErr,"n_queries":${headline.size},"sf":"$sfDir","json_path":"$outPath"}""")
     spark.stop()
     if (nErr > 0) {
       System.err.println(s"[bench] $nErr queries FAILED — bench is invalid")

@@ -79,6 +79,12 @@ object CowTable {
 
   private val HeaderV1 = "graft-cow-manifest-v1"
   private val HeaderV2 = "graft-cow-manifest-v2"
+  /** v2.1 = v2 body + the counted `dv:<runs>:<path>` line form. Written
+    * ONLY when a counted line is present, so v2-only readers refuse
+    * such manifests loudly instead of misparsing `<runs>:<path>` as a
+    * sidecar path (forward-compat gate; downgrade reading of counted
+    * manifests is unsupported by design). */
+  private val HeaderV21 = "graft-cow-manifest-v2.1"
   private val DvPrefix = "dv:"
   private val SchemaPrefix = "schema:"
   private val EntriesPrefix = "entries:"
@@ -173,7 +179,8 @@ object CowTable {
           val dvp = dvLines.map(l => parseDvLine(l.stripPrefix(DvPrefix)))
           Some(Manifest(v, dataLines, dvp.map(_._1),
             dvRunCounts = dvp.collect { case (p, Some(n)) => p -> n }.toMap))
-        case HeaderV2 :: rest if rest.lastOption.contains(EndMarker) =>
+        case h :: rest if (h == HeaderV2 || h == HeaderV21) &&
+            rest.lastOption.contains(EndMarker) =>
           val body = rest.dropRight(1)
           val schema = body.find(_.startsWith(SchemaPrefix))
             .map(_.stripPrefix(SchemaPrefix))
@@ -274,6 +281,39 @@ object CowTable {
         norm(x) == norm(y)
       }.getOrElse(false)
     case (x, y) => x == y
+  }
+
+  /** Rebase metadata preservation: every rebasing committer re-commits
+    * the schema it derived from its BASE, so a concurrent
+    * metadata-only schema commit (an [[alterTable]] that assigned
+    * stable field ids without renaming/dropping/widening — compatible
+    * under [[schemaCompatible]], hence not a conflict) would be
+    * silently reverted. When the head's schema is a pure metadata
+    * refinement of ours (names/types identical, JSON differs) adopt it
+    * wholesale; otherwise (an evolve-merge rebasing over a
+    * metadata-only commit: shapes differ by design) carry the head's
+    * field metadata onto identically-named/typed fields ours left
+    * bare. Only [[alterTable]] itself opts out — its schema IS the
+    * intended change. */
+  private[graft] def adoptHeadSchema(schema: StructType,
+      h: Manifest): StructType = h.schemaOpt match {
+    case Some(hs) =>
+      if (hs.json != schema.json &&
+          schemaCompatible(Some(hs.json), Some(schema.json))) hs
+      else {
+        val byName = hs.fields.map(f => f.name -> f).toMap
+        StructType(schema.fields.map { f =>
+          byName.get(f.name) match {
+            case Some(hf)
+                if hf.dataType.catalogString == f.dataType.catalogString &&
+                  f.metadata == org.apache.spark.sql.types.Metadata.empty &&
+                  hf.metadata != org.apache.spark.sql.types.Metadata.empty =>
+              f.copy(metadata = hf.metadata)
+            case _ => f
+          }
+        })
+      }
+    case None => schema
   }
 
   private[graft] def commitWithRetry(table: String, base: Manifest,
@@ -406,6 +446,16 @@ object CowTable {
   private[graft] val driverVacuumPathsListed =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Test hook: data/DV/stream file deletions performed by the LAST
+    * [[vacuum]] call's EXECUTOR job (a task-side accumulator — on a
+    * cluster the increments ship back with task completion). The
+    * retention spec pins that this equals the reclaimed-set size, i.e.
+    * every physical delete ran inside a Spark task, none in a driver
+    * loop. Manifest/sidecar cleanup (O(#versions) metadata) stays
+    * driver-side by design. */
+  private[graft] val lastVacuumExecutorDeletes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[graft] def clearEntriesCache(): Unit = entriesCache.clear()
 
   private def cachedEntriesOf(table: String,
@@ -469,8 +519,18 @@ object CowTable {
       schema: StructType, carriedFiles: Seq[String],
       carriedDvs: Seq[String], partitionCols: Seq[String] = Nil,
       newFileParts: Map[String, String] = Map.empty,
-      knownDvRuns: Map[String, Long] = Map.empty): Manifest = {
+      knownDvRuns: Map[String, Long] = Map.empty,
+      schemaAuthoritative: Boolean = false): Manifest = {
     preCommitHook()
+    // a rebasing committer re-commits its base-derived schema; fold the
+    // head's metadata refinements in so a concurrent field-id
+    // assignment survives ([[adoptHeadSchema]]); alterTable opts out
+    val commitSchema =
+      if (schemaAuthoritative) schema
+      else latestManifest(table) match {
+        case Some(h) if h.version == version - 1 => adoptHeadSchema(schema, h)
+        case _ => schema
+      }
     // DV run counts resolve AT COMMIT TIME: carried counts ride from
     // the head manifest (knownDvRuns); anything unrecorded — freshly
     // written sidecars, legacy lines — gets ONE footer read here, so
@@ -495,11 +555,19 @@ object CowTable {
     val partLine =
       if (partitionCols.isEmpty) Nil
       else Seq(PartColsPrefix + partitionCols.mkString(","))
+    // protocol gate: the counted dv:<runs>:<path> line form is only
+    // legible to readers that know it — a manifest carrying one
+    // declares the v2.1 header, so a pre-counted-form reader REFUSES
+    // (treats it as unreadable and falls back / errors) instead of
+    // misparsing "3:/path" as a sidecar path. Downgrade readers are
+    // unsupported once a counted line is written; count-free manifests
+    // keep the v2 header and stay fully downgrade-readable.
+    val header = if (dvRunsAll.nonEmpty) HeaderV21 else HeaderV2
     writeManifestText(table, version,
-      (Seq(HeaderV2, SchemaPrefix + schema.json, EntriesPrefix + rel,
+      (Seq(header, SchemaPrefix + commitSchema.json, EntriesPrefix + rel,
         EntryCountPrefix + nEntries) ++ partLine ++
         files ++ dvs.map(dvLine(_, dvRunsAll)) :+ EndMarker).mkString("\n"))
-    Manifest(version, files, dvs, Some(schema.json), Some(rel),
+    Manifest(version, files, dvs, Some(commitSchema.json), Some(rel),
       Some(nEntries), partitionCols, dvRunsAll)
   }
 
@@ -696,7 +764,8 @@ object CowTable {
     def attempt(h: Manifest): Manifest =
       commitWithStatsDF(spark, table, h.version + 1,
         entriesDF(spark, table, h), Nil, newSchema, h.files, h.dvs,
-        h.partitionCols, knownDvRuns = h.dvRunCounts)
+        h.partitionCols, knownDvRuns = h.dvRunCounts,
+        schemaAuthoritative = true)
     commitWithRetry(table, m, validate, attempt)
   }
 
@@ -1808,6 +1877,66 @@ object CowTable {
       .filter(cond)
   }
 
+  // ----------------------------------------- TIMESTAMP AS OF resolution
+
+  /** Commit timestamp of a version = its manifest file's mtime, written
+    * once by the claim-completing atomic rename and never touched again
+    * — the same clock [[expireSnapshots]]' retention window runs on, so
+    * "read as of yesterday 09:00" and "expire older than 7 days" can
+    * never disagree about when a snapshot happened. */
+  def commitTimeMs(table: String, v: Int): Long =
+    Files.getLastModifiedTime(manifestPath(table, v)).toMillis
+
+  /** Gate/spec hook: re-stamp a version's commit time so time-travel
+    * boundaries are deterministic when a whole commit history is built
+    * in one wall-clock blink. Never called by a production writer —
+    * the atomic rename's own mtime IS the commit time. */
+  private[graft] def stampCommitTime(table: String, v: Int,
+      ms: Long): Unit = {
+    Files.setLastModifiedTime(manifestPath(table, v),
+      java.nio.file.attribute.FileTime.fromMillis(ms))
+    ()
+  }
+
+  /** Resolve `TIMESTAMP AS OF`: the NEWEST complete version whose
+    * commit time is AT OR BEFORE `tsMillis` — a read at exactly a
+    * commit's timestamp sees that commit (the boundary rule Delta and
+    * Iceberg both use). Asking for an instant before the earliest
+    * retained commit is an ERROR, not an empty table: the caller asked
+    * for a state this table never had — or one retention already
+    * dropped, which must fail loudly rather than silently serve the
+    * oldest surviving snapshot as if it were older. Resolution is
+    * metadata-only: one manifest-directory listing plus one mtime stat
+    * per retained version, never a data-file read. */
+  def snapshotAsOf(table: String, tsMillis: Long): Manifest = {
+    val versions = completeVersions(table) // newest first
+    if (versions.isEmpty) throw new IllegalArgumentException(
+      s"cow table $table does not exist")
+    // versions and commit times advance together (commits serialize
+    // through the version claim); qualify by time, resolve to the
+    // NEWEST qualifying version so an mtime tie collapses correctly
+    val qualifying = versions.filter(commitTimeMs(table, _) <= tsMillis)
+    if (qualifying.isEmpty) {
+      val first = versions.min
+      throw new IllegalArgumentException(
+        s"cow table $table: no snapshot committed at or before " +
+          s"$tsMillis — the earliest retained commit is v$first at " +
+          s"${commitTimeMs(table, first)} (pre-history reads fail " +
+          "loudly; they do not serve the oldest surviving snapshot)")
+    }
+    readManifest(table, qualifying.max)
+  }
+
+  /** [[read]] pinned at a wall-clock instant ([[snapshotAsOf]]'s
+    * at-or-before rule) — the Scala twin of SQL
+    * `SELECT … FROM graft.`/path` TIMESTAMP AS OF t`. */
+  def readAsOf(spark: SparkSession, table: String,
+      tsMillis: Long): DataFrame = {
+    val m = snapshotAsOf(table, tsMillis)
+    graft.plans.CowSkipCatalog.register(table, m)
+    readSnapshot(spark, m)
+  }
+
   /** Merge-on-read DELETE: one snapshot scan finds the matching rows'
     * (file, row_index) identities and writes them as this version's
     * deletion vector — NO data file is read back or rewritten. On a
@@ -2144,6 +2273,34 @@ object CowTable {
         knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, head0, validate, attempt)
+  }
+
+  /** Rebase rule for row-level deltas committed through the DSv2
+    * connector (SQL `MERGE INTO` / `UPDATE` / `DELETE FROM` on
+    * [[graft.plans.CowDsv2Table]]). The connector sees only row ids
+    * and written files — never the statement's ON condition or source
+    * keys — so a lost version race cannot re-verify its match
+    * decisions the way [[upsertMor]] does with its source-key set.
+    * The sound conservative rule: any interleaved commit that ADDED
+    * data files is a conflict, because the added rows could have
+    * matched the statement's condition (phantoms) — a silent rebase
+    * would duplicate a MERGE insert or skip an update/delete the
+    * statement semantically owed. Interleaved commits that added no
+    * data files (MOR deletes in files this delta does not touch,
+    * metadata-only commits) still rebase and land; overlapping
+    * rewrites/deletes inside files this delta targets are refused by
+    * the standard rule either way. This refuses some benign races the
+    * key-aware Scala committers accept — the price of an
+    * ON-condition-blind protocol, paid as a loud retryable error,
+    * never as duplicate rows. */
+  private[graft] def dsv2DeltaValidate(base: Manifest)(h: Manifest): Unit = {
+    val baseN = base.files.map(normalize).toSet
+    if (h.files.exists(f => !baseN.contains(normalize(f))))
+      throw new java.util.ConcurrentModificationException(
+        "deltaCommit: a concurrent commit added data files while this " +
+          "MERGE/UPDATE/DELETE matched rows against the old snapshot — " +
+          "its match decisions may be stale (phantom rows); rerun the " +
+          "statement against the new snapshot")
   }
 
   /** DSv2 merge-on-read (delta) commit: EVERY base data file is kept;
@@ -2931,14 +3088,30 @@ object CowTable {
     // raw — for a path containing encodable characters they'd otherwise
     // diverge and the anti-join would free live files
     val normLive = live.select(normalizeSql(col("path")).as("path"))
+    // the deletes themselves run EXECUTOR-side inside the same job that
+    // computes the reclaim set — at object-store scale a driver loop
+    // over millions of expired files is the wall; here each task
+    // deletes the files it found dead and returns their paths (delete
+    // is idempotent, so a retried task simply re-confirms; files a
+    // prior attempt already removed are then absent from the returned
+    // set, which only ever under-reports, never double-deletes). Only
+    // the reclaimed path list is collected — for the return value.
+    val execDeletes = spark.sparkContext.longAccumulator("vacuumExecDeletes")
     val deleted = listed
       .withColumn("path", normalizeSql(col("raw")))
       .join(normLive, Seq("path"), "left_anti")
       .filter(col("ver") <= lit(latestComplete) ||
         col("mtime") < lit(now - orphanAgeMs))
-      .select("raw").collect().map(_.getString(0)).toSeq
+      .select("raw").as[String]
+      .mapPartitions { it =>
+        it.filter { f =>
+          val gone = Files.deleteIfExists(Paths.get(f))
+          if (gone) execDeletes.add(1L)
+          gone
+        }
+      }.collect().toSeq
     driverVacuumPathsListed.addAndGet(deleted.size.toLong)
-    deleted.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    lastVacuumExecutorDeletes.set(execDeletes.value)
     versions.filter(_ < oldestKept).foreach { v =>
       // a dropped manifest's entries sidecar goes with it
       parseManifest(manifestPath(table, v), v).flatMap(_.entriesRel)
@@ -2980,14 +3153,41 @@ object CowTable {
   }
 
   /** Registered change-feed cursors: consumer id → committed version. */
-  def feedCursors(table: String): Map[String, Int] = {
+  def feedCursors(table: String): Map[String, Int] =
+    feedCursorsDetailed(table).map { case (c, (v, _)) => c -> v }
+
+  /** Registered cursors with their last-refreshed instant — the cursor
+    * file's mtime, rewritten by every [[registerFeedCursor]], so an
+    * ACTIVE consumer's refresh clock advances with each committed
+    * slice while a decommissioned one's freezes. Retention uses this
+    * to age out abandoned cursors ([[expireSnapshots]]'
+    * `maxCursorAgeMs`) instead of letting them pin every version
+    * forever. */
+  def feedCursorsDetailed(table: String): Map[String, (Int, Long)] = {
     val dir = consumersDir(table)
     if (!Files.isDirectory(dir)) return Map.empty
     listDir(dir).filterNot(_.getFileName.toString.startsWith("."))
       .flatMap { p =>
-        scala.util.Try(new String(Files.readAllBytes(p), "UTF-8")
-          .trim.toInt).toOption.map(p.getFileName.toString -> _)
+        scala.util.Try((
+          new String(Files.readAllBytes(p), "UTF-8").trim.toInt,
+          Files.getLastModifiedTime(p).toMillis)).toOption
+          .map(p.getFileName.toString -> _)
       }.toMap
+  }
+
+  /** Which registered cursors BLOCK the given expiry window right now
+    * — the operator signal behind a near-no-op `cow_expire`: inspect,
+    * then [[dropFeedCursor]] deliberately or let `maxCursorAgeMs` age
+    * the abandoned ones out. */
+  def expiryBlockers(table: String, olderThanMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Map[String, Int] = {
+    val versions = completeVersions(table)
+    if (versions.isEmpty) return Map.empty
+    val cutoff = nowMs - olderThanMs
+    val freshOldest = versions.filter(v =>
+      Files.getLastModifiedTime(manifestPath(table, v)).toMillis >= cutoff)
+      .minOption.getOrElse(versions.max)
+    feedCursors(table).filter { case (_, v) => v < freshOldest }
   }
 
   /** Deregister a consumer (a decommissioned reader must not pin
@@ -3011,7 +3211,8 @@ object CowTable {
     * Returns the deleted data files. */
   def expireSnapshots(spark: SparkSession, table: String,
       olderThanMs: Long, orphanAgeMs: Long = 20 * 60 * 1000L,
-      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+      nowMs: Long = System.currentTimeMillis(),
+      maxCursorAgeMs: Long = Long.MaxValue): Seq[String] = {
     require(olderThanMs >= 0L, "expireSnapshots: olderThanMs must be >= 0")
     val versions = completeVersions(table) // newest first
     if (versions.isEmpty) return Nil
@@ -3020,8 +3221,14 @@ object CowTable {
       Files.getLastModifiedTime(manifestPath(table, v)).toMillis
     val freshOldest = versions.filter(mtime(_) >= cutoff)
       .minOption.getOrElse(versions.max)
-    val cursorOldest = feedCursors(table).values
-      .minOption.getOrElse(Int.MaxValue)
+    // an ABANDONED consumer must not pin retention forever: cursors
+    // whose registration file hasn't been refreshed within
+    // `maxCursorAgeMs` age out of the blocking set (active consumers
+    // refresh on every committed slice; [[expiryBlockers]] is the
+    // inspect-before-drop signal for the rest)
+    val cursorOldest = feedCursorsDetailed(table).collect {
+      case (_, (v, refreshed)) if refreshed >= nowMs - maxCursorAgeMs => v
+    }.minOption.getOrElse(Int.MaxValue)
     val vKeep = math.min(math.min(freshOldest, cursorOldest), versions.max)
     val keepCount = math.max(1, versions.count(_ >= vKeep))
     vacuum(spark, table, keepCount, orphanAgeMs)
@@ -4645,6 +4852,82 @@ object CowTable {
       |WHERE NOT (o_orderkey >= b.mx // 4 AND o_orderkey <= (b.mx * 3) // 4)
       |""".stripMargin
 
+  /** Fixed commit-clock origin for the time-travel gate (an arbitrary
+    * real instant; gates re-stamp manifests against it so boundary
+    * semantics are deterministic regardless of build wall-clock). */
+  private val TtBase = 1700000000000L
+  private val TtHour = 3600000L
+
+  /** Gate: TIMESTAMP AS OF time travel. Three snapshots with re-stamped
+    * commit times one hour apart — v0 = keys ≡ 0 (mod 3), v1 merges in
+    * keys ≡ 1, v2 deletes custkey ≡ 2 (mod 5) — then reads at the v0
+    * boundary instant (at-or-before includes the commit itself), two
+    * mid-window instants, the v1 boundary THROUGH SQL
+    * (`TIMESTAMP AS OF timestamp_millis(…)` via [[graft.plans.GraftCatalog]]),
+    * and an instant past the newest commit (resolves to latest). Each
+    * instant's aggregate is oracle-exact against the relational
+    * definition of that snapshot; the pre-history error case is spec'd
+    * ([[graft.plans.CowDsv2Spec]]) since a gate result can't carry an
+    * exception. */
+  private def lhTimeTravelBuild(s: SparkSession, dir: String): String = {
+    val table = freshGateTable()
+    val orders = Tables.orders(s, dir)
+    init(orders.filter(pmod(col("o_orderkey"), lit(3)) === 0), table)
+    mergeInto(s, table,
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 1),
+      Seq("o_orderkey"))
+    deleteWhere(s, table, pmod(col("o_custkey"), lit(5)) === 2)
+    // deterministic commit clock: the whole history was built in one
+    // wall-clock blink, so boundaries are re-stamped an hour apart
+    stampCommitTime(table, 0, TtBase)
+    stampCommitTime(table, 1, TtBase + TtHour)
+    stampCommitTime(table, 2, TtBase + 2 * TtHour)
+    table
+  }
+
+  private def lhTimeTravelOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    def aggOf(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n"),
+        count_distinct(col("o_custkey")).as("n_cust"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+          .as("sum_price"))
+        .withColumn("instant", lit(label))
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val viaSql = s.sql(s"SELECT * FROM graft.`$table` " +
+      s"TIMESTAMP AS OF timestamp_millis(${TtBase + TtHour})")
+    aggOf(readAsOf(s, table, TtBase), "t0_boundary")
+      .unionByName(aggOf(readAsOf(s, table, TtBase + TtHour / 2), "t0_mid"))
+      .unionByName(aggOf(viaSql, "t1_boundary_sql"))
+      .unionByName(aggOf(
+        readAsOf(s, table, TtBase + TtHour + TtHour / 2), "t1_mid"))
+      .unionByName(aggOf(
+        readAsOf(s, table, TtBase + 10 * TtHour), "latest"))
+      .select("instant", "n", "n_cust", "sum_price")
+  }
+
+  def lhTimeTravel(s: SparkSession, dir: String): DataFrame =
+    lhTimeTravelOp(s, dir, lhTimeTravelBuild(s, dir))
+
+  val lhTimeTravelSql: String =
+    """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+      |v1 AS (SELECT * FROM orders WHERE o_orderkey % 3 <= 1),
+      |v2 AS (SELECT * FROM v1 WHERE NOT (o_custkey % 5 = 2)),
+      |a0 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price FROM v0),
+      |a1 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price FROM v1),
+      |a2 AS (SELECT COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price FROM v2)
+      |SELECT 't0_boundary' AS instant, n, n_cust, sum_price FROM a0
+      |UNION ALL SELECT 't0_mid', n, n_cust, sum_price FROM a0
+      |UNION ALL SELECT 't1_boundary_sql', n, n_cust, sum_price FROM a1
+      |UNION ALL SELECT 't1_mid', n, n_cust, sum_price FROM a1
+      |UNION ALL SELECT 'latest', n, n_cust, sum_price FROM a2""".stripMargin
+
   /** Benchmark decomposition of the lakehouse gates: (fixture build,
     * measured operator). The build half — table init, priming merges,
     * the NTILE layout — is identical harness work every round; the op
@@ -4718,6 +5001,8 @@ object CowTable {
       })),
     "lh_maintain_conc" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhMaintainConcOp(s, d, t))),
+    "lh_time_travel" -> ((s, d) =>
+      (() => lhTimeTravelBuild(s, d), t => lhTimeTravelOp(s, d, t))),
     "lh_evolve" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => {
         val source = Tables.orders(s, d)
@@ -4780,6 +5065,7 @@ object CowTable {
     "lh_stream_sink" -> lhStreamSink,
     "lh_stream_upsert" -> lhStreamUpsert,
     "lh_stream_part" -> lhStreamPart,
+    "lh_time_travel" -> lhTimeTravel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4810,5 +5096,6 @@ object CowTable {
     "lh_stream_sink" -> lhStreamSinkSql,
     "lh_stream_upsert" -> lhStreamUpsertSql,
     "lh_stream_part" -> lhStreamPartSql,
+    "lh_time_travel" -> lhTimeTravelSql,
   )
 }

@@ -767,7 +767,12 @@ private[plans] class CowDeltaWrite(table: CowDsv2Table,
       val data = ms.flatMap(_.dataPaths).toSeq
       val dvs = ms.flatMap(_.dvPaths).toSeq
       if (data.isEmpty && dvs.isEmpty) return
-      CowTable.deltaCommit(spark, table.tablePath, table.manifest, data, dvs)
+      // phantom protection on a lost race: the connector cannot replay
+      // the statement's match decisions, so an interleaved data-file
+      // add conflicts loudly instead of rebasing into duplicate keys
+      // (CowTable.dsv2DeltaValidate's scaladoc has the full rule)
+      CowTable.deltaCommit(spark, table.tablePath, table.manifest, data, dvs,
+        extraValidate = CowTable.dsv2DeltaValidate(table.manifest))
       ()
     }
 

@@ -77,6 +77,16 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     new CowDsv2Table(p, Some(v))
   }
 
+  /** `TIMESTAMP AS OF t` time travel — Spark hands the statement's
+    * (foldable) timestamp as MICROseconds since epoch; resolution is
+    * [[CowTable.snapshotAsOf]]'s at-or-before rule over manifest commit
+    * times (metadata-only; pre-history instants fail loudly). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = pathOf(ident)
+    val m = CowTable.snapshotAsOf(p, Math.floorDiv(timestamp, 1000L))
+    new CowDsv2Table(p, Some(m.version))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     CowTable.latestManifest(pathOf(ident)).isDefined
 
@@ -233,10 +243,14 @@ object GraftProcedures {
     * ([[CowTable.expireSnapshots]]). */
   val cowExpire: UnboundProcedure = proc("cow_expire",
     "Expire snapshots whose commit is older than older_than_ms " +
-      "(latest + registered feed-cursor windows always survive)",
-    Seq(in("table", StringType), in("older_than_ms", LongType))) {
+      "(latest + registered feed-cursor windows survive; cursors not " +
+      "refreshed within max_cursor_age_ms age out of the blocking set " +
+      "— CowTable.expiryBlockers lists who blocks before you drop)",
+    Seq(in("table", StringType), in("older_than_ms", LongType),
+      inD("max_cursor_age_ms", LongType, "NULL"))) {
     (spark, r) =>
-    CowTable.expireSnapshots(spark, str(r, 0), r.getLong(1))
+    CowTable.expireSnapshots(spark, str(r, 0), r.getLong(1),
+      maxCursorAgeMs = if (r.isNullAt(2)) Long.MaxValue else r.getLong(2))
     CowTable.latestManifest(str(r, 0)).getOrElse(
       throw new IllegalArgumentException(s"no manifest after expire"))
   }

@@ -299,6 +299,45 @@ class CowConcurrencySpec extends AnyFunSuite {
     assert(got.size == 102 && got(800L) == "s800" && got(10L) == "w10")
   }
 
+  test("a rebased commit preserves a concurrent metadata-only schema refinement") {
+    val t = fixture()
+    val v0 = CowTable.latestManifest(t).get.version
+    // the competing winner is a metadata-only alterTable: no rename/
+    // drop/widen, so its whole effect is assigning stable field ids —
+    // compatible under schemaCompatible, hence NOT a rebase conflict
+    raceOnce(() => CowTable.alterTable(spark, t))
+    val m2 =
+      try CowTable.mergeInto(spark, t, src(500 to 501, "w"), Seq("id"))
+      finally { CowTable.preCommitHook = () => () }
+    assert(m2.version == v0 + 2, s"rebased merge must land: $m2")
+    val sch = m2.schemaOpt.get
+    assert(sch.fields.forall(_.metadata.contains("graft.fid")),
+      "the interleaved field-id assignment must survive the rebase, " +
+        s"got schema ${sch.json}")
+    // and the merge's own effect landed too
+    val got = CowTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 102 && got(500L) == "w500" && got(0L) == "n0")
+  }
+
+  test("counted dv lines declare the v2.1 manifest header; count-free manifests stay v2") {
+    val t = fixture()
+    def header(v: Int): String =
+      scala.io.Source.fromFile(
+        java.nio.file.Paths.get(t, "manifest", s"v$v.manifest").toFile)
+        .getLines().next()
+    val v0 = CowTable.latestManifest(t).get.version
+    assert(header(v0) == "graft-cow-manifest-v2",
+      "a DV-free manifest must stay downgrade-readable v2")
+    val m = CowTable.deleteWhere(spark, t, $"id" < 3L)
+    assert(m.dvRunCounts.nonEmpty, "delete must record run counts")
+    assert(header(m.version) == "graft-cow-manifest-v2.1",
+      "a counted dv: line must be gated behind the v2.1 header")
+    // and the reader round-trips the gated form
+    assert(CowTable.readManifest(t, m.version).dvRunCounts == m.dvRunCounts)
+    assert(CowTable.read(spark, t).count() == 97)
+  }
+
   test("two real threads: compaction vs streaming-style upsert both land") {
     val t = tailFixture()
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()

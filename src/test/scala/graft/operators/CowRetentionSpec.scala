@@ -95,6 +95,69 @@ class CowRetentionSpec extends AnyFunSuite {
     assert(CowTable.read(spark, t).count() == 43L)
   }
 
+  test("an abandoned cursor ages out; expiryBlockers names who blocks") {
+    val (t, now) = fixture()
+    // consumer stuck at v1, its registration file a day stale
+    CowTable.registerFeedCursor(t, "replica-dead", 1)
+    Files.setLastModifiedTime(Paths.get(t, "consumers", "replica-dead"),
+      FileTime.fromMillis(now - 24L * 3600 * 1000))
+    // the operator signal: this cursor blocks the 12h window
+    val blockers = CowTable.expiryBlockers(t,
+      olderThanMs = 12L * 3600 * 1000, nowMs = now)
+    assert(blockers == Map("replica-dead" -> 1))
+    // without an age bound the stale cursor still pins v1
+    CowTable.expireSnapshots(spark, t, olderThanMs = 12L * 3600 * 1000,
+      orphanAgeMs = Long.MaxValue, nowMs = now)
+    assert(Files.exists(Paths.get(t, "manifest", "v1.manifest")))
+    // with a 1h age bound the abandoned cursor no longer blocks
+    CowTable.expireSnapshots(spark, t, olderThanMs = 12L * 3600 * 1000,
+      orphanAgeMs = Long.MaxValue, nowMs = now,
+      maxCursorAgeMs = 3600 * 1000L)
+    assert(!Files.exists(Paths.get(t, "manifest", "v1.manifest")),
+      "a cursor stale beyond maxCursorAgeMs must stop pinning expiry")
+    assert(CowTable.read(spark, t).count() == 43L)
+    // a FRESH cursor at the same version would still block (refresh
+    // clock, not version, decides abandonment)
+    val (t2, now2) = fixture()
+    CowTable.registerFeedCursor(t2, "replica-live", 1)
+    CowTable.expireSnapshots(spark, t2, olderThanMs = 12L * 3600 * 1000,
+      orphanAgeMs = Long.MaxValue, nowMs = now2,
+      maxCursorAgeMs = 3600 * 1000L)
+    assert(Files.exists(Paths.get(t2, "manifest", "v1.manifest")),
+      "an actively-refreshed cursor must keep blocking inside its window")
+  }
+
+  test("vacuum deletes run executor-side; survivors identical (stream dirs + DVs)") {
+    val t = freshTable()
+    val df = (0L until 200L).map(i => (i, s"n$i")).toDF("id", "name")
+      .withColumn("__f", (col("id") / 20L).cast("int") + 1)
+    CowTable.initFiled(df, t, "__f", 10)
+    CowTable.deleteWhere(spark, t, $"id" % 2L === 0L)
+    CowTable.rewriteDeletes(spark, t) // every file rewritten; old gen dead
+    // crashed-epoch stream litter, old enough to age out
+    val sdir = Paths.get(t, "stream-test")
+    Files.createDirectories(sdir)
+    val litter = sdir.resolve("part-dead.parquet")
+    Files.write(litter, Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(litter,
+      FileTime.fromMillis(System.currentTimeMillis() - 3600 * 1000L))
+    val before = CowTable.read(spark, t).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val deleted = CowTable.vacuum(spark, t, keepVersions = 1,
+      orphanAgeMs = 60 * 1000L)
+    assert(deleted.nonEmpty)
+    assert(CowTable.lastVacuumExecutorDeletes.get() == deleted.size.toLong,
+      "every physical delete must run inside a Spark task, none in a " +
+        s"driver loop (task-side ${CowTable.lastVacuumExecutorDeletes.get()}" +
+        s" vs reclaimed ${deleted.size})")
+    assert(deleted.exists(_.contains("stream-test")),
+      "aged stream litter must be reclaimed")
+    assert(!Files.exists(litter))
+    val after = CowTable.read(spark, t).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "vacuum must never change the live snapshot")
+  }
+
   test("the streaming change-feed source registers its cursor on batch commit") {
     val (t, _) = fixture()
     val ckpt = Files.createTempDirectory("graft_ret_stream").toString

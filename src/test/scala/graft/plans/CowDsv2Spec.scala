@@ -172,6 +172,42 @@ class CowDsv2Spec extends AnyFunSuite {
       .head().getLong(0) == 80)
   }
 
+  test("TIMESTAMP AS OF resolves at-or-before; pre-history fails loudly") {
+    val t = fixture()
+    val v0 = CowTable.latestManifest(t).get.version
+    CowTable.deleteWhere(spark, t, $"id" < 10L)
+    val base = 1700000000000L
+    CowTable.stampCommitTime(t, v0, base)
+    CowTable.stampCommitTime(t, v0 + 1, base + 1000L)
+    // boundary: a read at exactly a commit's instant sees that commit
+    assert(CowTable.snapshotAsOf(t, base).version == v0)
+    // mid-window resolves backward to the newest at-or-before commit
+    assert(CowTable.snapshotAsOf(t, base + 500L).version == v0)
+    assert(CowTable.readAsOf(spark, t, base + 500L).count() == 80)
+    // second boundary and beyond: the newer snapshot
+    assert(CowTable.snapshotAsOf(t, base + 1000L).version == v0 + 1)
+    assert(CowTable.readAsOf(spark, t, base + 99999L).count() == 70)
+    // SQL surface (alongside the VERSION AS OF case)
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlTable(t)} " +
+      s"TIMESTAMP AS OF timestamp_millis(${base + 500L})")
+      .head().getLong(0) == 80L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlTable(t)} " +
+      s"TIMESTAMP AS OF timestamp_millis(${base + 1000L})")
+      .head().getLong(0) == 70L)
+    // pre-history: a loud error, never the oldest surviving snapshot
+    val e = intercept[IllegalArgumentException] {
+      CowTable.snapshotAsOf(t, base - 1L)
+    }
+    assert(e.getMessage.contains("earliest retained"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM ${sqlTable(t)} " +
+        s"TIMESTAMP AS OF timestamp_millis(${base - 1L})").collect()
+    }
+    assert(rootCauses(e2).exists(_.getMessage != null) &&
+      rootCauses(e2).exists(c => Option(c.getMessage)
+        .exists(_.contains("earliest retained"))), s"got: $e2")
+  }
+
   test("CTAS creates a table readable and mergeable by both APIs") {
     val t = freshTable()
     spark.sql(s"CREATE TABLE ${sqlTable(t)} AS " +
@@ -318,6 +354,71 @@ class CowDsv2Spec extends AnyFunSuite {
     assert(got.length == 100)
     got.foreach { case (id, v) =>
       assert(v == id * 2 + (if (id % 5 == 0) 1 else 0)) }
+  }
+
+  // ---- round-15: phantom protection on the DSv2 row-level delta path
+  // (the connector never sees the MERGE's ON keys, so a lost race must
+  // refuse loudly when the interleaved commit added data files — a
+  // silent rebase would land duplicate keys, the exact anomaly the
+  // Scala path's source-key check refuses)
+
+  /** One-shot deterministic race: the FIRST commit attempt first lands
+    * `competing` (CowConcurrencySpec's replay technique). */
+  private def raceOnce(competing: () => Unit): Unit = {
+    CowTable.preCommitHook = { () =>
+      CowTable.preCommitHook = () => ()
+      competing()
+    }
+  }
+
+  private def rootCauses(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
+
+  test("MOR MERGE racing a concurrent insert of the same key fails loudly, never duplicates") {
+    val t = fixture()
+    Seq((500L, 1L, "sql")).toDF("id", "v", "name")
+      .createOrReplaceTempView("dsv2_race_src")
+    // the competing winner inserts the SAME key from the same base
+    raceOnce(() => CowTable.mergeInto(spark, t,
+      Seq((500L, 26, 123L, "conc")).toDF("id", "fid", "v", "name"),
+      Seq("id")))
+    try {
+      val e = intercept[Exception] {
+        inMorMode {
+          spark.sql(
+            s"""MERGE INTO ${sqlTable(t)} t
+               |USING dsv2_race_src s ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.name = s.name
+               |WHEN NOT MATCHED THEN INSERT (id, v, name)
+               |  VALUES (s.id, s.v, s.name)""".stripMargin)
+        }
+      }
+      assert(rootCauses(e).exists(c =>
+        c.isInstanceOf[java.util.ConcurrentModificationException] &&
+          c.getMessage.contains("phantom")), s"got: $e")
+    } finally CowTable.preCommitHook = () => ()
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${sqlTable(t)} " +
+      "WHERE id = 500").head().getLong(0) == 1L,
+      "the race must leave exactly the winner's row, never a duplicate")
+  }
+
+  test("MOR DELETE rebases over a concurrent MOR delete in another file") {
+    val t = fixture()
+    val v0 = CowTable.latestManifest(t).get.version
+    // competing MOR delete in file 4 (ids 60..79): adds NO data files,
+    // touches a file our delete does not — a sound rebase
+    raceOnce(() => CowTable.deleteWhere(spark, t, $"id" === 70L))
+    try inMorMode {
+      // subquery keeps the DELETE non-convertible => row-level delta path
+      spark.sql(s"DELETE FROM ${sqlTable(t)} WHERE id IN " +
+        "(SELECT id FROM range(0, 5))")
+    } finally CowTable.preCommitHook = () => ()
+    val m = CowTable.latestManifest(t).get
+    assert(m.version == v0 + 2, s"both deletes must land: $m")
+    val ids = spark.sql(s"SELECT id FROM ${sqlTable(t)}")
+      .as[Long].collect().toSet
+    assert(ids == (5L until 80L).toSet - 70L,
+      "sequential equality: both deletes applied exactly once")
   }
 
   test("a stale-base DSv2 commit rebases when disjoint, refuses on conflict") {
