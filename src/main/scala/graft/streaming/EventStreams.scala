@@ -568,7 +568,32 @@ object EventStreams {
     * into ordered micro-batches. No dataset ever reaches the driver —
     * only max(ts) (one scalar) and the punctuation rows (two rows)
     * do; round 2's whole-table collect is gone. */
-  def evSessionsStream(s: SparkSession, dir: String): DataFrame = {
+  def evSessionsStream(s: SparkSession, dir: String): DataFrame =
+    evSessionsStreamImpl(s, dir, rocksDb = false)
+
+  /** [[evSessionsStream]] under the ROCKSDB state-store provider — the
+    * 100 TB streaming-state story wired and gate-checked, not prose: a
+    * session/join state that outgrows executor heap needs a
+    * disk-backed, incrementally-checkpointed store, and Spark ships
+    * one (`RocksDBStateStoreProvider`, on the classpath via
+    * rocksdbjni). The provider is a session-conf toggle picked up at
+    * query start; this gate runs the stateful-heaviest pipeline
+    * (session windows + watermark drain) under it, ASSERTS the
+    * provider actually served the state ops (rocksdb* custom metrics
+    * in the final progress — a silently-defaulted provider fails the
+    * gate loudly), and must produce output identical to the
+    * batch gaps-and-islands oracle, same as the default-provider
+    * twin. */
+  def evSessionsStreamRocksDb(s: SparkSession, dir: String): DataFrame =
+    evSessionsStreamImpl(s, dir, rocksDb = true)
+
+  private val StateProviderKey =
+    "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def evSessionsStreamImpl(s: SparkSession, dir: String,
+      rocksDb: Boolean): DataFrame = {
     val raw = Tables.eventsRaw(s, dir)
     val maxUs = Tables.maxTsMicros(raw)
     val tsType = raw.schema("ts").dataType
@@ -607,10 +632,26 @@ object EventStreams {
     // (user_id is a grouping key), silently dropping the punctuation
     // rows at the source so the watermark never advances. The filter
     // is applied to the SINK table instead (batch side, post-stream).
-    val q = streamingSessions(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
+    val prevProvider = s.conf.getOption(StateProviderKey)
+    if (rocksDb) s.conf.set(StateProviderKey, RocksDbProvider)
+    try {
+      val q = streamingSessions(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+      if (rocksDb) {
+        import scala.jdk.CollectionConverters._
+        val served = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .exists(_.customMetrics.keySet().asScala
+            .exists(_.startsWith("rocksdb")))
+        require(served, "ev_sessions_stream_rocksdb: the state ops did " +
+          "not run on the RocksDB provider — toggle silently ignored")
+      }
+    } finally if (rocksDb) prevProvider match {
+      case Some(v) => s.conf.set(StateProviderKey, v)
+      case None => s.conf.unset(StateProviderKey)
+    }
     s.table(name).filter(col("user_id") =!= -1L)
   }
 
@@ -807,6 +848,7 @@ object EventStreams {
     "ev_sessions" -> evSessions,
     "ev_sessions_native" -> evSessionsNative,
     "ev_sessions_stream" -> evSessionsStream,
+    "ev_sessions_stream_rocksdb" -> evSessionsStreamRocksDb,
     "ev_attribution" -> evAttribution,
     "ev_attribution_stream" -> evAttributionStream,
     "ev_attribution_outer" -> evAttributionOuter,
@@ -849,6 +891,7 @@ object EventStreams {
     "ev_sessions" -> evSessionsSql,
     "ev_sessions_native" -> evSessionsSql, // same oracle: native ≡ windowed
     "ev_sessions_stream" -> evSessionsSql, // same oracle: batch ≡ stream
+    "ev_sessions_stream_rocksdb" -> evSessionsSql, // ≡ under RocksDB state
     "ev_attribution" -> evAttributionSql,
     "ev_attribution_stream" -> evAttributionSql, // same oracle: batch ≡ stream
     "ev_attribution_outer" -> evAttributionOuterSql,

@@ -140,6 +140,25 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(sessions.contains((ts(100), 1L)))
   }
 
+  test("sessions under the RocksDB state store equal the default-provider run") {
+    // the gate asserts rocksdb* custom metrics internally (a silently
+    // defaulted provider throws); here we also pin output equality to
+    // the batch gaps-and-islands twin and that the toggle is restored
+    val before = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    val got = EventStreams.evSessionsStreamRocksDb(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n"))).sortBy(t => (t._2, t._1.getTime))
+    val want = EventStreams.evSessions(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n"))).sortBy(t => (t._2, t._1.getTime))
+    assert(got.length == want.length && got.sameElements(want),
+      s"RocksDB run diverged: ${got.length} vs ${want.length} sessions")
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass") == before,
+      "provider toggle must be restored after the gate")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on gap") {
     import spark.implicits._
     val events = Seq(
