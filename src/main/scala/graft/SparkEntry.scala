@@ -25,7 +25,7 @@ object SparkEntry {
       EventStreams.queries ++ Sampling.queries ++ Scale.queries ++
       Changelog.queries ++ Layout.queries ++ MatView.queries ++
       DataQuality.queries ++ CowTable.queries ++ TpchDerived.queries ++
-      BpeTokenizer.queries
+      BpeTokenizer.queries ++ graft.sources.SourceGates.queries
 
   private val wordcountOracle =
     """SELECT word, count(*) AS cnt
@@ -40,5 +40,5 @@ object SparkEntry {
     EventStreams.oracles ++ Sampling.oracles ++ Scale.oracles ++
     Changelog.oracles ++ Layout.oracles ++ MatView.oracles ++
     DataQuality.oracles ++ CowTable.oracles ++ TpchDerived.oracles ++
-    BpeTokenizer.oracles
+    BpeTokenizer.oracles ++ graft.sources.SourceGates.oracles
 }

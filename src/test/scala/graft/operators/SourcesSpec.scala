@@ -36,6 +36,47 @@ class SourcesSpec extends AnyFunSuite {
       == expected)
   }
 
+  test("avro round-trips scalars, timestamps, and float arrays; splits per container") {
+    import graft.sources.AvroIO
+    // scalars + strings
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    val nd = tmp("graft_avro_nation")
+    AvroIO.write(nation, nd)
+    val nBack = AvroIO.read(spark, nd)
+    assert(nBack.schema.map(f => (f.name, f.dataType)) ==
+      nation.schema.map(f => (f.name, f.dataType)))
+    assert(nBack.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // timestamps survive micro-exactly
+    val events = Tables.events(spark, TestSpark.sf0001)
+      .orderBy("event_id").limit(500)
+    val ed = tmp("graft_avro_events")
+    AvroIO.write(events.repartition(4), ed)
+    val eBack = AvroIO.read(spark, ed)
+    assert(eBack.orderBy("event_id").collect().toSeq ==
+      events.orderBy("event_id").collect().toSeq)
+    // one input split per container file minimum (the scale path:
+    // sync-marker splitting via AvroKeyInputFormat, not one-task-per-dir)
+    assert(eBack.rdd.getNumPartitions >= 4,
+      s"expected >=4 splits, got ${eBack.rdd.getNumPartitions}")
+    // array<float> embeddings
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .orderBy("vec_id").limit(200)
+    val vd = tmp("graft_avro_emb")
+    AvroIO.write(emb, vd)
+    val vBack = AvroIO.read(spark, vd)
+    assert(vBack.orderBy("vec_id").collect().toSeq ==
+      emb.orderBy("vec_id").collect().toSeq)
+    // the refusal surface is loud, not silent
+    intercept[UnsupportedOperationException] {
+      AvroIO.toAvroSchema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))))
+    }
+  }
+
   test("text source round-trips raw lines (one column, one row per line)") {
     import spark.implicits._
     val dir = tmp("graft_text")
