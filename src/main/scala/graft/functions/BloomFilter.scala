@@ -372,6 +372,56 @@ case class BloomMightContainShard(
     copy(shard = newFirst, sketch = newSecond, child = newThird)
 }
 
+/** Membership probe of a FIXED value against a per-row sketch column —
+  * the data-skipping shape: the planner asks, for every file's stored
+  * bloom bytes, "might this file contain the predicate's literal?".
+  * The mirror image of [[BloomMightContain]] (fixed sketch, per-row
+  * value): here the VALUE is foldable, so its two xxhash64 probes are
+  * computed once per task, and the per-row work is one deserialize +
+  * numHashes bit tests. Rows are per-FILE metadata (one per declared
+  * column per data file), so the per-row deserialize is metadata-scale
+  * by construction — never a per-data-row cost. */
+case class BloomProbe(sketch: Expression, probe: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = sketch
+  override def right: Expression = probe
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (sketch.dataType != BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sketch must be BINARY, got ${sketch.dataType.sql}")
+    else if (!probe.foldable)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "bloom_probe needs a foldable (literal) probe value")
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = sketch.nullable || probe.nullable
+
+  @transient private lazy val hashes: (Long, Long) = {
+    val v = probe.eval(null)
+    (BloomKernel.hash1(v, probe.dataType), BloomKernel.hash2(v, probe.dataType))
+  }
+
+  def mightContainIn(bytes: Array[Byte]): Boolean =
+    BloomKernel.deserialize(bytes).mightContain(hashes._1, hashes._2)
+
+  override def nullSafeEval(bytes: Any, v: Any): Any =
+    mightContainIn(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbeExpr", this,
+      classOf[BloomProbe].getName)
+    defineCodeGen(ctx, ev, (b, _) => s"$ref.mightContainIn($b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbe =
+    copy(sketch = newLeft, probe = newRight)
+}
+
 object BloomFunctions {
   def bloom_sketch(col: Column, expectedItems: Long, fpp: Double = 0.01): Column =
     ColumnBridge.column(
@@ -384,6 +434,12 @@ object BloomFunctions {
   def bloom_might_contain(sketch: Column, col: Column): Column =
     ColumnBridge.column(BloomMightContain(
       ColumnBridge.expression(sketch), ColumnBridge.expression(col)))
+
+  /** Probe a LITERAL value against a per-row sketch column; see
+    * [[BloomProbe]] (the file-skipping direction). */
+  def bloom_probe(sketch: Column, value: Column): Column =
+    ColumnBridge.column(BloomProbe(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(value)))
 
   /** Broadcast-backed membership test — the production form: the sketch
     * bytes never enter the plan, only a broadcast handle does. See

@@ -85,12 +85,68 @@ object CowTable {
     * sidecar path (forward-compat gate; downgrade reading of counted
     * manifests is unsupported by design). */
   private val HeaderV21 = "graft-cow-manifest-v2.1"
+  /** v2.2 = v2.1 body + bloom-index lines (`bloomcols:` spec +
+    * `bloomrel:` sidecar pointers). Written ONLY when a bloom line is
+    * present — same forward-compat gating as v2.1's counted dv form:
+    * a pre-bloom reader refuses the manifest instead of misparsing a
+    * `bloomrel:` line as a data-file path. Bloom-free tables keep the
+    * older headers and stay fully downgrade-readable. */
+  private val HeaderV22 = "graft-cow-manifest-v2.2"
   private val DvPrefix = "dv:"
   private val SchemaPrefix = "schema:"
   private val EntriesPrefix = "entries:"
   private val EntryCountPrefix = "nentries:"
   private val PartColsPrefix = "partcols:"
+  private val BloomColsPrefix = "bloomcols:"
+  private val BloomRelPrefix = "bloomrel:"
+  private val BucketSpecPrefix = "bucketspec:"
   private val EndMarker = "end"
+
+  /** Path segment + part-JSON key for a file's bucket id. Reserved
+    * (double-underscore) so it can never collide with a user column's
+    * `__p_` partition segment. */
+  private[graft] val BucketSegment = "__gbucket"
+
+  /** `bucketspec:<n>:<urlenc(col)>` codec. */
+  private def encodeBucketSpec(s: (String, Int)): String =
+    s"${s._2}:${java.net.URLEncoder.encode(s._1, "UTF-8")}"
+
+  private def decodeBucketSpec(line: String): (String, Int) = {
+    val i = line.indexOf(':')
+    (java.net.URLDecoder.decode(line.substring(i + 1), "UTF-8"),
+      line.take(i).toInt)
+  }
+
+  /** Per-column bloom declaration: sketches are sized for
+    * `itemsPerFile` distinct values at `fpp` — a file holding fewer
+    * items probes BELOW the declared rate (oversizing only tightens
+    * it), one holding more degrades gracefully. The per-file sizing is
+    * fixed at declaration (Delta's bloom index makes the same call):
+    * per-group dynamic sizing would make sketch bytes depend on
+    * execution order, and a compaction that grows files past the
+    * declared capacity should re-declare rather than silently carry a
+    * looser filter. */
+  case class BloomColSpec(fpp: Double = 0.01, itemsPerFile: Long = 1L << 20) {
+    require(fpp > 0 && fpp < 1, s"bloom fpp $fpp out of (0,1)")
+    require(itemsPerFile > 0, s"bloom itemsPerFile $itemsPerFile <= 0")
+  }
+
+  /** `bloomcols:` line codec — `urlenc(col):fpp:items` joined by ','.
+    * Column names are URL-encoded so ':'/',' in a name cannot split the
+    * record (the same reserved-character discipline as path
+    * normalization). */
+  private def encodeBloomCols(specs: Map[String, BloomColSpec]): String =
+    specs.toSeq.sortBy(_._1).map { case (c, s) =>
+      java.net.URLEncoder.encode(c, "UTF-8") + ":" + s.fpp + ":" +
+        s.itemsPerFile
+    }.mkString(",")
+
+  private def decodeBloomCols(line: String): Map[String, BloomColSpec] =
+    line.split(",").filter(_.nonEmpty).map { rec =>
+      val Array(c, fpp, items) = rec.split(":")
+      java.net.URLDecoder.decode(c, "UTF-8") ->
+        BloomColSpec(fpp.toDouble, items.toLong)
+    }.toMap
 
   /** One file of a snapshot. `stats` is a JSON object
     * `{"col":{"min":…,"max":…,"nulls":n},…}` for the stats-eligible
@@ -124,7 +180,10 @@ object CowTable {
       dvs: Seq[String] = Nil, schemaJson: Option[String] = None,
       entriesRel: Option[String] = None, entryCount: Option[Long] = None,
       partitionCols: Seq[String] = Nil,
-      dvRunCounts: Map[String, Long] = Map.empty) {
+      dvRunCounts: Map[String, Long] = Map.empty,
+      bloomCols: Map[String, BloomColSpec] = Map.empty,
+      bloomRels: Seq[String] = Nil,
+      bucketSpec: Option[(String, Int)] = None) {
     def schemaOpt: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
   }
@@ -179,8 +238,8 @@ object CowTable {
           val dvp = dvLines.map(l => parseDvLine(l.stripPrefix(DvPrefix)))
           Some(Manifest(v, dataLines, dvp.map(_._1),
             dvRunCounts = dvp.collect { case (p, Some(n)) => p -> n }.toMap))
-        case h :: rest if (h == HeaderV2 || h == HeaderV21) &&
-            rest.lastOption.contains(EndMarker) =>
+        case h :: rest if (h == HeaderV2 || h == HeaderV21 ||
+            h == HeaderV22) && rest.lastOption.contains(EndMarker) =>
           val body = rest.dropRight(1)
           val schema = body.find(_.startsWith(SchemaPrefix))
             .map(_.stripPrefix(SchemaPrefix))
@@ -191,14 +250,26 @@ object CowTable {
           val partCols = body.find(_.startsWith(PartColsPrefix))
             .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
               .filter(_.nonEmpty)).getOrElse(Nil)
+          val bloomCols = body.find(_.startsWith(BloomColsPrefix))
+            .map(l => decodeBloomCols(l.stripPrefix(BloomColsPrefix)))
+            .getOrElse(Map.empty[String, BloomColSpec])
+          val bloomRels = body.filter(_.startsWith(BloomRelPrefix))
+            .map(_.stripPrefix(BloomRelPrefix))
+          val bucketSpec = body.find(_.startsWith(BucketSpecPrefix))
+            .map(l => decodeBucketSpec(l.stripPrefix(BucketSpecPrefix)))
           val paths = body.filterNot(l =>
             l.startsWith(SchemaPrefix) || l.startsWith(EntriesPrefix) ||
-              l.startsWith(EntryCountPrefix) || l.startsWith(PartColsPrefix))
+              l.startsWith(EntryCountPrefix) ||
+              l.startsWith(PartColsPrefix) ||
+              l.startsWith(BloomColsPrefix) ||
+              l.startsWith(BloomRelPrefix) ||
+              l.startsWith(BucketSpecPrefix))
           val (dvLines, dataLines) = paths.partition(_.startsWith(DvPrefix))
           val dvp = dvLines.map(l => parseDvLine(l.stripPrefix(DvPrefix)))
           Some(Manifest(v, dataLines, dvp.map(_._1),
             schema, entries, nEntries, partCols,
-            dvp.collect { case (p, Some(n)) => p -> n }.toMap))
+            dvp.collect { case (p, Some(n)) => p -> n }.toMap,
+            bloomCols, bloomRels, bucketSpec))
         case _ => None // empty or half-written: fall back to older version
       }
     } finally lines.close()
@@ -520,17 +591,45 @@ object CowTable {
       carriedDvs: Seq[String], partitionCols: Seq[String] = Nil,
       newFileParts: Map[String, String] = Map.empty,
       knownDvRuns: Map[String, Long] = Map.empty,
-      schemaAuthoritative: Boolean = false): Manifest = {
+      schemaAuthoritative: Boolean = false,
+      bloomColsOverride: Option[Map[String, BloomColSpec]] = None,
+      extraBloomRels: Seq[String] = Nil,
+      bucketSpecOverride: Option[Option[(String, Int)]] = None): Manifest = {
     preCommitHook()
+    val headOpt = latestManifest(table)
     // a rebasing committer re-commits its base-derived schema; fold the
     // head's metadata refinements in so a concurrent field-id
     // assignment survives ([[adoptHeadSchema]]); alterTable opts out
     val commitSchema =
       if (schemaAuthoritative) schema
-      else latestManifest(table) match {
+      else headOpt match {
         case Some(h) if h.version == version - 1 => adoptHeadSchema(schema, h)
         case _ => schema
       }
+    // bloom index carry: the declaration + every prior sidecar ride
+    // from the head (sidecars are immutable, keyed by file path — rows
+    // for files no longer in the snapshot are simply never consulted);
+    // a commit that adds data files while blooms are declared builds
+    // ONE new sidecar for exactly those files, in its own Spark job.
+    // Specs whose column chain no longer resolves (dropped) fall away.
+    val headForBloom = headOpt.filter(_.version == version - 1)
+    val bloomSpecs = bloomColsOverride
+      .getOrElse(headForBloom.map(_.bloomCols).getOrElse(
+        Map.empty[String, BloomColSpec]))
+      .filter { case (k, _) => resolveBloomField(commitSchema, k).isDefined }
+    val newBloomRel =
+      if (bloomSpecs.isEmpty || newDataFiles.isEmpty) None
+      else buildBloomSidecar(spark, table, version, newDataFiles,
+        bloomSpecs, commitSchema)
+    val bloomRels = (headForBloom.map(_.bloomRels).getOrElse(Nil) ++
+      extraBloomRels ++ newBloomRel).distinct
+    // the bucket declaration rides like the bloom one: spec carried
+    // from the head; per-FILE attribution lives in the entries' part
+    // JSON, so a commit whose new files are not bucket-routed simply
+    // leaves them unattributed (the scan then stops reporting
+    // co-partitioning — a planning downgrade, never a wrong result)
+    val bucketSpec = bucketSpecOverride
+      .getOrElse(headForBloom.flatMap(_.bucketSpec))
     // DV run counts resolve AT COMMIT TIME: carried counts ride from
     // the head manifest (knownDvRuns); anything unrecorded — freshly
     // written sidecars, legacy lines — gets ONE footer read here, so
@@ -562,13 +661,23 @@ object CowTable {
     // misparsing "3:/path" as a sidecar path. Downgrade readers are
     // unsupported once a counted line is written; count-free manifests
     // keep the v2 header and stay fully downgrade-readable.
-    val header = if (dvRunsAll.nonEmpty) HeaderV21 else HeaderV2
+    val bloomLines =
+      (if (bloomSpecs.isEmpty) Nil
+       else Seq(BloomColsPrefix + encodeBloomCols(bloomSpecs))) ++
+        bloomRels.map(BloomRelPrefix + _)
+    val bucketLine =
+      bucketSpec.map(s => BucketSpecPrefix + encodeBucketSpec(s)).toSeq
+    val header =
+      if (bloomLines.nonEmpty || bucketLine.nonEmpty) HeaderV22
+      else if (dvRunsAll.nonEmpty) HeaderV21 else HeaderV2
     writeManifestText(table, version,
       (Seq(header, SchemaPrefix + commitSchema.json, EntriesPrefix + rel,
-        EntryCountPrefix + nEntries) ++ partLine ++
+        EntryCountPrefix + nEntries) ++ partLine ++ bloomLines ++
+        bucketLine ++
         files ++ dvs.map(dvLine(_, dvRunsAll)) :+ EndMarker).mkString("\n"))
     Manifest(version, files, dvs, Some(commitSchema.json), Some(rel),
-      Some(nEntries), partitionCols, dvRunsAll)
+      Some(nEntries), partitionCols, dvRunsAll, bloomSpecs, bloomRels,
+      bucketSpec)
   }
 
   /** The manifest's entries as a DataFrame (kind, path, bytes, numRows,
@@ -861,6 +970,231 @@ object CowTable {
     }
   }
 
+  // ------------------------------------------- per-file bloom sidecars
+
+  /** Bloom sidecar row shape: one row per (data file, declared column)
+    * — `coltype` is the column's LOGICAL type at build time, because a
+    * later widen changes the probe's hash domain (xxhash64 of an int is
+    * not xxhash64 of its upcast long): probes consult only rows whose
+    * coltype equals the current type, so a pre-widen file simply keeps
+    * conservatively until a maintenance rewrite refreshes its row. */
+  private val bloomEntrySchema = StructType(Seq(
+    StructField("path", StringType), StructField("col", StringType),
+    StructField("coltype", StringType), StructField("sketch", BinaryType)))
+
+  /** Types a bloom sketch can index: hashed by value identity, so
+    * equality-lookup-shaped types only (no floating point — `= 0.1`
+    * point lookups are a data-modeling bug the index should not
+    * legitimize). */
+  private def bloomEligible(dt: DataType): Boolean = dt match {
+    case StringType | BinaryType | ByteType | ShortType | IntegerType |
+        LongType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** A declared bloom key resolves through the same name chains as
+    * stats: the spec may have been declared under a name the column
+    * held at the time. */
+  private def resolveBloomField(schema: StructType,
+      key: String): Option[StructField] =
+    schema.fields.find(f => f.name == key || prevNamesOf(f).contains(key))
+
+  /** Test hook: number of prunes that actually opened the bloom index
+    * (a predicate with no bloom-eligible equality conjunct must leave
+    * this untouched — the minmax path never pays the sidecar scan). */
+  private[graft] val bloomPrunesConsulted =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Build ONE bloom sidecar covering `files`: a single distributed
+    * job — scan the files, one [[graft.functions.BloomSketchBytes]]
+    * aggregate per declared column grouped by `_metadata.file_path`,
+    * write (path, col, coltype, sketch) parquet under the manifest dir.
+    * Reads resolve historical names per file vintage (coalesce over the
+    * recorded prev-name chain, narrow physical types upcast natively),
+    * so a declareBloom backfill over an evolved table hashes every
+    * file's values at the CURRENT logical type — the same domain later
+    * probes use. Sketch bytes never land on the driver. */
+  private def buildBloomSidecar(spark: SparkSession, table: String,
+      version: Int, files: Seq[String], specs: Map[String, BloomColSpec],
+      schema: StructType): Option[String] = {
+    val resolved = specs.toSeq.sortBy(_._1).flatMap { case (k, spec) =>
+      resolveBloomField(schema, k)
+        .filter(f => bloomEligible(f.dataType)).map(f => (f, spec))
+    }.distinctBy(_._1.name)
+    if (resolved.isEmpty || files.isEmpty) return None
+    val readSchema = StructType(resolved.flatMap { case (f, _) =>
+      StructField(f.name, f.dataType) +:
+        prevNamesOf(f).map(p => StructField(p, f.dataType))
+    })
+    val df = spark.read.schema(readSchema).parquet(files: _*)
+      .select(normalizeSql(col("_metadata.file_path")).as("path") +:
+        resolved.map { case (f, _) =>
+          coalesce((f.name +: prevNamesOf(f)).map(col): _*).as(f.name)
+        }: _*)
+    val aggs = resolved.map { case (f, spec) =>
+      graft.functions.BloomFunctions
+        .bloom_sketch(col(f.name), spec.itemsPerFile, spec.fpp)
+        .as("__bl_" + f.name)
+    }
+    val rows = df.groupBy(col("path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("path"), explode(array(resolved.map { case (f, _) =>
+        struct(lit(f.name).as("col"),
+          lit(f.dataType.catalogString).as("coltype"),
+          col("__bl_" + f.name).as("sketch"))
+      }: _*)).as("e"))
+      .select(col("path"), col("e.col").as("col"),
+        col("e.coltype").as("coltype"), col("e.sketch").as("sketch"))
+    val rel =
+      s"files/bloom-v$version-${java.util.UUID.randomUUID().toString.take(8)}"
+    val out = manifestDir(table).resolve(rel)
+    Files.createDirectories(out.getParent)
+    rows.write.mode("overwrite").parquet(out.toString)
+    Some(rel)
+  }
+
+  /** Declare per-file bloom point-lookup indexes on `cols` — the
+    * skipping shape min/max stats cannot serve: an equality predicate
+    * on a high-cardinality column that is NOT the table's sort/cluster
+    * key (the id-lookup) intersects every file's [min,max], but a
+    * per-file membership sketch prunes every file that provably lacks
+    * the key (no false negatives — a kept file set always covers the
+    * matching rows; false positives only cost extra reads at the
+    * declared fpp). Backfills sketches for the CURRENT snapshot in one
+    * distributed job and commits the declaration; every subsequent
+    * commit (ingest, merge, compaction) then sidecars ITS new files
+    * automatically inside [[commitWithStatsDF]]. */
+  def declareBloom(spark: SparkSession, table: String,
+      specs: Map[String, BloomColSpec]): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    def check(h: Manifest): StructType = {
+      val schema = h.schemaOpt.getOrElse(throw new IllegalArgumentException(
+        "declareBloom needs a v2 manifest with a schema"))
+      specs.keys.foreach { k =>
+        val f = resolveBloomField(schema, k).getOrElse(
+          throw new IllegalArgumentException(
+            s"declareBloom: column $k does not exist"))
+        require(bloomEligible(f.dataType),
+          s"declareBloom: ${f.name} is ${f.dataType.catalogString} — " +
+            "bloom indexes take string/binary/integral/date/timestamp")
+      }
+      schema
+    }
+    check(m)
+    def attempt(h: Manifest): Manifest = {
+      val schema = check(h)
+      val backfill =
+        buildBloomSidecar(spark, table, h.version + 1, h.files, specs, schema)
+      commitWithStatsDF(spark, table, h.version + 1,
+        entriesDF(spark, table, h), Nil, schema, h.files, h.dvs,
+        h.partitionCols, knownDvRuns = h.dvRunCounts,
+        bloomColsOverride = Some(h.bloomCols ++ specs),
+        extraBloomRels = backfill.toSeq)
+    }
+    commitWithRetry(table, m, h => { check(h); () }, attempt)
+  }
+
+  def declareBloom(spark: SparkSession, table: String, cols: Seq[String],
+      fpp: Double, itemsPerFile: Long): Manifest =
+    declareBloom(spark, table,
+      cols.map(_ -> BloomColSpec(fpp, itemsPerFile)).toMap)
+
+  /** Exact-integral adaptation of a predicate literal to the declared
+    * column's type — the only cross-type probes attempted. Hashing is
+    * type-tagged (xxhash64 over the INTERNAL value), so a probe must
+    * hash the literal exactly as the build hashed the column values; a
+    * literal that cannot losslessly take the column's type yields no
+    * probe (minmax still handles the impossible-equality case). */
+  private def adaptBloomLit(l: Literal, dt: DataType): Option[Literal] = {
+    if (l.value == null) return None
+    if (l.dataType == dt) return Some(l)
+    val asLong: Option[Long] = l.value match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case j: Long => Some(j)
+      case _ => None
+    }
+    asLong.flatMap { v =>
+      dt match {
+        case ByteType if v.isValidByte => Some(Literal(v.toByte, ByteType))
+        case ShortType if v.isValidShort => Some(Literal(v.toShort, ShortType))
+        case IntegerType if v.isValidInt => Some(Literal(v.toInt, IntegerType))
+        case LongType => Some(Literal(v, LongType))
+        case _ => None
+      }
+    }
+  }
+
+  /** Files the bloom index PROVES cannot match `folded` (normalized
+    * paths): for each equality/IN conjunct on a declared column, a
+    * sidecar row whose sketch contains none of the probe values is
+    * proof the file lacks every candidate — conjunct semantics make any
+    * one such proof sufficient. One parquet scan over all sidecars
+    * evaluates every probe (the `col`/`coltype` filters push down);
+    * only proven paths are collected. Files without a row — pre-index
+    * vintage, type-mismatched after a widen — are never in the result,
+    * i.e. conservatively kept. */
+  private def bloomPrunedPaths(spark: SparkSession, table: String,
+      m: Manifest, folded: Expression,
+      dataSchema: StructType): Set[String] = {
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // the analyzer wraps coerced literals in Cast(...) — any resolved
+    // foldable deterministic expression folds to its literal here
+    def litOf(x: Expression): Option[Literal] = x match {
+      case l: Literal => Some(l)
+      case c if c.resolved && c.foldable && c.deterministic =>
+        scala.util.Try(Literal(c.eval(null), c.dataType)).toOption
+      case _ => None
+    }
+    val declaredFields: Map[String, StructField] =
+      m.bloomCols.keys.flatMap(k => resolveBloomField(dataSchema, k))
+        .map(f => f.name -> f).toMap
+    def probeOf(a: Expression, b: Expression): Option[(StructField, Seq[Literal])] =
+      (for {
+        n <- attr(a); l <- litOf(b); f <- declaredFields.get(n)
+        adapted <- adaptBloomLit(l, f.dataType)
+      } yield (f, Seq(adapted))).orElse(for {
+        n <- attr(b); l <- litOf(a); f <- declaredFields.get(n)
+        adapted <- adaptBloomLit(l, f.dataType)
+      } yield (f, Seq(adapted)))
+    val probes: Seq[(StructField, Seq[Literal])] =
+      conjunctsOf(folded).flatMap {
+        case PredShape("=" | "==" | "equalto", Seq(a, b)) => probeOf(a, b)
+        case PredShape("in", a +: vs) if vs.nonEmpty =>
+          for {
+            n <- attr(a)
+            f <- declaredFields.get(n)
+            adapted <- Some(vs.flatMap(v =>
+              litOf(v).flatMap(adaptBloomLit(_, f.dataType))))
+            // every IN member must probe, or a missed member could
+            // match a pruned file
+            if adapted.size == vs.size
+          } yield (f, adapted)
+        case _ => None
+      }
+    if (probes.isEmpty) return Set.empty
+    def probeCol(v: Literal): Column =
+      ColumnBridge.column(graft.functions.BloomProbe(
+        ColumnBridge.expression(col("sketch")), v))
+    val evidence = probes.map { case (f, vals) =>
+      col("col").isin(f.name +: prevNamesOf(f): _*) &&
+        col("coltype") === lit(f.dataType.catalogString) &&
+        !vals.map(probeCol).reduce(_ || _)
+    }.reduce(_ || _)
+    val sidecars = m.bloomRels.map(r =>
+      manifestDir(table).resolve(r).toString)
+    bloomPrunesConsulted.incrementAndGet()
+    spark.read.schema(bloomEntrySchema).parquet(sidecars: _*)
+      .filter(evidence)
+      .select("path").collect().map(r => normalize(r.getString(0))).toSet
+  }
+
   // ------------------------------------------------------ data skipping
 
   /** Normalize the two surfaces predicates arrive on — the Column
@@ -1102,20 +1436,36 @@ object CowTable {
     * expression — the entry point the [[graft.plans.CowSkipRule]]
     * optimizer rule uses on pushed-down predicates. */
   def pruneDataFilesExpr(spark: SparkSession, table: String, m: Manifest,
-      condExpr: Expression): Seq[String] = {
+      condExpr: Expression, useBloom: Boolean = true): Seq[String] = {
     if (m.files.isEmpty || m.entriesRel.isEmpty) return m.files
     val dataSchema = m.schemaOpt.getOrElse(return m.files)
     val stSchema = statsSchemaFor(dataSchema)
-    if (stSchema.isEmpty && m.partitionCols.isEmpty) return m.files
-    val keep = fileKeepPredicate(
-      resolvedCond(spark, dataSchema, foldRenameCoalesce(condExpr,
-        dataSchema)), stSchema, m.partitionCols,
-      dataSchema)
-    val kept = withStatsStruct(
-        entriesDF(spark, table, m).filter(col("kind") === "data"), stSchema)
-      .filter(keep)
-      .select("path").collect().map(r => normalize(r.getString(0))).toSet
-    m.files.filter(f => kept.contains(normalize(f)))
+    val bloomLive = useBloom && m.bloomCols.nonEmpty && m.bloomRels.nonEmpty
+    if (stSchema.isEmpty && m.partitionCols.isEmpty && !bloomLive)
+      return m.files
+    val folded = resolvedCond(spark, dataSchema,
+      foldRenameCoalesce(condExpr, dataSchema))
+    val statsKept: Seq[String] =
+      if (stSchema.isEmpty && m.partitionCols.isEmpty) m.files
+      else {
+        val keep =
+          fileKeepPredicate(folded, stSchema, m.partitionCols, dataSchema)
+        val kept = withStatsStruct(
+            entriesDF(spark, table, m).filter(col("kind") === "data"),
+            stSchema)
+          .filter(keep)
+          .select("path").collect().map(r => normalize(r.getString(0))).toSet
+        m.files.filter(f => kept.contains(normalize(f)))
+      }
+    // bloom pass: equality/IN conjuncts on declared columns subtract
+    // the files whose sketches prove no candidate value is present —
+    // the lookup shape where every file's [min,max] spans the key
+    if (!bloomLive || statsKept.isEmpty) statsKept
+    else {
+      val proven = bloomPrunedPaths(spark, table, m, folded, dataSchema)
+      if (proven.isEmpty) statsKept
+      else statsKept.filterNot(f => proven.contains(normalize(f)))
+    }
   }
 
   /** Parse the stats JSON into `__st` (NULL literal when the table has
@@ -1424,6 +1774,19 @@ object CowTable {
     (pruneDataFiles(spark, table, m, cond).size, m.files.size)
   }
 
+  /** (files planned with the bloom index, files planned by min/max +
+    * partition stats alone, total files) — the gate's evidence that the
+    * bloom pass pruned what range stats could not. */
+  def pruneReportBloom(spark: SparkSession, table: String,
+      cond: Column): (Int, Int, Int) = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    val e = ColumnBridge.expression(cond)
+    (pruneDataFilesExpr(spark, table, m, e).size,
+      pruneDataFilesExpr(spark, table, m, e, useBloom = false).size,
+      m.files.size)
+  }
+
   private def versionOfDir(name: String): Option[Int] =
     if (name.startsWith("v")) name.drop(1).takeWhile(_.isDigit) match {
       case "" => None
@@ -1626,6 +1989,102 @@ object CowTable {
       dropEmptyFiles(df.sparkSession, listPartFilesRec(out)),
       StructType(df.schema.filterNot(_.name == fileCol)))
   }
+
+  // ------------------------------------------------- bucketed layout
+
+  /** The writer-side bucket id — MUST stay in lockstep with
+    * [[graft.functions.GraftBucket.bucketId]] (the catalog-published
+    * V2 bucket function the optimizer uses to reason about
+    * co-partitioning): `pmod(xxhash64(col), n)` at xxhash64's default
+    * seed. A NULL key hashes to the seed itself, exactly like the
+    * builtin. The equality is spec-pinned per supported type. */
+  private def bucketIdCol(c: Column, n: Int): Column =
+    pmod(xxhash64(c), lit(n.toLong)).cast("int")
+
+  private def bucketPartsOf(files: Seq[String]): Map[String, String] =
+    files.flatMap { f =>
+      f.split("/").find(_.startsWith(BucketSegment + "="))
+        .map(seg => f ->
+          s"""{"$BucketSegment":${seg.stripPrefix(BucketSegment + "=")}}""")
+    }.toMap
+
+  /** Initialize CLUSTERED BY (col) INTO n BUCKETS: rows route to files
+    * by `pmod(xxhash64(col), n)`, the spec lands in the manifest, and
+    * every file's bucket id rides in its entries part JSON. Two tables
+    * bucketed the same way join EXCHANGE-FREE through the DSv2 scan's
+    * KeyGroupedPartitioning report (storage-partitioned join) — the
+    * repeated fact⋈fact shuffle a 100 TB lakehouse cannot afford to
+    * pay per query. Commits that later add non-routed files (a plain
+    * merge) leave those files unattributed: the scan silently stops
+    * reporting co-partitioning until [[rebucketTable]] restores the
+    * layout — a planning downgrade, never a correctness risk. */
+  def initBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Manifest = {
+    require(nBuckets > 0, s"initBucketed: nBuckets $nBuckets <= 0")
+    require(df.columns.contains(bucketCol),
+      s"initBucketed: column $bucketCol must exist")
+    val spark = df.sparkSession
+    val out = versionDir(table, "data", 0)
+    df.withColumn(BucketSegment, bucketIdCol(col(bucketCol), nBuckets))
+      .repartition(nBuckets, col(BucketSegment))
+      .write.partitionBy(BucketSegment).mode("overwrite")
+      .parquet(out.toString)
+    val files = dropEmptyFiles(spark, listPartFilesRec(out))
+    commitWithStatsDF(spark, table, 0,
+      spark.createDataFrame(Seq.empty[FileEntry]), files, df.schema,
+      Nil, Nil, Nil, bucketPartsOf(files),
+      bucketSpecOverride = Some(Some((bucketCol, nBuckets))))
+  }
+
+  /** Restore a bucketed table's file↔bucket attribution after commits
+    * that added non-routed files: ONE rewrite of the live (DV-applied)
+    * rows back into the declared bucket layout, committed as a full
+    * replacement — the bucketed twin of compaction. */
+  def rebucketTable(spark: SparkSession, table: String): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    val (bucketCol, n) = m.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table has no bucket spec"))
+    val out = versionDir(table, "data", m.version + 1)
+    read(spark, table)
+      .withColumn(BucketSegment, bucketIdCol(col(bucketCol), n))
+      .repartition(n, col(BucketSegment))
+      .write.partitionBy(BucketSegment).mode("overwrite")
+      .parquet(out.toString)
+    val files = dropEmptyFiles(spark, listPartFilesRec(out))
+    def validate(h: Manifest): Unit =
+      if (h.version != m.version)
+        throw new java.util.ConcurrentModificationException(
+          s"rebucketTable $table: concurrent commit — rerun against " +
+            "the new snapshot")
+    def attempt(h: Manifest): Manifest =
+      commitWithStatsDF(spark, table, h.version + 1,
+        spark.createDataFrame(Seq.empty[FileEntry]), files,
+        m.schemaOpt.get, Nil, Nil, h.partitionCols, bucketPartsOf(files))
+    commitWithRetry(table, m, validate, attempt)
+  }
+
+  /** Per-file bucket ids (normalized path → id) when the table is
+    * bucketed AND every live data file is attributed — the
+    * all-or-nothing gate the scan's co-partitioning report needs (one
+    * unattributed file would make the grouping unsound). Metadata-only:
+    * one projection of the entries sidecar. */
+  def fileBuckets(spark: SparkSession, table: String,
+      m: Manifest): Option[Map[String, Int]] =
+    m.bucketSpec.flatMap { _ =>
+      if (m.files.isEmpty || m.entriesRel.isEmpty) None
+      else {
+        val rows = entriesDF(spark, table, m)
+          .filter(col("kind") === "data")
+          .select(col("path"),
+            get_json_object(col("part"), s"$$.$BucketSegment")
+              .cast("int").as("b"))
+          .collect()
+        if (rows.exists(_.isNullAt(1))) None
+        else Some(rows.map(r =>
+          normalize(r.getString(0)) -> r.getInt(1)).toMap)
+      }
+    }
 
   /** Empty DataFrame with the snapshot's schema — the "every row
     * deleted" read path. */
@@ -3112,9 +3571,15 @@ object CowTable {
       }.collect().toSeq
     driverVacuumPathsListed.addAndGet(deleted.size.toLong)
     lastVacuumExecutorDeletes.set(execDeletes.value)
+    // bloom sidecars are SHARED across versions (carried by reference),
+    // so a dropped version's sidecar survives while any kept manifest
+    // still lists it; entries sidecars are per-version and always go
+    val keptBloomRels = kept.flatMap(_.bloomRels).toSet
     versions.filter(_ < oldestKept).foreach { v =>
       // a dropped manifest's entries sidecar goes with it
-      parseManifest(manifestPath(table, v), v).flatMap(_.entriesRel)
+      parseManifest(manifestPath(table, v), v).toSeq
+        .flatMap(pm => pm.entriesRel.toSeq ++
+          pm.bloomRels.filterNot(keptBloomRels.contains))
         .foreach { rel =>
           val dir = manifestDir(table).resolve(rel)
           if (Files.isDirectory(dir)) {
@@ -4803,6 +5268,124 @@ object CowTable {
        |  CAST(mn2scan AS BIGINT) AS mn2_scan
        |FROM cand""".stripMargin
 
+  /** Gate: per-file BLOOM point-lookup skipping — the shape min/max
+    * stats provably cannot serve. Fixture: orders in a residue-class
+    * layout (file i holds keys ≡ i mod 32), so every file's
+    * [min,max] spans nearly the whole keyspace and an equality lookup
+    * keeps ~all files under range stats; the declared bloom index on
+    * o_orderkey must then prune to the containing file (+ at most the
+    * declared-fpp false positives). Probes:
+    *  - k_max (global max key): minmax alone already plans exactly 1
+    *    file — the bloom pass must NOT prune below it
+    *    (bloom_lt_minmax = false pins the no-false-negative boundary);
+    *  - k_mid (largest key ≤ max/2) and k_gap (smallest absent
+    *    in-range key): the minmax plan is the near-total residue count
+    *    (bigint-exact from the oracle's mod-32 min/max algebra) while
+    *    the bloom plan must be strictly smaller AND within the
+    *    fpp envelope (≤ total/4 — at 1% fpp on 32 files the failure
+    *    probability is ~1e-10, deterministic in practice because the
+    *    sketches are deterministic functions of the data);
+    *  - k_auto: after an insert-only MERGE lands new keys at odd
+    *    offsets past max (new files whose sketches the COMMIT builds
+    *    automatically), some absent even-offset key must bloom-prune
+    *    strictly below its minmax plan — the existence proof that
+    *    post-declaration commits sidecar their own files.
+    * Row counts and the matched rows' price sums are fully
+    * oracle-exact through the same readWhere that consults the index,
+    * pinning soundness (a pruned file never hides a matching row). */
+  private def lhBloomBuild(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val table = freshGateTable()
+    // the indexed column is o_key2 = 2·o_orderkey: the testdata keys
+    // are DENSE, so the doubled key space gives deterministic
+    // absent-in-range probe values (every odd number) while keeping
+    // the per-file min/max algebra oracle-exact (2·min, 2·max)
+    val filed = Tables.orders(s, dir)
+      .withColumn("o_key2", $"o_orderkey" * 2L)
+      .withColumn("__f",
+        (pmod($"o_orderkey", lit(StatsPruneFiles.toLong)) + 1).cast("int"))
+    initFiled(filed, table, "__f", StatsPruneFiles)
+    declareBloom(s, table,
+      Map("o_key2" -> BloomColSpec(fpp = 0.01, itemsPerFile = 1L << 16)))
+    table
+  }
+
+  private def lhBloomOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(s, dir)
+    val mx = orders.agg(max($"o_orderkey")).head().getLong(0)
+    val kMid = orders.filter($"o_orderkey" <= mx / 2)
+      .agg(max($"o_orderkey")).head().getLong(0)
+    def measured(label: String, k: Long): (String, Long, Long, Boolean,
+        Boolean, Long, Double) = {
+      val (b, mm, tot) = pruneReportBloom(s, table, $"o_key2" === k)
+      val r = readWhere(s, table, $"o_key2" === k)
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum($"o_totalprice".cast("decimal(12,2)"))
+            .cast("double"), lit(0.0)).as("sp"))
+        .head()
+      (label, mm.toLong, tot.toLong, b * 4 <= tot, b < mm,
+        r.getLong(0), r.getDouble(1))
+    }
+    val rMax = measured("k_max", 2L * mx)
+    val rMid = measured("k_mid", 2L * kMid)
+    val rGap = measured("k_gap", 2L * kMid + 1L) // odd => absent, in range
+    // insert-only merge: 500 new keys past max (all o_key2 still
+    // EVEN) — the commit must bloom-sidecar its new files unasked
+    val src = orders.orderBy($"o_orderkey").limit(500)
+      .withColumn("rn", row_number().over(Window.orderBy($"o_orderkey")))
+      .withColumn("o_orderkey", lit(mx) + $"rn".cast("long"))
+      .withColumn("o_key2", $"o_orderkey" * 2L)
+      .drop("rn")
+    mergeInto(s, table, src, Seq("o_orderkey"))
+    // absent odd values inside the new files' [2(mx+1), 2(mx+500)]
+    val candidates = (0 to 5).map(j => 2L * mx + 3L + 2L * j)
+    val auto = candidates.exists { k =>
+      val (b, mm, _) = pruneReportBloom(s, table, $"o_key2" === k)
+      b < mm
+    }
+    val nCand = readWhere(s, table,
+      $"o_key2".isin(candidates: _*)).count()
+    val rAuto = ("k_auto", -1L, -1L, auto, auto, nCand, 0.0)
+    Seq(rMax, rMid, rGap, rAuto)
+      .toDF("probe", "minmax_files", "total_files", "bloom_pruned",
+        "bloom_lt_minmax", "n_rows", "sum_price")
+  }
+
+  def lhBloomPrune(s: SparkSession, dir: String): DataFrame =
+    lhBloomOp(s, dir, lhBloomBuild(s, dir))
+
+  val lhBloomPruneSql: String =
+    s"""WITH mx AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+       |kmid AS (SELECT MAX(o_orderkey) AS k FROM orders
+       |  WHERE o_orderkey <= (SELECT mx // 2 FROM mx)),
+       |st AS (SELECT o_orderkey % $StatsPruneFiles AS f,
+       |    2 * MIN(o_orderkey) AS mn, 2 * MAX(o_orderkey) AS mxk
+       |  FROM orders GROUP BY 1)
+       |SELECT 'k_max' AS probe,
+       |  (SELECT COUNT(*) FROM st, mx WHERE 2 * mx.mx BETWEEN mn AND mxk)
+       |    AS minmax_files,
+       |  CAST($StatsPruneFiles AS BIGINT) AS total_files,
+       |  true AS bloom_pruned, false AS bloom_lt_minmax,
+       |  CAST(1 AS BIGINT) AS n_rows,
+       |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |     FROM orders, mx WHERE o_orderkey = mx.mx) AS sum_price
+       |UNION ALL
+       |SELECT 'k_mid',
+       |  (SELECT COUNT(*) FROM st, kmid WHERE 2 * kmid.k BETWEEN mn AND mxk),
+       |  $StatsPruneFiles, true, true, 1,
+       |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+       |     FROM orders, kmid WHERE o_orderkey = kmid.k)
+       |UNION ALL
+       |SELECT 'k_gap',
+       |  (SELECT COUNT(*) FROM st, kmid
+       |     WHERE 2 * kmid.k + 1 BETWEEN mn AND mxk),
+       |  $StatsPruneFiles, true, true, 0, 0.0
+       |UNION ALL
+       |SELECT 'k_auto', -1, -1, true, true, 0, 0.0""".stripMargin
+
   /** Gate: ROW-GROUP-LEVEL DV skipping end-to-end. Orders sorted by
     * orderkey in one multi-row-group file (16 KiB groups); a DV delete
     * kills the interior orderkey band, so whole row groups die and the
@@ -4971,6 +5554,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhCountMetaOp(s, d, t))),
     "lh_minmax_meta" -> ((s, d) =>
       (() => lhMinMaxBuild(s, d), t => lhMinMaxOp(s, d, t))),
+    "lh_bloom_prune" -> ((s, d) =>
+      (() => lhBloomBuild(s, d), t => lhBloomOp(s, d, t))),
     "lh_partition_prune" -> ((s, d) =>
       (() => lhPartitionPruneBuild(s, d), t => lhPartitionPruneOp(s, d, t))),
     "lh_rowgroup_dv" -> ((s, d) =>
@@ -5050,6 +5635,7 @@ object CowTable {
     "lh_feed_part" -> lhFeedPart,
     "lh_count_meta" -> lhCountMeta,
     "lh_minmax_meta" -> lhMinMaxMeta,
+    "lh_bloom_prune" -> lhBloomPrune,
     "lh_partition_prune" -> lhPartitionPrune,
     "lh_rowgroup_dv" -> lhRowGroupDv,
     "lh_skip_rule" -> lhSkipRule,
@@ -5081,6 +5667,7 @@ object CowTable {
     "lh_feed_part" -> lhFeedPartSql,
     "lh_count_meta" -> lhCountMetaSql,
     "lh_minmax_meta" -> lhMinMaxMetaSql,
+    "lh_bloom_prune" -> lhBloomPruneSql,
     "lh_partition_prune" -> lhPartitionPruneSql,
     "lh_rowgroup_dv" -> lhRowGroupDvSql,
     "lh_skip_rule" -> lhStatsPruneSql,

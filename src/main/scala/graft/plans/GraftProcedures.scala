@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{CatalogPlugin, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
@@ -34,8 +35,21 @@ import graft.operators.CowTable
   * delete, compact, vacuum, query — is drivable from SQL end-to-end.
   */
 class GraftCatalog extends CatalogPlugin with ProcedureCatalog
-    with TableCatalog {
+    with TableCatalog with FunctionCatalog {
   private var catalogName = "graft"
+
+  // ------------------------------------------------ FunctionCatalog
+  // published so the optimizer can BIND the bucket transform a
+  // bucketed CoW table's scan reports — the function identity is what
+  // proves two scans co-partitioned (storage-partitioned joins).
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty[String], "bucket"))
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = catalogName = name
@@ -284,8 +298,23 @@ object GraftProcedures {
       throw new IllegalArgumentException(s"cow table $t does not exist"))
   }
 
+  /** Declare per-file bloom point-lookup indexes
+    * ([[CowTable.declareBloom]]): backfills the current snapshot's
+    * sketches and makes every later commit sidecar its own files. */
+  val cowDeclareBloom: UnboundProcedure = proc("cow_declare_bloom",
+    "Declare bloom point-lookup indexes on a graft CoW table's columns" +
+      " (comma-separated); backfills the current snapshot",
+    Seq(in("table", StringType), in("cols", StringType),
+      inD("fpp", DoubleType, "0.01"),
+      inD("items_per_file", LongType, "1048576"))) { (spark, r) =>
+    CowTable.declareBloom(spark, str(r, 0),
+      str(r, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      r.getDouble(2), r.getLong(3))
+  }
+
   val byName: Map[String, UnboundProcedure] = Map(
     "cow_merge" -> cowMerge, "cow_delete" -> cowDelete,
     "cow_compact" -> cowCompact, "cow_vacuum" -> cowVacuum,
-    "cow_maintain" -> cowMaintain, "cow_expire" -> cowExpire)
+    "cow_maintain" -> cowMaintain, "cow_expire" -> cowExpire,
+    "cow_declare_bloom" -> cowDeclareBloom)
 }
