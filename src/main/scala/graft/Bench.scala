@@ -127,7 +127,11 @@ object Bench {
     "ss_knn_join_filtered",
     // round 15: TIMESTAMP AS OF resolution (metadata-only) over a
     // re-stamped 3-version history, incl. one SQL-path read
-    "lh_time_travel")
+    "lh_time_travel",
+    // round 15: bloom point-lookup skipping (declare+backfill+probe
+    // build half; probe/readWhere op half) and the storage-partitioned
+    // join over two bucketed CoW tables (exchange-free fact⋈fact)
+    "lh_bloom_prune", "lh_spj_join")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

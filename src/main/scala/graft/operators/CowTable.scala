@@ -1884,10 +1884,33 @@ object CowTable {
       f -> json
     }.toMap
 
+  /** BUCKET-PRESERVING write: new rows route to `__gbucket=<i>` files
+    * by the declared bucket expression and recover their attribution
+    * from the path — so ingest and maintenance on a bucketed table
+    * keep the storage-partitioned-join report alive instead of
+    * degrading it. Rows of untouched buckets write no file (empty
+    * shuffle partitions drop), so a narrow delta stays narrow. */
+  private def writeDataBucketed(df: DataFrame, table: String, v: Int,
+      bucketCol: String, n: Int): (Seq[String], Map[String, String]) = {
+    val out = versionDir(table, "data", v)
+    df.withColumn(BucketSegment, bucketIdCol(col(bucketCol), n))
+      .repartition(n, col(BucketSegment))
+      .write.partitionBy(BucketSegment).mode("overwrite")
+      .parquet(out.toString)
+    val files = dropEmptyFiles(df.sparkSession, listPartFilesRec(out))
+    (files, bucketPartsOf(files))
+  }
+
   private def writeDataMaybePartitioned(df: DataFrame, table: String,
-      v: Int, partCols: Seq[String]): (Seq[String], Map[String, String]) =
-    if (partCols.isEmpty) (writeData(df, table, v), Map.empty)
-    else writeDataPartitioned(df, table, v, partCols)
+      v: Int, partCols: Seq[String],
+      bucketSpec: Option[(String, Int)] = None)
+      : (Seq[String], Map[String, String]) =
+    (partCols, bucketSpec) match {
+      case (Seq(), Some((c, n))) if df.columns.contains(c) =>
+        writeDataBucketed(df, table, v, c, n)
+      case (Seq(), _) => (writeData(df, table, v), Map.empty)
+      case _ => writeDataPartitioned(df, table, v, partCols)
+    }
 
   /** Initialize the table at version 0 with `df`'s rows. */
   def init(df: DataFrame, table: String): Manifest =
@@ -2024,15 +2047,11 @@ object CowTable {
     require(df.columns.contains(bucketCol),
       s"initBucketed: column $bucketCol must exist")
     val spark = df.sparkSession
-    val out = versionDir(table, "data", 0)
-    df.withColumn(BucketSegment, bucketIdCol(col(bucketCol), nBuckets))
-      .repartition(nBuckets, col(BucketSegment))
-      .write.partitionBy(BucketSegment).mode("overwrite")
-      .parquet(out.toString)
-    val files = dropEmptyFiles(spark, listPartFilesRec(out))
+    val (files, parts) =
+      writeDataBucketed(df, table, 0, bucketCol, nBuckets)
     commitWithStatsDF(spark, table, 0,
       spark.createDataFrame(Seq.empty[FileEntry]), files, df.schema,
-      Nil, Nil, Nil, bucketPartsOf(files),
+      Nil, Nil, Nil, parts,
       bucketSpecOverride = Some(Some((bucketCol, nBuckets))))
   }
 
@@ -2045,13 +2064,8 @@ object CowTable {
       s"cow table $table does not exist"))
     val (bucketCol, n) = m.bucketSpec.getOrElse(
       throw new IllegalArgumentException(s"$table has no bucket spec"))
-    val out = versionDir(table, "data", m.version + 1)
-    read(spark, table)
-      .withColumn(BucketSegment, bucketIdCol(col(bucketCol), n))
-      .repartition(n, col(BucketSegment))
-      .write.partitionBy(BucketSegment).mode("overwrite")
-      .parquet(out.toString)
-    val files = dropEmptyFiles(spark, listPartFilesRec(out))
+    val (files, parts) = writeDataBucketed(read(spark, table), table,
+      m.version + 1, bucketCol, n)
     def validate(h: Manifest): Unit =
       if (h.version != m.version)
         throw new java.util.ConcurrentModificationException(
@@ -2060,7 +2074,7 @@ object CowTable {
     def attempt(h: Manifest): Manifest =
       commitWithStatsDF(spark, table, h.version + 1,
         spark.createDataFrame(Seq.empty[FileEntry]), files,
-        m.schemaOpt.get, Nil, Nil, h.partitionCols, bucketPartsOf(files))
+        m.schemaOpt.get, Nil, Nil, h.partitionCols, parts)
     commitWithRetry(table, m, validate, attempt)
   }
 
@@ -2877,7 +2891,8 @@ object CowTable {
     // 2. every source row appends (update postimages + fresh inserts)
     val ordered = source.select(schema.fieldNames.map(col): _*)
     val (dataFiles, _) =
-      writeDataMaybePartitioned(ordered, table, v, m.partitionCols)
+      writeDataMaybePartitioned(ordered, table, v, m.partitionCols,
+        m.bucketSpec)
     // rebase rule on a lost race: the standard file checks ride in
     // deltaCommit; on top, rows added since OUR snapshot must not carry
     // our keys (our DV can't have killed them — a rebase would
@@ -2944,7 +2959,8 @@ object CowTable {
       else {
         val clean = readSnapshot(spark, m, Some(touchedF))
         if (clean.isEmpty) (Seq.empty[String], Map.empty[String, String])
-        else writeDataMaybePartitioned(clean, table, v, m.partitionCols)
+        else writeDataMaybePartitioned(clean, table, v, m.partitionCols,
+          m.bucketSpec)
       }
     val dvEntries = keptDvs.map(p =>
       FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
@@ -3109,7 +3125,7 @@ object CowTable {
     val newFiles =
       if (merged.isEmpty) (Seq.empty[String], Map.empty[String, String])
       else writeDataMaybePartitioned(merged, table, m.version + 1,
-        m.partitionCols)
+        m.partitionCols, m.bucketSpec)
 
     // Concurrency: on a lost version race, rebase against the new head
     // and retry — DISJOINT writers all land (see [[commitWithRetry]]).
@@ -3284,7 +3300,8 @@ object CowTable {
       }
       val (newFiles, newParts) =
         if (toWrite.isEmpty) (Seq.empty[String], Map.empty[String, String])
-        else writeDataMaybePartitioned(toWrite, table, v, m.partitionCols)
+        else writeDataMaybePartitioned(toWrite, table, v, m.partitionCols,
+          m.bucketSpec)
       // 4. one commit: untouched + MOR files carry, COW files leave,
       // DV entries and fresh data entries append. On a lost version
       // race, rebase-and-retry: conflicts are a rewrite of (or fresh
@@ -3404,7 +3421,14 @@ object CowTable {
     // free; kept files' DV entries stay live and are carried
     val tail = readSnapshot(spark, m, Some(smalls.map(_._1)))
     val (newFiles, newParts) =
-      if (m.partitionCols.isEmpty) {
+      if (m.partitionCols.isEmpty && m.bucketSpec.isDefined &&
+          m.bucketSpec.exists(b => tail.columns.contains(b._1))) {
+        // BUCKET-PRESERVING: the rewritten tail re-routes by the
+        // declared bucket expression (one file per present bucket), so
+        // compaction heals rather than degrades the SPJ layout
+        val (c2, n2) = m.bucketSpec.get
+        writeDataBucketed(tail, table, v, c2, n2)
+      } else if (m.partitionCols.isEmpty) {
         val out = versionDir(table, "data", v)
         Layout.compactRows(tail, n, out.toString)
         (dropEmptyFiles(spark, listPartFiles(out)), Map.empty[String, String])
@@ -5386,6 +5410,80 @@ object CowTable {
        |UNION ALL
        |SELECT 'k_auto', -1, -1, true, true, 0, 0.0""".stripMargin
 
+  /** Gate: STORAGE-PARTITIONED JOIN over two bucketed CoW tables —
+    * customer and orders both clustered by custkey into
+    * [[StatsPruneFiles]] buckets at init, read through the graft
+    * catalog with V2 bucketing enabled and broadcast disabled. The
+    * fact⋈fact join must plan with ZERO shuffles under the join (the
+    * scans' KeyGroupedPartitioning reports zip same-bucket files),
+    * asserted off the EXECUTED plan and emitted as an oracle-pinned
+    * boolean; the per-segment aggregate is fully oracle-exact, so the
+    * exchange-free plan provably computes the same join. At 100 TB
+    * this is the layout decision that amortizes one write-side
+    * shuffle across every subsequent join on the key. */
+  private def lhSpjBuild(s: SparkSession, dir: String): (String, String) = {
+    val tc = freshGateTable()
+    val to = freshGateTable()
+    initBucketed(Tables.customer(s, dir), tc, "c_custkey", StatsPruneFiles)
+    initBucketed(Tables.orders(s, dir), to, "o_custkey", StatsPruneFiles)
+    (tc, to)
+  }
+
+  private def lhSpjOp(s: SparkSession, dir: String,
+      tables: (String, String)): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val (tc, to) = tables
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val oldB = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldV2 = if (s.conf.getOption(
+        "spark.sql.sources.v2.bucketing.enabled").contains("true")) "true"
+      else "false"
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val q = s.read.table(s"graft.`$tc`")
+        .join(s.read.table(s"graft.`$to`"),
+          $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          count_distinct($"c_custkey").as("n_customers"),
+          sum($"o_totalprice".cast("decimal(12,2)")).cast("double")
+            .as("sum_price"))
+      q.collect() // materialize so AQE's final plan is inspectable
+      def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a) ++ walk(a.executedPlan)
+        case st: QueryStageExec => Seq(st) ++ walk(st.plan)
+        case other => Seq(other) ++ other.children.flatMap(walk)
+      }
+      val all = walk(q.queryExecution.executedPlan)
+      val exchangeFree = all.collectFirst {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }.exists(j => !j.children.flatMap(walk)
+        .exists(_.isInstanceOf[ShuffleExchangeLike]))
+      q.withColumn("join_exchange_free", lit(exchangeFree))
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", oldV2)
+    }
+  }
+
+  def lhSpjJoin(s: SparkSession, dir: String): DataFrame =
+    lhSpjOp(s, dir, lhSpjBuild(s, dir))
+
+  val lhSpjJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT c_custkey) AS n_customers,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  true AS join_exchange_free
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** Gate: ROW-GROUP-LEVEL DV skipping end-to-end. Orders sorted by
     * orderkey in one multi-row-group file (16 KiB groups); a DV delete
     * kills the interior orderkey band, so whole row groups die and the
@@ -5556,6 +5654,9 @@ object CowTable {
       (() => lhMinMaxBuild(s, d), t => lhMinMaxOp(s, d, t))),
     "lh_bloom_prune" -> ((s, d) =>
       (() => lhBloomBuild(s, d), t => lhBloomOp(s, d, t))),
+    "lh_spj_join" -> ((s, d) =>
+      (() => { val (a, b) = lhSpjBuild(s, d); s"$a,$b" },
+        t => { val Array(a, b) = t.split(","); lhSpjOp(s, d, (a, b)) })),
     "lh_partition_prune" -> ((s, d) =>
       (() => lhPartitionPruneBuild(s, d), t => lhPartitionPruneOp(s, d, t))),
     "lh_rowgroup_dv" -> ((s, d) =>
@@ -5636,6 +5737,7 @@ object CowTable {
     "lh_count_meta" -> lhCountMeta,
     "lh_minmax_meta" -> lhMinMaxMeta,
     "lh_bloom_prune" -> lhBloomPrune,
+    "lh_spj_join" -> lhSpjJoin,
     "lh_partition_prune" -> lhPartitionPrune,
     "lh_rowgroup_dv" -> lhRowGroupDv,
     "lh_skip_rule" -> lhSkipRule,
@@ -5668,6 +5770,7 @@ object CowTable {
     "lh_count_meta" -> lhCountMetaSql,
     "lh_minmax_meta" -> lhMinMaxMetaSql,
     "lh_bloom_prune" -> lhBloomPruneSql,
+    "lh_spj_join" -> lhSpjJoinSql,
     "lh_partition_prune" -> lhPartitionPruneSql,
     "lh_rowgroup_dv" -> lhRowGroupDvSql,
     "lh_skip_rule" -> lhStatsPruneSql,

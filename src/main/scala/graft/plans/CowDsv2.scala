@@ -348,6 +348,16 @@ private[plans] class CowScanBuilder(table: CowDsv2Table,
 private[plans] case class CowInputPartition(path: String, bytes: Long,
     dvStarts: Array[Long], dvLens: Array[Long]) extends InputPartition
 
+/** A bucketed table's file: carries its bucket id as the partition
+  * key, so Spark can group same-bucket files and zip two co-bucketed
+  * scans without an exchange (storage-partitioned join). */
+private[plans] case class CowBucketedInputPartition(
+    base: CowInputPartition, bucket: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 /** Executor-side: parquet rows + row index → DV-filtered rows projected
   * to the required schema (`plan(i)`: data column index, -1 = the file
   * path constant, -2 = the row index). */
@@ -357,7 +367,10 @@ private[plans] case class CowReaderFactory(
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val cp = p.asInstanceOf[CowInputPartition]
+    val cp = p match {
+      case b: CowBucketedInputPartition => b.base
+      case c: CowInputPartition => c
+    }
     val it = readFn(cp.path, cp.bytes)
     val starts = cp.dvStarts
     val lens = cp.dvLens
@@ -412,7 +425,8 @@ private[plans] case class CowReaderFactory(
 
 private[plans] class CowBatchScan(table: CowDsv2Table,
     required: StructType, pushed: Array[Filter]) extends Scan with Batch
-    with SupportsRuntimeV2Filtering with SupportsReportStatistics {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   private def spark = SparkSession.active
   private val m = table.manifest
@@ -462,18 +476,51 @@ private[plans] class CowBatchScan(table: CowDsv2Table,
       runtimeKeep = Some(vals.map(CowTable.normalizePath).toSet)
   }
 
+  /** Per-file bucket ids, present only when the table declares a
+    * bucket spec AND every live file is attributed (an unattributed
+    * file — e.g. written by a plain merge — makes grouping unsound,
+    * so the report stands down table-wide until rebucketTable). */
+  private lazy val fileBuckets: Option[Map[String, Int]] =
+    CowTable.fileBuckets(spark, table.tablePath, m)
+
+  /** Storage-partitioned-join report: the planned files, keyed by the
+    * declared bucket transform. Spark groups same-key files into one
+    * partition and, when the other side reports the SAME function
+    * (canonicalName) and bucket count, zips the groups without an
+    * exchange. Reported only when the bucket column survives column
+    * pruning — the key must resolve against the scan's output. */
+  override def outputPartitioning(): Partitioning =
+    (m.bucketSpec, fileBuckets) match {
+      case (Some((c, n)), Some(fb))
+          if required.fieldNames.contains(c) =>
+        val keys = currentFiles
+          .flatMap(f => fb.get(CowTable.normalizePath(f))).distinct
+        new KeyGroupedPartitioning(
+          Array(Expressions.bucket(n, c)), keys.size)
+      case _ => new UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val files = currentFiles
     plannedFiles = files
     val meta = CowTable.dataFileMeta(spark, table.tablePath, m, files)
     val dvs = CowTable.dvRunArrays(spark, m, files)
+    val buckets: Map[String, Int] =
+      if (required.fieldNames.contains(
+          m.bucketSpec.map(_._1).getOrElse("")))
+        fileBuckets.getOrElse(Map.empty)
+      else Map.empty
     files.map { f =>
       val n = CowTable.normalizePath(f)
       val bytes = meta.get(n).map(_._1).filter(_ >= 0L).getOrElse(
         java.nio.file.Files.size(java.nio.file.Paths.get(n)))
       val (st, ln) = dvs.getOrElse(n,
         (Array.empty[Long], Array.empty[Long]))
-      CowInputPartition(f, bytes, st, ln)
+      val base = CowInputPartition(f, bytes, st, ln)
+      buckets.get(n) match {
+        case Some(b) => CowBucketedInputPartition(base, b)
+        case None => base
+      }
     }.toArray
   }
 

@@ -1,0 +1,239 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Bucketed CoW tables + storage-partitioned joins: the writer routes
+  * rows by `pmod(xxhash64(col), n)`, the manifest records the spec and
+  * each file's bucket id, the DSv2 scan reports KeyGroupedPartitioning
+  * backed by the catalog's V2 bucket function — and a join of two
+  * co-bucketed tables plans WITHOUT a shuffle on either side. Commits
+  * that add non-routed files degrade the report (never correctness);
+  * rebucketTable restores it. */
+class CowBucketSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshTable(): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cow_bucket/" +
+      java.util.UUID.randomUUID().toString.take(8)
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = (p match {
+    case a: AdaptiveSparkPlanExec => Seq(a) ++ walk(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Seq(q) ++ walk(q.plan)
+    case other => Seq(other) ++ other.children.flatMap(walk)
+  })
+
+  /** Shuffle count INSIDE the (single) equi-join's subtree — the SPJ
+    * claim is about the join inputs, not about later aggregation. */
+  private def joinShuffles(df: DataFrame): Int = {
+    df.collect() // materialize so AQE's final plan is in place
+    val all = walk(df.queryExecution.executedPlan)
+    val join = all.collectFirst {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }.getOrElse(fail(s"no shuffled equi-join in plan:\n" +
+      df.queryExecution.executedPlan))
+    join.children.flatMap(walk).count(_.isInstanceOf[ShuffleExchangeLike])
+  }
+
+  private def fixturePair(n: Int): (String, String) = {
+    val t1 = freshTable()
+    val t2 = freshTable()
+    CowTable.initBucketed((0L until 2000L).map(i => (i, s"a$i"))
+      .toDF("id", "left_name"), t1, "id", n)
+    CowTable.initBucketed((0L until 1500L).map(i => (i, i % 13))
+      .toDF("id", "right_grp"), t2, "id", n)
+    (t1, t2)
+  }
+
+  private def withSpj[T](body: => T): T = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val oldB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldV2 = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try body finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldB)
+      oldV2 match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+
+  test("writer bucket ids equal the catalog function's, per type") {
+    import org.apache.spark.sql.types._
+    val n = 16
+    // long, int, string, date — the hot bucket-key types
+    val longs = (0L until 200L).toDF("v")
+      .select($"v", pmod(xxhash64($"v"), lit(n.toLong)).cast("int").as("b"))
+      .collect()
+    longs.foreach { r =>
+      assert(graft.plans.GraftBucket.bucketId(r.getLong(0), LongType, n)
+        === r.getInt(1))
+    }
+    val strs = (0 until 100).map(i => s"k$i").toDF("v")
+      .select($"v", pmod(xxhash64($"v"), lit(n.toLong)).cast("int").as("b"))
+      .collect()
+    strs.foreach { r =>
+      assert(graft.plans.GraftBucket.bucketId(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+        StringType, n) === r.getInt(1))
+    }
+    val ints = (0 until 100).toDF("v")
+      .select($"v", pmod(xxhash64($"v"), lit(n.toLong)).cast("int").as("b"))
+      .collect()
+    ints.foreach { r =>
+      assert(graft.plans.GraftBucket.bucketId(r.getInt(0), IntegerType, n)
+        === r.getInt(1))
+    }
+    // null key: the builtin returns the seed unchanged
+    val nullRow = Seq[Option[Long]](None).toDF("v")
+      .select(pmod(xxhash64($"v"), lit(n.toLong)).cast("int")).head()
+    assert(graft.plans.GraftBucket.bucketId(null, LongType, n)
+      === nullRow.getInt(0))
+  }
+
+  test("initBucketed attributes every file; ids match the rows inside") {
+    val t = freshTable()
+    CowTable.initBucketed((0L until 1000L).map(i => (i, s"n$i"))
+      .toDF("id", "name"), t, "id", 8)
+    val m = CowTable.latestManifest(t).get
+    assert(m.bucketSpec === Some(("id", 8)))
+    val fb = CowTable.fileBuckets(spark, t, m)
+    assert(fb.isDefined && fb.get.size === m.files.size)
+    // every row of every file hashes to the file's recorded bucket
+    m.files.foreach { f =>
+      val b = fb.get(CowTable.normalizePath(f))
+      val distinct = spark.read.parquet(f)
+        .select(pmod(xxhash64($"id"), lit(8L)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      assert(distinct === Seq(b), s"file $f mixes buckets")
+    }
+  }
+
+  test("co-bucketed join plans exchange-free; off-switch restores shuffles") {
+    withSpj {
+      val (t1, t2) = fixturePair(8)
+      def q: DataFrame =
+        spark.read.table(s"graft.`$t1`")
+          .join(spark.read.table(s"graft.`$t2`"), "id")
+      assert(joinShuffles(q) === 0, "SPJ did not remove the exchanges")
+      // results match the plain computation
+      val got = q.agg(count(lit(1)), sum($"right_grp")).head()
+      assert(got.getLong(0) === 1500L)
+      assert(got.getLong(1) === (0L until 1500L).map(_ % 13).sum)
+      // same query without v2 bucketing: both sides shuffle
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(joinShuffles(q) === 2)
+    }
+  }
+
+  test("different bucket counts do not co-partition (soundness)") {
+    withSpj {
+      val t1 = freshTable()
+      val t2 = freshTable()
+      CowTable.initBucketed((0L until 500L).map(i => (i, i * 2))
+        .toDF("id", "x"), t1, "id", 8)
+      CowTable.initBucketed((0L until 500L).map(i => (i, i * 3))
+        .toDF("id", "y"), t2, "id", 4)
+      val q = spark.read.table(s"graft.`$t1`")
+        .join(spark.read.table(s"graft.`$t2`"), "id")
+      assert(joinShuffles(q) > 0,
+        "mismatched bucket counts must not zip partitions")
+      assert(q.count() === 500L)
+    }
+  }
+
+  test("merge PRESERVES the bucket layout; SPJ survives ingest") {
+    withSpj {
+      val (t1, t2) = fixturePair(8)
+      // updates + inserts: rewritten and new rows re-route per bucket
+      CowTable.mergeInto(spark, t1,
+        Seq((7L, "updated"), (1400L, "joins-now")).toDF("id", "left_name"),
+        Seq("id"))
+      val m = CowTable.latestManifest(t1).get
+      val fb = CowTable.fileBuckets(spark, t1, m)
+      assert(fb.isDefined, "merge dropped the bucket attribution")
+      // the merge's new files carry SINGLE-bucket rows
+      m.files.foreach { f =>
+        val distinct = spark.read.parquet(f)
+          .select(pmod(xxhash64($"id"), lit(8L)).cast("int"))
+          .distinct().count()
+        assert(distinct === 1L, s"post-merge file $f mixes buckets")
+      }
+      def q: DataFrame =
+        spark.read.table(s"graft.`$t1`")
+          .join(spark.read.table(s"graft.`$t2`"), "id")
+      assert(joinShuffles(q) === 0, "SPJ lost after a preserving merge")
+      assert(q.count() === 1500L)
+      assert(q.filter($"id" === 7L).select("left_name").head()
+        .getString(0) === "updated")
+      // compaction also re-routes (heals) instead of degrading
+      CowTable.compactTable(spark, t1, 64L * 1024 * 1024)
+      assert(CowTable.fileBuckets(spark, t1,
+        CowTable.latestManifest(t1).get).isDefined)
+      assert(joinShuffles(q) === 0)
+    }
+  }
+
+  test("unattributed files degrade the report; rebucket restores it") {
+    withSpj {
+      val (t1, t2) = fixturePair(8)
+      // an out-of-band commit of a NON-routed file (the legacy/append
+      // shape): entries carry, part JSON has no bucket id
+      val m0 = CowTable.latestManifest(t1).get
+      val extraDir = java.nio.file.Paths.get(t1, "data", "extra")
+      Seq((9000L, "x")).toDF("id", "left_name").coalesce(1)
+        .write.mode("overwrite").parquet(extraDir.toString)
+      val stream = java.nio.file.Files.list(extraDir)
+      val extraFile =
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.map(_.toString)
+            .find(_.endsWith(".parquet")).get
+        } finally stream.close()
+      CowTable.commitEntries(spark, t1, m0.version + 1,
+        m0.files.map(f => CowTable.FileEntry("data", f, -1L, None, None))
+          :+ CowTable.FileEntry("data", extraFile, -1L, None, None),
+        m0.schemaOpt.get)
+      assert(CowTable.fileBuckets(spark, t1,
+        CowTable.latestManifest(t1).get).isEmpty)
+      def q: DataFrame =
+        spark.read.table(s"graft.`$t1`")
+          .join(spark.read.table(s"graft.`$t2`"), "id")
+      assert(joinShuffles(q) > 0, "degraded table must shuffle again")
+      assert(q.count() === 1500L)
+      // restore the layout — SPJ comes back
+      CowTable.rebucketTable(spark, t1)
+      assert(CowTable.fileBuckets(spark, t1,
+        CowTable.latestManifest(t1).get).isDefined)
+      assert(joinShuffles(q) === 0)
+      assert(q.count() === 1500L)
+    }
+  }
+
+  test("DV deletes keep the attribution; SPJ rows exclude deleted") {
+    withSpj {
+      val (t1, t2) = fixturePair(8)
+      CowTable.deleteWhere(spark, t1, $"id" % 10L === 3L)
+      assert(CowTable.fileBuckets(spark, t1,
+        CowTable.latestManifest(t1).get).isDefined)
+      val q = spark.read.table(s"graft.`$t1`")
+        .join(spark.read.table(s"graft.`$t2`"), "id")
+      assert(joinShuffles(q) === 0)
+      assert(q.count() === (0L until 1500L).count(_ % 10 != 3))
+    }
+  }
+}
