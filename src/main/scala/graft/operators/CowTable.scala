@@ -594,6 +594,7 @@ object CowTable {
       schemaAuthoritative: Boolean = false,
       bloomColsOverride: Option[Map[String, BloomColSpec]] = None,
       extraBloomRels: Seq[String] = Nil,
+      bloomRelsReplace: Option[Seq[String]] = None,
       bucketSpecOverride: Option[Option[(String, Int)]] = None): Manifest = {
     preCommitHook()
     val headOpt = latestManifest(table)
@@ -621,8 +622,11 @@ object CowTable {
       if (bloomSpecs.isEmpty || newDataFiles.isEmpty) None
       else buildBloomSidecar(spark, table, version, newDataFiles,
         bloomSpecs, commitSchema)
-    val bloomRels = (headForBloom.map(_.bloomRels).getOrElse(Nil) ++
-      extraBloomRels ++ newBloomRel).distinct
+    val bloomRels = bloomRelsReplace match {
+      case Some(rels) => (rels ++ newBloomRel).distinct
+      case None => (headForBloom.map(_.bloomRels).getOrElse(Nil) ++
+        extraBloomRels ++ newBloomRel).distinct
+    }
     // the bucket declaration rides like the bloom one: spec carried
     // from the head; per-FILE attribution lives in the entries' part
     // JSON, so a commit whose new files are not bucket-routed simply
@@ -1099,6 +1103,46 @@ object CowTable {
       fpp: Double, itemsPerFile: Long): Manifest =
     declareBloom(spark, table,
       cols.map(_ -> BloomColSpec(fpp, itemsPerFile)).toMap)
+
+  /** Consolidate the bloom index back to ONE sidecar: every commit
+    * with new data files appends a sidecar, so after V ingests a probe
+    * scans V small parquet dirs — this rewrites the LIVE files' rows
+    * (dead files' rows simply dropped, duplicates from re-declares
+    * deduped) into a fresh rel and re-points the manifest at it alone.
+    * One metadata commit; the replaced rels stay on disk for the old
+    * manifests that reference them and age out through vacuum's
+    * dropped-version cleanup. The maintenance pass [[cow_maintain]]
+    * runs this automatically past a sidecar-count threshold. */
+  def consolidateBlooms(spark: SparkSession, table: String): Manifest = {
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    if (m.bloomRels.size <= 1) return m
+    import spark.implicits._
+    val rel =
+      s"files/bloom-v${m.version + 1}-" +
+        java.util.UUID.randomUUID().toString.take(8)
+    val out = manifestDir(table).resolve(rel)
+    val live = spark.createDataset(m.files.map(normalize)).toDF("__live")
+    spark.read.schema(bloomEntrySchema)
+      .parquet(m.bloomRels.map(r =>
+        manifestDir(table).resolve(r).toString): _*)
+      .join(live, normalizeSql(col("path")) === col("__live"), "left_semi")
+      .dropDuplicates("path", "col", "coltype")
+      .write.mode("overwrite").parquet(out.toString)
+    def validate(h: Manifest): Unit =
+      if (h.version != m.version)
+        throw new java.util.ConcurrentModificationException(
+          s"consolidateBlooms $table: concurrent commit — rerun against " +
+            "the new snapshot")
+    def attempt(h: Manifest): Manifest =
+      commitWithStatsDF(spark, table, h.version + 1,
+        entriesDF(spark, table, h), Nil, h.schemaOpt.getOrElse(
+          throw new IllegalArgumentException(
+            "consolidateBlooms needs a v2 manifest")),
+        h.files, h.dvs, h.partitionCols, knownDvRuns = h.dvRunCounts,
+        bloomRelsReplace = Some(Seq(rel)))
+    commitWithRetry(table, m, validate, attempt)
+  }
 
   /** Exact-integral adaptation of a predicate literal to the declared
     * column's type — the only cross-type probes attempted. Hashing is
@@ -2729,9 +2773,11 @@ object CowTable {
     // partition routing) recover their exact tuples; others commit with
     // part=NULL — conservatively kept by pruning, never unsound
     val newParts =
-      if (base.partitionCols.isEmpty) Map.empty[String, String]
-      else partJsonOf(added.filter(
-        _.split("/").exists(_.startsWith("__p_"))), base.partitionCols)
+      if (base.partitionCols.nonEmpty)
+        partJsonOf(added.filter(
+          _.split("/").exists(_.startsWith("__p_"))), base.partitionCols)
+      else if (base.bucketSpec.isDefined) bucketPartsOf(added)
+      else Map.empty[String, String]
     val validate = standardRebaseValidate(spark, "replaceFilesCommit",
       table, base, removedN, Set.empty) _
     if (head0.version != base.version) validate(head0)
@@ -2806,9 +2852,11 @@ object CowTable {
       else dvRuns(spark, addedDvs).select("fp").distinct()
         .collect().map(_.getString(0)).toSet
     val newParts =
-      if (base.partitionCols.isEmpty) Map.empty[String, String]
-      else partJsonOf(addedData.filter(
-        _.split("/").exists(_.startsWith("__p_"))), base.partitionCols)
+      if (base.partitionCols.nonEmpty)
+        partJsonOf(addedData.filter(
+          _.split("/").exists(_.startsWith("__p_"))), base.partitionCols)
+      else if (base.bucketSpec.isDefined) bucketPartsOf(addedData)
+      else Map.empty[String, String]
     val validate = { h: Manifest =>
       standardRebaseValidate(spark, "deltaCommit", table, base,
         Set.empty, dvTargetN)(h)

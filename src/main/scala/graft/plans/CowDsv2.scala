@@ -192,6 +192,32 @@ object CowDsv2 {
     else Array.empty
   }
 
+  /** Bucket routing spec of the write path — (table-field index, value
+    * type, n) on an unpartitioned bucketed table whose bucket column
+    * is writable. Rows then land under `__gbucket=<id>` dirs, so every
+    * DSv2 write (append, replace, delta, streaming epoch) keeps the
+    * storage-partitioned-join attribution alive instead of degrading
+    * it on the first SQL write. */
+  private[plans] def routableBucketSpec(table: CowDsv2Table)
+      : Option[(Int, DataType, Int)] =
+    table.manifest.bucketSpec.collect {
+      case (c, n) if table.manifest.partitionCols.isEmpty &&
+          table.dataSchema.fieldNames.contains(c) =>
+        (table.dataSchema.fieldIndex(c),
+          table.dataSchema(table.dataSchema.fieldIndex(c)).dataType, n)
+    }
+
+  /** The `__gbucket=<id>` routing segment for one row (empty without a
+    * spec). The id function is [[GraftBucket.bucketId]] — the same
+    * hash the scan's co-partitioning report is anchored on. */
+  private[plans] def bucketDirOf(r: InternalRow, srcIdx: Array[Int],
+      spec: Option[(Int, DataType, Int)]): String = spec match {
+    case Some((ti, dt, n)) =>
+      val v = if (r.isNullAt(srcIdx(ti))) null else r.get(srcIdx(ti), dt)
+      "/" + CowTable.BucketSegment + "=" + GraftBucket.bucketId(v, dt, n)
+    case None => ""
+  }
+
   /** The `_file IN (…)` / `_file = …` values of a runtime group-filter
     * predicate batch; empty when no such predicate arrived. */
   private[plans] def fileInValues(preds: Array[V2Predicate]): Seq[String] = {
@@ -660,7 +686,8 @@ private[plans] class CowV2Write(table: CowDsv2Table,
       CowDataWriterFactory(destDir,
         WriteBridge.parquetWriter(spark, table.dataSchema), srcIdx,
         table.dataSchema.fields.map(_.dataType),
-        CowDsv2.routablePartSpec(table))
+        CowDsv2.routablePartSpec(table),
+        CowDsv2.routableBucketSpec(table))
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -692,7 +719,8 @@ private[plans] class CowV2Write(table: CowDsv2Table,
   * partition first). */
 private[plans] case class CowDataWriterFactory(destDir: String,
     handle: WriteBridge.ParquetWriterHandle, srcIdx: Array[Int],
-    types: Array[DataType], partSpec: Array[(String, Int, DataType)])
+    types: Array[DataType], partSpec: Array[(String, Int, DataType)],
+    bucketSpec: Option[(Int, DataType, Int)] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -704,10 +732,11 @@ private[plans] case class CowDataWriterFactory(destDir: String,
     private val out = new GenericInternalRow(srcIdx.length)
 
     private def dirOf(r: InternalRow): String =
-      if (partSpec.isEmpty) ""
-      else partSpec.map { case (c, ti, dt) =>
-        "__p_" + c + "=" + CowDsv2.partPathValue(r, srcIdx(ti), dt)
-      }.mkString("/", "/", "")
+      (if (partSpec.isEmpty) ""
+       else partSpec.map { case (c, ti, dt) =>
+         "__p_" + c + "=" + CowDsv2.partPathValue(r, srcIdx(ti), dt)
+       }.mkString("/", "/", "")) +
+        CowDsv2.bucketDirOf(r, srcIdx, bucketSpec)
 
     private def writerFor(dir: String): WriteBridge.ParquetRowWriter =
       writers.getOrElseUpdate(dir, {
@@ -816,6 +845,7 @@ private[plans] class CowDeltaWrite(table: CowDsv2Table,
         WriteBridge.parquetWriter(spark, CowTable.dvSchema),
         srcIdx, table.dataSchema.fields.map(_.dataType),
         CowDsv2.routablePartSpec(table),
+        CowDsv2.routableBucketSpec(table),
         idSchema.fieldIndex(CowDsv2.FileCol),
         idSchema.fieldIndex(CowDsv2.PosCol))
     }
@@ -852,6 +882,7 @@ private[plans] case class CowDeltaWriterFactory(dataDir: String,
     dvDir: String, dataHandle: WriteBridge.ParquetWriterHandle,
     dvHandle: WriteBridge.ParquetWriterHandle, srcIdx: Array[Int],
     types: Array[DataType], partSpec: Array[(String, Int, DataType)],
+    bucketSpec: Option[(Int, DataType, Int)],
     fileIdx: Int, posIdx: Int) extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -877,10 +908,11 @@ private[plans] case class CowDeltaWriterFactory(dataDir: String,
       private var runLen = 0L
 
       private def dirOf(r: InternalRow): String =
-        if (partSpec.isEmpty) ""
-        else partSpec.map { case (c, ti, dt) =>
-          "__p_" + c + "=" + CowDsv2.partPathValue(r, srcIdx(ti), dt)
-        }.mkString("/", "/", "")
+        (if (partSpec.isEmpty) ""
+         else partSpec.map { case (c, ti, dt) =>
+           "__p_" + c + "=" + CowDsv2.partPathValue(r, srcIdx(ti), dt)
+         }.mkString("/", "/", "")) +
+          CowDsv2.bucketDirOf(r, srcIdx, bucketSpec)
 
       private def writerFor(dir: String): WriteBridge.ParquetRowWriter =
         writers.getOrElseUpdate(dir, {
@@ -998,7 +1030,8 @@ private[plans] class CowStreamingWrite(
     CowStreamWriterFactory(streamDir,
       WriteBridge.parquetWriter(spark, table.dataSchema), srcIdx,
       table.dataSchema.fields.map(_.dataType),
-      CowDsv2.routablePartSpec(table))
+      CowDsv2.routablePartSpec(table),
+      CowDsv2.routableBucketSpec(table))
   }
 
   private def lastEpoch(): Long =
@@ -1093,7 +1126,8 @@ private[plans] class CowStreamingUpsertWrite(table: CowDsv2Table,
   * bytes at the same final paths. */
 private[plans] case class CowStreamWriterFactory(streamDir: String,
     handle: WriteBridge.ParquetWriterHandle, srcIdx: Array[Int],
-    types: Array[DataType], partSpec: Array[(String, Int, DataType)])
+    types: Array[DataType], partSpec: Array[(String, Int, DataType)],
+    bucketSpec: Option[(Int, DataType, Int)] = None)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
@@ -1105,10 +1139,11 @@ private[plans] case class CowStreamWriterFactory(streamDir: String,
     private val out = new GenericInternalRow(srcIdx.length)
 
     private def dirOf(r: InternalRow): String =
-      if (partSpec.isEmpty) ""
-      else partSpec.map { case (c, ti, dt) =>
-        "__p_" + c + "=" + CowDsv2.partPathValue(r, srcIdx(ti), dt)
-      }.mkString("/", "/", "")
+      (if (partSpec.isEmpty) ""
+       else partSpec.map { case (c, ti, dt) =>
+         "__p_" + c + "=" + CowDsv2.partPathValue(r, srcIdx(ti), dt)
+       }.mkString("/", "/", "")) +
+        CowDsv2.bucketDirOf(r, srcIdx, bucketSpec)
 
     private def writerFor(dir: String): WriteBridge.ParquetRowWriter =
       writers.getOrElseUpdate(dir, {

@@ -293,6 +293,10 @@ object GraftProcedures {
       else CowTable.compactTableZorder(spark, t, r.getLong(2),
         str(r, 3).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     }
+    // bloom-index hygiene: past a handful of per-commit sidecars,
+    // fold the live rows back into one (dead rels age out via vacuum)
+    if (CowTable.latestManifest(t).exists(_.bloomRels.size > 4))
+      CowTable.consolidateBlooms(spark, t)
     if (!r.isNullAt(4)) CowTable.vacuum(spark, t, r.getInt(4))
     CowTable.latestManifest(t).getOrElse(
       throw new IllegalArgumentException(s"cow table $t does not exist"))

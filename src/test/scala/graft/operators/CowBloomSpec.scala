@@ -226,6 +226,54 @@ class CowBloomSpec extends AnyFunSuite {
       "graft-cow-manifest-v2.2")
   }
 
+  test("consolidation folds sidecars to one; pruning decisions identical") {
+    val t = fixture()
+    // three ingests => three more sidecars
+    (0 until 3).foreach { k =>
+      CowTable.mergeInto(spark, t,
+        Seq((2000L + 2 * k, s"m$k", 1)).toDF("id", "name", "grp"),
+        Seq("id"))
+    }
+    val before = CowTable.latestManifest(t).get
+    assert(before.bloomRels.size === 4)
+    val oldDirs = before.bloomRels.map(Paths.get(t, "manifest").resolve(_))
+    def decisions(): Seq[Seq[String]] =
+      Seq($"id" === 503L, $"id" === 2000L, $"id" === 2001L).map(c =>
+        CowTable.pruneDataFiles(spark, t,
+          CowTable.latestManifest(t).get, c))
+    val preDecisions = decisions()
+    CowTable.consolidateBlooms(spark, t)
+    val after = CowTable.latestManifest(t).get
+    assert(after.bloomRels.size === 1)
+    assert(decisions() === preDecisions,
+      "consolidation changed a pruning decision")
+    assert(CowTable.readWhere(spark, t, $"id" === 2000L).count() === 1L)
+    // old rels serve old manifests until vacuum drops those versions,
+    // then their dirs go while the consolidated one survives
+    CowTable.vacuum(spark, t, keepVersions = 1)
+    oldDirs.foreach(d => assert(!Files.isDirectory(d),
+      s"replaced bloom sidecar $d survived vacuum"))
+    assert(Files.isDirectory(
+      Paths.get(t, "manifest").resolve(after.bloomRels.head)))
+    assert(decisions() === preDecisions)
+  }
+
+  test("transparent skip rule composes with the bloom index") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val t = fixture()
+    graft.plans.CowSkipApi.enable(spark)
+    val q = CowTable.read(spark, t).filter($"id" === 503L)
+    val planned = q.queryExecution.optimizedPlan.collect {
+      case r: LogicalRelation => r.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.count(_.contains("/data/"))
+    assert(planned >= 1 && planned <= 3,
+      s"transparent rule planned $planned files; bloom should cut 10 to ~1")
+    assert(q.count() === 1L)
+  }
+
   test("CALL graft.cow_declare_bloom declares + backfills from SQL") {
     spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
     val t = freshTable()

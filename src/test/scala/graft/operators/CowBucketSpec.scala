@@ -224,6 +224,49 @@ class CowBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 writes route by bucket: INSERT INTO and MERGE keep SPJ") {
+    withSpj {
+      val (t1, t2) = fixturePair(8)
+      // plain SQL append: rows land under __gbucket dirs, attribution
+      // recovered at commit
+      spark.sql(s"INSERT INTO graft.`$t1` VALUES (1500, 'ins0'), " +
+        "(1501, 'ins1')")
+      assert(CowTable.fileBuckets(spark, t1,
+        CowTable.latestManifest(t1).get).isDefined,
+        "INSERT INTO dropped the bucket attribution")
+      // SQL MERGE (group-based COW rewrite) keeps it too
+      Seq((7L, "sql-updated"), (1502L, "ins2"))
+        .toDF("id", "left_name").createOrReplaceTempView("bucket_src")
+      spark.sql(s"MERGE INTO graft.`$t1` t USING bucket_src s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(CowTable.fileBuckets(spark, t1,
+        CowTable.latestManifest(t1).get).isDefined,
+        "MERGE INTO dropped the bucket attribution")
+      def q: DataFrame =
+        spark.read.table(s"graft.`$t1`")
+          .join(spark.read.table(s"graft.`$t2`"), "id")
+      assert(joinShuffles(q) === 0, "SPJ lost after SQL writes")
+      assert(q.count() === 1500L)
+      assert(q.filter($"id" === 7L).select("left_name").head()
+        .getString(0) === "sql-updated")
+      // merge-on-read deltas route their appended row images as well
+      spark.conf.set(graft.plans.CowDsv2.MorModeConf, "mor")
+      try {
+        Seq((9L, "mor-updated")).toDF("id", "left_name")
+          .createOrReplaceTempView("bucket_src_mor")
+        spark.sql(s"MERGE INTO graft.`$t1` t USING bucket_src_mor s " +
+          "ON t.id = s.id WHEN MATCHED THEN UPDATE SET *")
+      } finally spark.conf.unset(graft.plans.CowDsv2.MorModeConf)
+      assert(CowTable.fileBuckets(spark, t1,
+        CowTable.latestManifest(t1).get).isDefined,
+        "MOR delta dropped the bucket attribution")
+      assert(joinShuffles(q) === 0)
+      assert(q.filter($"id" === 9L).select("left_name").head()
+        .getString(0) === "mor-updated")
+    }
+  }
+
   test("DV deletes keep the attribution; SPJ rows exclude deleted") {
     withSpj {
       val (t1, t2) = fixturePair(8)
