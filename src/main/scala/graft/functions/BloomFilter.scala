@@ -422,6 +422,45 @@ case class BloomProbe(sketch: Expression, probe: Expression)
     copy(sketch = newLeft, probe = newRight)
 }
 
+/** "Does this per-row sketch contain ANY of a fixed value set?" — the
+  * MERGE-discovery shape: per candidate FILE, does its bloom sketch
+  * contain any of the delta's key values? The hash pairs arrive
+  * PRE-COMPUTED, interleaved (h1,h2,h1,h2,…), through a BROADCAST (a
+  * million-key delta is ~16 MB — plan-literal poison, one
+  * executor-side fetch as a broadcast). Per row: one deserialize, then
+  * probes with early exit on the first hit — a file containing any key
+  * answers in O(1) expected probes. */
+case class BloomContainsAny(bcast: Broadcast[Array[Long]],
+    sketch: Expression) extends UnaryExpression {
+
+  override def child: Expression = sketch
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = sketch.nullable
+
+  def anyIn(bytes: Array[Byte]): Boolean = {
+    val st = BloomKernel.deserialize(bytes)
+    val hs = bcast.value
+    var i = 0
+    while (i < hs.length) {
+      if (st.mightContain(hs(i), hs(i + 1))) return true
+      i += 2
+    }
+    false
+  }
+
+  override def nullSafeEval(bytes: Any): Any =
+    anyIn(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomAnyExpr", this,
+      classOf[BloomContainsAny].getName)
+    defineCodeGen(ctx, ev, b => s"$ref.anyIn($b)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BloomContainsAny = copy(sketch = newChild)
+}
+
 object BloomFunctions {
   def bloom_sketch(col: Column, expectedItems: Long, fpp: Double = 0.01): Column =
     ColumnBridge.column(

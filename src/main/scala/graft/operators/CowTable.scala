@@ -3396,8 +3396,71 @@ object CowTable {
       if (lo == null || hi == null) None
       else Some(col(f.name) >= lit(lo) && col(f.name) <= lit(hi))
     }
-    if (conds.isEmpty) m.files
-    else pruneDataFiles(spark, table, m, conds.reduce(_ && _))
+    val ranged =
+      if (conds.isEmpty) m.files
+      else pruneDataFiles(spark, table, m, conds.reduce(_ && _))
+    bloomMergePrune(spark, table, m, source, keys, ranged)
+  }
+
+  /** Key-count cap on the bloom discovery probe: the delta's distinct
+    * key hashes broadcast at 16 B each, so a million keys is ~16 MB —
+    * past that the probe costs more than it saves and discovery falls
+    * back to the range-bounded scan. Spec hook (var). */
+  private[graft] var bloomMergeMaxKeys: Int = 1 << 20
+
+  /** MERGE discovery, bloom-guided: on an id-keyed table laid out by
+    * ANYTHING ELSE (hash-scattered ids — the shape the bloom index
+    * exists for), every file's key range overlaps the delta and the
+    * range bound prunes nothing; the per-file sketches instead prove
+    * most files contain NONE of the delta's keys, so the discovery
+    * scan reads only the truly-touched files (+ declared-fpp noise).
+    * Sound in the only direction that matters: a sketch has no false
+    * negatives, so a pruned file provably holds no matching key.
+    * Engages only when a merge-key column carries a declared sketch;
+    * null source keys never match anything and are dropped from the
+    * probe. */
+  private def bloomMergePrune(spark: SparkSession, table: String,
+      m: Manifest, source: DataFrame, keys: Seq[String],
+      candidates: Seq[String]): Seq[String] = {
+    if (m.bloomCols.isEmpty || m.bloomRels.isEmpty || candidates.isEmpty)
+      return candidates
+    val dataSchema = m.schemaOpt.getOrElse(return candidates)
+    val declared = m.bloomCols.keys
+      .flatMap(k => resolveBloomField(dataSchema, k)).map(_.name).toSet
+    val fOpt = keys.flatMap(k => dataSchema.fields.find(_.name == k))
+      .find(f => declared.contains(f.name) && bloomEligible(f.dataType))
+    val f = fOpt.getOrElse(return candidates)
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    def xxh(c: Column, seed: Long): Column = ColumnBridge.column(
+      XxHash64(Seq(ColumnBridge.expression(c)), seed))
+    val hs = source.select(col(f.name)).na.drop().distinct()
+      .select(xxh(col(f.name), graft.functions.BloomKernel.Seed1).as("h1"),
+        xxh(col(f.name), graft.functions.BloomKernel.Seed2).as("h2"))
+      .limit(bloomMergeMaxKeys + 1)
+      .collect()
+    if (hs.isEmpty || hs.length > bloomMergeMaxKeys) return candidates
+    val interleaved = new Array[Long](hs.length * 2)
+    var i = 0
+    while (i < hs.length) {
+      interleaved(2 * i) = hs(i).getLong(0)
+      interleaved(2 * i + 1) = hs(i).getLong(1)
+      i += 1
+    }
+    val bc = spark.sparkContext.broadcast(interleaved)
+    val containsAny = ColumnBridge.column(
+      graft.functions.BloomContainsAny(bc,
+        ColumnBridge.expression(col("sketch"))))
+    val evidence =
+      col("col").isin(f.name +: prevNamesOf(f): _*) &&
+        col("coltype") === lit(f.dataType.catalogString) && !containsAny
+    bloomPrunesConsulted.incrementAndGet()
+    val proven = spark.read.schema(bloomEntrySchema)
+      .parquet(m.bloomRels.map(r =>
+        manifestDir(table).resolve(r).toString): _*)
+      .filter(evidence)
+      .select("path").collect().map(r => normalize(r.getString(0))).toSet
+    if (proven.isEmpty) candidates
+    else candidates.filterNot(c => proven.contains(normalize(c)))
   }
 
   /** The compactable small tail of `m`, decided EXECUTOR-SIDE on the

@@ -652,10 +652,48 @@ private[plans] case class CowWriteMessage(paths: Seq[String], rows: Long)
 private[plans] class CowV2Write(table: CowDsv2Table,
     writeSchema: StructType, op: Option[CowRowLevelOperation],
     queryId: Option[String] = None,
-    upsertKeys: Option[Seq[String]] = None) extends Write {
+    upsertKeys: Option[Seq[String]] = None) extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   override def description(): String =
     s"cow ${if (op.isDefined) "replace" else "append"} ${table.tablePath}"
+
+  /** On a bucketed table, ask Spark to CLUSTER incoming rows by the
+    * bucket transform before the write (Iceberg's hash distribution
+    * mode): same-bucket rows concentrate into few tasks, so a wide
+    * insert writes ~one file per bucket instead of one per
+    * (task, bucket). Advisory (non-strict), so AQE may coalesce a tiny
+    * insert instead of fanning it out to every bucket; the writer's
+    * per-row `__gbucket` routing keeps attribution exact either way. */
+  private def bucketCluster
+      : Option[org.apache.spark.sql.connector.expressions.Transform] =
+    table.manifest.bucketSpec.collect {
+      case (c, n) if table.manifest.partitionCols.isEmpty &&
+          table.dataSchema.fieldNames.contains(c) =>
+        Expressions.bucket(n, c)
+    }
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    bucketCluster match {
+      case Some(t) =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .clustered(Array[org.apache.spark.sql.connector.expressions
+            .Expression](t))
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions
+          .unspecified()
+    }
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredNumPartitions(): Int =
+    bucketCluster.flatMap(_ => table.manifest.bucketSpec.map(_._2))
+      .getOrElse(0)
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   override def toStreaming: StreamingWrite = {
     require(op.isEmpty, "streaming writes are append-only")

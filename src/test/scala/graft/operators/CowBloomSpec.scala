@@ -226,6 +226,29 @@ class CowBloomSpec extends AnyFunSuite {
       "graft-cow-manifest-v2.2")
   }
 
+  test("bloom-guided MERGE discovery prunes the scattered candidate set") {
+    val t = fixture() // ids 0..999 scattered over 10 residue files
+    val m = CowTable.latestManifest(t).get
+    val src = Seq((503L, "u503", 1), (777L, "u777", 2))
+      .toDF("id", "name", "grp")
+    // range bound alone keeps all 10 (every file's range overlaps);
+    // the key sketches cut discovery to the two touched files (+fpp)
+    val cand = CowTable.mergeCandidateFiles(spark, t, m, src, Seq("id"))
+    assert(cand.size >= 2 && cand.size <= 4,
+      s"bloom-guided discovery kept ${cand.size} of 10")
+    // over the key cap the probe stands down: range-bounded fallback
+    val oldCap = CowTable.bloomMergeMaxKeys
+    CowTable.bloomMergeMaxKeys = 1
+    try assert(CowTable.mergeCandidateFiles(spark, t, m, src,
+      Seq("id")).size === 10)
+    finally CowTable.bloomMergeMaxKeys = oldCap
+    // the guided merge lands the same result as the semantics demand
+    CowTable.mergeInto(spark, t, src, Seq("id"))
+    assert(CowTable.readWhere(spark, t, $"id" === 503L)
+      .select("name").head().getString(0) === "u503")
+    assert(CowTable.read(spark, t).count() === 1000L)
+  }
+
   test("consolidation folds sidecars to one; pruning decisions identical") {
     val t = fixture()
     // three ingests => three more sidecars

@@ -267,6 +267,47 @@ class CowBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT INTO clusters by bucket: ~one file per bucket, not per task") {
+    withSpj {
+      val t = freshTable()
+      CowTable.initBucketed((0L until 100L).map(i => (i, s"n$i"))
+        .toDF("id", "name"), t, "id", 8)
+      val before = CowTable.latestManifest(t).get.files.toSet
+      // a deliberately wide source: 16 input partitions × 8 buckets
+      // would be up to 128 routed files without the requested
+      // clustering; with it, same-bucket rows concentrate
+      spark.range(1000, 3000).toDF("id")
+        .withColumn("name", concat(lit("w"), $"id"))
+        .repartition(16).createOrReplaceTempView("wide_src")
+      spark.sql(s"INSERT INTO graft.`$t` SELECT id, name FROM wide_src")
+      val m = CowTable.latestManifest(t).get
+      val added = m.files.filterNot(before)
+      assert(added.nonEmpty && added.size <= 8,
+        s"wide insert wrote ${added.size} files — clustering not applied")
+      assert(CowTable.fileBuckets(spark, t, m).isDefined)
+      assert(spark.read.table(s"graft.`$t`").count() === 2100L)
+    }
+  }
+
+  test("aggregation on the bucket key is exchange-free too") {
+    withSpj {
+      val t = freshTable()
+      CowTable.initBucketed((0L until 2000L).map(i => (i, i % 7))
+        .toDF("id", "g"), t, "id", 8)
+      // bucket(id) is a function of id, so KeyGroupedPartitioning
+      // satisfies the aggregate's clustered distribution — the whole
+      // query runs in one stage over the scan
+      val q = spark.read.table(s"graft.`$t`").groupBy($"id")
+        .agg(sum($"g").as("s"))
+      q.collect()
+      val shuffles = walk(q.queryExecution.executedPlan)
+        .count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(shuffles === 0, "bucket-key aggregate still shuffled")
+      assert(q.count() === 2000L)
+      assert(q.filter($"id" === 13L).head().getLong(1) === 13L % 7)
+    }
+  }
+
   test("DV deletes keep the attribution; SPJ rows exclude deleted") {
     withSpj {
       val (t1, t2) = fixturePair(8)
