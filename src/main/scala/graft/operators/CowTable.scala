@@ -801,6 +801,14 @@ object CowTable {
         true
       case (f: DecimalType, t: DecimalType) =>
         t.scale == f.scale && t.precision >= f.precision
+      // integral -> decimal rides the parquet reader's native
+      // promotion too (verified on this Spark); scale-0 only, and the
+      // precision must hold the whole source range so no stored value
+      // can overflow the upcast
+      case (ByteType, t: DecimalType) => t.scale == 0 && t.precision >= 3
+      case (ShortType, t: DecimalType) => t.scale == 0 && t.precision >= 5
+      case (IntegerType, t: DecimalType) => t.scale == 0 && t.precision >= 10
+      case (LongType, t: DecimalType) => t.scale == 0 && t.precision >= 20
       case _ => false
     }
 
@@ -849,7 +857,7 @@ object CowTable {
         s"alterTable: cannot widen $c from ${from.catalogString} to " +
           s"${to.catalogString} — supported: int-family->bigint, " +
           "int-family/float->double, decimal precision growth at " +
-          "fixed scale")
+          "fixed scale, integral->decimal(p,0) holding the full range")
     }
     // stable ids: first evolution assigns position-based ids to every
     // field that lacks one; they are never reused afterwards
@@ -1284,8 +1292,14 @@ object CowTable {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
+    // the analyzer wraps coerced literals in Cast (e.g. an int literal
+    // against a decimal-widened column) — fold any resolved foldable
+    // deterministic expression back to its literal
     def litC(x: Expression): Option[Column] = x match {
       case l: Literal if l.value != null => Some(ColumnBridge.column(l))
+      case c if c.resolved && c.foldable && c.deterministic =>
+        scala.util.Try(Literal(c.eval(null), c.dataType)).toOption
+          .filter(_.value != null).map(ColumnBridge.column)
       case _ => None
     }
     /** Dispatch attr-vs-literal in either order; `flip` receives the
@@ -1321,11 +1335,14 @@ object CowTable {
       case PredShape(">=", Seq(a, b)) => cmp(a, b)(
         (n, v) => leaf(n, st(n).getField("max") >= v))(
         (n, v) => leaf(n, st(n).getField("min") <= v))
-      case PredShape("in", a +: vs)
-          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      case PredShape("in", a +: vs) if vs.nonEmpty =>
         attr(a) match {
           case Some(n) =>
-            vs.flatMap(v => litC(v)).map(v => eqLeaf(n, v))
+            val ls = vs.flatMap(v => litC(v))
+            // every member must fold, or an unreadable member could
+            // match a file the folded ones would prune
+            if (ls.size != vs.size) lit(true)
+            else ls.map(v => eqLeaf(n, v))
               .reduceOption(_ || _).getOrElse(lit(true))
           case None => lit(true)
         }
@@ -1556,8 +1573,14 @@ object CowTable {
       case a: AttributeReference => Some(a.name)
       case _ => None
     }
+    // the analyzer wraps coerced literals in Cast (e.g. an int literal
+    // against a decimal-widened column) — fold any resolved foldable
+    // deterministic expression back to its literal
     def litC(x: Expression): Option[Column] = x match {
       case l: Literal if l.value != null => Some(ColumnBridge.column(l))
+      case c if c.resolved && c.foldable && c.deterministic =>
+        scala.util.Try(Literal(c.eval(null), c.dataType)).toOption
+          .filter(_.value != null).map(ColumnBridge.column)
       case _ => None
     }
     def cmp(a: Expression, b: Expression)(build: (String, Column) => Column)(
@@ -1587,9 +1610,9 @@ object CowTable {
       case PredShape(">=", Seq(a, b)) => cmp(a, b)(
         (n, v) => leaf(n, st(n).getField("min") >= v))(
         (n, v) => leaf(n, st(n).getField("max") <= v))
-      case PredShape("in", a +: vs)
-          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        // total only when the file is single-valued on a member
+      case PredShape("in", a +: vs) if vs.nonEmpty =>
+        // total only when the file is single-valued on a member; a
+        // member that fails to fold just contributes no proof
         attr(a) match {
           case Some(n) =>
             vs.flatMap(v => litC(v)).map(v => leaf(n,

@@ -116,6 +116,40 @@ class CowEvolveSpec extends AnyFunSuite {
       (6L, 6L, "n6"), (7L, 7L, "n7")))
   }
 
+  test("int -> decimal(p,0) widens metadata-only; old files upcast, merges mix") {
+    val t = fixture()
+    CowTable.alterTable(spark, t, widens = Map("v" -> DecimalType(12, 0)))
+    val m = CowTable.latestManifest(t).get
+    assert(m.schemaOpt.get("v").dataType === DecimalType(12, 0))
+    // pre-widen files serve their int values upcast natively
+    val s = CowTable.read(spark, t)
+      .agg(sum($"v")).head().getDecimal(0)
+    assert(s.longValueExact() === (0L until 100L).sum)
+    // a merge writes true decimals; the mixed set reads as one
+    val src = Seq((7L, new java.math.BigDecimal(99999999999L), "u7", "x"))
+      .toDF("id", "v", "name", "note")
+      .select($"id", $"v".cast(DecimalType(12, 0)).as("v"), $"name", $"note")
+    CowTable.mergeInto(spark, t, src, Seq("id"))
+    assert(CowTable.read(spark, t).filter($"id" === 7L)
+      .head().getDecimal(1).longValueExact() === 99999999999L)
+    // stats pruning stays exact across the widen (old sidecar ints
+    // parse into the decimal stats struct)
+    val (planned, total) = CowTable.pruneReport(spark, t,
+      $"v" >= 10 && $"v" <= 20)
+    assert(total >= 4 && planned < total)
+    assert(CowTable.readWhere(spark, t, $"v" >= 10 && $"v" <= 20)
+      .count() === 11L)
+    // too-narrow and nonzero-scale targets are refused
+    intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, fixture(),
+        widens = Map("v" -> DecimalType(8, 0)))
+    }
+    intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, fixture(),
+        widens = Map("v" -> DecimalType(12, 2)))
+    }
+  }
+
   test("guards: partition columns, invalid widenings, historical-name reuse") {
     val t = freshTable()
     CowTable.initPartitioned((0L until 40L).map(i =>

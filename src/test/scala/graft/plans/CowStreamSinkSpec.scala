@@ -59,6 +59,35 @@ class CowStreamSinkSpec extends AnyFunSuite {
       == 100L)
   }
 
+  test("streaming appends to a bucketed table keep the attribution") {
+    val base = freshDir()
+    val t = base.resolve("t").toString
+    val ckpt = base.resolve("ckpt").toString
+    CowTable.initBucketed((0L until 40L).map(i => (i, s"n$i"))
+      .toDF("id", "name"), t, "id", 4)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = input.toDF().toDF("id", "name").writeStream
+      .option("checkpointLocation", ckpt).toTable(s"graft.`$t`")
+    try {
+      input.addData((40L until 90L).map(i => (i, s"n$i")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = CowTable.latestManifest(t).get
+    val fb = CowTable.fileBuckets(spark, t, m)
+    assert(fb.isDefined, "streaming epoch dropped the bucket attribution")
+    // every streamed file holds rows of exactly its recorded bucket
+    m.files.filter(_.contains("/stream-")).foreach { f =>
+      val b = fb.get(CowTable.normalizePath(f))
+      val distinct = spark.read.parquet(f)
+        .select(org.apache.spark.sql.functions
+          .pmod(org.apache.spark.sql.functions.xxhash64(col("id")),
+            org.apache.spark.sql.functions.lit(4L)).cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      assert(distinct == Seq(b), s"streamed file $f mixes buckets")
+    }
+    assert(CowTable.read(spark, t).count() == 90L)
+  }
+
   test("streaming appends to a partitioned table keep exact tuples") {
     val base = freshDir()
     val t = base.resolve("t").toString
