@@ -285,6 +285,17 @@ object CowTable {
     } finally s.close()
   }
 
+  /** Best-effort recursive delete, for reclaiming a sidecar dir whose
+    * commit attempt was abandoned (parquet dirs may hold `_SUCCESS`
+    * markers or `_temporary` leftovers, so one-level listing is not
+    * enough). Never throws — the abandon path must surface the
+    * ORIGINAL failure, not a cleanup IOException. */
+  private def deleteRecursively(p: Path): Unit =
+    try {
+      if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+      Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () }
+
   private def completeVersions(table: String): Seq[Int] = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) return Nil
@@ -812,9 +823,32 @@ object CowTable {
       case _ => false
     }
 
+  /** mergeInto's type discipline, shared by every committer that
+    * writes SOURCE rows into the table's files: a coerced write would
+    * commit files whose physical schema differs from the carried
+    * files', and a later read of the mixed set resolves to an
+    * arbitrary file's type. (It also keeps the bloom discovery probe
+    * honest — the sketches hash at the target type.) Callers cast
+    * their source explicitly; the failure mode here is silent, so the
+    * check is loud. */
+  private def requireSourceTypes(op: String, schema: StructType,
+      source: DataFrame): Unit = {
+    val sTypes = source.schema.map(f => f.name -> f.dataType).toMap
+    schema.fields.foreach { f =>
+      sTypes.get(f.name).foreach(st => require(
+        st.catalogString == f.dataType.catalogString,
+        s"$op: column ${f.name} type mismatch — source " +
+          s"${st.catalogString} vs target ${f.dataType.catalogString}; " +
+          "cast the source explicitly"))
+    }
+  }
+
   /** In-place schema evolution as ONE metadata-only commit: `renames`
-    * (old → new name), `drops`, and `widens` (column → wider type,
-    * [[widenOk]]) apply to the manifest schema; every data file, DV,
+    * (old → new name), `drops`, `widens` (column → wider type,
+    * [[widenOk]]), and `adds` (new nullable columns, appended — old
+    * files' rows NULL-extend at scan; this is also what SQL
+    * `MERGE WITH SCHEMA EVOLUTION` lands through the catalog) apply
+    * to the manifest schema; every data file, DV,
     * and stats entry is carried by reference — nothing is read or
     * rewritten. Reads resolve renamed fields through their recorded
     * prior names (coalesce at scan — old files' values survive),
@@ -829,7 +863,8 @@ object CowTable {
   def alterTable(spark: SparkSession, table: String,
       renames: Map[String, String] = Map.empty,
       drops: Seq[String] = Nil,
-      widens: Map[String, DataType] = Map.empty): Manifest = {
+      widens: Map[String, DataType] = Map.empty,
+      adds: Seq[(String, DataType)] = Nil): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     val schema = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
@@ -840,6 +875,18 @@ object CowTable {
     (renames.keys ++ drops ++ widens.keys).foreach(c => require(
       !m.partitionCols.contains(c),
       s"alterTable: $c is a partition column — refuse rename/drop/widen"))
+    // The bucket column is just as load-bearing as a partition column:
+    // per-file __gbucket attribution was computed as
+    // xxhash64(col AT ITS WRITE-TIME TYPE) % n, and the DSv2 scan
+    // reports KeyGroupedPartitioning from it. A widen (int -> bigint
+    // changes the xxhash64 input width), rename, or drop would leave
+    // old files attributed under the stale domain while new writes
+    // hash the new one — storage-partitioned joins would then silently
+    // drop matches. Refuse; `rebucketTable` is the rewrite path.
+    m.bucketSpec.map(_._1).foreach(bc =>
+      (renames.keys ++ drops ++ widens.keys).foreach(c => require(c != bc,
+        s"alterTable: $c is the bucket column — rename/drop/widen would " +
+          "desynchronize per-file bucket attribution; rebucketTable first")))
     require(renames.keys.toSet.intersect(drops.toSet).isEmpty &&
       widens.keys.toSet.intersect(drops.toSet).isEmpty,
       "alterTable: a column cannot be dropped and renamed/widened at once")
@@ -851,6 +898,17 @@ object CowTable {
     }
     require(renames.values.toSeq.distinct.size == renames.size,
       "alterTable: duplicate rename targets")
+    // ADD COLUMN (always nullable — old files' rows NULL-extend at
+    // scan): a new name must not collide with any current, historical,
+    // or rename-target name; old files' physical columns under a
+    // resurrected name would resolve into two fields
+    require(adds.map(_._1).distinct.size == adds.size,
+      "alterTable: duplicate added column names")
+    adds.foreach { case (c, _) =>
+      require(!known.contains(c) && !renames.values.exists(_ == c),
+        s"alterTable: added column $c collides with a current, " +
+          "historical, or rename-target column name")
+    }
     widens.foreach { case (c, to) =>
       val from = schema(c).dataType
       require(widenOk(from, to),
@@ -876,7 +934,12 @@ object CowTable {
       }
     }
     require(newFields.nonEmpty, "alterTable: cannot drop every column")
-    val newSchema = StructType(newFields.toSeq)
+    val addedFields = adds.map { case (c, dt) =>
+      nextId += 1
+      StructField(c, dt, nullable = true,
+        new MetadataBuilder().putLong(FieldIdKey, nextId).build())
+    }
+    val newSchema = StructType(newFields.toSeq ++ addedFields)
     def validate(h: Manifest): Unit =
       if (!schemaCompatible(h.schemaJson, m.schemaJson))
         throw new java.util.ConcurrentModificationException(
@@ -1098,11 +1161,20 @@ object CowTable {
       val schema = check(h)
       val backfill =
         buildBloomSidecar(spark, table, h.version + 1, h.files, specs, schema)
-      commitWithStatsDF(spark, table, h.version + 1,
+      // the sidecar is written BEFORE the create-exclusive commit; a
+      // lost race rebuilds a fresh backfill on retry, so the abandoned
+      // rel would be referenced by no manifest ever — vacuum only
+      // sweeps rels of DROPPED manifests and would never reclaim it.
+      // Delete it with the failed attempt.
+      try commitWithStatsDF(spark, table, h.version + 1,
         entriesDF(spark, table, h), Nil, schema, h.files, h.dvs,
         h.partitionCols, knownDvRuns = h.dvRunCounts,
         bloomColsOverride = Some(h.bloomCols ++ specs),
         extraBloomRels = backfill.toSeq)
+      catch { case e: Throwable =>
+        backfill.foreach(r => deleteRecursively(manifestDir(table).resolve(r)))
+        throw e
+      }
     }
     commitWithRetry(table, m, h => { check(h); () }, attempt)
   }
@@ -1149,7 +1221,16 @@ object CowTable {
             "consolidateBlooms needs a v2 manifest")),
         h.files, h.dvs, h.partitionCols, knownDvRuns = h.dvRunCounts,
         bloomRelsReplace = Some(Seq(rel)))
-    commitWithRetry(table, m, validate, attempt)
+    // the consolidated rel was written before the commit; a concurrent
+    // commit makes validate refuse (the live-file fold is stale), so
+    // the abandoned rel — referenced by no manifest — must be deleted
+    // here or it leaks forever (vacuum only sweeps dropped manifests'
+    // rels).
+    try commitWithRetry(table, m, validate, attempt)
+    catch { case e: Throwable =>
+      deleteRecursively(out)
+      throw e
+    }
   }
 
   /** Exact-integral adaptation of a predicate literal to the declared
@@ -2477,6 +2558,150 @@ object CowTable {
     readSnapshot(spark, m)
   }
 
+  // --------------------------------------------- branches (WAP)
+
+  /** A branch's own table path: a branch IS a cow table (every
+    * committer, reader, and audit works on it unchanged) whose
+    * manifest chain lives under the parent, seeded by reference. */
+  def branchPath(table: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9_.-]{1,64}"),
+      s"branch name '$name' — use [A-Za-z0-9_.-], max 64 chars")
+    s"$table/branches/$name"
+  }
+
+  private def branchBasePath(bp: String): Path =
+    manifestDir(bp).resolve("parent-base")
+
+  /** The write-audit-publish staging primitive: fork `name` off the
+    * parent's CURRENT snapshot as a self-contained cow table — ONE
+    * metadata commit carrying every data file, DV, bloom sidecar
+    * (re-pointed absolute: `manifestDir.resolve` passes absolute rels
+    * through), partition/bucket spec, and schema BY REFERENCE; no
+    * byte of data copies. Writes to the returned path land under the
+    * branch (its own `data/v*` dirs), invisible to parent readers
+    * until [[publishBranch]]. The parent's base version is recorded
+    * for publish-time conflict detection. Do NOT vacuum a branch —
+    * its early manifests reference parent files vacuum must not
+    * reason about; branches are short-lived staging, dropped or
+    * published, and [[vacuum]] on the PARENT refuses while any
+    * branch exists (a branch may reference any historical file). */
+  def createBranch(spark: SparkSession, table: String,
+      name: String): String = {
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"cow table $table does not exist"))
+    require(m.schemaOpt.isDefined, "createBranch needs a v2 manifest")
+    val bp = branchPath(table, name)
+    require(latestManifest(bp).isEmpty, s"branch $name already exists")
+    commitWithStatsDF(spark, bp, 0, entriesDF(spark, table, m), Nil,
+      m.schemaOpt.get, m.files, m.dvs, m.partitionCols,
+      knownDvRuns = m.dvRunCounts, schemaAuthoritative = true,
+      bloomColsOverride = Some(m.bloomCols),
+      bloomRelsReplace = Some(m.bloomRels.map(r =>
+        manifestDir(table).resolve(r).toString)),
+      bucketSpecOverride = Some(m.bucketSpec))
+    Files.write(branchBasePath(bp),
+      m.version.toString.getBytes("UTF-8"))
+    bp
+  }
+
+  def listBranches(table: String): Seq[String] = {
+    val dir = Paths.get(table, "branches")
+    if (!Files.isDirectory(dir)) Nil
+    else listDir(dir).map(_.getFileName.toString)
+      .filter(n => latestManifest(s"$table/branches/$n").isDefined)
+      .sorted
+  }
+
+  /** Atomically adopt the branch head as the parent's next version —
+    * the PUBLISH of write-audit-publish. The create-exclusive version
+    * claim is the atomicity point: readers see either the old parent
+    * snapshot or the complete branch state, never a mix. Publish is
+    * fast-forward-only: if the parent advanced past the branch's
+    * recorded base, the branch staged against a stale world and the
+    * publish REFUSES (re-branch and re-stage — the WAP loop is
+    * cheap, the alternative is silently dropping the interleaved
+    * commits' effects). Bloom sidecars written on the branch carry as
+    * absolute rels; run [[consolidateBlooms]] (or `cow_maintain`)
+    * afterwards to fold them parent-local before dropping the branch. */
+  def publishBranch(spark: SparkSession, table: String,
+      name: String): Manifest = {
+    val bp = branchPath(table, name)
+    val bh = latestManifest(bp).getOrElse(
+      throw new IllegalArgumentException(s"branch $name does not exist"))
+    val base = new String(Files.readAllBytes(branchBasePath(bp)),
+      "UTF-8").trim.toInt
+    val m = latestManifest(table).getOrElse(
+      throw new IllegalArgumentException(s"cow table $table does not exist"))
+    def validate(h: Manifest): Unit =
+      if (h.version != base)
+        throw new java.util.ConcurrentModificationException(
+          s"publishBranch $table/$name: parent advanced to v${h.version} " +
+            s"past the branch base v$base — re-branch and re-stage")
+    validate(m)
+    def attempt(h: Manifest): Manifest =
+      commitWithStatsDF(spark, table, h.version + 1,
+        entriesDF(spark, bp, bh), Nil, bh.schemaOpt.get, bh.files,
+        bh.dvs, bh.partitionCols, knownDvRuns = bh.dvRunCounts,
+        schemaAuthoritative = true,
+        bloomColsOverride = Some(bh.bloomCols),
+        // branch-resident rels publish absolute; rels that point back
+        // into the PARENT's manifest dir (carried from the fork)
+        // re-relativize, so they keep the identity every pre-branch
+        // manifest already lists them under
+        bloomRelsReplace = Some(bh.bloomRels.map { r =>
+          val abs = manifestDir(bp).resolve(r).toString
+          val parentPrefix = manifestDir(table).toString + "/"
+          if (abs.startsWith(parentPrefix)) abs.stripPrefix(parentPrefix)
+          else abs
+        }),
+        bucketSpecOverride = Some(bh.bucketSpec))
+    commitWithRetry(table, m, validate, attempt)
+  }
+
+  /** Discard a staged branch — the REJECT of write-audit-publish, and
+    * the cleanup after a publish. REFERENCE-AWARE: a published branch's
+    * data/DV files and bloom sidecars are listed in parent manifests BY
+    * PATH, so the sweep keeps exactly what any retained parent
+    * manifest references and deletes everything else (the branch's own
+    * manifest chain always goes — the branch stops existing; kept data
+    * files live on under the dormant dir until compaction rewrites
+    * them parent-local and [[vacuum]]'s branch-dir re-sweep reclaims
+    * the leftovers). A rejected (never-published) branch is referenced
+    * by nothing and vanishes entirely. Idempotent. */
+  def dropBranch(spark: SparkSession, table: String, name: String): Unit =
+    sweepBranchDir(table, name)
+
+  /** Delete everything under the branch dir that NO retained parent
+    * manifest references (files/DVs by path; bloom/entries sidecar
+    * rels as whole dirs). Bottom-up, best-effort; empty dirs fold. */
+  private def sweepBranchDir(table: String, name: String): Unit = {
+    val root = Paths.get(branchPath(table, name))
+    if (!Files.exists(root)) return
+    val bpNorm = normalize(root.toString)
+    val keep: Set[String] = completeVersions(table)
+      .flatMap(v => parseManifest(manifestPath(table, v), v))
+      .flatMap { m =>
+        (m.files ++ m.dvs) ++
+          (m.bloomRels ++ m.entriesRel.toSeq).map(r =>
+            manifestDir(table).resolve(r).toString)
+      }.map(normalize).filter(_.startsWith(bpNorm)).toSet
+    def walk(p: Path): Boolean = {
+      if (keep(normalize(p.toString))) false // kept file or whole rel dir
+      else if (Files.isDirectory(p)) {
+        val gone = listDir(p).map(walk).forall(identity)
+        if (gone) { try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () } }
+        gone
+      } else {
+        try Files.deleteIfExists(p)
+        catch { case _: java.io.IOException => () }
+        true
+      }
+    }
+    walk(root)
+    ()
+  }
+
   /** Merge-on-read DELETE: one snapshot scan finds the matching rows'
     * (file, row_index) identities and writes them as this version's
     * deletion vector — NO data file is read back or rewritten. On a
@@ -2919,6 +3144,7 @@ object CowTable {
       s"upsertMor: keys $keys must exist in the source")
     require(schema.fieldNames.forall(source.columns.contains),
       "upsertMor: source must carry every table column")
+    requireSourceTypes("upsertMor", schema, source)
     // NULL keys are rejected OUTRIGHT (not just flagged as duplicates):
     // a NULL never equi-matches, so its postimage would append as a new
     // row on EVERY epoch — in the streaming update sink that's a
@@ -3277,6 +3503,7 @@ object CowTable {
       s"mergeIntoHybrid: keys $keys must exist in the source")
     require(schema.fieldNames.forall(source.columns.contains),
       "mergeIntoHybrid: source must carry every table column")
+    requireSourceTypes("mergeIntoHybrid", schema, source)
     val uniq = source.agg(count(lit(1)).as("n"),
       count_distinct(struct(keys.map(col): _*)).as("d")).head()
     require(uniq.getLong(0) == uniq.getLong(1),
@@ -3453,10 +3680,22 @@ object CowTable {
     val fOpt = keys.flatMap(k => dataSchema.fields.find(_.name == k))
       .find(f => declared.contains(f.name) && bloomEligible(f.dataType))
     val f = fOpt.getOrElse(return candidates)
+    // The sidecar sketches hashed the TARGET field's values at the
+    // target type (and the coltype filter below selects exactly those
+    // rows), so the probe must hash in the same domain: a source key
+    // arriving at a narrower coercible type (int vs bigint target)
+    // hashed as-is would probe garbage and wrongly prove touched
+    // files absent. Cast to the target type when lossless
+    // ([[widenOk]] direction source->target); any other mismatch
+    // stands the bloom prune down — range discovery still bounds it.
+    val srcType = source.schema(f.name).dataType
+    if (srcType != f.dataType && !widenOk(srcType, f.dataType))
+      return candidates
+    val probeKey = col(f.name).cast(f.dataType)
     import org.apache.spark.sql.catalyst.expressions.XxHash64
     def xxh(c: Column, seed: Long): Column = ColumnBridge.column(
       XxHash64(Seq(ColumnBridge.expression(c)), seed))
-    val hs = source.select(col(f.name)).na.drop().distinct()
+    val hs = source.select(probeKey.as(f.name)).na.drop().distinct()
       .select(xxh(col(f.name), graft.functions.BloomKernel.Seed1).as("h1"),
         xxh(col(f.name), graft.functions.BloomKernel.Seed2).as("h2"))
       .limit(bloomMergeMaxKeys + 1)
@@ -3666,6 +3905,15 @@ object CowTable {
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,
       orphanAgeMs: Long = 20 * 60 * 1000L): Seq[String] = {
     require(keepVersions >= 1, s"vacuum must keep >= 1 version")
+    // a staged branch references parent files BY PATH from whatever
+    // version it forked — vacuum's live-set is computed from the
+    // parent's kept manifests only, so deleting under it could break
+    // the branch. Branches are short-lived staging: publish or drop
+    // them, then vacuum.
+    require(listBranches(table).isEmpty,
+      s"vacuum $table: staged branches exist " +
+        s"(${listBranches(table).mkString(", ")}) — publish or " +
+        "dropBranch first")
     val versions = completeVersions(table)
     if (versions.isEmpty) return Nil
     val complete = versions.flatMap(v => parseManifest(manifestPath(table, v), v))
@@ -3731,13 +3979,18 @@ object CowTable {
     lastVacuumExecutorDeletes.set(execDeletes.value)
     // bloom sidecars are SHARED across versions (carried by reference),
     // so a dropped version's sidecar survives while any kept manifest
-    // still lists it; entries sidecars are per-version and always go
-    val keptBloomRels = kept.flatMap(_.bloomRels).toSet
+    // still lists it; entries sidecars are per-version and always go.
+    // Identity is the RESOLVED path, not the rel string — a branch
+    // publish lists parent-local rels absolute while older manifests
+    // list the same dir relative
+    def relId(r: String): String =
+      normalize(manifestDir(table).resolve(r).toString)
+    val keptBloomRels = kept.flatMap(_.bloomRels).map(relId).toSet
     versions.filter(_ < oldestKept).foreach { v =>
       // a dropped manifest's entries sidecar goes with it
       parseManifest(manifestPath(table, v), v).toSeq
         .flatMap(pm => pm.entriesRel.toSeq ++
-          pm.bloomRels.filterNot(keptBloomRels.contains))
+          pm.bloomRels.filterNot(r => keptBloomRels.contains(relId(r))))
         .foreach { rel =>
           val dir = manifestDir(table).resolve(rel)
           if (Files.isDirectory(dir)) {
@@ -3747,6 +4000,14 @@ object CowTable {
         }
       Files.deleteIfExists(manifestPath(table, v))
     }
+    // dormant published-branch dirs (their manifest chains are gone —
+    // the live-branch guard above ran): re-sweep them now that old
+    // parent manifests were dropped; files compaction rewrote
+    // parent-local since the publish lose their last reference here
+    val branchesRoot = Paths.get(table, "branches")
+    if (Files.isDirectory(branchesRoot))
+      listDir(branchesRoot).filter(Files.isDirectory(_))
+        .foreach(d => sweepBranchDir(table, d.getFileName.toString))
     deleted
   }
 
@@ -4646,6 +4907,138 @@ object CowTable {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
     s.sql(s"SELECT * FROM graft.`$table`")
   }
+
+  /** Gate: `MERGE WITH SCHEMA EVOLUTION` — the SQL statement evolves
+    * the target INSIDE the merge (the single most common evolution
+    * trigger in CDC ingestion: the source adds a field and every
+    * downstream merge absorbs it). The analyzer hands the source-only
+    * column to [[graft.plans.GraftCatalog.alterTable]] as an AddColumn
+    * change (one metadata-only commit, stable-id discipline, old files
+    * untouched — their rows NULL-extend at scan), then plans the
+    * row-level MERGE against the evolved schema, so `UPDATE SET *` /
+    * `INSERT *` re-expand to carry the new column. Same relational
+    * oracle family as lh_merge/lh_evolve: full mixed-vintage rows with
+    * CAST(NULL AS BIGINT) for pre-evolution rows. */
+  def lhMergeEvolve(s: SparkSession, dir: String): DataFrame =
+    lhMergeEvolveOp(s, dir, lhMergeBuild(s, dir))
+
+  private def lhMergeEvolveOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .withColumn("o_flag", pmod(col("o_orderkey"), lit(3)))
+      .createOrReplaceTempView("lh_merge_evolve_src")
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$table` t
+         |USING lh_merge_evolve_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.o_orderstatus = 'F' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    s.sql(s"SELECT * FROM graft.`$table`")
+  }
+
+  val lhMergeEvolveSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
+      |source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority,
+      |    o_orderkey % 3 AS o_flag
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT t.*, CAST(NULL AS BIGINT) AS o_flag FROM target t
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      |UNION ALL
+      |SELECT s.* FROM source s JOIN target t USING (o_orderkey)
+      |WHERE s.o_orderstatus <> 'F'
+      |UNION ALL
+      |SELECT s.* FROM source s
+      |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)""".stripMargin
+
+  /** Gate: WRITE-AUDIT-PUBLISH over branch refs ([[createBranch]] /
+    * [[publishBranch]] / [[dropBranch]]) — how a real pipeline keeps
+    * bad data out of `main`. A BAD batch (negated prices) stages on a
+    * branch; the audit ([[DataQuality.audit]]'s one-pass range check)
+    * counts its violations ON THE BRANCH while the parent stays
+    * oracle-identical to its pre-write state (row count + exact
+    * decimal price sum); the branch drops without trace. A GOOD batch
+    * stages on a second branch, audits clean, and publishes as ONE
+    * atomic parent version (delta pinned = 1) whose full state matches
+    * the relational MERGE oracle. Branch forks are metadata-only —
+    * no data byte copies at any step except the batches' own files. */
+  def lhWap(s: SparkSession, dir: String): DataFrame =
+    lhWapOp(s, dir, lhMergeBuild(s, dir))
+
+  private def lhWapOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val orders = Tables.orders(s, dir)
+    def priceAudit(df: DataFrame): Long =
+      DataQuality.audit(df, Seq(
+          DataQuality.DqInRange("o_totalprice", 0.0, 1e9)))
+        .select("violations").head().getLong(0)
+    def mainSig(): (Long, Double) = {
+      val r = read(s, table).agg(count(lit(1)).as("n"),
+        coalesce(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double"), lit(0.0)).as("sp")).head()
+      (r.getLong(0), r.getDouble(1))
+    }
+    val vBase = latestManifest(table).get.version
+    // WRITE (bad): negated prices, staged on a branch
+    val bad = createBranch(s, table, "bad_batch")
+    mergeInto(s, bad, orders
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", -col("o_totalprice")), Seq("o_orderkey"))
+    // AUDIT on the branch; REJECT
+    val badViolations = priceAudit(read(s, bad))
+    dropBranch(s, table, "bad_batch")
+    val (nAfterReject, spAfterReject) = mainSig()
+    // WRITE (good) + AUDIT + PUBLISH
+    val good = createBranch(s, table, "good_batch")
+    mergeInto(s, good, orders
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"),
+      deleteCond = Some(col("o_orderstatus") === "F"))
+    val goodViolations = priceAudit(read(s, good))
+    require(goodViolations == 0L, "good batch failed its audit")
+    val published = publishBranch(s, table, "good_batch")
+    dropBranch(s, table, "good_batch")
+    val (nAfterPublish, spAfterPublish) = mainSig()
+    import s.implicits._
+    Seq((badViolations, nAfterReject, spAfterReject, goodViolations,
+        (published.version - vBase).toLong, nAfterPublish, spAfterPublish))
+      .toDF("bad_violations", "main_rows_after_reject",
+        "main_price_after_reject", "good_violations",
+        "publish_version_delta", "main_rows_after_publish",
+        "main_price_after_publish")
+  }
+
+  val lhWapSql: String =
+    """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 4 <> 0),
+      |source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT * FROM target
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      |  UNION ALL
+      |  SELECT s.* FROM source s JOIN target t USING (o_orderkey)
+      |  WHERE s.o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT s.* FROM source s
+      |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target))
+      |SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 2 = 0)
+      |    AS bad_violations,
+      |  (SELECT COUNT(*) FROM target) AS main_rows_after_reject,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    FROM target) AS main_price_after_reject,
+      |  CAST(0 AS BIGINT) AS good_violations,
+      |  CAST(1 AS BIGINT) AS publish_version_delta,
+      |  (SELECT COUNT(*) FROM merged) AS main_rows_after_publish,
+      |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    FROM merged) AS main_price_after_publish""".stripMargin
 
   /** Gate: the same `MERGE INTO` statement in MERGE-ON-READ mode
     * ([[graft.plans.CowDsv2]]'s `SupportsDelta` path): deletes and
@@ -5768,6 +6161,10 @@ object CowTable {
       (() => lhMergeBuild(s, d), t => lhSqlMergeOp(s, d, t))),
     "lh_merge_stmt" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => lhMergeStmtOp(s, d, t))),
+    "lh_merge_evolve" -> ((s, d) =>
+      (() => lhMergeBuild(s, d), t => lhMergeEvolveOp(s, d, t))),
+    "lh_wap" -> ((s, d) =>
+      (() => lhMergeBuild(s, d), t => lhWapOp(s, d, t))),
     "lh_merge_mor" -> ((s, d) =>
       (() => lhMergeBuild(s, d), t => lhMergeMorOp(s, d, t))),
     "lh_file_audit" -> ((s, d) =>
@@ -5878,6 +6275,8 @@ object CowTable {
     "lh_sql_read" -> lhSqlRead,
     "lh_sql_merge" -> lhSqlMerge,
     "lh_merge_stmt" -> lhMergeStmt,
+    "lh_merge_evolve" -> lhMergeEvolve,
+    "lh_wap" -> lhWap,
     "lh_merge_mor" -> lhMergeMor,
     "lh_file_audit" -> lhFileAudit,
     "lh_dv_maint" -> lhDvMaint,
@@ -5911,6 +6310,8 @@ object CowTable {
     "lh_sql_read" -> lhSqlReadSql,
     "lh_sql_merge" -> lhMergeSql,
     "lh_merge_stmt" -> lhMergeSql,
+    "lh_merge_evolve" -> lhMergeEvolveSql,
+    "lh_wap" -> lhWapSql,
     "lh_merge_mor" -> lhMergeSql,
     "lh_file_audit" -> lhFileAuditSql,
     "lh_dv_maint" -> lhDvMaintSql,

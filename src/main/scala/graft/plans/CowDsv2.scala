@@ -271,9 +271,14 @@ class CowDsv2Table(val tablePath: String, versionOpt: Option[Int] = None)
 
   override def schema(): StructType = dataSchema
 
+  // AUTOMATIC_SCHEMA_EVOLUTION enables `MERGE WITH SCHEMA EVOLUTION`:
+  // the analyzer hands source-only columns to the catalog's alterTable
+  // as AddColumn changes (one metadata commit) before planning the
+  // row-level operation against the evolved schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def metadataColumns(): Array[MetadataColumn] = CowDsv2.metaColumns
 
@@ -465,18 +470,27 @@ private[plans] class CowBatchScan(table: CowDsv2Table,
     * "scanned groups" the replacing commit removes. */
   @volatile private[plans] var plannedFiles: Seq[String] = Seq.empty
 
-  private def currentFiles: Seq[String] = {
-    val statPruned = CowDsv2.filtersToCondition(pushed.toSeq) match {
+  /** The stats+bloom prune runs driver-side Spark jobs over the
+    * entries/bloom sidecars — pay it ONCE per scan. `pushed` and the
+    * manifest are fixed at construction, so the pruned list is too;
+    * Spark calls outputPartitioning / estimateStatistics /
+    * planInputPartitions each at least once during planning and this
+    * memo keeps that from multiplying the sidecar scans. The cheap
+    * runtimeKeep set-filter stays per-call (it arrives later, via
+    * filter()). */
+  private lazy val statPrunedFiles: Seq[String] =
+    CowDsv2.filtersToCondition(pushed.toSeq) match {
       case Some(cond) if m.files.nonEmpty =>
         CowTable.pruneDataFiles(spark, table.tablePath, m, cond)
       case _ => m.files
     }
+
+  private def currentFiles: Seq[String] =
     runtimeKeep match {
       case Some(keep) =>
-        statPruned.filter(f => keep(CowTable.normalizePath(f)))
-      case None => statPruned
+        statPrunedFiles.filter(f => keep(CowTable.normalizePath(f)))
+      case None => statPrunedFiles
     }
-  }
 
   override def readSchema(): StructType = required
 

@@ -327,4 +327,95 @@ class CowBloomSpec extends AnyFunSuite {
       CowTable.BloomColSpec(fpp = 1.5)
     }
   }
+
+  test("merge discovery probes at the TARGET type; lossy types stand down") {
+    val t = fixture() // bigint id, residue layout, bloom-declared
+    val m = CowTable.latestManifest(t).get
+    // an int-typed source key is coercible (the equi-join would match),
+    // but the sketches hashed bigint values — the probe must cast, or
+    // it proves touched files absent and the merge duplicate-inserts
+    val cInt = CowTable.mergeCandidateFiles(spark, t, m,
+      Seq(5, 15).toDF("id"), Seq("id"))
+    val cLong = CowTable.mergeCandidateFiles(spark, t, m,
+      Seq(5L, 15L).toDF("id"), Seq("id"))
+    assert(cInt.toSet == cLong.toSet,
+      "int-keyed probe diverged from the bigint-keyed one")
+    assert(cInt.nonEmpty && cInt.size < m.files.size,
+      s"bloom never engaged (kept ${cInt.size} of ${m.files.size})")
+    // soundness: the kept set covers every matching row
+    assert(spark.read.parquet(cInt: _*)
+      .filter($"id".isin(5L, 15L)).count() === 2L)
+    // a NON-lossless source type (double) must not bloom-prune at all:
+    // the residue layout makes range pruning keep everything, so a
+    // full candidate set proves the bloom pass stood down
+    val cDbl = CowTable.mergeCandidateFiles(spark, t, m,
+      Seq(5.0, 15.0).toDF("id"), Seq("id"))
+    assert(cDbl.size == m.files.size)
+  }
+
+  private def bloomDirsOnDisk(t: String): Set[String] = {
+    val s = java.nio.file.Files.walk(Paths.get(t))
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.Set[String]()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("bloom-v"))
+          buf += p.toString
+      }
+      buf.toSet
+    } finally s.close()
+  }
+
+  test("an abandoned consolidate deletes its orphan sidecar dir") {
+    val t = fixture()
+    // a merge adds new files => the commit auto-sidecars a second rel
+    CowTable.mergeInto(spark, t,
+      (1000L until 1010L).map(i => (i, s"name$i", (i % 7).toInt))
+        .toDF("id", "name", "grp"), Seq("id"))
+    assert(CowTable.latestManifest(t).get.bloomRels.size >= 2)
+    val before = bloomDirsOnDisk(t)
+    // a competing METADATA-ONLY commit (no new files => no new sidecar)
+    // lands inside the consolidate's commit window; its validate
+    // refuses (the live-file fold is stale) and the already-written
+    // consolidated rel must not leak — no manifest will ever
+    // reference it, so vacuum could never reclaim it
+    CowTable.preCommitHook = { () =>
+      CowTable.preCommitHook = () => ()
+      CowTable.alterTable(spark, t, renames = Map("grp" -> "grp2"))
+      ()
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      CowTable.consolidateBlooms(spark, t)
+    } finally CowTable.preCommitHook = () => ()
+    assert(bloomDirsOnDisk(t) == before,
+      "abandoned consolidate leaked its sidecar dir")
+    // the index still serves exactly after the abandoned attempt
+    val b = planned(t, $"id" === 503L)
+    assert(b >= 1 && b <= 3)
+  }
+
+  test("declareBloom retry does not leak the first attempt's backfill") {
+    val t = freshTable()
+    val df = (0L until 100L).map(i => (i, s"n$i", (i % 7).toInt))
+      .toDF("id", "name", "grp")
+      .withColumn("__f", (pmod($"id", lit(5L)) + 1).cast("int"))
+    CowTable.initFiled(df, t, "__f", 5)
+    // first attempt loses the version race to a rename; the retry
+    // rebuilds a FRESH backfill against the new head, so the first
+    // attempt's rel must be deleted, not orphaned
+    CowTable.preCommitHook = { () =>
+      CowTable.preCommitHook = () => ()
+      CowTable.alterTable(spark, t, renames = Map("name" -> "nm"))
+      ()
+    }
+    try CowTable.declareBloom(spark, t,
+      Map("id" -> CowTable.BloomColSpec(0.01, 1000L)))
+    finally CowTable.preCommitHook = () => ()
+    val m = CowTable.latestManifest(t).get
+    assert(m.bloomRels.size == 1)
+    assert(bloomDirsOnDisk(t).size == 1,
+      s"leaked backfill dirs: ${bloomDirsOnDisk(t)} vs rels ${m.bloomRels}")
+  }
 }

@@ -320,4 +320,32 @@ class CowBucketSpec extends AnyFunSuite {
       assert(q.count() === (0L until 1500L).count(_ % 10 != 3))
     }
   }
+
+  test("alterTable refuses to rename/drop/widen the bucket column") {
+    val t = freshTable()
+    CowTable.initBucketed((0L until 100L).map(i => (i.toInt, i % 3))
+      .toDF("id", "g"), t, "id", 4)
+    // widening int->bigint is widenOk-permitted generally, but on the
+    // bucket column it changes the xxhash64 domain for new writes while
+    // old files keep their stale attribution — SPJ would then silently
+    // drop matches. All three operations must refuse.
+    val eW = intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, t,
+        widens = Map("id" -> org.apache.spark.sql.types.LongType))
+    }
+    assert(eW.getMessage.contains("bucket column"))
+    val eR = intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, t, renames = Map("id" -> "id2"))
+    }
+    assert(eR.getMessage.contains("bucket column"))
+    val eD = intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, t, drops = Seq("id"))
+    }
+    assert(eD.getMessage.contains("bucket column"))
+    // non-bucket columns still evolve freely on a bucketed table, and
+    // the attribution survives the metadata commit
+    CowTable.alterTable(spark, t, renames = Map("g" -> "grp"))
+    assert(CowTable.fileBuckets(spark, t,
+      CowTable.latestManifest(t).get).isDefined)
+  }
 }
