@@ -131,7 +131,12 @@ object Bench {
     // round 15: bloom point-lookup skipping (declare+backfill+probe
     // build half; probe/readWhere op half) and the storage-partitioned
     // join over two bucketed CoW tables (exchange-free fact⋈fact)
-    "lh_bloom_prune", "lh_spj_join")
+    "lh_bloom_prune", "lh_spj_join",
+    // round 16: MERGE WITH SCHEMA EVOLUTION (the statement evolves the
+    // target inside the merge — AddColumn metadata commit + row-level
+    // MERGE against the evolved schema) and WRITE-AUDIT-PUBLISH over
+    // branch refs (stage, one-pass audit, atomic publish / drop)
+    "lh_merge_evolve", "lh_wap")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

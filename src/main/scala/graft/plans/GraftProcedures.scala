@@ -137,6 +137,7 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
     var renames = Map.empty[String, String]
     var drops = Seq.empty[String]
     var widens = Map.empty[String, DataType]
+    var adds = Seq.empty[(String, DataType)]
     changes.foreach {
       case rc: TableChange.RenameColumn =>
         renames += top(rc.fieldNames(), "RENAME COLUMN") -> rc.newName()
@@ -144,10 +145,22 @@ class GraftCatalog extends CatalogPlugin with ProcedureCatalog
         drops :+= top(dc.fieldNames(), "DROP COLUMN")
       case ut: TableChange.UpdateColumnType =>
         widens += top(ut.fieldNames(), "ALTER COLUMN TYPE") -> ut.newDataType()
+      // ADD COLUMN — also what `MERGE WITH SCHEMA EVOLUTION` emits for
+      // source-only columns ([[MergeIntoTable.schemaChanges]] produces
+      // exactly addColumn/updateColumnType). Appended, nullable-only:
+      // old files cannot be backfilled, their rows NULL-extend at scan.
+      case ac: TableChange.AddColumn =>
+        require(ac.position() == null,
+          "ADD COLUMN with an explicit position is not supported on a " +
+            "cow table — new columns append")
+        require(ac.isNullable,
+          "ADD COLUMN on a cow table must be nullable — existing files' " +
+            "rows NULL-extend at read time")
+        adds :+= top(ac.fieldNames(), "ADD COLUMN") -> ac.dataType()
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change on a cow table: $other")
     }
-    CowTable.alterTable(SparkSession.active, p, renames, drops, widens)
+    CowTable.alterTable(SparkSession.active, p, renames, drops, widens, adds)
     new CowDsv2Table(p)
   }
 
@@ -316,9 +329,40 @@ object GraftProcedures {
       r.getDouble(2), r.getLong(3))
   }
 
+  /** Fork a staging branch off the parent's current snapshot (the
+    * WRITE of write-audit-publish); returns the BRANCH's v0 summary.
+    * Write to it via any committer or `graft.`parent/branches/name``,
+    * audit it, then cow_publish_branch or cow_drop_branch. */
+  val cowCreateBranch: UnboundProcedure = proc("cow_create_branch",
+    "Fork a write-audit-publish staging branch off a graft CoW table",
+    Seq(in("table", StringType), in("name", StringType))) { (spark, r) =>
+    val bp = CowTable.createBranch(spark, str(r, 0), str(r, 1))
+    CowTable.latestManifest(bp).get
+  }
+
+  /** Atomically adopt the branch head as the parent's next version
+    * (the PUBLISH); fast-forward-only — refuses if the parent advanced
+    * past the branch base. */
+  val cowPublishBranch: UnboundProcedure = proc("cow_publish_branch",
+    "Atomically publish a staged branch onto its graft CoW parent",
+    Seq(in("table", StringType), in("name", StringType))) { (spark, r) =>
+    CowTable.publishBranch(spark, str(r, 0), str(r, 1))
+  }
+
+  /** Discard a staged branch (the REJECT); the parent is untouched. */
+  val cowDropBranch: UnboundProcedure = proc("cow_drop_branch",
+    "Discard a staged branch of a graft CoW table",
+    Seq(in("table", StringType), in("name", StringType))) { (spark, r) =>
+    CowTable.dropBranch(spark, str(r, 0), str(r, 1))
+    CowTable.latestManifest(str(r, 0)).get
+  }
+
   val byName: Map[String, UnboundProcedure] = Map(
     "cow_merge" -> cowMerge, "cow_delete" -> cowDelete,
     "cow_compact" -> cowCompact, "cow_vacuum" -> cowVacuum,
     "cow_maintain" -> cowMaintain, "cow_expire" -> cowExpire,
-    "cow_declare_bloom" -> cowDeclareBloom)
+    "cow_declare_bloom" -> cowDeclareBloom,
+    "cow_create_branch" -> cowCreateBranch,
+    "cow_publish_branch" -> cowPublishBranch,
+    "cow_drop_branch" -> cowDropBranch)
 }

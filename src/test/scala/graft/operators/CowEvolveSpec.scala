@@ -284,4 +284,70 @@ class CowEvolveSpec extends AnyFunSuite {
     assert(got(400L) == 5000000001L, "generation-3 file (physical name value)")
     assert(got.size == 102)
   }
+
+  test("ALTER TABLE ADD COLUMN appends nullable; old rows NULL-extend") {
+    val t = fixture()
+    spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val m0 = CowTable.latestManifest(t).get
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN score double")
+    val m1 = CowTable.latestManifest(t).get
+    assert(m1.files == m0.files, "ADD COLUMN must be metadata-only")
+    val sch = m1.schemaOpt.get
+    assert(sch.fieldNames.toSeq == Seq("id", "v", "name", "note", "score"))
+    assert(sch("score").nullable &&
+      CowTable.fieldIdOf(sch("score")).isDefined)
+    // every path NULL-extends: Scala snapshot read and DSv2/SQL
+    assert(CowTable.read(spark, t)
+      .filter(col("score").isNull).count() === 100L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t` WHERE score IS NULL")
+      .head().getLong(0) === 100L)
+    // a resurrected historical name refuses
+    CowTable.alterTable(spark, t, renames = Map("note" -> "memo"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN note string")
+    }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION evolves the target inside the statement") {
+    val t = fixture()
+    spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    // source updates ids 40..59 (doubling v), inserts 100..109, and
+    // carries a NEW column `flag` the target lacks
+    (40L until 110L).filterNot(i => i >= 60L && i < 100L)
+      .map(i => (i, (2 * i).toInt, s"m$i", s"mnote$i", i % 3))
+      .toDF("id", "v", "name", "note", "flag")
+      .createOrReplaceTempView("evolve_merge_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` tgt
+         |USING evolve_merge_src s
+         |ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val sch = CowTable.latestManifest(t).get.schemaOpt.get
+    assert(sch.fieldNames.toSeq == Seq("id", "v", "name", "note", "flag"))
+    assert(sch("flag").nullable && sch("flag").dataType == LongType)
+    val rows = CowTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(rows.size === 110)
+    // untouched pre-evolution rows NULL-extend
+    (0L until 40L).foreach(i => assert(rows(i) == (i.toInt, None)))
+    // matched rows took the update INCLUDING the evolved column
+    (40L until 60L).foreach(i =>
+      assert(rows(i) == ((2 * i).toInt, Some(i % 3))))
+    // inserts carry it too
+    (100L until 110L).foreach(i =>
+      assert(rows(i) == ((2 * i).toInt, Some(i % 3))))
+    // idempotent surface: a second merge with NO new columns is a
+    // plain merge (no spurious evolution commit)
+    val vBefore = CowTable.latestManifest(t).get.version
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` tgt
+         |USING evolve_merge_src s
+         |ON tgt.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    assert(CowTable.latestManifest(t).get.version == vBefore + 1,
+      "a no-evolution merge must commit exactly one version")
+  }
 }
