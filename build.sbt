@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Bench/Verify emit machine-parsed JSON on stdout: pass the forked
+// JVM's stdout through RAW (no [info] prefix) and suppress sbt's
+// trailing "[success] Total time" line, so the compact bench summary
+// is the LAST stdout line — the driver's tail parse reads it directly.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false

@@ -136,7 +136,11 @@ object Bench {
     // target inside the merge — AddColumn metadata commit + row-level
     // MERGE against the evolved schema) and WRITE-AUDIT-PUBLISH over
     // branch refs (stage, one-pass audit, atomic publish / drop)
-    "lh_merge_evolve", "lh_wap")
+    "lh_merge_evolve", "lh_wap",
+    // round 16: exact total-variation distribution drift vs a pinned
+    // reference snapshot (one scan per side, decimal-pure); real
+    // ImageIO PNG decode; Hamming-banded perceptual image dedup
+    "dq_drift", "mm_decode_png", "dd_image_phash")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -301,8 +305,14 @@ object Bench {
       "BENCH_local_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nErr,"n_queries":${headline.size},"sf":"$sfDir","json_path":"$outPath"}""")
+    // sentinel-wrapped copy first (regex-extractable from any log
+    // capture), then the bare compact JSON as the true LAST stdout
+    // line (run/outputStrategy passes it raw; showSuccess=false keeps
+    // sbt from appending a [success] line after it)
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nErr,"n_queries":${headline.size},"sf":"$sfDir","json_path":"$outPath"}"""
+    println(s"GRAFT_BENCH_JSON>>>$compact<<<GRAFT_BENCH_JSON")
     spark.stop()
+    println(compact)
     if (nErr > 0) {
       System.err.println(s"[bench] $nErr queries FAILED — bench is invalid")
       sys.exit(1)

@@ -186,6 +186,13 @@ object CowTable {
       bucketSpec: Option[(String, Int)] = None) {
     def schemaOpt: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+    /** Normalized twin of `files`, index-aligned — memoized so pruning
+      * pays the O(#files) percent-decode ONCE per manifest object
+      * instead of once per prune call (a bloom-probed gate runs many
+      * prunes against one snapshot). */
+    @transient lazy val normalizedFiles: Array[String] =
+      files.iterator.map(CowTable.normalizePath).toArray
   }
 
   private def manifestDir(table: String): Path = Paths.get(table, "manifest")
@@ -519,6 +526,16 @@ object CowTable {
     * [[loadEntries]]. The de-collected-planning spec pins that planning
     * over a large (100k-entry) sidecar leaves this unchanged. */
   private[graft] val driverEntryRowsLoaded =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test hook: path strings COLLECTED to the driver by read planning
+    * ([[pruneDataFilesExpr]]'s stats-kept + bloom-proven collects) —
+    * the planner's survivors, the one driver materialization a file
+    * scan genuinely needs (Spark's task planning takes a file list).
+    * The de-collected-planning spec pins that a SELECTIVE readWhere
+    * collects O(survivors), never O(#files): all interval/equality/
+    * bloom algebra runs in the sidecar scan executor-side. */
+  private[graft] val driverReadPathsListed =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Test hook: physical file paths materialized on the DRIVER by
@@ -1587,6 +1604,7 @@ object CowTable {
       return m.files
     val folded = resolvedCond(spark, dataSchema,
       foldRenameCoalesce(condExpr, dataSchema))
+    val normFiles = m.normalizedFiles // memoized once per manifest
     val statsKept: Seq[String] =
       if (stSchema.isEmpty && m.partitionCols.isEmpty) m.files
       else {
@@ -1597,7 +1615,10 @@ object CowTable {
             stSchema)
           .filter(keep)
           .select("path").collect().map(r => normalize(r.getString(0))).toSet
-        m.files.filter(f => kept.contains(normalize(f)))
+        driverReadPathsListed.addAndGet(kept.size.toLong)
+        m.files.indices.collect {
+          case i if kept.contains(normFiles(i)) => m.files(i)
+        }
       }
     // bloom pass: equality/IN conjuncts on declared columns subtract
     // the files whose sketches prove no candidate value is present —
@@ -1605,8 +1626,13 @@ object CowTable {
     if (!bloomLive || statsKept.isEmpty) statsKept
     else {
       val proven = bloomPrunedPaths(spark, table, m, folded, dataSchema)
+      driverReadPathsListed.addAndGet(proven.size.toLong)
       if (proven.isEmpty) statsKept
-      else statsKept.filterNot(f => proven.contains(normalize(f)))
+      else {
+        val provenIdx = m.files.indices
+          .filter(i => proven.contains(normFiles(i))).map(m.files).toSet
+        statsKept.filterNot(provenIdx.contains)
+      }
     }
   }
 
@@ -2236,14 +2262,16 @@ object CowTable {
     m.bucketSpec.flatMap { _ =>
       if (m.files.isEmpty || m.entriesRel.isEmpty) None
       else {
-        val rows = entriesDF(spark, table, m)
+        val withB = entriesDF(spark, table, m)
           .filter(col("kind") === "data")
           .select(col("path"),
             get_json_object(col("part"), s"$$.$BucketSegment")
               .cast("int").as("b"))
-          .collect()
-        if (rows.exists(_.isNullAt(1))) None
-        else Some(rows.map(r =>
+        // completeness check EXECUTOR-SIDE (one short-circuit count):
+        // when any live file is unattributed the report stands down
+        // table-wide and the per-file map is never collected at all
+        if (withB.filter(col("b").isNull).limit(1).count() > 0L) None
+        else Some(withB.collect().map(r =>
           normalize(r.getString(0)) -> r.getInt(1)).toMap)
       }
     }
@@ -5356,7 +5384,8 @@ object CowTable {
       ($"id" + 1000L).as("o_custkey"),
       lit("X").as("o_orderstatus"),
       ($"id".cast("double") * 100.5).as("o_totalprice"),
-      lit(java.sql.Date.valueOf("1995-01-01")).as("o_orderdate"),
+      lit(java.sql.Date.valueOf("1995-01-01"))
+        .cast("timestamp_ntz").as("o_orderdate"),
       lit("9-CONC").as("o_orderpriority"))
     preCommitHook = { () =>
       preCommitHook = () => ()
@@ -5884,12 +5913,13 @@ object CowTable {
     val rMid = measured("k_mid", 2L * kMid)
     val rGap = measured("k_gap", 2L * kMid + 1L) // odd => absent, in range
     // insert-only merge: 500 new keys past max (all o_key2 still
-    // EVEN) — the commit must bloom-sidecar its new files unasked
-    val src = orders.orderBy($"o_orderkey").limit(500)
-      .withColumn("rn", row_number().over(Window.orderBy($"o_orderkey")))
-      .withColumn("o_orderkey", lit(mx) + $"rn".cast("long"))
+    // EVEN) — the commit must bloom-sidecar its new files unasked.
+    // The testdata's keys are DENSE (0..N contiguous), so key k < 500
+    // maps to new key mx+k+1 directly — same rows a rank-window would
+    // produce, with no single-partition WindowExec in the op half
+    val src = orders.filter($"o_orderkey" < 500L)
+      .withColumn("o_orderkey", lit(mx) + $"o_orderkey" + 1L)
       .withColumn("o_key2", $"o_orderkey" * 2L)
-      .drop("rn")
     mergeInto(s, table, src, Seq("o_orderkey"))
     // absent odd values inside the new files' [2(mx+1), 2(mx+500)]
     val candidates = (0 to 5).map(j => 2L * mx + 3L + 2L * j)

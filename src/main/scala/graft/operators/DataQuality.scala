@@ -142,11 +142,164 @@ object DataQuality {
        |    (SELECT COUNT(*) FROM orders)
        |)""".stripMargin
 
+  // ------------------------------------------------ distribution drift
+
+  /** A drift dimension: how one column's values bucket into a
+    * histogram key. Numeric columns bin into `bins` fixed-width
+    * buckets over [lo, hi] (out-of-range clamps to the edge buckets,
+    * NULL gets its own bucket) — the reference snapshot's expected
+    * range is the caller's domain knowledge, pinned so the two sides
+    * bucket identically; categorical columns key by value. */
+  sealed trait DriftSpec {
+    def column: String
+    def name: String
+    private[operators] def key: Column
+  }
+  case class NumDrift(column: String, bins: Int, lo: Double, hi: Double)
+      extends DriftSpec {
+    require(bins >= 2 && hi > lo, s"NumDrift($column): need bins>=2, hi>lo")
+    val name = s"num:$column"
+    private[operators] def key: Column = {
+      val w = (hi - lo) / bins
+      when(col(column).isNull, lit(-1L))
+        .otherwise(least(greatest(
+          floor((col(column) - lit(lo)) / lit(w)), lit(0L)),
+          lit(bins - 1L))).cast("string")
+    }
+  }
+  case class CatDrift(column: String) extends DriftSpec {
+    val name = s"cat:$column"
+    private[operators] def key: Column =
+      coalesce(col(column).cast("string"), lit("__null__"))
+  }
+
+  /** Distribution drift of `cur` against a pinned reference snapshot,
+    * one row per spec'd column: EXACT total-variation distance over
+    * the spec's histogram, reported as the cross-multiplied integer
+    * `dist = Σ_b |n_cur(b)·N_ref − n_ref(b)·N_cur|` (= 2·TV·N_cur·N_ref,
+    * DECIMAL(38,0) — no float ever enters, so the report is
+    * bit-reproducible across engines and SFs) plus the thresholded
+    * verdict `drifted ⟺ TV > num/den` evaluated in the same integer
+    * domain. Cost shape for 100 TB: ONE scan per side (every column's
+    * histogram rides a single explode→hash-aggregate; bins×columns
+    * rows leave the executors), then driver-trivial join algebra —
+    * no per-column passes, no sort, no collect of anything
+    * data-sized. */
+  def driftReport(cur: DataFrame, ref: DataFrame, specs: Seq[DriftSpec],
+      thresholdNum: Int = 1, thresholdDen: Int = 20): DataFrame = {
+    require(specs.nonEmpty, "driftReport needs at least one DriftSpec")
+    require(thresholdNum > 0 && thresholdDen > 0, "threshold must be > 0")
+    def hist(df: DataFrame): DataFrame =
+      df.select(explode(array(specs.map(sp =>
+          struct(lit(sp.name).as("col"), sp.key.as("key"))): _*)).as("e"))
+        .groupBy(col("e.col").as("col"), col("e.key").as("key"))
+        .agg(count(lit(1)).as("n"))
+    val hc = hist(cur).withColumnRenamed("n", "nc")
+    val hr = hist(ref).withColumnRenamed("n", "nr")
+    val j = hc.join(hr, Seq("col", "key"), "full_outer")
+      .select(col("col"), col("key"),
+        coalesce(col("nc"), lit(0L)).as("nc"),
+        coalesce(col("nr"), lit(0L)).as("nr"))
+    val d18 = "decimal(18,0)"
+    val totals = j.groupBy("col")
+      .agg(sum("nc").as("ncur"), sum("nr").as("nref"))
+    j.join(totals, "col")
+      .groupBy(col("col").as("column"))
+      .agg(
+        first(col("nref")).as("n_ref"),
+        first(col("ncur")).as("n_cur"),
+        sum(abs(col("nc").cast(d18) * col("nref").cast(d18) -
+          col("nr").cast(d18) * col("ncur").cast(d18)))
+          .cast("decimal(38,0)").as("dist"))
+      .withColumn("drifted",
+        col("dist") * lit(thresholdDen) >
+          col("n_cur").cast(d18) * col("n_ref").cast(d18) *
+            lit(2 * thresholdNum))
+  }
+
+  /** Gate fixture: a synthetically drifted copy of orders — a third of
+    * the rows' prices grow 1.5× and a fifth of the rows' priorities
+    * collapse to '1-URGENT'; custkey and status are untouched controls
+    * that must report dist = 0, drifted = false. */
+  def dqDrift(s: SparkSession, dir: String): DataFrame = {
+    val ref = Tables.orders(s, dir)
+    val cur = ref
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(3)) === 0,
+          col("o_totalprice") * 1.5).otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("1-URGENT"))
+          .otherwise(col("o_orderpriority")))
+    driftReport(cur, ref, Seq(
+      NumDrift("o_totalprice", 20, 0.0, 600000.0),
+      NumDrift("o_custkey", 16, 0.0, 10000.0),
+      CatDrift("o_orderpriority"),
+      CatDrift("o_orderstatus")))
+  }
+
+  val dqDriftSql: String =
+    """WITH cur AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.5
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN '1-URGENT'
+      |         ELSE o_orderpriority END AS o_orderpriority
+      |  FROM orders),
+      |hc AS (
+      |  SELECT 'num:o_totalprice' AS col, CAST(CASE WHEN o_totalprice IS NULL
+      |      THEN -1 ELSE LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 30000.0)
+      |      AS BIGINT), 0), 19) END AS VARCHAR) AS key, COUNT(*) AS n
+      |    FROM cur GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'num:o_custkey', CAST(CASE WHEN o_custkey IS NULL
+      |      THEN -1 ELSE LEAST(GREATEST(CAST(FLOOR((o_custkey - 0.0) / 625.0)
+      |      AS BIGINT), 0), 15) END AS VARCHAR), COUNT(*)
+      |    FROM cur GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'cat:o_orderpriority', COALESCE(o_orderpriority, '__null__'),
+      |      COUNT(*) FROM cur GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'cat:o_orderstatus', COALESCE(o_orderstatus, '__null__'),
+      |      COUNT(*) FROM cur GROUP BY 1, 2),
+      |hr AS (
+      |  SELECT 'num:o_totalprice' AS col, CAST(CASE WHEN o_totalprice IS NULL
+      |      THEN -1 ELSE LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 30000.0)
+      |      AS BIGINT), 0), 19) END AS VARCHAR) AS key, COUNT(*) AS n
+      |    FROM orders GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'num:o_custkey', CAST(CASE WHEN o_custkey IS NULL
+      |      THEN -1 ELSE LEAST(GREATEST(CAST(FLOOR((o_custkey - 0.0) / 625.0)
+      |      AS BIGINT), 0), 15) END AS VARCHAR), COUNT(*)
+      |    FROM orders GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'cat:o_orderpriority', COALESCE(o_orderpriority, '__null__'),
+      |      COUNT(*) FROM orders GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'cat:o_orderstatus', COALESCE(o_orderstatus, '__null__'),
+      |      COUNT(*) FROM orders GROUP BY 1, 2),
+      |j AS (
+      |  SELECT COALESCE(hc.col, hr.col) AS col, COALESCE(hc.key, hr.key) AS key,
+      |    COALESCE(hc.n, 0) AS nc, COALESCE(hr.n, 0) AS nr
+      |  FROM hc FULL OUTER JOIN hr ON hc.col = hr.col AND hc.key = hr.key),
+      |t AS (SELECT col, CAST(SUM(nc) AS BIGINT) AS ncur,
+      |  CAST(SUM(nr) AS BIGINT) AS nref FROM j GROUP BY col)
+      |SELECT j.col AS "column", t.nref AS n_ref, t.ncur AS n_cur,
+      |  CAST(SUM(ABS(CAST(j.nc AS DECIMAL(18,0)) * CAST(t.nref AS DECIMAL(18,0))
+      |    - CAST(j.nr AS DECIMAL(18,0)) * CAST(t.ncur AS DECIMAL(18,0))))
+      |    AS DECIMAL(38,0)) AS dist,
+      |  SUM(ABS(CAST(j.nc AS DECIMAL(18,0)) * CAST(t.nref AS DECIMAL(18,0))
+      |    - CAST(j.nr AS DECIMAL(18,0)) * CAST(t.ncur AS DECIMAL(18,0)))) * 20
+      |    > CAST(t.ncur AS DECIMAL(18,0)) * CAST(t.nref AS DECIMAL(18,0)) * 2
+      |    AS drifted
+      |FROM j JOIN t ON j.col = t.col
+      |GROUP BY j.col, t.nref, t.ncur""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> dqAudit,
+    "dq_drift" -> dqDrift,
   )
 
   val oracles: Map[String, String] = Map(
     "dq_audit" -> dqAuditSql,
+    "dq_drift" -> dqDriftSql,
   )
 }

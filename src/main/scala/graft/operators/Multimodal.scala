@@ -298,19 +298,264 @@ object Multimodal {
        |FROM p2""".stripMargin
   }
 
+  // --------------------------------------- PNG/JPEG-class codec path.
+  /** REAL image-format decode through `javax.imageio` (pure-JVM, no
+    * native libs): PNG in, BMP as the re-encode twin. Payload synthesis
+    * is deterministic integer arithmetic so the DuckDB oracle predicts
+    * the DECODED pixels without parsing a byte — PNG/BMP are lossless,
+    * so a single wrong pixel anywhere in encode→decode hash-mismatches
+    * the gate. The pixel mixer carries an id×position interaction term:
+    * an additive-in-id pattern would give every image identical
+    * GRADIENTS and collapse every dHash to one value. */
+  object ImageCodec {
+    java.lang.System.setProperty("java.awt.headless", "true")
+
+    /** Base pixel channel value in 0..254 (the brightness twin adds a
+      * UNIFORM +1 and must never clamp). Quadratic-residue mixing —
+      * square an affine seed modulo a prime — because anything affine
+      * in (id, i) leaves every image's GRADIENT field correlated and
+      * distinct images then dHash-collide (observed at sf0.1: 51
+      * chance pairs under a linear mixer). All intermediates fit
+      * BIGINT (k < 2^24, k² < 2^48), so the oracle replays it in SQL
+      * verbatim. */
+    def mixPixel(id: Long, i: Int): Int = {
+      val p = 16777213L
+      val k = (id * 2654435761L + i.toLong * 97L + 13L) % p
+      (k * k % p % 255L).toInt
+    }
+
+    def dims(id: Long): (Int, Int) =
+      (12 + (id % 9).toInt, 10 + (id % 7).toInt)
+
+    /** splitmix64 finalizer — the phash CORPUS pixel mixer. The dedup
+      * gate's oracle never replays pixels (it predicts the planted
+      * PAIR SET), so this side can use real 64-bit avalanche mixing —
+      * and must: any polynomial-mod scheme leaves the DIFFERENCE of
+      * two images' pixel fields low-degree in position (observed:
+      * ids 3843 apart dHash-collided at Hamming 0 even under a
+      * quadratic-residue mixer), while avalanche mixing makes cross-
+      * image dHash collisions ~2⁻⁶⁴-rare. */
+    def strongMix(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+
+    /** Corpus pixel in 0..254 (uniform +1 never clamps); raster index
+      * i < 1024 keeps id*1024+i injective across the corpus. */
+    def strongPixel(id: Long, i: Int): Int =
+      (((strongMix(id * 1024L + i) >>> 40) & 0xFFFFFFL) % 255L).toInt
+
+    def synthesize(id: Long, brightShift: Int,
+        px: (Long, Int) => Int = mixPixel): java.awt.image.BufferedImage = {
+      val (w, h) = dims(id)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val k = (y * w + x) * 3
+          def ch(j: Int): Int = px(id, k + j) + brightShift
+          img.setRGB(x, y, (ch(0) << 16) | (ch(1) << 8) | ch(2))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, fmt, bos),
+        s"no ImageIO writer for $fmt")
+      bos.toByteArray
+    }
+
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      img
+    }
+
+    /** 64-bit dHash: green channel, 8×9 box-downsample with EXACT
+      * integer cell compare (cross-multiplied — no division, no float),
+      * bit = cell(r,c) brighter than cell(r,c+1). Provably invariant
+      * under a uniform brightness shift: comparing (S+A·δ)·A' against
+      * (S'+A'·δ)·A cancels the δ·A·A' term on both sides. */
+    def dHash(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth
+      val h = img.getHeight
+      require(w >= 9 && h >= 8, s"dHash needs >=9x8, got ${w}x$h")
+      val sums = Array.ofDim[Long](8, 9)
+      val areas = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val r = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val c = x * 9 / w
+          sums(r)(c) += (img.getRGB(x, y) >> 8) & 0xFF
+          areas(r)(c) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var bit = 0
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (sums(r)(c) * areas(r)(c + 1) > sums(r)(c + 1) * areas(r)(c))
+            hash |= 1L << bit
+          bit += 1
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+  }
+
+  final case class ImgRecord(img_id: Long, payload: Array[Byte])
+  final case class PngFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Int, brightness: Double)
+
+  /** Gate: REAL PNG decode — synthesize → ImageIO PNG encode → ImageIO
+    * decode → integer-exact features; the oracle replays the synthesis
+    * arithmetic, so the whole lossless roundtrip is pixel-checked. */
+  def mmDecodePng(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.map { id =>
+        ImgRecord(id, ImageCodec.encode(ImageCodec.synthesize(id, 0), "png"))
+      })
+      .mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.map { r =>
+        val img = ImageCodec.decode(r.payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        PngFeatures(r.img_id, w, h, w * h, sum.toDouble / (w * h * 3))
+      })).toDF()
+  }
+
+  val mmDecodePngSql: String =
+    """SELECT doc_id,
+      |  CAST(12 + doc_id % 9 AS INT) AS width,
+      |  CAST(10 + doc_id % 7 AS INT) AS height,
+      |  CAST((12 + doc_id % 9) * (10 + doc_id % 7) AS INT) AS n_pixels,
+      |  list_sum(list_transform(
+      |    range((12 + doc_id % 9) * (10 + doc_id % 7) * 3),
+      |    i -> ((doc_id * 2654435761 + i * 97 + 13) % 16777213)
+      |      * ((doc_id * 2654435761 + i * 97 + 13) % 16777213)
+      |      % 16777213 % 255))::DOUBLE
+      |    / ((12 + doc_id % 9) * (10 + doc_id % 7) * 3) AS brightness
+      |FROM documents""".stripMargin
+
+  val ReencodeOffset = 1000000000L
+  val BrightOffset = 2000000000L
+  val PhashMaxHamming = 2
+
+  /** The perceptual-dedup corpus: every doc gets a base PNG; docs ≡0
+    * (mod 4) additionally get a BYTE-DIFFERENT re-encode of the SAME
+    * pixels (BMP — the container changed, the content didn't, exactly
+    * what a crawl dedupe meets), docs ≡1 a uniform brightness+1 twin
+    * (pixel bytes differ EVERYWHERE — dHash's gradient invariance is
+    * the only thing that can catch it). */
+  def ingestImages(s: SparkSession, dir: String): Dataset[ImgRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val px = ImageCodec.strongPixel _
+        val base = ImgRecord(id,
+          ImageCodec.encode(ImageCodec.synthesize(id, 0, px), "png"))
+        val twin = (id % 4) match {
+          case 0 => Seq(ImgRecord(id + ReencodeOffset,
+            ImageCodec.encode(ImageCodec.synthesize(id, 0, px), "bmp")))
+          case 1 => Seq(ImgRecord(id + BrightOffset,
+            ImageCodec.encode(ImageCodec.synthesize(id, 1, px), "png")))
+          case _ => Nil
+        }
+        base +: twin
+      })
+  }
+
+  /** Gate: PERCEPTUAL image dedup — decode (ImageIO) → dHash on the
+    * scan → 16-bit Hamming-band blocking (the dd_simhash shape: 4
+    * bands, a ≤2-bit-distant pair shares at least one intact band) →
+    * exact Hamming verify on candidates only. Byte-level identity is
+    * carried alongside and is FALSE for every found pair — the planted
+    * duplicates are invisible to byte dedup by construction, and the
+    * oracle pins that the banded pipeline finds EXACTLY the planted
+    * twins (re-encoded container + uniform-brightness shift), each at
+    * Hamming 0 (BMP: same pixels; brightness: the cross-multiplied
+    * cell compare cancels a uniform shift exactly). At 100 TB this is
+    * scan-parallel decode+hash, a bucket join on (band, key), and a
+    * candidate-only verify — never all-pairs. */
+  def ddImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = ingestImages(s, dir)
+      .mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.map { r =>
+        (r.img_id, ImageCodec.dHash(ImageCodec.decode(r.payload)),
+          java.util.Arrays.hashCode(r.payload).toLong)
+      })).toDF("img_id", "dhash", "payload_fp")
+    val banded = hashed.select($"img_id", $"dhash", $"payload_fp",
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright($"dhash", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
+        .as("e"))
+      .select($"img_id", $"dhash", $"payload_fp",
+        $"e.band".as("band"), $"e.key".as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("base_id"), col("b.img_id").as("dup_id"),
+        bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"),
+        (col("a.payload_fp") === col("b.payload_fp")).as("byte_dup"))
+      .distinct()
+      .filter($"hamming" <= PhashMaxHamming)
+      .select($"base_id", $"dup_id",
+        when($"dup_id" >= BrightOffset, "brightness")
+          .otherwise("reencoded").as("kind"),
+        $"hamming".cast("int").as("hamming"), $"byte_dup")
+  }
+
+  val ddImagePhashSql: String =
+    s"""SELECT doc_id AS base_id, doc_id + $ReencodeOffset AS dup_id,
+       |  'reencoded' AS kind, 0 AS hamming, FALSE AS byte_dup
+       |FROM documents WHERE doc_id % 4 = 0
+       |UNION ALL
+       |SELECT doc_id, doc_id + $BrightOffset, 'brightness', 0, FALSE
+       |FROM documents WHERE doc_id % 4 = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_decode_ppm" -> mmDecodePpm,
+    "mm_decode_png" -> mmDecodePng,
     "mm_frame_sample" -> mmFrameSample,
     "mm_audio_windows" -> mmAudioWindows,
     "mm_patches" -> mmPatches,
+    "dd_image_phash" -> ddImagePhash,
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_meta" -> mmDecodeMetaSql,
     "mm_decode_ppm" -> mmDecodePpmSql,
+    "mm_decode_png" -> mmDecodePngSql,
     "mm_frame_sample" -> mmFrameSampleSql,
     "mm_audio_windows" -> mmAudioWindowsSql,
     "mm_patches" -> mmPatchesSql,
+    "dd_image_phash" -> ddImagePhashSql,
   )
 }

@@ -68,6 +68,29 @@ class CowPlanningScaleSpec extends AnyFunSuite {
         "large-table planning — the parquet-backed path was bypassed")
   }
 
+  test("a selective prune collects O(survivors) paths, never O(#files)") {
+    val (t, m) = syntheticBig()
+    val rowsBefore = CowTable.driverEntryRowsLoaded.get()
+    val pathsBefore = CowTable.driverReadPathsListed.get()
+    // point lookup: exactly one of 100k files survives — the planner's
+    // driver materialization must be that ONE path (the list a Spark
+    // scan genuinely needs), with all interval algebra executor-side
+    val kept = CowTable.pruneDataFiles(spark, t, m, $"v" === 4242L)
+    assert(kept == Seq(s"$t/data/v0-fake/part-4242.parquet"))
+    assert(CowTable.driverEntryRowsLoaded.get() == rowsBefore,
+      "prune loaded sidecar entry rows on the driver")
+    val delta = CowTable.driverReadPathsListed.get() - pathsBefore
+    assert(delta == 1L,
+      s"driver collected $delta path strings for a 1-file plan " +
+        "over a 100k-entry sidecar")
+    // a 500-file interval collects exactly its survivors
+    val p2 = CowTable.driverReadPathsListed.get()
+    val range = CowTable.pruneDataFiles(spark, t, m,
+      $"v" >= 1000L && $"v" <= 1499L)
+    assert(range.size == 500)
+    assert(CowTable.driverReadPathsListed.get() - p2 == 500L)
+  }
+
   test("a small sidecar still serves planning from the driver cache") {
     val t = freshTable()
     val df = (0L until 50L).map(i => (i, i / 10 + 1))

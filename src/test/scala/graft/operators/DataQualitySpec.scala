@@ -119,4 +119,48 @@ class DataQualitySpec extends AnyFunSuite {
     assert(got("ref:fk->k") == 1L)     // 99 dangling
     assert(got("ref:id->id2") == 1L)   // 106 dangling (100 dup counts once per row: both rows match)
   }
+
+  test("driftReport: identical sides report dist 0; a planted shift crosses the threshold") {
+    import org.apache.spark.sql.functions._
+    val ref = (0L until 1000L).map(i => (i, (i % 100).toDouble, s"c${i % 4}"))
+      .toDF("id", "x", "g")
+    // identical distributions (different row subsets, same shape)
+    val same = driftReport(ref, ref,
+      Seq(NumDrift("x", 10, 0.0, 100.0), CatDrift("g")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDecimal(3).longValueExact(), r.getBoolean(4))).toMap
+    assert(same("num:x") == (0L, false) && same("cat:g") == (0L, false))
+    // planted shift: half the mass of g moves to one category; x shifts
+    // by +50 for a third of rows
+    val cur = ref
+      .withColumn("g", when($"id" % 2 === 0, lit("c0")).otherwise($"g"))
+      .withColumn("x", when($"id" % 3 === 0, $"x" + 50.0).otherwise($"x"))
+    val got = driftReport(cur, ref,
+      Seq(NumDrift("x", 10, 0.0, 100.0), CatDrift("g")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact(),
+          r.getBoolean(4))).toMap
+    assert(got("cat:g")._4 && got("num:x")._4, s"planted drift missed: $got")
+    assert(got("cat:g")._1 == 1000L && got("cat:g")._2 == 1000L)
+    // exact TV check for the categorical side: c1/c3 lose half their
+    // 250-row mass on even ids (c0 gains 250, c2's evens were
+    // already renamed... compute independently from the data)
+    val exp = {
+      val refCnt = (0L until 1000L).groupBy(i => s"c${i % 4}")
+        .view.mapValues(_.size.toLong).toMap
+      val curCnt = (0L until 1000L).groupBy(i =>
+        if (i % 2 == 0) "c0" else s"c${i % 4}")
+        .view.mapValues(_.size.toLong).toMap
+      (refCnt.keySet ++ curCnt.keySet).toSeq.map(k =>
+        math.abs(curCnt.getOrElse(k, 0L) * 1000L -
+          refCnt.getOrElse(k, 0L) * 1000L)).sum
+    }
+    assert(got("cat:g")._3 == exp, "dist must be the exact TV cross-product")
+    // NULLs get their own bucket and count as mass
+    val withNull = ref.withColumn("x",
+      when($"id" < 300L, lit(null).cast("double")).otherwise($"x"))
+    val nd = driftReport(withNull, ref, Seq(NumDrift("x", 10, 0.0, 100.0)))
+      .collect().head
+    assert(nd.getBoolean(4), "300 nulls vs none must drift")
+  }
 }

@@ -119,4 +119,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(w2.filter(_.doc_id == 2L).map(_.start_sample).sorted.toSeq ==
       Seq(0, 128, 256))
   }
+
+  test("ImageIO PNG roundtrip is pixel-exact; dHash invariants hold") {
+    import Multimodal.ImageCodec
+    val img = ImageCodec.synthesize(42L, 0)
+    val back = ImageCodec.decode(ImageCodec.encode(img, "png"))
+    assert(back.getWidth == img.getWidth && back.getHeight == img.getHeight)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      assert((back.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF),
+        s"PNG roundtrip changed pixel ($x,$y)")
+    // BMP re-encode of the SAME pixels: identical dHash, different bytes
+    val bmpBytes = ImageCodec.encode(img, "bmp")
+    val pngBytes = ImageCodec.encode(img, "png")
+    assert(!java.util.Arrays.equals(bmpBytes, pngBytes))
+    assert(ImageCodec.dHash(ImageCodec.decode(bmpBytes)) ==
+      ImageCodec.dHash(img))
+    // uniform brightness shift: provably hash-invariant (both mixers)
+    (0L until 50L).foreach { id =>
+      assert(ImageCodec.dHash(ImageCodec.synthesize(id, 1)) ==
+        ImageCodec.dHash(ImageCodec.synthesize(id, 0)),
+        s"brightness shift changed dHash for id $id")
+      assert(ImageCodec.dHash(
+          ImageCodec.synthesize(id, 1, ImageCodec.strongPixel)) ==
+        ImageCodec.dHash(
+          ImageCodec.synthesize(id, 0, ImageCodec.strongPixel)),
+        s"brightness shift changed strong-mixer dHash for id $id")
+    }
+    // the CORPUS mixer disperses: every image hashes apart
+    val hashes = (0L until 200L).map(id => ImageCodec.dHash(
+      ImageCodec.synthesize(id, 0, ImageCodec.strongPixel)))
+    assert(hashes.distinct.size == 200,
+      s"dHash collapse: only ${hashes.distinct.size} distinct of 200")
+    // and no unrelated pair lands within the gate's Hamming threshold
+    val close = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.size
+      if java.lang.Long.bitCount(hashes(i) ^ hashes(j)) <=
+        Multimodal.PhashMaxHamming
+    } yield (i, j))
+    assert(close.isEmpty, s"unrelated near-collisions: $close")
+  }
+
+  test("dd_image_phash finds exactly the planted twins on sf0.001") {
+    val got = Multimodal.ddImagePhash(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3), r.getBoolean(4))).toSet
+    val docIds = Multimodal.ingest(spark, TestSpark.sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want =
+      docIds.filter(_ % 4 == 0).map(id =>
+        (id, id + Multimodal.ReencodeOffset, "reencoded", 0, false)) ++
+      docIds.filter(_ % 4 == 1).map(id =>
+        (id, id + Multimodal.BrightOffset, "brightness", 0, false))
+    assert(got == want,
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
 }

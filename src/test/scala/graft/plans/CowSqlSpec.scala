@@ -97,7 +97,8 @@ class CowSqlSpec extends AnyFunSuite {
     val procs = spark.sql("SHOW PROCEDURES IN graft").collect()
       .map(_.getString(3)).toSet
     assert(procs == Set("cow_merge", "cow_delete", "cow_compact",
-      "cow_vacuum", "cow_maintain", "cow_expire", "cow_declare_bloom"))
+      "cow_vacuum", "cow_maintain", "cow_expire", "cow_declare_bloom",
+      "cow_create_branch", "cow_publish_branch", "cow_drop_branch"))
     // unknown procedure fails with the known list
     val err = intercept[Exception](
       spark.sql(s"CALL graft.cow_nope(table => '$t')"))
