@@ -230,11 +230,17 @@ object DataQuality {
       .withColumn("o_orderpriority",
         when(pmod(col("o_orderkey"), lit(5)) === 0, lit("1-URGENT"))
           .otherwise(col("o_orderpriority")))
+    // the library report carries dist as DECIMAL(38,0); the gate casts
+    // it to double for the cross-engine compare (exact below 2^53 —
+    // dist <= 2*N^2, fine at every gate SF; DuckDB's pandas bridge
+    // floats wide decimals, so a decimal-typed gate column would
+    // dtype-mismatch on values that are equal)
     driftReport(cur, ref, Seq(
       NumDrift("o_totalprice", 20, 0.0, 600000.0),
       NumDrift("o_custkey", 16, 0.0, 10000.0),
       CatDrift("o_orderpriority"),
       CatDrift("o_orderstatus")))
+      .withColumn("dist", col("dist").cast("double"))
   }
 
   val dqDriftSql: String =
@@ -285,7 +291,7 @@ object DataQuality {
       |SELECT j.col AS "column", t.nref AS n_ref, t.ncur AS n_cur,
       |  CAST(SUM(ABS(CAST(j.nc AS DECIMAL(18,0)) * CAST(t.nref AS DECIMAL(18,0))
       |    - CAST(j.nr AS DECIMAL(18,0)) * CAST(t.ncur AS DECIMAL(18,0))))
-      |    AS DECIMAL(38,0)) AS dist,
+      |    AS DOUBLE) AS dist,
       |  SUM(ABS(CAST(j.nc AS DECIMAL(18,0)) * CAST(t.nref AS DECIMAL(18,0))
       |    - CAST(j.nr AS DECIMAL(18,0)) * CAST(t.ncur AS DECIMAL(18,0)))) * 20
       |    > CAST(t.ncur AS DECIMAL(18,0)) * CAST(t.nref AS DECIMAL(18,0)) * 2
