@@ -140,7 +140,10 @@ object Bench {
     // round 16: exact total-variation distribution drift vs a pinned
     // reference snapshot (one scan per side, decimal-pure); real
     // ImageIO PNG decode; Hamming-banded perceptual image dedup
-    "dq_drift", "mm_decode_png", "dd_image_phash")
+    "dq_drift", "mm_decode_png", "dd_image_phash",
+    // round 16: version-over-version drift (time travel pins both
+    // sides of the report; the ingest between them is a real merge)
+    "dq_drift_cow")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

@@ -299,13 +299,80 @@ object DataQuality {
       |FROM j JOIN t ON j.col = t.col
       |GROUP BY j.col, t.nref, t.ncur""".stripMargin
 
+  /** Gate: drift ACROSS LAKEHOUSE VERSIONS — "did yesterday's ingest
+    * shift the distribution?" composed from two existing primitives:
+    * VERSION AS OF time travel pins both sides of [[driftReport]] to
+    * immutable snapshots of ONE table (no copy of the reference data
+    * ever made — the v0 manifest IS the pinned baseline), and the
+    * ingest between them is a real file-pruned MERGE. Prices double on
+    * even keys (drifts), priorities are untouched (control, dist = 0).
+    * The oracle replays the merge relationally. */
+  def dqDriftCow(s: SparkSession, dir: String): DataFrame = {
+    val table =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+        java.util.UUID.randomUUID().toString.take(8)
+    val orders = Tables.orders(s, dir)
+    val m0 = CowTable.init(orders, table)
+    CowTable.mergeInto(s, table, orders
+        .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2),
+      Seq("o_orderkey"), insert = false)
+    driftReport(
+      CowTable.read(s, table),
+      CowTable.readVersion(s, table, m0.version),
+      Seq(NumDrift("o_totalprice", 20, 0.0, 600000.0),
+        CatDrift("o_orderpriority")))
+      .withColumn("dist", col("dist").cast("double"))
+  }
+
+  val dqDriftCowSql: String =
+    """WITH cur AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS o_totalprice,
+      |    o_orderpriority
+      |  FROM orders),
+      |hc AS (
+      |  SELECT 'num:o_totalprice' AS col, CAST(CASE WHEN o_totalprice IS NULL
+      |      THEN -1 ELSE LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 30000.0)
+      |      AS BIGINT), 0), 19) END AS VARCHAR) AS key, COUNT(*) AS n
+      |    FROM cur GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'cat:o_orderpriority', COALESCE(o_orderpriority, '__null__'),
+      |      COUNT(*) FROM cur GROUP BY 1, 2),
+      |hr AS (
+      |  SELECT 'num:o_totalprice' AS col, CAST(CASE WHEN o_totalprice IS NULL
+      |      THEN -1 ELSE LEAST(GREATEST(CAST(FLOOR((o_totalprice - 0.0) / 30000.0)
+      |      AS BIGINT), 0), 19) END AS VARCHAR) AS key, COUNT(*) AS n
+      |    FROM orders GROUP BY 1, 2
+      |  UNION ALL
+      |  SELECT 'cat:o_orderpriority', COALESCE(o_orderpriority, '__null__'),
+      |      COUNT(*) FROM orders GROUP BY 1, 2),
+      |j AS (
+      |  SELECT COALESCE(hc.col, hr.col) AS col, COALESCE(hc.key, hr.key) AS key,
+      |    COALESCE(hc.n, 0) AS nc, COALESCE(hr.n, 0) AS nr
+      |  FROM hc FULL OUTER JOIN hr ON hc.col = hr.col AND hc.key = hr.key),
+      |t AS (SELECT col, CAST(SUM(nc) AS BIGINT) AS ncur,
+      |  CAST(SUM(nr) AS BIGINT) AS nref FROM j GROUP BY col)
+      |SELECT j.col AS "column", t.nref AS n_ref, t.ncur AS n_cur,
+      |  CAST(SUM(ABS(CAST(j.nc AS DECIMAL(18,0)) * CAST(t.nref AS DECIMAL(18,0))
+      |    - CAST(j.nr AS DECIMAL(18,0)) * CAST(t.ncur AS DECIMAL(18,0))))
+      |    AS DOUBLE) AS dist,
+      |  SUM(ABS(CAST(j.nc AS DECIMAL(18,0)) * CAST(t.nref AS DECIMAL(18,0))
+      |    - CAST(j.nr AS DECIMAL(18,0)) * CAST(t.ncur AS DECIMAL(18,0)))) * 20
+      |    > CAST(t.ncur AS DECIMAL(18,0)) * CAST(t.nref AS DECIMAL(18,0)) * 2
+      |    AS drifted
+      |FROM j JOIN t ON j.col = t.col
+      |GROUP BY j.col, t.nref, t.ncur""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> dqAudit,
     "dq_drift" -> dqDrift,
+    "dq_drift_cow" -> dqDriftCow,
   )
 
   val oracles: Map[String, String] = Map(
     "dq_audit" -> dqAuditSql,
     "dq_drift" -> dqDriftSql,
+    "dq_drift_cow" -> dqDriftCowSql,
   )
 }

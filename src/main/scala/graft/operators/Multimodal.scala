@@ -467,6 +467,8 @@ object Multimodal {
   val ReencodeOffset = 1000000000L
   val BrightOffset = 2000000000L
   val PhashMaxHamming = 2
+  /** Buckets past this pair adjacent-by-hash instead of all-pairs. */
+  val PhashMegaBucketThreshold = 64
 
   /** The perceptual-dedup corpus: every doc gets a base PNG; docs ≡0
     * (mod 4) additionally get a BYTE-DIFFERENT re-encode of the SAME
@@ -511,24 +513,54 @@ object Multimodal {
         (r.img_id, ImageCodec.dHash(ImageCodec.decode(r.payload)),
           java.util.Arrays.hashCode(r.payload).toLong)
       })).toDF("img_id", "dhash", "payload_fp")
-    val banded = hashed.select($"img_id", $"dhash", $"payload_fp",
+    phashPairs(hashed)
+      .select($"base_id", $"dup_id",
+        when($"dup_id" >= BrightOffset, "brightness")
+          .otherwise("reencoded").as("kind"),
+        $"hamming".cast("int").as("hamming"), $"byte_dup")
+  }
+
+  /** Banded candidate pairs + exact Hamming verify over a
+    * (img_id, dhash, payload_fp) table — the join core of
+    * [[ddImagePhash]], factored so the mega-bucket regime is
+    * spec-drivable on synthetic hash populations. */
+  def phashPairs(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
+    val banded0 = hashed.select($"img_id", $"dhash", $"payload_fp",
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright($"dhash", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
         .as("e"))
       .select($"img_id", $"dhash", $"payload_fp",
         $"e.band".as("band"), $"e.key".as("key"))
+    // mega-bucket guard (the dd_minhash discipline, same single-join
+    // dual-regime shape): a near-constant image population (solid
+    // banners, tracking pixels) lands thousands of rows on one
+    // (band, key) and the self-join squares it. Oversized buckets pair
+    // ADJACENT-BY-(dhash, img_id) instead of all-pairs — identical
+    // hashes sort adjacent, so exact-duplicate recall survives even
+    // inside a mega bucket; near-dup recall degrades there only, the
+    // documented bound. The rank window shuffles on the SAME key as
+    // the join. Gate-scale buckets stay far below the threshold.
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band", $"key")
+    val banded = banded0
+      .withColumn("rk",
+        row_number().over(byBucket.orderBy($"dhash", $"img_id")))
+      .withColumn("bsz", count(lit(1)).over(byBucket))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.img_id") < col("b.img_id"))
-      .select(col("a.img_id").as("base_id"), col("b.img_id").as("dup_id"),
+          ((col("a.bsz") <= PhashMegaBucketThreshold &&
+            col("a.img_id") < col("b.img_id")) ||
+           (col("a.bsz") > PhashMegaBucketThreshold &&
+            col("a.rk") + 1 === col("b.rk") &&
+            col("a.img_id") =!= col("b.img_id"))))
+      .select(
+        least(col("a.img_id"), col("b.img_id")).as("base_id"),
+        greatest(col("a.img_id"), col("b.img_id")).as("dup_id"),
         bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).as("hamming"),
         (col("a.payload_fp") === col("b.payload_fp")).as("byte_dup"))
       .distinct()
       .filter($"hamming" <= PhashMaxHamming)
-      .select($"base_id", $"dup_id",
-        when($"dup_id" >= BrightOffset, "brightness")
-          .otherwise("reencoded").as("kind"),
-        $"hamming".cast("int").as("hamming"), $"byte_dup")
   }
 
   val ddImagePhashSql: String =

@@ -321,6 +321,48 @@ class CowBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("partially-clustered SPJ handles a skewed side without an exchange") {
+    withSpj {
+      // left side skewed: 80% of rows on one bucket-key residue class
+      val t1 = freshTable()
+      val t2 = freshTable()
+      val skewed = ((0L until 4000L).map(i => (i % 5, s"s$i")) ++
+        (0L until 1000L).map(i => (i + 5L, s"u$i"))).zipWithIndex
+        .map { case ((k, v), ix) => (k, s"$v-$ix") }
+      CowTable.initBucketed(skewed.toDF("id", "left_name"), t1, "id", 8)
+      CowTable.initBucketed((0L until 1005L).map(i => (i, i % 13))
+        .toDF("id", "right_grp"), t2, "id", 8)
+      val oldPC = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      val oldPV = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+        "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      try {
+        val q = spark.read.table(s"graft.`$t1`")
+          .join(spark.read.table(s"graft.`$t2`"), "id")
+        assert(joinShuffles(q) === 0,
+          "partially-clustered SPJ must stay exchange-free")
+        // exact row count: keys 0..4 carry 800 left rows each; keys
+        // 5..1004 carry one left row each; the right side has every
+        // key 0..1004 exactly once
+        assert(q.count() === 5L * 800L + 1000L)
+      } finally {
+        def restore(k: String, v: Option[String]): Unit = v match {
+          case Some(x) => spark.conf.set(k, x)
+          case None => spark.conf.unset(k)
+        }
+        restore("spark.sql.sources.v2.bucketing." +
+          "partiallyClusteredDistribution.enabled", oldPC)
+        restore("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          oldPV)
+      }
+    }
+  }
+
   test("alterTable refuses to rename/drop/widen the bucket column") {
     val t = freshTable()
     CowTable.initBucketed((0L until 100L).map(i => (i.toInt, i % 3))

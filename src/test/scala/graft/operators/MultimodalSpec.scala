@@ -159,6 +159,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(close.isEmpty, s"unrelated near-collisions: $close")
   }
 
+  test("mega buckets pair adjacent-by-hash: exact dups survive, no quadratic blowup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 300 // one constant-image population >> threshold (64)
+    // 150 identical-hash images (ids 0..149), plus 150 distinct fillers
+    // sharing NO bands with them; two exact-dup pairs planted INSIDE
+    // the mega population via identical payload_fp being irrelevant —
+    // identical dhash IS the dup signal here
+    val rows =
+      (0 until 150).map(i => (i.toLong, 0x1234567890ABCDEFL, i.toLong)) ++
+      (150 until n).map(i =>
+        (i.toLong, Multimodal.ImageCodec.strongMix(i.toLong), i.toLong))
+    val hashed = rows.toDF("img_id", "dhash", "payload_fp")
+    val pairs = Multimodal.phashPairs(hashed).collect()
+    // every adjacent identical-hash pair found (149 consecutive pairs),
+    // no all-pairs explosion (would be 150*149/2 = 11175)
+    val megaPairs = pairs.filter(r => r.getLong(0) < 150 && r.getLong(1) < 150)
+    assert(megaPairs.forall(_.getInt(2) == 0))
+    assert(megaPairs.length == 149,
+      s"adjacency regime produced ${megaPairs.length} pairs (want 149: " +
+        "the identical-hash chain, not the 11175 all-pairs square)")
+    // fillers (distinct strong hashes) contribute no pairs
+    assert(pairs.count(r => r.getLong(1) >= 150) == 0)
+  }
+
   test("dd_image_phash finds exactly the planted twins on sf0.001") {
     val got = Multimodal.ddImagePhash(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
