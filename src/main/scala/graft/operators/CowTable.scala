@@ -3115,10 +3115,16 @@ object CowTable {
     * on top ([[upsertMor]] adds the source-key write check). */
   private[graft] def deltaCommit(spark: SparkSession, table: String,
       base: Manifest, addedData: Seq[String], addedDvs: Seq[String],
-      extraValidate: Manifest => Unit = _ => ()): Manifest = {
-    val schema = base.schemaOpt.getOrElse(throw new IllegalArgumentException(
-      s"cow table $table has a legacy schemaless manifest — DSv2 writes " +
-        "need a v2 manifest"))
+      extraValidate: Manifest => Unit = _ => (),
+      schemaOverride: Option[StructType] = None): Manifest = {
+    // a schemaOverride commits an EVOLVED schema with this delta (the
+    // upsert's new-column path); the standard rebase rule already
+    // refuses interleaved schema changes, so two racing evolutions
+    // cannot stomp each other
+    val schema = schemaOverride.getOrElse(
+      base.schemaOpt.getOrElse(throw new IllegalArgumentException(
+        s"cow table $table has a legacy schemaless manifest — DSv2 " +
+          "writes need a v2 manifest")))
     val head0 = latestManifest(table).getOrElse(base)
     val dvEntries = addedDvs.map(p =>
       FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
@@ -3146,7 +3152,8 @@ object CowTable {
           spark.createDataFrame(dvEntries), allowMissingColumns = true)
       commitWithStatsDF(spark, table, h.version + 1, carriedDF, addedData,
         schema, h.files, h.dvs ++ addedDvs, h.partitionCols, newParts,
-        knownDvRuns = h.dvRunCounts)
+        knownDvRuns = h.dvRunCounts,
+        schemaAuthoritative = schemaOverride.isDefined)
     }
     commitWithRetry(table, head0, validate, attempt)
   }
@@ -3163,15 +3170,23 @@ object CowTable {
     * Refuses to commit over a concurrent writer like every delta
     * commit. */
   def upsertMor(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String]): Manifest = {
+      keys: Seq[String], evolveSchema: Boolean = false): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    val schema = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
+    val schema0 = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
       s"upsertMor needs a v2 manifest with a schema"))
     require(keys.nonEmpty && keys.forall(source.columns.contains),
       s"upsertMor: keys $keys must exist in the source")
-    require(schema.fieldNames.forall(source.columns.contains),
+    require(schema0.fieldNames.forall(source.columns.contains),
       "upsertMor: source must carry every table column")
+    // with `evolveSchema`, source-only columns become new nullable
+    // table columns inside THIS delta commit — the CDC-ingestion
+    // trigger (the upstream added a field) on the MOR path: untouched
+    // files NULL-extend at read, postimages carry the value. A
+    // restarted streaming upsert picks the evolved schema up through
+    // the fresh sink build.
+    val schema = mergeEvolvedSchema("upsertMor", schema0, source,
+      evolveSchema)
     requireSourceTypes("upsertMor", schema, source)
     // NULL keys are rejected OUTRIGHT (not just flagged as duplicates):
     // a NULL never equi-matches, so its postimage would append as a new
@@ -3224,7 +3239,39 @@ object CowTable {
     // duplicate)
     deltaCommit(spark, table, m, dataFiles, dvFiles,
       extraValidate = standardRebaseValidate(spark, "upsertMor", table,
-        m, Set.empty, Set.empty, Some((srcKeys, keys))))
+        m, Set.empty, Set.empty, Some((srcKeys, keys))),
+      schemaOverride = if (schema eq schema0) None else Some(schema))
+  }
+
+  /** Source-only columns appended as new nullable fields — the
+    * [[mergeInto]] evolution discipline shared by the MOR upsert:
+    * stable ids assigned when the base schema carries them,
+    * historical-name resurrection refused (old files' physical
+    * columns under that name would resolve into two fields). Returns
+    * `schema` unchanged when evolution is off or the source adds
+    * nothing. */
+  private def mergeEvolvedSchema(op: String, schema: StructType,
+      source: DataFrame, evolve: Boolean): StructType = {
+    if (!evolve) return schema
+    val existing = schema.fieldNames.toSet
+    val newCols = source.columns.filterNot(existing.contains).toSeq
+    if (newCols.isEmpty) return schema
+    val sTypes = source.schema.map(f => f.name -> f.dataType).toMap
+    val known = allKnownNames(schema)
+    newCols.foreach(c => require(!known.contains(c),
+      s"$op: evolved column $c reuses a historical column name " +
+        "(renamed away earlier) — pick a fresh name"))
+    val baseIds = schema.fields.flatMap(fieldIdOf)
+    var nextFid = baseIds.foldLeft(-1L)(math.max)
+    StructType(schema.fields.toSeq ++ newCols.map { c =>
+      val md =
+        if (baseIds.isEmpty) Metadata.empty
+        else {
+          nextFid += 1
+          new MetadataBuilder().putLong(FieldIdKey, nextFid).build()
+        }
+      StructField(c, sTypes(c), nullable = true, md)
+    })
   }
 
   /** Materialize deletion vectors: rewrite the files that carry a live

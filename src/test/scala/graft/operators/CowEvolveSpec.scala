@@ -309,6 +309,43 @@ class CowEvolveSpec extends AnyFunSuite {
     assert(e.getMessage.contains("collides"), e.getMessage)
   }
 
+  test("upsertMor evolves the schema inside the delta commit (CDC new-field)") {
+    val t = fixture()
+    val m0 = CowTable.latestManifest(t).get
+    // the upstream added `score`: one MOR upsert absorbs it — DVs kill
+    // the matched rows, postimages carry the new column, untouched
+    // files NULL-extend, NO base file rewrites
+    val src = (40L until 60L).map(i => (i, (2 * i).toInt, s"u$i",
+        s"unote$i", i * 0.5)).toDF("id", "v", "name", "note", "score")
+    val m1 = CowTable.upsertMor(spark, t, src, Seq("id"),
+      evolveSchema = true)
+    assert(m0.files.forall(m1.files.contains), "MOR must not rewrite")
+    val sch = m1.schemaOpt.get
+    assert(sch.fieldNames.toSeq ==
+      Seq("id", "v", "name", "note", "score"))
+    assert(sch("score").nullable)
+    val rows = CowTable.read(spark, t).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(rows.size == 100)
+    (40L until 60L).foreach(i => assert(rows(i) == (s"u$i", Some(i * 0.5))))
+    (0L until 40L).foreach(i => assert(rows(i) == (s"n$i", None)))
+    // a second evolving upsert with NO new columns is a plain upsert
+    val m2 = CowTable.upsertMor(spark, t, src, Seq("id"),
+      evolveSchema = true)
+    assert(m2.version == m1.version + 1 &&
+      m2.schemaJson == m1.schemaJson)
+    // historical-name resurrection refuses loudly
+    CowTable.alterTable(spark, t, renames = Map("note" -> "memo"))
+    val bad = (0L until 3L).map(i => (i, i.toInt, s"x$i", s"m$i", 0.0, "zz"))
+      .toDF("id", "v", "name", "memo", "score", "note")
+    val e = intercept[IllegalArgumentException] {
+      CowTable.upsertMor(spark, t, bad, Seq("id"), evolveSchema = true)
+    }
+    assert(e.getMessage.contains("historical"), e.getMessage)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION evolves the target inside the statement") {
     val t = fixture()
     spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
