@@ -3569,15 +3569,22 @@ object CowTable {
     * unique among matched rows (the SQL MERGE cardinality contract).
     * Files without a usable manifest row count rewrite conservatively. */
   def mergeIntoHybrid(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], denseFraction: Double = 0.3): Manifest = {
+      keys: Seq[String], denseFraction: Double = 0.3,
+      evolveSchema: Boolean = false): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    val schema = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
+    val schema0 = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
       s"mergeIntoHybrid needs a v2 manifest with a schema"))
     require(keys.nonEmpty && keys.forall(source.columns.contains),
       s"mergeIntoHybrid: keys $keys must exist in the source")
-    require(schema.fieldNames.forall(source.columns.contains),
+    require(schema0.fieldNames.forall(source.columns.contains),
       "mergeIntoHybrid: source must carry every table column")
+    // evolveSchema: source-only columns join the table inside this
+    // commit (the [[mergeEvolvedSchema]] discipline all merge flavors
+    // share) — COW-rewritten unmatched rows and untouched files both
+    // NULL-extend, postimages/inserts carry the value
+    val schema = mergeEvolvedSchema("mergeIntoHybrid", schema0, source,
+      evolveSchema)
     requireSourceTypes("mergeIntoHybrid", schema, source)
     val uniq = source.agg(count(lit(1)).as("n"),
       count_distinct(struct(keys.map(col): _*)).as("d")).head()
@@ -3637,9 +3644,11 @@ object CowTable {
         if (cowF.isEmpty) None
         else {
           val liveRows = readSnapshot(spark, m, Some(cowF))
+          // pre-evolution carries NULL-extend via name alignment (the
+          // evolved columns append, so the union's order is the schema)
           Some(liveRows.join(broadcast(srcKeys), keys, "left_anti")
             .unionByName(ordered.join(broadcast(cowKeys.get), keys,
-              "left_semi")))
+              "left_semi"), allowMissingColumns = true))
         }
       // 3b. MOR half: sparse files' matched rows die by DV; postimages
       // + fresh inserts append
@@ -3697,7 +3706,8 @@ object CowTable {
         val keptFiles = h.files.filterNot(f => cowN.contains(normalize(f)))
         commitWithStatsDF(spark, table, h.version + 1, carriedDF, newFiles,
           schema, keptFiles, h.dvs ++ dvFiles, h.partitionCols, newParts,
-          knownDvRuns = h.dvRunCounts)
+          knownDvRuns = h.dvRunCounts,
+          schemaAuthoritative = !(schema eq schema0))
       }
       commitWithRetry(table, m, validate, attempt)
     } finally matched.foreach(_.unpersist())

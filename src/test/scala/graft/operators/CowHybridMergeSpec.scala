@@ -107,4 +107,33 @@ class CowHybridMergeSpec extends AnyFunSuite {
     assert(after(8L) == (("u8", 80.0)))
     assert(after.size == before.size + 1)
   }
+
+  test("evolveSchema: a mixed COW/MOR merge absorbs a source-added column") {
+    import org.apache.spark.sql.functions._
+    val t = fixture()
+    // dense on file 1 (40 of 50 keys -> COW rewrite) + scattered
+    // stragglers (MOR) + inserts, all carrying NEW column `tag`
+    val src = ((0L until 40L).map(i => (i, s"u$i", i * 2.0, s"t$i")) ++
+      Seq((60L, "u60", 120.0, "t60"), (110L, "u110", 220.0, "t110"),
+        (300L, "i300", 600.0, "t300")))
+      .toDF("id", "name", "v", "tag")
+    val m1 = CowTable.mergeIntoHybrid(spark, t, src, Seq("id"),
+      evolveSchema = true)
+    val sch = m1.schemaOpt.get
+    assert(sch.fieldNames.toSeq == Seq("id", "name", "v", "tag"))
+    val got = CowTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))).toMap
+    assert(got.size == 201)
+    // merged rows (COW-rewritten, MOR postimages, inserts) carry tag
+    (0L until 40L).foreach(i =>
+      assert(got(i) == ((s"u$i", i * 2.0, Some(s"t$i")))))
+    assert(got(60L) == (("u60", 120.0, Some("t60"))))
+    assert(got(300L) == (("i300", 600.0, Some("t300"))))
+    // carried rows NULL-extend: COW-carried unmatched (file 1's
+    // 40..49) and fully untouched files alike
+    (40L until 60L).foreach(i =>
+      assert(got(i) == ((s"n$i", i * 1.0, None))))
+    assert(got(150L) == (("n150", 150.0, None)))
+  }
 }
