@@ -524,8 +524,29 @@ object Multimodal {
     * (img_id, dhash, payload_fp) table — the join core of
     * [[ddImagePhash]], factored so the mega-bucket regime is
     * spec-drivable on synthetic hash populations. */
-  def phashPairs(hashed: DataFrame): DataFrame = {
+  /** Corpus-adaptive mega-bucket threshold — [[graft.operators.Dedup
+    * .observedBucketThreshold]]'s discipline for the image corpus: a
+    * near-duplicate-heavy crawl where 200-image buckets are TYPICAL
+    * should not degrade their recall under the fixed 64, while the cap
+    * keeps a banner-farm corpus (p99 itself explodes) off the
+    * quadratic path. One percentile over one row per bucket. */
+  def observedPhashThreshold(hashed: DataFrame, q: Double = 0.99,
+      floor: Int = PhashMegaBucketThreshold, cap: Int = 1024): Int = {
     import hashed.sparkSession.implicits._
+    val p = hashed.select(explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright($"dhash", b * 16).bitwiseAND(lit(0xFFFFL))
+            .as("key"))): _*)).as("e"))
+      .groupBy($"e.band", $"e.key").agg(count(lit(1)).as("bsz"))
+      .agg(percentile_approx($"bsz", lit(q), lit(10000)).as("p"))
+      .head().getLong(0)
+    p.max(floor.toLong).min(cap.toLong).toInt
+  }
+
+  def phashPairs(hashed: DataFrame,
+      thresholdOverride: Option[Int] = None): DataFrame = {
+    import hashed.sparkSession.implicits._
+    val megaThreshold = thresholdOverride.getOrElse(PhashMegaBucketThreshold)
     val banded0 = hashed.select($"img_id", $"dhash", $"payload_fp",
       explode(array((0 until 4).map(b => struct(lit(b).as("band"),
         shiftright($"dhash", b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*))
@@ -549,9 +570,9 @@ object Multimodal {
       .withColumn("bsz", count(lit(1)).over(byBucket))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          ((col("a.bsz") <= PhashMegaBucketThreshold &&
+          ((col("a.bsz") <= megaThreshold &&
             col("a.img_id") < col("b.img_id")) ||
-           (col("a.bsz") > PhashMegaBucketThreshold &&
+           (col("a.bsz") > megaThreshold &&
             col("a.rk") + 1 === col("b.rk") &&
             col("a.img_id") =!= col("b.img_id"))))
       .select(

@@ -182,6 +182,17 @@ class MultimodalSpec extends AnyFunSuite {
         "the identical-hash chain, not the 11175 all-pairs square)")
     // fillers (distinct strong hashes) contribute no pairs
     assert(pairs.count(r => r.getLong(1) >= 150) == 0)
+    // corpus-adaptive threshold: this corpus has ONE outlier bucket
+    // among singletons, so the default p99 stays at the floor (the
+    // guard engages — correct) while q=1.0 lifts to the max bucket
+    // size and the same corpus pairs exhaustively — 150*149/2
+    // identical-hash pairs
+    assert(Multimodal.observedPhashThreshold(hashed) == 64)
+    val obs = Multimodal.observedPhashThreshold(hashed, q = 1.0)
+    assert(obs >= 150 && obs <= 1024, s"observed threshold $obs")
+    val exhaustive = Multimodal.phashPairs(hashed, Some(obs)).count()
+    assert(exhaustive == 150L * 149L / 2L,
+      s"adaptive threshold should restore exhaustive pairing: $exhaustive")
   }
 
   test("dd_image_phash finds exactly the planted twins on sf0.001") {
