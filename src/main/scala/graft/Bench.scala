@@ -143,7 +143,9 @@ object Bench {
     "dq_drift", "mm_decode_png", "dd_image_phash",
     // round 16: version-over-version drift (time travel pins both
     // sides of the report; the ingest between them is a real merge)
-    "dq_drift_cow")
+    // and perceptual AUDIO dedup (container parse + energy-gradient
+    // hash through the same banded machinery as the image gate)
+    "dq_drift_cow", "dd_audio_phash")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

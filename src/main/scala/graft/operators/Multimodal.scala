@@ -592,6 +592,120 @@ object Multimodal {
        |SELECT doc_id, doc_id + $BrightOffset, 'brightness', 0, FALSE
        |FROM documents WHERE doc_id % 4 = 1""".stripMargin
 
+  // ------------------------------- audio perceptual dedup (dd_audio_phash)
+  /** Window count fixes the 64-bit hash (65 energy sums → 64 gradient
+    * bits); every synthetic clip is exactly [[AudioHashLen]] samples. */
+  val AudioHashWindows = 65
+  val AudioHashLen: Int = (AudioHashWindows - 1) * AudioHop + AudioWin
+
+  /** A tiny length-prefixed audio container ("GA1 <pad>\n" + pad junk
+    * + raw 8-bit samples): enough real structure that the decode leg
+    * PARSES bytes, and a "re-encode" twin changes the container
+    * (different pad) without touching one sample — the duplicate shape
+    * byte-level dedup cannot see. */
+  object AudioCodec {
+    def encode(samples: Array[Byte], pad: Int): Array[Byte] = {
+      val junk = Array.tabulate(pad)(i => (i * 37 % 251).toByte)
+      s"GA1 $pad\n".getBytes("US-ASCII") ++ junk ++ samples
+    }
+
+    def decode(payload: Array[Byte]): Array[Byte] = {
+      require(payload.length > 4 && payload(0) == 'G'.toByte &&
+        payload(1) == 'A'.toByte && payload(2) == '1'.toByte, "not GA1")
+      var i = 4
+      var pad = 0
+      while (payload(i) != '\n'.toByte) {
+        pad = pad * 10 + (payload(i) - '0'.toByte)
+        i += 1
+      }
+      java.util.Arrays.copyOfRange(payload, i + 1 + pad, payload.length)
+    }
+
+    /** Sample in 0..249 — avalanche-mixed for the same reason as the
+      * image corpus ([[ImageCodec.strongPixel]]); a +1 DC offset never
+      * wraps the byte. i < 16384 keeps id*16384+i injective. */
+    def sample(id: Long, i: Int): Int =
+      (((ImageCodec.strongMix(id * 16384L + i) >>> 40) & 0xFFFFFFL)
+        % 250L).toInt
+
+    def synthesize(id: Long, dc: Int): Array[Byte] =
+      Array.tabulate(AudioHashLen)(i => (sample(id, i) + dc).toByte)
+
+    /** 64-bit ENERGY-GRADIENT hash over the STFT framing the
+      * mm_audio_windows operator already uses: integer window energy
+      * sums, bit = sum(w) > sum(w+1). Windows are equal-sized, so a
+      * uniform DC offset adds the same constant to both sides of every
+      * compare and the hash is EXACTLY invariant — the audio analog of
+      * dHash's brightness invariance, no cross-multiply needed. */
+    def eHash(samples: Array[Byte]): Long = {
+      require(samples.length >= AudioHashLen,
+        s"eHash needs >= $AudioHashLen samples, got ${samples.length}")
+      val sums = Array.tabulate(AudioHashWindows) { w =>
+        var s = 0L
+        var i = w * AudioHop
+        val end = i + AudioWin
+        while (i < end) { s += (samples(i) & 0xFF); i += 1 }
+        s
+      }
+      var h = 0L
+      var w = 0
+      while (w < 64) {
+        if (sums(w) > sums(w + 1)) h |= 1L << w
+        w += 1
+      }
+      h
+    }
+  }
+
+  /** The audio-dedup corpus: every doc a base clip; docs ≡0 (mod 3) a
+    * container re-encode (same samples, different bytes), docs ≡1 a
+    * DC+1 twin (every sample byte differs). */
+  def ingestAudioCorpus(s: SparkSession, dir: String): Dataset[ImgRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val samples = AudioCodec.synthesize(id, 0)
+        val base = ImgRecord(id, AudioCodec.encode(samples, 7))
+        val twin = (id % 3) match {
+          case 0 => Seq(ImgRecord(id + ReencodeOffset,
+            AudioCodec.encode(samples, 23)))
+          case 1 => Seq(ImgRecord(id + BrightOffset,
+            AudioCodec.encode(AudioCodec.synthesize(id, 1), 7)))
+          case _ => Nil
+        }
+        base +: twin
+      })
+  }
+
+  /** Gate: PERCEPTUAL audio dedup — container parse + energy-gradient
+    * hash on the scan, then the SAME banded candidate machinery as
+    * [[ddImagePhash]] ([[phashPairs]] is hash-agnostic). The oracle
+    * pins exactly the planted twins: a re-encoded container (byte
+    * dedup blind — byte_dup=false pinned) and a DC-offset copy (every
+    * byte differs; only the gradient invariance catches it), each at
+    * Hamming 0. */
+  def ddAudioPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = ingestAudioCorpus(s, dir)
+      .mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.map { r =>
+        (r.img_id, AudioCodec.eHash(AudioCodec.decode(r.payload)),
+          java.util.Arrays.hashCode(r.payload).toLong)
+      })).toDF("img_id", "dhash", "payload_fp")
+    phashPairs(hashed)
+      .select($"base_id", $"dup_id",
+        when($"dup_id" >= BrightOffset, "dc_offset")
+          .otherwise("reencoded").as("kind"),
+        $"hamming".cast("int").as("hamming"), $"byte_dup")
+  }
+
+  val ddAudioPhashSql: String =
+    s"""SELECT doc_id AS base_id, doc_id + $ReencodeOffset AS dup_id,
+       |  'reencoded' AS kind, 0 AS hamming, FALSE AS byte_dup
+       |FROM documents WHERE doc_id % 3 = 0
+       |UNION ALL
+       |SELECT doc_id, doc_id + $BrightOffset, 'dc_offset', 0, FALSE
+       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_decode_ppm" -> mmDecodePpm,
@@ -600,6 +714,7 @@ object Multimodal {
     "mm_audio_windows" -> mmAudioWindows,
     "mm_patches" -> mmPatches,
     "dd_image_phash" -> ddImagePhash,
+    "dd_audio_phash" -> ddAudioPhash,
   )
 
   val oracles: Map[String, String] = Map(
@@ -610,5 +725,6 @@ object Multimodal {
     "mm_audio_windows" -> mmAudioWindowsSql,
     "mm_patches" -> mmPatchesSql,
     "dd_image_phash" -> ddImagePhashSql,
+    "dd_audio_phash" -> ddAudioPhashSql,
   )
 }

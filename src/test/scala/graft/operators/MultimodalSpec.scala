@@ -195,6 +195,30 @@ class MultimodalSpec extends AnyFunSuite {
       s"adaptive threshold should restore exhaustive pairing: $exhaustive")
   }
 
+  test("audio container roundtrip; energy hash invariants hold") {
+    import Multimodal.AudioCodec
+    val samples = AudioCodec.synthesize(42L, 0)
+    // container roundtrip: pad changes the bytes, never the samples
+    val a = AudioCodec.encode(samples, 7)
+    val b = AudioCodec.encode(samples, 23)
+    assert(!java.util.Arrays.equals(a, b))
+    assert(java.util.Arrays.equals(AudioCodec.decode(a), samples))
+    assert(java.util.Arrays.equals(AudioCodec.decode(b), samples))
+    intercept[IllegalArgumentException] {
+      AudioCodec.decode("WAV0junk".getBytes("US-ASCII"))
+    }
+    // DC-offset invariance is exact (equal-width windows)
+    (0L until 30L).foreach { id =>
+      assert(AudioCodec.eHash(AudioCodec.synthesize(id, 1)) ==
+        AudioCodec.eHash(AudioCodec.synthesize(id, 0)),
+        s"DC offset changed eHash for id $id")
+    }
+    // dispersion across clips
+    val hs = (0L until 200L).map(id =>
+      AudioCodec.eHash(AudioCodec.synthesize(id, 0)))
+    assert(hs.distinct.size == 200)
+  }
+
   test("dd_image_phash finds exactly the planted twins on sf0.001") {
     val got = Multimodal.ddImagePhash(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
