@@ -30,10 +30,16 @@ object Multimodal {
       doc_id: Long, byte_len: Long, brightness: Double,
       width: Int, height: Int, n_frames: Int)
 
-  /** STUB decoder — deterministic fake in place of a codec library.
-    * Real implementation would decode `payload` (JPEG/PNG/WAV...) per
-    * batch; the fake derives "brightness" = mean of the first 8 payload
-    * bytes, keeping the whole pipeline testable end-to-end. */
+  /** STUB decoder — a deterministic fake kept for the format-agnostic
+    * metadata gate (`mm_decode_meta`), whose oracle replays the fake in
+    * SQL. The REAL codecs live alongside it in this file: [[ImageCodec]]
+    * decodes actual PNG/BMP/JPEG bytes via `javax.imageio`
+    * (`mm_decode_png`, `dd_image_phash`), the P6 PPM codec parses raw
+    * pixel containers, and [[AudioCodec]] parses the GA1 audio
+    * container (`dd_audio_phash`). The fake derives "brightness" =
+    * mean of the first 8 payload bytes, keeping the plumbing —
+    * batched `mapPartitions` shape, schema, partitioning — identical
+    * to the real-codec paths. */
   object DecodeStub {
     val BatchSize = 32
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
@@ -538,8 +544,9 @@ object Multimodal {
           shiftright($"dhash", b * 16).bitwiseAND(lit(0xFFFFL))
             .as("key"))): _*)).as("e"))
       .groupBy($"e.band", $"e.key").agg(count(lit(1)).as("bsz"))
-      .agg(percentile_approx($"bsz", lit(q), lit(10000)).as("p"))
-      .head().getLong(0)
+      .agg(coalesce(percentile_approx($"bsz", lit(q), lit(10000)),
+        lit(floor.toLong)).as("p"))
+      .head().getLong(0) // coalesce: empty input -> NULL percentile
     p.max(floor.toLong).min(cap.toLong).toInt
   }
 
@@ -591,6 +598,139 @@ object Multimodal {
        |UNION ALL
        |SELECT doc_id, doc_id + $BrightOffset, 'brightness', 0, FALSE
        |FROM documents WHERE doc_id % 4 = 1""".stripMargin
+
+  // ---------------------------- lossy JPEG near-dup dedup (dd_image_jpeg)
+  val JpegOffset = 3000000000L
+  /** ImageIO JPEG quality for the twin encode — prototype-measured: at
+    * 0.75/0.85/0.9 ALL sf0.1-scale planted twins decode to EXACTLY the
+    * engineered hamming (0 drift), so 0.85 is a mid-band choice, not a
+    * tuned edge. */
+  val JpegQuality = 0.85f
+
+  /** The corpus engineering that makes a LOSSY codec oracle-exact: the
+    * dHash distance of a JPEG re-encode is normally an emergent
+    * function of the DCT noise (unpinnable in SQL), so these images are
+    * built from 2×2-px constant cells ALIGNED to dHash's 8×9 grid
+    * (18×16 px), every horizontally-adjacent cell pair ≥50 gray levels
+    * apart — far above the cell-mean error JPEG block coding produces
+    * at [[JpegQuality]] — and the twin inverts exactly k engineered
+    * comparisons confined to the LAST cell column, whose cells
+    * participate in exactly ONE dHash bit (bit (r,7)). The twin's
+    * decoded hamming is then k = 1 + id%2 deterministically, despite
+    * 80%+ of pixels changing in the roundtrip (the lossiness is real;
+    * MultimodalJpegSpec pins both). Cross-image false pairs: cell
+    * levels derive from [[ImageCodec.strongMix]] avalanche chains —
+    * measured over the full sf0.1 corpus (6667 images): zero pairs at
+    * hamming ≤ 2 outside the planted set, minimum cross hamming 7. */
+  object JpegBlocks {
+    private def mix(id: Long, r: Int, c: Int): Int =
+      ((ImageCodec.strongMix(id * 256L + r * 16L + c) >>> 33) &
+        0x7FFFFFFFL).toInt
+
+    /** 8×9 cell grays. Base: v = 50 + 50·d, d ∈ 0..3, adjacent cells
+      * never equal (the level chain steps by 1 + mix%3 mod 4). Twin
+      * (`flips` ∈ 1..2): rows id%8 and (id%8+4)%8 move their LAST cell
+      * to the other side of cell 7 at the same 50-level margin (0..250
+      * stays in byte range), flipping bit (r,7) and nothing else. */
+    def cellVals(id: Long, flips: Int): Array[Array[Int]] = {
+      val v = Array.ofDim[Int](8, 9)
+      var r = 0
+      while (r < 8) {
+        var d = mix(id, r, 0) % 4
+        v(r)(0) = 50 + 50 * d
+        var c = 1
+        while (c < 9) {
+          d = (d + 1 + mix(id, r, c) % 3) % 4
+          v(r)(c) = 50 + 50 * d
+          c += 1
+        }
+        r += 1
+      }
+      var j = 0
+      while (j < flips) {
+        val r = ((id % 8).toInt + 4 * j) % 8
+        v(r)(8) = if (v(r)(7) > v(r)(8)) v(r)(7) + 50 else v(r)(7) - 50
+        j += 1
+      }
+      v
+    }
+
+    /** 18×16 gray image (2 px per cell; channels equal so JPEG chroma
+      * subsampling is neutral for the green-channel dHash). */
+    def image(cells: Array[Array[Int]]): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(18, 16,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 18) {
+          val g = cells(y / 2)(x / 2)
+          im.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      im
+    }
+
+    /** Explicit-quality JPEG encode (ImageIO's writer param surface —
+      * the default-quality `ImageIO.write` leaves the knob implicit). */
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = w.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(JpegQuality)
+      w.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+      w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      w.dispose()
+      bos.toByteArray
+    }
+  }
+
+  /** Every doc gets a lossless base PNG; docs ≡0 (mod 3) get a
+    * QUALITY-DEGRADED JPEG twin — the lossy re-encode shape a real
+    * crawl dedups, invisible to byte dedup AND to exact-hash dedup
+    * (hamming ≥ 1 by construction). */
+  def ingestJpegImages(s: SparkSession, dir: String): Dataset[ImgRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = ImgRecord(id,
+          ImageCodec.encode(JpegBlocks.image(JpegBlocks.cellVals(id, 0)),
+            "png"))
+        if (id % 3 == 0)
+          Seq(base, ImgRecord(id + JpegOffset, JpegBlocks.encodeJpeg(
+            JpegBlocks.image(JpegBlocks.cellVals(id, 1 + (id % 2).toInt)))))
+        else Seq(base)
+      })
+  }
+
+  /** Gate: perceptual dedup catching LOSSY JPEG re-encodes at
+    * Hamming 1–2 — the nonzero band-blocking recall path
+    * ([[phashPairs]]' 4×16-bit bands guarantee any ≤2-bit pair shares
+    * an intact band) exercised for real, with the pair set AND the
+    * exact hamming of every pair oracle-pinned (see [[JpegBlocks]] for
+    * why a lossy codec can be pinned at all). Same 100 TB shape as
+    * [[ddImagePhash]]: scan-parallel decode+hash, banded bucket join,
+    * candidate-only exact verify. */
+  def ddImageJpeg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = ingestJpegImages(s, dir)
+      .mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.map { r =>
+        (r.img_id, ImageCodec.dHash(ImageCodec.decode(r.payload)),
+          java.util.Arrays.hashCode(r.payload).toLong)
+      })).toDF("img_id", "dhash", "payload_fp")
+    phashPairs(hashed)
+      .select($"base_id", $"dup_id", lit("jpeg").as("kind"),
+        $"hamming".cast("int").as("hamming"), $"byte_dup")
+  }
+
+  val ddImageJpegSql: String =
+    s"""SELECT doc_id AS base_id, doc_id + $JpegOffset AS dup_id,
+       |  'jpeg' AS kind, CAST(1 + doc_id % 2 AS INT) AS hamming,
+       |  FALSE AS byte_dup
+       |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
   // ------------------------------- audio perceptual dedup (dd_audio_phash)
   /** Window count fixes the 64-bit hash (65 energy sums → 64 gradient
@@ -714,6 +854,7 @@ object Multimodal {
     "mm_audio_windows" -> mmAudioWindows,
     "mm_patches" -> mmPatches,
     "dd_image_phash" -> ddImagePhash,
+    "dd_image_jpeg" -> ddImageJpeg,
     "dd_audio_phash" -> ddAudioPhash,
   )
 
@@ -725,6 +866,7 @@ object Multimodal {
     "mm_audio_windows" -> mmAudioWindowsSql,
     "mm_patches" -> mmPatchesSql,
     "dd_image_phash" -> ddImagePhashSql,
+    "dd_image_jpeg" -> ddImageJpegSql,
     "dd_audio_phash" -> ddAudioPhashSql,
   )
 }

@@ -193,6 +193,12 @@ class MultimodalSpec extends AnyFunSuite {
     val exhaustive = Multimodal.phashPairs(hashed, Some(obs)).count()
     assert(exhaustive == 150L * 149L / 2L,
       s"adaptive threshold should restore exhaustive pairing: $exhaustive")
+    // empty corpus: the percentile aggregate returns NULL — the
+    // threshold must fall back to the floor, never NPE
+    val empty = Seq.empty[(Long, Long, Long)]
+      .toDF("img_id", "dhash", "payload_fp")
+    assert(Multimodal.observedPhashThreshold(empty) ==
+      Multimodal.PhashMegaBucketThreshold)
   }
 
   test("audio container roundtrip; energy hash invariants hold") {
