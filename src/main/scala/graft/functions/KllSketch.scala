@@ -131,6 +131,35 @@ final class KllState(val k: Int) {
     }
     out
   }
+
+  /** CDF at each of `values` — the rank-query dual of [[quantiles]]:
+    * fraction of surviving weighted mass ≤ v, one sort + one cumulative
+    * walk for the whole batch. The drift estimator's primitive
+    * (quantile-bin masses = cdf differences at the bin edges). */
+  def cdf(values: Array[Double]): Array[Double] = {
+    val out = new Array[Double](values.length)
+    if (count == 0L) return out
+    val pairs = ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < levels.size) {
+      val w = 1L << h
+      levels(h).foreach(v => pairs += ((v, w)))
+      h += 1
+    }
+    val sorted = pairs.sortBy(_._1)
+    val total = sorted.iterator.map(_._2).sum
+    val order = values.indices.sortBy(values(_))
+    var cum = 0L
+    var i = 0
+    order.foreach { oi =>
+      while (i < sorted.size && sorted(i)._1 <= values(oi)) {
+        cum += sorted(i)._2
+        i += 1
+      }
+      out(oi) = cum.toDouble / total
+    }
+    out
+  }
 }
 
 object KllKernel {
@@ -178,6 +207,9 @@ object KllKernel {
 
   def quantiles(bytes: Array[Byte], qs: Array[Double]): Array[Double] =
     deserialize(bytes).quantiles(qs)
+
+  def cdf(bytes: Array[Byte], values: Array[Double]): Array[Double] =
+    deserialize(bytes).cdf(values)
 }
 
 /** Approximate quantile as a native mergeable TypedImperativeAggregate —

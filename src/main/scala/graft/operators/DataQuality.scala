@@ -364,15 +364,176 @@ object DataQuality {
       |FROM j JOIN t ON j.col = t.col
       |GROUP BY j.col, t.nref, t.ncur""".stripMargin
 
+  // ---------------------------------------- sketch-backed drift (hi-card)
+
+  /** Bounded-state drift spec for HIGH-CARDINALITY columns — the
+    * [[DriftSpec]] histogram is exact but its state is the column's
+    * support; pointing it at a 10⁸-distinct column ships a histogram
+    * the size of the column. These flavors keep O(k) state per column
+    * regardless of support. */
+  sealed trait SketchDriftSpec { def column: String; def kind: String }
+  /** Numeric: KLL quantile-bin TV — the reference sketch's `bins`
+    * quantiles become shared bin edges, each side's bin mass is a cdf
+    * difference on its own sketch, TV = ½·Σ|curFrac − refFrac|. Rank
+    * error is O(1/k) per edge, so the estimate's error is a few
+    * percent at k=400 — an envelope, not an exact (the spec and the
+    * gate pin it against exact TV on planted drifts). */
+  case class KllDrift(column: String, bins: Int = 32, k: Int = 400)
+      extends SketchDriftSpec { val kind = "kll" }
+  /** Categorical: CMS point-frequency distance over the union of both
+    * sides' heavy hitters, plus the residual-mass term — drift that
+    * moves mass onto/off frequent values (the shape that matters) is
+    * fully visible; a permutation within the never-frequent tail is
+    * not, the documented bound of any bounded-state detector. */
+  case class CmsDrift(column: String, topK: Int = 64, depth: Int = 4,
+      width: Int = 8192) extends SketchDriftSpec { val kind = "cms" }
+
+  /** Drift of `cur` vs `ref` with BOUNDED per-column state: ONE
+    * aggregate per side carries every spec'd column's sketch (KLL
+    * bytes / CMS bytes + Misra–Gries top-k), two rows total reach the
+    * driver, and the TV estimates are driver-trivial algebra on the
+    * sketches. 100 TB shape: two scans (one per side), shuffle-free
+    * partial/final aggregation, O(k·columns) bytes of state — the
+    * exact [[driftReport]] stays the right tool for bounded-support
+    * columns; this one never materializes a support-sized histogram. */
+  def driftReportSketched(cur: DataFrame, ref: DataFrame,
+      specs: Seq[SketchDriftSpec], thresholdNum: Int = 1,
+      thresholdDen: Int = 20): DataFrame = {
+    require(specs.nonEmpty, "driftReportSketched needs at least one spec")
+    require(thresholdNum > 0 && thresholdDen > 0, "threshold must be > 0")
+    import graft.functions.{CmsFunctions, CmsKernel, HeavyHitterFunctions,
+      KllFunctions, KllKernel}
+    val aggs = specs.flatMap {
+      case KllDrift(c, _, k) => Seq(
+        KllFunctions.kll_sketch(col(c).cast("double"), k),
+        count(col(c)))
+      case CmsDrift(c, topK, depth, width) => Seq(
+        CmsFunctions.cms_sketch(col(c), depth, width),
+        HeavyHitterFunctions.heavy_hitters(col(c), topK),
+        count(col(c)))
+    }
+    def sideRow(df: DataFrame) = df.agg(aggs.head, aggs.tail: _*).head()
+    val (rc, rr) = (sideRow(cur), sideRow(ref))
+    var i = 0
+    val rows = specs.map { sp =>
+      val (tv, nCur, nRef) = sp match {
+        case KllDrift(_, bins, _) =>
+          val (skC, nC) = (rc.getAs[Array[Byte]](i), rc.getLong(i + 1))
+          val (skR, nR) = (rr.getAs[Array[Byte]](i), rr.getLong(i + 1))
+          i += 2
+          if (nC == 0L || nR == 0L) (0.0, nC, nR)
+          else {
+            val edges = KllKernel.quantiles(skR,
+              (1 until bins).map(_.toDouble / bins).toArray).distinct.sorted
+            def fracs(sk: Array[Byte]): Array[Double] = {
+              val cdf = KllKernel.cdf(sk, edges)
+              (cdf :+ 1.0).zip(0.0 +: cdf.toSeq).map { case (b, a) => b - a }
+            }
+            val tv = 0.5 * fracs(skC).zip(fracs(skR))
+              .map { case (a, b) => math.abs(a - b) }.sum
+            (tv, nC, nR)
+          }
+        case CmsDrift(_, _, _, _) =>
+          val (cmC, hhC, nC) = (rc.getAs[Array[Byte]](i),
+            rc.getSeq[org.apache.spark.sql.Row](i + 1), rc.getLong(i + 2))
+          val (cmR, hhR, nR) = (rr.getAs[Array[Byte]](i),
+            rr.getSeq[org.apache.spark.sql.Row](i + 1), rr.getLong(i + 2))
+          i += 3
+          if (nC == 0L || nR == 0L) (0.0, nC, nR)
+          else {
+            val items = (hhC ++ hhR).map(_.getString(0)).distinct
+            def p(cm: Array[Byte], n: Long)(v: String): Double =
+              math.min(1.0, CmsKernel.estimateString(cm, v).toDouble / n)
+            val (pc, pr) = (p(cmC, nC) _, p(cmR, nR) _)
+            val hhTerm = items.map(v => math.abs(pc(v) - pr(v))).sum
+            val restC = math.max(0.0, 1.0 - items.map(pc).sum)
+            val restR = math.max(0.0, 1.0 - items.map(pr).sum)
+            (0.5 * (hhTerm + math.abs(restC - restR)), nC, nR)
+          }
+      }
+      (sp.column, sp.kind, nRef, nCur, tv,
+        tv > thresholdNum.toDouble / thresholdDen)
+    }
+    import cur.sparkSession.implicits._
+    rows.toDF("column", "kind", "n_ref", "n_cur", "tv_est", "drifted")
+  }
+
+  /** Gate fixture: ~10⁵-distinct columns from lineitem — numeric id
+    * `v` (a third of the mass shifted out of the support entirely) and
+    * hi-card categorical `c` (a fifth collapsed onto one hot value),
+    * with untouched controls. */
+  private def driftSketchSides(s: SparkSession, dir: String,
+      drifted: Boolean): DataFrame = {
+    val id = col("l_orderkey") * 8 + col("l_linenumber")
+    Tables.lineitem(s, dir).select(
+      (if (drifted) when(pmod(id, lit(3)) === 0, id + 100000000L)
+        .otherwise(id) else id).cast("double").as("v"),
+      pmod(id, lit(1000)).cast("double").as("v_ctl"),
+      (if (drifted) when(pmod(id, lit(5)) === 0, lit("HOT"))
+        .otherwise(concat(lit("u"), pmod(id, lit(99991)).cast("string")))
+      else concat(lit("u"), pmod(id, lit(99991)).cast("string"))).as("c"),
+      pmod(id, lit(37)).cast("string").as("c_ctl"))
+  }
+
+  /** Gate: sketch drift on planted hi-card drifts, with the ESTIMATE
+    * pinned in-gate against the EXACT by-value TV (the [[driftReport]]
+    * machinery — affordable at gate SF, the thing the sketches replace
+    * at 10⁸ support): `envelope_ok ⟺ |tv_est − tv_exact| ≤ 0.05`.
+    * Output is fully oracle-predictable (counts + verdicts +
+    * envelope booleans); the raw estimates stay in-gate because a
+    * mergeable sketch's exact bytes depend on the merge tree. */
+  /** The production form — sketches only, no exact-TV recomputation
+    * (that lives in the GATE purely so the oracle can pin the
+    * envelope). The bench times this one. */
+  def dqDriftSketchRaw(s: SparkSession, dir: String): DataFrame =
+    driftReportSketched(
+      driftSketchSides(s, dir, drifted = true),
+      driftSketchSides(s, dir, drifted = false),
+      Seq(KllDrift("v"), KllDrift("v_ctl"), CmsDrift("c"), CmsDrift("c_ctl")))
+
+  def dqDriftSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cur, ref) = (driftSketchSides(s, dir, drifted = true),
+      driftSketchSides(s, dir, drifted = false))
+    val rep = driftReportSketched(cur, ref, Seq(
+      KllDrift("v"), KllDrift("v_ctl"), CmsDrift("c"), CmsDrift("c_ctl")))
+      .collect()
+    // exact by-value TV per column (CatDrift keys by value — exact)
+    val exact = driftReport(cur, ref,
+      Seq("v", "v_ctl", "c", "c_ctl").map(c =>
+        CatDrift(c): DriftSpec))
+      .collect().map { r =>
+        val dist = r.getDecimal(3).doubleValue()
+        r.getString(0).stripPrefix("cat:") ->
+          dist / (2.0 * r.getLong(1) * r.getLong(2))
+      }.toMap
+    rep.map { r =>
+      val tvExact = exact(r.getString(0))
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(5), math.abs(r.getDouble(4) - tvExact) <= 0.05)
+    }.toSeq
+      .toDF("column", "kind", "n_ref", "n_cur", "drifted", "envelope_ok")
+  }
+
+  val dqDriftSketchSql: String =
+    """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+      |SELECT 'v' AS "column", 'kll' AS kind, n AS n_ref, n AS n_cur,
+      |  TRUE AS drifted, TRUE AS envelope_ok FROM n
+      |UNION ALL SELECT 'v_ctl', 'kll', n, n, FALSE, TRUE FROM n
+      |UNION ALL SELECT 'c', 'cms', n, n, TRUE, TRUE FROM n
+      |UNION ALL SELECT 'c_ctl', 'cms', n, n, FALSE, TRUE FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> dqAudit,
     "dq_drift" -> dqDrift,
     "dq_drift_cow" -> dqDriftCow,
+    "dq_drift_sketch" -> dqDriftSketch,
   )
 
   val oracles: Map[String, String] = Map(
     "dq_audit" -> dqAuditSql,
     "dq_drift" -> dqDriftSql,
     "dq_drift_cow" -> dqDriftCowSql,
+    "dq_drift_sketch" -> dqDriftSketchSql,
   )
 }
