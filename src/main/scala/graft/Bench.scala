@@ -145,7 +145,13 @@ object Bench {
     // sides of the report; the ingest between them is a real merge)
     // and perceptual AUDIO dedup (container parse + energy-gradient
     // hash through the same banded machinery as the image gate)
-    "dq_drift_cow", "dd_audio_phash")
+    "dq_drift_cow", "dd_audio_phash",
+    // round 17: lossy-JPEG perceptual dedup (nonzero-Hamming recall
+    // path, deterministic engineered distances), sketch-backed drift
+    // for high-cardinality columns (KLL quantile bins + CMS/heavy-
+    // hitter frequency distance, bounded state), and mid-stream
+    // schema evolution through the update-mode streaming sink
+    "dd_image_jpeg", "dq_drift_sketch", "lh_stream_upsert_evolve")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -163,6 +169,8 @@ object Bench {
     "ss_knn_hamming" -> ((s, d) => graft.operators.Similarity
       .hammingRerank(graft.Tables.embeddings(s, d))),
     "q33_theta_sketch" -> ((s, d) => graft.operators.Advanced.q33ThetaRaw(s, d)),
+    "dq_drift_sketch" -> ((s, d) =>
+      graft.operators.DataQuality.dqDriftSketchRaw(s, d)),
     "q34_kll_quantile" -> ((s, d) => graft.operators.Advanced.q34KllRaw(s, d)),
     "dd_simhash_pairs" -> ((s, d) => graft.operators.Dedup.ddSimhashPairs(s, d)),
     "ss_knn_ivf" -> ((s, d) =>

@@ -92,7 +92,24 @@ object CowTable {
     * `bloomrel:` line as a data-file path. Bloom-free tables keep the
     * older headers and stay fully downgrade-readable. */
   private val HeaderV22 = "graft-cow-manifest-v2.2"
+  /** v3 = the metadata lines of v2.2 WITHOUT the per-data-file path
+    * lines: the entries-parquet sidecar is the SOLE data-file list, so
+    * commit writes and reads parse O(1) driver-side text regardless of
+    * file count — the millions-of-files frontier (the last O(#files)
+    * driver wall was exactly this text list). DV lines STAY in the
+    * text: they are delta-sized by contract (maintenance folds them),
+    * the read path needs them driver-side for the anti-join broadcast
+    * decision anyway, and the counted `dv:<runs>:<path>` form keeps
+    * run counts metadata-only. v3 also carries the `dropped:` tombstone
+    * line — every column name (and prior-name chain) ever dropped —
+    * so a later ADD can never resurrect an old file's physical column
+    * under a reused name. Written by every stats commit; v1/v2.x stay
+    * fully readable, and pre-v3 readers refuse a v3 manifest (fall
+    * back / error) instead of misparsing it — the same forward-compat
+    * gate as v2.1/v2.2. */
+  private val HeaderV3 = "graft-cow-manifest-v3"
   private val DvPrefix = "dv:"
+  private val DroppedPrefix = "dropped:"
   private val SchemaPrefix = "schema:"
   private val EntriesPrefix = "entries:"
   private val EntryCountPrefix = "nentries:"
@@ -176,16 +193,48 @@ object CowTable {
     * (entries for legacy `dv:<path>` lines are simply absent and fall
     * back to one footer read, then migrate forward on the next
     * commit). */
-  case class Manifest(version: Int, files: Seq[String],
+  case class Manifest(version: Int, files0: Seq[String],
       dvs: Seq[String] = Nil, schemaJson: Option[String] = None,
       entriesRel: Option[String] = None, entryCount: Option[Long] = None,
       partitionCols: Seq[String] = Nil,
       dvRunCounts: Map[String, Long] = Map.empty,
       bloomCols: Map[String, BloomColSpec] = Map.empty,
       bloomRels: Seq[String] = Nil,
-      bucketSpec: Option[(String, Int)] = None) {
+      bucketSpec: Option[(String, Int)] = None,
+      droppedNames: Set[String] = Set.empty,
+      filesLoader: Option[() => Seq[String]] = None) {
     def schemaOpt: Option[StructType] =
       schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+    /** The snapshot's data-file paths. A v3 manifest carries NO file
+      * lines — first touch LOADS the list from the entries sidecar
+      * (one Spark collect, counted by
+      * [[CowTable.driverManifestFileListLoads]] so the planning-scale
+      * spec can pin which paths stay list-free). Planning, commit, and
+      * selective-read paths use [[nData]]/[[dataNonEmpty]] and the
+      * sidecar DataFrame instead; the loader fires only where a driver
+      * file list is GENUINELY needed (full-table scan planning, rare
+      * race-rebase validation, legacy consumers). Memoized. Lifetime
+      * contract: the list is served by this VERSION's sidecar, so a
+      * manifest handle held across a vacuum that drops the version can
+      * no longer produce it — the same rule as time travel (a vacuumed
+      * version is not readable); materialize before vacuuming if the
+      * old list is needed. */
+    @transient lazy val files: Seq[String] = filesLoader match {
+      case Some(ld) =>
+        CowTable.driverManifestFileListLoads.incrementAndGet()
+        ld()
+      case None => files0
+    }
+
+    /** Data-file count WITHOUT materializing the list (v3: entry count
+      * minus the dv lines; earlier formats: the parsed list). */
+    def nData: Long = filesLoader match {
+      case Some(_) => entryCount.getOrElse(0L) - dvs.size
+      case None => files0.size.toLong
+    }
+
+    def dataNonEmpty: Boolean = nData > 0L
 
     /** Normalized twin of `files`, index-aligned — memoized so pruning
       * pays the O(#files) percent-decode ONCE per manifest object
@@ -277,9 +326,75 @@ object CowTable {
             schema, entries, nEntries, partCols,
             dvp.collect { case (p, Some(n)) => p -> n }.toMap,
             bloomCols, bloomRels, bucketSpec))
+        case HeaderV3 :: rest if rest.lastOption.contains(EndMarker) =>
+          val body = rest.dropRight(1)
+          val schema = body.find(_.startsWith(SchemaPrefix))
+            .map(_.stripPrefix(SchemaPrefix))
+          val entries = body.find(_.startsWith(EntriesPrefix))
+            .map(_.stripPrefix(EntriesPrefix))
+          val nEntries = body.find(_.startsWith(EntryCountPrefix))
+            .map(_.stripPrefix(EntryCountPrefix).toLong)
+          val partCols = body.find(_.startsWith(PartColsPrefix))
+            .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
+              .filter(_.nonEmpty)).getOrElse(Nil)
+          val bloomCols = body.find(_.startsWith(BloomColsPrefix))
+            .map(l => decodeBloomCols(l.stripPrefix(BloomColsPrefix)))
+            .getOrElse(Map.empty[String, BloomColSpec])
+          val bloomRels = body.filter(_.startsWith(BloomRelPrefix))
+            .map(_.stripPrefix(BloomRelPrefix))
+          val bucketSpec = body.find(_.startsWith(BucketSpecPrefix))
+            .map(l => decodeBucketSpec(l.stripPrefix(BucketSpecPrefix)))
+          val dropped = body.find(_.startsWith(DroppedPrefix))
+            .map(_.stripPrefix(DroppedPrefix).split(",").toSeq
+              .filter(_.nonEmpty)
+              .map(java.net.URLDecoder.decode(_, "UTF-8")).toSet)
+            .getOrElse(Set.empty[String])
+          val leftovers = body.filterNot(l =>
+            l.startsWith(SchemaPrefix) || l.startsWith(EntriesPrefix) ||
+              l.startsWith(EntryCountPrefix) ||
+              l.startsWith(PartColsPrefix) ||
+              l.startsWith(BloomColsPrefix) ||
+              l.startsWith(BloomRelPrefix) ||
+              l.startsWith(BucketSpecPrefix) ||
+              l.startsWith(DroppedPrefix) ||
+              l.startsWith(DvPrefix))
+          // v3 has NO data-file lines; an unknown line means a newer
+          // line form — refuse rather than misparse (the v2.1 gate)
+          if (leftovers.nonEmpty || entries.isEmpty || nEntries.isEmpty)
+            None
+          else {
+            val dvp = body.filter(_.startsWith(DvPrefix))
+              .map(l => parseDvLine(l.stripPrefix(DvPrefix)))
+            val mDir = path.getParent
+            val rel = entries.get
+            Some(Manifest(v, Nil, dvp.map(_._1),
+              schema, entries, nEntries, partCols,
+              dvp.collect { case (p, Some(n)) => p -> n }.toMap,
+              bloomCols, bloomRels, bucketSpec, dropped,
+              Some(() => sidecarDataPathsAt(mDir, rel))))
+          }
         case _ => None // empty or half-written: fall back to older version
       }
     } finally lines.close()
+  }
+
+  /** Test hook: how many times a v3 manifest's data-file list was
+    * materialized on the driver (the [[Manifest.files]] loader). The
+    * planning-scale spec pins that commit + selective read planning
+    * over a large table never fire it. */
+  private[graft] val driverManifestFileListLoads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The v3 file-list loader: one columnar collect of the sidecar's
+    * data rows (kind='data'), normalized to openable filesystem paths.
+    * Needs an active session — every CowTable operation has one; a
+    * bare parse that never touches `.files` never pays it. */
+  private def sidecarDataPathsAt(mDir: Path, rel: String): Seq[String] = {
+    val spark = SparkSession.active
+    spark.read.schema(entriesSchema)
+      .parquet(mDir.resolve(rel).toString)
+      .filter(col("kind") === "data").select("path")
+      .collect().map(r => normalize(r.getString(0))).toSeq
   }
 
   private def listDir(dir: Path): Seq[Path] = {
@@ -583,6 +698,21 @@ object CowTable {
       entries: Seq[FileEntry], schema: StructType): Manifest =
     commitWithStats(spark, table, version, entries, Nil, schema)
 
+  /** [[commitEntries]] with the entries as a DATAFRAME — the
+    * registration shape for tables whose file list should never be a
+    * driver seq at all (the 10⁶-file rung): the carry is a columnar
+    * copy into the v3 sidecar, the manifest text stays O(1) lines, and
+    * the planning-scale spec drives its million-entry case through
+    * exactly this door. `entries` must have the sidecar schema
+    * (kind, path, bytes, numRows, stats[, part]); dv-kind entries are
+    * not supported here (DV paths are text-manifest lines — pass them
+    * through the delta committers). */
+  def commitEntriesDF(spark: SparkSession, table: String, version: Int,
+      entries: DataFrame, schema: StructType,
+      partitionCols: Seq[String] = Nil): Manifest =
+    commitWithStatsDF(spark, table, version, entries, Nil, schema,
+      Nil, partitionCols)
+
   /** Driver-seq commit: `carried` entries ride from the driver (they
     * already have their stats strings). Used where the carried set IS
     * driver-resident by construction (init, explicit [[commitEntries]],
@@ -591,10 +721,9 @@ object CowTable {
   private def commitWithStats(spark: SparkSession, table: String,
       version: Int, carried: Seq[FileEntry], newDataFiles: Seq[String],
       schema: StructType, partitionCols: Seq[String] = Nil): Manifest = {
-    val files = carried.collect { case e if e.kind == "data" => e.path }
     val dvs = carried.collect { case e if e.kind == "dv" => e.path }
     val m = commitWithStatsDF(spark, table, version,
-      spark.createDataFrame(carried), newDataFiles, schema, files, dvs,
+      spark.createDataFrame(carried), newDataFiles, schema, dvs,
       partitionCols)
     if (newDataFiles.isEmpty) cacheEntries(table, m.entriesRel.get, carried)
     m
@@ -615,7 +744,7 @@ object CowTable {
 
   private def commitWithStatsDF(spark: SparkSession, table: String,
       version: Int, carriedDF: DataFrame, newDataFiles: Seq[String],
-      schema: StructType, carriedFiles: Seq[String],
+      schema: StructType,
       carriedDvs: Seq[String], partitionCols: Seq[String] = Nil,
       newFileParts: Map[String, String] = Map.empty,
       knownDvRuns: Map[String, Long] = Map.empty,
@@ -623,7 +752,8 @@ object CowTable {
       bloomColsOverride: Option[Map[String, BloomColSpec]] = None,
       extraBloomRels: Seq[String] = Nil,
       bloomRelsReplace: Option[Seq[String]] = None,
-      bucketSpecOverride: Option[Option[(String, Int)]] = None): Manifest = {
+      bucketSpecOverride: Option[Option[(String, Int)]] = None,
+      droppedOverride: Option[Set[String]] = None): Manifest = {
     preCommitHook()
     val headOpt = latestManifest(table)
     // a rebasing committer re-commits its base-derived schema; fold the
@@ -680,36 +810,76 @@ object CowTable {
         if (entriesOut.columns.contains(c)) col(c)
         else lit(null).cast("string").as(c)): _*)
       .coalesce(1).write.mode("overwrite").parquet(out.toString)
-    val files = carriedFiles ++ newDataFiles
     val dvs = carriedDvs
-    val nEntries = files.size.toLong + dvs.size.toLong
+    // the sole data-file list is the just-written sidecar: the entry
+    // count comes from its parquet FOOTER (metadata-only, no Spark
+    // job, no driver list) — the v3 commit never materializes the
+    // carried file paths, which is the whole point
+    val nEntries = parquetRowCount(spark, out)
+    // dropped-column tombstones carry forward on EVERY commit (the
+    // drop's guard must outlive retention cleanup of old manifests)
+    val dropped = droppedOverride
+      .getOrElse(headForBloom.map(_.droppedNames).getOrElse(
+        Set.empty[String]))
     val partLine =
       if (partitionCols.isEmpty) Nil
       else Seq(PartColsPrefix + partitionCols.mkString(","))
-    // protocol gate: the counted dv:<runs>:<path> line form is only
-    // legible to readers that know it — a manifest carrying one
-    // declares the v2.1 header, so a pre-counted-form reader REFUSES
-    // (treats it as unreadable and falls back / errors) instead of
-    // misparsing "3:/path" as a sidecar path. Downgrade readers are
-    // unsupported once a counted line is written; count-free manifests
-    // keep the v2 header and stay fully downgrade-readable.
+    // protocol gate (the v2.1/v2.2 discipline, one step further): every
+    // stats commit now writes v3 — no data-file lines at all — and a
+    // pre-v3 reader REFUSES the manifest (falls back / errors) instead
+    // of misreading an empty file list. v1/v2.x manifests written by
+    // older builds (and the legacy string-list [[commit]]) stay fully
+    // readable.
     val bloomLines =
       (if (bloomSpecs.isEmpty) Nil
        else Seq(BloomColsPrefix + encodeBloomCols(bloomSpecs))) ++
         bloomRels.map(BloomRelPrefix + _)
     val bucketLine =
       bucketSpec.map(s => BucketSpecPrefix + encodeBucketSpec(s)).toSeq
-    val header =
-      if (bloomLines.nonEmpty || bucketLine.nonEmpty) HeaderV22
-      else if (dvRunsAll.nonEmpty) HeaderV21 else HeaderV2
+    val droppedLine =
+      if (dropped.isEmpty) Nil
+      else Seq(DroppedPrefix + dropped.toSeq.sorted
+        .map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(","))
     writeManifestText(table, version,
-      (Seq(header, SchemaPrefix + commitSchema.json, EntriesPrefix + rel,
+      (Seq(HeaderV3, SchemaPrefix + commitSchema.json, EntriesPrefix + rel,
         EntryCountPrefix + nEntries) ++ partLine ++ bloomLines ++
-        bucketLine ++
-        files ++ dvs.map(dvLine(_, dvRunsAll)) :+ EndMarker).mkString("\n"))
-    Manifest(version, files, dvs, Some(commitSchema.json), Some(rel),
+        bucketLine ++ droppedLine ++
+        dvs.map(dvLine(_, dvRunsAll)) :+ EndMarker).mkString("\n"))
+    val mDir = manifestDir(table)
+    Manifest(version, Nil, dvs, Some(commitSchema.json), Some(rel),
       Some(nEntries), partitionCols, dvRunsAll, bloomSpecs, bloomRels,
-      bucketSpec)
+      bucketSpec, dropped, Some(() => sidecarDataPathsAt(mDir, rel)))
+  }
+
+  /** Footer-only row count of a just-written parquet dir — O(#part
+    * files) metadata reads, no Spark job. */
+  private def parquetRowCount(spark: SparkSession, dir: Path): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    listPartFiles(dir).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Which of `candidates` (normalized) are live data files of `m` —
+    * the candidate-sized membership probe the streaming sink's replay
+    * guard needs. The check runs against the entries sidecar (a cached
+    * LocalRelation for small tables, a filtered columnar scan for
+    * large ones), so a v3 manifest's full file list never materializes
+    * for an epoch-sized question. */
+  private[graft] def entriesLiveAmong(spark: SparkSession, table: String,
+      m: Manifest, candidates: Seq[String]): Set[String] = {
+    if (candidates.isEmpty || !m.dataNonEmpty) return Set.empty
+    if (m.filesLoader.isEmpty)
+      return m.normalizedFiles.toSet
+        .intersect(candidates.map(normalize).toSet)
+    val candN = candidates.map(normalize)
+    entriesDF(spark, table, m)
+      .filter(col("kind") === "data" &&
+        normalizeSql(col("path")).isInCollection(candN))
+      .select("path").collect().map(r => normalize(r.getString(0))).toSet
   }
 
   /** The manifest's entries as a DataFrame (kind, path, bytes, numRows,
@@ -753,12 +923,23 @@ object CowTable {
       val cached = entriesCache.get((table, rel))
       if (cached != null) cached
       else {
-        val byNorm = (m.files ++ m.dvs).map(f => normalize(f) -> f).toMap
+        // v3: stored paths resolve through normalize alone (the dv
+        // lines are the only raw strings left); pre-v3 maps back to
+        // the manifest's raw strings
+        val byNorm =
+          if (m.filesLoader.isDefined)
+            m.dvs.map(f => normalize(f) -> f).toMap
+          else (m.files ++ m.dvs).map(f => normalize(f) -> f).toMap
+        def resolve(stored: String): String = {
+          val n = normalize(stored)
+          byNorm.getOrElse(n,
+            if (m.filesLoader.isDefined) n else stored)
+        }
         val loaded = sidecarScan(spark, table, rel)
           .collect().toSeq.map { r =>
             val stored = r.getString(r.fieldIndex("path"))
             FileEntry(r.getString(r.fieldIndex("kind")),
-              byNorm.getOrElse(normalize(stored), stored),
+              resolve(stored),
               r.getLong(r.fieldIndex("bytes")),
               if (r.isNullAt(r.fieldIndex("numRows"))) None
               else Some(r.getLong(r.fieldIndex("numRows"))),
@@ -907,11 +1088,16 @@ object CowTable {
     require(renames.keys.toSet.intersect(drops.toSet).isEmpty &&
       widens.keys.toSet.intersect(drops.toSet).isEmpty,
       "alterTable: a column cannot be dropped and renamed/widened at once")
-    val known = allKnownNames(schema)
+    // a DROPPED column's name (and its prior-name chain) is gone from
+    // the schema, so allKnownNames alone forgets it — the manifest's
+    // tombstone set closes exactly that hole: drop(c) then add(c)
+    // would resurrect old files' stale physical values (reads resolve
+    // parquet columns BY NAME), the silent wrong-data case
+    val known = allKnownNames(schema) ++ m.droppedNames
     renames.foreach { case (from, to) =>
       require(to != from && !known.contains(to),
-        s"alterTable: rename $from -> $to collides with a current or " +
-          "historical column name")
+        s"alterTable: rename $from -> $to collides with a current, " +
+          "historical, or dropped column name")
     }
     require(renames.values.toSeq.distinct.size == renames.size,
       "alterTable: duplicate rename targets")
@@ -924,7 +1110,7 @@ object CowTable {
     adds.foreach { case (c, _) =>
       require(!known.contains(c) && !renames.values.exists(_ == c),
         s"alterTable: added column $c collides with a current, " +
-          "historical, or rename-target column name")
+          "historical, dropped, or rename-target column name")
     }
     widens.foreach { case (c, to) =>
       val from = schema(c).dataType
@@ -951,6 +1137,12 @@ object CowTable {
       }
     }
     require(newFields.nonEmpty, "alterTable: cannot drop every column")
+    // tombstones: the dropped fields' names AND their prior-name chains
+    // persist in every later manifest, so the re-add guard survives
+    // retention cleanup of the manifests that knew the column
+    val newTombstones: Set[String] =
+      schema.fields.filter(f => drops.contains(f.name))
+        .flatMap(f => f.name +: prevNamesOf(f)).toSet
     val addedFields = adds.map { case (c, dt) =>
       nextId += 1
       StructField(c, dt, nullable = true,
@@ -964,9 +1156,10 @@ object CowTable {
             "the new snapshot")
     def attempt(h: Manifest): Manifest =
       commitWithStatsDF(spark, table, h.version + 1,
-        entriesDF(spark, table, h), Nil, newSchema, h.files, h.dvs,
+        entriesDF(spark, table, h), Nil, newSchema, h.dvs,
         h.partitionCols, knownDvRuns = h.dvRunCounts,
-        schemaAuthoritative = true)
+        schemaAuthoritative = true,
+        droppedOverride = Some(h.droppedNames ++ newTombstones))
     commitWithRetry(table, m, validate, attempt)
   }
 
@@ -1184,7 +1377,7 @@ object CowTable {
       // sweeps rels of DROPPED manifests and would never reclaim it.
       // Delete it with the failed attempt.
       try commitWithStatsDF(spark, table, h.version + 1,
-        entriesDF(spark, table, h), Nil, schema, h.files, h.dvs,
+        entriesDF(spark, table, h), Nil, schema, h.dvs,
         h.partitionCols, knownDvRuns = h.dvRunCounts,
         bloomColsOverride = Some(h.bloomCols ++ specs),
         extraBloomRels = backfill.toSeq)
@@ -1236,7 +1429,7 @@ object CowTable {
         entriesDF(spark, table, h), Nil, h.schemaOpt.getOrElse(
           throw new IllegalArgumentException(
             "consolidateBlooms needs a v2 manifest")),
-        h.files, h.dvs, h.partitionCols, knownDvRuns = h.dvRunCounts,
+        h.dvs, h.partitionCols, knownDvRuns = h.dvRunCounts,
         bloomRelsReplace = Some(Seq(rel)))
     // the consolidated rel was written before the commit; a concurrent
     // commit makes validate refuse (the live-file fold is stale), so
@@ -1286,9 +1479,15 @@ object CowTable {
     * only proven paths are collected. Files without a row — pre-index
     * vintage, type-mismatched after a widen — are never in the result,
     * i.e. conservatively kept. */
-  private def bloomPrunedPaths(spark: SparkSession, table: String,
-      m: Manifest, folded: Expression,
-      dataSchema: StructType): Set[String] = {
+  /** The bloom-sidecar DISPROOF predicate for `folded`'s equality/IN
+    * conjuncts on declared columns — a row-level Column over the bloom
+    * entry schema that is true when the row's sketch proves no
+    * candidate value is present in its file. None when the predicate
+    * carries no probeable conjunct. Factored out of
+    * [[bloomPrunedPaths]] so [[pruneReportBloomBatch]] can evaluate
+    * many probes' evidence in one sidecar pass. */
+  private def bloomEvidenceCol(m: Manifest, folded: Expression,
+      dataSchema: StructType): Option[Column] = {
     def attr(x: Expression): Option[String] = x match {
       case a: UnresolvedAttribute => Some(a.name)
       case a: AttributeReference => Some(a.name)
@@ -1328,22 +1527,33 @@ object CowTable {
           } yield (f, adapted)
         case _ => None
       }
-    if (probes.isEmpty) return Set.empty
+    if (probes.isEmpty) return None
     def probeCol(v: Literal): Column =
       ColumnBridge.column(graft.functions.BloomProbe(
         ColumnBridge.expression(col("sketch")), v))
-    val evidence = probes.map { case (f, vals) =>
+    Some(probes.map { case (f, vals) =>
       col("col").isin(f.name +: prevNamesOf(f): _*) &&
         col("coltype") === lit(f.dataType.catalogString) &&
         !vals.map(probeCol).reduce(_ || _)
-    }.reduce(_ || _)
-    val sidecars = m.bloomRels.map(r =>
-      manifestDir(table).resolve(r).toString)
-    bloomPrunesConsulted.incrementAndGet()
-    spark.read.schema(bloomEntrySchema).parquet(sidecars: _*)
-      .filter(evidence)
-      .select("path").collect().map(r => normalize(r.getString(0))).toSet
+    }.reduce(_ || _))
   }
+
+  private def bloomSidecarDF(spark: SparkSession, table: String,
+      m: Manifest): DataFrame =
+    spark.read.schema(bloomEntrySchema).parquet(
+      m.bloomRels.map(r => manifestDir(table).resolve(r).toString): _*)
+
+  private def bloomPrunedPaths(spark: SparkSession, table: String,
+      m: Manifest, folded: Expression,
+      dataSchema: StructType): Set[String] =
+    bloomEvidenceCol(m, folded, dataSchema) match {
+      case None => Set.empty
+      case Some(evidence) =>
+        bloomPrunesConsulted.incrementAndGet()
+        bloomSidecarDF(spark, table, m)
+          .filter(evidence)
+          .select("path").collect().map(r => normalize(r.getString(0))).toSet
+    }
 
   // ------------------------------------------------------ data skipping
 
@@ -1596,28 +1806,37 @@ object CowTable {
     * optimizer rule uses on pushed-down predicates. */
   def pruneDataFilesExpr(spark: SparkSession, table: String, m: Manifest,
       condExpr: Expression, useBloom: Boolean = true): Seq[String] = {
-    if (m.files.isEmpty || m.entriesRel.isEmpty) return m.files
+    if (m.entriesRel.isEmpty) return m.files // legacy v1: no sidecar
+    if (!m.dataNonEmpty) return Nil
     val dataSchema = m.schemaOpt.getOrElse(return m.files)
     val stSchema = statsSchemaFor(dataSchema)
     val bloomLive = useBloom && m.bloomCols.nonEmpty && m.bloomRels.nonEmpty
     if (stSchema.isEmpty && m.partitionCols.isEmpty && !bloomLive)
-      return m.files
+      return m.files // nothing can prune: the full scan needs the list
     val folded = resolvedCond(spark, dataSchema,
       foldRenameCoalesce(condExpr, dataSchema))
-    val normFiles = m.normalizedFiles // memoized once per manifest
     val statsKept: Seq[String] =
       if (stSchema.isEmpty && m.partitionCols.isEmpty) m.files
       else {
         val keep =
           fileKeepPredicate(folded, stSchema, m.partitionCols, dataSchema)
-        val kept = withStatsStruct(
+        val keptSeq = withStatsStruct(
             entriesDF(spark, table, m).filter(col("kind") === "data"),
             stSchema)
           .filter(keep)
-          .select("path").collect().map(r => normalize(r.getString(0))).toSet
-        driverReadPathsListed.addAndGet(kept.size.toLong)
-        m.files.indices.collect {
-          case i if kept.contains(normFiles(i)) => m.files(i)
+          .select("path").collect().map(r => normalize(r.getString(0))).toSeq
+        driverReadPathsListed.addAndGet(keptSeq.size.toLong)
+        if (m.filesLoader.isDefined)
+          // v3: the sidecar IS the file list — the collected survivors
+          // are directly openable; O(survivors), never O(#files)
+          keptSeq
+        else {
+          // pre-v3: resolve back to the manifest's RAW path strings
+          val kept = keptSeq.toSet
+          val normFiles = m.normalizedFiles // memoized once per manifest
+          m.files.indices.collect {
+            case i if kept.contains(normFiles(i)) => m.files(i)
+          }
         }
       }
     // bloom pass: equality/IN conjuncts on declared columns subtract
@@ -1628,7 +1847,10 @@ object CowTable {
       val proven = bloomPrunedPaths(spark, table, m, folded, dataSchema)
       driverReadPathsListed.addAndGet(proven.size.toLong)
       if (proven.isEmpty) statsKept
+      else if (m.filesLoader.isDefined)
+        statsKept.filterNot(proven.contains) // both sides normalized
       else {
+        val normFiles = m.normalizedFiles
         val provenIdx = m.files.indices
           .filter(i => proven.contains(normFiles(i))).map(m.files).toSet
         statsKept.filterNot(provenIdx.contains)
@@ -1765,8 +1987,7 @@ object CowTable {
       cond: Column): CountBreakdown = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    if (m.files.isEmpty) return CountBreakdown(0L, 0, 0, 0, 0L, 0L)
-    val byNorm = m.files.map(f => normalize(f) -> f).toMap
+    if (!m.dataNonEmpty) return CountBreakdown(0L, 0, 0, 0, 0L, 0L)
     val classifiable = m.schemaOpt.exists(s =>
       statsSchemaFor(s).nonEmpty || m.partitionCols.nonEmpty) &&
       m.entriesRel.isDefined
@@ -1809,8 +2030,16 @@ object CowTable {
           collect_list(when(col("__keep") && !col("__full"), col("path")))
             .as("partials"))
           .head()
-        val partial = agg.getSeq[String](3)
-          .map(p => byNorm.getOrElse(normalize(p), p)).toSeq
+        // v3: the normalized sidecar path IS openable; pre-v3 resolves
+        // back to the manifest's raw strings
+        val partial =
+          if (m.filesLoader.isDefined)
+            agg.getSeq[String](3).map(normalize).toSeq
+          else {
+            val byNorm = m.files.map(f => normalize(f) -> f).toMap
+            agg.getSeq[String](3)
+              .map(p => byNorm.getOrElse(normalize(p), p)).toSeq
+          }
         (agg.getLong(0).toInt, agg.getLong(1), agg.getLong(2).toInt, partial)
     }
     val scanned =
@@ -1866,8 +2095,15 @@ object CowTable {
       valueCol: String, cond: Column, isMin: Boolean): MinMaxBreakdown = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    if (m.files.isEmpty) return MinMaxBreakdown(None, 0, 0, 0, 0)
-    val byNorm = m.files.map(f => normalize(f) -> f).toMap
+    if (!m.dataNonEmpty) return MinMaxBreakdown(None, 0, 0, 0, 0)
+    // v3 sidecar paths open as their normalized selves; pre-v3 resolves
+    // back to the manifest's raw strings (lazy: only built if needed)
+    def resolveBack(paths: Seq[String]): Seq[String] =
+      if (m.filesLoader.isDefined) paths.map(normalize)
+      else {
+        val byNorm = m.files.map(f => normalize(f) -> f).toMap
+        paths.map(p => byNorm.getOrElse(normalize(p), p))
+      }
     def agg1(c: Column): Column = if (isMin) min(c) else max(c)
     def scanValue(files: Seq[String]): Option[Any] =
       if (files.isEmpty) None
@@ -1884,7 +2120,7 @@ object CowTable {
         if (m.schemaOpt.isEmpty) m.files
         else pruneDataFiles(spark, table, m, cond)
       return MinMaxBreakdown(scanValue(files), 0, files.size, 0,
-        m.files.size - files.size)
+        m.nData.toInt - files.size)
     }
     val dataSchema = m.schemaOpt.get
     val ce = resolvedCond(spark, dataSchema, ColumnBridge.expression(cond))
@@ -1926,9 +2162,8 @@ object CowTable {
         (if (isMin) cmp(r.get(1), cand.get) >= 0
          else cmp(r.get(1), cand.get) <= 0)
       !unimprovable
-    }.map(r => byNorm.getOrElse(normalize(r.getString(0)), r.getString(0)))
-      .toSeq
-    val scanned = scanValue(scanPaths)
+    }.map(_.getString(0)).toSeq
+    val scanned = scanValue(resolveBack(scanPaths))
     def better(x: Any, y: Any): Any =
       if ((isMin && cmp(x, y) <= 0) || (!isMin && cmp(x, y) >= 0)) x else y
     val value = (cand, scanned) match {
@@ -1945,7 +2180,7 @@ object CowTable {
       cond: Column): (Int, Int) = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    (pruneDataFiles(spark, table, m, cond).size, m.files.size)
+    (pruneDataFiles(spark, table, m, cond).size, m.nData.toInt)
   }
 
   /** (files planned with the bloom index, files planned by min/max +
@@ -1958,7 +2193,73 @@ object CowTable {
     val e = ColumnBridge.expression(cond)
     (pruneDataFilesExpr(spark, table, m, e).size,
       pruneDataFilesExpr(spark, table, m, e, useBloom = false).size,
-      m.files.size)
+      m.nData.toInt)
+  }
+
+  /** Batched probe planning: per-cond `(bloom_kept, stats_kept, total)`
+    * — each triple IDENTICAL to [[pruneReportBloom]]'s (spec-pinned) —
+    * computed in ONE Spark job: every probe's stats keep-predicate
+    * aggregates over one entries-sidecar scan, LEFT-joined with one
+    * bloom-sidecar pass that folds every probe's disproof evidence to a
+    * per-file flag. The per-probe form runs ~3 planning jobs per probe;
+    * a probe-heavy gate (lh_bloom_prune: 3 measured lookups + a
+    * 6-candidate existence sweep) was driver-latency-bound on exactly
+    * that — many tiny scheduled jobs, not work. */
+  def pruneReportBloomBatch(spark: SparkSession, table: String,
+      conds: Seq[Column]): Seq[(Int, Int, Int)] = {
+    if (conds.isEmpty) return Nil
+    val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
+      s"cow table $table does not exist"))
+    val total = m.nData.toInt
+    if (total == 0 || m.entriesRel.isEmpty || m.schemaOpt.isEmpty)
+      return conds.map(_ => (total, total, total))
+    val dataSchema = m.schemaOpt.get
+    val stSchema = statsSchemaFor(dataSchema)
+    val bloomLive = m.bloomCols.nonEmpty && m.bloomRels.nonEmpty
+    if (stSchema.isEmpty && m.partitionCols.isEmpty && !bloomLive)
+      return conds.map(_ => (total, total, total))
+    val folded = conds.map(c => resolvedCond(spark, dataSchema,
+      foldRenameCoalesce(ColumnBridge.expression(c), dataSchema)))
+    val keeps = folded.zipWithIndex.map { case (f, i) =>
+      (if (stSchema.isEmpty && m.partitionCols.isEmpty) lit(true)
+       else fileKeepPredicate(f, stSchema, m.partitionCols, dataSchema))
+        .as(s"__k$i")
+    }
+    val left = withStatsStruct(
+        entriesDF(spark, table, m).filter(col("kind") === "data"), stSchema)
+      .select(normalizeSql(col("path")).as("__np") +: keeps: _*)
+    val evs = folded.map(f =>
+      if (bloomLive) bloomEvidenceCol(m, f, dataSchema) else None)
+    val joined =
+      if (evs.forall(_.isEmpty)) left
+      else {
+        bloomPrunesConsulted.addAndGet(evs.count(_.isDefined).toLong)
+        val proven = bloomSidecarDF(spark, table, m)
+          .groupBy(normalizeSql(col("path")).as("__np"))
+          .agg(evs.head.map(e => max(when(e, 1).otherwise(0)))
+              .getOrElse(lit(0)).as("__p0"),
+            evs.tail.zipWithIndex.map { case (eo, i) =>
+              eo.map(e => max(when(e, 1).otherwise(0)))
+                .getOrElse(lit(0)).as(s"__p${i + 1}")
+            }: _*)
+        left.join(proven, Seq("__np"), "left")
+      }
+    val aggCols = folded.indices.flatMap { i =>
+      val kept = col(s"__k$i")
+      val disproven =
+        if (evs.forall(_.isEmpty)) lit(false)
+        else coalesce(col(s"__p$i"), lit(0)) === 1
+      Seq(sum(when(kept && !disproven, 1L).otherwise(0L)).as(s"__b$i"),
+        sum(when(kept, 1L).otherwise(0L)).as(s"__s$i"))
+    }
+    val r = joined.agg(aggCols.head, aggCols.tail: _*).head()
+    folded.indices.map { i =>
+      val statsKept = r.getLong(2 * i + 1).toInt
+      // pruneDataFilesExpr's exact corner: an empty proven set leaves
+      // statsKept untouched, and bloom never runs when stats kept none
+      val bloomKept = r.getLong(2 * i).toInt
+      (if (statsKept == 0) 0 else bloomKept, statsKept, total)
+    }
   }
 
   private def versionOfDir(name: String): Option[Int] =
@@ -2108,7 +2409,7 @@ object CowTable {
     val (files, parts) = writeDataPartitioned(df, table, 0, partCols)
     commitWithStatsDF(spark, table, 0,
       spark.createDataFrame(Seq.empty[FileEntry]), files, df.schema,
-      Nil, Nil, partCols, parts)
+      Nil, partCols, parts)
   }
 
   /** [[initPartitioned]] with an EXPLICIT within-partition file layout
@@ -2133,7 +2434,7 @@ object CowTable {
     val files = dropEmptyFiles(spark, listPartFilesRec(out))
     commitWithStatsDF(spark, table, 0,
       spark.createDataFrame(Seq.empty[FileEntry]), files,
-      StructType(df.schema.filterNot(_.name == fileCol)), Nil, Nil,
+      StructType(df.schema.filterNot(_.name == fileCol)), Nil,
       partCols, partJsonOf(files, partCols))
   }
 
@@ -2225,7 +2526,7 @@ object CowTable {
       writeDataBucketed(df, table, 0, bucketCol, nBuckets)
     commitWithStatsDF(spark, table, 0,
       spark.createDataFrame(Seq.empty[FileEntry]), files, df.schema,
-      Nil, Nil, Nil, parts,
+      Nil, Nil, parts,
       bucketSpecOverride = Some(Some((bucketCol, nBuckets))))
   }
 
@@ -2248,7 +2549,7 @@ object CowTable {
     def attempt(h: Manifest): Manifest =
       commitWithStatsDF(spark, table, h.version + 1,
         spark.createDataFrame(Seq.empty[FileEntry]), files,
-        m.schemaOpt.get, Nil, Nil, h.partitionCols, parts)
+        m.schemaOpt.get, Nil, h.partitionCols, parts)
     commitWithRetry(table, m, validate, attempt)
   }
 
@@ -2260,7 +2561,7 @@ object CowTable {
   def fileBuckets(spark: SparkSession, table: String,
       m: Manifest): Option[Map[String, Int]] =
     m.bucketSpec.flatMap { _ =>
-      if (m.files.isEmpty || m.entriesRel.isEmpty) None
+      if (!m.dataNonEmpty || m.entriesRel.isEmpty) None
       else {
         val withB = entriesDF(spark, table, m)
           .filter(col("kind") === "data")
@@ -2340,8 +2641,11 @@ object CowTable {
       onlyFiles: Option[Seq[String]] = None): DataFrame = {
     val files = onlyFiles.getOrElse(m.files)
     if (files.isEmpty)
-      return if (m.files.nonEmpty) dropMeta(rawScan(spark, m, m.files).limit(0))
-      else emptyOf(spark, m)
+      // schema-bearing manifests (every v2+/v3) answer the empty-subset
+      // shape from metadata; only legacy no-schema manifests pay a
+      // limit(0) scan to derive it
+      return if (m.schemaOpt.isDefined || !m.dataNonEmpty) emptyOf(spark, m)
+      else dropMeta(rawScan(spark, m, m.files).limit(0))
     val data = rawScan(spark, m, files)
     if (m.dvs.isEmpty) dropMeta(data)
     else
@@ -2398,7 +2702,7 @@ object CowTable {
     import org.apache.spark.sql.graftbridge.ScanBridge.FileRange
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    if (m.dvs.isEmpty || m.files.isEmpty)
+    if (m.dvs.isEmpty || !m.dataNonEmpty)
       return (m.files, Nil, RowGroupReport(0, 0, 0, 0L))
     val dv = dvRuns(spark, m.dvs)
     val dvFiles = dv.select("fp").distinct()
@@ -2620,15 +2924,23 @@ object CowTable {
     require(m.schemaOpt.isDefined, "createBranch needs a v2 manifest")
     val bp = branchPath(table, name)
     require(latestManifest(bp).isEmpty, s"branch $name already exists")
+    // parent-base lands BEFORE the v0 commit: a crash between the two
+    // steps then leaves a base file with no manifest — invisible to
+    // [[listBranches]] (manifest-gated), so it neither blocks the
+    // parent's vacuum nor breaks a createBranch retry (which
+    // overwrites it). The inverse order left a listable branch whose
+    // publish failed with a raw NoSuchFileException.
+    Files.createDirectories(branchBasePath(bp).getParent)
+    Files.write(branchBasePath(bp),
+      m.version.toString.getBytes("UTF-8"))
     commitWithStatsDF(spark, bp, 0, entriesDF(spark, table, m), Nil,
-      m.schemaOpt.get, m.files, m.dvs, m.partitionCols,
+      m.schemaOpt.get, m.dvs, m.partitionCols,
       knownDvRuns = m.dvRunCounts, schemaAuthoritative = true,
       bloomColsOverride = Some(m.bloomCols),
       bloomRelsReplace = Some(m.bloomRels.map(r =>
         manifestDir(table).resolve(r).toString)),
-      bucketSpecOverride = Some(m.bucketSpec))
-    Files.write(branchBasePath(bp),
-      m.version.toString.getBytes("UTF-8"))
+      bucketSpecOverride = Some(m.bucketSpec),
+      droppedOverride = Some(m.droppedNames))
     bp
   }
 
@@ -2656,6 +2968,9 @@ object CowTable {
     val bp = branchPath(table, name)
     val bh = latestManifest(bp).getOrElse(
       throw new IllegalArgumentException(s"branch $name does not exist"))
+    require(Files.isRegularFile(branchBasePath(bp)),
+      s"publishBranch $table/$name: parent-base record is missing — " +
+        "the branch fork never completed; drop and re-create the branch")
     val base = new String(Files.readAllBytes(branchBasePath(bp)),
       "UTF-8").trim.toInt
     val m = latestManifest(table).getOrElse(
@@ -2668,9 +2983,10 @@ object CowTable {
     validate(m)
     def attempt(h: Manifest): Manifest =
       commitWithStatsDF(spark, table, h.version + 1,
-        entriesDF(spark, bp, bh), Nil, bh.schemaOpt.get, bh.files,
+        entriesDF(spark, bp, bh), Nil, bh.schemaOpt.get,
         bh.dvs, bh.partitionCols, knownDvRuns = bh.dvRunCounts,
         schemaAuthoritative = true,
+        droppedOverride = Some(bh.droppedNames),
         bloomColsOverride = Some(bh.bloomCols),
         // branch-resident rels publish absolute; rels that point back
         // into the PARENT's manifest dir (carried from the fork)
@@ -2750,7 +3066,7 @@ object CowTable {
       cond: Column): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
-    if (m.files.isEmpty) return m
+    if (!m.dataNonEmpty) return m
     val scanFiles = pruneDataFiles(spark, table, m, cond)
     if (scanFiles.isEmpty) return m
     val raw = rawScan(spark, m, scanFiles)
@@ -2806,7 +3122,7 @@ object CowTable {
         .unionByName(spark.createDataFrame(dvEntries),
           allowMissingColumns = true)
       val m2 = commitWithStatsDF(spark, table, h.version + 1, carriedDF,
-        Nil, h.schemaOpt.getOrElse(raw.schema), h.files,
+        Nil, h.schemaOpt.getOrElse(raw.schema),
         h.dvs ++ dvEntries.map(_.path), h.partitionCols,
         knownDvRuns = h.dvRunCounts)
       // cache hand-off: a DV commit's entries are derivable from the
@@ -3058,13 +3374,12 @@ object CowTable {
       table, base, removedN, Set.empty) _
     if (head0.version != base.version) validate(head0)
     def attempt(h: Manifest): Manifest = {
-      val carriedFiles = h.files.filterNot(f => removedN(normalize(f)))
       val carriedDF = entriesDF(spark, table, h).filter(
         if (removedN.isEmpty) lit(true)
         else col("kind") === "dv" ||
           !normalizeSql(col("path")).isInCollection(removedN.toSeq))
       commitWithStatsDF(spark, table, h.version + 1, carriedDF, added,
-        schema, carriedFiles, h.dvs, h.partitionCols, newParts,
+        schema, h.dvs, h.partitionCols, newParts,
         knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, head0, validate, attempt)
@@ -3151,7 +3466,7 @@ object CowTable {
         else entriesDF(spark, table, h).unionByName(
           spark.createDataFrame(dvEntries), allowMissingColumns = true)
       commitWithStatsDF(spark, table, h.version + 1, carriedDF, addedData,
-        schema, h.files, h.dvs ++ addedDvs, h.partitionCols, newParts,
+        schema, h.dvs ++ addedDvs, h.partitionCols, newParts,
         knownDvRuns = h.dvRunCounts,
         schemaAuthoritative = schemaOverride.isDefined)
     }
@@ -3186,7 +3501,7 @@ object CowTable {
     // restarted streaming upsert picks the evolved schema up through
     // the fresh sink build.
     val schema = mergeEvolvedSchema("upsertMor", schema0, source,
-      evolveSchema)
+      evolveSchema, m.droppedNames)
     requireSourceTypes("upsertMor", schema, source)
     // NULL keys are rejected OUTRIGHT (not just flagged as duplicates):
     // a NULL never equi-matches, so its postimage would append as a new
@@ -3208,7 +3523,7 @@ object CowTable {
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // 1. matched LIVE rows -> this version's deletion vector
     val cands =
-      if (m.files.isEmpty) Nil
+      if (!m.dataNonEmpty) Nil
       else mergeCandidateFiles(spark, table, m, source, keys)
     val dvFiles: Seq[String] =
       if (cands.isEmpty) Nil
@@ -3251,16 +3566,28 @@ object CowTable {
     * `schema` unchanged when evolution is off or the source adds
     * nothing. */
   private def mergeEvolvedSchema(op: String, schema: StructType,
-      source: DataFrame, evolve: Boolean): StructType = {
-    if (!evolve) return schema
+      source: DataFrame, evolve: Boolean,
+      dropped: Set[String] = Set.empty): StructType =
+    if (!evolve) schema
+    else evolvedSinkSchema(op, schema, source.schema, dropped)
+
+  /** The StructType core of [[mergeEvolvedSchema]], shared with the
+    * STREAMING upsert sink (whose "source" is the query's write schema
+    * at sink-build time, not a DataFrame): source-only columns append
+    * as new nullable fields, stable ids assigned when the base schema
+    * carries them, historical-name (and dropped-name tombstone)
+    * resurrection refused. */
+  private[graft] def evolvedSinkSchema(op: String, schema: StructType,
+      sourceSchema: StructType,
+      dropped: Set[String] = Set.empty): StructType = {
     val existing = schema.fieldNames.toSet
-    val newCols = source.columns.filterNot(existing.contains).toSeq
+    val newCols = sourceSchema.fieldNames.filterNot(existing.contains).toSeq
     if (newCols.isEmpty) return schema
-    val sTypes = source.schema.map(f => f.name -> f.dataType).toMap
-    val known = allKnownNames(schema)
+    val sTypes = sourceSchema.map(f => f.name -> f.dataType).toMap
+    val known = allKnownNames(schema) ++ dropped
     newCols.foreach(c => require(!known.contains(c),
       s"$op: evolved column $c reuses a historical column name " +
-        "(renamed away earlier) — pick a fresh name"))
+        "(renamed away or dropped earlier) — pick a fresh name"))
     val baseIds = schema.fields.flatMap(fieldIdOf)
     var nextFid = baseIds.foldLeft(-1L)(math.max)
     StructType(schema.fields.toSeq ++ newCols.map { c =>
@@ -3299,7 +3626,17 @@ object CowTable {
       .groupBy(col("fp"))
       .agg(sum(col("len")).as("ndead"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val dvd = m.files.filter(f => dead.contains(normalize(f)))
+    // dead's keys are normalized (dvRuns) and MUST intersect the LIVE
+    // file set: DV entries for files a later merge already replaced are
+    // carried inert (they can never match again), and rewriting those
+    // paths would resurrect replaced generations. On v3 the membership
+    // probe is candidate-sized against the sidecar — maintenance stays
+    // delta-sized, never O(#files)
+    val dvd =
+      if (m.filesLoader.isDefined) {
+        val live = entriesLiveAmong(spark, table, m, dead.keys.toSeq)
+        dead.keys.filter(live.contains).toSeq.sorted
+      } else m.files.filter(f => dead.contains(normalize(f)))
     val meta =
       if (minDeadFraction <= 0.0) Map.empty[String, (Long, Long)]
       else dataFileMeta(spark, table, m, dvd)
@@ -3312,7 +3649,6 @@ object CowTable {
         rows <= 0L || dead(normalize(f)).toDouble >= minDeadFraction * rows
       }
     val touchedN = touchedF.map(normalize).toSet
-    val untouchedF = m.files.filterNot(f => touchedN.contains(normalize(f)))
     val v = m.version + 1
     // below-threshold files' deletes consolidate into one fresh sidecar
     // (old DV files drop regardless — their rewritten-file entries die)
@@ -3363,9 +3699,8 @@ object CowTable {
         if (dvEntries.isEmpty) carriedData
         else carriedData.unionByName(
           spark.createDataFrame(dvEntries), allowMissingColumns = true)
-      val untouchedH = h.files.filterNot(f => touchedN.contains(normalize(f)))
       commitWithStatsDF(spark, table, h.version + 1, carriedDF, newFiles,
-        schema, untouchedH, freshHDvs ++ keptDvs, h.partitionCols,
+        schema, freshHDvs ++ keptDvs, h.partitionCols,
         newParts, knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, m, validate, attempt)
@@ -3386,7 +3721,7 @@ object CowTable {
       s"mergeInto: source has ${uniq.getLong(0) - uniq.getLong(1)} duplicate keys")
 
     val target0 =
-      if (m.files.isEmpty) emptyOf(spark, m)
+      if (!m.dataNonEmpty) emptyOf(spark, m)
       else dropMeta(rawScan(spark, m, m.files))
     require(keys.forall(target0.columns.contains) &&
       keys.forall(source.columns.contains), s"merge keys $keys missing")
@@ -3415,10 +3750,10 @@ object CowTable {
         .filterNot(c => keys.contains(c) || targetDataCols.contains(c)).toSeq
     // a new column must not resurrect a HISTORICAL name: old files'
     // physical columns under that name would resolve into two fields
-    m.schemaOpt.map(allKnownNames).foreach { known =>
+    m.schemaOpt.map(allKnownNames(_) ++ m.droppedNames).foreach { known =>
       newCols.foreach(c => require(!known.contains(c),
         s"mergeInto: evolved column $c reuses a historical column name " +
-          "(renamed away earlier) — pick a fresh name"))
+          "(renamed away or dropped earlier) — pick a fresh name"))
     }
     val target = newCols.foldLeft(target0)((d, c) =>
       d.withColumn(c, lit(null).cast(sTypes(c))))
@@ -3447,7 +3782,7 @@ object CowTable {
     // version early) — conservative, never wrong.
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val touched =
-      if (m.files.isEmpty) Set.empty[String]
+      if (!m.dataNonEmpty) Set.empty[String]
       else {
         val candidates = mergeCandidateFiles(spark, table, m, source, keys)
         if (candidates.isEmpty) Set.empty[String]
@@ -3457,8 +3792,12 @@ object CowTable {
           .select("__file").distinct()
           .collect().map(r => normalize(r.getString(0))).toSet
       }
-    val (touchedF, untouchedF) =
-      m.files.partition(f => touched.contains(normalize(f)))
+    // `touched` is delta-sized and normalized (v3: directly openable);
+    // the untouched majority never materializes — it carries
+    // sidecar-to-sidecar in the commit below
+    val touchedF =
+      if (m.filesLoader.isDefined) touched.toSeq.sorted
+      else m.files.filter(f => touched.contains(normalize(f)))
 
     // 2. merge only touched rows (deletion-vector-applied: a deleted
     // row is absent, so a source row with its key INSERTS) with the
@@ -3537,9 +3876,8 @@ object CowTable {
           (if (touched.isEmpty) lit(true)
            else !normalizeSql(col("path"))
              .isInCollection(touched.toSeq)))
-      val untouchedH = h.files.filterNot(f => touched.contains(normalize(f)))
       val m2 = commitWithStatsDF(spark, table, h.version + 1, carriedDF,
-        newFiles._1, newSchema, untouchedH, h.dvs, h.partitionCols,
+        newFiles._1, newSchema, h.dvs, h.partitionCols,
         newFiles._2, knownDvRuns = h.dvRunCounts)
       // cache hand-off possible only when nothing new was written (a
       // pure-delete merge): new files' stats live in the sidecar alone
@@ -3584,7 +3922,7 @@ object CowTable {
     // share) — COW-rewritten unmatched rows and untouched files both
     // NULL-extend, postimages/inserts carry the value
     val schema = mergeEvolvedSchema("mergeIntoHybrid", schema0, source,
-      evolveSchema)
+      evolveSchema, m.droppedNames)
     requireSourceTypes("mergeIntoHybrid", schema, source)
     val uniq = source.agg(count(lit(1)).as("n"),
       count_distinct(struct(keys.map(col): _*)).as("d")).head()
@@ -3597,7 +3935,7 @@ object CowTable {
 
     // 1. matched LIVE target rows with file identity (delta-sized)
     val cands =
-      if (m.files.isEmpty) Nil
+      if (!m.dataNonEmpty) Nil
       else mergeCandidateFiles(spark, table, m, source, keys)
     val matched =
       if (cands.isEmpty) None
@@ -3623,7 +3961,9 @@ object CowTable {
         require(dup == 0L, "mergeIntoHybrid: a source key matches " +
           "multiple live target rows — resolve duplicates first")
       }
-      val touchedFiles = m.files.filter(f => perFile.contains(normalize(f)))
+      val touchedFiles =
+        if (m.filesLoader.isDefined) perFile.keys.toSeq.sorted
+        else m.files.filter(f => perFile.contains(normalize(f)))
       val meta = dataFileMeta(spark, table, m, touchedFiles)
       // 2. the per-file choice
       val (cowF, morF) = touchedFiles.partition { f =>
@@ -3703,9 +4043,8 @@ object CowTable {
           if (dvEntries.isEmpty) carriedData
           else carriedData.unionByName(spark.createDataFrame(dvEntries),
             allowMissingColumns = true)
-        val keptFiles = h.files.filterNot(f => cowN.contains(normalize(f)))
         commitWithStatsDF(spark, table, h.version + 1, carriedDF, newFiles,
-          schema, keptFiles, h.dvs ++ dvFiles, h.partitionCols, newParts,
+          schema, h.dvs ++ dvFiles, h.partitionCols, newParts,
           knownDvRuns = h.dvRunCounts,
           schemaAuthoritative = !(schema eq schema0))
       }
@@ -3910,12 +4249,17 @@ object CowTable {
     val validate = standardRebaseValidate(spark, "compactTable", table,
       m, smallSet, Set.empty) _
     def attempt(h: Manifest): Manifest = {
-      val keptFiles = h.files.filterNot(f => smallSet.contains(normalize(f)))
-      val liveDvs = dvsReferencing(spark, h, keptFiles)
+      // keptFiles materializes only on a DV-carrying snapshot (the
+      // dead-DV-set decision needs the kept identities) — DV-free
+      // compactions stay file-list-free
+      val liveDvs =
+        if (h.dvs.isEmpty) Nil
+        else dvsReferencing(spark, h,
+          h.files.filterNot(f => smallSet.contains(normalize(f))))
       commitWithStatsDF(spark, table, h.version + 1,
         carryAllBut(spark, table, h, smallNorm,
           dropDvs = liveDvs.isEmpty && h.dvs.nonEmpty), newFiles,
-        schema, keptFiles, liveDvs, h.partitionCols, newParts,
+        schema, liveDvs, h.partitionCols, newParts,
         knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, m, validate, attempt)
@@ -3953,12 +4297,14 @@ object CowTable {
     val validate = standardRebaseValidate(spark, "compactTableZorder",
       table, m, smallSet, Set.empty) _
     def attempt(h: Manifest): Manifest = {
-      val keptFiles = h.files.filterNot(f => smallSet.contains(normalize(f)))
-      val liveDvs = dvsReferencing(spark, h, keptFiles)
+      val liveDvs =
+        if (h.dvs.isEmpty) Nil
+        else dvsReferencing(spark, h,
+          h.files.filterNot(f => smallSet.contains(normalize(f))))
       commitWithStatsDF(spark, table, h.version + 1,
         carryAllBut(spark, table, h, smallNorm,
           dropDvs = liveDvs.isEmpty && h.dvs.nonEmpty), newFiles,
-        schema, keptFiles, liveDvs, h.partitionCols,
+        schema, liveDvs, h.partitionCols,
         knownDvRuns = h.dvRunCounts)
     }
     commitWithRetry(table, m, validate, attempt)
@@ -4241,26 +4587,32 @@ object CowTable {
       .collect().map(_.getString(0)).toSeq
     val dvNew = side(tm, "dv").join(side(fm, "dv"), Seq("path"), "left_anti")
       .collect().map(_.getString(0)).toSeq
-    val fmSet = fm.files.map(normalize).toSet
     val dvAffected: Seq[String] =
       if (dvNew.isEmpty) Nil
       else {
+        // the touched set is DV-derived (delta-sized); membership in
+        // BOTH versions checks against the sidecars, so neither side's
+        // full file list ever materializes (the v3 discipline)
         val touched = spark.read.schema(dvSchema).parquet(dvNew: _*)
           .select("file_path").distinct()
-          .collect().map(r => normalize(r.getString(0))).toSet
-        tm.files.filter(f => touched.contains(normalize(f)) &&
-          fmSet.contains(normalize(f)))
+          .collect().map(r => normalize(r.getString(0))).toSeq
+        val inBoth = entriesLiveAmong(spark, table, tm, touched)
+          .intersect(entriesLiveAmong(spark, table, fm, touched))
+        touched.filter(inBoth.contains).sorted
       }
-    // sidecar paths are normalized; the scan needs the manifest's RAW
-    // path strings (they differ only for encodable characters)
-    def resolve(m: Manifest, ps: Seq[String]): Seq[String] = {
-      val byNorm = m.files.map(f => normalize(f) -> f).toMap
-      ps.map(p => byNorm.getOrElse(normalize(p), p))
-    }
+    // sidecar paths are normalized; a pre-v3 scan needs the manifest's
+    // RAW path strings (they differ only for encodable characters) —
+    // on v3 the normalized string IS the openable path
+    def resolve(m: Manifest, ps: Seq[String]): Seq[String] =
+      if (m.filesLoader.isDefined) ps.map(normalize)
+      else {
+        val byNorm = m.files.map(f => normalize(f) -> f).toMap
+        ps.map(p => byNorm.getOrElse(normalize(p), p))
+      }
     val oldSideRaw = readSnapshot(spark, fm,
-      Some((resolve(fm, remF) ++ dvAffected).distinct))
+      Some((resolve(fm, remF) ++ resolve(fm, dvAffected)).distinct))
     val newSide0 = readSnapshot(spark, tm,
-      Some((resolve(tm, addF) ++ dvAffected).distinct))
+      Some((resolve(tm, addF) ++ resolve(tm, dvAffected)).distinct))
     // schema evolution between the versions: the feed speaks the
     // LATEST schema. The old side maps renamed columns forward through
     // the new schema's recorded prior-name chains and casts widened
@@ -4713,17 +5065,33 @@ object CowTable {
     * staging is partition-bounded, not table-bounded), and the
     * partition-pruned CONSUMER (`WHERE o_orderstatus='F'`) sees the
     * delete epoch's rows and NOTHING from the P-scoped merge. */
-  def lhFeedPart(s: SparkSession, dir: String): DataFrame = {
+  def lhFeedPart(s: SparkSession, dir: String): DataFrame =
+    lhFeedPartOp(s, dir, lhFeedPartBuild(s, dir))
+
+  /** Fixture half (bench-split): the partitioned table + the two
+    * committed versions the feed will replay. */
+  private def lhFeedPartBuild(s: SparkSession, dir: String): String = {
     import s.implicits._
     val t = freshGateTable()
     initPartitioned(Tables.orders(s, dir).coalesce(1), t,
       Seq("o_orderstatus"))
-    val (plannedF, totalF) = pruneReport(s, t, $"o_orderstatus" === "F")
     deleteWhere(s, t,
       $"o_orderstatus" === "F" && pmod($"o_orderkey", lit(5)) === 0) // v1
     val srcP = Tables.orders(s, dir).filter($"o_orderstatus" === "P")
       .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
     mergeInto(s, t, srcP, Seq("o_orderkey")) // v2 — touches P files only
+    t
+  }
+
+  private def lhFeedPartOp(s: SparkSession, dir: String,
+      t: String): DataFrame = {
+    import s.implicits._
+    // the delete's candidate-scan plan, measured against the PRE-delete
+    // snapshot (v0) — metadata-only either way, so it rides the op half
+    val m0 = readManifest(t, 0)
+    val plannedF =
+      pruneDataFiles(s, t, m0, $"o_orderstatus" === "F").size
+    val totalF = m0.files.size
     // every file the merge replaced must carry partition tuple P
     val m1 = readManifest(t, 1)
     val m2 = readManifest(t, 2)
@@ -5496,27 +5864,55 @@ object CowTable {
     * replay guard). Strict version arithmetic (create = v0, three
     * epochs = v3) plus the relational oracle: a duplicated, dropped, or
     * re-committed epoch breaks the count/hash. */
-  def lhStreamSink(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
-    val base = java.nio.file.Files.createTempDirectory("lh_stream_sink")
-    val t = base.resolve("t").toString
-    val src = base.resolve("in")
-    java.nio.file.Files.createDirectories(src)
-    val orders = Tables.orders(s, dir)
+  /** Bench-split fixture helper for the streaming gates: write orders
+    * slice i (o_orderkey % 3 == i) as ONE parquet file at
+    * `<stage>/0i_slice.parquet` with a deterministic mtime, so the op
+    * half's "a new file arrives" moment is a RENAME into the watched
+    * dir — the orders scans (the fixture cost) stay in the build
+    * half. */
+  private def stageOrdersSlice(s: SparkSession, dir: String,
+      stage: Path, i: Int): Unit = {
+    val tmp = Files.createTempDirectory(s"lh_slice_$i")
+    Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(3)) === i)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = listDir(tmp).map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.head
+    Files.createDirectories(stage)
+    val dest = stage.resolve(f"0${i}_slice.parquet")
+    Files.move(Paths.get(part), dest, StandardCopyOption.REPLACE_EXISTING)
+    dest.toFile.setLastModified(1000000L + i * 10000L)
+    ()
+  }
+
+  /** Rename a staged slice into the watched `in/` dir (same-fs move —
+    * preserves the deterministic mtime that pins micro-batch order). */
+  private def releaseSlice(base: Path, i: Int): Unit = {
+    val f = f"0${i}_slice.parquet"
+    Files.createDirectories(base.resolve("in"))
+    Files.move(base.resolve("staged").resolve(f),
+      base.resolve("in").resolve(f))
+    ()
+  }
+
+  def lhStreamSink(s: SparkSession, dir: String): DataFrame =
+    lhStreamSinkOp(s, dir, lhStreamSinkBuild(s, dir))
+
+  private def lhStreamSinkBuild(s: SparkSession, dir: String): String = {
+    val base = Files.createTempDirectory("lh_stream_sink")
     // three deterministic slices, staged as mtime-ordered single files
-    (0 until 3).foreach { i =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"lh_ss_$i")
-      orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).sorted.head
-      val dest = src.resolve(f"0${i}_slice.parquet")
-      java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
-      dest.toFile.setLastModified(1000000L + i * 10000L)
-      ()
-    }
-    val q = s.readStream.schema(orders.schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    (0 until 3).foreach(stageOrdersSlice(s, dir, base.resolve("staged"), _))
+    base.toString
+  }
+
+  private def lhStreamSinkOp(s: SparkSession, dir: String,
+      baseStr: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val base = Paths.get(baseStr)
+    val t = base.resolve("t").toString
+    (0 until 3).foreach(releaseSlice(base, _))
+    val q = s.readStream.schema(Tables.orders(s, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.resolve("in").toString)
       .writeStream
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .toTable(s"graft.`$t`")
@@ -5541,29 +5937,29 @@ object CowTable {
     * the pruned read's aggregate — a streamed file missing its tuple
     * (part=NULL keeps it in every plan) or a split/merged epoch file
     * breaks the count. */
-  def lhStreamPart(s: SparkSession, dir: String): DataFrame = {
+  def lhStreamPart(s: SparkSession, dir: String): DataFrame =
+    lhStreamPartOp(s, dir, lhStreamPartBuild(s, dir))
+
+  private def lhStreamPartBuild(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val base = Files.createTempDirectory("lh_stream_part")
+    initPartitioned(Tables.orders(s, dir)
+      .filter(pmod($"o_orderkey", lit(3)) === 0).coalesce(1),
+      base.resolve("t").toString, Seq("o_orderstatus"))
+    (1 until 3).foreach(stageOrdersSlice(s, dir, base.resolve("staged"), _))
+    base.toString
+  }
+
+  private def lhStreamPartOp(s: SparkSession, dir: String,
+      baseStr: String): DataFrame = {
     import s.implicits._
     s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
-    val base = java.nio.file.Files.createTempDirectory("lh_stream_part")
+    val base = Paths.get(baseStr)
     val t = base.resolve("t").toString
-    val src = base.resolve("in")
-    java.nio.file.Files.createDirectories(src)
-    val orders = Tables.orders(s, dir)
-    initPartitioned(orders.filter(pmod($"o_orderkey", lit(3)) === 0)
-      .coalesce(1), t, Seq("o_orderstatus"))
-    (1 until 3).foreach { i =>
-      val tmp = java.nio.file.Files.createTempDirectory(s"lh_sp_$i")
-      orders.filter(pmod($"o_orderkey", lit(3)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).sorted.head
-      val dest = src.resolve(f"0${i}_slice.parquet")
-      java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
-      dest.toFile.setLastModified(1000000L + i * 10000L)
-      ()
-    }
-    val q = s.readStream.schema(orders.schema)
-      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    (1 until 3).foreach(releaseSlice(base, _))
+    val q = s.readStream.schema(Tables.orders(s, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.resolve("in").toString)
       .writeStream
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .toTable(s"graft.`$t`")
@@ -5608,27 +6004,24 @@ object CowTable {
     * present, and the final per-custkey aggregate must hash-match the
     * batch recomputation over ALL orders — a dropped epoch, a replayed
     * epoch, or one lost update breaks the count or the sum. */
-  def lhStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+  def lhStreamUpsert(s: SparkSession, dir: String): DataFrame =
+    lhStreamUpsertOp(s, dir, lhStreamUpsertBuild(s, dir))
+
+  private def lhStreamUpsertBuild(s: SparkSession, dir: String): String = {
+    val base = Files.createTempDirectory("lh_stream_upsert")
+    (0 until 3).foreach(stageOrdersSlice(s, dir, base.resolve("staged"), _))
+    base.toString
+  }
+
+  private def lhStreamUpsertOp(s: SparkSession, dir: String,
+      baseStr: String): DataFrame = {
     s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
-    val base = java.nio.file.Files.createTempDirectory("lh_stream_upsert")
+    val base = Paths.get(baseStr)
     val t = base.resolve("t").toString
-    val src = base.resolve("in")
-    java.nio.file.Files.createDirectories(src)
-    val orders = Tables.orders(s, dir)
-    def addSlice(i: Int): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory(s"lh_su_$i")
-      orders.filter(pmod(col("o_orderkey"), lit(3)) === i)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .filter(_.endsWith(".parquet")).sorted.head
-      val dest = src.resolve(f"0${i}_slice.parquet")
-      java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
-      dest.toFile.setLastModified(1000000L + i * 10000L)
-      ()
-    }
     def run(): Unit = {
-      val q = s.readStream.schema(orders.schema)
-        .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      val q = s.readStream.schema(Tables.orders(s, dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base.resolve("in").toString)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
@@ -5639,12 +6032,12 @@ object CowTable {
         .toTable(s"graft.`$t`")
       try q.processAllAvailable() finally q.stop()
     }
-    addSlice(0); addSlice(1)
+    releaseSlice(base, 0); releaseSlice(base, 1)
     run() // epochs 0, 1
     val mid = latestManifest(t).get
     require(mid.version == 2,
       s"expected create + 2 epoch upserts = v2, got v${mid.version}")
-    addSlice(2)
+    releaseSlice(base, 2)
     run() // RESTART from the checkpoint -> epoch 2 only
     val m = latestManifest(t).get
     require(m.version == 3,
@@ -5658,6 +6051,91 @@ object CowTable {
     """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_custkey""".stripMargin
+
+  /** Gate: MID-STREAM SCHEMA EVOLUTION through the update-mode
+    * streaming sink — the CDC shape where the upstream adds a field.
+    * Phase 1 streams two epoch slices of orders (keys ≡0,1 mod 3) into
+    * a fresh CoW table through the upsert sink; the query STOPS, and
+    * phase 2 RESTARTS from the same checkpoint with a WIDER source — a
+    * slice of keys ≡1,2 mod 3 carrying a new `o_flag` column and
+    * re-priced rows. The rebuilt sink resolves the evolved schema
+    * ([[evolvedSinkSchema]]) and its first epoch lands schema + data in
+    * ONE MOR delta commit: ≡1 rows UPDATE (DV kill + postimage with
+    * the flag), ≡2 rows INSERT, ≡0 rows are never rewritten and
+    * NULL-extend at read. Strict version arithmetic (create + 2 + 1
+    * epochs = v3) plus the full mixed-vintage relational oracle — a
+    * dropped flag value, a rewritten ≡0 file, or a non-NULL extension
+    * breaks the hash. */
+  def lhStreamUpsertEvolve(s: SparkSession, dir: String): DataFrame =
+    lhStreamUpsertEvolveOp(s, dir, lhStreamUpsertEvolveBuild(s, dir))
+
+  private def lhStreamUpsertEvolveBuild(s: SparkSession,
+      dir: String): String = {
+    import s.implicits._
+    val base = Files.createTempDirectory("lh_stream_upsert_evolve")
+    (0 until 2).foreach(stageOrdersSlice(s, dir, base.resolve("staged"), _))
+    // the post-evolution slice: wider schema, updates ≡1 / inserts ≡2
+    val tmp = Files.createTempDirectory("lh_sue_wide")
+    Tables.orders(s, dir).filter(pmod($"o_orderkey", lit(3)) =!= 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+      .withColumn("o_flag", pmod($"o_orderkey", lit(7)))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = listDir(tmp).map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.head
+    val dest = base.resolve("staged2").resolve("02_slice.parquet")
+    Files.createDirectories(dest.getParent)
+    Files.move(Paths.get(part), dest)
+    dest.toFile.setLastModified(1030000L)
+    base.toString
+  }
+
+  private def lhStreamUpsertEvolveOp(s: SparkSession, dir: String,
+      baseStr: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val base = Paths.get(baseStr)
+    val t = base.resolve("t").toString
+    val narrow = Tables.orders(s, dir).schema
+    def run(schema: StructType, srcDir: String): Unit = {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base.resolve(srcDir).toString)
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .option("upsertKeys", "o_orderkey")
+        .toTable(s"graft.`$t`")
+      try q.processAllAvailable() finally q.stop()
+    }
+    releaseSlice(base, 0); releaseSlice(base, 1)
+    run(narrow, "in") // epochs 0, 1 at the pre-evolution width
+    val mid = latestManifest(t).get
+    require(mid.version == 2,
+      s"expected create + 2 epoch upserts = v2, got v${mid.version}")
+    require(mid.schemaOpt.exists(!_.fieldNames.contains("o_flag")),
+      "the table must not carry o_flag before the source grows it")
+    // the source ADDS o_flag; the restarted sink must evolve the table
+    Files.move(base.resolve("staged2").resolve("02_slice.parquet"),
+      base.resolve("in").resolve("02_slice.parquet"))
+    run(StructType(narrow.fields :+
+      StructField("o_flag", LongType, nullable = true)), "in")
+    val m = latestManifest(t).get
+    require(m.version == 3,
+      s"expected ONE evolving epoch commit after restart, got v${m.version}")
+    require(m.schemaOpt.exists(_.fieldNames.contains("o_flag")),
+      "the evolving epoch must commit the widened schema")
+    require(m.dvs.nonEmpty,
+      "the evolving epoch must stay a merge-on-read delta (DVs)")
+    s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice, o_flag " +
+      s"FROM graft.`$t`")
+  }
+
+  val lhStreamUpsertEvolveSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+      |       ELSE o_totalprice + 1000.0 END AS o_totalprice,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE o_orderkey % 7 END AS o_flag
+      |FROM orders""".stripMargin
 
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
@@ -5950,25 +6428,31 @@ object CowTable {
   private def lhBloomOp(s: SparkSession, dir: String,
       table: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val orders = Tables.orders(s, dir)
     val mx = orders.agg(max($"o_orderkey")).head().getLong(0)
     val kMid = orders.filter($"o_orderkey" <= mx / 2)
       .agg(max($"o_orderkey")).head().getLong(0)
-    def measured(label: String, k: Long): (String, Long, Long, Boolean,
-        Boolean, Long, Double) = {
-      val (b, mm, tot) = pruneReportBloom(s, table, $"o_key2" === k)
-      val r = readWhere(s, table, $"o_key2" === k)
-        .agg(count(lit(1)).as("n"),
-          coalesce(sum($"o_totalprice".cast("decimal(12,2)"))
-            .cast("double"), lit(0.0)).as("sp"))
-        .head()
-      (label, mm.toLong, tot.toLong, b * 4 <= tot, b < mm,
-        r.getLong(0), r.getDouble(1))
+    // the three measured lookups plan in ONE batched job
+    // ([[pruneReportBloomBatch]] — triple-identical to the read path's
+    // own per-probe planning, spec-pinned) and aggregate through ONE
+    // IN-readWhere (the same skipping machinery, probing all three
+    // keys); the old per-probe shape was 3 planning jobs + 1 read job
+    // PER PROBE — driver-latency-bound, the round-16 drift surface
+    val probes = Seq(("k_max", 2L * mx), ("k_mid", 2L * kMid),
+      ("k_gap", 2L * kMid + 1L)) // odd => absent, in range
+    val rpt = probes.zip(pruneReportBloomBatch(s, table,
+      probes.map(p => $"o_key2" === p._2)))
+    val got = readWhere(s, table,
+        $"o_key2".isin(probes.map(_._2): _*))
+      .groupBy($"o_key2")
+      .agg(count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(12,2)")).cast("double").as("sp"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val measured = rpt.map { case ((label, k), (b, mm, tot)) =>
+      val (n, sp) = got.getOrElse(k, (0L, 0.0))
+      (label, mm.toLong, tot.toLong, b * 4 <= tot, b < mm, n, sp)
     }
-    val rMax = measured("k_max", 2L * mx)
-    val rMid = measured("k_mid", 2L * kMid)
-    val rGap = measured("k_gap", 2L * kMid + 1L) // odd => absent, in range
     // insert-only merge: 500 new keys past max (all o_key2 still
     // EVEN) — the commit must bloom-sidecar its new files unasked.
     // The testdata's keys are DENSE (0..N contiguous), so key k < 500
@@ -5978,16 +6462,17 @@ object CowTable {
       .withColumn("o_orderkey", lit(mx) + $"o_orderkey" + 1L)
       .withColumn("o_key2", $"o_orderkey" * 2L)
     mergeInto(s, table, src, Seq("o_orderkey"))
-    // absent odd values inside the new files' [2(mx+1), 2(mx+500)]
+    // absent odd values inside the new files' [2(mx+1), 2(mx+500)] —
+    // the whole 6-candidate existence sweep is one more batched job
     val candidates = (0 to 5).map(j => 2L * mx + 3L + 2L * j)
-    val auto = candidates.exists { k =>
-      val (b, mm, _) = pruneReportBloom(s, table, $"o_key2" === k)
+    val auto = pruneReportBloomBatch(s, table,
+      candidates.map(k => $"o_key2" === k)).exists { case (b, mm, _) =>
       b < mm
     }
     val nCand = readWhere(s, table,
       $"o_key2".isin(candidates: _*)).count()
     val rAuto = ("k_auto", -1L, -1L, auto, auto, nCand, 0.0)
-    Seq(rMax, rMid, rGap, rAuto)
+    (measured :+ rAuto)
       .toDF("probe", "minmax_files", "total_files", "bloom_pruned",
         "bloom_lt_minmax", "n_rows", "sum_price")
   }
@@ -6240,6 +6725,19 @@ object CowTable {
     "lh_changes" -> ((s, d) =>
       (() => lhChangesBuild(s, d),
         t => tableChanges(s, t, 0, 2, Seq("o_orderkey")))),
+    "lh_changes_stream" -> ((s, d) =>
+      (() => lhChangesBuild(s, d), t => lhChangesStreamOp(s, d, t))),
+    "lh_feed_part" -> ((s, d) =>
+      (() => lhFeedPartBuild(s, d), t => lhFeedPartOp(s, d, t))),
+    "lh_stream_sink" -> ((s, d) =>
+      (() => lhStreamSinkBuild(s, d), t => lhStreamSinkOp(s, d, t))),
+    "lh_stream_part" -> ((s, d) =>
+      (() => lhStreamPartBuild(s, d), t => lhStreamPartOp(s, d, t))),
+    "lh_stream_upsert" -> ((s, d) =>
+      (() => lhStreamUpsertBuild(s, d), t => lhStreamUpsertOp(s, d, t))),
+    "lh_stream_upsert_evolve" -> ((s, d) =>
+      (() => lhStreamUpsertEvolveBuild(s, d),
+        t => lhStreamUpsertEvolveOp(s, d, t))),
     "lh_stats_prune" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhStatsPruneOp(s, d, t))),
     "lh_sql_read" -> ((s, d) =>
@@ -6372,6 +6870,7 @@ object CowTable {
     "lh_maintain" -> lhMaintain,
     "lh_stream_sink" -> lhStreamSink,
     "lh_stream_upsert" -> lhStreamUpsert,
+    "lh_stream_upsert_evolve" -> lhStreamUpsertEvolve,
     "lh_stream_part" -> lhStreamPart,
     "lh_time_travel" -> lhTimeTravel,
   )
@@ -6407,6 +6906,7 @@ object CowTable {
     "lh_maintain" -> lhMaintainSql,
     "lh_stream_sink" -> lhStreamSinkSql,
     "lh_stream_upsert" -> lhStreamUpsertSql,
+    "lh_stream_upsert_evolve" -> lhStreamUpsertEvolveSql,
     "lh_stream_part" -> lhStreamPartSql,
     "lh_time_travel" -> lhTimeTravelSql,
   )

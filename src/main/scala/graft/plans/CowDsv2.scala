@@ -480,9 +480,9 @@ private[plans] class CowBatchScan(table: CowDsv2Table,
     * filter()). */
   private lazy val statPrunedFiles: Seq[String] =
     CowDsv2.filtersToCondition(pushed.toSeq) match {
-      case Some(cond) if m.files.nonEmpty =>
+      case Some(cond) if m.dataNonEmpty =>
         CowTable.pruneDataFiles(spark, table.tablePath, m, cond)
-      case _ => m.files
+      case _ => m.files // unselective scan: Spark's planner needs paths
     }
 
   private def currentFiles: Seq[String] =
@@ -1075,13 +1075,21 @@ private[plans] class CowStreamingWrite(
   def description(): String =
     s"cow streaming append ${table.tablePath} (query $queryId)"
 
+  /** The schema this sink stages and applies epochs with. The append
+    * sink pins the TABLE schema (extra query columns are projected
+    * away — the long-standing batch-append contract); the update-mode
+    * subclass widens it with query-only columns so a restarted CDC
+    * stream whose source grew a field evolves the table instead of
+    * silently dropping the new data. */
+  protected def sinkSchema: StructType = table.dataSchema
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
-    val srcIdx = table.dataSchema.fields.map(f =>
+    val srcIdx = sinkSchema.fields.map(f =>
       writeSchema.fieldIndex(f.name))
     CowStreamWriterFactory(streamDir,
-      WriteBridge.parquetWriter(spark, table.dataSchema), srcIdx,
-      table.dataSchema.fields.map(_.dataType),
+      WriteBridge.parquetWriter(spark, sinkSchema), srcIdx,
+      sinkSchema.fields.map(_.dataType),
       CowDsv2.routablePartSpec(table),
       CowDsv2.routableBucketSpec(table))
   }
@@ -1107,7 +1115,10 @@ private[plans] class CowStreamingWrite(
     val m = CowTable.latestManifest(table.tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"cow table ${table.tablePath} does not exist"))
-    val live = m.files.map(CowTable.normalizePath).toSet
+    // replay-membership is EPOCH-sized: the added paths check against
+    // the entries sidecar (v3 carries no driver file list), never the
+    // other way around
+    val live = CowTable.entriesLiveAmong(spark, table.tablePath, m, added)
     val fresh = added.filterNot(p => live.contains(CowTable.normalizePath(p)))
     if (fresh.nonEmpty)
       CowTable.replaceFilesCommit(spark, table.tablePath, m, Nil, fresh)
@@ -1129,8 +1140,13 @@ private[plans] class CowStreamingWrite(
       messages: Array[WriterCommitMessage]): Unit = {
     // a replayed-then-aborted epoch must never delete committed bytes:
     // only manifest-unknown paths are reclaimed (the replay rewrites)
+    val staged = messages.flatMap {
+      case CowWriteMessage(ps, _) => ps
+      case _ => Nil
+    }.toSeq
     val live = CowTable.latestManifest(table.tablePath)
-      .map(_.files.map(CowTable.normalizePath).toSet).getOrElse(Set.empty)
+      .map(m => CowTable.entriesLiveAmong(spark, table.tablePath, m, staged))
+      .getOrElse(Set.empty[String])
     messages.foreach {
       case CowWriteMessage(ps, _) => ps.foreach { p =>
         if (!live.contains(CowTable.normalizePath(p)))
@@ -1163,10 +1179,31 @@ private[plans] class CowStreamingUpsertWrite(table: CowDsv2Table,
   override def description(): String =
     s"cow streaming upsert ${table.tablePath} on $keys"
 
+  /** MID-STREAM SCHEMA EVOLUTION at the restart boundary: a streaming
+    * query's plan schema is fixed for its lifetime (Spark's model), so
+    * "the CDC source added a field" arrives here as a RESTART whose
+    * `writeSchema` is wider than the table — the sink resolves the
+    * evolved schema at build time (the [[CowTable.evolvedSinkSchema]]
+    * discipline: appended nullable fields, historical-name
+    * resurrection refused), stages epochs at the wider width, and the
+    * first epoch's `upsertMor(evolveSchema = true)` lands schema and
+    * data in ONE delta commit — pre-evolution rows NULL-extend at read
+    * through the manifest schema, nothing rewrites. The inverse race
+    * (the TABLE gained a column mid-run that this query's fixed plan
+    * cannot supply) refuses loudly inside the epoch upsert ("source
+    * must carry every table column") — documented restart semantics,
+    * never a silent drop. */
+  override protected lazy val sinkSchema: StructType =
+    CowTable.evolvedSinkSchema("streaming upsert", table.dataSchema,
+      StructType(writeSchema.fields.filterNot(f =>
+        CowDsv2.metaColumns.exists(_.name == f.name))),
+      table.manifest.droppedNames)
+
   override protected def applyEpoch(added: Seq[String]): Unit =
     if (added.nonEmpty) {
-      val staged = spark.read.schema(table.dataSchema).parquet(added: _*)
-      CowTable.upsertMor(spark, table.tablePath, staged, keys)
+      val staged = spark.read.schema(sinkSchema).parquet(added: _*)
+      CowTable.upsertMor(spark, table.tablePath, staged, keys,
+        evolveSchema = true)
       ()
     }
 }

@@ -115,7 +115,7 @@ object CowSkipRule extends Rule[LogicalPlan] {
     CowSkipCatalog.cachedPrune(tag, condKey).getOrElse {
       val p = CowTable.pruneDataFilesExpr(spark, snap.table, snap.manifest,
         cond)
-      val r = if (p.size < snap.manifest.files.size) Some(p) else None
+      val r = if (p.size < snap.manifest.nData) Some(p) else None
       CowSkipCatalog.recordPrune(tag, condKey, r)
       r
     }

@@ -189,7 +189,7 @@ object GraftProcedures {
   private def summary(m: CowTable.Manifest): JIterator[Scan] = {
     val scan: Scan = new LocalScan {
       override def rows(): Array[InternalRow] = Array(new GenericInternalRow(
-        Array[Any](m.version, m.files.size.toLong, m.dvs.size.toLong)))
+        Array[Any](m.version, m.nData, m.dvs.size.toLong)))
       override def readSchema(): StructType = summarySchema
       override def description(): String = "graft_cow_call_summary"
     }

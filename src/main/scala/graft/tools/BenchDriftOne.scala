@@ -30,8 +30,11 @@ object BenchDriftOne {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
+    // driver heap is fixed by the forked JVM's -Xmx (build.sbt) — a
+    // spark.driver.memory set here, after JVM start, is a no-op in
+    // local mode, so no such knob is offered
+
     spark.sparkContext.setLogLevel("WARN")
 
     val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -209,21 +209,25 @@ class CowBloomSpec extends AnyFunSuite {
     assert(CowTable.readWhere(spark, t, $"id" === 503L).count() === 1L)
   }
 
-  test("protocol gate: bloom manifests declare v2.2, plain tables do not") {
+  test("protocol: every stats commit declares v3 (sidecar-only file " +
+      "list); bloom lines ride v3 and round-trip") {
     val t = fixture()
-    val v = CowTable.latestManifest(t).get.version
+    val m = CowTable.latestManifest(t).get
     val head = scala.io.Source.fromFile(
-      Paths.get(t, "manifest", s"v$v.manifest").toFile)
-    val line = try head.getLines().next() finally head.close()
-    assert(line === "graft-cow-manifest-v2.2")
+      Paths.get(t, "manifest", s"v${m.version}.manifest").toFile)
+    val lines = try head.getLines().toList finally head.close()
+    assert(lines.head === "graft-cow-manifest-v3")
+    // no per-data-file path lines — only prefixed metadata + end
+    assert(lines.tail.forall(l => l == "end" || l.contains(":")))
+    assert(m.bloomCols.nonEmpty && m.bloomRels.nonEmpty,
+      "bloom declaration must round-trip through the v3 parse")
     val plain = freshTable()
     CowTable.init((0L until 10L).toDF("id").repartition(1), plain)
     val pv = CowTable.latestManifest(plain).get.version
     val h2 = scala.io.Source.fromFile(
       Paths.get(plain, "manifest", s"v$pv.manifest").toFile)
     val l2 = try h2.getLines().next() finally h2.close()
-    assert(l2.startsWith("graft-cow-manifest-v2") && l2 !=
-      "graft-cow-manifest-v2.2")
+    assert(l2 === "graft-cow-manifest-v3")
   }
 
   test("bloom-guided MERGE discovery prunes the scattered candidate set") {

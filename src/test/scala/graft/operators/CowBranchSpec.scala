@@ -168,4 +168,36 @@ class CowBranchSpec extends AnyFunSuite {
       "name => 'sqlstage')").collect()
     assert(CowTable.listBranches(t).isEmpty)
   }
+
+  test("half-created branch (crash between base record and v0 commit) " +
+      "is invisible and recoverable; a missing base fails publish loudly") {
+    val t = fixture()
+    // simulate the crash window: createBranch writes parent-base FIRST,
+    // then commits v0 — a crash in between leaves only the base record
+    val bp = CowTable.branchPath(t, "crashy")
+    val base = java.nio.file.Paths.get(bp, "manifest", "parent-base")
+    java.nio.file.Files.createDirectories(base.getParent)
+    java.nio.file.Files.write(base, "0".getBytes("UTF-8"))
+    assert(CowTable.listBranches(t).isEmpty,
+      "a base record without a manifest must not be a listable branch")
+    // the parent's vacuum is not blocked by the debris
+    CowTable.mergeInto(spark, t,
+      Seq((1L, "u1", 1.0)).toDF("id", "name", "v"), Seq("id"))
+    CowTable.vacuum(spark, t)
+    // a retry of the fork simply overwrites the stale base and lands
+    val bp2 = CowTable.createBranch(spark, t, "crashy")
+    assert(bp2 == bp && CowTable.listBranches(t) == Seq("crashy"))
+    CowTable.publishBranch(spark, t, "crashy") // base is fresh — works
+    CowTable.dropBranch(spark, t, "crashy")
+    // inverse corruption: a manifest without its base record must fail
+    // publish with a diagnosis, not a raw NoSuchFileException
+    val bp3 = CowTable.createBranch(spark, t, "nobase")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(bp3, "manifest", "parent-base"))
+    val e = intercept[IllegalArgumentException] {
+      CowTable.publishBranch(spark, t, "nobase")
+    }
+    assert(e.getMessage.contains("parent-base record is missing"))
+    CowTable.dropBranch(spark, t, "nobase")
+  }
 }

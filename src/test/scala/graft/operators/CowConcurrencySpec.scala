@@ -320,22 +320,39 @@ class CowConcurrencySpec extends AnyFunSuite {
     assert(got.size == 102 && got(500L) == "w500" && got(0L) == "n0")
   }
 
-  test("counted dv lines declare the v2.1 manifest header; count-free manifests stay v2") {
+  test("every stats commit declares v3; counted dv lines and pre-v3 " +
+      "manifests both round-trip through the reader") {
     val t = fixture()
     def header(v: Int): String =
       scala.io.Source.fromFile(
         java.nio.file.Paths.get(t, "manifest", s"v$v.manifest").toFile)
         .getLines().next()
     val v0 = CowTable.latestManifest(t).get.version
-    assert(header(v0) == "graft-cow-manifest-v2",
-      "a DV-free manifest must stay downgrade-readable v2")
+    assert(header(v0) == "graft-cow-manifest-v3")
     val m = CowTable.deleteWhere(spark, t, $"id" < 3L)
     assert(m.dvRunCounts.nonEmpty, "delete must record run counts")
-    assert(header(m.version) == "graft-cow-manifest-v2.1",
-      "a counted dv: line must be gated behind the v2.1 header")
-    // and the reader round-trips the gated form
+    assert(header(m.version) == "graft-cow-manifest-v3",
+      "v3 keeps dv lines (delta-sized) in the text, counted form intact")
+    // the reader round-trips the counted form
     assert(CowTable.readManifest(t, m.version).dvRunCounts == m.dvRunCounts)
     assert(CowTable.read(spark, t).count() == 97)
+    // READER COMPAT: hand-written pre-v3 manifests stay readable — a
+    // v2 body (schema + sidecar pointer + explicit file lines) parses
+    // with the file list driver-resident, loader-free
+    val mm = CowTable.readManifest(t, m.version)
+    val v2body = (Seq("graft-cow-manifest-v2",
+      "schema:" + mm.schemaJson.get,
+      "entries:" + mm.entriesRel.get,
+      "nentries:" + mm.entryCount.get) ++
+      mm.files ++ mm.dvs.map("dv:" + _) :+ "end").mkString("\n")
+    val vNext = m.version + 1
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      t, "manifest", s"v$vNext.manifest"), v2body.getBytes("UTF-8"))
+    val back = CowTable.readManifest(t, vNext)
+    assert(back.filesLoader.isEmpty &&
+      back.files.toSet == mm.files.toSet &&
+      back.dvs.toSet == mm.dvs.toSet)
+    assert(CowTable.read(spark, t).count() == 97) // reads via the v2 head
   }
 
   test("two real threads: compaction vs streaming-style upsert both land") {

@@ -173,6 +173,51 @@ class CowEvolveSpec extends AnyFunSuite {
     }
   }
 
+  test("a DROPPED column's name is tombstoned: re-add is refused on " +
+      "every evolution surface, and the tombstone survives later commits") {
+    val t = fixture()
+    // note was renamed first, so its prev chain must tombstone too
+    CowTable.alterTable(spark, t, renames = Map("note" -> "remark"))
+    CowTable.alterTable(spark, t, drops = Seq("remark"))
+    val m = CowTable.latestManifest(t).get
+    assert(m.droppedNames == Set("remark", "note"))
+    // old files still physically carry the column under its old name —
+    // a re-add would resolve their stale values into the new field
+    intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, t, adds = Seq("remark" -> LongType))
+    }
+    intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, t, adds = Seq("note" -> StringType))
+    }
+    intercept[IllegalArgumentException] {
+      CowTable.alterTable(spark, t, renames = Map("name" -> "note"))
+    }
+    val bad = (0L until 3L).map(i => (i, (i + 1).toInt, s"x$i", 1L))
+      .toDF("id", "v", "name", "note")
+    val e1 = intercept[IllegalArgumentException] {
+      CowTable.mergeInto(spark, t, bad, Seq("id"), evolveSchema = true)
+    }
+    assert(e1.getMessage.contains("historical column name"))
+    val e2 = intercept[IllegalArgumentException] {
+      CowTable.upsertMor(spark, t, bad, Seq("id"), evolveSchema = true)
+    }
+    assert(e2.getMessage.contains("historical column name"))
+    // tombstones ride ordinary data commits (the drop's guard must
+    // outlive retention cleanup of the manifest that recorded it)
+    CowTable.mergeInto(spark, t,
+      (0L until 3L).map(i => (i, (i + 10).toInt, s"y$i"))
+        .toDF("id", "v", "name"),
+      Seq("id"))
+    assert(CowTable.latestManifest(t).get.droppedNames ==
+      Set("remark", "note"))
+    // a FRESH name still evolves fine
+    val ok = (0L until 3L).map(i => (i, (i + 1).toInt, s"z$i", 7L))
+      .toDF("id", "v", "name", "memo")
+    CowTable.mergeInto(spark, t, ok, Seq("id"), evolveSchema = true)
+    assert(CowTable.latestManifest(t).get.schemaOpt.get.fieldNames
+      .contains("memo"))
+  }
+
   test("the transparent skip RULE prunes through the rename-resolution projection") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val t = fixture()

@@ -164,12 +164,17 @@ class CowPartitionSpec extends AnyFunSuite {
   test("vacuum reclaims replaced files under partitioned layouts") {
     val t = fixture()
     val m0 = CowTable.latestManifest(t).get
+    // materialize the v0 file list BEFORE vacuum: a v3 manifest handle
+    // serves its list from the entries sidecar, and retention that
+    // drops the version drops the sidecar with it — the same contract
+    // as time travel (a vacuumed version is not readable)
+    val m0Files = m0.files
     // DV-delete most of r1, then materialize: r1's files are replaced
     // by rewritten ones under the partitioned subdir layout
     CowTable.deleteWhere(spark, t, $"region" === "r1" && $"id" < 49L)
     CowTable.rewriteDeletes(spark, t)
     val deleted = CowTable.vacuum(spark, t, keepVersions = 1)
-    val replaced = m0.files.filter(_.contains("__p_region=r1"))
+    val replaced = m0Files.filter(_.contains("__p_region=r1"))
     assert(replaced.nonEmpty)
     replaced.foreach { f =>
       assert(deleted.contains(f),

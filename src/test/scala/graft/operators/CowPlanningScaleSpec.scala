@@ -136,4 +136,63 @@ class CowPlanningScaleSpec extends AnyFunSuite {
         s"${deleted.size} reclaimed files")
     assert(CowTable.read(spark, t).count() == 200L)
   }
+
+  test("v3 manifest: commit + selective planning over a 10^6-entry " +
+      "table never materializes the file list on the driver") {
+    val t = freshTable()
+    val N = 1000000L
+    // one million synthetic entries, built and committed as a
+    // DATAFRAME — the file list exists only in the sidecar parquet
+    val entries = spark.range(N).select(
+      lit("data").as("kind"),
+      concat(lit(s"$t/data/v0-fake/part-"), $"id", lit(".parquet"))
+        .as("path"),
+      (lit(1000L) + $"id").as("bytes"),
+      lit(10L).as("numRows"),
+      format_string("""{"v":{"min":%d,"max":%d,"nulls":0}}""",
+        $"id", $"id").as("stats"),
+      lit(null).cast("string").as("part"))
+    val schema = new org.apache.spark.sql.types.StructType().add("v", "long")
+    val m0 = CowTable.commitEntriesDF(spark, t, 0, entries, schema)
+    assert(m0.entryCount.contains(N) && m0.nData == N)
+    // the manifest TEXT is O(1) lines — no per-file path lines at all
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "manifest", "v0.manifest")), "UTF-8")
+    assert(text.linesIterator.size <= 8,
+      s"v3 manifest text must be O(1) lines, got ${text.linesIterator.size}")
+    assert(text.startsWith("graft-cow-manifest-v3"))
+    CowTable.clearEntriesCache()
+    val loads0 = CowTable.driverManifestFileListLoads.get()
+    val rows0 = CowTable.driverEntryRowsLoaded.get()
+    // an APPEND COMMIT on top carries 10^6 entries sidecar-to-sidecar
+    // without ever listing them: one real new file, stats-scanned
+    val newDir = java.nio.file.Files.createTempDirectory("v3_new")
+    spark.range(5).select(($"id" + 2000000L).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(newDir.toString)
+    val newFile = java.nio.file.Files.list(newDir).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.head
+    val m1 = CowTable.replaceFilesCommit(spark, t,
+      CowTable.latestManifest(t).get, Nil, Seq(newFile))
+    assert(m1.nData == N + 1)
+    // selective planning stays O(survivors)
+    val paths0 = CowTable.driverReadPathsListed.get()
+    val kept = CowTable.pruneDataFiles(spark, t,
+      CowTable.latestManifest(t).get, $"v" === 4242L)
+    assert(kept == Seq(s"$t/data/v0-fake/part-4242.parquet"))
+    assert(CowTable.driverReadPathsListed.get() - paths0 <= 2L)
+    // metadata COUNT over an interval: pure sidecar algebra
+    val b = CowTable.countWhereDetailed(spark, t,
+      $"v" >= 100L && $"v" <= 199L)
+    assert(b.fullFiles == 100 && b.partialFiles == 0 &&
+      b.total == 1000L)
+    // the whole commit+plan sequence fired the file-list loader never,
+    // and drove zero driver entry-row loads
+    assert(CowTable.driverManifestFileListLoads.get() == loads0,
+      "a v3 commit or selective plan materialized the file list")
+    assert(CowTable.driverEntryRowsLoaded.get() == rows0,
+      "large-sidecar planning loaded entry rows on the driver")
+    // the loader DOES work when genuinely asked (counted)
+    assert(CowTable.latestManifest(t).get.files.size == N + 1)
+    assert(CowTable.driverManifestFileListLoads.get() == loads0 + 1)
+  }
 }
