@@ -576,8 +576,10 @@ object CowTable {
     if (h.partitionCols != base.partitionCols) conflict("re-partitioning")
     val mine = rewrittenN ++ dvTargetN
     if (mine.nonEmpty) {
-      val hN = h.files.map(normalize).toSet
-      if (!mine.forall(hN.contains))
+      // candidate-sized sidecar probe — a race on a large v3 table
+      // never materializes the head's file list
+      val live = entriesLiveAmong(spark, table, h, mine.toSeq)
+      if (!mine.forall(live.contains))
         conflict("rewrite of a file this operation touches")
       val freshDvs = h.dvs.filterNot(base.dvs.toSet)
       if (freshDvs.nonEmpty) {
@@ -588,8 +590,7 @@ object CowTable {
       }
     }
     srcKeys.foreach { case (sk, keys) =>
-      val baseN = base.files.map(normalize).toSet
-      val added = h.files.filterNot(f => baseN.contains(normalize(f)))
+      val added = addedDataPaths(spark, table, h, base)
       if (added.nonEmpty) {
         val reader = base.schemaOpt.map(spark.read.schema)
           .getOrElse(spark.read)
@@ -598,6 +599,27 @@ object CowTable {
             .limit(1).count() > 0L)
           conflict("write of rows matching this operation's source keys")
       }
+    }
+  }
+
+  /** Data paths of `h` absent from `base` — the rebase validator's
+    * "what landed since my snapshot" set, computed as a SIDECAR
+    * anti-join (executor-side; the collected result is the
+    * interleaved delta, not a table listing) so a race on a large v3
+    * table never materializes either side's file list. Returned paths
+    * are openable (v3: normalized; pre-v3: resolved to the manifest's
+    * raw strings). */
+  private def addedDataPaths(spark: SparkSession, table: String,
+      h: Manifest, base: Manifest): Seq[String] = {
+    def side(m: Manifest): DataFrame = entriesDF(spark, table, m)
+      .filter(col("kind") === "data")
+      .select(normalizeSql(col("path")).as("__np"))
+    val addedN = side(h).join(side(base), Seq("__np"), "left_anti")
+      .collect().map(_.getString(0)).toSeq
+    if (addedN.isEmpty || h.filesLoader.isDefined) addedN
+    else {
+      val byNorm = h.files.map(f => normalize(f) -> f).toMap
+      addedN.map(p => byNorm.getOrElse(p, p))
     }
   }
 
@@ -1412,7 +1434,10 @@ object CowTable {
       s"files/bloom-v${m.version + 1}-" +
         java.util.UUID.randomUUID().toString.take(8)
     val out = manifestDir(table).resolve(rel)
-    val live = spark.createDataset(m.files.map(normalize)).toDF("__live")
+    // liveness folds executor-side against the entries sidecar (v3:
+    // the only file list there is) — never a driver seq
+    val live = entriesDF(spark, table, m).filter(col("kind") === "data")
+      .select(normalizeSql(col("path")).as("__live"))
     spark.read.schema(bloomEntrySchema)
       .parquet(m.bloomRels.map(r =>
         manifestDir(table).resolve(r).toString): _*)
@@ -3104,8 +3129,8 @@ object CowTable {
           "against the new snapshot")
       if (!schemaCompatible(h.schemaJson, m.schemaJson)) conflict("schema change")
       if (h.partitionCols != m.partitionCols) conflict("re-partitioning")
-      val hN = h.files.map(normalize).toSet
-      if (!dvTouched.forall(hN.contains))
+      val live = entriesLiveAmong(spark, table, h, dvTouched.toSeq)
+      if (!dvTouched.forall(live.contains))
         conflict("rewrite of a file this delete targets")
       val freshDvs = h.dvs.filterNot(m.dvs.toSet)
       if (freshDvs.nonEmpty) {
@@ -3403,9 +3428,9 @@ object CowTable {
     * key-aware Scala committers accept — the price of an
     * ON-condition-blind protocol, paid as a loud retryable error,
     * never as duplicate rows. */
-  private[graft] def dsv2DeltaValidate(base: Manifest)(h: Manifest): Unit = {
-    val baseN = base.files.map(normalize).toSet
-    if (h.files.exists(f => !baseN.contains(normalize(f))))
+  private[graft] def dsv2DeltaValidate(spark: SparkSession, table: String,
+      base: Manifest)(h: Manifest): Unit = {
+    if (addedDataPaths(spark, table, h, base).nonEmpty)
       throw new java.util.ConcurrentModificationException(
         "deltaCommit: a concurrent commit added data files while this " +
           "MERGE/UPDATE/DELETE matched rows against the old snapshot — " +
@@ -3848,8 +3873,8 @@ object CowTable {
           "the new snapshot")
       if (!schemaCompatible(h.schemaJson, m.schemaJson)) conflict("schema change")
       if (h.partitionCols != m.partitionCols) conflict("re-partitioning")
-      val hN = h.files.map(normalize).toSet
-      if (!touched.forall(hN.contains))
+      val live = entriesLiveAmong(spark, table, h, touched.toSeq)
+      if (!touched.forall(live.contains))
         conflict("rewrite of a file this merge also rewrites")
       val freshDvs = h.dvs.filterNot(m.dvs.toSet)
       if (freshDvs.nonEmpty && touched.nonEmpty) {
@@ -3861,8 +3886,7 @@ object CowTable {
       // rows added since our snapshot must not carry our source keys,
       // or the rebased result would diverge from sequential application
       // (a lost update or a duplicate insert)
-      val baseN = m.files.map(normalize).toSet
-      val added = h.files.filterNot(f => baseN.contains(normalize(f)))
+      val added = addedDataPaths(spark, table, h, m)
       if (added.nonEmpty &&
           rawScan(spark, m, added).join(broadcast(srcKeys), keys,
             "left_semi").limit(1).count() > 0L)

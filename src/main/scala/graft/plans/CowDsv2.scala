@@ -912,7 +912,8 @@ private[plans] class CowDeltaWrite(table: CowDsv2Table,
       // add conflicts loudly instead of rebasing into duplicate keys
       // (CowTable.dsv2DeltaValidate's scaladoc has the full rule)
       CowTable.deltaCommit(spark, table.tablePath, table.manifest, data, dvs,
-        extraValidate = CowTable.dsv2DeltaValidate(table.manifest))
+        extraValidate = CowTable.dsv2DeltaValidate(spark, table.tablePath,
+          table.manifest))
       ()
     }
 
