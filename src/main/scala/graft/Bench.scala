@@ -151,7 +151,11 @@ object Bench {
     // for high-cardinality columns (KLL quantile bins + CMS/heavy-
     // hitter frequency distance, bounded state), and mid-stream
     // schema evolution through the update-mode streaming sink
-    "dd_image_jpeg", "dq_drift_sketch", "lh_stream_upsert_evolve")
+    "dd_image_jpeg", "dq_drift_sketch", "lh_stream_upsert_evolve",
+    // round 17 (late): perceptual VIDEO dedup — container parse +
+    // per-frame real decode + frame-hash alignment (full-containment
+    // pairing catches re-encodes AND trimmed copies exactly)
+    "dd_video_frames")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

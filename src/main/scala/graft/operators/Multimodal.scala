@@ -732,6 +732,197 @@ object Multimodal {
        |  FALSE AS byte_dup
        |FROM documents WHERE doc_id % 3 = 0""".stripMargin
 
+  // ------------------------- video perceptual dedup (dd_video_frames)
+  val VideoReencOffset = 4000000000L
+  val VideoTrimOffset = 5000000000L
+
+  /** A tiny multi-frame video container ("GV1 <n>\n" + n length-
+    * prefixed image frames) + the frame synthesis for the video dedup
+    * corpus. Enough real structure that the decode leg PARSES a
+    * container and runs a REAL image codec per frame; small enough
+    * that the oracle predicts the planted pair set exactly. */
+  object VideoCodec {
+    /** Frame pixel — avalanche-mixed with (id, frame, raster) domain
+      * separation (frames of one video must not repeat, or a shared-
+      * frame count would overshoot containment; see the image corpus
+      * war story for why nothing weaker than avalanche survives). */
+    def framePixel(id: Long, f: Int, i: Int): Int =
+      (((ImageCodec.strongMix(id * (1L << 22) + f.toLong * (1L << 12) + i)
+        >>> 40) & 0xFFFFFFL) % 255L).toInt
+
+    val FrameW = 12
+    val FrameH = 10
+
+    def synthRgb(id: Long, f: Int): Array[Byte] =
+      Array.tabulate(FrameW * FrameH * 3)(i =>
+        framePixel(id, f, i).toByte)
+
+    def synthFrame(id: Long, f: Int): java.awt.image.BufferedImage = {
+      val rgb = synthRgb(id, f)
+      val img = new java.awt.image.BufferedImage(FrameW, FrameH,
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < FrameH) {
+        var x = 0
+        while (x < FrameW) {
+          val k = (y * FrameW + x) * 3
+          img.setRGB(x, y, ((rgb(k) & 0xFF) << 16) |
+            ((rgb(k + 1) & 0xFF) << 8) | (rgb(k + 2) & 0xFF))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    /** [[ImageCodec.dHash]] over a raw interleaved-RGB raster — the
+      * same green-channel cross-multiplied box compare, bit-identical
+      * to hashing the equivalent BufferedImage (spec-pinned), so a
+      * PPM-decoded base frame and an ImageIO-decoded PNG re-encode of
+      * the SAME pixels hash equal across codecs. */
+    def dHashRgb(w: Int, h: Int, rgb: Array[Byte]): Long = {
+      require(w >= 9 && h >= 8, s"dHash needs >=9x8, got ${w}x$h")
+      val sums = Array.ofDim[Long](8, 9)
+      val areas = Array.ofDim[Long](8, 9)
+      var y = 0
+      while (y < h) {
+        val r = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val c = x * 9 / w
+          sums(r)(c) += rgb((y * w + x) * 3 + 1) & 0xFF
+          areas(r)(c) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L
+      var bit = 0
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (sums(r)(c) * areas(r)(c + 1) > sums(r)(c + 1) * areas(r)(c))
+            hash |= 1L << bit
+          bit += 1
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
+    /** Per-frame decode+hash, format-sniffed: P6 PPM frames decode
+      * through the pure-bytes codec, PNG/BMP frames through ImageIO —
+      * the mixed-codec corpus a real crawl is. */
+    def frameHash(fb: Array[Byte]): Long =
+      if (fb.length >= 2 && fb(0) == 'P'.toByte && fb(1) == '6'.toByte) {
+        val (w, h, rgb) = PpmCodec.decode(fb)
+        dHashRgb(w, h, rgb)
+      } else ImageCodec.dHash(ImageCodec.decode(fb))
+
+    def encode(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val header = s"GV1 ${frames.size}\n".getBytes("US-ASCII")
+      val buf = java.nio.ByteBuffer.allocate(
+        header.length + frames.map(_.length + 4).sum)
+      buf.put(header)
+      frames.foreach { fb => buf.putInt(fb.length); buf.put(fb) }
+      buf.array()
+    }
+
+    def decode(payload: Array[Byte]): Seq[Array[Byte]] = {
+      require(payload.length > 4 && payload(0) == 'G'.toByte &&
+        payload(1) == 'V'.toByte && payload(2) == '1'.toByte, "not GV1")
+      var i = 4
+      var n = 0
+      while (payload(i) != '\n'.toByte) {
+        n = n * 10 + (payload(i) - '0'.toByte)
+        i += 1
+      }
+      i += 1
+      val buf = java.nio.ByteBuffer.wrap(payload)
+      (0 until n).map { _ =>
+        val len = buf.getInt(i)
+        val fb = java.util.Arrays.copyOfRange(payload, i + 4, i + 4 + len)
+        i += 4 + len
+        fb
+      }
+    }
+  }
+
+  /** The video-dedup corpus: every doc gets a base video of
+    * 4 + id%4 PNG frames; docs ≡0 (mod 4) get a RE-ENCODED copy (every
+    * frame re-encoded BMP — container and bytes change, content
+    * doesn't) and docs ≡1 a TRIMMED copy (first frame dropped — the
+    * cut-intro shape), the two duplicate classes a crawl's video
+    * dedup actually meets and byte-level identity cannot see. */
+  def ingestVideos(s: SparkSession, dir: String): Dataset[ImgRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val nf = 3 + (id % 3).toInt
+        // bases and trims carry P6 PPM frames (a real format with a
+        // pure-bytes codec); the re-encode twin is the CROSS-CODEC
+        // case — the same pixels re-encoded PNG through ImageIO
+        def ppmFrames: Seq[Array[Byte]] = (0 until nf).map { f =>
+          val rgb = VideoCodec.synthRgb(id, f)
+          PpmCodec.encode(VideoCodec.FrameW, VideoCodec.FrameH, rgb)
+        }
+        val base = ImgRecord(id, VideoCodec.encode(ppmFrames))
+        val twin = (id % 4) match {
+          case 0 => Seq(ImgRecord(id + VideoReencOffset,
+            VideoCodec.encode((0 until nf).map(f => ImageCodec.encode(
+              VideoCodec.synthFrame(id, f), "png")))))
+          case 1 => Seq(ImgRecord(id + VideoTrimOffset,
+            VideoCodec.encode(ppmFrames.drop(1))))
+          case _ => Nil
+        }
+        base +: twin
+      })
+  }
+
+  /** Gate: perceptual VIDEO dedup by frame-hash alignment — container
+    * parse + REAL per-frame image decode + per-frame dHash scan-side,
+    * then a self-join on the 64-bit frame hash and a per-pair shared-
+    * frame count; a pair is a duplicate when one side's frames are
+    * FULLY CONTAINED in the other's (shared == min(nf_a, nf_b)), which
+    * catches the re-encode (all frames shared) and the trim (every
+    * remaining frame shared) exactly — the oracle pins the pair set,
+    * each pair's kind, and its exact shared-frame count. 100 TB shape:
+    * decode+hash is scan-parallel mapPartitions (the codec shape), the
+    * join shuffles 16-byte (hash, vid) rows — never pixels — and the
+    * frame hash IS the blocking key, so candidate volume is the true
+    * shared-frame volume plus ~2⁻⁶⁴ noise; a frame-farm corpus
+    * (one constant frame everywhere) would mega-bucket exactly like
+    * the image gate and would reuse its adaptive guard. */
+  def ddVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = ingestVideos(s, dir)
+      .mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.flatMap { r =>
+        val fbs = VideoCodec.decode(r.payload)
+        fbs.map(fb => (r.img_id, fbs.size, VideoCodec.frameHash(fb)))
+      })).toDF("vid", "nf", "fhash")
+    frames.as("a").join(frames.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.vid") < col("b.vid"))
+      .groupBy(col("a.vid").as("base_id"), col("b.vid").as("dup_id"),
+        col("a.nf").as("nfa"), col("b.nf").as("nfb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") === least(col("nfa"), col("nfb")))
+      .select(col("base_id"), col("dup_id"),
+        when(col("dup_id") >= VideoTrimOffset, "trimmed")
+          .otherwise("reencoded").as("kind"),
+        col("shared").cast("int").as("shared_frames"))
+  }
+
+  val ddVideoFramesSql: String =
+    s"""SELECT doc_id AS base_id, doc_id + $VideoReencOffset AS dup_id,
+       |  'reencoded' AS kind, CAST(3 + doc_id % 3 AS INT) AS shared_frames
+       |FROM documents WHERE doc_id % 4 = 0
+       |UNION ALL
+       |SELECT doc_id, doc_id + $VideoTrimOffset, 'trimmed',
+       |  CAST(2 + doc_id % 3 AS INT)
+       |FROM documents WHERE doc_id % 4 = 1""".stripMargin
+
   // ------------------------------- audio perceptual dedup (dd_audio_phash)
   /** Window count fixes the 64-bit hash (65 energy sums → 64 gradient
     * bits); every synthetic clip is exactly [[AudioHashLen]] samples. */
@@ -856,6 +1047,7 @@ object Multimodal {
     "dd_image_phash" -> ddImagePhash,
     "dd_image_jpeg" -> ddImageJpeg,
     "dd_audio_phash" -> ddAudioPhash,
+    "dd_video_frames" -> ddVideoFrames,
   )
 
   val oracles: Map[String, String] = Map(
@@ -868,5 +1060,6 @@ object Multimodal {
     "dd_image_phash" -> ddImagePhashSql,
     "dd_image_jpeg" -> ddImageJpegSql,
     "dd_audio_phash" -> ddAudioPhashSql,
+    "dd_video_frames" -> ddVideoFramesSql,
   )
 }
