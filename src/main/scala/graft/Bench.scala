@@ -155,7 +155,14 @@ object Bench {
     // round 17 (late): perceptual VIDEO dedup — container parse +
     // per-frame real decode + frame-hash alignment (full-containment
     // pairing catches re-encodes AND trimmed copies exactly)
-    "dd_video_frames")
+    "dd_video_frames",
+    // round 18: TEMPORAL alignment for video dedup (offset voting +
+    // contiguous-run detection rejects the reordered decoy containment
+    // accepts), cross-codec WAV audio dedup (javax.sound.sampled RIFF
+    // next to the GA1 container), and the change feed replayed ACROSS
+    // a schema-evolution boundary (per-version slices rename forward /
+    // up-cast / NULL-extend onto the evolved stream schema)
+    "dd_video_align", "dd_audio_wav", "lh_changes_evolve")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

@@ -705,6 +705,14 @@ object CowTable {
       entriesCache.put((table, rel), entries)
     }
 
+  /** The canonical dv sidecar rows for a commit's dv set — what
+    * [[commitWithStatsDF]] writes regardless of what the carry
+    * contained (see the canonicalization note there). Cache hand-offs
+    * must mirror this exactly or a cached read diverges from the
+    * stored sidecar. */
+  private def canonDvRows(dvs: Seq[String]): Seq[FileEntry] =
+    dvs.map(FileEntry("dv", _, -1L, None, None))
+
   /** The sidecar's stored schema. `part` was added in a later format
     * round; older sidecars lack the column and NULL-extend on read. */
   private val entriesSchema = StructType(Seq(
@@ -747,7 +755,10 @@ object CowTable {
     val m = commitWithStatsDF(spark, table, version,
       spark.createDataFrame(carried), newDataFiles, schema, dvs,
       partitionCols)
-    if (newDataFiles.isEmpty) cacheEntries(table, m.entriesRel.get, carried)
+    // cache mirrors the WRITTEN sidecar: data rows as carried, dv rows
+    // in their canonical rebuilt form (appended last)
+    if (newDataFiles.isEmpty) cacheEntries(table, m.entriesRel.get,
+      carried.filterNot(_.kind == "dv") ++ canonDvRows(dvs))
     m
   }
 
@@ -823,10 +834,25 @@ object CowTable {
     val rel = s"files/v$version-${java.util.UUID.randomUUID().toString.take(8)}"
     val out = manifestDir(table).resolve(rel)
     Files.createDirectories(out.getParent)
-    val entriesOut =
-      if (newDataFiles.isEmpty) carriedDF
-      else carriedDF.unionByName(
+    // dv sidecar rows are CANONICALIZED on every commit: carried dv
+    // rows are dropped and exactly one synthetic row per carriedDvs
+    // element is appended, so nData = entryCount - dvs.size holds BY
+    // CONSTRUCTION — even when the carry crossed a pre-v3 base whose
+    // legacy `dv:` manifest lines never had sidecar rows (the
+    // migration undercount: nData would go low/zero and readSnapshot
+    // would return empty on a live table). dv rows carry only
+    // (kind, path) information downstream — every bytes/stats consumer
+    // filters kind='data' first — so the rebuild loses nothing.
+    val carriedDataDF = carriedDF.filter(col("kind") =!= "dv")
+    val withNew =
+      if (newDataFiles.isEmpty) carriedDataDF
+      else carriedDataDF.unionByName(
         statsEntriesDF(spark, newDataFiles, newFileParts),
+        allowMissingColumns = true)
+    val entriesOut =
+      if (carriedDvs.isEmpty) withNew
+      else withNew.unionByName(
+        spark.createDataFrame(canonDvRows(carriedDvs)),
         allowMissingColumns = true)
     entriesOut.select(entriesSchema.fieldNames.map(c =>
         if (entriesOut.columns.contains(c)) col(c)
@@ -1013,6 +1039,52 @@ object CowTable {
 
   private def hasRenames(sch: StructType): Boolean =
     sch.fields.exists(f => prevNamesOf(f).nonEmpty)
+
+  /** Project a change-feed slice onto the STREAM's declared schema —
+    * the seam that lets a change feed replay across a schema-evolution
+    * boundary. [[tableChanges]] speaks each slice's own TO-version
+    * schema; the stream's schema is fixed when the consumer starts, so
+    * the two diverge exactly when the replayed range spans an
+    * `alterTable`:
+    *
+    *  - stream NEWER than the slice (the restart / historical-replay
+    *    case): the evolved field's prior-name chain maps the old
+    *    column forward, widened types up-cast (lossless by
+    *    [[alterTable]]'s widen contract), added columns NULL-extend;
+    *  - slice NEWER than the stream (evolution landed mid-stream): the
+    *    slice field's chain maps back to the name the consumer knows;
+    *    a column added after the consumer started is invisible until
+    *    it restarts, and a mid-stream WIDEN refuses loudly (the
+    *    down-cast would be lossy — restarting absorbs the new type).
+    *
+    * `_change_type` passes through; metadata columns are excluded from
+    * the mapping. */
+  private[graft] def alignFeedSlice(df: DataFrame,
+      feedSchema: StructType): DataFrame = {
+    val meta = Set("_change_type", "_commit_version")
+    val target = feedSchema.fields.filterNot(f => meta.contains(f.name))
+    val sliceFields = df.schema.fields.filterNot(f => meta.contains(f.name))
+    val cols = target.map { f =>
+      val src = sliceFields.find(_.name == f.name)
+        .orElse(prevNamesOf(f).reverse.collectFirst(
+          Function.unlift(n => sliceFields.find(_.name == n))))
+        .orElse(sliceFields.find(g => prevNamesOf(g).contains(f.name)))
+      src match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(g) =>
+          require(g.dataType == f.dataType ||
+            org.apache.spark.sql.catalyst.expressions.Cast
+              .canUpCast(g.dataType, f.dataType),
+            s"cow feed: slice column ${g.name}: " +
+              s"${g.dataType.catalogString} does not up-cast to the " +
+              s"stream's ${f.name}: ${f.dataType.catalogString} — the " +
+              "table widened mid-stream; restart the stream to absorb " +
+              "the evolution")
+          col(g.name).cast(f.dataType).as(f.name)
+      }
+    }
+    df.select(cols.toSeq :+ col("_change_type"): _*)
+  }
 
   /** Every CURRENT or HISTORICAL name in use — new columns must avoid
     * all of them, or an old file's physical column would resolve into
@@ -2952,12 +3024,29 @@ object CowTable {
     // parent-base lands BEFORE the v0 commit: a crash between the two
     // steps then leaves a base file with no manifest — invisible to
     // [[listBranches]] (manifest-gated), so it neither blocks the
-    // parent's vacuum nor breaks a createBranch retry (which
-    // overwrites it). The inverse order left a listable branch whose
-    // publish failed with a raw NoSuchFileException.
-    Files.createDirectories(branchBasePath(bp).getParent)
-    Files.write(branchBasePath(bp),
-      m.version.toString.getBytes("UTF-8"))
+    // parent's vacuum nor breaks a createBranch retry. The inverse
+    // order left a listable branch whose publish failed with a raw
+    // NoSuchFileException. The write is CREATE-EXCLUSIVE (the same
+    // discipline as the manifest version claim): two concurrent
+    // createBranch calls both pass the manifest-empty check above, and
+    // a plain overwrite would let the loser's base land AFTER the
+    // winner's v0 commit, silently re-pointing the recorded parent
+    // version publishBranch validates against. A base file that
+    // already exists with NO manifest is a crash leftover — delete and
+    // re-claim (the re-claim keeps exactly one winner if two retries
+    // race here too).
+    val basePath = branchBasePath(bp)
+    Files.createDirectories(basePath.getParent)
+    val baseBytes = m.version.toString.getBytes("UTF-8")
+    def claimBase(): Unit =
+      Files.write(basePath, baseBytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    try claimBase()
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(basePath)
+        claimBase()
+    }
     commitWithStatsDF(spark, bp, 0, entriesDF(spark, table, m), Nil,
       m.schemaOpt.get, m.dvs, m.partitionCols,
       knownDvRuns = m.dvRunCounts, schemaAuthoritative = true,
@@ -2966,6 +3055,17 @@ object CowTable {
         manifestDir(table).resolve(r).toString)),
       bucketSpecOverride = Some(m.bucketSpec),
       droppedOverride = Some(m.droppedNames))
+    // backstop for the residual window (a racing call's crash-leftover
+    // cleanup deleting OUR freshly claimed base before our commit):
+    // the v0 commit is the real atomicity point — the committed winner
+    // re-asserts its base content afterwards, so publishBranch always
+    // validates against the version this branch actually forked from
+    val after =
+      if (Files.isRegularFile(basePath))
+        Some(new String(Files.readAllBytes(basePath), "UTF-8").trim)
+      else None
+    if (!after.contains(m.version.toString))
+      Files.write(basePath, baseBytes)
     bp
   }
 
@@ -3154,7 +3254,8 @@ object CowTable {
       // old snapshot's (when cached) — the next read skips the sidecar
       // job
       for (old <- cachedEntriesOf(table, h); rel <- m2.entriesRel)
-        cacheEntries(table, rel, old ++ dvEntries)
+        cacheEntries(table, rel,
+          old.filterNot(_.kind == "dv") ++ canonDvRows(m2.dvs))
       m2
     }
     commitWithRetry(table, m, validateRebase, commitAttempt)
@@ -3908,7 +4009,8 @@ object CowTable {
       if (newFiles._1.isEmpty)
         for (old <- cachedEntriesOf(table, h); rel <- m2.entriesRel)
           cacheEntries(table, rel, old.filter(e =>
-            e.kind == "dv" || !touched.contains(normalize(e.path))))
+            e.kind != "dv" && !touched.contains(normalize(e.path))) ++
+            canonDvRows(m2.dvs))
       m2
     }
     commitWithRetry(table, m, validateRebase, commitAttempt)
@@ -5028,6 +5130,107 @@ object CowTable {
       |SELECT f.*, 'update_postimage'
       |FROM final f JOIN target t USING (o_orderkey)
       |WHERE t.o_totalprice <> f.o_totalprice""".stripMargin
+
+  /** Fixture for the evolution-spanning change feed: v0 init (with an
+    * INT `o_flag` column so the widen leg is exercised), v1 merge
+    * (updates + deletes + inserts), v2 `alterTable` (rename
+    * o_orderpriority→o_priority, widen o_flag int→bigint, add o_note)
+    * — metadata-only, change-FREE in the feed — and v3 a
+    * merge-on-read delete. */
+  private def lhChangesEvolveBuild(s: SparkSession, dir: String): String = {
+    val table = freshGateTable()
+    def withFlag(df: DataFrame): DataFrame =
+      df.withColumn("o_flag", pmod(col("o_orderkey"), lit(100)).cast("int"))
+    init(withFlag(Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(4)) =!= 0)), table)
+    val source = withFlag(Tables.orders(s, dir)
+      .filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2))
+    mergeInto(s, table, source, Seq("o_orderkey"),
+      deleteCond = Some(col("o_orderstatus") === "F"), insert = true)
+    alterTable(s, table,
+      renames = Map("o_orderpriority" -> "o_priority"),
+      widens = Map("o_flag" -> LongType),
+      adds = Seq(("o_note", StringType)))
+    deleteWhere(s, table, pmod(col("o_custkey"), lit(5)) === 2)
+    table
+  }
+
+  /** Gate: change-feed REPLAY ACROSS A SCHEMA-EVOLUTION BOUNDARY — the
+    * streaming CDF consumer starts against the EVOLVED table and
+    * replays from v0 with `maxVersionsPerBatch=1`, so every slice is
+    * one version pair staged under ITS OWN schema vintage: the v0→v1
+    * slice speaks the pre-alter schema and must rename forward,
+    * up-cast the widened column, and NULL-extend the added one
+    * ([[alignFeedSlice]]); the v1→v2 slice IS the alter and must be
+    * change-free (metadata-only evolution, like layout maintenance);
+    * the v2→v3 slice already speaks the evolved schema. The output
+    * keeps `_commit_version`, so the oracle pins not just the change
+    * set but WHICH version each change replayed from. */
+  def lhChangesEvolve(s: SparkSession, dir: String): DataFrame =
+    lhChangesEvolveOp(s, dir, lhChangesEvolveBuild(s, dir))
+
+  private def lhChangesEvolveOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val ckpt = Files.createTempDirectory("graft_feed_evolve").toString
+    val name = "lh_changes_evolve_" +
+      java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = s.readStream.format("graft.streaming.CowFeedProvider")
+      .option("table", table).option("keys", "o_orderkey")
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  val lhChangesEvolveSql: String =
+    """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice, o_orderdate, o_orderpriority,
+      |    CAST(o_orderkey % 100 AS INT) AS o_flag FROM orders),
+      |target AS (SELECT * FROM base WHERE o_orderkey % 4 <> 0),
+      |source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority,
+      |    o_flag
+      |  FROM base WHERE o_orderkey % 2 = 0),
+      |merged AS (
+      |  SELECT * FROM target
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+      |  UNION ALL
+      |  SELECT s.* FROM source s JOIN target t USING (o_orderkey)
+      |  WHERE s.o_orderstatus <> 'F'
+      |  UNION ALL
+      |  SELECT s.* FROM source s
+      |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target))
+      |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+      |  t.o_orderdate, t.o_orderpriority AS o_priority,
+      |  CAST(t.o_flag AS BIGINT) AS o_flag, CAST(NULL AS VARCHAR) AS o_note,
+      |  'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |FROM target t JOIN source s USING (o_orderkey)
+      |WHERE s.o_orderstatus = 'F'
+      |UNION ALL
+      |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+      |  s.o_orderdate, s.o_orderpriority, CAST(s.o_flag AS BIGINT),
+      |  CAST(NULL AS VARCHAR), 'insert', CAST(1 AS BIGINT)
+      |FROM source s
+      |WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)
+      |UNION ALL
+      |SELECT t.o_orderkey, t.o_custkey, t.o_orderstatus, t.o_totalprice,
+      |  t.o_orderdate, t.o_orderpriority, CAST(t.o_flag AS BIGINT),
+      |  CAST(NULL AS VARCHAR), 'update_preimage', CAST(1 AS BIGINT)
+      |FROM target t JOIN source s USING (o_orderkey)
+      |WHERE s.o_orderstatus <> 'F' AND t.o_totalprice <> s.o_totalprice
+      |UNION ALL
+      |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus, s.o_totalprice,
+      |  s.o_orderdate, s.o_orderpriority, CAST(s.o_flag AS BIGINT),
+      |  CAST(NULL AS VARCHAR), 'update_postimage', CAST(1 AS BIGINT)
+      |FROM source s JOIN target t USING (o_orderkey)
+      |WHERE s.o_orderstatus <> 'F' AND t.o_totalprice <> s.o_totalprice
+      |UNION ALL
+      |SELECT m.o_orderkey, m.o_custkey, m.o_orderstatus, m.o_totalprice,
+      |  m.o_orderdate, m.o_orderpriority, CAST(m.o_flag AS BIGINT),
+      |  CAST(NULL AS VARCHAR), 'delete', CAST(3 AS BIGINT)
+      |FROM merged m WHERE m.o_custkey % 5 = 2""".stripMargin
 
   /** Files for the stats-pruning gate: a 32-file layout keyed by exact
     * NTILE over (o_custkey, o_orderkey) — each file IS one ntile
@@ -6751,6 +6954,8 @@ object CowTable {
         t => tableChanges(s, t, 0, 2, Seq("o_orderkey")))),
     "lh_changes_stream" -> ((s, d) =>
       (() => lhChangesBuild(s, d), t => lhChangesStreamOp(s, d, t))),
+    "lh_changes_evolve" -> ((s, d) =>
+      (() => lhChangesEvolveBuild(s, d), t => lhChangesEvolveOp(s, d, t))),
     "lh_feed_part" -> ((s, d) =>
       (() => lhFeedPartBuild(s, d), t => lhFeedPartOp(s, d, t))),
     "lh_stream_sink" -> ((s, d) =>
@@ -6869,6 +7074,7 @@ object CowTable {
     "lh_delete_vectors" -> lhDeleteVectors,
     "lh_changes" -> lhChanges,
     "lh_changes_stream" -> lhChangesStream,
+    "lh_changes_evolve" -> lhChangesEvolve,
     "lh_stats_prune" -> lhStatsPrune,
     "lh_evolve" -> lhEvolve,
     "lh_evolve2" -> lhEvolve2,
@@ -6905,6 +7111,7 @@ object CowTable {
     "lh_delete_vectors" -> lhDeleteVectorsSql,
     "lh_changes" -> lhChangesSql,
     "lh_changes_stream" -> lhChangesSql,
+    "lh_changes_evolve" -> lhChangesEvolveSql,
     "lh_stats_prune" -> lhStatsPruneSql,
     "lh_evolve" -> lhEvolveSql,
     "lh_evolve2" -> lhEvolve2Sql,

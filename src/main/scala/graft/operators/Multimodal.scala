@@ -6,17 +6,22 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads with
-  * typed metadata, decoded/feature-extracted via a partition-local batch
-  * stub.
+  * typed metadata, decoded/feature-extracted via partition-local
+  * batches.
   *
-  * The Spark-side shape is the real thing a 100 TB media pipeline needs —
-  * binary column + typed metadata struct, partition-parallel batched
-  * decode with a typed schema, deterministic frame sampling via a
-  * generator — while the actual codec call is STUBBED (no image/audio
-  * libraries in this environment): `DecodeStub.decodeBatch` derives
-  * deterministic fake features from the payload bytes. Swapping in a real
-  * decoder changes ONE function; every schema, partition, and batch shape
-  * stays.
+  * The Spark-side shape is what a 100 TB media pipeline needs — binary
+  * column + typed metadata struct, partition-parallel batched decode
+  * with a typed schema, deterministic frame sampling via a generator —
+  * and the decode legs run REAL codecs on the stock JVM:
+  * [[ImageCodec]] (PNG/BMP/JPEG via `javax.imageio`), the pure-bytes
+  * P6 PPM codec, [[AudioCodec]] (GA1 container + WAV via
+  * `javax.sound.sampled`), and [[VideoCodec]] (GV1 multi-frame
+  * container with format-sniffed per-frame decode). One deliberate
+  * exception remains: [[DecodeStub]] is the format-AGNOSTIC batch stub
+  * kept for `mm_decode_meta`, whose oracle replays its deterministic
+  * fake in SQL — it documents the swap-one-function seam for codecs
+  * this container lacks (e.g. H.264), while every schema, partition,
+  * and batch shape is shared with the real-codec paths.
   */
 object Multimodal {
 
@@ -735,6 +740,7 @@ object Multimodal {
   // ------------------------- video perceptual dedup (dd_video_frames)
   val VideoReencOffset = 4000000000L
   val VideoTrimOffset = 5000000000L
+  val VideoShuffleOffset = 6000000000L
 
   /** A tiny multi-frame video container ("GV1 <n>\n" + n length-
     * prefixed image frames) + the frame synthesis for the video dedup
@@ -851,11 +857,12 @@ object Multimodal {
   }
 
   /** The video-dedup corpus: every doc gets a base video of
-    * 4 + id%4 PNG frames; docs ≡0 (mod 4) get a RE-ENCODED copy (every
-    * frame re-encoded BMP — container and bytes change, content
-    * doesn't) and docs ≡1 a TRIMMED copy (first frame dropped — the
-    * cut-intro shape), the two duplicate classes a crawl's video
-    * dedup actually meets and byte-level identity cannot see. */
+    * 3 + id%3 P6 PPM frames; docs ≡0 (mod 4) get a RE-ENCODED copy
+    * (every frame re-encoded PNG through ImageIO — container and
+    * bytes change, content doesn't) and docs ≡1 a TRIMMED copy (first
+    * frame dropped — the cut-intro shape), the two duplicate classes
+    * a crawl's video dedup actually meets and byte-level identity
+    * cannot see. */
   def ingestVideos(s: SparkSession, dir: String): Dataset[ImgRecord] = {
     import s.implicits._
     Tables.documents(s, dir).select($"doc_id").as[Long]
@@ -881,31 +888,69 @@ object Multimodal {
       })
   }
 
-  /** Gate: perceptual VIDEO dedup by frame-hash alignment — container
-    * parse + REAL per-frame image decode + per-frame dHash scan-side,
-    * then a self-join on the 64-bit frame hash and a per-pair shared-
-    * frame count; a pair is a duplicate when one side's frames are
-    * FULLY CONTAINED in the other's (shared == min(nf_a, nf_b)), which
-    * catches the re-encode (all frames shared) and the trim (every
-    * remaining frame shared) exactly — the oracle pins the pair set,
-    * each pair's kind, and its exact shared-frame count. 100 TB shape:
-    * decode+hash is scan-parallel mapPartitions (the codec shape), the
-    * join shuffles 16-byte (hash, vid) rows — never pixels — and the
-    * frame hash IS the blocking key, so candidate volume is the true
-    * shared-frame volume plus ~2⁻⁶⁴ noise; a frame-farm corpus
-    * (one constant frame everywhere) would mega-bucket exactly like
-    * the image gate and would reuse its adaptive guard. */
-  def ddVideoFrames(s: SparkSession, dir: String): DataFrame = {
+  /** Decode leg shared by both video gates: container parse + REAL
+    * per-frame image decode + per-frame dHash, scan-parallel batched
+    * `mapPartitions` — emits one 20-byte (vid, nf, fidx, fhash) row
+    * per frame; pixels never leave the scan task. */
+  private def videoFrameTable(s: SparkSession,
+      corpus: Dataset[ImgRecord]): DataFrame = {
     import s.implicits._
-    val frames = ingestVideos(s, dir)
+    corpus
       .mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.flatMap { r =>
         val fbs = VideoCodec.decode(r.payload)
-        fbs.map(fb => (r.img_id, fbs.size, VideoCodec.frameHash(fb)))
-      })).toDF("vid", "nf", "fhash")
-    frames.as("a").join(frames.as("b"),
-        col("a.fhash") === col("b.fhash") && col("a.vid") < col("b.vid"))
-      .groupBy(col("a.vid").as("base_id"), col("b.vid").as("dup_id"),
-        col("a.nf").as("nfa"), col("b.nf").as("nfb"))
+        fbs.iterator.zipWithIndex.map { case (fb, i) =>
+          (r.img_id, fbs.size, i, VideoCodec.frameHash(fb))
+        }
+      })).toDF("vid", "nf", "fidx", "fhash")
+  }
+
+  /** Frame-match candidates: self-join of the frame table on the
+    * 64-bit frame hash (the hash IS the blocking key), guarded by the
+    * image gate's mega-bucket discipline wired onto `fhash` — a HOT
+    * frame (intro card, black frame — ubiquitous in real video) lands
+    * thousands of rows on one hash and an unguarded self-join squares
+    * it. Oversized buckets pair ADJACENT-BY-(vid, fidx) instead of
+    * all-pairs, keeping candidate volume linear in the bucket; the
+    * documented recall bound is that a ubiquitous frame stops driving
+    * pairing by itself (its videos still pair via their distinctive
+    * frames — arguably the RIGHT semantics for an intro card). The
+    * rank window shuffles on the SAME key as the join, so the guard
+    * adds no extra exchange. */
+  def videoFramePairs(frames: DataFrame,
+      thresholdOverride: Option[Int] = None): DataFrame = {
+    import frames.sparkSession.implicits._
+    val thr = thresholdOverride.getOrElse(PhashMegaBucketThreshold)
+    val byBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy($"fhash")
+    val ranked = frames
+      .withColumn("rk", row_number().over(byBucket.orderBy($"vid", $"fidx")))
+      .withColumn("bsz", count(lit(1)).over(byBucket))
+    ranked.as("a").join(ranked.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.vid") < col("b.vid") &&
+          (col("a.bsz") <= thr || col("a.rk") + 1 === col("b.rk")))
+      .select(col("a.vid").as("vida"), col("b.vid").as("vidb"),
+        col("a.nf").as("nfa"), col("b.nf").as("nfb"),
+        col("a.fidx").as("fa"), col("b.fidx").as("fb"))
+  }
+
+  /** Gate: perceptual VIDEO dedup by frame-hash CONTAINMENT — per-pair
+    * shared-frame count; a pair is a duplicate when one side's frames
+    * are FULLY CONTAINED in the other's (shared == min(nf_a, nf_b)),
+    * which catches the re-encode (all frames shared) and the trim
+    * (every remaining frame shared) exactly — the oracle pins the pair
+    * set, each pair's kind, and its exact shared-frame count. Set
+    * semantics are ORDER-BLIND: a reordered edit also passes this test
+    * — [[ddVideoAlign]] is the order-aware refinement that rejects it.
+    * 100 TB shape: decode+hash is scan-parallel ([[videoFrameTable]]),
+    * the join shuffles 20-byte rows — never pixels — with the
+    * mega-bucket guard of [[videoFramePairs]], so candidate volume is
+    * the true shared-frame volume plus ~2⁻⁶⁴ noise, linear even on a
+    * frame-farm corpus. */
+  def ddVideoFrames(s: SparkSession, dir: String): DataFrame = {
+    val frames = videoFrameTable(s, ingestVideos(s, dir))
+    videoFramePairs(frames)
+      .groupBy(col("vida").as("base_id"), col("vidb").as("dup_id"),
+        col("nfa"), col("nfb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") === least(col("nfa"), col("nfb")))
       .select(col("base_id"), col("dup_id"),
@@ -913,6 +958,71 @@ object Multimodal {
           .otherwise("reencoded").as("kind"),
         col("shared").cast("int").as("shared_frames"))
   }
+
+  /** [[ingestVideos]] plus a REORDERED decoy: docs ≡2 (mod 4) get a
+    * copy whose frames are REVERSED (the shuffled-edit / reversed-clip
+    * shape). Every frame is shared, so set containment accepts the
+    * decoy as a full duplicate; no single temporal offset aligns more
+    * than one frame of a reversal (offsets 2i−(nf−1) are all
+    * distinct), so the alignment gate rejects it — the exact semantic
+    * line between [[ddVideoFrames]] and [[ddVideoAlign]]. */
+  def ingestVideosAligned(s: SparkSession, dir: String): Dataset[ImgRecord] = {
+    import s.implicits._
+    ingestVideos(s, dir).mapPartitions(_.flatMap { r =>
+      if (r.img_id >= VideoReencOffset || r.img_id % 4 != 2) Seq(r)
+      else Seq(r, ImgRecord(r.img_id + VideoShuffleOffset,
+        VideoCodec.encode(VideoCodec.decode(r.payload).reverse)))
+    })
+  }
+
+  /** Gate: TEMPORALLY ALIGNED video dedup — the order-aware refinement
+    * of [[ddVideoFrames]]. Frame matches vote on their temporal offset
+    * (fidx_a − fidx_b); a pair is a duplicate only when ONE offset
+    * carries a CONTIGUOUS aligned run covering the shorter side
+    * (run == min(nf_a, nf_b)) — catching re-encodes (offset 0) and
+    * trims (offset = number of cut intro frames) exactly while
+    * REJECTING reordered edits, which containment wrongly accepts: the
+    * planted reversed decoy shares every frame yet aligns at no
+    * offset, and the oracle pins it absent. Run detection is
+    * gaps-and-islands (island = fidx − row_number per (pair, offset)),
+    * grouped on a superset of the window's partition keys so the two
+    * steps share ONE exchange. 100 TB shape: offset voting and run
+    * detection run over candidate frame-match rows (20-byte,
+    * mega-bucket-guarded by [[videoFramePairs]]) — never pixels — and
+    * per-(pair, offset) state is bounded by the shorter video's frame
+    * count. */
+  def ddVideoAlign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = videoFrameTable(s, ingestVideosAligned(s, dir))
+    val byOff = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vida", $"vidb", $"off").orderBy($"fa")
+    videoFramePairs(frames)
+      .withColumn("off", $"fa" - $"fb")
+      .withColumn("isl", $"fa" - row_number().over(byOff))
+      .groupBy($"vida", $"vidb", $"nfa", $"nfb", $"off", $"isl")
+      .agg(count(lit(1)).as("run"))
+      .filter($"run" === least($"nfa", $"nfb"))
+      .select($"vida".as("base_id"), $"vidb".as("dup_id"),
+        when($"dup_id" >= VideoShuffleOffset, "reordered")
+          .when($"dup_id" >= VideoTrimOffset, "trimmed")
+          .otherwise("reencoded").as("kind"),
+        $"off".cast("int").as("offset"),
+        $"run".cast("int").as("shared_frames"))
+  }
+
+  /** The alignment pin: re-encodes align at offset 0 over all nf
+    * frames, trims at offset +1 over the nf−1 kept frames, and the
+    * reversed decoys (docs ≡2 mod 4) — full duplicates to set
+    * containment — appear NOWHERE. */
+  val ddVideoAlignSql: String =
+    s"""SELECT doc_id AS base_id, doc_id + $VideoReencOffset AS dup_id,
+       |  'reencoded' AS kind, 0 AS "offset",
+       |  CAST(3 + doc_id % 3 AS INT) AS shared_frames
+       |FROM documents WHERE doc_id % 4 = 0
+       |UNION ALL
+       |SELECT doc_id, doc_id + $VideoTrimOffset, 'trimmed', 1,
+       |  CAST(2 + doc_id % 3 AS INT)
+       |FROM documents WHERE doc_id % 4 = 1""".stripMargin
 
   val ddVideoFramesSql: String =
     s"""SELECT doc_id AS base_id, doc_id + $VideoReencOffset AS dup_id,
@@ -958,6 +1068,42 @@ object Multimodal {
     def sample(id: Long, i: Int): Int =
       (((ImageCodec.strongMix(id * 16384L + i) >>> 40) & 0xFFFFFFL)
         % 250L).toInt
+
+    /** REAL RIFF/WAV container via `javax.sound.sampled` (8-bit
+      * unsigned PCM mono — the stock-JVM audio codec), the cross-codec
+      * leg mirroring what ImageIO PNG/JPEG prove for images: the same
+      * samples in a WAV and a GA1 container must hash identically even
+      * though not one byte of the two payloads matches. */
+    def encodeWav(samples: Array[Byte]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        8000f, 8, 1, 1, 8000f, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(samples), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** WAV → raw unsigned 8-bit samples (byte-exact for PCM_UNSIGNED
+      * 8-bit mono, so eHash sees the same stream either way). */
+    def decodeWav(payload: Array[Byte]): Array[Byte] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+        s"decodeWav: expected 8-bit mono PCM, got $fmt")
+      ais.readAllBytes()
+    }
+
+    /** Container sniff: RIFF magic → WAV, otherwise the GA1 parse —
+      * the mixed-container corpus a real crawl's audio column is. */
+    def decodeAuto(payload: Array[Byte]): Array[Byte] =
+      if (payload.length >= 4 && payload(0) == 'R'.toByte &&
+          payload(1) == 'I'.toByte && payload(2) == 'F'.toByte &&
+          payload(3) == 'F'.toByte) decodeWav(payload)
+      else decode(payload)
 
     def synthesize(id: Long, dc: Int): Array[Byte] =
       Array.tabulate(AudioHashLen)(i => (sample(id, i) + dc).toByte)
@@ -1037,6 +1183,57 @@ object Multimodal {
        |SELECT doc_id, doc_id + $BrightOffset, 'dc_offset', 0, FALSE
        |FROM documents WHERE doc_id % 3 = 1""".stripMargin
 
+  /** The cross-codec audio corpus: every doc a GA1 base clip; docs ≡0
+    * (mod 3) the SAME samples re-encoded as a real RIFF/WAV (zero
+    * shared bytes between the payloads), docs ≡1 a WAV carrying a DC+1
+    * twin — the cross-codec AND content-invariance class at once. */
+  def ingestAudioWavCorpus(s: SparkSession, dir: String): Dataset[ImgRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val samples = AudioCodec.synthesize(id, 0)
+        val base = ImgRecord(id, AudioCodec.encode(samples, 7))
+        val twin = (id % 3) match {
+          case 0 => Seq(ImgRecord(id + ReencodeOffset,
+            AudioCodec.encodeWav(samples)))
+          case 1 => Seq(ImgRecord(id + BrightOffset,
+            AudioCodec.encodeWav(AudioCodec.synthesize(id, 1))))
+          case _ => Nil
+        }
+        base +: twin
+      })
+  }
+
+  /** Gate: CROSS-CODEC audio dedup — the decode leg sniffs the
+    * container (RIFF → `javax.sound.sampled` WAV, else the GA1 parse)
+    * and the energy-gradient hash closes over both, so a GA1 base and
+    * its WAV re-encode pair at Hamming 0 with `byte_dup=false`
+    * (payloads share no bytes — container dedup is blind to this
+    * class), and the WAV DC+1 twin pairs through the hash's gradient
+    * invariance on top of the codec change. Same banded machinery as
+    * every perceptual gate ([[phashPairs]]). */
+  def ddAudioWav(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = ingestAudioWavCorpus(s, dir)
+      .mapPartitions(_.grouped(DecodeStub.BatchSize).flatMap(_.map { r =>
+        (r.img_id, AudioCodec.eHash(AudioCodec.decodeAuto(r.payload)),
+          java.util.Arrays.hashCode(r.payload).toLong)
+      })).toDF("img_id", "dhash", "payload_fp")
+    phashPairs(hashed)
+      .select($"base_id", $"dup_id",
+        when($"dup_id" >= BrightOffset, "wav_dc")
+          .otherwise("wav_reencode").as("kind"),
+        $"hamming".cast("int").as("hamming"), $"byte_dup")
+  }
+
+  val ddAudioWavSql: String =
+    s"""SELECT doc_id AS base_id, doc_id + $ReencodeOffset AS dup_id,
+       |  'wav_reencode' AS kind, 0 AS hamming, FALSE AS byte_dup
+       |FROM documents WHERE doc_id % 3 = 0
+       |UNION ALL
+       |SELECT doc_id, doc_id + $BrightOffset, 'wav_dc', 0, FALSE
+       |FROM documents WHERE doc_id % 3 = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_decode_ppm" -> mmDecodePpm,
@@ -1047,7 +1244,9 @@ object Multimodal {
     "dd_image_phash" -> ddImagePhash,
     "dd_image_jpeg" -> ddImageJpeg,
     "dd_audio_phash" -> ddAudioPhash,
+    "dd_audio_wav" -> ddAudioWav,
     "dd_video_frames" -> ddVideoFrames,
+    "dd_video_align" -> ddVideoAlign,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1060,6 +1259,8 @@ object Multimodal {
     "dd_image_phash" -> ddImagePhashSql,
     "dd_image_jpeg" -> ddImageJpegSql,
     "dd_audio_phash" -> ddAudioPhashSql,
+    "dd_audio_wav" -> ddAudioWavSql,
     "dd_video_frames" -> ddVideoFramesSql,
+    "dd_video_align" -> ddVideoAlignSql,
   )
 }

@@ -93,8 +93,10 @@ private[streaming] class CowFeedScan(tableSchema: StructType,
       throw new IllegalArgumentException("cow feed requires option 'keys'"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val startV = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+    val maxV = Option(options.get("maxVersionsPerBatch")).map(_.toInt)
+      .getOrElse(0)
     new CowFeedStream(options.get("table"), keys, tableSchema,
-      checkpointLocation, startV)
+      checkpointLocation, startV, maxV)
   }
 }
 
@@ -122,8 +124,10 @@ private[streaming] class CowSliceReaderFactory(
 }
 
 private[streaming] class CowFeedStream(table: String, keys: Seq[String],
-    schema: StructType, checkpointLocation: String, startV: Int)
-    extends MicroBatchStream {
+    schema: StructType, checkpointLocation: String, startV: Int,
+    maxVersionsPerBatch: Int = 0)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
   private def stageRoot = java.nio.file.Paths
@@ -131,9 +135,31 @@ private[streaming] class CowFeedStream(table: String, keys: Seq[String],
 
   override def initialOffset(): Offset = CowFeedOffset(startV)
 
-  override def latestOffset(): Offset =
-    CowFeedOffset(CowTable.latestManifest(table).map(_.version)
-      .getOrElse(startV))
+  private def tableLatest: Int =
+    CowTable.latestManifest(table).map(_.version).getOrElse(startV)
+
+  override def latestOffset(): Offset = CowFeedOffset(tableLatest)
+
+  /** Admission control: `maxVersionsPerBatch` (option, 0 = unbounded)
+    * caps how many table versions one micro-batch may span — the
+    * catch-up throttle for a consumer resuming far behind (an
+    * unbounded catch-up batch stages the union of MANY deltas), and
+    * the per-version-slice mode (`1`) that keeps `_commit_version`
+    * attribution exact across a replayed range. Engine-side
+    * `ReadLimit`s (maxRows/maxFiles) don't map onto version topology,
+    * so the cap is source-side. */
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val sv = start.asInstanceOf[CowFeedOffset].v
+    val latest = tableLatest
+    CowFeedOffset(
+      if (maxVersionsPerBatch <= 0) latest
+      else math.min(latest, sv + maxVersionsPerBatch))
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"version":(\d+)\}""".r
@@ -156,8 +182,13 @@ private[streaming] class CowFeedStream(table: String, keys: Seq[String],
     val done = dir.resolve("_graft_done")
     if (!java.nio.file.Files.exists(done)) {
       // deterministic staging: the slice is a pure function of two
-      // immutable manifests, so replay overwrites equivalent bytes
-      CowTable.tableChanges(spark, table, sv, ev, keys)
+      // immutable manifests, so replay overwrites equivalent bytes.
+      // alignFeedSlice projects the slice (which speaks version ev's
+      // schema) onto the STREAM's schema — the replay-across-an-
+      // evolution seam: pre-evolution slices rename forward and
+      // NULL-extend to the evolved schema
+      CowTable.alignFeedSlice(
+          CowTable.tableChanges(spark, table, sv, ev, keys), schema)
         .withColumn("_commit_version", lit(ev.toLong))
         .select(schema.fieldNames.map(col): _*)
         .write.mode("overwrite").parquet(dir.toString)

@@ -225,6 +225,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hs.distinct.size == 200)
   }
 
+  test("WAV codec: RIFF roundtrip is sample-exact, cross-codec hash " +
+      "identity holds, and dd_audio_wav finds exactly the planted twins") {
+    import Multimodal.AudioCodec
+    val samples = AudioCodec.synthesize(42L, 0)
+    val wav = AudioCodec.encodeWav(samples)
+    // a REAL RIFF container, not one shared byte with the GA1 encoding
+    assert(wav.take(4).map(_.toChar).mkString == "RIFF")
+    assert(java.util.Arrays.equals(AudioCodec.decodeWav(wav), samples))
+    // the sniffing decoder routes both containers to the same samples
+    assert(java.util.Arrays.equals(AudioCodec.decodeAuto(wav), samples))
+    assert(java.util.Arrays.equals(
+      AudioCodec.decodeAuto(AudioCodec.encode(samples, 7)), samples))
+    // cross-codec hash identity — the class byte dedup cannot see
+    assert(AudioCodec.eHash(AudioCodec.decodeAuto(wav)) ==
+      AudioCodec.eHash(samples))
+
+    val got = Multimodal.ddAudioWav(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3), r.getBoolean(4))).toSet
+    val docIds = Multimodal.ingest(spark, TestSpark.sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want =
+      docIds.filter(_ % 3 == 0).map(id =>
+        (id, id + Multimodal.ReencodeOffset, "wav_reencode", 0, false)) ++
+      docIds.filter(_ % 3 == 1).map(id =>
+        (id, id + Multimodal.BrightOffset, "wav_dc", 0, false))
+    assert(got == want,
+      s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
   test("dd_image_phash finds exactly the planted twins on sf0.001") {
     val got = Multimodal.ddImagePhash(spark, TestSpark.sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),

@@ -68,4 +68,71 @@ class MultimodalVideoSpec extends AnyFunSuite {
           2 + (id % 3).toInt)).toSet
     assert(rows == expected)
   }
+
+  test("decode lineage is planned once: the frame self-join reuses the " +
+      "window exchange") {
+    val df = Multimodal.ddVideoFrames(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"frame self-join must not decode the corpus twice:\n$plan")
+  }
+
+  test("alignment gate finds re-encodes at offset 0 and trims at offset 1, " +
+      "and REJECTS the reversed decoy containment accepts") {
+    val aligned = Multimodal.ddVideoAlign(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3), r.getInt(4))).toSet
+    val expected =
+      (0L until 500L).filter(_ % 4 == 0).map(id =>
+        (id, id + Multimodal.VideoReencOffset, "reencoded", 0,
+          3 + (id % 3).toInt)).toSet ++
+      (0L until 500L).filter(_ % 4 == 1).map(id =>
+        (id, id + Multimodal.VideoTrimOffset, "trimmed", 1,
+          2 + (id % 3).toInt)).toSet
+    assert(aligned == expected, "reversed decoys must align at no offset")
+
+    // the semantic line the decoy draws: CONTAINMENT (order-blind set
+    // semantics) accepts every reversed copy as a full duplicate
+    val byId = Multimodal
+      .ingestVideosAligned(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.img_id -> VideoCodec.decode(r.payload)
+        .map(VideoCodec.frameHash).toSet).toMap
+    val decoys = (0L until 500L).filter(_ % 4 == 2)
+    assert(decoys.nonEmpty)
+    decoys.foreach { id =>
+      assert(byId(id) == byId(id + Multimodal.VideoShuffleOffset),
+        s"decoy $id must be a full duplicate under set semantics")
+    }
+  }
+
+  test("mega-bucket guard keeps a frame-farm corpus near-linear without " +
+      "losing distinctive-frame pairs") {
+    import spark.implicits._
+    val nHot = 300
+    // every video carries the SAME hot frame (hash 0 — an intro card)
+    // at fidx 0 plus one distinctive frame; videos i and i+1000 share
+    // distinctive hash i — the planted pair set
+    val rows =
+      (0 until nHot).flatMap { i =>
+        Seq((i.toLong, 2, 0, 0L), (i.toLong, 2, 1, 1000L + i))
+      } ++ (0 until nHot).flatMap { i =>
+        Seq((i + 1000L, 2, 0, 0L), (i + 1000L, 2, 1, 1000L + i))
+      }
+    val frames = rows.toDF("vid", "nf", "fidx", "fhash")
+    val cands = Multimodal.videoFramePairs(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4), r.getInt(5)))
+    // hot bucket (2*nHot rows) pairs ADJACENT only: 2*nHot − 1
+    // candidates instead of the quadratic ~2nHot²; distinctive buckets
+    // (2 rows each, far under the threshold) keep their full pair
+    val hot = cands.count { case (_, _, fa, fb) => fa == 0 && fb == 0 }
+    assert(hot == 2 * nHot - 1,
+      s"hot-frame bucket must pair linearly, got $hot")
+    val planted = cands.collect {
+      case (a, b, 1, 1) => (a, b)
+    }.toSet
+    assert(planted == (0 until nHot).map(i => (i.toLong, i + 1000L)).toSet,
+      "distinctive-frame pairs must survive the guard untouched")
+    assert(cands.length == hot + planted.size)
+  }
 }

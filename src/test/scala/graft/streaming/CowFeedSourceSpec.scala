@@ -123,4 +123,89 @@ class CowFeedSourceSpec extends AnyFunSuite {
     assert(err.getMessage.contains("keys") ||
       Option(err.getCause).exists(_.getMessage.contains("keys")))
   }
+
+  test("replay across an alterTable: per-version slices rename forward, " +
+      "up-cast the widened column, and NULL-extend the added one") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val t = fresh("evolve")
+    CowTable.init((0L until 20L).map(i => (i, s"n$i", i.toInt))
+      .toDF("id", "name", "flag")
+      .withColumn("flag", $"flag".cast("int")).repartition(2), t) // v0
+    CowTable.mergeInto(spark, t,
+      Seq((1L, "u1", 101), (50L, "new", 7)).toDF("id", "name", "flag")
+        .withColumn("flag", $"flag".cast("int")), Seq("id"))      // v1
+    CowTable.alterTable(spark, t, renames = Map("name" -> "label"),
+      widens = Map("flag" -> LongType),
+      adds = Seq(("note", StringType)))                           // v2
+    CowTable.deleteWhere(spark, t, $"id" === 3L)                  // v3
+
+    // the consumer starts against the EVOLVED table and replays from
+    // v0 one version per batch — the v0→v1 slice speaks the pre-alter
+    // schema and must project onto the evolved one
+    val sink = "cow_feed_evolve_" +
+      java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+    val q = spark.readStream.format("graft.streaming.CowFeedProvider")
+      .option("table", t).option("keys", "id")
+      .option("maxVersionsPerBatch", "1").load()
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", fresh("ckpt_ev")).start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.table(sink)
+    assert(feed.columns.toSet ==
+      Set("id", "label", "flag", "note", "_change_type", "_commit_version"))
+    assert(feed.schema("flag").dataType == LongType)
+    val rows = feed.collect().map(r => (r.getLong(0),
+      r.getString(1), r.getLong(2),
+      Option(r.getString(3)), r.getString(4), r.getLong(5))).toSet
+    assert(rows == Set(
+      // v0→v1: old-schema slice, renamed forward + widened + NULL note
+      (1L, "n1", 1L, None, "update_preimage", 1L),
+      (1L, "u1", 101L, None, "update_postimage", 1L),
+      (50L, "new", 7L, None, "insert", 1L),
+      // v1→v2 (the alter itself) is change-free: nothing at version 2
+      // v2→v3: evolved-schema slice
+      (3L, "n3", 3L, None, "delete", 3L)), s"feed wrong: $rows")
+  }
+
+  test("alignFeedSlice maps a newer slice BACK to a running stream's " +
+      "schema and refuses a mid-stream widen") {
+    import org.apache.spark.sql.types._
+    // the slice speaks an evolved schema: label carries the prior-name
+    // chain [name]; the running stream still expects `name`
+    val chain = new MetadataBuilder()
+      .putStringArray(CowTable.PrevNamesKey, Array("name")).build()
+    val sliceSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("label", StringType, nullable = true, chain),
+      StructField("added_later", StringType),
+      StructField("_change_type", StringType)))
+    val slice = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(7L, "seven", "x", "insert")), sliceSchema)
+    val streamSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+    val aligned = CowTable.alignFeedSlice(slice, streamSchema).collect()
+    // label maps back to name; the column added after the consumer
+    // started is invisible until it restarts
+    assert(aligned.map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq((7L, "seven", "insert")))
+
+    // a widened column cannot down-cast into the running stream
+    val wideSlice = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(7L, 9L, "insert")),
+      StructType(Seq(StructField("id", LongType),
+        StructField("flag", LongType),
+        StructField("_change_type", StringType))))
+    val narrowStream = StructType(Seq(
+      StructField("id", LongType), StructField("flag", IntegerType),
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+    val e = intercept[IllegalArgumentException] {
+      CowTable.alignFeedSlice(wideSlice, narrowStream)
+    }
+    assert(e.getMessage.contains("restart the stream"))
+  }
 }
