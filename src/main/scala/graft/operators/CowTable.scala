@@ -4697,6 +4697,17 @@ object CowTable {
     * into [[Changelog.aggMaintain]] and a downstream aggregate follows
     * the table version-by-version without ever re-scanning it
     * (CowCdfMaintainSpec proves maintained ≡ rebuilt). */
+  /** Upper bound on the changed-file paths one [[tableChanges]] slice
+    * may collect driver-side. The changed set is delta-sized BY
+    * CONTRACT (a CDC consumer reads commit-sized slices); the one way
+    * it degenerates is a version pair spanning a table REWRITE
+    * (compaction / re-clustering touches every file), where the
+    * "delta" is the whole table and the right tool is a snapshot
+    * read, not a diff. The cap turns that silent table-sized driver
+    * collect into a loud contract error. Test hook — production
+    * default holds ~hundreds of MB of slack at 10⁶ files. */
+  private[graft] var maxChangedFilesPerSlice: Int = 1 << 20
+
   def tableChanges(spark: SparkSession, table: String, fromV: Int,
       toV: Int, keys: Seq[String]): DataFrame = {
     require(fromV < toV, s"tableChanges: need fromV < toV, got $fromV..$toV")
@@ -4707,12 +4718,25 @@ object CowTable {
     // identities (URIs from _metadata.file_path) need normalization
     def side(m: Manifest, kind: String): DataFrame =
       entriesDF(spark, table, m).filter(col("kind") === kind).select("path")
-    val remF = side(fm, "data").join(side(tm, "data"), Seq("path"), "left_anti")
-      .collect().map(_.getString(0)).toSeq
-    val addF = side(tm, "data").join(side(fm, "data"), Seq("path"), "left_anti")
-      .collect().map(_.getString(0)).toSeq
-    val dvNew = side(tm, "dv").join(side(fm, "dv"), Seq("path"), "left_anti")
-      .collect().map(_.getString(0)).toSeq
+    // LIMIT cap+1 bounds the driver collect BEFORE it happens (one
+    // job, no pre-count); crossing the cap is diagnosed, never OOM'd
+    def changed(df: DataFrame, what: String): Seq[String] = {
+      val rows = df.limit(maxChangedFilesPerSlice + 1).collect()
+      if (rows.length > maxChangedFilesPerSlice)
+        throw new IllegalStateException(
+          s"tableChanges $table v$fromV..v$toV: more than " +
+            s"$maxChangedFilesPerSlice $what files changed — this " +
+            "version pair spans a table rewrite (compaction/" +
+            "re-clustering), not a delta; read the snapshots directly " +
+            "or split the range at the rewrite version")
+      rows.map(_.getString(0)).toSeq
+    }
+    val remF = changed(side(fm, "data")
+      .join(side(tm, "data"), Seq("path"), "left_anti"), "removed")
+    val addF = changed(side(tm, "data")
+      .join(side(fm, "data"), Seq("path"), "left_anti"), "added")
+    val dvNew = changed(side(tm, "dv")
+      .join(side(fm, "dv"), Seq("path"), "left_anti"), "deletion-vector")
     val dvAffected: Seq[String] =
       if (dvNew.isEmpty) Nil
       else {

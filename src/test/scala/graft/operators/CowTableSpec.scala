@@ -519,6 +519,26 @@ class CowTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("duplicate keys"))
   }
 
+  test("tableChanges refuses a rewrite-heavy version pair loudly " +
+      "instead of collecting a table-sized changed set") {
+    val t = freshTable()
+    initRanged(t) // 4 files
+    // a compaction-style rewrite: every file replaced
+    CowTable.mergeInto(spark, t,
+      CowTable.read(spark, t).withColumn("v", $"v" + 1.0), Seq("id"))
+    val old = CowTable.maxChangedFilesPerSlice
+    CowTable.maxChangedFilesPerSlice = 2
+    try {
+      val e = intercept[IllegalStateException] {
+        CowTable.tableChanges(spark, t, 0, 1, Seq("id"))
+      }
+      assert(e.getMessage.contains("table rewrite"))
+    } finally CowTable.maxChangedFilesPerSlice = old
+    // the same pair under the production cap diffs fine
+    assert(CowTable.tableChanges(spark, t, 0, 1, Seq("id"))
+      .filter($"_change_type" === "update_postimage").count() == 100)
+  }
+
   test("commit race: the second claimant of a version fails loudly") {
     val t = freshTable()
     initRanged(t)
