@@ -162,7 +162,13 @@ object Bench {
     // next to the GA1 container), and the change feed replayed ACROSS
     // a schema-evolution boundary (per-version slices rename forward /
     // up-cast / NULL-extend onto the evolved stream schema)
-    "dd_video_align", "dd_audio_wav", "lh_changes_evolve")
+    "dd_video_align", "dd_audio_wav", "lh_changes_evolve",
+    // round 18 (late): partial-column CDC upsert (absent columns keep
+    // matched rows' current values, read from exactly the candidate
+    // files match discovery already bounded) and MID-RUN table
+    // evolution absorbed by the update-mode streaming sink without a
+    // restart (rename-forward + preserve-not-clobber per epoch)
+    "lh_upsert_partial", "lh_stream_upsert_mid")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

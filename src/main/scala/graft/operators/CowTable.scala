@@ -3610,16 +3610,31 @@ object CowTable {
     * Source keys must be unique (the SQL MERGE cardinality contract).
     * Refuses to commit over a concurrent writer like every delta
     * commit. */
+  /** `preserveMissing`: PARTIAL-COLUMN upsert — table columns the
+    * source does not carry keep their CURRENT value on matched rows
+    * (read from the candidate files the match discovery already
+    * touches — newest physical row wins when a key is duplicated) and
+    * NULL-extend on inserts. This is the CDC shape where the upstream
+    * feed carries a column subset, and the epoch-boundary absorption
+    * path for a streaming sink whose table gained a column mid-run:
+    * without it, a full-row postimage would silently NULL-clobber
+    * values another writer filled. Replay-idempotent: a replayed
+    * epoch preserves FROM ITS OWN postimages, reproducing them. */
   def upsertMor(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], evolveSchema: Boolean = false): Manifest = {
+      keys: Seq[String], evolveSchema: Boolean = false,
+      preserveMissing: Boolean = false): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     val schema0 = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
       s"upsertMor needs a v2 manifest with a schema"))
     require(keys.nonEmpty && keys.forall(source.columns.contains),
       s"upsertMor: keys $keys must exist in the source")
-    require(schema0.fieldNames.forall(source.columns.contains),
-      "upsertMor: source must carry every table column")
+    val missingP = schema0.fields.filterNot(f =>
+      source.columns.contains(f.name)).toSeq
+    require(preserveMissing || missingP.isEmpty,
+      "upsertMor: source must carry every table column " +
+        "(or pass preserveMissing = true to keep matched rows' current " +
+        "values for the absent columns)")
     // with `evolveSchema`, source-only columns become new nullable
     // table columns inside THIS delta commit — the CDC-ingestion
     // trigger (the upstream added a field) on the MOR path: untouched
@@ -3669,8 +3684,31 @@ object CowTable {
           listPartFiles(out)
         }
       }
-    // 2. every source row appends (update postimages + fresh inserts)
-    val ordered = source.select(schema.fieldNames.map(col): _*)
+    // 2. every source row appends (update postimages + fresh inserts);
+    // preserved columns come from the newest live matched row (the
+    // candidate files the DV discovery already bounded — one more
+    // column-pruned pass over exactly those files), NULL for inserts
+    val enriched =
+      if (missingP.isEmpty) source
+      else if (cands.isEmpty)
+        missingP.foldLeft(source)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      else {
+        val liveVals = applyDvFilter(spark,
+          rawScan(spark, m, cands).select(keys.map(col) ++
+            missingP.map(f => col(f.name)) :+
+            col("_metadata.file_path").as("__fp") :+
+            col("_metadata.row_index").as("__ri"): _*),
+          m, normalizeSql(col("__fp")), col("__ri"))
+        val newest = liveVals.join(broadcast(srcKeys), keys, "left_semi")
+          .groupBy(keys.map(col): _*)
+          .agg(max_by(struct(missingP.map(f => col(f.name)): _*),
+            struct(col("__fp"), col("__ri"))).as("__pv"))
+          .select(keys.map(col) ++
+            missingP.map(f => col(s"__pv.${f.name}").as(f.name)): _*)
+        source.join(newest, keys, "left")
+      }
+    val ordered = enriched.select(schema.fieldNames.map(col): _*)
     val (dataFiles, _) =
       writeDataMaybePartitioned(ordered, table, v, m.partitionCols,
         m.bucketSpec)
@@ -6388,6 +6426,144 @@ object CowTable {
       |       ELSE o_orderkey % 7 END AS o_flag
       |FROM orders""".stripMargin
 
+  /** Gate: PARTIAL-COLUMN upsert — the CDC shape where the feed
+    * carries a column subset. The source brings only (key, price):
+    * matched keys get the new price while every column the source
+    * does not carry KEEPS its current value (a full-row postimage
+    * would need them all and a naive writer would NULL-clobber);
+    * inserted keys NULL-extend the absent columns. Still one MOR
+    * delta: DV kill + postimage append, with the preserved values
+    * read from exactly the candidate files the match discovery
+    * already bounded. */
+  def lhUpsertPartial(s: SparkSession, dir: String): DataFrame =
+    lhUpsertPartialOp(s, dir, lhMergeBuild2(s, dir))
+
+  private def lhMergeBuild2(s: SparkSession, dir: String): String = {
+    val table = freshGateTable()
+    init(Tables.orders(s, dir), table)
+    table
+  }
+
+  private def lhUpsertPartialOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    val source = Tables.orders(s, dir)
+      .filter(pmod($"o_orderkey", lit(4)) === 0)
+      .select($"o_orderkey", ($"o_totalprice" * 2).as("o_totalprice"))
+      .unionByName(Tables.orders(s, dir)
+        .filter(pmod($"o_orderkey", lit(4)) === 1)
+        .select(($"o_orderkey" + 1000000000L).as("o_orderkey"),
+          lit(-1.0).as("o_totalprice")))
+    upsertMor(s, table, source, Seq("o_orderkey"), preserveMissing = true)
+    val m = latestManifest(table).get
+    require(m.dvs.nonEmpty, "partial upsert must stay merge-on-read")
+    read(s, table).select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+      $"o_totalprice", $"o_orderpriority")
+  }
+
+  val lhUpsertPartialSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+      |       ELSE o_totalprice END AS o_totalprice,
+      |  o_orderpriority
+      |FROM orders
+      |UNION ALL
+      |SELECT o_orderkey + 1000000000, NULL, NULL, -1.0, NULL
+      |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin
+
+  /** Gate: MID-RUN TABLE EVOLUTION absorbed by the update-mode
+    * streaming sink — NO restart. While the query is RUNNING (same
+    * query object, same fixed pre-alter plan schema), another writer
+    * renames a column, adds one, and fills the new column for some
+    * keys through the batch partial upsert; the stream's next epoch
+    * then speaks the OLD schema and must absorb: its columns rename
+    * forward onto the evolved names, and the filled `o_note` values
+    * are PRESERVED on the keys the epoch updates (a full-row
+    * postimage would NULL-clobber them — the exact failure this
+    * closes). Strict version arithmetic (create + 2 epochs + alter +
+    * fill + 1 absorbed epoch = v5) plus a full mixed-provenance
+    * relational oracle: a clobbered note value, a dropped rename, or
+    * a rewritten untouched row breaks the hash. */
+  def lhStreamUpsertMid(s: SparkSession, dir: String): DataFrame =
+    lhStreamUpsertMidOp(s, dir, lhStreamUpsertMidBuild(s, dir))
+
+  private def lhStreamUpsertMidBuild(s: SparkSession,
+      dir: String): String = {
+    import s.implicits._
+    val base = Files.createTempDirectory("lh_stream_upsert_mid")
+    (0 until 2).foreach(stageOrdersSlice(s, dir, base.resolve("staged"), _))
+    // the post-evolution slice keeps the query's plan width (narrow —
+    // the stream does NOT learn the new columns): keys ≡1 update,
+    // keys ≡2 insert, re-priced
+    val tmp = Files.createTempDirectory("lh_sum_wide")
+    Tables.orders(s, dir).filter(pmod($"o_orderkey", lit(3)) =!= 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = listDir(tmp).map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted.head
+    val dest = base.resolve("staged2").resolve("02_slice.parquet")
+    Files.createDirectories(dest.getParent)
+    Files.move(Paths.get(part), dest)
+    dest.toFile.setLastModified(1030000L)
+    base.toString
+  }
+
+  private def lhStreamUpsertMidOp(s: SparkSession, dir: String,
+      baseStr: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val base = Paths.get(baseStr)
+    val t = base.resolve("t").toString
+    Files.createDirectories(base.resolve("in"))
+    val q = s.readStream.schema(Tables.orders(s, dir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(base.resolve("in").toString)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .option("upsertKeys", "o_orderkey")
+      .toTable(s"graft.`$t`")
+    try {
+      releaseSlice(base, 0); releaseSlice(base, 1)
+      q.processAllAvailable() // epochs 0, 1
+      require(latestManifest(t).get.version == 2,
+        s"expected create + 2 epoch upserts = v2")
+      // ANOTHER writer evolves the table while the query runs…
+      alterTable(s, t, renames = Map("o_orderpriority" -> "o_priority"),
+        adds = Seq(("o_note", StringType)))
+      // …and fills the new column for keys ≡0 (mod 5) via the batch
+      // partial upsert (only present keys — slices 0 and 1)
+      upsertMor(s, t, Tables.orders(s, dir)
+        .filter(pmod($"o_orderkey", lit(3)) =!= 2 &&
+          pmod($"o_orderkey", lit(5)) === 0)
+        .select($"o_orderkey",
+          concat(lit("n"), $"o_orderkey").as("o_note")),
+        Seq("o_orderkey"), preserveMissing = true)
+      // the RUNNING query's next epoch speaks the pre-alter schema
+      Files.move(base.resolve("staged2").resolve("02_slice.parquet"),
+        base.resolve("in").resolve("02_slice.parquet"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val m = latestManifest(t).get
+    require(m.version == 5,
+      s"expected create+2 epochs+alter+fill+1 absorbed epoch = v5, " +
+        s"got v${m.version}")
+    require(m.schemaOpt.exists(f => f.fieldNames.contains("o_priority") &&
+      f.fieldNames.contains("o_note")),
+      "the absorbed epoch must keep the evolved schema")
+    require(m.dvs.nonEmpty, "the absorbed epoch must stay merge-on-read")
+    s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice, o_priority, " +
+      s"o_note FROM graft.`$t`")
+  }
+
+  val lhStreamUpsertMidSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice
+      |       ELSE o_totalprice + 1000.0 END AS o_totalprice,
+      |  o_orderpriority AS o_priority,
+      |  CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 3 <> 2
+      |       THEN 'n' || CAST(o_orderkey AS VARCHAR) END AS o_note
+      |FROM orders""".stripMargin
+
   val lhSqlReadSql: String =
     s"""WITH b AS (SELECT (SELECT MAX(o_custkey) FROM orders) // 4 AS lo,
        |    (SELECT MAX(o_custkey) FROM orders) // 4 +
@@ -6991,6 +7167,11 @@ object CowTable {
     "lh_stream_upsert_evolve" -> ((s, d) =>
       (() => lhStreamUpsertEvolveBuild(s, d),
         t => lhStreamUpsertEvolveOp(s, d, t))),
+    "lh_stream_upsert_mid" -> ((s, d) =>
+      (() => lhStreamUpsertMidBuild(s, d),
+        t => lhStreamUpsertMidOp(s, d, t))),
+    "lh_upsert_partial" -> ((s, d) =>
+      (() => lhMergeBuild2(s, d), t => lhUpsertPartialOp(s, d, t))),
     "lh_stats_prune" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhStatsPruneOp(s, d, t))),
     "lh_sql_read" -> ((s, d) =>
@@ -7125,6 +7306,8 @@ object CowTable {
     "lh_stream_sink" -> lhStreamSink,
     "lh_stream_upsert" -> lhStreamUpsert,
     "lh_stream_upsert_evolve" -> lhStreamUpsertEvolve,
+    "lh_stream_upsert_mid" -> lhStreamUpsertMid,
+    "lh_upsert_partial" -> lhUpsertPartial,
     "lh_stream_part" -> lhStreamPart,
     "lh_time_travel" -> lhTimeTravel,
   )
@@ -7162,6 +7345,8 @@ object CowTable {
     "lh_stream_sink" -> lhStreamSinkSql,
     "lh_stream_upsert" -> lhStreamUpsertSql,
     "lh_stream_upsert_evolve" -> lhStreamUpsertEvolveSql,
+    "lh_stream_upsert_mid" -> lhStreamUpsertMidSql,
+    "lh_upsert_partial" -> lhUpsertPartialSql,
     "lh_stream_part" -> lhStreamPartSql,
     "lh_time_travel" -> lhTimeTravelSql,
   )

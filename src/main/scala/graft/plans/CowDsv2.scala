@@ -179,6 +179,50 @@ object CowDsv2 {
   def filtersToCondition(fs: Seq[Filter]): Option[SqlColumn] =
     fs.flatMap(filterToColumn(_)).reduceOption(_ && _)
 
+  /** Project a streaming epoch (staged at the query's FIXED plan
+    * schema) onto the table's CURRENT schema — the mid-run
+    * table-evolution absorption seam of the update-mode sink. For each
+    * staged column: same name → lossless up-cast to the current type;
+    * a current field whose prior-name chain contains it → rename
+    * forward (+ up-cast); a name on the table's dropped-tombstone set →
+    * REFUSE loudly (the table owner dropped a column this stream still
+    * produces — absorbing would silently discard its data; restart or
+    * stop the stream); anything else is a stream-side NEW column and
+    * passes through for the sink's `evolveSchema` path. Returns the
+    * aligned frame plus the upsert keys mapped through the same
+    * renames. */
+  private[plans] def alignEpochToTable(staged: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], current: StructType,
+      dropped: Set[String]): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val curByName = current.fields.map(f => f.name -> f).toMap
+    val renameTo: Map[String, String] = staged.columns.flatMap { c =>
+      if (curByName.contains(c)) None
+      else current.fields.find(f => CowTable.prevNamesOf(f).contains(c))
+        .map(f => c -> f.name)
+    }.toMap
+    staged.columns.foreach { c =>
+      require(!dropped.contains(c),
+        s"cow streaming upsert: the table dropped column $c mid-run " +
+          "while this stream still produces it — restart (or stop) the " +
+          "stream; absorbing the drop would silently discard its data")
+    }
+    val cols = staged.schema.fields.map { g =>
+      val name = renameTo.getOrElse(g.name, g.name)
+      curByName.get(name).map(_.dataType) match {
+        case Some(t) if t != g.dataType =>
+          require(org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(g.dataType, t),
+            s"cow streaming upsert: staged column ${g.name}: " +
+              s"${g.dataType.catalogString} does not up-cast to the " +
+              s"table's $name: ${t.catalogString} — restart the stream " +
+              "to absorb the evolution")
+          col(g.name).cast(t).as(name)
+        case _ => col(g.name).as(name)
+      }
+    }
+    (staged.select(cols.toSeq: _*), keys.map(k => renameTo.getOrElse(k, k)))
+  }
+
   /** The (column, table-field index, type) partition spec of the write
     * path, when EVERY partition column's type has a path encoding —
     * empty (tuple-less files, sound) otherwise. */
@@ -1190,21 +1234,40 @@ private[plans] class CowStreamingUpsertWrite(table: CowDsv2Table,
     * first epoch's `upsertMor(evolveSchema = true)` lands schema and
     * data in ONE delta commit — pre-evolution rows NULL-extend at read
     * through the manifest schema, nothing rewrites. The inverse race
-    * (the TABLE gained a column mid-run that this query's fixed plan
-    * cannot supply) refuses loudly inside the epoch upsert ("source
-    * must carry every table column") — documented restart semantics,
-    * never a silent drop. */
+    * (the TABLE evolved mid-run under another writer) is ABSORBED at
+    * the epoch boundary without a restart — see [[applyEpoch]]: rename
+    * forward, lossless up-cast, and preserve-not-clobber for columns
+    * this query's fixed plan cannot supply; only a mid-run DROP of a
+    * column the stream produces still refuses (restart semantics,
+    * never a silent discard). */
   override protected lazy val sinkSchema: StructType =
     CowTable.evolvedSinkSchema("streaming upsert", table.dataSchema,
       StructType(writeSchema.fields.filterNot(f =>
         CowDsv2.metaColumns.exists(_.name == f.name))),
       table.manifest.droppedNames)
 
+  /** MID-RUN table evolution is ABSORBED at the epoch boundary (was: a
+    * loud per-epoch refusal + restart): every epoch re-resolves the
+    * table's CURRENT schema and projects its staged rows onto it —
+    * renamed columns map forward through their prior-name chains,
+    * widened columns up-cast (lossless by the alter contract), and a
+    * column the table gained that this query's fixed plan cannot
+    * supply rides `upsertMor(preserveMissing = true)`: matched rows
+    * KEEP the value another writer filled (a full-row postimage would
+    * NULL-clobber it), inserts NULL-extend. The one shape that still
+    * refuses loudly is a mid-run DROP of a column this stream
+    * produces — absorbing would silently discard its data. */
   override protected def applyEpoch(added: Seq[String]): Unit =
     if (added.nonEmpty) {
       val staged = spark.read.schema(sinkSchema).parquet(added: _*)
-      CowTable.upsertMor(spark, table.tablePath, staged, keys,
-        evolveSchema = true)
+      val cur = CowTable.latestManifest(table.tablePath)
+      val (aligned, alignedKeys) = cur.flatMap(_.schemaOpt) match {
+        case Some(curSchema) => CowDsv2.alignEpochToTable(staged, keys,
+          curSchema, cur.map(_.droppedNames).getOrElse(Set.empty))
+        case None => (staged, keys)
+      }
+      CowTable.upsertMor(spark, table.tablePath, aligned, alignedKeys,
+        evolveSchema = true, preserveMissing = true)
       ()
     }
 }

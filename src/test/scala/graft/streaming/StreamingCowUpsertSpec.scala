@@ -131,4 +131,137 @@ class StreamingCowUpsertSpec extends AnyFunSuite {
       Option(e.getCause).map(_.getMessage).getOrElse("")
     assert(msg.toLowerCase.contains("update"), s"unexpected error: $e")
   }
+
+  test("partial-column upsert preserves absent columns on matches and " +
+      "NULL-extends inserts; absent columns on a rename resolve forward") {
+    val t = freshDir().resolve("t").toString
+    CowTable.init(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "name", "v").repartition(1), t)
+    CowTable.upsertMor(spark, t,
+      Seq((2L, 25.0), (3L, 30.0)).toDF("id", "v"), Seq("id"),
+      preserveMissing = true)
+    val got = CowTable.read(spark, t).as[(Long, String, Double)]
+      .collect().toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "b", 25.0), (3L, null, 30.0)),
+      s"got $got")
+    // without the flag the old contract still refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      CowTable.upsertMor(spark, t, Seq((2L, 9.9)).toDF("id", "v"),
+        Seq("id"))
+    }
+    assert(e.getMessage.contains("every table column"))
+    // preserve THROUGH a rename: the absent column's current name is
+    // post-rename, its values live in pre-rename files — rawScan's
+    // prior-name coalesce must feed the preserved postimage
+    CowTable.alterTable(spark, t, renames = Map("name" -> "label"))
+    CowTable.upsertMor(spark, t,
+      Seq((2L, 26.0)).toDF("id", "v"), Seq("id"),
+      preserveMissing = true)
+    val after = CowTable.read(spark, t).select("id", "label", "v")
+      .as[(Long, String, Double)].collect().toSet
+    assert(after == Set((1L, "a", 10.0), (2L, "b", 26.0),
+      (3L, null, 30.0)), s"after rename: $after")
+  }
+
+  test("partial-upsert replay is content-idempotent: preserved values " +
+      "reproduce from the first run's own postimages") {
+    val t = freshDir().resolve("t").toString
+    CowTable.init(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "name", "v").repartition(1), t)
+    val src = Seq((2L, 25.0)).toDF("id", "v")
+    CowTable.upsertMor(spark, t, src, Seq("id"), preserveMissing = true)
+    val once = CowTable.read(spark, t).as[(Long, String, Double)]
+      .collect().toSet
+    CowTable.upsertMor(spark, t, src, Seq("id"), preserveMissing = true)
+    val twice = CowTable.read(spark, t).as[(Long, String, Double)]
+      .collect().toSet
+    assert(once == twice && once.contains((2L, "b", 25.0)))
+  }
+
+  test("mid-run table evolution absorbs at the epoch boundary: rename " +
+      "maps forward, filled column preserved, no restart") {
+    import org.apache.spark.sql.types.StringType
+    spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val base = freshDir()
+    val t = base.resolve("t").toString
+    val src = base.resolve("in")
+    java.nio.file.Files.createDirectories(src)
+    def slice(i: Int, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"sm_$i")
+      rows.toDF("k", "x").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.head
+      val dest = src.resolve(f"0${i}_s.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+      dest.toFile.setLastModified(1000000L + i * 10000L)
+      ()
+    }
+    slice(0, Seq((1L, 10L), (2L, 20L)))
+    val q = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("x", "long"))
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .option("upsertKeys", "k")
+      .toTable(s"graft.`$t`")
+    try {
+      q.processAllAvailable() // epoch 0: insert k=1, k=2
+      // another writer renames x -> y, adds note, and fills it for k=1
+      CowTable.alterTable(spark, t, renames = Map("x" -> "y"),
+        adds = Seq(("note", StringType)))
+      CowTable.upsertMor(spark, t, Seq((1L, "keep")).toDF("k", "note"),
+        Seq("k"), preserveMissing = true)
+      // the RUNNING stream's next epoch speaks (k, x): x maps to y,
+      // k=1's note must survive its update, k=3 inserts with NULL note
+      slice(1, Seq((1L, 11L), (3L, 30L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = CowTable.read(spark, t).select("k", "y", "note")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 11L, "keep"), (2L, 20L, null),
+      (3L, 30L, null)), s"got $got")
+  }
+
+  test("a mid-run DROP of a column the stream produces still refuses " +
+      "loudly instead of silently discarding its data") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val base = freshDir()
+    val t = base.resolve("t").toString
+    val src = base.resolve("in")
+    java.nio.file.Files.createDirectories(src)
+    def slice(i: Int, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"sd_$i")
+      rows.toDF("k", "x").coalesce(1).write.mode("overwrite")
+        .parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.head
+      val dest = src.resolve(f"0${i}_s.parquet")
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), dest)
+      dest.toFile.setLastModified(1000000L + i * 10000L)
+      ()
+    }
+    slice(0, Seq((1L, 10L)))
+    val q = spark.readStream
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("k", "long").add("x", "long"))
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .option("upsertKeys", "k")
+      .toTable(s"graft.`$t`")
+    val e = intercept[Exception] {
+      try {
+        q.processAllAvailable()
+        CowTable.alterTable(spark, t, drops = Seq("x"))
+        slice(1, Seq((2L, 20L)))
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("dropped column x mid-run") ||
+      msg.contains("restart"), s"unexpected error: $e")
+  }
 }
