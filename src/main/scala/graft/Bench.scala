@@ -168,7 +168,12 @@ object Bench {
     // files match discovery already bounded) and MID-RUN table
     // evolution absorbed by the update-mode streaming sink without a
     // restart (rename-forward + preserve-not-clobber per epoch)
-    "lh_upsert_partial", "lh_stream_upsert_mid")
+    "lh_upsert_partial", "lh_stream_upsert_mid",
+    // round 18 (late): hi-card drift ACROSS LAKEHOUSE VERSIONS — time
+    // travel pins the reference side, the ingest between the versions
+    // is two partial-column upserts, the report is the bounded-state
+    // sketch flavor (KLL + CMS/MG, one aggregate per side)
+    "dq_drift_sketch_cow")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the
@@ -188,6 +193,8 @@ object Bench {
     "q33_theta_sketch" -> ((s, d) => graft.operators.Advanced.q33ThetaRaw(s, d)),
     "dq_drift_sketch" -> ((s, d) =>
       graft.operators.DataQuality.dqDriftSketchRaw(s, d)),
+    "dq_drift_sketch_cow" -> ((s, d) =>
+      graft.operators.DataQuality.dqDriftSketchCowRaw(s, d)),
     "q34_kll_quantile" -> ((s, d) => graft.operators.Advanced.q34KllRaw(s, d)),
     "dd_simhash_pairs" -> ((s, d) => graft.operators.Dedup.ddSimhashPairs(s, d)),
     "ss_knn_ivf" -> ((s, d) =>

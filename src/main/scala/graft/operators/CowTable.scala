@@ -1057,18 +1057,36 @@ object CowTable {
     *    it restarts, and a mid-stream WIDEN refuses loudly (the
     *    down-cast would be lossy — restarting absorbs the new type).
     *
+    * `failOnNewColumns` opts a STRICT consumer out of the
+    * added-column-invisible default: a slice column no target field
+    * consumes (the table gained it after the stream started) refuses
+    * loudly instead of being silently dropped — the consumer notices
+    * schema growth and restarts to absorb it, rather than replicating
+    * a table while missing a column it never declared.
+    *
     * `_change_type` passes through; metadata columns are excluded from
     * the mapping. */
   private[graft] def alignFeedSlice(df: DataFrame,
-      feedSchema: StructType): DataFrame = {
+      feedSchema: StructType,
+      failOnNewColumns: Boolean = false): DataFrame = {
     val meta = Set("_change_type", "_commit_version")
     val target = feedSchema.fields.filterNot(f => meta.contains(f.name))
     val sliceFields = df.schema.fields.filterNot(f => meta.contains(f.name))
-    val cols = target.map { f =>
-      val src = sliceFields.find(_.name == f.name)
+    val srcFor = target.map(f => f ->
+      sliceFields.find(_.name == f.name)
         .orElse(prevNamesOf(f).reverse.collectFirst(
           Function.unlift(n => sliceFields.find(_.name == n))))
-        .orElse(sliceFields.find(g => prevNamesOf(g).contains(f.name)))
+        .orElse(sliceFields.find(g => prevNamesOf(g).contains(f.name))))
+    if (failOnNewColumns) {
+      val consumed = srcFor.flatMap(_._2).map(_.name).toSet
+      val unconsumed = sliceFields.map(_.name).filterNot(consumed)
+      require(unconsumed.isEmpty,
+        s"cow feed: the table gained column(s) ${unconsumed.mkString(", ")} " +
+          "after this stream started and failOnNewColumns is set — " +
+          "restart the stream to absorb the evolution (or drop the " +
+          "option to keep replicating the declared columns only)")
+    }
+    val cols = srcFor.map { case (f, src) =>
       src match {
         case None => lit(null).cast(f.dataType).as(f.name)
         case Some(g) =>

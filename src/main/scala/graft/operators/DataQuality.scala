@@ -523,11 +523,101 @@ object DataQuality {
       |UNION ALL SELECT 'c', 'cms', n, n, TRUE, TRUE FROM n
       |UNION ALL SELECT 'c_ctl', 'cms', n, n, FALSE, TRUE FROM n""".stripMargin
 
+  /** The versioned fixture for the sketch-drift-over-versions gate:
+    * hi-card columns shaped like [[driftSketchSides]]'s land in a CoW
+    * table at v0 (the pinned baseline — no copy of the reference data
+    * ever made), and the ingest between the versions is TWO PARTIAL-COLUMN
+    * upserts ([[CowTable.upsertMor]] `preserveMissing`): one carries
+    * only (id, v) and shifts a third of the numeric mass out of the
+    * support, the other only (id, c) and collapses a fifth of the
+    * categorical mass onto one hot value. Keys hit by BOTH (id ≡ 0
+    * mod 15) exercise preserve-over-postimage ordering: the second
+    * upsert must keep the FIRST upsert's shifted `v`, newest live row
+    * winning — a stale-preimage bug would break the exact envelope. */
+  private def driftSketchCowTable(s: SparkSession, dir: String): String = {
+    val table =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+        java.util.UUID.randomUUID().toString.take(8)
+    // keyed on o_orderkey — the driver's orders keys are dense AND
+    // unique (lineitem's (orderkey, linenumber) pairs are NOT, and an
+    // upsert source must be duplicate-free); the derived columns keep
+    // [[driftSketchSides]]'s shape at orders cardinality
+    val id = col("o_orderkey")
+    val base = Tables.orders(s, dir).select(
+      id.as("id"),
+      id.cast("double").as("v"),
+      pmod(id, lit(1000)).cast("double").as("v_ctl"),
+      concat(lit("u"), pmod(id, lit(99991)).cast("string")).as("c"),
+      pmod(id, lit(37)).cast("string").as("c_ctl"))
+    CowTable.init(base, table)
+    CowTable.upsertMor(s, table,
+      base.filter(pmod(col("id"), lit(3)) === 0)
+        .select(col("id"), (col("v") + 100000000.0).as("v")),
+      Seq("id"), preserveMissing = true)
+    CowTable.upsertMor(s, table,
+      base.filter(pmod(col("id"), lit(5)) === 0)
+        .select(col("id"), lit("HOT").as("c")),
+      Seq("id"), preserveMissing = true)
+    table
+  }
+
+  /** Gate: SKETCH drift ACROSS LAKEHOUSE VERSIONS — the hi-card twin
+    * of [[dqDriftCow]] and the versioned twin of [[dqDriftSketch]]:
+    * `VERSION AS OF` time travel pins the reference side to the v0
+    * manifest of ONE table, the current side reads the head after two
+    * partial-column ingests, and the drift report is the
+    * bounded-state [[driftReportSketched]] (one sketch aggregate per
+    * side — works at 10⁸-distinct support where the exact report's
+    * by-value histogram would not). The estimate is pinned in-gate
+    * against the exact by-value TV (affordable at gate SF):
+    * `envelope_ok ⟺ |tv_est − tv_exact| ≤ 0.05`. */
+  def dqDriftSketchCow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = driftSketchCowTable(s, dir)
+    val cur = CowTable.read(s, table)
+    val ref = CowTable.readVersion(s, table, 0)
+    val rep = driftReportSketched(cur, ref, Seq(
+      KllDrift("v"), KllDrift("v_ctl"), CmsDrift("c"), CmsDrift("c_ctl")))
+      .collect()
+    val exact = driftReport(cur, ref,
+      Seq("v", "v_ctl", "c", "c_ctl").map(c => CatDrift(c): DriftSpec))
+      .collect().map { r =>
+        val dist = r.getDecimal(3).doubleValue()
+        r.getString(0).stripPrefix("cat:") ->
+          dist / (2.0 * r.getLong(1) * r.getLong(2))
+      }.toMap
+    rep.map { r =>
+      val tvExact = exact(r.getString(0))
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(5), math.abs(r.getDouble(4) - tvExact) <= 0.05)
+    }.toSeq
+      .toDF("column", "kind", "n_ref", "n_cur", "drifted", "envelope_ok")
+  }
+
+  /** The production form — sketches over the two version reads only,
+    * no exact-TV recomputation (the bench times this one). */
+  def dqDriftSketchCowRaw(s: SparkSession, dir: String): DataFrame = {
+    val table = driftSketchCowTable(s, dir)
+    driftReportSketched(
+      CowTable.read(s, table), CowTable.readVersion(s, table, 0),
+      Seq(KllDrift("v"), KllDrift("v_ctl"),
+        CmsDrift("c"), CmsDrift("c_ctl")))
+  }
+
+  val dqDriftSketchCowSql: String =
+    """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+      |SELECT 'v' AS "column", 'kll' AS kind, n AS n_ref, n AS n_cur,
+      |  TRUE AS drifted, TRUE AS envelope_ok FROM n
+      |UNION ALL SELECT 'v_ctl', 'kll', n, n, FALSE, TRUE FROM n
+      |UNION ALL SELECT 'c', 'cms', n, n, TRUE, TRUE FROM n
+      |UNION ALL SELECT 'c_ctl', 'cms', n, n, FALSE, TRUE FROM n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_audit" -> dqAudit,
     "dq_drift" -> dqDrift,
     "dq_drift_cow" -> dqDriftCow,
     "dq_drift_sketch" -> dqDriftSketch,
+    "dq_drift_sketch_cow" -> dqDriftSketchCow,
   )
 
   val oracles: Map[String, String] = Map(
@@ -535,5 +625,6 @@ object DataQuality {
     "dq_drift" -> dqDriftSql,
     "dq_drift_cow" -> dqDriftCowSql,
     "dq_drift_sketch" -> dqDriftSketchSql,
+    "dq_drift_sketch_cow" -> dqDriftSketchCowSql,
   )
 }

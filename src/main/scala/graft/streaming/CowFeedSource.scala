@@ -26,6 +26,9 @@ import graft.operators.CowTable
   *     .option("table", "/path/to/cow")
   *     .option("keys", "id")           // unique key, the CDF contract
   *     .option("startingVersion", "0") // feed covers (v, latest]
+  *     .option("failOnNewColumns", "true") // optional strict mode: a
+  *       // column the table gains after the stream starts REFUSES
+  *       // (instead of staying invisible until a restart)
   *     .load()
   * }}}
   *
@@ -95,8 +98,10 @@ private[streaming] class CowFeedScan(tableSchema: StructType,
     val startV = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
     val maxV = Option(options.get("maxVersionsPerBatch")).map(_.toInt)
       .getOrElse(0)
+    val strict = Option(options.get("failOnNewColumns"))
+      .exists(_.toBoolean)
     new CowFeedStream(options.get("table"), keys, tableSchema,
-      checkpointLocation, startV, maxV)
+      checkpointLocation, startV, maxV, strict)
   }
 }
 
@@ -125,7 +130,7 @@ private[streaming] class CowSliceReaderFactory(
 
 private[streaming] class CowFeedStream(table: String, keys: Seq[String],
     schema: StructType, checkpointLocation: String, startV: Int,
-    maxVersionsPerBatch: Int = 0)
+    maxVersionsPerBatch: Int = 0, failOnNewColumns: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -186,9 +191,11 @@ private[streaming] class CowFeedStream(table: String, keys: Seq[String],
       // alignFeedSlice projects the slice (which speaks version ev's
       // schema) onto the STREAM's schema — the replay-across-an-
       // evolution seam: pre-evolution slices rename forward and
-      // NULL-extend to the evolved schema
+      // NULL-extend to the evolved schema; with failOnNewColumns a
+      // post-start added column refuses instead of staying invisible
       CowTable.alignFeedSlice(
-          CowTable.tableChanges(spark, table, sv, ev, keys), schema)
+          CowTable.tableChanges(spark, table, sv, ev, keys), schema,
+          failOnNewColumns)
         .withColumn("_commit_version", lit(ev.toLong))
         .select(schema.fieldNames.map(col): _*)
         .write.mode("overwrite").parquet(dir.toString)

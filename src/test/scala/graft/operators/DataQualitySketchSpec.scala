@@ -66,6 +66,37 @@ class DataQualitySketchSpec extends AnyFunSuite {
     rep.foreach(r => assert(r.getLong(3) == 0L)) // n_cur = 0
   }
 
+  test("versioned sketch drift: time travel pins the reference, two " +
+      "partial-column upserts plant the drift, doubly-hit keys compose") {
+    val t = s"${System.getProperty("java.io.tmpdir")}/graft_cow/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val b = base(30000).select($"id", $"v", $"c")
+    CowTable.init(b, t)
+    CowTable.upsertMor(spark, t,
+      b.filter(pmod($"id", lit(3)) === 0)
+        .select($"id", ($"v" + 1.0e7).as("v")),
+      Seq("id"), preserveMissing = true)
+    CowTable.upsertMor(spark, t,
+      b.filter(pmod($"id", lit(5)) === 0)
+        .select($"id", lit("HOT").as("c")),
+      Seq("id"), preserveMissing = true)
+    val rep = DataQuality.driftReportSketched(
+      CowTable.read(spark, t), CowTable.readVersion(spark, t, 0),
+      Seq(DataQuality.KllDrift("v"), DataQuality.CmsDrift("c")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(math.abs(rep("v")._1 - 1.0 / 3.0) <= 0.05 && rep("v")._2)
+    assert(math.abs(rep("c")._1 - 0.2) <= 0.05 && rep("c")._2)
+    // a key both upserts touched (id ≡ 0 mod 15) must carry the FIRST
+    // upsert's shifted v THROUGH the second partial upsert — preserve
+    // reads the newest live postimage, not the base preimage
+    val both = CowTable.read(spark, t)
+      .filter(pmod($"id", lit(15)) === 0 && $"id" > 0)
+      .select($"v" > 1.0e6, $"c" === "HOT").collect()
+    assert(both.nonEmpty &&
+      both.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
+
   test("KLL cdf is monotone and hits the endpoints") {
     val st = new graft.functions.KllState(200)
     (1 to 10000).foreach(i => st.insert(i.toDouble))

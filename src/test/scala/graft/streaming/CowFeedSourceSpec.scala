@@ -208,4 +208,74 @@ class CowFeedSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("restart the stream"))
   }
+
+  test("failOnNewColumns: a post-start added column refuses instead of " +
+      "staying invisible; a renamed column still aligns silently") {
+    import org.apache.spark.sql.types._
+    val chain = new MetadataBuilder()
+      .putStringArray(CowTable.PrevNamesKey, Array("name")).build()
+    val sliceSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("label", StringType, nullable = true, chain),
+      StructField("added_later", StringType),
+      StructField("_change_type", StringType)))
+    val slice = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(7L, "seven", "x", "insert")), sliceSchema)
+    val streamSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+    // default: silently invisible (pinned by the previous test); strict:
+    // loud refusal naming the column
+    val e = intercept[IllegalArgumentException] {
+      CowTable.alignFeedSlice(slice, streamSchema, failOnNewColumns = true)
+    }
+    assert(e.getMessage.contains("added_later") &&
+      e.getMessage.contains("failOnNewColumns"))
+    // a RENAME is consumed through the prior-name chain — strict mode
+    // only fires on truly-unconsumed (added) columns
+    val renamedOnly = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(7L, "seven", "insert")),
+      StructType(Seq(StructField("id", LongType),
+        StructField("label", StringType, nullable = true, chain),
+        StructField("_change_type", StringType))))
+    val ok = CowTable.alignFeedSlice(renamedOnly, streamSchema,
+      failOnNewColumns = true).collect()
+    assert(ok.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "seven")))
+  }
+
+  test("failOnNewColumns end-to-end: a mid-stream ADD fails the query " +
+      "with the restart diagnosis") {
+    val t = fresh("strict")
+    CowTable.init((0L until 10L).map(i => (i, i * 2L)).toDF("id", "w")
+      .repartition(1), t)
+    val q = spark.readStream.format("graft.streaming.CowFeedProvider")
+      .option("table", t).option("keys", "id")
+      .option("failOnNewColumns", "true").load()
+      .writeStream.format("memory").queryName("cow_feed_strict")
+      .option("checkpointLocation", fresh("ckpt_strict")).start()
+    try {
+      q.processAllAvailable()
+      // pre-evolution changes flow
+      CowTable.mergeInto(spark, t, Seq((3L, 99L)).toDF("id", "w"),
+        Seq("id"))
+      q.processAllAvailable()
+      assert(spark.table("cow_feed_strict").count() == 2)
+      // the table gains a column the running stream never declared…
+      import org.apache.spark.sql.types.StringType
+      CowTable.alterTable(spark, t, adds = Seq(("note", StringType)))
+      CowTable.mergeInto(spark, t, Seq((4L, 8L, "n4"))
+        .toDF("id", "w", "note"), Seq("id"))
+      // …and the strict stream refuses instead of silently dropping it
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def msgs(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(t =>
+          Option(t.getMessage).toSeq ++ msgs(t.getCause))
+      assert((msgs(e) ++ Option(q.exception.orNull).toSeq.flatMap(msgs))
+        .exists(m => m.contains("failOnNewColumns") && m.contains("note")))
+    } finally q.stop()
+  }
 }
