@@ -173,7 +173,12 @@ object Bench {
     // travel pins the reference side, the ingest between the versions
     // is two partial-column upserts, the report is the bounded-state
     // sketch flavor (KLL + CMS/MG, one aggregate per side)
-    "dq_drift_sketch_cow")
+    "dq_drift_sketch_cow",
+    // round 18 (late): SQL-path COUNT(*) through DSv2 aggregate
+    // pushdown — the bare count plans a one-row LocalTableScan proven
+    // from entry row counts minus live DV runs; a filtered count is
+    // pinned OFF the metadata path
+    "lh_count_push")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

@@ -2167,6 +2167,40 @@ object CowTable {
   def countWhere(spark: SparkSession, table: String, cond: Column): Long =
     countWhereDetailed(spark, table, cond).total
 
+  /** Exact live row count of a snapshot from METADATA alone: the sum
+    * of the data entries' recorded row counts minus their deletion-
+    * vector run lengths — the unfiltered special case of
+    * [[countWhereDetailed]], shaped for the DSv2 aggregate-pushdown
+    * seam ([[graft.plans.CowDsv2]]): one columnar aggregate over the
+    * entries sidecar (+ the delta-sized DV runs), a 1-row `head()`,
+    * no data file opened and nothing per-file on the driver. `None`
+    * when the count cannot be PROVEN from metadata — no entries
+    * sidecar (legacy manifests), or any data entry without a recorded
+    * row count — so a caller falls back to scanning rather than ever
+    * serving a guess. */
+  private[graft] def metadataRowCount(spark: SparkSession, table: String,
+      m: Manifest): Option[Long] = {
+    if (!m.dataNonEmpty) return Some(0L)
+    if (m.entriesRel.isEmpty) return None
+    val data = entriesDF(spark, table, m).filter(col("kind") === "data")
+    // DV fp keys may reference REPLACED files (carried inert) — the
+    // left join keys deletions to LIVE data entries only, mirroring
+    // every other DV consumer
+    val dvAdj =
+      if (m.dvs.isEmpty) data.withColumn("__dv", lit(0L))
+      else data.join(
+        dvRuns(spark, m.dvs).groupBy(col("fp").as("__dvp"))
+          .agg(sum(col("len")).as("__dv")),
+        normalizeSql(col("path")) === col("__dvp"), "left")
+        .withColumn("__dv", coalesce(col("__dv"), lit(0L)))
+    val r = dvAdj.agg(
+      sum(when(col("numRows").isNull || col("numRows") < 0L, 1L)
+        .otherwise(0L)).as("unproven"),
+      sum(col("numRows") - col("__dv")).as("live")).head()
+    if (r.isNullAt(0) || r.getLong(0) > 0L) None
+    else Some(if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   /** File classes behind [[minWhere]]/[[maxWhere]]. `metaFiles`
     * answered from stats alone; `scannedFiles` were read;
     * `boundSkippedFiles` were kept by the predicate but provably cannot
@@ -6649,6 +6683,62 @@ object CowTable {
        |  CAST((SELECT COUNT(*) FROM cls WHERE mn >= 0) AS BIGINT)
        |    AS all_full_files""".stripMargin
 
+  /** Gate: the SQL-path `COUNT(*)` answered from METADATA through
+    * DSv2 aggregate pushdown — `SELECT COUNT(*) FROM graft.t` plans a
+    * one-row LocalTableScan ([[graft.plans.CowCountLocalScan]]), no
+    * file read, with the count proven from entry row counts minus
+    * live DV runs ([[metadataRowCount]]). The fixture stacks a DV
+    * delete AND a partial-column insert batch on the base so both
+    * adjustments are live; the gate REQUIRES the metadata plan shape
+    * for the bare count and the scan plan shape for a filtered count
+    * (the guard: a residual filter must never reach the metadata
+    * path), then emits both counts for the relational oracle. */
+  def lhCountPush(s: SparkSession, dir: String): DataFrame =
+    lhCountPushOp(s, dir, lhCountPushBuild(s, dir))
+
+  private def lhCountPushBuild(s: SparkSession, dir: String): String = {
+    val table = freshGateTable()
+    init(Tables.orders(s, dir), table)                             // v0
+    deleteWhere(s, table, pmod(col("o_orderkey"), lit(7)) === 3)   // v1
+    upsertMor(s, table, Tables.orders(s, dir)                      // v2
+        .filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select((col("o_orderkey") + 1000000000L).as("o_orderkey")),
+      Seq("o_orderkey"), preserveMissing = true)
+    table
+  }
+
+  private def lhCountPushOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    val m = latestManifest(table).get
+    require(m.version == 2 && m.dvs.nonEmpty,
+      "fixture must carry live DV runs under the pushed count")
+    val pushedDf = s.sql(s"SELECT COUNT(*) AS cnt FROM graft.`$table`")
+    val plan = pushedDf.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"bare COUNT(*) must plan metadata-only; got:\n$plan")
+    val filteredDf = s.sql(s"SELECT COUNT(*) AS cnt FROM graft.`$table` " +
+      "WHERE o_orderkey % 2 = 0")
+    val fPlan = filteredDf.queryExecution.executedPlan.toString
+    require(!fPlan.contains("LocalTableScan"),
+      s"a FILTERED count must scan, never the metadata path; got:\n$fPlan")
+    Seq((pushedDf.head().getLong(0), filteredDf.head().getLong(0), true))
+      .toDF("cnt", "cnt_filtered", "meta_only")
+  }
+
+  val lhCountPushSql: String =
+    """SELECT
+      |  CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 3)
+      |    + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0)
+      |    AS BIGINT) AS cnt,
+      |  CAST((SELECT COUNT(*) FROM orders
+      |      WHERE o_orderkey % 7 <> 3 AND o_orderkey % 2 = 0)
+      |    + (SELECT COUNT(*) FROM orders
+      |      WHERE o_orderkey % 5 = 0 AND o_orderkey % 2 = 0)
+      |    AS BIGINT) AS cnt_filtered,
+      |  TRUE AS meta_only""".stripMargin
+
   /** Files per partition for the partition-pruning gate (NTILE within
     * each o_orderstatus partition, reproducible in DuckDB). */
   val PartPruneFiles = 8
@@ -7216,6 +7306,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhMaintainOp(s, d, t))),
     "lh_skip_rule" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
+    "lh_count_push" -> ((s, d) =>
+      (() => lhCountPushBuild(s, d), t => lhCountPushOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhCountMetaOp(s, d, t))),
     "lh_minmax_meta" -> ((s, d) =>
@@ -7304,6 +7396,7 @@ object CowTable {
     "lh_maintain_conc" -> lhMaintainConc,
     "lh_feed_part" -> lhFeedPart,
     "lh_count_meta" -> lhCountMeta,
+    "lh_count_push" -> lhCountPush,
     "lh_minmax_meta" -> lhMinMaxMeta,
     "lh_bloom_prune" -> lhBloomPrune,
     "lh_spj_join" -> lhSpjJoin,
@@ -7343,6 +7436,7 @@ object CowTable {
     "lh_maintain_conc" -> lhMaintainConcSql,
     "lh_feed_part" -> lhFeedPartSql,
     "lh_count_meta" -> lhCountMetaSql,
+    "lh_count_push" -> lhCountPushSql,
     "lh_minmax_meta" -> lhMinMaxMetaSql,
     "lh_bloom_prune" -> lhBloomPruneSql,
     "lh_spj_join" -> lhSpjJoinSql,

@@ -396,13 +396,24 @@ class CowDsv2Table(val tablePath: String, versionOpt: Option[Int] = None)
 
 /** Filters prune FILES only (all are returned as residual — row
   * semantics never depend on stats soundness); column pruning reaches
-  * the parquet reader. */
+  * the parquet reader. An unfiltered ungrouped `COUNT(*)` pushes down
+  * COMPLETELY as metadata ([[CowTable.metadataRowCount]]): the scan
+  * collapses to a one-row [[CowCountLocalScan]] — the SQL-path twin of
+  * `countWhere`'s interior arithmetic, and on a 100 TB table the
+  * difference between a sidecar aggregate and a full corpus scan.
+  * Safety: Spark only attempts aggregate pushdown when NO post-scan
+  * filter remains, and this builder returns every filter as residual —
+  * so a filtered count can never reach the metadata path; row-level
+  * operation scans (`owner` present) and unprovable manifests (any
+  * entry without a recorded row count) refuse and scan normally. */
 private[plans] class CowScanBuilder(table: CowDsv2Table,
     owner: Option[CowRowLevelOperation]) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = table.dataSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedCount: Option[Long] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => CowDsv2.filterToColumn(f).isDefined)
@@ -413,11 +424,51 @@ private[plans] class CowScanBuilder(table: CowDsv2Table,
 
   override def pruneColumns(s: StructType): Unit = required = s
 
-  override def build(): Scan = {
-    val scan = new CowBatchScan(table, required, pushed)
-    owner.foreach(_.adopt(scan))
-    scan
+  private def countStarOnly(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    owner.isEmpty && pushed.isEmpty &&
+      agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  /** Memoized: the builder may be probed more than once during
+    * planning; the sidecar aggregate runs at most once per scan. */
+  private lazy val metaCount: Option[Long] =
+    CowTable.metadataRowCount(SparkSession.active, table.tablePath,
+      table.manifest)
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = countStarOnly(agg) && metaCount.isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = countStarOnly(agg) && metaCount.isDefined && {
+    pushedCount = metaCount
+    true
   }
+
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new CowCountLocalScan(n)
+    case None =>
+      val scan = new CowBatchScan(table, required, pushed)
+      owner.foreach(_.adopt(scan))
+      scan
+  }
+}
+
+/** The completely-pushed COUNT(*): one driver-local row holding the
+  * metadata-proven live count — planned as a LocalTableScan, no file
+  * read, no job. */
+private[plans] class CowCountLocalScan(n: Long)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
+  override def rows(): Array[InternalRow] =
+    Array(new GenericInternalRow(Array[Any](n)))
+  override def description(): String = s"cow_meta_count($n)"
 }
 
 private[plans] case class CowInputPartition(path: String, bytes: Long,
