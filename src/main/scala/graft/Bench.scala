@@ -174,11 +174,12 @@ object Bench {
     // is two partial-column upserts, the report is the bounded-state
     // sketch flavor (KLL + CMS/MG, one aggregate per side)
     "dq_drift_sketch_cow",
-    // round 18 (late): SQL-path COUNT(*) through DSv2 aggregate
-    // pushdown — the bare count plans a one-row LocalTableScan proven
-    // from entry row counts minus live DV runs; a filtered count is
-    // pinned OFF the metadata path
-    "lh_count_push")
+    // round 18 (late): SQL-path COUNT(*) / MIN / MAX through DSv2
+    // complete aggregate pushdown — the bare aggregates plan a one-row
+    // LocalTableScan proven from sidecar row counts minus live DV runs
+    // (COUNT) and full-file stats with DV'd files read by a bounded
+    // planning job (MIN/MAX); filtered twins pinned OFF the path
+    "lh_count_push", "lh_minmax_push")
 
   /** Production (raw) forms for names whose GATE entry is an accuracy
     * ENVELOPE: the gate form recomputes the exact answer alongside the

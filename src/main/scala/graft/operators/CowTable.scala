@@ -2201,6 +2201,13 @@ object CowTable {
     else Some(if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
+  /** Columns with per-file min/max stats in this manifest's schema —
+    * the set the DSv2 aggregate pushdown may answer MIN/MAX for
+    * (stats-eligible types, first-[[MaxStatsCols]] rule). */
+  private[graft] def statsCoveredColumns(m: Manifest): Set[String] =
+    m.schemaOpt.map(s => statsSchemaFor(s).fieldNames.toSet)
+      .getOrElse(Set.empty)
+
   /** File classes behind [[minWhere]]/[[maxWhere]]. `metaFiles`
     * answered from stats alone; `scannedFiles` were read;
     * `boundSkippedFiles` were kept by the predicate but provably cannot
@@ -6739,6 +6746,50 @@ object CowTable {
       |    AS BIGINT) AS cnt_filtered,
       |  TRUE AS meta_only""".stripMargin
 
+  /** Gate: SQL-path MIN/MAX/COUNT answered from metadata through the
+    * same DSv2 complete aggregate pushdown ([[lhCountPush]]'s seam,
+    * generalized) — one statement carrying all three collapses to a
+    * one-row LocalTableScan. The fixture is the stats-prune build
+    * (custkey-clustered NTILE files + a DV delete), so the MIN/MAX
+    * candidates come from full DV-free files' stats while the DV'd
+    * files are read by the bounded planning job — the values stay
+    * row-exact under deletes either way, which is exactly what the
+    * relational oracle checks. The filtered twin is pinned OFF the
+    * metadata path. */
+  def lhMinmaxPush(s: SparkSession, dir: String): DataFrame =
+    lhMinmaxPushOp(s, dir, lhStatsPruneBuild(s, dir))
+
+  private def lhMinmaxPushOp(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
+    require(latestManifest(table).exists(_.dvs.nonEmpty),
+      "fixture must carry live DV runs under the pushed extrema")
+    val pushedDf = s.sql("SELECT MIN(o_custkey) AS mn, " +
+      s"MAX(o_custkey) AS mx, COUNT(*) AS cnt FROM graft.`$table`")
+    val plan = pushedDf.queryExecution.executedPlan.toString
+    require(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"bare MIN/MAX/COUNT must plan metadata-only; got:\n$plan")
+    val fPlan = s.sql("SELECT MIN(o_custkey) AS mn FROM " +
+      s"graft.`$table` WHERE o_orderkey % 2 = 0")
+      .queryExecution.executedPlan.toString
+    require(!fPlan.contains("LocalTableScan"),
+      s"a FILTERED extremum must scan, never the metadata path; got:\n$fPlan")
+    val r = pushedDf.head()
+    Seq((r.getLong(0), r.getLong(1), r.getLong(2), true))
+      .toDF("mn", "mx", "cnt", "meta_only")
+  }
+
+  val lhMinmaxPushSql: String =
+    """SELECT
+      |  CAST((SELECT MIN(o_custkey) FROM orders WHERE o_orderkey % 7 <> 1)
+      |    AS BIGINT) AS mn,
+      |  CAST((SELECT MAX(o_custkey) FROM orders WHERE o_orderkey % 7 <> 1)
+      |    AS BIGINT) AS mx,
+      |  CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 <> 1)
+      |    AS BIGINT) AS cnt,
+      |  TRUE AS meta_only""".stripMargin
+
   /** Files per partition for the partition-pruning gate (NTILE within
     * each o_orderstatus partition, reproducible in DuckDB). */
   val PartPruneFiles = 8
@@ -7308,6 +7359,8 @@ object CowTable {
       (() => lhStatsPruneBuild(s, d), t => lhSkipRuleOp(s, d, t))),
     "lh_count_push" -> ((s, d) =>
       (() => lhCountPushBuild(s, d), t => lhCountPushOp(s, d, t))),
+    "lh_minmax_push" -> ((s, d) =>
+      (() => lhStatsPruneBuild(s, d), t => lhMinmaxPushOp(s, d, t))),
     "lh_count_meta" -> ((s, d) =>
       (() => lhStatsPruneBuild(s, d), t => lhCountMetaOp(s, d, t))),
     "lh_minmax_meta" -> ((s, d) =>
@@ -7397,6 +7450,7 @@ object CowTable {
     "lh_feed_part" -> lhFeedPart,
     "lh_count_meta" -> lhCountMeta,
     "lh_count_push" -> lhCountPush,
+    "lh_minmax_push" -> lhMinmaxPush,
     "lh_minmax_meta" -> lhMinMaxMeta,
     "lh_bloom_prune" -> lhBloomPrune,
     "lh_spj_join" -> lhSpjJoin,
@@ -7437,6 +7491,7 @@ object CowTable {
     "lh_feed_part" -> lhFeedPartSql,
     "lh_count_meta" -> lhCountMetaSql,
     "lh_count_push" -> lhCountPushSql,
+    "lh_minmax_push" -> lhMinmaxPushSql,
     "lh_minmax_meta" -> lhMinMaxMetaSql,
     "lh_bloom_prune" -> lhBloomPruneSql,
     "lh_spj_join" -> lhSpjJoinSql,

@@ -293,7 +293,8 @@ object CowDsv2 {
 }
 
 /** One CoW table (optionally pinned to a version for time travel). */
-class CowDsv2Table(val tablePath: String, versionOpt: Option[Int] = None)
+class CowDsv2Table(val tablePath: String,
+    private[plans] val versionOpt: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with SupportsDelete {
@@ -396,16 +397,24 @@ class CowDsv2Table(val tablePath: String, versionOpt: Option[Int] = None)
 
 /** Filters prune FILES only (all are returned as residual — row
   * semantics never depend on stats soundness); column pruning reaches
-  * the parquet reader. An unfiltered ungrouped `COUNT(*)` pushes down
-  * COMPLETELY as metadata ([[CowTable.metadataRowCount]]): the scan
-  * collapses to a one-row [[CowCountLocalScan]] — the SQL-path twin of
-  * `countWhere`'s interior arithmetic, and on a 100 TB table the
-  * difference between a sidecar aggregate and a full corpus scan.
-  * Safety: Spark only attempts aggregate pushdown when NO post-scan
-  * filter remains, and this builder returns every filter as residual —
-  * so a filtered count can never reach the metadata path; row-level
-  * operation scans (`owner` present) and unprovable manifests (any
-  * entry without a recorded row count) refuse and scan normally. */
+  * the parquet reader. An unfiltered ungrouped aggregation whose every
+  * expression is `COUNT(*)`, `MIN(col)`, or `MAX(col)` pushes down
+  * COMPLETELY as metadata: the scan collapses to a one-row
+  * [[CowAggLocalScan]] — the SQL-path twin of `countWhere` /
+  * `minWhere` / `maxWhere`, and on a 100 TB table the difference
+  * between a sidecar aggregate and a full corpus scan. COUNT is
+  * proven by [[CowTable.metadataRowCount]] (entry row counts minus
+  * live DV runs); MIN/MAX ride the `minWhere` soundness machinery —
+  * stats of full, DV-free files stand in as candidates, DV'd or
+  * boundary files are read (a bounded planning-time job), bound-
+  * skippable files are not. Safety: Spark only attempts aggregate
+  * pushdown when NO post-scan filter remains, and this builder
+  * returns every filter as residual — so a filtered aggregate can
+  * never reach the metadata path; GROUP BY, other aggregates,
+  * COUNT(nullable col), row-level operation scans (`owner` present),
+  * stat-less columns, version-pinned MIN/MAX (the machinery resolves
+  * the LATEST manifest), and unprovable counts all refuse and scan
+  * normally. */
 private[plans] class CowScanBuilder(table: CowDsv2Table,
     owner: Option[CowRowLevelOperation]) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
@@ -413,7 +422,7 @@ private[plans] class CowScanBuilder(table: CowDsv2Table,
 
   private var required: StructType = table.dataSchema
   private var pushed: Array[Filter] = Array.empty
-  private var pushedCount: Option[Long] = None
+  private var pushedAggRow: Option[(StructType, Array[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => CowDsv2.filterToColumn(f).isDefined)
@@ -424,34 +433,68 @@ private[plans] class CowScanBuilder(table: CowDsv2Table,
 
   override def pruneColumns(s: StructType): Unit = required = s
 
-  private def countStarOnly(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    owner.isEmpty && pushed.isEmpty &&
-      agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions()(0).isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar]
-
   /** Memoized: the builder may be probed more than once during
     * planning; the sidecar aggregate runs at most once per scan. */
   private lazy val metaCount: Option[Long] =
     CowTable.metadataRowCount(SparkSession.active, table.tablePath,
       table.manifest)
 
+  /** One thunk per aggregate expression when EVERY one is answerable
+    * from metadata, else None. Thunks defer the min/max planning jobs
+    * to [[pushAggregation]] — [[supportCompletePushDown]] stays
+    * structural (plus the one memoized count aggregate). */
+  private def pushPlan(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[() => (StructField, Any)]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    if (!(owner.isEmpty && pushed.isEmpty &&
+        agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.nonEmpty)) return None
+    val statCols = CowTable.statsCoveredColumns(table.manifest)
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          table.versionOpt.isEmpty =>
+        table.dataSchema.fields.find(_.name == nr.fieldNames()(0))
+          .filter(f => statCols.contains(f.name))
+      case _ => None
+    }
+    val spark = SparkSession.active
+    val slots: Seq[Option[() => (StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => metaCount.map(n => () =>
+          (StructField("COUNT(*)", LongType, nullable = false), n: Any))
+        case mn: Min => fieldOf(mn.column).map(f => () =>
+          (StructField(s"MIN(${f.name})", f.dataType),
+            CowTable.minWhere(spark, table.tablePath, f.name,
+              lit(true)).orNull))
+        case mx: Max => fieldOf(mx.column).map(f => () =>
+          (StructField(s"MAX(${f.name})", f.dataType),
+            CowTable.maxWhere(spark, table.tablePath, f.name,
+              lit(true)).orNull))
+        case _ => None
+      }
+    if (slots.forall(_.isDefined)) Some(slots.map(_.get)) else None
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = countStarOnly(agg) && metaCount.isDefined
+      : Boolean = pushPlan(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = countStarOnly(agg) && metaCount.isDefined && {
-    pushedCount = metaCount
-    true
+      : Boolean = pushPlan(agg) match {
+    case Some(slots) =>
+      val evaled = slots.map(_.apply())
+      pushedAggRow = Some((StructType(evaled.map(_._1)),
+        evaled.map(_._2).toArray))
+      true
+    case None => false
   }
 
-  override def build(): Scan = pushedCount match {
-    case Some(n) => new CowCountLocalScan(n)
+  override def build(): Scan = pushedAggRow match {
+    case Some((schema, vals)) => new CowAggLocalScan(schema, vals)
     case None =>
       val scan = new CowBatchScan(table, required, pushed)
       owner.foreach(_.adopt(scan))
@@ -459,16 +502,18 @@ private[plans] class CowScanBuilder(table: CowDsv2Table,
   }
 }
 
-/** The completely-pushed COUNT(*): one driver-local row holding the
-  * metadata-proven live count — planned as a LocalTableScan, no file
-  * read, no job. */
-private[plans] class CowCountLocalScan(n: Long)
+/** The completely-pushed aggregate row: one driver-local row holding
+  * the metadata-proven values — planned as a LocalTableScan, no file
+  * in the final plan. */
+private[plans] class CowAggLocalScan(schema: StructType, vals: Array[Any])
     extends org.apache.spark.sql.connector.read.LocalScan {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("COUNT(*)", LongType, nullable = false)))
+  override def readSchema(): StructType = schema
   override def rows(): Array[InternalRow] =
-    Array(new GenericInternalRow(Array[Any](n)))
-  override def description(): String = s"cow_meta_count($n)"
+    Array(new GenericInternalRow(vals.map(
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst)))
+  override def description(): String =
+    s"cow_meta_agg(${schema.fieldNames.mkString(", ")})"
 }
 
 private[plans] case class CowInputPartition(path: String, bytes: Long,

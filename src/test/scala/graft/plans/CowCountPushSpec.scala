@@ -76,6 +76,53 @@ class CowCountPushSpec extends AnyFunSuite {
       .head().getLong(0) == 25L)
   }
 
+  test("MIN/MAX push with COUNT in one statement; a delete moving the " +
+      "extremum stays row-exact (the DV'd file is read, its stale stat " +
+      "never wins)") {
+    val t = freshTable()
+    CowTable.init((0L until 60L).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartitionByRange(3, $"id"), t)
+    // kill the global max AND the global min — both live in full files
+    // whose stats still claim them
+    CowTable.deleteWhere(spark, t, $"id" === 59L || $"id" === 0L)
+    val q = s"SELECT MIN(id) AS mn, MAX(id) AS mx, COUNT(*) AS c " +
+      s"FROM ${sqlTable(t)}"
+    val plan = planOf(q)
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"expected metadata-only plan, got:\n$plan")
+    val r = spark.sql(q).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 58L, 58L)))
+    // string min/max push too (stats cover strings)
+    val qs = s"SELECT MAX(name) AS mx FROM ${sqlTable(t)}"
+    assert(planOf(qs).contains("LocalTableScan"))
+    assert(spark.sql(qs).head().getString(0) == "n9")
+  }
+
+  test("MIN/MAX refuse: stat-less columns (beyond the stats cap), " +
+      "version-pinned reads, filters") {
+    val t = freshTable()
+    // 26 columns: the last is beyond MaxStatsCols (24) -> no stats
+    val cols = (0 until 25).map(i => (col("id") * (i + 1)).as(s"c$i"))
+    CowTable.init(spark.range(30)
+      .select((col("id") +: cols): _*).repartition(2), t)
+    CowTable.deleteWhere(spark, t, $"id" === 5L)
+    assert(planOf(s"SELECT MIN(id) AS mn FROM ${sqlTable(t)}")
+      .contains("LocalTableScan"))
+    val qLate = s"SELECT MIN(c24) AS mn FROM ${sqlTable(t)}"
+    assert(!planOf(qLate).contains("LocalTableScan"),
+      "a column without per-file stats must scan")
+    assert(spark.sql(qLate).head().getLong(0) == 0L)
+    // a version-pinned MIN refuses (the machinery resolves LATEST);
+    // a version-pinned bare COUNT still pushes
+    val qv = s"SELECT MIN(id) AS mn FROM ${sqlTable(t)} VERSION AS OF 0"
+    assert(!planOf(qv).contains("LocalTableScan"))
+    assert(spark.sql(qv).head().getLong(0) == 0L)
+    assert(planOf(s"SELECT COUNT(*) AS c FROM ${sqlTable(t)} " +
+      "VERSION AS OF 0").contains("LocalTableScan"))
+    assert(!planOf(s"SELECT MIN(id) AS mn FROM ${sqlTable(t)} " +
+      "WHERE id > 3").contains("LocalTableScan"))
+  }
+
   test("the metadata count survives schema evolution and partial-column " +
       "upserts; an emptied table pushes 0") {
     val t = freshTable()
