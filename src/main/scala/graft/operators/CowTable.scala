@@ -983,23 +983,50 @@ object CowTable {
           byNorm.getOrElse(n,
             if (m.filesLoader.isDefined) n else stored)
         }
-        val loaded = sidecarScan(spark, table, rel)
-          .collect().toSeq.map { r =>
-            val stored = r.getString(r.fieldIndex("path"))
-            FileEntry(r.getString(r.fieldIndex("kind")),
-              resolve(stored),
-              r.getLong(r.fieldIndex("bytes")),
-              if (r.isNullAt(r.fieldIndex("numRows"))) None
-              else Some(r.getLong(r.fieldIndex("numRows"))),
-              if (r.isNullAt(r.fieldIndex("stats"))) None
-              else Some(r.getString(r.fieldIndex("stats"))),
-              if (r.isNullAt(r.fieldIndex("part"))) None
-              else Some(r.getString(r.fieldIndex("part"))))
-          }
+        // size-gated DRIVER-side parquet read (no Spark job): a small
+        // sidecar is headed for the driver cache anyway, and the old
+        // `sidecarScan().collect()` paid a full plan + 1-task job per
+        // fresh sidecar — one such job after EVERY commit, the single
+        // most repeated job in the lakehouse gates' profiles. Large
+        // sidecars never reach this path ([[entriesDF]] gates on
+        // entryCount), so the 10⁶-file discipline is untouched.
+        val loaded = readSidecarDriver(spark, table, rel).map { e =>
+          e.copy(path = resolve(e.path)) }
         driverEntryRowsLoaded.addAndGet(loaded.size.toLong)
         cacheEntries(table, rel, loaded)
         loaded
       }
+  }
+
+  /** Reads a (small, size-gated by the caller) entries sidecar with the
+    * parquet example API on the driver — rows come back as
+    * [[FileEntry]]s with STORED path strings; the caller resolves them.
+    * Missing `part`/`numRows`/`stats` fields (older sidecar vintages)
+    * read as None. */
+  private def readSidecarDriver(spark: SparkSession, table: String,
+      rel: String): Seq[FileEntry] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = manifestDir(table).resolve(rel)
+    listPartFiles(dir).flatMap { f =>
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          new org.apache.hadoop.fs.Path(f))
+        .withConf(conf).build()
+      try Iterator.continually(reader.read()).takeWhile(_ != null).map { g =>
+        val t = g.getType
+        def strOpt(n: String): Option[String] =
+          if (!t.containsField(n) || g.getFieldRepetitionCount(n) == 0) None
+          else Some(g.getString(n, 0))
+        def longOpt(n: String): Option[Long] =
+          if (!t.containsField(n) || g.getFieldRepetitionCount(n) == 0) None
+          else Some(g.getLong(n, 0))
+        FileEntry(strOpt("kind").getOrElse("data"),
+          strOpt("path").getOrElse(""),
+          longOpt("bytes").getOrElse(-1L),
+          longOpt("numRows"), strOpt("stats"), strOpt("part"))
+      }.toVector
+      finally reader.close()
+    }
   }
 
   // ------------------------------------------------------- file stats
@@ -1350,6 +1377,24 @@ object CowTable {
       .select(lit("data").as("kind"), col("path"), col("bytes"),
         col("numRows"), col("stats"), partCol.as("part"))
   }
+
+  /** Best-effort removal of a version directory whose write produced
+    * no listed file (all part files were zero-row and already deleted
+    * by [[dropEmptyFiles]]): the write-then-check discipline below
+    * replaces the old `df.isEmpty` pre-checks — which EXECUTED the
+    * operator's heaviest plan a second time just to decide whether to
+    * write (guide §1.2: don't compute things you throw away) — so an
+    * empty result now leaves an empty directory to tidy instead of a
+    * doubled job. Uncommitted dirs are vacuum's domain anyway; this
+    * just keeps the tree clean on the common path. */
+  private def dropDirIfNoFiles(out: Path, kept: Seq[String]): Unit =
+    if (kept.isEmpty && Files.isDirectory(out)) {
+      val walk = Files.walk(out)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      catch { case _: java.io.IOException => () }
+      finally walk.close()
+    }
 
   /** Zero-row part files (empty shuffle partitions) carry no data and
     * would need a sidecar fallback row — a manifest simply never lists
@@ -2462,7 +2507,9 @@ object CowTable {
   private def writeData(df: DataFrame, table: String, v: Int): Seq[String] = {
     val out = versionDir(table, "data", v)
     df.write.mode("overwrite").parquet(out.toString)
-    dropEmptyFiles(df.sparkSession, listPartFiles(out))
+    val kept = dropEmptyFiles(df.sparkSession, listPartFiles(out))
+    dropDirIfNoFiles(out, kept)
+    kept
   }
 
   private def jsonStr(s: String): String =
@@ -2497,6 +2544,7 @@ object CowTable {
     dup.write.partitionBy(partCols.map(c => s"__p_$c"): _*)
       .mode("overwrite").parquet(out.toString)
     val files = dropEmptyFiles(df.sparkSession, listPartFilesRec(out))
+    dropDirIfNoFiles(out, files)
     (files, partJsonOf(files, partCols))
   }
 
@@ -2529,6 +2577,7 @@ object CowTable {
       .write.partitionBy(BucketSegment).mode("overwrite")
       .parquet(out.toString)
     val files = dropEmptyFiles(df.sparkSession, listPartFilesRec(out))
+    dropDirIfNoFiles(out, files)
     (files, bucketPartsOf(files))
   }
 
@@ -3266,12 +3315,15 @@ object CowTable {
           col("row_index") >= col("__dv_start") &&
           col("row_index") < col("__dv_start") + col("__dv_len"),
         "left_anti")
-    if (fresh.isEmpty) return m
     val out = versionDir(table, "dv", m.version + 1)
-    // runs are tiny relative to the delete: one sidecar file suffices
+    // runs are tiny relative to the delete: one sidecar file suffices.
+    // Write-then-check: emptiness comes from the written footer
+    // (dropEmptyFiles), not a `fresh.isEmpty` pre-check that would
+    // execute the candidate scan + DV anti-join a second time.
     toDvRuns(fresh).coalesce(1).write.mode("overwrite")
       .parquet(out.toString)
-    val dvFiles = listPartFiles(out)
+    val dvFiles = dropEmptyFiles(spark, listPartFiles(out))
+    if (dvFiles.isEmpty) { dropDirIfNoFiles(out, dvFiles); return m }
     val dvEntries = dvFiles.map(p =>
       FileEntry("dv", p, Files.size(Paths.get(p)), None, None))
     val dvTouched = dvRuns(spark, dvFiles).select("fp").distinct()
@@ -3708,23 +3760,36 @@ object CowTable {
     // row on EVERY epoch — in the streaming update sink that's a
     // poison-pill that re-duplicates on each replay. Callers with a
     // nullable group key must coalesce it to a sentinel first.
-    val nullKeyed = source.filter(
-      keys.map(col(_).isNull).reduce(_ || _)).limit(1).count()
-    require(nullKeyed == 0L,
+    // ONE pre-check pass over the delta: row/distinct-key counts, the
+    // null-key count, and the per-key-column bounds the candidate
+    // discovery needs all ride a single aggregate — the old shape paid
+    // three separate source executions (null probe, uniqueness
+    // aggregate, discovery min/max) before any real work, which in the
+    // streaming sink meant three extra jobs per epoch (guide §1.2).
+    val statsKeys = source.schema.fields
+      .filter(f => keys.contains(f.name) && statsEligible(f.dataType)).toSeq
+    val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
+    val preAggs = Seq(count(lit(1)).as("n"),
+      count_distinct(struct(keys.map(col): _*)).as("d"),
+      count(when(anyNullKey, lit(1))).as("nullk")) ++
+      statsKeys.flatMap(f => Seq(min(col(f.name)), max(col(f.name))))
+    val pre = source.agg(preAggs.head, preAggs.tail: _*).head()
+    require(pre.getLong(2) == 0L,
       s"upsertMor: source has NULL values in upsert key(s) " +
         s"${keys.mkString(", ")} — NULL keys never match and would " +
         "duplicate on every epoch; coalesce them to a sentinel value")
-    val uniq = source.agg(count(lit(1)).as("n"),
-      count_distinct(struct(keys.map(col): _*)).as("d")).head()
-    require(uniq.getLong(0) == uniq.getLong(1),
-      s"upsertMor: source has ${uniq.getLong(0) - uniq.getLong(1)} duplicate keys")
-    if (uniq.getLong(0) == 0L) return m
+    require(pre.getLong(0) == pre.getLong(1),
+      s"upsertMor: source has ${pre.getLong(0) - pre.getLong(1)} duplicate keys")
+    if (pre.getLong(0) == 0L) return m
+    val keyBounds = statsKeys.zipWithIndex.map { case (f, i) =>
+      f.name -> ((pre.get(3 + 2 * i), pre.get(4 + 2 * i))) }.toMap
     val v = m.version + 1
     val srcKeys = source.select(keys.map(col): _*).distinct()
     // 1. matched LIVE rows -> this version's deletion vector
     val cands =
       if (!m.dataNonEmpty) Nil
-      else mergeCandidateFiles(spark, table, m, source, keys)
+      else mergeCandidateFiles(spark, table, m, source, keys,
+        Some(keyBounds))
     val dvFiles: Seq[String] =
       if (cands.isEmpty) Nil
       else {
@@ -3735,13 +3800,14 @@ object CowTable {
           normalizeSql(col("file_path")), col("row_index"))
         val matched = live.join(broadcast(srcKeys), keys, "left_semi")
           .select("file_path", "row_index")
-        if (matched.isEmpty) Nil
-        else {
-          val out = versionDir(table, "dv", v)
-          toDvRuns(matched).coalesce(1).write.mode("overwrite")
-            .parquet(out.toString)
-          listPartFiles(out)
-        }
+        // write-then-check: a `matched.isEmpty` pre-check would execute
+        // the discovery scan + DV filter + semi-join a second time
+        val out = versionDir(table, "dv", v)
+        toDvRuns(matched).coalesce(1).write.mode("overwrite")
+          .parquet(out.toString)
+        val kept = dropEmptyFiles(spark, listPartFiles(out))
+        dropDirIfNoFiles(out, kept)
+        kept
       }
     // 2. every source row appends (update postimages + fresh inserts);
     // preserved columns come from the newest live matched row (the
@@ -3888,9 +3954,11 @@ object CowTable {
     val (newFiles, newParts) =
       if (touchedF.isEmpty) (Seq.empty[String], Map.empty[String, String])
       else {
+        // write-then-check: a fully-dead rewrite set writes no listed
+        // file (dropEmptyFiles) — no `clean.isEmpty` pre-execution of
+        // the DV-applied snapshot read
         val clean = readSnapshot(spark, m, Some(touchedF))
-        if (clean.isEmpty) (Seq.empty[String], Map.empty[String, String])
-        else writeDataMaybePartitioned(clean, table, v, m.partitionCols,
+        writeDataMaybePartitioned(clean, table, v, m.partitionCols,
           m.bucketSpec)
       }
     val dvEntries = keptDvs.map(p =>
@@ -3937,11 +4005,19 @@ object CowTable {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     // unique-source-keys contract (multiple matches = SQL MERGE error);
-    // source is delta-sized so the check is one small aggregate
-    val uniq = source.agg(count(lit(1)).as("n"),
-      count_distinct(struct(keys.map(col): _*)).as("d")).head()
+    // source is delta-sized so the check is one small aggregate — and
+    // the discovery's per-key min/max bounds ride the SAME aggregate
+    // (one source pass, not two)
+    val statsKeys = source.schema.fields
+      .filter(f => keys.contains(f.name) && statsEligible(f.dataType)).toSeq
+    val uniqAggs = Seq(count(lit(1)).as("n"),
+      count_distinct(struct(keys.map(col): _*)).as("d")) ++
+      statsKeys.flatMap(f => Seq(min(col(f.name)), max(col(f.name))))
+    val uniq = source.agg(uniqAggs.head, uniqAggs.tail: _*).head()
     require(uniq.getLong(0) == uniq.getLong(1),
       s"mergeInto: source has ${uniq.getLong(0) - uniq.getLong(1)} duplicate keys")
+    val keyBounds = statsKeys.zipWithIndex.map { case (f, i) =>
+      f.name -> ((uniq.get(2 + 2 * i), uniq.get(3 + 2 * i))) }.toMap
 
     val target0 =
       if (!m.dataNonEmpty) emptyOf(spark, m)
@@ -4007,7 +4083,8 @@ object CowTable {
     val touched =
       if (!m.dataNonEmpty) Set.empty[String]
       else {
-        val candidates = mergeCandidateFiles(spark, table, m, source, keys)
+        val candidates = mergeCandidateFiles(spark, table, m, source, keys,
+          Some(keyBounds))
         if (candidates.isEmpty) Set.empty[String]
         else rawScan(spark, m, candidates)
           .withColumn("__file", input_file_name())
@@ -4056,10 +4133,11 @@ object CowTable {
     // files are still live; entries for rewritten files reference paths
     // no longer in the manifest and can never match again (version dirs
     // are never reused) — compaction or rewriteDeletes trims them.
-    val newFiles =
-      if (merged.isEmpty) (Seq.empty[String], Map.empty[String, String])
-      else writeDataMaybePartitioned(merged, table, m.version + 1,
-        m.partitionCols, m.bucketSpec)
+    // write-then-check: an empty merge result writes no listed file
+    // (dropEmptyFiles), so no `merged.isEmpty` pre-execution of the
+    // full-outer join
+    val newFiles = writeDataMaybePartitioned(merged, table, m.version + 1,
+      m.partitionCols, m.bucketSpec)
 
     // Concurrency: on a lost version race, rebase against the new head
     // and retry — DISJOINT writers all land (see [[commitWithRetry]]).
@@ -4147,11 +4225,19 @@ object CowTable {
     val schema = mergeEvolvedSchema("mergeIntoHybrid", schema0, source,
       evolveSchema, m.droppedNames)
     requireSourceTypes("mergeIntoHybrid", schema, source)
-    val uniq = source.agg(count(lit(1)).as("n"),
-      count_distinct(struct(keys.map(col): _*)).as("d")).head()
+    // one delta-sized pre-check pass: uniqueness counts + the
+    // discovery's per-key bounds together (was two source executions)
+    val statsKeys = source.schema.fields
+      .filter(f => keys.contains(f.name) && statsEligible(f.dataType)).toSeq
+    val uniqAggs = Seq(count(lit(1)).as("n"),
+      count_distinct(struct(keys.map(col): _*)).as("d")) ++
+      statsKeys.flatMap(f => Seq(min(col(f.name)), max(col(f.name))))
+    val uniq = source.agg(uniqAggs.head, uniqAggs.tail: _*).head()
     require(uniq.getLong(0) == uniq.getLong(1),
       s"mergeIntoHybrid: source has duplicate keys")
     if (uniq.getLong(0) == 0L) return m
+    val keyBounds = statsKeys.zipWithIndex.map { case (f, i) =>
+      f.name -> ((uniq.get(2 + 2 * i), uniq.get(3 + 2 * i))) }.toMap
     val v = m.version + 1
     val srcKeys = source.select(keys.map(col): _*).distinct()
     val ordered = source.select(schema.fieldNames.toIndexedSeq.map(col): _*)
@@ -4159,7 +4245,8 @@ object CowTable {
     // 1. matched LIVE target rows with file identity (delta-sized)
     val cands =
       if (!m.dataNonEmpty) Nil
-      else mergeCandidateFiles(spark, table, m, source, keys)
+      else mergeCandidateFiles(spark, table, m, source, keys,
+        Some(keyBounds))
     val matched =
       if (cands.isEmpty) None
       else {
@@ -4243,9 +4330,10 @@ object CowTable {
         case Some(c) => c.unionByName(appended)
         case None => appended
       }
+      // write-then-check (dropEmptyFiles): no `toWrite.isEmpty`
+      // pre-execution of the COW-rewrite + postimage union
       val (newFiles, newParts) =
-        if (toWrite.isEmpty) (Seq.empty[String], Map.empty[String, String])
-        else writeDataMaybePartitioned(toWrite, table, v, m.partitionCols,
+        writeDataMaybePartitioned(toWrite, table, v, m.partitionCols,
           m.bucketSpec)
       // 4. one commit: untouched + MOR files carry, COW files leave,
       // DV entries and fresh data entries append. On a lost version
@@ -4279,17 +4367,25 @@ object CowTable {
     * per-key-column stats overlap the source's key bounds (one
     * delta-sized aggregate). A file outside every key range cannot
     * contain a matched row, so it is untouched by construction. */
+  /** `bounds`: per-key-column (min, max) a caller already computed —
+    * the merge flavors fold these into their delta-sized pre-check
+    * aggregate, so discovery pays no second source pass. */
   private[operators] def mergeCandidateFiles(spark: SparkSession,
       table: String, m: Manifest, source: DataFrame,
-      keys: Seq[String]): Seq[String] = {
+      keys: Seq[String],
+      bounds: Option[Map[String, (Any, Any)]] = None): Seq[String] = {
     val eligible = source.schema.fields
       .filter(f => keys.contains(f.name) && statsEligible(f.dataType)).toSeq
     if (eligible.isEmpty || m.entriesRel.isEmpty) return m.files
-    val aggs = eligible.flatMap(f =>
-      Seq(min(col(f.name)), max(col(f.name))))
-    val b = source.agg(aggs.head, aggs.tail: _*).head()
-    val conds = eligible.zipWithIndex.flatMap { case (f, i) =>
-      val (lo, hi) = (b.get(2 * i), b.get(2 * i + 1))
+    val b: Map[String, (Any, Any)] = bounds.getOrElse {
+      val aggs = eligible.flatMap(f =>
+        Seq(min(col(f.name)), max(col(f.name))))
+      val r = source.agg(aggs.head, aggs.tail: _*).head()
+      eligible.zipWithIndex.map { case (f, i) =>
+        f.name -> ((r.get(2 * i), r.get(2 * i + 1))) }.toMap
+    }
+    val conds = eligible.flatMap { f =>
+      val (lo, hi) = b(f.name)
       if (lo == null || hi == null) None
       else Some(col(f.name) >= lit(lo) && col(f.name) <= lit(hi))
     }
@@ -4892,13 +4988,20 @@ object CowTable {
     val newSide = align(newSide0)
     require(keys.forall(oldSide.columns.contains), s"keys $keys missing")
     // a duplicated key would silently misclassify under the key join;
-    // both sides are changed-file-sized, so the check is delta-priced
-    Seq("from" -> oldSide, "to" -> newSide).foreach { case (side, df) =>
-      val u = df.agg(count(lit(1)).as("n"),
-        count_distinct(struct(keys.map(col): _*)).as("d")).head()
-      require(u.getLong(0) == u.getLong(1),
-        s"tableChanges: $side version has ${u.getLong(0) - u.getLong(1)} " +
-          s"duplicate keys on $keys")
+    // both sides are changed-file-sized, so the check is delta-priced —
+    // and BOTH sides ride one union + one aggregate (one job per slice,
+    // was two)
+    locally {
+      val k = struct(keys.map(col): _*).as("__k")
+      oldSide.select(lit("from").as("__side"), k)
+        .unionByName(newSide.select(lit("to").as("__side"), k))
+        .groupBy(col("__side"))
+        .agg(count(lit(1)).as("n"), count_distinct(col("__k")).as("d"))
+        .collect().foreach { r =>
+          require(r.getLong(1) == r.getLong(2),
+            s"tableChanges: ${r.getString(0)} version has " +
+              s"${r.getLong(1) - r.getLong(2)} duplicate keys on $keys")
+        }
     }
     val dataCols = oldSide.columns.filterNot(keys.contains).toSeq
 
@@ -6361,8 +6464,18 @@ object CowTable {
     base.toString
   }
 
+  /** Input-volume estimate for a staged-slice replay: bytes of every
+    * slice the run will feed (staged, evolved-staging, and already-
+    * released dirs) — what [[graft.streaming.StreamTune]] sizes the
+    * query's state/shuffle partition count from. */
+  private def stagedBytes(base: Path): Long =
+    Seq("staged", "staged2", "in").map(d =>
+      graft.streaming.StreamTune.dirBytes(base.resolve(d))).sum
+
   private def lhStreamUpsertOp(s: SparkSession, dir: String,
-      baseStr: String): DataFrame = {
+      baseStr: String): DataFrame =
+    graft.streaming.StreamTune.withAdaptivePartitions(s,
+      stagedBytes(Paths.get(baseStr))) {
     s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
     val base = Paths.get(baseStr)
     val t = base.resolve("t").toString
@@ -6393,7 +6506,7 @@ object CowTable {
     require(m.dvs.nonEmpty,
       "update epochs must land as merge-on-read deltas (DVs)")
     s.sql(s"SELECT o_custkey, n, total FROM graft.`$t`")
-  }
+    }
 
   val lhStreamUpsertSql: String =
     """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
@@ -6438,7 +6551,9 @@ object CowTable {
   }
 
   private def lhStreamUpsertEvolveOp(s: SparkSession, dir: String,
-      baseStr: String): DataFrame = {
+      baseStr: String): DataFrame =
+    graft.streaming.StreamTune.withAdaptivePartitions(s,
+      stagedBytes(Paths.get(baseStr))) {
     import s.implicits._
     s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
     val base = Paths.get(baseStr)
@@ -6475,7 +6590,7 @@ object CowTable {
       "the evolving epoch must stay a merge-on-read delta (DVs)")
     s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice, o_flag " +
       s"FROM graft.`$t`")
-  }
+    }
 
   val lhStreamUpsertEvolveSql: String =
     """SELECT o_orderkey, o_custkey,
@@ -6568,7 +6683,9 @@ object CowTable {
   }
 
   private def lhStreamUpsertMidOp(s: SparkSession, dir: String,
-      baseStr: String): DataFrame = {
+      baseStr: String): DataFrame =
+    graft.streaming.StreamTune.withAdaptivePartitions(s,
+      stagedBytes(Paths.get(baseStr))) {
     import s.implicits._
     s.conf.set("spark.sql.catalog.graft", "graft.plans.GraftCatalog")
     val base = Paths.get(baseStr)
@@ -6612,7 +6729,7 @@ object CowTable {
     require(m.dvs.nonEmpty, "the absorbed epoch must stay merge-on-read")
     s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice, o_priority, " +
       s"o_note FROM graft.`$t`")
-  }
+    }
 
   val lhStreamUpsertMidSql: String =
     """SELECT o_orderkey, o_custkey,

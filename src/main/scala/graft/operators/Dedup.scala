@@ -443,8 +443,9 @@ object Dedup {
     * shuffle. [[aggSignatures]] keeps the old explode + 64-min-aggs
     * formulation as the spec's semantic twin. */
   def signatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), shingles(col("text")).as("sh"),
-      graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig"))
+    Scale.ensureParallelism(docs)
+      .select(col("doc_id"), shingles(col("text")).as("sh"),
+        graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig"))
 
   /** The original aggregate formulation, retained ONLY as the reference
     * implementation the spec pins MinHashSignature against. */
@@ -519,7 +520,9 @@ object Dedup {
   def candidatePairs(docs: DataFrame,
       thresholdOverride: Option[Int] = None): DataFrame = {
     val threshold = thresholdOverride.getOrElse(MegaBucketThreshold)
-    val sigs = docs.select(col("doc_id"),
+    // the 64-min signature fold is decode-class per-row work: never on
+    // one small-file input split (no-op past defaultParallelism)
+    val sigs = Scale.ensureParallelism(docs).select(col("doc_id"),
       graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig"))
     val buckets = bandedBuckets(sigs)
     val byBucket = org.apache.spark.sql.expressions.Window
@@ -636,7 +639,7 @@ object Dedup {
     * hashes are deterministic, so appended rows from different jobs
     * agree). */
   def docBands(docs: DataFrame): DataFrame =
-    bandedBuckets(docs.select(col("doc_id"),
+    bandedBuckets(Scale.ensureParallelism(docs).select(col("doc_id"),
       graft.functions.MinHashFunctions.minhash_signature(col("text")).as("sig")))
 
   def minhashIncrementalPairs(batch: DataFrame, corpus: DataFrame,
@@ -954,7 +957,8 @@ object Dedup {
     // text IS NOT NULL up front: with SimHash64 marked nullIntolerant
     // the join keys' inferred not-null constraints simplify to this
     // same scan-level predicate instead of a second simhash64 eval.
-    simhashCandidatesFromSigs(withSimhash(docs.filter(col("text").isNotNull)))
+    simhashCandidatesFromSigs(withSimhash(
+      Scale.ensureParallelism(docs).filter(col("text").isNotNull)))
 
   /** Banding over precomputed (doc_id, simhash) rows — the production
     * path feeds [[withSimhash]] output; specs feed PLANTED fingerprints

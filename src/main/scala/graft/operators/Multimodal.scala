@@ -153,7 +153,7 @@ object Multimodal {
     * production ingests payloads from storage. */
   def ingestPpm(s: SparkSession, dir: String): Dataset[PpmRecord] = {
     import s.implicits._
-    Tables.documents(s, dir).select($"doc_id").as[Long].map { id =>
+    Spread(Tables.documents(s, dir).select($"doc_id").as[Long]).map { id =>
       val w = 2 + (id % 7).toInt
       val h = 2 + (id % 5).toInt
       val rgb = Array.tabulate(w * h * 3)(i => ((id * 31 + i * 7) % 256).toByte)
@@ -209,11 +209,11 @@ object Multimodal {
 
   def ingestAudio(s: SparkSession, dir: String): Dataset[AudioRecord] = {
     import s.implicits._
-    Tables.documents(s, dir)
+    Spread(Tables.documents(s, dir)
       .select($"doc_id", encode($"text", "UTF-8").as("payload"),
         lit(16000).as("sample_rate"),
         length($"text").cast("int").as("n_samples"))
-      .as[AudioRecord]
+      .as[AudioRecord])
   }
 
   def audioWindows(media: Dataset[AudioRecord]): Dataset[AudioWindow] = {
@@ -440,7 +440,7 @@ object Multimodal {
     * arithmetic, so the whole lossless roundtrip is pixel-checked. */
   def mmDecodePng(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir).select($"doc_id").as[Long]
+    Spread(Tables.documents(s, dir).select($"doc_id").as[Long])
       .mapPartitions(_.map { id =>
         ImgRecord(id, ImageCodec.encode(ImageCodec.synthesize(id, 0), "png"))
       })
@@ -489,7 +489,7 @@ object Multimodal {
     * the only thing that can catch it). */
   def ingestImages(s: SparkSession, dir: String): Dataset[ImgRecord] = {
     import s.implicits._
-    Tables.documents(s, dir).select($"doc_id").as[Long]
+    Spread(Tables.documents(s, dir).select($"doc_id").as[Long])
       .mapPartitions(_.flatMap { id =>
         val px = ImageCodec.strongPixel _
         val base = ImgRecord(id,
@@ -699,7 +699,7 @@ object Multimodal {
     * (hamming ≥ 1 by construction). */
   def ingestJpegImages(s: SparkSession, dir: String): Dataset[ImgRecord] = {
     import s.implicits._
-    Tables.documents(s, dir).select($"doc_id").as[Long]
+    Spread(Tables.documents(s, dir).select($"doc_id").as[Long])
       .mapPartitions(_.flatMap { id =>
         val base = ImgRecord(id,
           ImageCodec.encode(JpegBlocks.image(JpegBlocks.cellVals(id, 0)),
@@ -865,7 +865,7 @@ object Multimodal {
     * cannot see. */
   def ingestVideos(s: SparkSession, dir: String): Dataset[ImgRecord] = {
     import s.implicits._
-    Tables.documents(s, dir).select($"doc_id").as[Long]
+    Spread(Tables.documents(s, dir).select($"doc_id").as[Long])
       .mapPartitions(_.flatMap { id =>
         val nf = 3 + (id % 3).toInt
         // bases and trims carry P6 PPM frames (a real format with a
@@ -1139,7 +1139,7 @@ object Multimodal {
     * DC+1 twin (every sample byte differs). */
   def ingestAudioCorpus(s: SparkSession, dir: String): Dataset[ImgRecord] = {
     import s.implicits._
-    Tables.documents(s, dir).select($"doc_id").as[Long]
+    Spread(Tables.documents(s, dir).select($"doc_id").as[Long])
       .mapPartitions(_.flatMap { id =>
         val samples = AudioCodec.synthesize(id, 0)
         val base = ImgRecord(id, AudioCodec.encode(samples, 7))
@@ -1189,7 +1189,7 @@ object Multimodal {
     * twin — the cross-codec AND content-invariance class at once. */
   def ingestAudioWavCorpus(s: SparkSession, dir: String): Dataset[ImgRecord] = {
     import s.implicits._
-    Tables.documents(s, dir).select($"doc_id").as[Long]
+    Spread(Tables.documents(s, dir).select($"doc_id").as[Long])
       .mapPartitions(_.flatMap { id =>
         val samples = AudioCodec.synthesize(id, 0)
         val base = ImgRecord(id, AudioCodec.encode(samples, 7))

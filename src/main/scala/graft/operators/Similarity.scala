@@ -403,14 +403,19 @@ object Similarity {
     * top at runtime. */
   private[operators] def knnJoinCandidates(emb: DataFrame,
       cents: IndexedSeq[Array[Double]], nprobe: Int,
-      salts: Int = 1): DataFrame =
+      salts: Int = 1): DataFrame = {
+    // the per-row work here (K centroid dots for assignment, K dots +
+    // an array_sort for probe ranking) is decode-class: spread a
+    // single-file corpus across the cluster before paying it
+    val embS = Spread(emb)
     saltedCellJoin(
-      emb.select(col("vec_id"), col("embedding"),
+      embS.select(col("vec_id"), col("embedding"),
         assignCell(col("embedding"), cents).as("cell")),
-      emb.select(col("vec_id").as("q_id"),
+      embS.select(col("vec_id").as("q_id"),
         col("embedding").as("q_vec"),
         explode(probeCells(col("embedding"), cents, nprobe)).as("cell")),
       salts)
+  }
 
   /** The salted probe-side × scan-side cell join shared by the exact
     * and PQ joins: scan rows shard by stable vec_id hash, probe rows
@@ -492,12 +497,17 @@ object Similarity {
       k: Int = K, shortlist: Int = PqJoinShortlist, salts: Int = 1,
       coded: Option[DataFrame] = None,
       sampleQ: Option[Int] = None, residual: Boolean = false): DataFrame = {
-    val assigned = coded.getOrElse(emb.select(col("vec_id"),
+    // scan-side encode and probe ranking are decode-class per-row work:
+    // spread a single-file corpus before paying them (stored codes keep
+    // their own file partitioning)
+    val embS = Spread(emb)
+    val assigned = coded.getOrElse(embS.select(col("vec_id"),
       assignCell(col("embedding"), cents).as("cell"),
       pqEncodePacked(
         if (residual) residualCol(col("embedding"), cents)
         else col("embedding"), books).as("codes")))
-    val qSide = sampleQ.map(n => emb.filter(col("vec_id") < n)).getOrElse(emb)
+    val qSide = sampleQ.map(n => embS.filter(col("vec_id") < n))
+      .getOrElse(embS)
     val queries = qSide.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"),
       explode(probeCells(col("embedding"), cents, nprobe)).as("cell"))
@@ -569,7 +579,8 @@ object Similarity {
       "knnJoinPqFilteredOn: no corpus vector passes the predicate")
     val p = pass.toDouble / total
     val widened = math.min(cents.size, math.ceil(nprobe / p).toInt)
-    val corpus = emb.filter(pred)
+    val embS = Spread(emb)
+    val corpus = embS.filter(pred)
     // stored (lakehouse-resident) codes: the predicate lives on the
     // embeddings side, so the code table's candidate rows semi-join
     // the qualifying ids BEFORE the cell join — still vector-free, and
@@ -581,7 +592,7 @@ object Similarity {
         assignCell(col("embedding"), cents).as("cell"),
         pqEncodePacked(col("embedding"), books).as("codes"))
     }
-    val queries = emb.select(col("vec_id").as("q_id"),
+    val queries = embS.select(col("vec_id").as("q_id"),
       col("embedding").as("q_vec"),
       explode(probeCells(col("embedding"), cents, widened)).as("cell"))
     val cands = saltedCellJoin(assigned, queries, salts)
@@ -1576,7 +1587,9 @@ object Similarity {
   /** (vec_a, vec_b, cosine) within-cluster exact-verified pairs. */
   def semanticPairs(emb: DataFrame, cents: IndexedSeq[Array[Double]],
       threshold: Double): DataFrame = {
-    val assigned = emb.select(col("vec_id"), col("embedding"),
+    // decode-class per-row assignment + quadratic within-cell compare:
+    // spread a single-file corpus before paying either
+    val assigned = Spread(emb).select(col("vec_id"), col("embedding"),
       assignCell(col("embedding"), cents).as("cell"))
     val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
       col("embedding").as("emb_a"))

@@ -772,9 +772,14 @@ object EventStreams {
         col("ts").as("purchase_ts"), col("value").as("purchase_value"))
       .withWatermark("purchase_ts", "10 minutes")
     val name = s"ev_attr_outer_stream_${streamRuns.incrementAndGet()}"
-    val q = attributionOuterJoin(views, purchases)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
+    // state/shuffle partitions sized from the replay's input volume —
+    // the symmetric-hash join keeps 4 state stores PER PARTITION per
+    // epoch, so an oversized constant multiplies checkpoint I/O
+    val q = StreamTune.withAdaptivePartitions(s, StreamTune.dirBytes(src)) {
+      attributionOuterJoin(views, purchases)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+    }
     try q.processAllAvailable() finally {
       q.stop()
       val walk = java.nio.file.Files.walk(src)

@@ -11,10 +11,10 @@ import org.apache.spark.sql.SparkSession
   * protocol (benchSplit gates run build and op halves separately, each
   * labelled). The measure-first tool of the optimization rounds: the
   * bench says WHICH gate is slow, this says WHICH of its jobs.
-  * Args: name [runs=1]. */
+  * Args: name[,name…] [runs=1]. */
 object ProfileGate {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val runs = if (args.length > 1) args(1).toInt else 1
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,7 +46,7 @@ object ProfileGate {
     })
     graft.SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save() // warm-up
-    (1 to runs).foreach { r =>
+    for (name <- names; r <- 1 to runs) {
       graft.operators.CowTable.benchSplit.get(name) match {
         case Some(mk0) =>
           val (bld, op) = mk0(spark, sfDir)
