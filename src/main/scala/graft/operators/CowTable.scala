@@ -913,10 +913,11 @@ object CowTable {
 
   /** Which of `candidates` (normalized) are live data files of `m` —
     * the candidate-sized membership probe the streaming sink's replay
-    * guard needs. The check runs against the entries sidecar (a cached
-    * LocalRelation for small tables, a filtered columnar scan for
-    * large ones), so a v3 manifest's full file list never materializes
-    * for an epoch-sized question. */
+    * guard needs. A SMALL sidecar answers entirely on the driver (set
+    * intersection over the cached entries — zero Spark jobs, and this
+    * probe runs once per streaming epoch); a large one stays a filtered
+    * columnar scan, so a v3 manifest's full file list never
+    * materializes for an epoch-sized question. */
   private[graft] def entriesLiveAmong(spark: SparkSession, table: String,
       m: Manifest, candidates: Seq[String]): Set[String] = {
     if (candidates.isEmpty || !m.dataNonEmpty) return Set.empty
@@ -924,10 +925,31 @@ object CowTable {
       return m.normalizedFiles.toSet
         .intersect(candidates.map(normalize).toSet)
     val candN = candidates.map(normalize)
-    entriesDF(spark, table, m)
-      .filter(col("kind") === "data" &&
-        normalizeSql(col("path")).isInCollection(candN))
-      .select("path").collect().map(r => normalize(r.getString(0))).toSet
+    smallEntries(spark, table, m) match {
+      case Some(es) =>
+        val live = es.iterator.filter(_.kind == "data")
+          .map(e => normalize(e.path)).toSet
+        candN.filter(live.contains).toSet
+      case None =>
+        entriesDF(spark, table, m)
+          .filter(col("kind") === "data" &&
+            normalizeSql(col("path")).isInCollection(candN))
+          .select("path").collect().map(r => normalize(r.getString(0))).toSet
+    }
+  }
+
+  /** The manifest's entries as a driver seq IF driver-affordable (the
+    * same [[SmallSidecarEntries]] gate as [[entriesDF]]'s LocalRelation
+    * path) — None for a large sidecar, which must stay a parquet scan.
+    * Paths come back RESOLVED (openable), like [[loadEntries]]. */
+  private def smallEntries(spark: SparkSession, table: String,
+      m: Manifest): Option[Seq[FileEntry]] = m.entriesRel match {
+    case None => Some(legacyEntries(m))
+    case Some(_) =>
+      cachedEntriesOf(table, m).orElse(
+        if (m.entryCount.exists(_ <= SmallSidecarEntries))
+          Some(loadEntries(spark, table, m))
+        else None)
   }
 
   /** The manifest's entries as a DataFrame (kind, path, bytes, numRows,
@@ -4924,12 +4946,40 @@ object CowTable {
             "or split the range at the rewrite version")
       rows.map(_.getString(0)).toSeq
     }
-    val remF = changed(side(fm, "data")
-      .join(side(tm, "data"), Seq("path"), "left_anti"), "removed")
-    val addF = changed(side(tm, "data")
-      .join(side(fm, "data"), Seq("path"), "left_anti"), "added")
-    val dvNew = changed(side(tm, "dv")
-      .join(side(fm, "dv"), Seq("path"), "left_anti"), "deletion-vector")
+    // small sidecars (both sides driver-cached/affordable — the same
+    // size gate as entriesDF's LocalRelation path) answer the three
+    // file-set diffs with driver set algebra: ZERO jobs, where the
+    // anti-join formulation paid three collect jobs PER SLICE — on a
+    // replayed feed that's three jobs per micro-batch. Large sidecars
+    // keep the distributed anti-joins (the 10⁶-file discipline).
+    val (remF, addF, dvNew) = (smallEntries(spark, table, fm),
+        smallEntries(spark, table, tm)) match {
+      case (Some(fe), Some(te)) =>
+        def ps(es: Seq[FileEntry], kind: String): Seq[String] =
+          es.collect { case e if e.kind == kind => e.path }
+        def diff(a: Seq[String], b: Seq[String], what: String): Seq[String] = {
+          val bs = b.toSet
+          val d = a.filterNot(bs)
+          if (d.length > maxChangedFilesPerSlice)
+            throw new IllegalStateException(
+              s"tableChanges $table v$fromV..v$toV: more than " +
+                s"$maxChangedFilesPerSlice $what files changed — this " +
+                "version pair spans a table rewrite (compaction/" +
+                "re-clustering), not a delta; read the snapshots directly " +
+                "or split the range at the rewrite version")
+          d
+        }
+        val (fd, td) = (ps(fe, "data"), ps(te, "data"))
+        (diff(fd, td, "removed"), diff(td, fd, "added"),
+          diff(ps(te, "dv"), ps(fe, "dv"), "deletion-vector"))
+      case _ =>
+        (changed(side(fm, "data")
+          .join(side(tm, "data"), Seq("path"), "left_anti"), "removed"),
+        changed(side(tm, "data")
+          .join(side(fm, "data"), Seq("path"), "left_anti"), "added"),
+        changed(side(tm, "dv")
+          .join(side(fm, "dv"), Seq("path"), "left_anti"), "deletion-vector"))
+    }
     val dvAffected: Seq[String] =
       if (dvNew.isEmpty) Nil
       else {
@@ -5318,10 +5368,15 @@ object CowTable {
     val ckpt = Files.createTempDirectory("graft_feed_gate").toString
     val name = "lh_changes_stream_" +
       java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val q = s.readStream.format("graft.streaming.CowFeedProvider")
-      .option("table", table).option("keys", "o_orderkey").load()
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt).start()
+    // per-slice diff joins run at the stream's frozen partition count:
+    // size it from the replayed table's bytes (clamped no-op at scale)
+    val q = graft.streaming.StreamTune.withAdaptivePartitions(s,
+      graft.streaming.StreamTune.dirBytes(Paths.get(table))) {
+      s.readStream.format("graft.streaming.CowFeedProvider")
+        .option("table", table).option("keys", "o_orderkey").load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).start()
+    }
     try q.processAllAvailable() finally q.stop()
     s.table(name).drop("_commit_version")
   }
@@ -5399,11 +5454,14 @@ object CowTable {
     val ckpt = Files.createTempDirectory("graft_feed_evolve").toString
     val name = "lh_changes_evolve_" +
       java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val q = s.readStream.format("graft.streaming.CowFeedProvider")
-      .option("table", table).option("keys", "o_orderkey")
-      .option("maxVersionsPerBatch", "1").load()
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt).start()
+    val q = graft.streaming.StreamTune.withAdaptivePartitions(s,
+      graft.streaming.StreamTune.dirBytes(Paths.get(table))) {
+      s.readStream.format("graft.streaming.CowFeedProvider")
+        .option("table", table).option("keys", "o_orderkey")
+        .option("maxVersionsPerBatch", "1").load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).start()
+    }
     try q.processAllAvailable() finally q.stop()
     s.table(name)
   }
@@ -5557,10 +5615,13 @@ object CowTable {
     val ckpt = Files.createTempDirectory("graft_feed_part").toString
     val name = "lh_feed_part_" +
       java.util.UUID.randomUUID().toString.take(8).replace("-", "")
-    val q = s.readStream.format("graft.streaming.CowFeedProvider")
-      .option("table", t).option("keys", "o_orderkey").load()
-      .writeStream.format("memory").queryName(name)
-      .option("checkpointLocation", ckpt).start()
+    val q = graft.streaming.StreamTune.withAdaptivePartitions(s,
+      graft.streaming.StreamTune.dirBytes(Paths.get(t))) {
+      s.readStream.format("graft.streaming.CowFeedProvider")
+        .option("table", t).option("keys", "o_orderkey").load()
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).start()
+    }
     try q.processAllAvailable() finally q.stop()
     val feed = s.table(name)
     val fSide = feed.filter($"o_orderstatus" === "F") // pruned consumer

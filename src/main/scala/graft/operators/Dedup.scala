@@ -1147,11 +1147,15 @@ object Dedup {
       .withColumn("fp", md5(TextAnalysis.normalized($"text")))
       .select($"ts", $"fp")
     val name = s"dd_stream_exact_${streamRuns.incrementAndGet()}"
-    val q = stream.withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("fp")
-      .select($"fp")
-      .writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
+    // dedup state partitions from replayed bytes (clamped no-op at scale)
+    val q = graft.streaming.StreamTune.withAdaptivePartitions(s,
+      graft.streaming.StreamTune.dirBytes(src)) {
+      stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fp")
+        .select($"fp")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    }
     // drain, stop, then reclaim the corpus-sized replay dir — repeated
     // gate/bench runs must not accumulate copies of the corpus in /tmp
     try q.processAllAvailable() finally { q.stop(); deleteRecursively(src) }

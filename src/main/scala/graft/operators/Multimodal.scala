@@ -922,9 +922,17 @@ object Multimodal {
     val thr = thresholdOverride.getOrElse(PhashMegaBucketThreshold)
     val byBucket = org.apache.spark.sql.expressions.Window
       .partitionBy($"fhash")
+    // PERSIST the ranked frame table before self-joining it: without
+    // this, a broadcast-eligible side re-executes the whole decode
+    // lineage to build its hash relation (exchange reuse only saves the
+    // sort-merge shape) — decoding every video TWICE, the dominant cost
+    // at scale. The cached rows are (vid, nf, fidx, rk, bsz, fhash) —
+    // tens of bytes per frame, never pixels — and MEMORY_AND_DISK
+    // spills gracefully on a 10⁹-frame corpus.
     val ranked = frames
       .withColumn("rk", row_number().over(byBucket.orderBy($"vid", $"fidx")))
       .withColumn("bsz", count(lit(1)).over(byBucket))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ranked.as("a").join(ranked.as("b"),
         col("a.fhash") === col("b.fhash") && col("a.vid") < col("b.vid") &&
           (col("a.bsz") <= thr || col("a.rk") + 1 === col("b.rk")))

@@ -635,9 +635,12 @@ object EventStreams {
     val prevProvider = s.conf.getOption(StateProviderKey)
     if (rocksDb) s.conf.set(StateProviderKey, RocksDbProvider)
     try {
-      val q = streamingSessions(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).start()
+      val q = StreamTune.withAdaptivePartitions(s,
+        StreamTune.dirBytes(src)) {
+        streamingSessions(stream)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append()).start()
+      }
       try q.processAllAvailable() finally q.stop()
       if (rocksDb) {
         import scala.jdk.CollectionConverters._
@@ -690,9 +693,14 @@ object EventStreams {
     val stream = Tables.normalizeEventTs(
       s.readStream.schema(rawSchema).parquet(src.toString))
     val name = s"${namePrefix}_${streamRuns.incrementAndGet()}"
-    val q = transform(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(mode).start()
+    // state/shuffle partitions sized from the replayed bytes: a gate
+    // replay stops paying a full constant of state stores per epoch;
+    // at real volumes the clamp keeps the configured parallelism
+    val q = StreamTune.withAdaptivePartitions(s, StreamTune.dirBytes(src)) {
+      transform(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(mode).start()
+    }
     try q.processAllAvailable() finally {
       q.stop()
       val walk = java.nio.file.Files.walk(src)

@@ -214,9 +214,13 @@ object StreamingFunnel {
         }.as("stage"))
       .as[StageEvent]
     val name = s"ev_funnel_stream_${EventStreams.nextStreamRun()}"
-    val q = funnelStreamK(stream, stageTypes.size, 45L * 86400000L)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
+    // state partitions from replayed bytes (clamped no-op at scale)
+    val q = StreamTune.withAdaptivePartitions(s,
+      StreamTune.dirBytes(src)) {
+      funnelStreamK(stream, stageTypes.size, 45L * 86400000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+    }
     try q.processAllAvailable() finally {
       q.stop()
       val walk = java.nio.file.Files.walk(src)

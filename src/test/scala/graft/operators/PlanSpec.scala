@@ -176,4 +176,23 @@ class PlanSpec extends AnyFunSuite {
       graft.Tables.events(spark, TestSpark.sf0001)
         .filter($"event_type" === "click").count())
   }
+
+  test("video dedup self-joins decode the frame lineage exactly once") {
+    // the frame decode dominates the gate's cost model at scale; the
+    // ranked frame table is persisted before the self-join, so BOTH
+    // sides (including a broadcast build side, which exchange reuse
+    // alone would NOT cover) scan the cached rows instead of re-running
+    // the decode — asserted for containment AND temporal alignment
+    for (name <- Seq("dd_video_frames", "dd_video_align")) {
+      val df = graft.SparkEntry.queries(name)(spark, TestSpark.sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      // BOTH join sides must read the persisted frame table (the
+      // InMemoryRelation node inlines the cached plan's description —
+      // that text is not an execution)
+      assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
+        s"$name self-join does not read the persisted frame table on " +
+          s"both sides:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
 }
