@@ -343,15 +343,22 @@ object Bench {
     // The per-query map outgrew the driver's stdout tail capture at ~113
     // queries (BENCH_r14.json came back "parsed": null), so the full
     // artifact goes to a FILE and stdout carries a compact, always-
-    // parseable last line pointing at it.
+    // parseable last line pointing at it. The file default is
+    // CPU-STAMPED: the driver benches at two core counts and the
+    // second run used to overwrite the first's per-query data
+    // (round-18 verdict — PERF per_query was empty two rounds running).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_local_full.json")
+      s"BENCH_local_full_c$cpus.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     // sentinel-wrapped copy first (regex-extractable from any log
     // capture), then the bare compact JSON as the true LAST stdout
     // line (run/outputStrategy passes it raw; showSuccess=false keeps
-    // sbt from appending a [success] line after it)
+    // sbt from appending a [success] line after it). The driver's
+    // tail capture is 2000 chars and it parses from that tail — the
+    // r14 lesson — so the per-query map (~3 KB at 135 queries) can
+    // never ride the parsed line; it lives in the cpu-stamped file
+    // artifact above, which survives both of the driver's runs.
     val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","failed":$nErr,"n_queries":${headline.size},"sf":"$sfDir","json_path":"$outPath"}"""
     println(s"GRAFT_BENCH_JSON>>>$compact<<<GRAFT_BENCH_JSON")
     spark.stop()

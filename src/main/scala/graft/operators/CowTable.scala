@@ -1042,8 +1042,16 @@ object CowTable {
         def longOpt(n: String): Option[Long] =
           if (!t.containsField(n) || g.getFieldRepetitionCount(n) == 0) None
           else Some(g.getLong(n, 0))
-        FileEntry(strOpt("kind").getOrElse("data"),
-          strOpt("path").getOrElse(""),
+        // kind/path are MANDATORY in every sidecar vintage: a row
+        // missing them is corruption or schema drift, and a defaulted
+        // entry (empty path, kind "data") would look like a real file
+        // to downstream planning — fail loudly instead. bytes keeps
+        // the legacy -1 "unknown" convention ([[legacyEntries]]);
+        // part/numRows/stats are genuinely optional (older vintages).
+        FileEntry(strOpt("kind").getOrElse(throw new IllegalStateException(
+            s"entries sidecar $f: row missing required field 'kind'")),
+          strOpt("path").getOrElse(throw new IllegalStateException(
+            s"entries sidecar $f: row missing required field 'path'")),
           longOpt("bytes").getOrElse(-1L),
           longOpt("numRows"), strOpt("stats"), strOpt("part"))
       }.toVector
@@ -3753,9 +3761,20 @@ object CowTable {
     * without it, a full-row postimage would silently NULL-clobber
     * values another writer filled. Replay-idempotent: a replayed
     * epoch preserves FROM ITS OWN postimages, reproducing them. */
+  /** `stagedData`: the source rows ALREADY exist on disk as exactly
+    * these parquet files, written in the table's schema (the update-
+    * mode streaming sink's staged epoch) — commit them BY REFERENCE
+    * instead of reading them back and rewriting a byte-identical copy
+    * (guide §6: the epoch's data leg was a pure read+write round
+    * trip). Taken only when no projection could change the rows
+    * (source carries every table column, schema unevolved); any other
+    * shape falls back to the write path. Callers must guarantee the
+    * files' physical schema matches the table's (the sink checks
+    * before passing them). */
   def upsertMor(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], evolveSchema: Boolean = false,
-      preserveMissing: Boolean = false): Manifest = {
+      preserveMissing: Boolean = false,
+      stagedData: Seq[String] = Nil): Manifest = {
     val m = latestManifest(table).getOrElse(throw new IllegalArgumentException(
       s"cow table $table does not exist"))
     val schema0 = m.schemaOpt.getOrElse(throw new IllegalArgumentException(
@@ -3855,10 +3874,17 @@ object CowTable {
             missingP.map(f => col(s"__pv.${f.name}").as(f.name)): _*)
         source.join(newest, keys, "left")
       }
-    val ordered = enriched.select(schema.fieldNames.map(col): _*)
-    val (dataFiles, _) =
-      writeDataMaybePartitioned(ordered, table, v, m.partitionCols,
-        m.bucketSpec)
+    val dataFiles =
+      if (stagedData.nonEmpty && missingP.isEmpty && (schema eq schema0))
+        // by-reference: the staged epoch files ARE the append leg —
+        // stats ride the sidecar write's scan of them, partition/bucket
+        // tuples recover from their __p_/bucket dirs in deltaCommit
+        stagedData
+      else {
+        val ordered = enriched.select(schema.fieldNames.map(col): _*)
+        writeDataMaybePartitioned(ordered, table, v, m.partitionCols,
+          m.bucketSpec)._1
+      }
     // rebase rule on a lost race: the standard file checks ride in
     // deltaCommit; on top, rows added since OUR snapshot must not carry
     // our keys (our DV can't have killed them — a rebase would
@@ -5535,10 +5561,11 @@ object CowTable {
     * many or too few. */
   private def lhStatsPruneBuild(s: SparkSession, dir: String): String = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val table = freshGateTable()
-    val filed = Tables.orders(s, dir).withColumn("__f",
-      ntile(StatsPruneFiles).over(Window.orderBy($"o_custkey", $"o_orderkey")))
+    // distributed NTILE: identical bucket assignment (the order is a
+    // total order), no single-partition WindowExec (guide §2)
+    val filed = GlobalNtile.withBucket(Tables.orders(s, dir), "__f",
+      StatsPruneFiles, Seq($"o_custkey", $"o_orderkey"))
     initFiled(filed, table, "__f", StatsPruneFiles)
     deleteWhere(s, table, pmod($"o_orderkey", lit(7)) === 1)
     table
@@ -5708,12 +5735,11 @@ object CowTable {
     * relational oracle with pre/post-evolution rows mixed. */
   def lhEvolve2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val table = freshGateTable()
-    val filed = Tables.orders(s, dir)
-      .withColumn("o_qty", pmod($"o_orderkey", lit(1000L)).cast("int"))
-      .withColumn("__f", ntile(StatsPruneFiles)
-        .over(Window.orderBy($"o_custkey", $"o_orderkey")))
+    val filed = GlobalNtile.withBucket(
+      Tables.orders(s, dir)
+        .withColumn("o_qty", pmod($"o_orderkey", lit(1000L)).cast("int")),
+      "__f", StatsPruneFiles, Seq($"o_custkey", $"o_orderkey"))
     initFiled(filed, table, "__f", StatsPruneFiles)
     deleteWhere(s, table, pmod($"o_orderkey", lit(7)) === 1) // pre-evo DV
     alterTable(s, table,
@@ -6191,10 +6217,9 @@ object CowTable {
 
   private def lhDvCompressBuild(s: SparkSession, dir: String): String = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val table = freshGateTable()
-    val filed = Tables.orders(s, dir).withColumn("__f",
-      ntile(DvCompressFiles).over(Window.orderBy($"o_custkey", $"o_orderkey")))
+    val filed = GlobalNtile.withBucket(Tables.orders(s, dir), "__f",
+      DvCompressFiles, Seq($"o_custkey", $"o_orderkey"))
     initFiledSorted(filed, table, "__f", DvCompressFiles,
       Seq("o_custkey", "o_orderkey"))
     table
@@ -7059,10 +7084,9 @@ object CowTable {
     * misclassified file or an unsound metadata answer fails the gate. */
   private def lhMinMaxBuild(s: SparkSession, dir: String): String = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val table = freshGateTable()
-    val filed = Tables.orders(s, dir).withColumn("__f",
-      ntile(StatsPruneFiles).over(Window.orderBy($"o_custkey", $"o_orderkey")))
+    val filed = GlobalNtile.withBucket(Tables.orders(s, dir), "__f",
+      StatsPruneFiles, Seq($"o_custkey", $"o_orderkey"))
     initFiled(filed, table, "__f", StatsPruneFiles)
     val mx = Tables.orders(s, dir).agg(max($"o_custkey")).head().getLong(0)
     deleteWhere(s, table,
@@ -7554,12 +7578,12 @@ object CowTable {
       (() => lhRowGroupBuild(s, d), t => lhRowGroupOp(s, d, t))),
     "lh_evolve2" -> ((s, d) =>
       (() => {
-        import org.apache.spark.sql.expressions.Window
         val table = freshGateTable()
-        val filed = Tables.orders(s, d)
-          .withColumn("o_qty", pmod(col("o_orderkey"), lit(1000L)).cast("int"))
-          .withColumn("__f", ntile(StatsPruneFiles)
-            .over(Window.orderBy(col("o_custkey"), col("o_orderkey"))))
+        val filed = GlobalNtile.withBucket(
+          Tables.orders(s, d)
+            .withColumn("o_qty",
+              pmod(col("o_orderkey"), lit(1000L)).cast("int")),
+          "__f", StatsPruneFiles, Seq(col("o_custkey"), col("o_orderkey")))
         initFiled(filed, table, "__f", StatsPruneFiles)
         deleteWhere(s, table, pmod(col("o_orderkey"), lit(7)) === 1)
         table

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -188,11 +187,15 @@ object Layout {
       gateQuantExpr("l_suppkey", my).as("yq"),
       $"l_orderkey", $"l_linenumber")
       .withColumn("zv", zValue(Seq($"xq", $"yq"), ZBits))
-    val zW = Window.orderBy($"zv", $"xq", $"yq", $"l_orderkey",
-      $"l_linenumber")
-    val lW = Window.orderBy($"xq", $"yq", $"l_orderkey", $"l_linenumber")
-    val filed = q.select($"xq", $"yq",
-      ntile(ZFiles).over(zW).as("zfile"), ntile(ZFiles).over(lW).as("lfile"))
+    // distributed NTILE for both layouts (identical assignment — the
+    // orders are total): two range exchanges instead of two
+    // single-partition WindowExecs (guide §2)
+    val filed = GlobalNtile.withBucket(
+      GlobalNtile.withBucket(q, "zfile", ZFiles,
+        Seq($"zv", $"xq", $"yq", $"l_orderkey", $"l_linenumber")),
+      "lfile", ZFiles,
+      Seq($"xq", $"yq", $"l_orderkey", $"l_linenumber"))
+      .select($"xq", $"yq", $"zfile", $"lfile")
 
     def hits(fileCol: String, on: String): Column =
       // file overlaps the slice iff its [min,max] intersects [lo,hi]

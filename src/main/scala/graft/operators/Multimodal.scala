@@ -928,17 +928,25 @@ object Multimodal {
     // sort-merge shape) — decoding every video TWICE, the dominant cost
     // at scale. The cached rows are (vid, nf, fidx, rk, bsz, fhash) —
     // tens of bytes per frame, never pixels — and MEMORY_AND_DISK
-    // spills gracefully on a 10⁹-frame corpus.
+    // spills gracefully on a 10⁹-frame corpus. The persist is SCOPED
+    // to this call: the pair result is materialized eagerly
+    // (localCheckpoint — pair rows are shared-frame volume, 20-byte
+    // rows, and the checkpoint blocks free on GC) and the frame cache
+    // released in a finally — the CacheManager would otherwise hold a
+    // copy of the full frame table per invocation for the session's
+    // lifetime.
     val ranked = frames
       .withColumn("rk", row_number().over(byBucket.orderBy($"vid", $"fidx")))
       .withColumn("bsz", count(lit(1)).over(byBucket))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ranked.as("a").join(ranked.as("b"),
+    try ranked.as("a").join(ranked.as("b"),
         col("a.fhash") === col("b.fhash") && col("a.vid") < col("b.vid") &&
           (col("a.bsz") <= thr || col("a.rk") + 1 === col("b.rk")))
       .select(col("a.vid").as("vida"), col("b.vid").as("vidb"),
         col("a.nf").as("nfa"), col("b.nf").as("nfb"),
         col("a.fidx").as("fa"), col("b.fidx").as("fb"))
+      .localCheckpoint()
+    finally { ranked.unpersist(); () }
   }
 
   /** Gate: perceptual VIDEO dedup by frame-hash CONTAINMENT — per-pair

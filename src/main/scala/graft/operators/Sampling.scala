@@ -191,10 +191,16 @@ object Sampling {
     val withBucket = df.withColumn("__h", h).withColumn("__b", bucket)
     // fan-out-sized aggregate: 16^prefixChars rows however large the corpus
     val counts = withBucket.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    // single-partition window over ≤ 16^prefixChars rows — trivially
+    // tiny BY CONSTRUCTION (the aggregate above bounds it), so one
+    // partition is the correct plan; the constant-valued (but non-
+    // foldable, so the optimizer keeps it) partition key states that
+    // explicitly instead of tripping WindowExec's unbounded-input
+    // warning — same execution, every row hashes to the same partition
     val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col("__b") * lit(0), lit(0)))
       .orderBy(col("__b"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    // single-partition window over ≤ ShuffleBuckets rows — trivially tiny
     val offsets = counts
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .select(col("__b"), col("__off"))

@@ -23,8 +23,14 @@ object Scale {
   def ensureParallelism(df: DataFrame, minParts: Int): DataFrame =
     // probe the physical plan's partition count directly (toRdd is the
     // InternalRow RDD — no Row-encoder lineage is instantiated, and no
-    // job runs; getNumPartitions only asks the scan for its splits)
-    if (df.queryExecution.toRdd.getNumPartitions >= minParts) df
+    // job runs; getNumPartitions only asks the scan for its splits).
+    // The no-job claim holds only for exchange-free plans — under AQE,
+    // toRdd on a plan WITH exchanges materializes (and discards) its
+    // upstream shuffle stages — so the probe is guarded to scan-rooted
+    // inputs; anything else already gets parallelism from its exchange
+    // and passes through untouched (same guard as [[Spread]]).
+    if (!Spread.probeSafe(df.queryExecution.optimizedPlan)) df
+    else if (df.queryExecution.toRdd.getNumPartitions >= minParts) df
     else df.repartition(minParts)
 
   def ensureParallelism(df: DataFrame): DataFrame =

@@ -1000,7 +1000,11 @@ object Similarity {
     * [[PqIndex.appendToPqIndex]] pin, carried into the lakehouse. */
   def pqCodesFrame(emb: DataFrame, cents: IndexedSeq[Array[Double]],
       books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame =
-    emb.select(col("vec_id"),
+    // the encode (K centroid dots + M sub-space scans per vector) is
+    // decode-class per-row work: spread a single-file corpus across
+    // the cluster before paying it — without this the whole encode
+    // serialized through the one scan task at CowTable.init time
+    Spread(emb).select(col("vec_id"),
       assignCell(col("embedding"), cents).as("cell"),
       pqEncodePacked(col("embedding"), books).as("codes"),
       lit(PqIndex.codebookHash(books)).as("book_fp"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Input-parallelism floor for DECODE-CLASS stages — operators whose
   * per-row cost dwarfs their row bytes (image/audio/video decodes,
@@ -17,10 +18,30 @@ import org.apache.spark.sql.Dataset
   * sorts before round-robin repartition, SPARK-23207), and none of
   * the callers' results depend on row placement. */
 object Spread {
+  /** Narrow pass-throughs over ONE leaf: exactly the shapes whose
+    * physical plan is exchange-free, so the `toRdd` partition probe
+    * below cannot materialize anything. A plan with an aggregation /
+    * join / repartition in it would, under AQE, run (and discard) its
+    * upstream shuffle stages just to answer `getNumPartitions` — and
+    * such a plan already gets its parallelism from the exchange, so
+    * the floor is moot there and the input passes through untouched. */
+  private[operators] def probeSafe(p: LogicalPlan): Boolean = scanRooted(p)
+
+  private def scanRooted(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case _: Project | _: Filter | _: SubqueryAlias | _: TypedFilter |
+         _: SerializeFromObject | _: DeserializeToObject |
+         _: MapPartitions | _: MapElements => scanRooted(p.children.head)
+    case _ => false
+  }
+
   /** Dataset-generic twin of [[Scale.ensureParallelism]] (same no-job
     * probe: `toRdd.getNumPartitions` asks the scan for its splits
-    * without instantiating a Row-encoder lineage or running a job). */
+    * without instantiating a Row-encoder lineage or running a job —
+    * guarded to scan-rooted plans, where that no-job claim holds even
+    * with AQE enabled). */
   def apply[T](ds: Dataset[T]): Dataset[T] = {
+    if (!scanRooted(ds.queryExecution.optimizedPlan)) return ds
     val want = ds.sparkSession.sparkContext.defaultParallelism
     if (ds.queryExecution.toRdd.getNumPartitions >= want) ds
     else ds.repartition(want)

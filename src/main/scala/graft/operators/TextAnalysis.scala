@@ -726,8 +726,14 @@ object TextAnalysis {
       .select(col("doc_id"), score.as("score"))
       .orderBy(desc("score"), col("doc_id").asc)
       .limit(topK)
+    // rank over the ≤ topK rows the TakeOrdered limit already bounded —
+    // one partition is the correct plan for a k-row input; the
+    // constant-valued (but non-foldable, so the optimizer keeps it)
+    // partition key says so explicitly, identical execution, no
+    // unbounded-input WindowExec warning
     top.withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
+          .partitionBy(coalesce(col("doc_id") * lit(0L), lit(0L)))
           .orderBy(desc("score"), col("doc_id").asc)))
       .select(col("doc_id"), col("rank"), round(col("score"), 6).as("score_r6"))
   }

@@ -1355,15 +1355,34 @@ private[plans] class CowStreamingUpsertWrite(table: CowDsv2Table,
     * produces — absorbing would silently discard its data. */
   override protected def applyEpoch(added: Seq[String]): Unit =
     if (added.nonEmpty) {
-      val staged = spark.read.schema(sinkSchema).parquet(added: _*)
       val cur = CowTable.latestManifest(table.tablePath)
-      val (aligned, alignedKeys) = cur.flatMap(_.schemaOpt) match {
+      // crash-window replay (upsert committed, epoch record lost): the
+      // staged paths commit BY REFERENCE below, so an already-applied
+      // epoch is detected by manifest membership and skipped whole —
+      // the append sink's discipline, replacing the old "re-upsert
+      // content-identically, one redundant version may commit" shape
+      val live = cur.map(m => CowTable.entriesLiveAmong(spark,
+        table.tablePath, m, added)).getOrElse(Set.empty[String])
+      if (added.forall(p => live.contains(CowTable.normalizePath(p))))
+        return
+      val staged = spark.read.schema(sinkSchema).parquet(added: _*)
+      val curSchemaOpt = cur.flatMap(_.schemaOpt)
+      val (aligned, alignedKeys) = curSchemaOpt match {
         case Some(curSchema) => CowDsv2.alignEpochToTable(staged, keys,
           curSchema, cur.map(_.droppedNames).getOrElse(Set.empty))
         case None => (staged, keys)
       }
+      // the staged bytes ARE the table rows when no alignment could
+      // change them: table schema == sink schema by name AND type —
+      // then the epoch's data leg commits the staged files by
+      // reference (no read-back rewrite); any mid-run evolution falls
+      // back to the projected write path
+      val byRef = curSchemaOpt.exists(cs =>
+        cs.fields.map(f => (f.name, f.dataType)).toSeq ==
+          sinkSchema.fields.map(f => (f.name, f.dataType)).toSeq)
       CowTable.upsertMor(spark, table.tablePath, aligned, alignedKeys,
-        evolveSchema = true, preserveMissing = true)
+        evolveSchema = true, preserveMissing = true,
+        stagedData = if (byRef) added else Nil)
       ()
     }
 }

@@ -43,15 +43,23 @@ object StreamTune {
     math.max(1, math.min(cur, want))
   }
 
+  /** Serializes the set/start/restore windows: two concurrent query
+    * starts mutating the same session's `spark.sql.shuffle.partitions`
+    * could otherwise capture or restore each other's temporary value
+    * (the conf only matters at `.start()` — Spark clones the session
+    * into the stream — so holding the lock across `body` is cheap). */
+  private val confLock = new Object
+
   /** Runs `body` with `spark.sql.shuffle.partitions` temporarily set to
     * `n` (restored after) — scoping the adaptive count to the streaming
     * query's start so the surrounding session keeps its parallelism. */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
-  }
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    confLock.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val old = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try body finally spark.conf.set(key, old)
+    }
 
   /** [[withShufflePartitions]] at [[adaptivePartitions]] of
     * `inputBytes`. */

@@ -69,15 +69,37 @@ class MultimodalVideoSpec extends AnyFunSuite {
     assert(rows == expected)
   }
 
-  test("decode lineage executes once: both self-join sides scan the " +
-      "persisted frame table") {
-    // exchange reuse only covers the sort-merge shape — a broadcast
-    // build side would re-run the decode; the persist covers both
-    val df = Multimodal.ddVideoFrames(spark, "/root/testdata/sf0.001")
-    val plan = df.queryExecution.executedPlan.toString
-    assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
-      s"frame self-join must not decode the corpus twice:\n$plan")
-    spark.catalog.clearCache()
+  test("decode lineage executes once and the frame cache does not leak: " +
+      "the pair table is checkpointed, the scoped persist released") {
+    import spark.implicits._
+    // behavioral decode-once proof: an accumulator in the frame
+    // lineage counts how many times each row is produced — the scoped
+    // persist must make the self-join (BOTH sides, whatever join
+    // strategy) consume each frame exactly once, and the checkpointed
+    // pair result must never re-execute the lineage on re-collection
+    val decoded = spark.sparkContext.longAccumulator("frames_decoded")
+    val rows = (0 until 64).flatMap { v =>
+      Seq((v.toLong, 2, 0, 5000L + v % 8), (v.toLong, 2, 1, 9000L + v))
+    }
+    val frames = rows.toDF("vid", "nf", "fidx", "fhash")
+      .filter { (_: org.apache.spark.sql.Row) => decoded.add(1L); true }
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Multimodal.videoFramePairs(frames)
+    assert(decoded.value == rows.size,
+      s"frame lineage must execute exactly once during the pair build, " +
+        s"saw ${decoded.value} row productions for ${rows.size} rows")
+    pairs.collect(); pairs.collect()
+    assert(decoded.value == rows.size,
+      "re-collecting the checkpointed pair table must not re-decode")
+    // leak check: every persistent RDD this call left behind is the
+    // checkpointed pair result (GC-reclaimed), never the frame cache
+    // (which the old code left in the CacheManager forever)
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (k, _) => !before.contains(k) }.values
+      .filterNot(_.isCheckpointed)
+    assert(leaked.isEmpty,
+      s"videoFramePairs must release its scoped frame cache, found: " +
+        leaked.map(_.toString).mkString(", "))
   }
 
   test("alignment gate finds re-encodes at offset 0 and trims at offset 1, " +

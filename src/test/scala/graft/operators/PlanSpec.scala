@@ -179,19 +179,23 @@ class PlanSpec extends AnyFunSuite {
 
   test("video dedup self-joins decode the frame lineage exactly once") {
     // the frame decode dominates the gate's cost model at scale; the
-    // ranked frame table is persisted before the self-join, so BOTH
-    // sides (including a broadcast build side, which exchange reuse
-    // alone would NOT cover) scan the cached rows instead of re-running
-    // the decode — asserted for containment AND temporal alignment
+    // ranked frame table is persisted (SCOPED — released before the
+    // call returns) and the pair table checkpointed, so the decode
+    // lineage is detached from the returned plan entirely: it cannot
+    // re-execute under ANY downstream join/aggregate strategy, and the
+    // returned plan must carry the checkpoint scan, not the decode —
+    // asserted for containment AND temporal alignment. (The behavioral
+    // exactly-once proof is MultimodalVideoSpec's accumulator test.)
     for (name <- Seq("dd_video_frames", "dd_video_align")) {
       val df = graft.SparkEntry.queries(name)(spark, TestSpark.sf0001)
       val plan = df.queryExecution.executedPlan.toString
-      // BOTH join sides must read the persisted frame table (the
-      // InMemoryRelation node inlines the cached plan's description —
-      // that text is not an execution)
-      assert("InMemoryTableScan".r.findAllIn(plan).size >= 2,
-        s"$name self-join does not read the persisted frame table on " +
-          s"both sides:\n$plan")
+      assert(plan.contains("ExistingRDD"),
+        s"$name must consume the checkpointed pair table (decode " +
+          s"lineage detached):\n$plan")
+      // the decode lineage roots at a parquet scan of the corpus; a
+      // detached plan has NO file scan at all — only the RDD scan
+      assert(!plan.toLowerCase.contains("parquet"),
+        s"$name returned plan must not carry the decode lineage:\n$plan")
       spark.catalog.clearCache()
     }
   }

@@ -173,4 +173,65 @@ class CowStreamSinkSpec extends AnyFunSuite {
     sw.commit(2L, Array.empty)
     assert(CowTable.latestManifest(t).get.version == v1 + 1)
   }
+
+  test("upsert sink: staged epoch files commit BY REFERENCE and a " +
+      "crash-window replay is detected by manifest membership") {
+    val base = freshDir()
+    val t = base.resolve("t").toString
+    CowTable.init(Seq((1L, 10L), (2L, 20L)).toDF("k", "x")
+      .repartition(1), t)
+    val table = new CowDsv2Table(t)
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("upsertKeys", "k")
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "q-upsert-replay"
+      override def schema() = table.schema()
+      override def options() = new CaseInsensitiveStringMap(opts)
+    }
+    val sw = table.newWriteBuilder(info).build().toStreaming
+    val fac = sw.createStreamingWriterFactory(null)
+
+    def stage(epoch: Long, k: Long, x: Long): Array[WriterCommitMessage] = {
+      val w = fac.createWriter(0, 7L, epoch)
+      w.write(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](k, x)))
+      Array(w.commit())
+    }
+
+    // normal epoch: update k=2 — ONE delta version whose data leg is
+    // the staged file itself (no read-back rewrite)
+    sw.commit(0L, stage(0L, 2L, 25L))
+    val m1 = CowTable.latestManifest(t).get
+    assert(m1.version == 1, s"one upsert version expected: $m1")
+    assert(m1.dvs.nonEmpty, "matched update must land as a DV")
+    assert(m1.files.exists(_.contains("/stream-q-upsert-replay/e0")),
+      s"the staged epoch file must be committed by reference: ${m1.files}")
+    def content() = CowTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(content() == Map(1L -> 10L, 2L -> 25L))
+
+    // whole-epoch replay (epoch recorded): no new version
+    sw.commit(0L, stage(0L, 2L, 25L))
+    assert(CowTable.latestManifest(t).get.version == m1.version,
+      "a recorded epoch must not commit again")
+
+    // crash-window replay: upsert committed but epoch record LOST —
+    // manifest membership of the staged paths must stop the re-apply
+    // (the old rewrite path would have committed a redundant version)
+    val epochFile = java.nio.file.Paths.get(
+      s"$t/stream-q-upsert-replay/_epoch")
+    java.nio.file.Files.delete(epochFile)
+    sw.commit(0L, stage(0L, 2L, 25L))
+    assert(CowTable.latestManifest(t).get.version == m1.version,
+      "replay after a lost epoch record must detect committed paths")
+    assert(content() == Map(1L -> 10L, 2L -> 25L))
+    assert(java.nio.file.Files.isRegularFile(epochFile),
+      "the replay must re-record the epoch")
+
+    // a later epoch (insert + update) still commits normally
+    sw.commit(1L, stage(1L, 5L, 50L))
+    val m3 = CowTable.latestManifest(t).get
+    assert(m3.version == m1.version + 1)
+    assert(content() == Map(1L -> 10L, 2L -> 25L, 5L -> 50L))
+  }
 }
