@@ -754,7 +754,7 @@ object CowTable {
     val dvs = carried.collect { case e if e.kind == "dv" => e.path }
     val m = commitWithStatsDF(spark, table, version,
       spark.createDataFrame(carried), newDataFiles, schema, dvs,
-      partitionCols)
+      partitionCols, carriedSeq = Some(carried))
     // cache mirrors the WRITTEN sidecar: data rows as carried, dv rows
     // in their canonical rebuilt form (appended last)
     if (newDataFiles.isEmpty) cacheEntries(table, m.entriesRel.get,
@@ -775,6 +775,14 @@ object CowTable {
     * claiming its version (deterministic race replay). */
   private[graft] var preCommitHook: () => Unit = () => ()
 
+  /** `carriedSeq`: the carried entries as a driver seq when the caller
+    * already holds them (small sidecars, delta commits) — lets a
+    * DATA-FILE-FREE commit (DV-only delete, metadata evolution, bloom
+    * fold, branch publish) write its sidecar ON THE DRIVER with zero
+    * Spark jobs instead of planning a LocalRelation write job per
+    * commit (guide §5: metadata-sized work stays off the cluster; the
+    * write-side twin of the driver-side sidecar READ). Commits that add
+    * data files keep the fused stats-scan + sidecar-write Spark job. */
   private def commitWithStatsDF(spark: SparkSession, table: String,
       version: Int, carriedDF: DataFrame, newDataFiles: Seq[String],
       schema: StructType,
@@ -786,7 +794,8 @@ object CowTable {
       extraBloomRels: Seq[String] = Nil,
       bloomRelsReplace: Option[Seq[String]] = None,
       bucketSpecOverride: Option[Option[(String, Int)]] = None,
-      droppedOverride: Option[Set[String]] = None): Manifest = {
+      droppedOverride: Option[Set[String]] = None,
+      carriedSeq: Option[Seq[FileEntry]] = None): Manifest = {
     preCommitHook()
     val headOpt = latestManifest(table)
     // a rebasing committer re-commits its base-derived schema; fold the
@@ -843,21 +852,34 @@ object CowTable {
     // would return empty on a live table). dv rows carry only
     // (kind, path) information downstream — every bytes/stats consumer
     // filters kind='data' first — so the rebuild loses nothing.
-    val carriedDataDF = carriedDF.filter(col("kind") =!= "dv")
-    val withNew =
-      if (newDataFiles.isEmpty) carriedDataDF
-      else carriedDataDF.unionByName(
-        statsEntriesDF(spark, newDataFiles, newFileParts),
-        allowMissingColumns = true)
-    val entriesOut =
-      if (carriedDvs.isEmpty) withNew
-      else withNew.unionByName(
-        spark.createDataFrame(canonDvRows(carriedDvs)),
-        allowMissingColumns = true)
-    entriesOut.select(entriesSchema.fieldNames.map(c =>
-        if (entriesOut.columns.contains(c)) col(c)
-        else lit(null).cast("string").as(c)): _*)
-      .coalesce(1).write.mode("overwrite").parquet(out.toString)
+    val fastRows: Option[Seq[FileEntry]] =
+      if (newDataFiles.nonEmpty) None
+      else carriedSeq.map(cs =>
+        cs.filterNot(_.kind == "dv") ++ canonDvRows(carriedDvs))
+    fastRows match {
+      case Some(rows) =>
+        // driver-side sidecar write — zero Spark jobs; rows are
+        // driver-resident by the caller's size gate, and there is no
+        // stats scan to fuse (no new data files)
+        writeSidecarDriver(spark, out, rows)
+        cacheEntries(table, rel, rows)
+      case None =>
+        val carriedDataDF = carriedDF.filter(col("kind") =!= "dv")
+        val withNew =
+          if (newDataFiles.isEmpty) carriedDataDF
+          else carriedDataDF.unionByName(
+            statsEntriesDF(spark, newDataFiles, newFileParts),
+            allowMissingColumns = true)
+        val entriesOut =
+          if (carriedDvs.isEmpty) withNew
+          else withNew.unionByName(
+            spark.createDataFrame(canonDvRows(carriedDvs)),
+            allowMissingColumns = true)
+        entriesOut.select(entriesSchema.fieldNames.map(c =>
+            if (entriesOut.columns.contains(c)) col(c)
+            else lit(null).cast("string").as(c)): _*)
+          .coalesce(1).write.mode("overwrite").parquet(out.toString)
+    }
     val dvs = carriedDvs
     // the sole data-file list is the just-written sidecar: the entry
     // count comes from its parquet FOOTER (metadata-only, no Spark
@@ -897,6 +919,31 @@ object CowTable {
     Manifest(version, Nil, dvs, Some(commitSchema.json), Some(rel),
       Some(nEntries), partitionCols, dvRunsAll, bloomSpecs, bloomRels,
       bucketSpec, dropped, Some(() => sidecarDataPathsAt(mDir, rel)))
+  }
+
+  /** Writes an entries sidecar ON THE DRIVER — one parquet part file
+    * through the SAME writer `df.write.parquet` uses
+    * ([[org.apache.spark.sql.graftbridge.WriteBridge]]), so the bytes
+    * are layout-identical to the Spark-written sidecars; zero Spark
+    * jobs. Only for data-file-free commits whose carry is already a
+    * driver seq ([[commitWithStatsDF]]'s fast path). */
+  private def writeSidecarDriver(spark: SparkSession, out: Path,
+      rows: Seq[FileEntry]): Unit = {
+    import org.apache.spark.unsafe.types.UTF8String
+    Files.createDirectories(out)
+    val w = org.apache.spark.sql.graftbridge.WriteBridge
+      .parquetWriter(spark, entriesSchema)
+      .open(out.resolve("part-00000-" +
+        java.util.UUID.randomUUID().toString.take(8) +
+        ".parquet").toString, 0, 0)
+    try rows.foreach { e =>
+      w.write(new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](
+          UTF8String.fromString(e.kind), UTF8String.fromString(e.path),
+          e.bytes, e.numRows.map(Long.box).orNull,
+          e.stats.map(UTF8String.fromString).orNull,
+          e.part.map(UTF8String.fromString).orNull)))
+    } finally w.close()
   }
 
   /** Footer-only row count of a just-written parquet dir — O(#part
@@ -1328,7 +1375,8 @@ object CowTable {
         entriesDF(spark, table, h), Nil, newSchema, h.dvs,
         h.partitionCols, knownDvRuns = h.dvRunCounts,
         schemaAuthoritative = true,
-        droppedOverride = Some(h.droppedNames ++ newTombstones))
+        droppedOverride = Some(h.droppedNames ++ newTombstones),
+        carriedSeq = smallEntries(spark, table, h))
     commitWithRetry(table, m, validate, attempt)
   }
 
@@ -1567,7 +1615,8 @@ object CowTable {
         entriesDF(spark, table, h), Nil, schema, h.dvs,
         h.partitionCols, knownDvRuns = h.dvRunCounts,
         bloomColsOverride = Some(h.bloomCols ++ specs),
-        extraBloomRels = backfill.toSeq)
+        extraBloomRels = backfill.toSeq,
+        carriedSeq = smallEntries(spark, table, h))
       catch { case e: Throwable =>
         backfill.foreach(r => deleteRecursively(manifestDir(table).resolve(r)))
         throw e
@@ -1620,7 +1669,8 @@ object CowTable {
           throw new IllegalArgumentException(
             "consolidateBlooms needs a v2 manifest")),
         h.dvs, h.partitionCols, knownDvRuns = h.dvRunCounts,
-        bloomRelsReplace = Some(Seq(rel)))
+        bloomRelsReplace = Some(Seq(rel)),
+        carriedSeq = smallEntries(spark, table, h))
     // the consolidated rel was written before the commit; a concurrent
     // commit makes validate refuse (the live-file fold is stale), so
     // the abandoned rel — referenced by no manifest — must be deleted
@@ -3261,7 +3311,8 @@ object CowTable {
           if (abs.startsWith(parentPrefix)) abs.stripPrefix(parentPrefix)
           else abs
         }),
-        bucketSpecOverride = Some(bh.bucketSpec))
+        bucketSpecOverride = Some(bh.bucketSpec),
+        carriedSeq = smallEntries(spark, bp, bh))
     commitWithRetry(table, m, validate, attempt)
   }
 
@@ -3735,7 +3786,12 @@ object CowTable {
       commitWithStatsDF(spark, table, h.version + 1, carriedDF, addedData,
         schema, h.dvs ++ addedDvs, h.partitionCols, newParts,
         knownDvRuns = h.dvRunCounts,
-        schemaAuthoritative = schemaOverride.isDefined)
+        schemaAuthoritative = schemaOverride.isDefined,
+        // a DV-only delta over a small sidecar writes its sidecar on
+        // the driver (dvEntries ride carriedDvs' canonical rebuild)
+        carriedSeq =
+          if (addedData.nonEmpty) None
+          else smallEntries(spark, table, h))
     }
     commitWithRetry(table, head0, validate, attempt)
   }
